@@ -1,0 +1,471 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** The engine's frame abstraction — Spark-native re-expression of the
+  * reference's 4-tuple `DataFrame Indices Groups TitleTrees [Field]`
+  * (`/root/reference/src/Data/DataFrame.hs:65-72`).
+  *
+  * Design (SURVEY.md §1.3 / §7.1):
+  *  - data lives in a plain Catalyst-optimizable `Dataset[Row]` carrying a
+  *    hidden `__row_id` long that encodes row *identity*;
+  *  - row *order* is kept logical: `ordering` (most recent sort first) with
+  *    `__row_id` as the final tiebreak. Order is materialized into fresh
+  *    contiguous row ids only when an operator structurally needs positions
+  *    (melt/append/zip), via a partition-offset `zipWithIndex` — never a
+  *    single-partition global window;
+  *  - `groups` is the carried grouping state (`DataFrame.hs:68`): `groupby`
+  *    only records names; the shuffle happens when `aggregate` fires;
+  *  - `pivot` is the carried crosstab presentation state standing in for the
+  *    reference's `TitleTrees`; realized at render time.
+  *
+  * Descending sorts replicate the reference's `Descending = reverse(asc)`
+  * quirk (`Combinator.hs:229-230`): a desc sort reverses the *entire*
+  * previous order among equal keys, which we encode by flipping the sense of
+  * every existing sort key and of the row-id tiebreak.
+  */
+final class KFrame private[graft] (
+    private[graft] val ds: DataFrame,
+    val groups: Seq[String],
+    val pivot: Option[PivotSpec],
+    private[graft] val ordering: Seq[SortKey],
+    private[graft] val rowIdAsc: Boolean) {
+
+  import KFrame._
+
+  private def spark: SparkSession = ds.sparkSession
+
+  /** Visible (user-facing) columns, i.e. everything but the hidden row id. */
+  def dataColumns: Seq[String] = ds.columns.toSeq.filterNot(_ == RowId)
+
+  def traits(field: String): FieldTraits = {
+    val f = ds.schema.fields.find(_.name == field)
+      .getOrElse(throw new KevinException(s"no such field: $field"))
+    FieldTraits.of(f).getOrElse(FieldTraits.defaultFor(f))
+  }
+
+  def withTraits(field: String, t: FieldTraits): KFrame = {
+    val existing = ds.schema.fields.find(_.name == field)
+      .map(_.metadata).getOrElse(Metadata.empty)
+    copyWith(ds = ds.withMetadata(field, t.toMetadata(existing)))
+  }
+
+  private def copyWith(
+      ds: DataFrame = ds,
+      groups: Seq[String] = groups,
+      pivot: Option[PivotSpec] = pivot,
+      ordering: Seq[SortKey] = ordering,
+      rowIdAsc: Boolean = rowIdAsc): KFrame =
+    new KFrame(ds, groups, pivot, ordering, rowIdAsc)
+
+  /** The frame's total order as Spark sort columns. */
+  private[graft] def orderCols: Seq[Column] = {
+    val keys = ordering.map(k =>
+      if (k.ascending) F.col(k.field).asc else F.col(k.field).desc)
+    keys :+ (if (rowIdAsc) F.col(RowId).asc else F.col(RowId).desc)
+  }
+
+  private def flippedOrderCols: Seq[Column] = {
+    val keys = ordering.map(k =>
+      if (k.ascending) F.col(k.field).desc else F.col(k.field).asc)
+    keys :+ (if (rowIdAsc) F.col(RowId).desc else F.col(RowId).asc)
+  }
+
+  /** Renumber row ids 1..n in the frame's current logical order and clear
+    * the ordering spec. Distributed: sort (range-partitioned shuffle) +
+    * partition-offset zipWithIndex; no global window.
+    */
+  private[graft] def materializeOrder: KFrame =
+    if (ordering.isEmpty && rowIdAsc) this
+    else copyWith(ds = renumber(ds.orderBy(orderCols: _*)), ordering = Nil, rowIdAsc = true)
+
+  // ---- §2.2 projection ------------------------------------------------
+
+  /** Project + reorder columns to argument order; unknown names are silently
+    * dropped (`Combinator.hs:38-55`). Keeps groups, clears pivot.
+    */
+  def select(names: String*): KFrame = {
+    val existing = names.filter(ds.columns.contains)
+    // If the logical order references a column being dropped, bake the order
+    // into row ids first so it survives the projection.
+    val base =
+      if (ordering.forall(k => existing.contains(k.field))) this
+      else materializeOrder
+    base.copyWith(
+      ds = base.ds.select((existing :+ RowId).map(F.col): _*),
+      pivot = None,
+      ordering = base.ordering)
+  }
+
+  // ---- §2.3 filters ---------------------------------------------------
+
+  /** Idiomatic Column-expression filter — Catalyst-optimizable (pushdown).
+    * Resets groups, clears pivot (`Combinator.hs:195`).
+    */
+  def filter(cond: Column): KFrame =
+    copyWith(ds = ds.filter(cond), groups = Nil, pivot = None)
+
+  /** Reference-parity typed predicate on a Text column; `Empty` (null) rows
+    * are dropped (`Combinator.hs:126-132`).
+    */
+  def filterText(field: String, pred: String => Boolean): KFrame =
+    typedFilter(field, numeric = false, F.udf(pred).apply(F.col(field)))
+
+  /** Typed predicate on a Number column (`Combinator.hs:142-164`). */
+  def filterNumber(field: String, pred: Double => Boolean): KFrame =
+    typedFilter(field, numeric = true, F.udf(pred).apply(F.col(field).cast("double")))
+
+  /** Typed integral predicate (`Combinator.hs:150-156,176-182`). */
+  def filterInt(field: String, pred: Long => Boolean): KFrame =
+    typedFilter(field, numeric = true, F.udf(pred).apply(F.col(field).cast("long")))
+
+  private def typedFilter(field: String, numeric: Boolean, cond: Column): KFrame = {
+    requireField(field)
+    requireFieldType(field, numeric)
+    copyWith(
+      ds = ds.filter(F.col(field).isNotNull && cond),
+      groups = Nil, pivot = None)
+  }
+
+  // ---- §2.4 grouping & aggregation -----------------------------------
+
+  /** Record grouping state; the physical groupBy happens in [[aggregate]]
+    * (`Combinator.hs:56-72`). Unknown names are dropped without error
+    * (`Spec.lhs:64-65`). Sets groups, clears pivot.
+    */
+  def groupby(names: String*): KFrame =
+    copyWith(groups = names.filter(ds.columns.contains), pivot = None)
+
+  /** Collapse to one row per group, keeping the group-key columns plus the
+    * aggregated column under its original name; all other columns dropped
+    * (`Combinator.hs:202-226`). With no stored groups the whole visible
+    * frame is one group. Output rows are ordered by the group-key values
+    * ascending — the reference sorts groups by key (`Combinator.hs:66-68`).
+    * Resets groups, clears pivot.
+    */
+  def aggregate(agg: KAggregator, field: String): KFrame = {
+    if (!ds.columns.contains(field))
+      throw new KevinException(s"no such field: $field")
+    requireFieldType(field, agg.numeric, err = "invalid type")
+    val m = materializeOrder // concat et al. fold in frame order
+    val expr = agg.toColumn(field, F.col(RowId)).as(field)
+    val out =
+      if (groups.isEmpty)
+        m.ds.agg(expr).withColumn(RowId, F.lit(1L))
+      else
+        m.ds.groupBy(groups.map(F.col): _*).agg(expr)
+          // group keys are unique per output row, so an arbitrary unique id
+          // suffices as tiebreak — no global renumbering shuffle needed.
+          .withColumn(RowId, F.monotonically_increasing_id())
+    copyWith(
+      ds = out,
+      groups = Nil,
+      pivot = None,
+      ordering = groups.map(SortKey(_, ascending = true)).toList,
+      rowIdAsc = true)
+  }
+
+  // ---- §2.5 reshape ---------------------------------------------------
+
+  /** Wide→long (`Combinator.hs:78-120`): id columns replicated once per
+    * value column, fixed output columns `variable` (Text/Dimension/Discrete)
+    * and `value` (Number/Measure/Continuous), result in **variable-major**
+    * order (all rows of var1, then var2, …) with fresh contiguous row ids.
+    * Unknown var names melt away (possibly to a row-empty frame). Resets
+    * groups, clears pivot.
+    */
+  def melt(ids: Seq[String], vars: Seq[String]): KFrame = {
+    val idCols = ids.filter(ds.columns.contains)
+    val varCols = vars.filter(ds.columns.contains)
+    val m = materializeOrder
+    val h = m.ds.count()
+    if (varCols.isEmpty) {
+      val empty = m.ds
+        .select(idCols.map(F.col) :+ F.lit("").as(Variable) :+
+          F.lit(0.0).as(Value) :+ F.col(RowId): _*)
+        .filter(F.lit(false))
+      return copyWith(ds = meltTraits(empty), groups = Nil, pivot = None,
+        ordering = Nil, rowIdAsc = true)
+    }
+    val narrowed = m.ds.select((idCols ++ varCols :+ RowId).map(F.col): _*)
+    val unpivoted = narrowed.unpivot(
+      (idCols :+ RowId).map(F.col).toArray,
+      varCols.map(c => F.col(c).cast("double")).toArray,
+      Variable, Value)
+    // var-major order: new id = (varIdx-1)*height + old id (old ids are
+    // contiguous 1..h after materializeOrder) — pure arithmetic, no shuffle.
+    val varIdx = F.array_position(
+      F.array(varCols.map(F.lit): _*), F.col(Variable))
+    val out = unpivoted.withColumn(
+      RowId, (varIdx - 1) * F.lit(h) + F.col(RowId))
+    copyWith(ds = meltTraits(out), groups = Nil, pivot = None,
+      ordering = Nil, rowIdAsc = true)
+  }
+
+  def melt(id: String, vars: Seq[String]): KFrame = melt(Seq(id), vars)
+  def melt(ids: Seq[String], v: String): KFrame = melt(ids, Seq(v))
+  def melt(id: String, v: String): KFrame = melt(Seq(id), Seq(v))
+
+  private def meltTraits(df: DataFrame): DataFrame =
+    df.withMetadata(Variable, FieldTraits.text.toMetadata())
+      .withMetadata(Value, FieldTraits.measure.toMetadata())
+
+  /** Enter pivot form (`DataFrame.hs:276-283`): all non-value columns form
+    * the row tree, column tree empty. Keeps groups.
+    */
+  def toPivot(valueField: String): KFrame = {
+    requireField(valueField)
+    copyWith(pivot = Some(
+      PivotSpec(dataColumns.filterNot(_ == valueField), Nil, valueField)))
+  }
+
+  /** Leave pivot form (`DataFrame.hs:273-274`). */
+  def fromPivot: KFrame = copyWith(pivot = None)
+
+  /** Move a field from the column tree to the end of the row tree
+    * (`Combinator.hs:239-252`).
+    */
+  def stack(field: String): KFrame = pivot match {
+    case None => throw new KevinException("dataframe is not pivoted")
+    case Some(p) =>
+      if (!p.colFields.contains(field))
+        throw new KevinException(s"no such field in column titles: $field")
+      copyWith(pivot = Some(p.copy(
+        rowFields = p.rowFields :+ field,
+        colFields = p.colFields.filterNot(_ == field))))
+  }
+
+  /** Move a field from the row tree to the end of the column tree
+    * (`Combinator.hs:254-267`).
+    */
+  def unstack(field: String): KFrame = pivot match {
+    case None => throw new KevinException("dataframe is not pivoted")
+    case Some(p) =>
+      if (!p.rowFields.contains(field))
+        throw new KevinException(s"no such field in row titles: $field")
+      copyWith(pivot = Some(p.copy(
+        rowFields = p.rowFields.filterNot(_ == field),
+        colFields = p.colFields :+ field)))
+  }
+
+  /** The R-`dcast` composite (`Combinator.hs:269-276`):
+    * `groupby(rows++cols) → aggregate(agg, v) → toPivot(v) → unstack cols`.
+    */
+  def cast(rows: Seq[String], cols: Seq[String], agg: KAggregator, valueField: String): KFrame = {
+    if (rows.intersect(cols).nonEmpty)
+      throw new KevinException("overlapping row/column fields")
+    if ((rows ++ cols).contains(valueField))
+      throw new KevinException(s"value field collides with row/column fields: $valueField")
+    val aggregated = groupby(rows ++ cols: _*).aggregate(agg, valueField).toPivot(valueField)
+    cols.foldLeft(aggregated)((f, c) => f.unstack(c))
+  }
+
+  /** Realize the pivot as a flat wide table via Spark's native
+    * `groupBy().pivot().agg(first)` — the scalable path for crosstab-shaped
+    * results (the renderer uses driver-side trees only for display).
+    * Requires exactly one column field (multi-level column trees stay in
+    * render-land, as in the reference).
+    */
+  def pivotedWide: DataFrame = pivot match {
+    case Some(PivotSpec(rows, Seq(c), v)) =>
+      ds.groupBy(rows.map(F.col): _*).pivot(c).agg(F.first(F.col(v)))
+    case Some(p) => throw new KevinException(
+      s"pivotedWide needs exactly one column field, got ${p.colFields}")
+    case None => throw new KevinException("dataframe is not pivoted")
+  }
+
+  // ---- §2.6 sorts / limits / positional ------------------------------
+
+  /** Stable single-column sort; unknown field leaves the frame unchanged
+    * (`Combinator.hs:235-237`). Descending reverses the whole previous
+    * order among ties (`:229-230`). Keeps groups, clears pivot.
+    */
+  def sort(field: String, ascending: Boolean = true): KFrame = {
+    if (!ds.columns.contains(field)) return copyWith(pivot = None)
+    if (ascending)
+      copyWith(pivot = None,
+        ordering = SortKey(field, ascending = true) +: ordering)
+    else
+      copyWith(pivot = None,
+        ordering = SortKey(field, ascending = false) +:
+          ordering.map(k => k.copy(ascending = !k.ascending)),
+        rowIdAsc = !rowIdAsc)
+  }
+
+  /** First n rows in frame order; Haskell `take` edge semantics
+    * (n<=0 → empty, oversized → all) (`Combinator.hs:293-295`).
+    */
+  def take(n: Int): KFrame =
+    if (n <= 0) copyWith(ds = ds.filter(F.lit(false)), pivot = None)
+    else copyWith(ds = ds.orderBy(orderCols: _*).limit(n), pivot = None)
+
+  /** All but the first n rows: anti-join against the first-n row ids (the
+    * small side is broadcast) — no single-partition global window.
+    */
+  def drop(n: Int): KFrame =
+    if (n <= 0) copyWith(pivot = None)
+    else {
+      val firstIds = ds.orderBy(orderCols: _*).limit(n).select(RowId)
+      copyWith(ds = ds.join(F.broadcast(firstIds), Seq(RowId), "left_anti"),
+        pivot = None)
+    }
+
+  /** Empty-frame crash parity (`Spec.lhs:32-50`): the reference's
+    * `head/tail/init/last` crash on a row-empty frame, EXCEPT when the frame
+    * is also column-empty — lazy evaluation never forces the index list of a
+    * frame with no fields. So: error iff columns exist and no rows do.
+    */
+  private def requireNonEmptyRows(op: String): Unit =
+    if (dataColumns.nonEmpty && ds.isEmpty)
+      throw new KevinException(s"$op: empty dataframe")
+
+  /** Single first visible row; errors on a row-empty frame like the
+    * reference's `Prelude.head` crash (`Spec.lhs:33`).
+    */
+  def head: KFrame = {
+    requireNonEmptyRows("head")
+    take(1)
+  }
+
+  def last: KFrame = {
+    requireNonEmptyRows("last")
+    copyWith(ds = ds.orderBy(flippedOrderCols: _*).limit(1), pivot = None)
+  }
+
+  def tail: KFrame = {
+    requireNonEmptyRows("tail")
+    drop(1)
+  }
+
+  def init: KFrame = {
+    requireNonEmptyRows("init")
+    val lastId = ds.orderBy(flippedOrderCols: _*).limit(1).select(RowId)
+    copyWith(ds = ds.join(F.broadcast(lastId), Seq(RowId), "left_anti"),
+      pivot = None)
+  }
+
+  /** Row count — pivot-aware: a pivoted frame reports its row-tree leaf
+    * count (`Combinator.hs:278-291`).
+    */
+  def height: Long = pivot match {
+    case Some(p) if p.rowFields.nonEmpty =>
+      ds.select(p.rowFields.map(F.col): _*).distinct().count()
+    case Some(_) => 1L
+    case None => ds.count()
+  }
+
+  /** Column count — pivot-aware (column-tree leaf count when pivoted). */
+  def width: Long = pivot match {
+    case Some(p) if p.colFields.nonEmpty =>
+      ds.select(p.colFields.map(F.col): _*).distinct().count()
+    case Some(_) => 1L
+    case None => dataColumns.length.toLong
+  }
+
+  /** `(width, height)` — reference order (`Spec.lhs:22` `size df -> (7, 13)`). */
+  def size: (Long, Long) = (width, height)
+
+  // ---- §2.7 combination ----------------------------------------------
+
+  /** Vertical concat (UNION ALL) with strict column-set + traits equality
+    * (order-insensitive; `Combinator.hs:317-337`); result columns in left
+    * order, fresh row ids 1..n0+n1. Resets groups.
+    */
+  def append(other: KFrame): KFrame = {
+    val leftSig = dataColumns.map(c => c -> traits(c)).sortBy(_._1)
+    val rightSig = other.dataColumns.map(c => c -> other.traits(c)).sortBy(_._1)
+    if (leftSig != rightSig)
+      throw new KevinException("Can't append dataframes with different fields")
+    val l = materializeOrder
+    val h0 = l.ds.count()
+    val r = other.materializeOrder
+    val shifted = r.ds.withColumn(RowId, F.col(RowId) + F.lit(h0))
+    val cols = (dataColumns :+ RowId).map(F.col)
+    copyWith(ds = l.ds.select(cols: _*).unionByName(shifted.select(cols: _*)),
+      groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true)
+  }
+
+  /** Positional horizontal concat — the reference's non-relational `join`
+    * (`Combinator.hs:339-360`): pairs row i with row i in current visible
+    * order; requires equal heights. Realized as a sort-merge equi-join on
+    * materialized positions. Resets groups. (Keyed relational joins live in
+    * `graft.extras.Relational` as a capability upgrade.)
+    */
+  def zipColumns(other: KFrame): KFrame = {
+    val l = materializeOrder
+    val r = other.materializeOrder
+    if (l.ds.count() != r.ds.count())
+      throw new KevinException("Can't join dataframes with different heights")
+    val joined = l.ds.join(r.ds, Seq(RowId))
+    copyWith(ds = joined, groups = Nil, pivot = None, ordering = Nil,
+      rowIdAsc = true)
+  }
+
+  // ---- misc -----------------------------------------------------------
+
+  /** Driver-side pretty render (reference `Show DataFrame`,
+    * `DataFrame.hs:94-180`): flat table with index column and group footer,
+    * or full crosstab when pivoted; CJK-aware widths; discrete numbers
+    * printed with 0 decimals. Collects the (display-sized) result.
+    */
+  def render(maxRows: Int = 1000): String = Render.render(this, maxRows)
+
+  override def toString: String = render()
+
+  /** Escape hatch: the underlying dataset without the hidden row id. */
+  def toDF: DataFrame = ds.drop(RowId)
+
+  /** The underlying dataset in frame order, without the hidden row id. */
+  def toOrderedDF: DataFrame =
+    ds.orderBy(orderCols: _*).drop(RowId)
+
+  private def requireField(field: String): Unit =
+    if (!ds.columns.contains(field))
+      throw new KevinException(s"no such field: $field")
+
+  private def requireFieldType(field: String, numeric: Boolean,
+      err: String = "inconsistent type"): Unit = {
+    val f = ds.schema.fields.find(_.name == field)
+      .getOrElse(throw new KevinException(s"no such field: $field"))
+    val isNum = f.dataType.isInstanceOf[NumericType]
+    val isStr = f.dataType == StringType
+    if (numeric && !isNum) throw new KevinException(s"$err: $field is not numeric")
+    if (!numeric && !isStr) throw new KevinException(s"$err: $field is not text")
+  }
+}
+
+object KFrame {
+  /** Hidden row-identity column (SURVEY.md §1.3). */
+  val RowId = "__row_id"
+  /** Fixed melt output column names (`Combinator.hs:116-117`). */
+  val Variable = "variable"
+  val Value = "value"
+
+  /** Wrap an existing DataFrame, assigning row ids 1..n in its current
+    * order via partition-offset zipWithIndex (scalable; no global window).
+    */
+  def fromDataFrame(df: DataFrame): KFrame =
+    new KFrame(renumber(df), Nil, None, Nil, rowIdAsc = true)
+
+  def fromParquet(spark: SparkSession, path: String): KFrame =
+    fromDataFrame(spark.read.parquet(path))
+
+  /** CSV ingest with the reference's schema/trait inference —
+    * see [[CsvSource]].
+    */
+  def fromCsvFile(spark: SparkSession, path: String,
+      strict: Boolean = true): KFrame =
+    CsvSource.load(spark, path, strict)
+
+  private[core] def renumber(df: DataFrame): DataFrame = {
+    val noId = if (df.columns.contains(RowId)) df.drop(RowId) else df
+    val schema = StructType(noId.schema.fields :+
+      StructField(RowId, LongType, nullable = false))
+    val rdd = noId.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    noId.sparkSession.createDataFrame(rdd, schema)
+  }
+}
