@@ -49,4 +49,12 @@ object Queries {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1_agg_sql
   )
+
+  /** Headline subset for the bench harness (each run twice; warm time
+    * reported). Kept separate from [[registry]] so correctness coverage can
+    * grow without inflating the bench run.
+    */
+  def benchRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _)
+  )
 }

@@ -20,6 +20,12 @@ sealed trait KAggregator {
   def toColumn(field: String, orderCol: Column): Column
   /** true if the aggregator consumes numeric input (else string). */
   def numeric: Boolean
+  /** true if the result depends on the order of values within a group
+    * (concat, custom closures). Order-insensitive aggregators let
+    * [[KFrame.aggregate]] skip materializing the frame order entirely —
+    * a plain hash aggregate, no sort shuffle.
+    */
+  def orderSensitive: Boolean = false
 }
 
 object Agg {
@@ -56,6 +62,7 @@ object Agg {
           x => x.getField("v")),
         "")
     val numeric = false
+    override val orderSensitive = true
   }
 
   /** Arbitrary user aggregator over the group's values in frame order — the
@@ -72,6 +79,7 @@ object Agg {
       F.udf((xs: Seq[Double]) => f(xs)).apply(sortedVals)
     }
     val numeric = true
+    override val orderSensitive = true
   }
 
   final case class CustomString(f: Seq[String] => String) extends KAggregator {
@@ -82,6 +90,7 @@ object Agg {
       F.udf((xs: Seq[String]) => f(xs)).apply(sortedVals)
     }
     val numeric = false
+    override val orderSensitive = true
   }
 
   val sum: KAggregator = Sum

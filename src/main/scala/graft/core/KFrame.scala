@@ -10,11 +10,18 @@ import org.apache.spark.sql.types._
   *
   * Design (SURVEY.md §1.3 / §7.1):
   *  - data lives in a plain Catalyst-optimizable `Dataset[Row]` carrying a
-  *    hidden `__row_id` long that encodes row *identity*;
-  *  - row *order* is kept logical: `ordering` (most recent sort first) with
-  *    `__row_id` as the final tiebreak. Order is materialized into fresh
-  *    contiguous row ids only when an operator structurally needs positions
-  *    (melt/append/zip), via a partition-offset `zipWithIndex` — never a
+  *    hidden `__row_id` long that encodes row *identity* and — whenever the
+  *    `ordering` spec is empty — row *order* (ascending row id = frame
+  *    order). Ids are NOT guaranteed contiguous: Parquet ingest assigns
+  *    `monotonically_increasing_id` (a pure projection, so predicate
+  *    pushdown / column pruning / whole-stage codegen all survive), and
+  *    filters subset the id space. `idsArePositions` tracks the stronger
+  *    invariant "ids are exactly 1..n in frame order", which positional
+  *    reshapes (melt/append/zip) restore when they need it;
+  *  - row order after a sort is kept logical: `ordering` (most recent sort
+  *    first) with the row id as final tiebreak. Order is materialized into
+  *    fresh contiguous ids only when an operator structurally needs
+  *    positions, via a partition-offset `zipWithIndex` — never a
   *    single-partition global window;
   *  - `groups` is the carried grouping state (`DataFrame.hs:68`): `groupby`
   *    only records names; the shuffle happens when `aggregate` fires;
@@ -31,7 +38,8 @@ final class KFrame private[graft] (
     val groups: Seq[String],
     val pivot: Option[PivotSpec],
     private[graft] val ordering: Seq[SortKey],
-    private[graft] val rowIdAsc: Boolean) {
+    private[graft] val rowIdAsc: Boolean,
+    private[graft] val idsArePositions: Boolean) {
 
   import KFrame._
 
@@ -57,8 +65,9 @@ final class KFrame private[graft] (
       groups: Seq[String] = groups,
       pivot: Option[PivotSpec] = pivot,
       ordering: Seq[SortKey] = ordering,
-      rowIdAsc: Boolean = rowIdAsc): KFrame =
-    new KFrame(ds, groups, pivot, ordering, rowIdAsc)
+      rowIdAsc: Boolean = rowIdAsc,
+      idsArePositions: Boolean = idsArePositions): KFrame =
+    new KFrame(ds, groups, pivot, ordering, rowIdAsc, idsArePositions)
 
   /** The frame's total order as Spark sort columns. */
   private[graft] def orderCols: Seq[Column] = {
@@ -73,13 +82,21 @@ final class KFrame private[graft] (
     keys :+ (if (rowIdAsc) F.col(RowId).desc else F.col(RowId).asc)
   }
 
-  /** Renumber row ids 1..n in the frame's current logical order and clear
-    * the ordering spec. Distributed: sort (range-partitioned shuffle) +
-    * partition-offset zipWithIndex; no global window.
+  /** True when ascending row id already IS the frame order (no pending
+    * logical sort) — the fast path that lets aggregate/melt skip any
+    * order-materializing shuffle.
     */
-  private[graft] def materializeOrder: KFrame =
-    if (ordering.isEmpty && rowIdAsc) this
-    else copyWith(ds = renumber(ds.orderBy(orderCols: _*)), ordering = Nil, rowIdAsc = true)
+  private def idOrderIsFrameOrder: Boolean = ordering.isEmpty && rowIdAsc
+
+  /** Renumber row ids to exactly 1..n in the frame's current logical order
+    * and clear the ordering spec. Distributed: sort (range-partitioned
+    * shuffle) + partition-offset zipWithIndex; no global window. No-op when
+    * ids are already positions.
+    */
+  private[graft] def materializePositions: KFrame =
+    if (idOrderIsFrameOrder && idsArePositions) this
+    else copyWith(ds = renumber(ds.orderBy(orderCols: _*)),
+      ordering = Nil, rowIdAsc = true, idsArePositions = true)
 
   // ---- §2.2 projection ------------------------------------------------
 
@@ -92,7 +109,7 @@ final class KFrame private[graft] (
     // into row ids first so it survives the projection.
     val base =
       if (ordering.forall(k => existing.contains(k.field))) this
-      else materializeOrder
+      else materializePositions
     base.copyWith(
       ds = base.ds.select((existing :+ RowId).map(F.col): _*),
       pivot = None,
@@ -105,7 +122,8 @@ final class KFrame private[graft] (
     * Resets groups, clears pivot (`Combinator.hs:195`).
     */
   def filter(cond: Column): KFrame =
-    copyWith(ds = ds.filter(cond), groups = Nil, pivot = None)
+    copyWith(ds = ds.filter(cond), groups = Nil, pivot = None,
+      idsArePositions = false)
 
   /** Reference-parity typed predicate on a Text column; `Empty` (null) rows
     * are dropped (`Combinator.hs:126-132`).
@@ -117,16 +135,26 @@ final class KFrame private[graft] (
   def filterNumber(field: String, pred: Double => Boolean): KFrame =
     typedFilter(field, numeric = true, F.udf(pred).apply(F.col(field).cast("double")))
 
-  /** Typed integral predicate (`Combinator.hs:150-156,176-182`). */
-  def filterInt(field: String, pred: Long => Boolean): KFrame =
-    typedFilter(field, numeric = true, F.udf(pred).apply(F.col(field).cast("long")))
+  /** Typed integral predicate (`Combinator.hs:150-156,176-182`). A
+    * non-integral value in the column is an "inconsistent type" error like
+    * the reference's failed `toBoundedInteger` dispatch — never silently
+    * truncated.
+    */
+  def filterInt(field: String, pred: Long => Boolean): KFrame = {
+    val guarded = F.udf { (d: Double) =>
+      if (d != math.floor(d) || d.isInfinite)
+        throw new KevinException(s"inconsistent type: $field has non-integral value $d")
+      pred(d.toLong)
+    }
+    typedFilter(field, numeric = true, guarded.apply(F.col(field).cast("double")))
+  }
 
   private def typedFilter(field: String, numeric: Boolean, cond: Column): KFrame = {
     requireField(field)
     requireFieldType(field, numeric)
     copyWith(
       ds = ds.filter(F.col(field).isNotNull && cond),
-      groups = Nil, pivot = None)
+      groups = Nil, pivot = None, idsArePositions = false)
   }
 
   // ---- §2.4 grouping & aggregation -----------------------------------
@@ -141,30 +169,35 @@ final class KFrame private[graft] (
   /** Collapse to one row per group, keeping the group-key columns plus the
     * aggregated column under its original name; all other columns dropped
     * (`Combinator.hs:202-226`). With no stored groups the whole visible
-    * frame is one group. Output rows are ordered by the group-key values
-    * ascending — the reference sorts groups by key (`Combinator.hs:66-68`).
-    * Resets groups, clears pivot.
+    * frame is one group. Output rows are ordered — and given fresh indices
+    * 1..nGroups — by each group's first appearance in frame order, matching
+    * the reference's group ordering (`Combinator.hs:66-72`, pinned by
+    * `Spec.lhs:117` for sort→groupby pipelines). Resets groups, clears
+    * pivot.
+    *
+    * Scale: for order-insensitive aggregators on an unsorted frame this is
+    * ONE hash aggregate (partial+final) — no sort, no renumber of the
+    * input. The first-appearance key is `min(__row_id)`, a cheap extra
+    * aggregate column; only the group-sized OUTPUT is renumbered. A pending
+    * logical sort or an order-sensitive aggregator (concat, custom
+    * closures) first bakes the frame order into the ids (sort shuffle).
     */
   def aggregate(agg: KAggregator, field: String): KFrame = {
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
-    val m = materializeOrder // concat et al. fold in frame order
+    val m = if (idOrderIsFrameOrder) this else materializePositions
     val expr = agg.toColumn(field, F.col(RowId)).as(field)
     val out =
       if (groups.isEmpty)
         m.ds.agg(expr).withColumn(RowId, F.lit(1L))
-      else
-        m.ds.groupBy(groups.map(F.col): _*).agg(expr)
-          // group keys are unique per output row, so an arbitrary unique id
-          // suffices as tiebreak — no global renumbering shuffle needed.
-          .withColumn(RowId, F.monotonically_increasing_id())
-    copyWith(
-      ds = out,
-      groups = Nil,
-      pivot = None,
-      ordering = groups.map(SortKey(_, ascending = true)).toList,
-      rowIdAsc = true)
+      else {
+        val g = m.ds.groupBy(groups.map(F.col): _*)
+          .agg(expr, F.min(F.col(RowId)).as(FirstPos))
+        renumber(g.orderBy(F.col(FirstPos).asc).drop(FirstPos))
+      }
+    copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
+      rowIdAsc = true, idsArePositions = true)
   }
 
   // ---- §2.5 reshape ---------------------------------------------------
@@ -172,36 +205,46 @@ final class KFrame private[graft] (
   /** Wide→long (`Combinator.hs:78-120`): id columns replicated once per
     * value column, fixed output columns `variable` (Text/Dimension/Discrete)
     * and `value` (Number/Measure/Continuous), result in **variable-major**
-    * order (all rows of var1, then var2, …) with fresh contiguous row ids.
-    * Unknown var names melt away (possibly to a row-empty frame). Resets
+    * order (all rows of var1, then var2, …) with fresh contiguous row ids
+    * 1..h·nVars. Unknown var names melt away (possibly to a row-empty
+    * frame). Non-numeric var columns are an eager "invalid data" error —
+    * the engine cannot mix strings into the numeric `value` column
+    * (documented deviation: the reference carries them dynamically). Resets
     * groups, clears pivot.
+    *
+    * Scale: fresh ids are pure arithmetic `(varIdx-1)*h + oldId` over
+    * position ids; `h` comes from an in-plan scalar aggregate broadcast —
+    * no driver-side count job.
     */
   def melt(ids: Seq[String], vars: Seq[String]): KFrame = {
     val idCols = ids.filter(ds.columns.contains)
     val varCols = vars.filter(ds.columns.contains)
-    val m = materializeOrder
-    val h = m.ds.count()
+    varCols.foreach(requireFieldType(_, numeric = true, err = "invalid data"))
+    val m = materializePositions
     if (varCols.isEmpty) {
       val empty = m.ds
         .select(idCols.map(F.col) :+ F.lit("").as(Variable) :+
           F.lit(0.0).as(Value) :+ F.col(RowId): _*)
         .filter(F.lit(false))
       return copyWith(ds = meltTraits(empty), groups = Nil, pivot = None,
-        ordering = Nil, rowIdAsc = true)
+        ordering = Nil, rowIdAsc = true, idsArePositions = true)
     }
     val narrowed = m.ds.select((idCols ++ varCols :+ RowId).map(F.col): _*)
     val unpivoted = narrowed.unpivot(
       (idCols :+ RowId).map(F.col).toArray,
       varCols.map(c => F.col(c).cast("double")).toArray,
       Variable, Value)
-    // var-major order: new id = (varIdx-1)*height + old id (old ids are
-    // contiguous 1..h after materializeOrder) — pure arithmetic, no shuffle.
+    // height as a 1-row in-plan aggregate, broadcast to every task:
+    // ids are positions post-materialize, so max(id) = h.
+    val hDF = m.ds.agg(F.coalesce(F.max(F.col(RowId)), F.lit(0L)).as(MeltH))
     val varIdx = F.array_position(
       F.array(varCols.map(F.lit): _*), F.col(Variable))
-    val out = unpivoted.withColumn(
-      RowId, (varIdx - 1) * F.lit(h) + F.col(RowId))
+    val out = unpivoted
+      .crossJoin(F.broadcast(hDF))
+      .withColumn(RowId, (varIdx - 1) * F.col(MeltH) + F.col(RowId))
+      .drop(MeltH)
     copyWith(ds = meltTraits(out), groups = Nil, pivot = None,
-      ordering = Nil, rowIdAsc = true)
+      ordering = Nil, rowIdAsc = true, idsArePositions = true)
   }
 
   def melt(id: String, vars: Seq[String]): KFrame = melt(Seq(id), vars)
@@ -299,23 +342,26 @@ final class KFrame private[graft] (
     */
   def take(n: Int): KFrame =
     if (n <= 0) copyWith(ds = ds.filter(F.lit(false)), pivot = None)
-    else copyWith(ds = ds.orderBy(orderCols: _*).limit(n), pivot = None)
+    else copyWith(ds = ds.orderBy(orderCols: _*).limit(n), pivot = None,
+      idsArePositions = false)
 
-  /** All but the first n rows: anti-join against the first-n row ids (the
-    * small side is broadcast) — no single-partition global window.
+  /** All but the first n rows: anti-join against the first-n row ids. No
+    * broadcast hint — AQE picks broadcast when the limit side is small and
+    * degrades to a shuffle join when n is huge (never a driver OOM).
     */
   def drop(n: Int): KFrame =
     if (n <= 0) copyWith(pivot = None)
     else {
       val firstIds = ds.orderBy(orderCols: _*).limit(n).select(RowId)
-      copyWith(ds = ds.join(F.broadcast(firstIds), Seq(RowId), "left_anti"),
-        pivot = None)
+      copyWith(ds = ds.join(firstIds, Seq(RowId), "left_anti"),
+        pivot = None, idsArePositions = false)
     }
 
   /** Empty-frame crash parity (`Spec.lhs:32-50`): the reference's
     * `head/tail/init/last` crash on a row-empty frame, EXCEPT when the frame
     * is also column-empty — lazy evaluation never forces the index list of a
     * frame with no fields. So: error iff columns exist and no rows do.
+    * (`ds.isEmpty` is a limit-1 probe, not a full scan.)
     */
   private def requireNonEmptyRows(op: String): Unit =
     if (dataColumns.nonEmpty && ds.isEmpty)
@@ -331,7 +377,8 @@ final class KFrame private[graft] (
 
   def last: KFrame = {
     requireNonEmptyRows("last")
-    copyWith(ds = ds.orderBy(flippedOrderCols: _*).limit(1), pivot = None)
+    copyWith(ds = ds.orderBy(flippedOrderCols: _*).limit(1), pivot = None,
+      idsArePositions = false)
   }
 
   def tail: KFrame = {
@@ -343,7 +390,7 @@ final class KFrame private[graft] (
     requireNonEmptyRows("init")
     val lastId = ds.orderBy(flippedOrderCols: _*).limit(1).select(RowId)
     copyWith(ds = ds.join(F.broadcast(lastId), Seq(RowId), "left_anti"),
-      pivot = None)
+      pivot = None, idsArePositions = false)
   }
 
   /** Row count — pivot-aware: a pivoted frame reports its row-tree leaf
@@ -372,19 +419,26 @@ final class KFrame private[graft] (
   /** Vertical concat (UNION ALL) with strict column-set + traits equality
     * (order-insensitive; `Combinator.hs:317-337`); result columns in left
     * order, fresh row ids 1..n0+n1. Resets groups.
+    *
+    * Scale: the right side's ids shift by the left height, obtained from an
+    * in-plan 1-row aggregate broadcast — no driver-side count job.
     */
   def append(other: KFrame): KFrame = {
     val leftSig = dataColumns.map(c => c -> traits(c)).sortBy(_._1)
     val rightSig = other.dataColumns.map(c => c -> other.traits(c)).sortBy(_._1)
     if (leftSig != rightSig)
       throw new KevinException("Can't append dataframes with different fields")
-    val l = materializeOrder
-    val h0 = l.ds.count()
-    val r = other.materializeOrder
-    val shifted = r.ds.withColumn(RowId, F.col(RowId) + F.lit(h0))
+    val l = materializePositions
+    val r = other.materializePositions
+    val hDF = l.ds.agg(F.coalesce(F.max(F.col(RowId)), F.lit(0L)).as(MeltH))
+    val shifted = r.ds
+      .crossJoin(F.broadcast(hDF))
+      .withColumn(RowId, F.col(RowId) + F.col(MeltH))
+      .drop(MeltH)
     val cols = (dataColumns :+ RowId).map(F.col)
     copyWith(ds = l.ds.select(cols: _*).unionByName(shifted.select(cols: _*)),
-      groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true)
+      groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true,
+      idsArePositions = true)
   }
 
   /** Positional horizontal concat — the reference's non-relational `join`
@@ -392,15 +446,24 @@ final class KFrame private[graft] (
     * order; requires equal heights. Realized as a sort-merge equi-join on
     * materialized positions. Resets groups. (Keyed relational joins live in
     * `graft.extras.Relational` as a capability upgrade.)
+    *
+    * Scale: the equal-height check is fused into the join itself — a
+    * full-outer join whose unmatched rows raise the reference's
+    * height-mismatch error at execution time (reference parity: its error
+    * also fires lazily, when the frame is forced). No driver-side counts.
     */
   def zipColumns(other: KFrame): KFrame = {
-    val l = materializeOrder
-    val r = other.materializeOrder
-    if (l.ds.count() != r.ds.count())
-      throw new KevinException("Can't join dataframes with different heights")
-    val joined = l.ds.join(r.ds, Seq(RowId))
-    copyWith(ds = joined, groups = Nil, pivot = None, ordering = Nil,
-      rowIdAsc = true)
+    val l = materializePositions
+    val r = other.materializePositions
+    val lm = l.ds.withColumn(ZipL, F.lit(1))
+    val rm = r.ds.withColumn(ZipR, F.lit(1))
+    val joined = lm.join(rm, Seq(RowId), "full_outer")
+    val guard = F.when(F.col(ZipL).isNull || F.col(ZipR).isNull,
+      F.raise_error(F.lit("Can't join dataframes with different heights")))
+      .otherwise(F.lit(1))
+    val out = joined.filter(guard === 1).drop(ZipL, ZipR)
+    copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
+      rowIdAsc = true, idsArePositions = true)
   }
 
   // ---- misc -----------------------------------------------------------
@@ -442,15 +505,33 @@ object KFrame {
   /** Fixed melt output column names (`Combinator.hs:116-117`). */
   val Variable = "variable"
   val Value = "value"
+  /** Hidden scratch columns. */
+  private[core] val FirstPos = "__first_pos"
+  private[core] val MeltH = "__melt_h"
+  private[core] val ZipL = "__zip_l"
+  private[core] val ZipR = "__zip_r"
 
-  /** Wrap an existing DataFrame, assigning row ids 1..n in its current
-    * order via partition-offset zipWithIndex (scalable; no global window).
+  /** Wrap an existing DataFrame, assigning contiguous row ids 1..n in its
+    * current order (partition-offset zipWithIndex). Exact position ids, at
+    * the price of leaving whole-stage codegen once at ingest — use
+    * [[fromParquetFast]]/[[wrap]] for scan-heavy pipelines.
     */
   def fromDataFrame(df: DataFrame): KFrame =
-    new KFrame(renumber(df), Nil, None, Nil, rowIdAsc = true)
+    new KFrame(renumber(df), Nil, None, Nil, rowIdAsc = true,
+      idsArePositions = true)
+
+  /** Wrap a DataFrame with order-carrying (but non-contiguous) row ids from
+    * `monotonically_increasing_id` — a pure projection, so the scan keeps
+    * predicate pushdown, column pruning and whole-stage codegen. Ids
+    * increase with (partition, offset) = source order. Positional reshapes
+    * renumber lazily if and when they need exact positions.
+    */
+  def wrap(df: DataFrame): KFrame =
+    new KFrame(df.withColumn(RowId, F.monotonically_increasing_id() + 1),
+      Nil, None, Nil, rowIdAsc = true, idsArePositions = false)
 
   def fromParquet(spark: SparkSession, path: String): KFrame =
-    fromDataFrame(spark.read.parquet(path))
+    wrap(spark.read.parquet(path))
 
   /** CSV ingest with the reference's schema/trait inference —
     * see [[CsvSource]].
@@ -459,6 +540,11 @@ object KFrame {
       strict: Boolean = true): KFrame =
     CsvSource.load(spark, path, strict)
 
+  /** Contiguous 1..n ids in current order via RDD zipWithIndex (one count
+    * job + a map; metadata preserved). Deliberately NOT a
+    * `row_number() over ()` — that would shuffle everything to one
+    * partition.
+    */
   private[core] def renumber(df: DataFrame): DataFrame = {
     val noId = if (df.columns.contains(RowId)) df.drop(RowId) else df
     val schema = StructType(noId.schema.fields :+
