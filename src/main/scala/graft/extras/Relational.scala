@@ -1,0 +1,62 @@
+package graft.extras
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.{KFrame, KevinException}
+
+/** Keyed relational joins — the capability upgrade the reference planned but
+  * never built (`/root/reference/TODO:2` "dataframe combination combinators
+  * such as join"; `Spec.lhs:113-115` flags the positional `join`'s duplicate
+  * column hazard). Kept in `extras` so the reference-parity surface stays
+  * auditable: `KFrame.zipColumns` is the parity op, these are the real joins.
+  *
+  * Scale notes:
+  *  - joins are expressed as plain Catalyst joins so the planner picks
+  *    broadcast-hash vs shuffled-hash vs sort-merge (AQE re-plans at runtime
+  *    from observed sizes, incl. skew-join splitting);
+  *  - [[broadcastJoin]] pins the small side with an explicit hint for
+  *    star-schema dimensions where we know better than the size estimate;
+  *  - join output row order is unspecified (as in SQL); the result frame
+  *    gets fresh order-carrying row ids via the pure-projection
+  *    `monotonically_increasing_id` path — no shuffle, no count.
+  */
+object Relational {
+
+  /** Inner equi-join on shared key names. */
+  def join(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
+    keyedJoin(left, right, keys, "inner", broadcastRight = false)
+
+  def leftJoin(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
+    keyedJoin(left, right, keys, "left", broadcastRight = false)
+
+  def semiJoin(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
+    keyedJoin(left, right, keys, "left_semi", broadcastRight = false)
+
+  def antiJoin(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
+    keyedJoin(left, right, keys, "left_anti", broadcastRight = false)
+
+  /** Equi-join with the right side explicitly broadcast — the fact-to-dim
+    * join shape (lineitem ⋈ nation/region/…): no shuffle of the fact side at
+    * all, the dimension ships to every executor once.
+    */
+  def broadcastJoin(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
+    keyedJoin(left, right, keys, "inner", broadcastRight = true)
+
+  private def keyedJoin(left: KFrame, right: KFrame, keys: Seq[String],
+      how: String, broadcastRight: Boolean): KFrame = {
+    keys.foreach { k =>
+      if (!left.toDF.columns.contains(k))
+        throw new KevinException(s"no such field in left frame: $k")
+      if (!right.toDF.columns.contains(k))
+        throw new KevinException(s"no such field in right frame: $k")
+    }
+    val overlap = (left.dataColumns.toSet intersect right.dataColumns.toSet) -- keys.toSet
+    if (overlap.nonEmpty)
+      throw new KevinException(
+        s"ambiguous non-key columns on both sides: ${overlap.toSeq.sorted.mkString(", ")}")
+    val rdf0 = right.toDF
+    val rdf = if (broadcastRight) F.broadcast(rdf0) else rdf0
+    KFrame.wrap(left.toDF.join(rdf, keys, how))
+  }
+}

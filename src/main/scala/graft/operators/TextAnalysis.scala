@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis operators for large-scale document pipelines (extension
+  * scope, SURVEY.md §7.2 M8 — the reference has no scalar function surface
+  * at all, `SURVEY.md §2.8`).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` column
+  * expressions (whole-stage-codegen'd; no Scala UDF in a hot path), so each
+  * operator is a pure projection over the scan — no shuffle, trivially
+  * parallel at any scale, and filter/column pushdown pass through.
+  */
+object TextAnalysis {
+
+  /** Lower-cased word tokens (unicode letters+digits runs). */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), "[^\\p{L}\\p{N}]+"), t => F.length(t) > 0)
+
+  /** Whitespace token count — the cheap "how many words" measure. */
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword count: splits on whitespace, then charges
+    * ceil(len/4) subword units per word — the standard quick estimate of
+    * LLM token counts (~4 chars/token) without a tokenizer model.
+    */
+  def subwordCount(text: Column): Column = {
+    val words = tokens(text)
+    F.aggregate(words, F.lit(0L),
+      (acc, w) => acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
+  }
+
+  /** Character n-gram shingles of the concatenated token stream — the
+    * canonical MinHash input. `n` characters per shingle, distinct.
+    */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val joined = F.array_join(tokens(text), " ")
+    val count = F.greatest(F.length(joined) - (n - 1), F.lit(0))
+    F.array_distinct(
+      F.transform(F.sequence(F.lit(1), count), i => joined.substr(i, F.lit(n))))
+  }
+
+  /** Word n-gram shingles (distinct) — MinHash/Jaccard input at word
+    * granularity.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    val count = F.greatest(F.size(ts) - (n - 1), F.lit(0))
+    F.array_distinct(
+      F.transform(F.sequence(F.lit(1), count),
+        i => F.array_join(F.slice(ts, i, n), " ")))
+  }
+
+  /** Stopword ratio against a small English stopword set — one of the
+    * standard quality-pipeline signals (Gopher/C4-style rules).
+    */
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "it", "for", "on", "with", "as", "that", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val stops = F.array(Stopwords.map(F.lit): _*)
+    F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
+      F.size(F.array_intersect(ts, stops)).cast("double") / F.size(F.array_distinct(ts)))
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    F.when(F.length(text) === 0, F.lit(0.0)).otherwise(
+      (F.length(text) - F.length(F.regexp_replace(text, "[\\p{P}\\p{S}]", "")))
+        .cast("double") / F.length(text))
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
+      F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w))
+        .cast("double") / F.size(ts))
+  }
+
+  /** Composite document-quality score in [0,1]: length band + sane mean
+    * word length + low punctuation + some stopwords. The exact recipe is a
+    * heuristic (C4/Gopher-flavored); each signal is also exposed alone.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = F.when(nTok.between(10, 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    val mwl = meanWordLen(text)
+    val wordLenOk = F.when(mwl.between(2.0, 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    val punctOk = F.when(punctRatio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    val stopOk = F.when(stopwordRatio(text) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    lengthOk + wordLenOk + punctOk + stopOk
+  }
+
+  /** 64-bit stable content fingerprint of the normalized token stream —
+    * whitespace/punctuation-insensitive exact-dup key (cf. rolling-hash
+    * document fingerprinting; xxhash64 is Spark-native and codegen'd).
+    */
+  def fingerprint(text: Column): Column =
+    F.xxhash64(F.array_join(tokens(text), " "))
+
+  /** Language-ID marker words per language (tiny in-expression profiles —
+    * a real deployment would broadcast larger n-gram profiles; the Spark
+    * plumbing is identical).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "une"),
+    "es" -> Seq("el", "la", "los", "que", "es", "por", "con", "una"),
+    "zh" -> Seq.empty) // CJK handled by script detection below
+
+  /** Heuristic language ID: CJK script share first, then stopword-marker
+    * voting; `und` when nothing matches. Pure column expression — runs in
+    * codegen, no UDF, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val cjkChars = F.length(F.regexp_replace(text, "[^\\p{IsHan}]", ""))
+    val ts = tokens(text)
+    val scores: Seq[(String, Column)] = LangMarkers.filter(_._2.nonEmpty).map {
+      case (lang, markers) =>
+        lang -> F.size(F.array_intersect(ts, F.array(markers.map(F.lit): _*)))
+    }
+    // argmax via chained whens; ties go to the earlier (higher-prior) language
+    val maxScore = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
+    val pick = scores.reverse.foldLeft(F.lit("und")) { case (acc, (l, s)) =>
+      F.when(s === maxScore && maxScore > 0, F.lit(l)).otherwise(acc)
+    }
+    F.when(cjkChars * 2 > F.length(text), F.lit("zh")).otherwise(pick)
+  }
+
+  /** All quality/analysis signals as one projection — the shape a pipeline
+    * actually runs (single pass over the scan).
+    */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("mean_word_len", meanWordLen(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
