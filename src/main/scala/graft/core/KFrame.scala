@@ -138,15 +138,27 @@ final class KFrame private[graft] (
   /** Typed integral predicate (`Combinator.hs:150-156,176-182`). A
     * non-integral value in the column is an "inconsistent type" error like
     * the reference's failed `toBoundedInteger` dispatch — never silently
-    * truncated.
+    * truncated. Integral-typed columns pass through as exact longs (no
+    * double round-trip, so values above 2^53 keep full precision); only
+    * floating-point columns go through the integrality guard.
     */
   def filterInt(field: String, pred: Long => Boolean): KFrame = {
-    val guarded = F.udf { (d: Double) =>
-      if (d != math.floor(d) || d.isInfinite)
-        throw new KevinException(s"inconsistent type: $field has non-integral value $d")
-      pred(d.toLong)
+    requireField(field)
+    val isIntegral = ds.schema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
-    typedFilter(field, numeric = true, guarded.apply(F.col(field).cast("double")))
+    val cond =
+      if (isIntegral) F.udf(pred).apply(F.col(field).cast("long"))
+      else {
+        val guarded = F.udf { (d: Double) =>
+          if (d != math.floor(d) || d.isInfinite)
+            throw new KevinException(s"inconsistent type: $field has non-integral value $d")
+          pred(d.toLong)
+        }
+        guarded.apply(F.col(field).cast("double"))
+      }
+    typedFilter(field, numeric = true, cond)
   }
 
   private def typedFilter(field: String, numeric: Boolean, cond: Column): KFrame = {
@@ -170,32 +182,32 @@ final class KFrame private[graft] (
     * aggregated column under its original name; all other columns dropped
     * (`Combinator.hs:202-226`). With no stored groups the whole visible
     * frame is one group. Output rows are ordered — and given fresh indices
-    * 1..nGroups — by each group's first appearance in frame order, matching
-    * the reference's group ordering (`Combinator.hs:66-72`, pinned by
-    * `Spec.lhs:117` for sort→groupby pipelines). Resets groups, clears
-    * pivot.
+    * 1..nGroups — by the group-key values ascending, matching the
+    * reference's `sortOn snd` group ordering (`Combinator.hs:66-68`;
+    * `reorderByIndices` at `:69-72` only orders the rows *within* a group to
+    * frame order). Resets groups, clears pivot.
     *
-    * Scale: for order-insensitive aggregators on an unsorted frame this is
-    * ONE hash aggregate (partial+final) — no sort, no renumber of the
-    * input. The first-appearance key is `min(__row_id)`, a cheap extra
-    * aggregate column; only the group-sized OUTPUT is renumbered. A pending
-    * logical sort or an order-sensitive aggregator (concat, custom
-    * closures) first bakes the frame order into the ids (sort shuffle).
+    * Scale: for order-insensitive aggregators (sum/mean/count/var/sd) this
+    * is ONE hash aggregate (partial+final) — no sort of the input, no
+    * renumber; only the group-sized OUTPUT is ordered and renumbered. An
+    * order-sensitive aggregator (concat, custom closures) under a pending
+    * logical sort first bakes the frame order into the ids so values fold
+    * in frame order within each group.
     */
   def aggregate(agg: KAggregator, field: String): KFrame = {
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
-    val m = if (idOrderIsFrameOrder) this else materializePositions
+    val m =
+      if (!agg.orderSensitive || idOrderIsFrameOrder) this
+      else materializePositions
     val expr = agg.toColumn(field, F.col(RowId)).as(field)
     val out =
       if (groups.isEmpty)
         m.ds.agg(expr).withColumn(RowId, F.lit(1L))
-      else {
-        val g = m.ds.groupBy(groups.map(F.col): _*)
-          .agg(expr, F.min(F.col(RowId)).as(FirstPos))
-        renumber(g.orderBy(F.col(FirstPos).asc).drop(FirstPos))
-      }
+      else
+        renumber(m.ds.groupBy(groups.map(F.col): _*).agg(expr)
+          .orderBy(groups.map(F.col(_).asc): _*))
     copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
       rowIdAsc = true, idsArePositions = true)
   }
@@ -506,7 +518,6 @@ object KFrame {
   val Variable = "variable"
   val Value = "value"
   /** Hidden scratch columns. */
-  private[core] val FirstPos = "__first_pos"
   private[core] val MeltH = "__melt_h"
   private[core] val ZipL = "__zip_l"
   private[core] val ZipR = "__zip_r"

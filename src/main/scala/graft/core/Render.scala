@@ -79,22 +79,28 @@ object Render {
   }
 
   /** Group footer (`DataFrame.hs:122-126`): the group field-name list and
-    * each group's row indices. Groups are listed in frame order of first
-    * appearance — the reference re-orders groups to the current frame order
-    * (`Combinator.hs:69-72`; `Spec.lhs:117` pins this after a sort).
+    * each group's row indices. Groups are listed in key-ascending order —
+    * the reference sorts the group list by key values (`sortOn snd`,
+    * `Combinator.hs:66-68`); `reorderByIndices` (`:69-72`) only orders each
+    * group's row indices to current frame order.
     */
   private def groupFooter(kf: KFrame, rows: Array[Row], cols: Seq[String]): String = {
     if (kf.groups.isEmpty) return ""
     val gIdx = kf.groups.map(g => cols.indexOf(g) + 1).filter(_ > 0)
     if (gIdx.isEmpty) return ""
-    // rows are already in frame order; collect group keys first-seen.
+    // rows are already in frame order; indices within a group keep it.
     val order = scala.collection.mutable.LinkedHashMap[Seq[Any], scala.collection.mutable.ArrayBuffer[Long]]()
     rows.foreach { r =>
       val key: Seq[Any] = gIdx.map(i => r.get(i))
       order.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r.getLong(0)
     }
     val names = kf.groups.mkString("[\"", "\",\"", "\"]")
-    val groupLines = order.values.map(_.mkString("[", ",", "]")).toSeq
+    implicit val keyOrd: Ordering[Seq[Any]] =
+      Ordering.Implicits.seqOrdering(
+        Ordering.by(numericAware)(
+          Ordering.Tuple3(Ordering.Int, Ordering.Double.TotalOrdering, Ordering.String)))
+    val groupLines = order.toSeq.sortBy(_._1)
+      .map(_._2.mkString("[", ",", "]"))
     (names +: groupLines).mkString("", "\n", "\n")
   }
 

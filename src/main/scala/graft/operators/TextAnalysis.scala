@@ -49,7 +49,7 @@ object TextAnalysis {
     val count = F.greatest(F.size(ts) - (n - 1), F.lit(0))
     F.array_distinct(
       F.transform(F.sequence(F.lit(1), count),
-        i => F.array_join(F.slice(ts, i, n), " ")))
+        i => F.array_join(F.slice(ts, i, F.lit(n)), " ")))
   }
 
   /** Stopword ratio against a small English stopword set — one of the
