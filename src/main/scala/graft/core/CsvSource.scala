@@ -47,7 +47,9 @@ object CsvSource {
       Seq(
         F.count(F.lit(1)).as(s"t$i"),
         F.count(F.when(F.col(c).isNull || v === "", 1)).as(s"e$i"),
-        F.count(F.when(v.cast("double").isNotNull, 1)).as(s"n$i"),
+        // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+        // cast throw on the first non-numeric cell instead of profiling it.
+        F.count(F.when(F.expr(s"try_cast(trim(`$c`) as double)").isNotNull, 1)).as(s"n$i"),
         F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1)).as(s"d$i"))
     }
     val p = raw.agg(profileExprs.head, profileExprs.tail: _*).head()

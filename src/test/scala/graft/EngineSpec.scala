@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.extras.Relational
+
+/** Engine-level tests beyond the Spec.lhs catalog: CSV trait inference
+  * (`/root/reference/src/Data/DataFrame.hs:211-238`), the flat renderer +
+  * group footer (`DataFrame.hs:94-127`), and the `extras` keyed joins
+  * (capability upgrade over `/root/reference/TODO:2`).
+  */
+class EngineSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  def df: KFrame = KFrame.fromCsvFile(spark, "src/test/resources/retail.csv")
+
+  // ---- CSV ingest & trait inference -----------------------------------
+
+  test("all-string column -> (Text, Dimension, Discrete) (DataFrame.hs:224-225)") {
+    df.traits("city") shouldBe FieldTraits.text
+  }
+  test("all-number column -> (Number, Measure, Continuous) (DataFrame.hs:229-230)") {
+    df.traits("sale") shouldBe FieldTraits.measure
+    df.traits("discount") shouldBe FieldTraits.measure
+  }
+  test("'year' heuristic -> (Number, Dimension, Discrete) (DataFrame.hs:226-228)") {
+    df.traits("year") shouldBe FieldTraits.discreteNumber
+  }
+  test("strict mode errors on missing values (DataFrame.hs:237-238)") {
+    intercept[KevinException] {
+      KFrame.fromCsvFile(spark, "src/test/resources/missing.csv")
+    }.getMessage should include("Invalid data")
+  }
+  test("lenient mode loads missing values as nulls (DataFrame.hs:231-236)") {
+    val m = KFrame.fromCsvFile(spark, "src/test/resources/missing.csv", strict = false)
+    m.height shouldBe 3
+    m.traits("score").dataType shouldBe KDataType.KNumber
+    m.traits("note").dataType shouldBe KDataType.KText
+    val scores = m.toOrderedDF.select("score").collect().map(r =>
+      if (r.isNullAt(0)) null else r.get(0))
+    scores.toSeq shouldBe Seq(10.0, null, 30.0)
+  }
+  test("typed filter drops null rows (Combinator.hs:132,164,182)") {
+    val m = KFrame.fromCsvFile(spark, "src/test/resources/missing.csv", strict = false)
+    m.filterNumber("score", _ > 0).height shouldBe 2
+  }
+
+  // ---- flat render + group footer -------------------------------------
+
+  test("flat render: header, index column, right alignment") {
+    val out = df.take(2).render()
+    val lines = out.split("\n").toSeq
+    lines.head should include("gender")
+    lines.head should include("discount")
+    lines(1).trim should startWith("1")
+    lines(1) should include("austin")
+  }
+  test("render of column-empty frame -> (EMPTY DATAFRAME) (DataFrame.hs:107)") {
+    df.select("hehehe").render() shouldBe "(EMPTY DATAFRAME)\n"
+  }
+  test("group footer lists groups key-ascending with frame-order indices (Combinator.hs:66-72)") {
+    val out = df.groupby("product").render()
+    val lines = out.split("\n").toSeq
+    lines should contain("""["product"]""")
+    // book < pen; indices within each group in frame order
+    val fi = lines.indexOf("""["product"]""")
+    lines(fi + 1) shouldBe "[1,2,5,6,9,11,12]"
+    lines(fi + 2) shouldBe "[3,4,7,8,10]"
+  }
+  test("discrete numbers render with 0 decimals (DataFrame.hs:112-118)") {
+    val out = df.take(1).render()
+    out should include(" 2011 ")
+    (out should not).include("2011.0")
+  }
+  test("crosstab render contains row/col titles and cells") {
+    val out = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale").render()
+    out should include("gender")
+    out should include("year")
+    out should include("2011")
+    out should include("6400")
+  }
+
+  // ---- keyed relational joins (extras) --------------------------------
+
+  def dim: KFrame = {
+    import spark.implicits._
+    KFrame.fromDataFrame(
+      Seq(("austin", "TX"), ("boston", "MA"), ("denver", "CO"))
+        .toDF("city", "state"))
+  }
+
+  test("broadcast equi-join widens the fact side") {
+    val j = Relational.broadcastJoin(df, dim, Seq("city"))
+    j.height shouldBe 12
+    j.dataColumns should contain("state")
+    j.filterText("state", _ == "TX").height shouldBe 4
+  }
+  test("left join keeps unmatched rows") {
+    val smallDim = dim.filterText("state", _ == "TX")
+    Relational.leftJoin(df, smallDim, Seq("city")).height shouldBe 12
+    Relational.join(df, smallDim, Seq("city")).height shouldBe 4
+  }
+  test("semi/anti joins") {
+    val smallDim = dim.filterText("state", _ == "TX")
+    Relational.semiJoin(df, smallDim, Seq("city")).height shouldBe 4
+    Relational.antiJoin(df, smallDim, Seq("city")).height shouldBe 8
+  }
+  test("join on missing key -> error") {
+    intercept[KevinException](Relational.join(df, dim, Seq("hehehe")))
+      .getMessage should include("no such field")
+  }
+  test("join with ambiguous non-key columns -> error") {
+    intercept[KevinException](Relational.join(df, df, Seq("city")))
+      .getMessage should include("ambiguous")
+  }
+}

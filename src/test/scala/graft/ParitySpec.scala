@@ -1,0 +1,416 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+
+/** Port of the reference's behavior catalog
+  * (`/root/reference/test/Spec.lhs:20-107`) to executable ScalaTest — the
+  * reference ships these ~70 input→outcome cases as literate comments; they
+  * are its de-facto golden semantics (SURVEY.md §5).
+  *
+  * Fixture: `src/test/resources/retail.csv`, our own 12×7 retail-shaped
+  * table (same column kinds as the reference's canonical fixture; fresh
+  * values so nothing is copied).
+  */
+class ParitySpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  def df: KFrame = KFrame.fromCsvFile(spark, "src/test/resources/retail.csv")
+  def rowEmpty: KFrame = df.take(0)
+  def colEmpty: KFrame = df.select("hehehe")
+  def allEmpty: KFrame = df.take(0).select("hehehe")
+
+  /** All user-visible cells of a column, in frame order. */
+  def col(kf: KFrame, name: String): Seq[Any] =
+    kf.toOrderedDF.select(name).collect().toSeq.map(_.get(0))
+
+  def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  // ---- size / height / width (Spec.lhs:20-25) -------------------------
+
+  test("height df -> 12") { df.height shouldBe 12 }
+  test("width df -> 7") { df.width shouldBe 7 }
+  test("size df -> (7, 12)") { df.size shouldBe ((7, 12)) }
+  test("size rowEmptyDf -> (7, 0)") { rowEmpty.size shouldBe ((7, 0)) }
+  test("size colEmptyDf -> (0, 12)") { colEmpty.size shouldBe ((0, 12)) }
+  test("size allEmptyDf -> (0, 0)") { allEmpty.size shouldBe ((0, 0)) }
+
+  // ---- take edge cases (Spec.lhs:27-30) -------------------------------
+
+  test("take -1 -> row-empty") { df.take(-1).height shouldBe 0 }
+  test("take 0 -> row-empty") { df.take(0).height shouldBe 0 }
+  test("take 3 -> 3 rows") { df.take(3).height shouldBe 3 }
+  test("take 100 -> all rows") { df.take(100).height shouldBe 12 }
+
+  // ---- head/tail/init/last incl. crash-on-empty (Spec.lhs:32-50) ------
+
+  test("head df -> first row") {
+    col(df.head, "sale") shouldBe Seq(1200.0)
+  }
+  test("head rowEmptyDf -> error") {
+    a[KevinException] should be thrownBy rowEmpty.head
+  }
+  test("head colEmptyDf -> column-empty frame, no error (lazy-eval parity)") {
+    colEmpty.head.width shouldBe 0
+  }
+  test("head allEmptyDf -> column-empty frame, no error") {
+    allEmpty.head.width shouldBe 0
+  }
+
+  test("tail df -> all but first") {
+    df.tail.height shouldBe 11
+    col(df.tail, "sale").head shouldBe 4500.0
+  }
+  test("tail rowEmptyDf -> error") {
+    a[KevinException] should be thrownBy rowEmpty.tail
+  }
+  test("tail colEmptyDf -> no error") { colEmpty.tail.width shouldBe 0 }
+
+  test("init df -> all but last") {
+    df.init.height shouldBe 11
+    col(df.init, "sale").last shouldBe 2600.0
+  }
+  test("init rowEmptyDf -> error") {
+    a[KevinException] should be thrownBy rowEmpty.init
+  }
+  test("init colEmptyDf -> no error") { colEmpty.init.width shouldBe 0 }
+
+  test("last df -> last row") {
+    col(df.last, "sale") shouldBe Seq(5200.0)
+  }
+  test("last rowEmptyDf -> error") {
+    a[KevinException] should be thrownBy rowEmpty.last
+  }
+  test("last colEmptyDf -> no error") { colEmpty.last.width shouldBe 0 }
+
+  // ---- select (Spec.lhs:52-60) ----------------------------------------
+
+  test("select one field") {
+    df.select("city").toOrderedDF.columns.toSeq shouldBe Seq("city")
+  }
+  test("select reorders columns to argument order (Combinator.hs:38-55)") {
+    df.select("cost", "city").toOrderedDF.columns.toSeq shouldBe Seq("cost", "city")
+  }
+  test("select unknown field -> column-empty") {
+    df.select("hehehe").width shouldBe 0
+  }
+  test("select known+unknown -> drops unknown silently") {
+    df.select("city", "hehehe").toOrderedDF.columns.toSeq shouldBe Seq("city")
+  }
+  test("select empty list -> column-empty") {
+    df.select().width shouldBe 0
+  }
+  // `select 123` (ill-typed variadic arg, Spec.lhs:56-58) is unrepresentable
+  // in the Scala String* surface — compile-time rejection supersedes the
+  // reference's runtime error (documented deviation).
+
+  // ---- groupby (Spec.lhs:62-70) ---------------------------------------
+
+  test("groupby records state, rows unchanged") {
+    val g = df.groupby("city")
+    g.groups shouldBe Seq("city")
+    g.height shouldBe 12
+  }
+  test("groupby two fields") {
+    df.groupby("city", "product").groups shouldBe Seq("city", "product")
+  }
+  test("groupby unknown field -> dropped, no error (Spec.lhs:64-65)") {
+    df.groupby("hehehe").groups shouldBe Seq.empty
+    df.groupby("city", "hehehe").groups shouldBe Seq("city")
+  }
+  test("groupby empty -> no groups") {
+    df.groupby().groups shouldBe Seq.empty
+  }
+
+  // ---- filter (Spec.lhs:72-77) ----------------------------------------
+
+  test("filter text predicate") {
+    df.filterText("city", _ == "austin").height shouldBe 4
+  }
+  test("filter text predicate on numeric column -> inconsistent type") {
+    val e = intercept[KevinException](df.filterText("cost", _ == "x"))
+    e.getMessage should include("inconsistent type")
+  }
+  test("filter numeric predicate") {
+    df.filterNumber("cost", _ > 500).height shouldBe 5
+  }
+  test("filter numeric predicate on text column -> inconsistent type") {
+    val e = intercept[KevinException](df.filterNumber("city", _ > 1))
+    e.getMessage should include("inconsistent type")
+  }
+  test("filter unknown field -> no such field") {
+    intercept[KevinException](df.filterText("hehehe", _ == "x"))
+      .getMessage should include("no such field")
+    intercept[KevinException](df.filterNumber("hehehe", _ > 1))
+      .getMessage should include("no such field")
+  }
+  test("filter int predicate (year heuristic column)") {
+    df.filterInt("year", _ == 2011).height shouldBe 6
+  }
+  test("filter int on non-integral values -> inconsistent type at eval") {
+    val t = intercept[Throwable] {
+      df.filterInt("discount", _ > 0).height
+    }
+    messageChain(t) should include("non-integral")
+  }
+  test("filter resets groups (Combinator.hs:195)") {
+    df.groupby("city").filterNumber("cost", _ > 0).groups shouldBe Seq.empty
+  }
+
+  // ---- sort (Spec.lhs:79-81 + Combinator.hs:228-237) ------------------
+
+  test("sort ascending is stable (ties keep frame order)") {
+    col(df.sort("gender"), "sale") shouldBe
+      Seq(1200.0, 900.0, 1500.0, 1700.0, 1400.0, 2600.0,
+        4500.0, 2800.0, 6100.0, 5000.0, 3100.0, 5200.0)
+  }
+  test("sort descending reverses the entire ascending order (ties reversed)") {
+    col(df.sort("gender", ascending = false), "sale") shouldBe
+      Seq(5200.0, 3100.0, 5000.0, 6100.0, 2800.0, 4500.0,
+        2600.0, 1400.0, 1700.0, 1500.0, 900.0, 1200.0)
+  }
+  test("sort by value column") {
+    col(df.sort("cost"), "cost").take(3) shouldBe Seq(260.0, 300.0, 310.0)
+  }
+  test("sort unknown field -> frame unchanged (Combinator.hs:235-237)") {
+    col(df.sort("hehehe"), "sale").head shouldBe 1200.0
+  }
+  test("sort keeps groups") {
+    df.groupby("city").sort("cost").groups shouldBe Seq("city")
+  }
+  test("sort then take = lowest n") {
+    col(df.sort("cost").take(2), "cost") shouldBe Seq(260.0, 300.0)
+  }
+  test("sort desc then take = highest n") {
+    col(df.sort("cost", ascending = false).take(2), "cost") shouldBe Seq(850.0, 720.0)
+  }
+
+  // ---- aggregate (Spec.lhs:83-96) -------------------------------------
+
+  val costs = Seq(300.0, 520.0, 310.0, 430.0, 520.0, 330.0, 640.0, 720.0, 340.0, 420.0, 850.0, 260.0)
+
+  test("aggregate sum by group, key-ascending output (Combinator.hs:66-68)") {
+    val out = df.groupby("city").aggregate(Agg.sum, "cost")
+    out.toOrderedDF.columns.toSeq shouldBe Seq("city", "cost")
+    col(out, "city") shouldBe Seq("austin", "boston", "denver")
+    col(out, "cost") shouldBe Seq(1560.0, 2210.0, 1870.0)
+  }
+  test("aggregate with no groups -> whole frame is one group") {
+    col(df.aggregate(Agg.sum, "cost"), "cost") shouldBe Seq(costs.sum)
+  }
+  test("aggregate mean") {
+    col(df.aggregate(Agg.mean, "cost")) shouldBe Seq(costs.sum / costs.length)
+  }
+  def col(kf: KFrame): Seq[Any] = col(kf, kf.dataColumns.head)
+  test("aggregate count is numeric-typed (Aggregator.hs:12-13)") {
+    col(df.groupby("gender").aggregate(Agg.count, "cost"), "cost") shouldBe Seq(6.0, 6.0)
+  }
+  test("aggregate variance is population variance (Aggregator.hs:15-17)") {
+    val m = costs.sum / costs.length
+    val expect = costs.map(x => (x - m) * (x - m)).sum / costs.length
+    val got = col(df.aggregate(Agg.variance, "cost")).head.asInstanceOf[Double]
+    got shouldBe expect +- 1e-9
+  }
+  test("aggregate sd is population sd (Aggregator.hs:20-21)") {
+    val m = costs.sum / costs.length
+    val expect = math.sqrt(costs.map(x => (x - m) * (x - m)).sum / costs.length)
+    val got = col(df.aggregate(Agg.sd, "cost")).head.asInstanceOf[Double]
+    got shouldBe expect +- 1e-9
+  }
+  test("aggregate numeric aggregator on text column -> invalid type") {
+    for (a <- Seq(Agg.sum, Agg.mean, Agg.count, Agg.variance, Agg.sd)) {
+      intercept[KevinException](df.aggregate(a, "city"))
+        .getMessage should include("invalid type")
+    }
+  }
+  test("aggregate concat folds text in frame order (Aggregator.hs:23-24)") {
+    col(df.aggregate(Agg.concat, "city")).head shouldBe
+      "austin" * 4 + "boston" * 4 + "denver" * 4
+  }
+  test("aggregate concat on numeric column -> invalid type") {
+    intercept[KevinException](df.aggregate(Agg.concat, "cost"))
+      .getMessage should include("invalid type")
+  }
+  test("aggregate unknown field -> no such field") {
+    intercept[KevinException](df.aggregate(Agg.sum, "hehehe"))
+      .getMessage should include("no such field")
+  }
+  test("aggregate resets groups") {
+    df.groupby("city").aggregate(Agg.sum, "cost").groups shouldBe Seq.empty
+  }
+  test("sort then aggregate concat folds in sorted frame order (Spec.lhs TODO 3/6)") {
+    val out = df.sort("sale").groupby("gender").aggregate(Agg.concat, "city")
+    col(out, "gender") shouldBe Seq("F", "M")
+    col(out, "city") shouldBe Seq(
+      "austin" + "austin" + "denver" + "boston" + "boston" + "denver",
+      "austin" + "denver" + "austin" + "boston" + "denver" + "boston")
+  }
+  test("custom numeric aggregator closure (Combinator.hs:124 host-language fold)") {
+    val range = Agg.CustomNumeric(xs => xs.max - xs.min)
+    col(df.groupby("gender").aggregate(range, "cost"), "cost") shouldBe
+      Seq(850.0 - 300.0, 720.0 - 260.0)
+  }
+  test("custom string aggregator closure") {
+    val firstLast = Agg.CustomString(xs => xs.head + xs.last)
+    col(df.groupby("gender").aggregate(firstLast, "city"), "city") shouldBe
+      Seq("austindenver", "austindenver")
+  }
+
+  // ---- melt (Spec.lhs:98-106) -----------------------------------------
+
+  test("melt basic: var-major order, fixed output columns (Combinator.hs:78-120)") {
+    val m = df.melt(Seq("city"), Seq("sale", "cost"))
+    m.toOrderedDF.columns.toSeq shouldBe Seq("city", "variable", "value")
+    m.height shouldBe 24
+    col(m, "variable").take(12).toSet shouldBe Set("sale")
+    col(m, "variable").drop(12).toSet shouldBe Set("cost")
+    col(m, "value").take(3) shouldBe Seq(1200.0, 4500.0, 900.0)
+    col(m, "value").drop(12).take(3) shouldBe Seq(300.0, 520.0, 310.0)
+  }
+  test("melt single-name overloads") {
+    df.melt("city", "cost").height shouldBe 12
+  }
+  test("melt with empty ids -> value columns only") {
+    val m = df.melt(Seq.empty[String], Seq("cost"))
+    m.toOrderedDF.columns.toSeq shouldBe Seq("variable", "value")
+    m.height shouldBe 12
+  }
+  test("melt unknown vars -> row-empty frame (Spec.lhs:106)") {
+    df.melt(Seq("hehehe"), Seq("hahaha")).height shouldBe 0
+  }
+  test("melt output traits: variable is Text/Dimension, value is Measure") {
+    val m = df.melt(Seq("city"), Seq("cost"))
+    m.traits("variable") shouldBe FieldTraits.text
+    m.traits("value") shouldBe FieldTraits.measure
+  }
+  test("melt resets groups (Combinator.hs:91)") {
+    df.groupby("city").melt(Seq("city"), Seq("cost")).groups shouldBe Seq.empty
+  }
+  test("melt non-numeric var column -> invalid data") {
+    intercept[KevinException](df.melt(Seq("city"), Seq("product")))
+      .getMessage should include("invalid data")
+  }
+
+  // ---- append / zipColumns (Combinator.hs:317-360) --------------------
+
+  test("append stacks rows, fresh contiguous ids") {
+    val a = df.append(df)
+    a.height shouldBe 24
+    col(a, "sale").take(12) shouldBe col(df, "sale")
+    col(a, "sale").drop(12) shouldBe col(df, "sale")
+  }
+  test("append is column-order-insensitive but result is left order") {
+    val a = df.select("city", "cost").append(df.select("cost", "city"))
+    a.toOrderedDF.columns.toSeq shouldBe Seq("city", "cost")
+    a.height shouldBe 24
+  }
+  test("append different fields -> error (Combinator.hs:323-326)") {
+    intercept[KevinException](df.select("city").append(df.select("cost")))
+      .getMessage should include("append")
+  }
+  test("append resets groups") {
+    df.groupby("city").append(df).groups shouldBe Seq.empty
+  }
+
+  test("zipColumns pairs rows positionally") {
+    val z = df.select("city").zipColumns(df.select("sale"))
+    z.toOrderedDF.columns.toSeq shouldBe Seq("city", "sale")
+    z.height shouldBe 12
+    col(z, "sale") shouldBe col(df, "sale")
+  }
+  test("zipColumns respects current visible order of both sides") {
+    val z = df.sort("cost").select("cost").zipColumns(df.select("city"))
+    col(z, "cost").take(2) shouldBe Seq(260.0, 300.0)
+    col(z, "city").take(2) shouldBe Seq("austin", "austin")
+  }
+  test("zipColumns different heights -> error") {
+    val t = intercept[Throwable] {
+      df.select("city").zipColumns(df.take(5).select("sale")).height
+    }
+    messageChain(t) should include("different heights")
+  }
+
+  // ---- cast / pivot surface (Combinator.hs:269-276) -------------------
+
+  test("cast crosstab values (gender × year, sum of sale)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    c.pivot shouldBe Some(PivotSpec(Seq("gender"), Seq("year"), "sale"))
+    val wide = c.pivotedWide
+    val cols = wide.columns
+    val c2011 = cols.find(_.startsWith("2011")).get
+    val c2012 = cols.find(_.startsWith("2012")).get
+    val c2013 = cols.find(_.startsWith("2013")).get
+    val rows = wide.orderBy("gender").collect()
+    rows.map(_.getAs[String]("gender")).toSeq shouldBe Seq("F", "M")
+    rows(0).getAs[Double](c2011) shouldBe 6400.0
+    rows(0).getAs[Double](c2012) shouldBe 2900.0
+    rows(0).isNullAt(rows(0).fieldIndex(c2013)) shouldBe true
+    rows(1).getAs[Double](c2011) shouldBe 7600.0
+    rows(1).getAs[Double](c2012) shouldBe 8000.0
+    rows(1).getAs[Double](c2013) shouldBe 11100.0
+  }
+  test("cast overlapping row/col fields -> error (Combinator.hs:271)") {
+    intercept[KevinException](df.cast(Seq("city"), Seq("city"), Agg.sum, "sale"))
+      .getMessage should include("overlapping")
+  }
+  test("cast value field colliding -> error (Combinator.hs:272)") {
+    intercept[KevinException](df.cast(Seq("sale"), Seq("year"), Agg.sum, "sale"))
+      .getMessage should include("collides")
+  }
+  test("pivot-aware height/width (Combinator.hs:278-291)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    c.height shouldBe 2 // distinct gender
+    c.width shouldBe 3  // distinct year
+  }
+  test("toPivot unknown value field -> error (DataFrame.hs:279)") {
+    intercept[KevinException](df.toPivot("hehehe"))
+      .getMessage should include("no such field")
+  }
+  test("stack/unstack move fields between trees (Combinator.hs:239-267)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    val s = c.stack("year")
+    s.pivot shouldBe Some(PivotSpec(Seq("gender", "year"), Seq(), "sale"))
+    val u = s.unstack("gender")
+    u.pivot shouldBe Some(PivotSpec(Seq("year"), Seq("gender"), "sale"))
+  }
+  test("stack on non-pivoted frame -> error (Combinator.hs:240)") {
+    intercept[KevinException](df.stack("year"))
+      .getMessage should include("not pivoted")
+  }
+  test("stack field not in column tree -> error (Combinator.hs:249)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    intercept[KevinException](c.stack("gender"))
+      .getMessage should include("column titles")
+  }
+  test("unstack field not in row tree -> error (Combinator.hs:255,264)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    intercept[KevinException](c.unstack("year"))
+      .getMessage should include("row titles")
+  }
+  test("fromPivot clears presentation state (DataFrame.hs:273-274)") {
+    df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale").fromPivot.pivot shouldBe None
+  }
+  test("pivoting un-aggregated data errors at render (DataFrame.hs:143-145)") {
+    val p = df.select("gender", "sale").toPivot("sale")
+    intercept[KevinException](p.render())
+      .getMessage should include("many values")
+  }
+
+  // ---- state-effect matrix (SURVEY.md §2.9) ---------------------------
+
+  test("select keeps groups, clears pivot") {
+    val g = df.groupby("city").select("city", "cost")
+    g.groups shouldBe Seq("city")
+    df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+      .select("gender").pivot shouldBe None
+  }
+  test("take/drop keep groups") {
+    df.groupby("city").take(3).groups shouldBe Seq("city")
+    df.groupby("city").drop(3).groups shouldBe Seq("city")
+  }
+}
