@@ -3,20 +3,35 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The operator-coverage query registry (SURVEY.md §2 checklist).
+import graft.core.{Agg, KFrame}
+import graft.extras.Relational
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** The operator-coverage query registry (SURVEY.md §2 checklist + the M8
+  * extension operators). Every entry routes through the engine surface it
+  * demonstrates — `KFrame` for reference-parity operators, the `operators`/
+  * `streaming` modules for the pipeline extensions.
   *
   * Conventions shared with the DuckDB oracles:
   *  - every aggregate / computed column is aliased identically on both
   *    sides (the driver compare sorts columns by name before hashing);
   *  - double-valued aggregates are wrapped in `round(_, N)` on both sides
   *    so accumulation-order ULP noise cannot flip the hash;
-  *  - every query ends in an explicit total order on its key columns.
+  *  - row order never matters (the compare sorts rows), so queries only
+  *    need deterministic row SETS — all sorts used for positional ops key
+  *    on unique columns.
   */
 object Queries {
 
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  // ---- flagship -------------------------------------------------------
+
   /** TPC-H Q1: pricing summary report (scan → filter → agg → sort). */
   def q1_agg(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    li(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -42,12 +57,386 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1_agg _)
-  )
+  // ---- §2.2 select / §2.3 filter --------------------------------------
+
+  def q_select(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d)).select("l_linenumber", "l_orderkey").toDF
+
+  def q_filter_typed(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .filterNumber("l_quantity", _ > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity").toDF
+
+  def q_filter_col(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice").toDF
+
+  // ---- §2.4 groupby / aggregate ---------------------------------------
+
+  def q_groupagg_sum(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .groupby("l_returnflag", "l_linestatus")
+      .aggregate(Agg.sum, "l_quantity")
+      .toOrderedDF
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity"), 2).as("l_quantity"))
+
+  def q_agg_mean(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .groupby("l_returnflag").aggregate(Agg.mean, "l_extendedprice")
+      .toOrderedDF
+      .select(col("l_returnflag"), round(col("l_extendedprice"), 4).as("l_extendedprice"))
+
+  def q_agg_var(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .groupby("l_returnflag").aggregate(Agg.variance, "l_discount")
+      .toOrderedDF
+      .select(col("l_returnflag"), round(col("l_discount"), 6).as("l_discount"))
+
+  def q_agg_sd(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .groupby("l_linestatus").aggregate(Agg.sd, "l_discount")
+      .toOrderedDF
+      .select(col("l_linestatus"), round(col("l_discount"), 6).as("l_discount"))
+
+  def q_agg_count(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d))
+      .groupby("o_orderpriority").aggregate(Agg.count, "o_totalprice")
+      .toOrderedDF
+
+  /** Order-sensitive concat: deterministic via an explicit unique-key sort
+    * (frame order = c_custkey order).
+    */
+  def q_agg_concat(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(Tables.customer(s, d))
+      .sort("c_custkey")
+      .groupby("c_mktsegment").aggregate(Agg.concat, "c_name")
+      .toOrderedDF
+
+  // ---- §2.6 sort / take / drop / head / last --------------------------
+
+  def q_sort_take(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d))
+      .sort("o_orderkey", ascending = false).take(10)
+      .select("o_orderkey", "o_totalprice").toDF
+
+  def q_drop(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d))
+      .sort("o_orderkey").drop(10)
+      .select("o_orderkey", "o_totalprice").toDF
+
+  def q_head_last(s: SparkSession, d: String): DataFrame = {
+    val base = KFrame.wrap(ord(s, d))
+      .select("o_orderkey", "o_totalprice").sort("o_orderkey")
+    base.head.append(base.last).toOrderedDF
+  }
+
+  // ---- §2.5 melt / cast -----------------------------------------------
+
+  def q_melt(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .melt(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount"))
+      .toDF
+
+  def q_cast_pivot(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .cast(Seq("l_returnflag"), Seq("l_linestatus"), Agg.sum, "l_quantity")
+      .pivotedWide
+      .select(col("l_returnflag"),
+        round(col("F"), 2).as("F"), round(col("O"), 2).as("O"))
+
+  // ---- §2.7 append / zip ----------------------------------------------
+
+  def q_append(s: SparkSession, d: String): DataFrame = {
+    val base = KFrame.wrap(ord(s, d)).select("o_orderkey", "o_orderpriority")
+    val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+    val rest = base.filter(col("o_orderpriority") =!= "1-URGENT")
+    urgent.append(rest).toDF
+  }
+
+  def q_zip(s: SparkSession, d: String): DataFrame = {
+    val base = KFrame.wrap(ord(s, d)).sort("o_orderkey")
+    base.select("o_orderkey").zipColumns(base.select("o_totalprice")).toDF
+  }
+
+  // ---- extras: keyed joins (capability upgrade) -----------------------
+
+  /** TPC-H Q3-flavored 3-table star join: fact lineitem joined to
+    * orders⋈customer(BUILDING), revenue per order priority. Dimension side
+    * built with an explicit broadcast of customer.
+    */
+  def q_join3(s: SparkSession, d: String): DataFrame = {
+    val cust = KFrame.wrap(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ordCust = Relational.broadcastJoin(KFrame.wrap(ord(s, d)), cust, Seq("o_custkey"))
+    val fact = KFrame.wrap(
+      li(s, d)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumnRenamed("l_orderkey", "o_orderkey"))
+    Relational.join(fact, ordCust, Seq("o_orderkey"))
+      .groupby("o_orderpriority").aggregate(Agg.sum, "revenue")
+      .toOrderedDF
+      .select(col("o_orderpriority"), round(col("revenue"), 2).as("revenue"))
+  }
+
+  /** Dimension-chain broadcast joins: customers per region. */
+  def q_join_dims(s: SparkSession, d: String): DataFrame = {
+    val nat = KFrame.wrap(
+      Tables.nation(s, d).withColumnRenamed("n_nationkey", "c_nationkey"))
+    val reg = KFrame.wrap(
+      Tables.region(s, d).withColumnRenamed("r_regionkey", "n_regionkey"))
+    val cn = Relational.broadcastJoin(KFrame.wrap(Tables.customer(s, d)), nat, Seq("c_nationkey"))
+    Relational.broadcastJoin(cn, reg, Seq("n_regionkey"))
+      .groupby("r_name").aggregate(Agg.count, "c_custkey")
+      .toOrderedDF
+  }
+
+  // ---- M8: dedup ------------------------------------------------------
+
+  def q_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id").select("doc_id")
+
+  def q_dedup_near(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+
+  /** SimHash near-dup pairs — rows-only (the sketch is hash-specific, not
+    * SQL-replicable; correctness of the 25 engineered near-dup pairs is
+    * pinned by the ScalaTest suite against the Jaccard ground truth).
+    */
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  // ---- M8: similarity search ------------------------------------------
+
+  def q_knn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Approximate ANN via SRP-LSH — rows-only (approximate by construction;
+    * recall vs the exact path is asserted in ScalaTest).
+    */
+  def q_knn_lsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10, dim = 64)
+  }
+
+  // ---- M8: text analysis ----------------------------------------------
+
+  def q_text_stats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.subwordCount(t).as("n_subwords"),
+      round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"))
+  }
+
+  def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count_distinct(col("fp")).as("n"))
+
+  /** Language-ID + quality heuristics — rows-only (heuristic recipes are
+    * not SQL-replicable; sanity asserted in ScalaTest).
+    */
+  def q_text_quality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langId(t).as("lang_pred"),
+      round(TextAnalysis.qualityScore(t), 2).as("quality"),
+      round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
+  }
+
+  // ---- M8: events / streaming-shaped ----------------------------------
+
+  def q_events_window(s: SparkSession, d: String): DataFrame =
+    Streams.tumblingStats(Tables.events(s, d))
+
+  def q_events_sessions(s: SparkSession, d: String): DataFrame =
+    Streams.userSessions(Tables.events(s, d))
+
+  // ---- M8: multimodal -------------------------------------------------
+
+  def q_multimodal(s: SparkSession, d: String): DataFrame = {
+    val packed = Multimodal.withFakeMedia(Tables.documents(s, d), "text")
+    packed.select(col("doc_id"),
+        Multimodal.decodeStub(col("payload")).as("dec"))
+      .select(col("doc_id"),
+        col("dec.mime").as("mime"),
+        col("dec.n_bytes").as("n_bytes"))
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
+    * lower-case, split on non-letter/digit runs, drop empties).
+    */
+  private val DTok =
+    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"""
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1_agg_sql
+    "q1_agg" -> q1_agg_sql,
+    "q_select" -> "SELECT l_linenumber, l_orderkey FROM lineitem",
+    "q_filter_typed" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+    "q_filter_col" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'",
+    "q_groupagg_sum" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS l_quantity
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_mean" ->
+      """SELECT l_returnflag, round(avg(l_extendedprice), 4) AS l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_var" ->
+      """SELECT l_returnflag, round(var_pop(l_discount), 6) AS l_discount
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_sd" ->
+      """SELECT l_linestatus, round(stddev_pop(l_discount), 6) AS l_discount
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_agg_count" ->
+      """SELECT o_orderpriority, CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_agg_concat" ->
+      """SELECT c_mktsegment, string_agg(c_name, '' ORDER BY c_custkey) AS c_name
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_sort_take" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
+    "q_drop" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (ORDER BY o_orderkey) > 10""".stripMargin,
+    "q_head_last" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS variable, l_discount AS value FROM lineitem""".stripMargin,
+    "q_cast_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_append" -> "SELECT o_orderkey, o_orderpriority FROM orders",
+    "q_zip" -> "SELECT o_orderkey, o_totalprice FROM orders",
+    "q_join3" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_join_dims" ->
+      """SELECT r_name, CAST(count(c_custkey) AS DOUBLE) AS c_custkey
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_near" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM toks WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 3) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
+    "q_knn" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 10""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents)
+        |SELECT doc_id,
+        |  len(ws) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |  round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws), 4) AS mean_word_len
+        |FROM toks""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e
+        |)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
+  )
+
+  def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q_select" -> (q_select _),
+    "q_filter_typed" -> (q_filter_typed _),
+    "q_filter_col" -> (q_filter_col _),
+    "q_groupagg_sum" -> (q_groupagg_sum _),
+    "q_agg_mean" -> (q_agg_mean _),
+    "q_agg_var" -> (q_agg_var _),
+    "q_agg_sd" -> (q_agg_sd _),
+    "q_agg_count" -> (q_agg_count _),
+    "q_agg_concat" -> (q_agg_concat _),
+    "q_sort_take" -> (q_sort_take _),
+    "q_drop" -> (q_drop _),
+    "q_head_last" -> (q_head_last _),
+    "q_melt" -> (q_melt _),
+    "q_cast_pivot" -> (q_cast_pivot _),
+    "q_append" -> (q_append _),
+    "q_zip" -> (q_zip _),
+    "q_join3" -> (q_join3 _),
+    "q_join_dims" -> (q_join_dims _),
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_near" -> (q_dedup_near _),
+    "q_dedup_simhash" -> (q_dedup_simhash _),
+    "q_knn" -> (q_knn _),
+    "q_knn_lsh" -> (q_knn_lsh _),
+    "q_text_stats" -> (q_text_stats _),
+    "q_text_fingerprint" -> (q_text_fingerprint _),
+    "q_text_quality" -> (q_text_quality _),
+    "q_events_window" -> (q_events_window _),
+    "q_events_sessions" -> (q_events_sessions _),
+    "q_multimodal" -> (q_multimodal _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time
@@ -55,6 +444,15 @@ object Queries {
     * grow without inflating the bench run.
     */
   def benchRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1_agg _)
+    "q1_agg" -> (q1_agg _),
+    "q_groupagg_sum" -> (q_groupagg_sum _),
+    "q_sort_take" -> (q_sort_take _),
+    "q_melt" -> (q_melt _),
+    "q_join3" -> (q_join3 _),
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_near" -> (q_dedup_near _),
+    "q_knn" -> (q_knn _),
+    "q_text_stats" -> (q_text_stats _),
+    "q_events_window" -> (q_events_window _)
   )
 }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale document pipelines (extension
+  * scope beyond the reference surface — SURVEY.md §7.2 M8; the reference has
+  * no dedup/join machinery at all).
+  *
+  * Scale design (the point of every operator here):
+  *  - exact dedup groups by a 256-bit content hash, never by the full text —
+  *    the shuffle carries 32 bytes + the key column per row, not documents;
+  *  - near-dup is MinHash + banded LSH: candidate pairs come from equi-joins
+  *    on (band, bandHash) buckets — there is NO all-pairs/cartesian stage
+  *    anywhere in the plan; the exact-Jaccard verify runs only within
+  *    buckets;
+  *  - everything is `functions._` column expressions (codegen'd); the only
+  *    UDF is SimHash's 64-bit sign-accumulator, a per-row map with no
+  *    shuffle interaction.
+  */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Content hash for exact dedup: sha2-256 of the raw text. */
+  def contentHash(text: Column): Column = F.sha2(text, 256)
+
+  /** Normalized fingerprint hash (whitespace/punct-insensitive) — see
+    * [[TextAnalysis.fingerprint]].
+    */
+  def normalizedHash(text: Column): Column = TextAnalysis.fingerprint(text)
+
+  /** Keep the first row (lowest `keyCol`) of every exact-duplicate class of
+    * `textCol`. One shuffle on the 32-byte hash; no text comparison, no
+    * driver-side state.
+    */
+  def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(F.col(textCol)))
+      .orderBy(F.col(keyCol).asc)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---- MinHash + LSH near-dup --------------------------------------------
+
+  /** Prime modulus for the universal-hash permutation family (Broder's
+    * minwise-permutation scheme). Shingle hashes are reduced to 32 bits and
+    * `a` stays below 2^31, so `a*h + b < 2^63` — no overflow under ANSI
+    * arithmetic (Spark 4 default) without resorting to modular
+    * multiplication tricks.
+    */
+  private val Prime = 4294967311L // first prime > 2^32
+
+  /** Deterministic permutation parameters (a, b) for `numHashes`
+    * permutations, derived from a fixed seed so signatures are reproducible
+    * across runs and executors.
+    */
+  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    def next(bound: Long): Long = math.abs(rnd.nextLong()) % bound
+    Seq.fill(numHashes)((next(Int.MaxValue - 1L) + 1, next(Prime)))
+  }
+
+  /** Word n-gram shingle set of a text column (distinct, lower-cased). */
+  def shingles(text: Column, n: Int = 3): Column = TextAnalysis.wordShingles(text, n)
+
+  /** MinHash signature (array of `numHashes` longs) over a shingle-array
+    * column. Pure column expressions: per permutation, min over the
+    * universally-hashed shingle hashes.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column = {
+    val hashes = F.transform(shingleCol, s => F.xxhash64(s).bitwiseAND(F.lit(0xffffffffL)))
+    F.array(perms(numHashes, seed).map { case (a, b) =>
+      F.array_min(F.transform(hashes,
+        h => F.pmod(h * F.lit(a) + F.lit(b), F.lit(Prime))))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via banded LSH over MinHash signatures, verified
+    * with exact Jaccard within buckets only.
+    *
+    * Plan shape (the scale contract):
+    *   1. one projection computes shingles + signature per doc (no shuffle);
+    *   2. explode to `bands` rows per doc keyed by (band, hash-of-band-slice);
+    *   3. self-equi-join on the band key (hash-partitioned shuffle join on
+    *      uniformly-distributed 64-bit keys — no cartesian, no skew);
+    *   4. distinct candidate ids, re-join the two shingle sets by id,
+    *      compute exact Jaccard, filter >= `threshold`.
+    *
+    * With numHashes=64 / bands=16 (r=4), a pair at s=0.97 is missed with
+    * probability (1-s^4)^16 ≈ 1e-15 — LSH recall is exact for any realistic
+    * near-dup threshold >= 0.8.
+    *
+    * Returns (a_id, b_id, jaccard) with a_id < b_id.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val base = df.select(
+      F.col(idCol).as("id"),
+      shingles(F.col(textCol), shingleN).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+      .withColumn("sig", minhashSignature(F.col("sh"), numHashes, seed))
+
+    // (band index, hash of the signature slice) per doc — 1 row per band.
+    val banded = base.select(
+      F.col("id"),
+      F.explode(F.array((0 until bands).map { b =>
+        F.struct(
+          F.lit(b).as("band"),
+          F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).as("bh"))
+      }: _*)).as("bk"))
+      .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        F.col("x.band") === F.col("y.band") &&
+        F.col("x.bh") === F.col("y.bh") &&
+        F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+      .distinct()
+
+    val sh = base.select(F.col("id"), F.col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    F.size(F.array_intersect(a, b)).cast("double") /
+      F.size(F.array_union(a, b)).cast("double")
+
+  /** Near-dup dedup: drop every doc that is the higher-id member of a
+    * verified near-dup pair (keep-lowest-id survivor policy).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
+      .select(F.col("b_id").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash of the token stream (Charikar's sign-random-projection
+    * sketch as popularized for web near-dup detection): bit j of the result
+    * is the sign of the sum over tokens of (bit j of hash64(token) ? +1 :
+    * -1), with hash64 built from two 32-bit murmur3 halves. Implemented as a
+    * per-row Scala UDF over the token array — a pure map with no shuffle;
+    * the codegen upgrade path is a native Expression.
+    */
+  def simhash(text: Column): Column = {
+    val f = F.udf { (tokens: Seq[String]) =>
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    f(TextAnalysis.tokens(text))
+  }
+
+  /** Hamming distance between two 64-bit sketches (bit_count of xor). */
+  def hamming64(a: Column, b: Column): Column =
+    F.bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on k-bit prefix bands of the sketch
+    * (pigeonhole: two sketches within `maxHamming` bits share at least one
+    * of `maxHamming+1` equal bands), then verify the true Hamming distance
+    * within blocks — again no all-pairs stage.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sk = df.select(F.col(idCol).as("id"), simhash(F.col(textCol)).as("sk"))
+    val banded = sk.select(F.col("id"), F.col("sk"),
+      F.explode(F.array((0 until nBands).map { b =>
+        F.struct(F.lit(b).as("band"),
+          F.shiftrightunsigned(F.col("sk"), b * width)
+            .bitwiseAND(F.lit((1L << width) - 1)).as("bh"))
+      }: _*)).as("bk"))
+      .select(F.col("id"), F.col("sk"), F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        F.col("x.band") === F.col("y.band") &&
+        F.col("x.bh") === F.col("y.bh") &&
+        F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"),
+        hamming64(F.col("x.sk"), F.col("y.sk")).as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
+  // ---- brute-force n-gram Jaccard (oracle/baseline path) ------------------
+
+  /** All-pairs exact n-gram Jaccard — the quadratic BASELINE used to
+    * validate the LSH path at small scale. Deliberately not the production
+    * path: the plan contains a genuine O(n²) join and says so.
+    */
+  def jaccardPairsBruteForce(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(F.col(idCol).as("id"),
+      shingles(F.col(textCol), shingleN).as("sh"))
+    sh.as("x").join(sh.as("y"), F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"),
+        jaccard(F.col("x.sh"), F.col("y.sh")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`) — extension
+  * scope (SURVEY.md §7.2 M8). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k with the QUERY side broadcast —
+  *    the correct baseline when the query set is small (the 100 TB candidate
+  *    side streams through in one pass, never shuffled, never collected);
+  *  - [[lshTopK]]: sign-random-projection (hyperplane) LSH — candidates
+  *    come from equi-joins on bucket keys, so the candidate side is touched
+  *    once and only same-bucket pairs are scored. Approximate by
+  *    construction (documented recall/bucket-width tradeoff); multi-table
+  *    probing raises recall.
+  *
+  * All scoring is `functions._` expressions over the vector arrays
+  * (zip_with + aggregate → whole-stage codegen); vectors are cast to double
+  * before arithmetic so scores are reproducible bit-for-bit.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns (cast to double first). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact cosine top-k: for every query vector, the k nearest candidates.
+    *
+    * Plan: broadcast-nested-loop join of the (small, broadcast) query side
+    * against the candidate scan, score in the same projection, then a
+    * window top-k partitioned by query id. The candidate table is read
+    * exactly once; the only shuffle is the per-query top-k (bounded by
+    * k·|queries| rows after the rank filter under AQE).
+    *
+    * Returns (query_id, cand_id, sim) with ties broken by candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+    val joined = c.crossJoin(F.broadcast(q))
+    val filtered =
+      if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("cand_id"))
+      else joined
+    val scored = filtered
+      .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "cand_id", "sim")
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
+    scored.withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` × `dim` doubles from a
+    * fixed seed (driver-side tiny; shipped to executors as literals).
+    */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket key: bit i = sign of dot(vec, plane_i).
+    * Vectors in the same bucket agree on all `nPlanes` signs — cosine-close
+    * vectors collide with probability (1 - θ/π)^nPlanes.
+    */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val vd = vec.cast("array<double>")
+    val bits = planes(dim, nPlanes, seed).map { p =>
+      val planeCol = F.array(p.map(F.lit): _*)
+      F.when(dot(vd, planeCol) >= 0, F.lit(1L)).otherwise(F.lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+  }
+
+  /** Approximate cosine top-k via `nTables` independent SRP hash tables:
+    * per table, queries and candidates join on the bucket key; union the
+    * table candidates, dedup, score, window top-k. No cartesian stage —
+    * each table contributes one hash-partitioned equi-join.
+    *
+    * Recall rises with `nTables` and falls with `nPlanes` (narrower
+    * buckets); callers trade those against candidate volume. A query whose
+    * buckets are empty yields fewer than k (or zero) results — the standard
+    * ANN contract.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+    val tables = (0 until nTables).map { t =>
+      val qb = q.withColumn("__b", srpBucket(F.col("__qv"), dim, nPlanes, seed + t))
+      val cb = c.withColumn("__b", srpBucket(F.col("__cv"), dim, nPlanes, seed + t))
+      qb.join(cb, "__b").select("query_id", "cand_id")
+    }
+    val cands = tables.reduce(_ unionAll _).distinct()
+    val scored = cands
+      .join(q, "query_id").join(c, "cand_id")
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id") else F.lit(true))
+      .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "cand_id", "sim")
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
+    scored.withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
+    * candidates from SRP buckets (no all-pairs). The embedding-cosine
+    * sibling of [[Dedup.minhashNearDupPairs]].
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
+      nTables: Int = 6, seed: Long = 42L): DataFrame = {
+    val v = df.select(F.col(idCol).as("id"), F.col(vecCol).as("__v"))
+    val tables = (0 until nTables).map { t =>
+      val b = v.withColumn("__b", srpBucket(F.col("__v"), dim, nPlanes, seed + t))
+      b.as("x").join(b.as("y"),
+          F.col("x.__b") === F.col("y.__b") && F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+    }
+    val cands = tables.reduce(_ unionAll _).distinct()
+    cands
+      .join(v.select(F.col("id").as("a_id"), F.col("__v").as("__av")), "a_id")
+      .join(v.select(F.col("id").as("b_id"), F.col("__v").as("__bv")), "b_id")
+      .withColumn("sim", cosine(F.col("__av"), F.col("__bv")))
+      .filter(F.col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface over the `events` table shape — extension
+  * scope (SURVEY.md §7.2 M8; the reference has no streaming at all,
+  * SURVEY.md §2.8).
+  *
+  * Every transform here is written against a plain DataFrame so the SAME
+  * code runs in batch mode (for the DuckDB-oracle correctness gate) and
+  * under `readStream` (incremental micro-batches) — the Spark-idiomatic
+  * "unified batch/streaming" contract. Watermarks bound state; windowed
+  * aggregations use event time, never processing time.
+  */
+object Streams {
+
+  /** Tumbling-window counts + sums per event type. Batch and streaming
+    * both: one hash aggregate keyed on (window, event_type).
+    */
+  def tumblingStats(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), width).as("w"), F.col("event_type"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.round(F.sum(F.col("value")), 2).as("sum_value"))
+      .select(
+        F.col("w.start").as("ws"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
+  /** Sliding-window event counts (window `width`, slide `slide`). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), width, slide).as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("w.start").as("ws"), F.col("event_type"), F.col("n"))
+
+  /** Session windows per user (gap-based). Streaming-safe: session_window
+    * + watermark merges/finalizes sessions incrementally.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum(F.col("value")), 2).as("sum_value"))
+      .select(F.col("w.start").as("session_start"),
+        F.col("w.end").as("session_end"),
+        F.col("user_id"), F.col("n_events"), F.col("sum_value"))
+
+  /** Open a streaming read over a parquet events directory with the given
+    * schema (file-source streaming: each newly-arrived file is a
+    * micro-batch; `maxFilesPerTrigger` bounds batch size).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Watermarked tumbling stats for a stream: late events beyond
+    * `lateness` are dropped and window state is reclaimed — bounded state
+    * at any scale.
+    */
+  def streamingTumblingStats(stream: DataFrame, width: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame =
+    tumblingStats(stream.withWatermark("ts", lateness), width)
+
+  /** Streaming dedup by event id within the watermark horizon —
+    * exactly-once-per-id delivery with bounded state.
+    */
+  def streamingDedup(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+}
