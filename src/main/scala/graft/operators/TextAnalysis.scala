@@ -33,23 +33,27 @@ object TextAnalysis {
 
   /** Character n-gram shingles of the concatenated token stream — the
     * canonical MinHash input. `n` characters per shingle, distinct.
+    * (Guarded: `sequence(1, 0)` would generate a DESCENDING [1,0], so a
+    * too-short input must short-circuit to an empty array.)
     */
   def charShingles(text: Column, n: Int = 5): Column = {
     val joined = F.array_join(tokens(text), " ")
-    val count = F.greatest(F.length(joined) - (n - 1), F.lit(0))
-    F.array_distinct(
-      F.transform(F.sequence(F.lit(1), count), i => joined.substr(i, F.lit(n))))
+    val count = F.length(joined) - (n - 1)
+    F.when(count >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), count), i => joined.substr(i, F.lit(n)))))
+      .otherwise(F.array().cast("array<string>"))
   }
 
   /** Word n-gram shingles (distinct) — MinHash/Jaccard input at word
-    * granularity.
+    * granularity. Same descending-sequence guard as [[charShingles]].
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
-    val count = F.greatest(F.size(ts) - (n - 1), F.lit(0))
-    F.array_distinct(
-      F.transform(F.sequence(F.lit(1), count),
-        i => F.array_join(F.slice(ts, i, F.lit(n)), " ")))
+    val count = F.size(ts) - (n - 1)
+    F.when(count >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), count),
+          i => F.array_join(F.slice(ts, i, F.lit(n)), " "))))
+      .otherwise(F.array().cast("array<string>"))
   }
 
   /** Stopword ratio against a small English stopword set — one of the
