@@ -1,0 +1,248 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Tests for the M8 pipeline operators (dedup, similarity, text analysis,
+  * multimodal, streaming) on the sf0.001 driver testdata plus synthetic
+  * micro-fixtures. The DuckDB oracle covers the SQL-expressible queries;
+  * these tests pin the non-SQL-expressible behaviors: LSH recall against
+  * the brute-force ground truth, streaming parity with the batch transform,
+  * and the multimodal pack/decode round-trip.
+  */
+class PipelineSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def docs = Tables.documents(spark, sf)
+  def emb = Tables.embeddings(spark, sf)
+
+  // ---- dedup -----------------------------------------------------------
+
+  test("exact dedup keeps one survivor per text class, lowest key") {
+    import spark.implicits._
+    val df = Seq((3L, "aa"), (1L, "aa"), (2L, "bb"), (5L, "aa"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").select("id")
+      .collect().map(_.getLong(0)).sorted
+    out.toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("minhash LSH pairs == brute-force Jaccard ground truth") {
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe brute
+    lsh should not be empty
+  }
+
+  test("minhash LSH plan contains no cartesian product") {
+    val plan = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("minhashDedup drops the higher-id member of each pair") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept.intersect(pairs) shouldBe empty
+    (kept.size + pairs.size) shouldBe docs.count()
+  }
+
+  test("simhash finds most high-jaccard near-dups (hamming<=3 blocks)") {
+    val truth = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash is a coarser sketch than MinHash: require >=60% recall and
+    // no explosion of false positives relative to the 0.8-jaccard truth.
+    truth.intersect(sim).size.toDouble should be >= truth.size * 0.6
+    sim.size should be <= truth.size * 3
+  }
+
+  test("hashed shingles match string shingles' set cardinality semantics") {
+    val both = docs.select(
+      F.size(Dedup.shingles(F.col("text"))).as("s"),
+      F.size(Dedup.hashedShingles(F.col("text"))).as("h"))
+      .filter(F.col("s") =!= F.col("h")).count()
+    both shouldBe 0
+  }
+
+  test("shingles of too-short text are empty, not garbage") {
+    import spark.implicits._
+    val tiny = Seq("one two", "a", "").toDF("text")
+    tiny.select(F.size(Dedup.shingles(F.col("text"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(0, 0, 0)
+    tiny.select(F.size(Dedup.hashedShingles(F.col("text"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(0, 0, 0)
+  }
+
+  // ---- similarity ------------------------------------------------------
+
+  test("brute-force topk: self excluded, k rows per query, sim descending") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter(F.col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+      .collect()
+    out.length shouldBe 15
+    out.foreach(r => r.getLong(0) should not be r.getLong(1))
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      rows.length shouldBe 5
+      sims.foreach(s => s should (be >= -1.0001 and be <= 1.0001))
+    }
+  }
+
+  test("LSH topk recall vs brute force is reasonable") {
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 5, dim = 64)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SRP-LSH on near-uniform random vectors is the hard case; require
+    // non-trivial recall (the approximate contract), not equality.
+    exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(v.filter(F.col("vec_id") === 1), v,
+      "vec_id", "embedding", k = 1).collect()
+    out.head.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  test("token count and quality signals on a known sentence") {
+    import spark.implicits._
+    val d = Seq("The quick brown fox, jumps over the lazy dog!").toDF("text")
+    val r = d.select(
+      TextAnalysis.tokenCount(F.col("text")).as("n"),
+      TextAnalysis.stopwordRatio(F.col("text")).as("sr"),
+      TextAnalysis.punctRatio(F.col("text")).as("pr"),
+      TextAnalysis.langId(F.col("text")).as("lang")).head()
+    r.getAs[Int]("n") shouldBe 9
+    r.getAs[Double]("sr") should be > 0.0
+    r.getAs[Double]("pr") should be > 0.0
+    r.getAs[String]("lang") shouldBe "en"
+  }
+
+  test("langId picks marker languages and falls back to und") {
+    import spark.implicits._
+    val d = Seq(
+      ("de", "der Hund und die Katze ist nicht mit ein"),
+      ("fr", "le chat et la maison est pour une pas"),
+      ("es", "el perro que es por con una los la"),
+      ("und", "zzz qqq www")).toDF("want", "text")
+    d.select(F.col("want"), TextAnalysis.langId(F.col("text")).as("got"))
+      .collect().foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
+  test("fingerprint is whitespace/punctuation-insensitive") {
+    import spark.implicits._
+    val d = Seq(("a", "Hello,  World!"), ("b", "hello world"), ("c", "hello worlds"))
+      .toDF("id", "text")
+    val fps = d.select(F.col("id"), TextAnalysis.fingerprint(F.col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fps("a") shouldBe fps("b")
+    fps("a") should not be fps("c")
+  }
+
+  // ---- multimodal ------------------------------------------------------
+
+  test("pack/decode round-trip recovers metadata from payload bytes") {
+    val packed = Multimodal.withFakeMedia(docs, "text")
+    val bad = packed.select(
+      F.col("meta"),
+      Multimodal.decodeStub(F.col("payload")).as("dec"))
+      .filter(F.col("meta.width") =!= F.col("dec.width") ||
+        F.col("meta.height") =!= F.col("dec.height") ||
+        F.col("meta.n_bytes") =!= F.col("dec.n_bytes") ||
+        F.col("meta.mime") =!= F.col("dec.mime"))
+      .count()
+    bad shouldBe 0
+  }
+
+  test("metadata filter prunes payload column from the scan") {
+    val packed = Multimodal.withFakeMedia(docs, "text")
+    packed.filter(F.col("meta.width") > 512).count() should be > 0L
+  }
+
+  test("resize rewrites header dims, frame sampling multiplies rows") {
+    val packed = Multimodal.withFakeMedia(docs.limit(10), "text")
+    val resized = packed.withColumn("payload",
+      Multimodal.resizeStub(F.col("payload"), 64, 64))
+    val dims = resized.select(Multimodal.decodeStub(F.col("payload")).as("d"))
+      .select("d.width", "d.height").distinct().collect()
+    dims.length shouldBe 1
+    dims.head.getInt(0) shouldBe 64
+    val frames = Multimodal.sampleFramesStub(packed, "payload", 4)
+    frames.count() shouldBe 40
+  }
+
+  // ---- streaming -------------------------------------------------------
+
+  test("streaming tumbling stats == batch tumbling stats (end-to-end readStream)") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = Streams.tumblingStats(batchEvents).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // Stage the events as a parquet dir (micro-batch file source), stream
+    // it through the SAME transform, collect from a memory sink.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir,
+      batchEvents.schema)
+    val q = Streams.streamingTumblingStats(stream)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    got shouldBe expected
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val batchEvents = Tables.events(spark, sf).limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    // Write the same rows twice -> two files -> two micro-batches.
+    batchEvents.write.mode("overwrite").parquet(dir)
+    batchEvents.write.mode("append").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, batchEvents.schema)
+    val q = Streams.streamingDedup(stream)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("dedup_test").select("event_id").distinct().count() shouldBe
+      spark.table("dedup_test").count()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0, ""),
+      (2L, "2024-01-01 10:10:00", 7L, "view", 2.0, ""),
+      (3L, "2024-01-01 12:00:00", 7L, "view", 3.0, ""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Streams.userSessions(e).orderBy("session_start").collect()
+    out.length shouldBe 2
+    out(0).getAs[Long]("n_events") shouldBe 2
+    out(1).getAs[Long]("n_events") shouldBe 1
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core.{Agg, KFrame, KevinException}
+import graft.viz._
+
+/** Viz DSL tests: the Kevin Monoid's duplicate-declaration error matrix
+  * (`/root/reference/src/Language/Kevin.hs:19-27`), scale parity errors
+  * (`Scales.hs:19`), and the Vega-Lite emitter (the reference's Babel was a
+  * stub — `Babel.hs:11-12`; SURVEY.md §2.10 sets "one working emitter" as
+  * the capability target).
+  */
+class VizSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  def df: KFrame = KFrame.fromCsvFile(spark, "src/test/resources/retail.csv")
+
+  val cartesian = Coords.cartesian(Scales.category("city"), Scales.linear("sale"))
+
+  // ---- Monoid merge (Kevin.hs:19-27) ----------------------------------
+
+  test("merge with empty is identity") {
+    val k = Kevin.coord(cartesian)
+    k.merge(Kevin.empty) shouldBe k
+    Kevin.empty.merge(k) shouldBe k
+  }
+  test("coord + mark fragments assemble (both orders)") {
+    val a = Kevin.assemble(Kevin.coord(cartesian), Kevin.mark(Marks.point))
+    a.coord.isDefined shouldBe true
+    a.mark shouldBe Some(Marks.point)
+    val b = Kevin.assemble(Kevin.mark(Marks.point), Kevin.coord(cartesian))
+    b.mark shouldBe Some(Marks.point)
+  }
+  test("duplicate coordinate -> error (Kevin.hs:22)") {
+    intercept[KevinException] {
+      Kevin.coord(cartesian).merge(Kevin.coord(cartesian))
+    }.getMessage should include("coordinate already declared")
+  }
+  test("duplicate mark -> error (Kevin.hs:23)") {
+    intercept[KevinException] {
+      Kevin.mark(Marks.point).merge(Kevin.mark(Marks.line))
+    }.getMessage should include("mark already declared")
+  }
+  test("full spec + any declaration -> conflicted (Kevin.hs:26)") {
+    val full = Kevin.assemble(Kevin.coord(cartesian), Kevin.mark(Marks.point))
+    intercept[KevinException](full.merge(Kevin.mark(Marks.line)))
+      .getMessage should include("conflicted declaration")
+    intercept[KevinException](Kevin.coord(cartesian).merge(full))
+      .getMessage should include("conflicted declaration")
+  }
+
+  // ---- scales (Scales.hs:8-21) ----------------------------------------
+
+  test("linear scale with orders -> error (Scales.hs:19)") {
+    intercept[KevinException](Scales.linear("sale", Seq("a", "b")))
+      .getMessage should include("orders are not for linear scales")
+  }
+  test("category scale carries explicit order") {
+    Scales.category("city", Seq("boston", "austin")) shouldBe
+      CategoryScale("city", Some(Seq("boston", "austin")))
+  }
+
+  // ---- emitter ---------------------------------------------------------
+
+  test("genBabel emits Vega-Lite with trait-driven types") {
+    val agg = df.groupby("city").aggregate(Agg.sum, "sale")
+    val babel = Babel.`with`(agg,
+      Kevin.coord(cartesian), Kevin.mark(Marks.interval))
+    val json = babel.json
+    json should include("\"mark\": \"bar\"")
+    json should include("\"field\": \"city\", \"type\": \"nominal\"")
+    json should include("\"field\": \"sale\", \"type\": \"quantitative\"")
+    json should include("\"austin\"")
+    json should include("vega-lite/v5.json")
+  }
+  test("explicit category order emits a sort array") {
+    val agg = df.groupby("city").aggregate(Agg.sum, "sale")
+    val spec = Kevin.assemble(
+      Kevin.coord(Coords.cartesian(
+        Scales.category("city", Seq("denver", "austin", "boston")),
+        Scales.linear("sale"))),
+      Kevin.mark(Marks.interval))
+    Babel.genBabel(agg, spec).json should include(
+      """"sort": ["denver", "austin", "boston"]""")
+  }
+  test("stack adjustment emits stacked y encoding") {
+    val agg = df.groupby("city", "gender").aggregate(Agg.sum, "sale")
+    val spec = Kevin.assemble(
+      Kevin.coord(cartesian),
+      Kevin.mark(Marks.interval.stack),
+      Kevin.visual(Visuals.color(Scales.category("gender"))))
+    val json = Babel.genBabel(agg, spec).json
+    json should include("\"stack\": \"zero\"")
+    json should include("\"color\"")
+  }
+  test("dodge adjustment emits xOffset from the color visual") {
+    val agg = df.groupby("city", "gender").aggregate(Agg.sum, "sale")
+    val spec = Kevin.assemble(
+      Kevin.coord(cartesian),
+      Kevin.mark(Marks.interval.dodge),
+      Kevin.visual(Visuals.color(Scales.category("gender"))))
+    Babel.genBabel(agg, spec).json should include("\"xOffset\"")
+  }
+  test("polar coord emits arc mark with theta") {
+    val agg = df.groupby("gender").aggregate(Agg.sum, "sale")
+    val spec = Kevin.assemble(
+      Kevin.coord(Coords.polar(Scales.linear("sale"), Scales.category("gender"))),
+      Kevin.mark(Marks.interval))
+    val json = Babel.genBabel(agg, spec).json
+    json should include("\"type\": \"arc\"")
+    json should include("\"theta\"")
+  }
+  test("missing mark or coord -> error") {
+    intercept[KevinException](Babel.genBabel(df, Kevin.coord(cartesian)))
+      .getMessage should include("no mark declared")
+    intercept[KevinException](Babel.genBabel(df, Kevin.mark(Marks.point)))
+      .getMessage should include("no coordinate declared")
+  }
+  test("emitted data values are the frame rows") {
+    val agg = df.groupby("city").aggregate(Agg.sum, "sale")
+    val json = Babel.genBabel(agg,
+      Kevin.assemble(Kevin.coord(cartesian), Kevin.mark(Marks.point))).json
+    json should include("\"sale\": 9400.0") // austin: 1200+4500+900+2800
+  }
+}
