@@ -39,7 +39,14 @@ final class KFrame private[graft] (
     val pivot: Option[PivotSpec],
     private[graft] val ordering: Seq[SortKey],
     private[graft] val rowIdAsc: Boolean,
-    private[graft] val idsArePositions: Boolean) {
+    private[graft] val idsArePositions: Boolean,
+    /** true when row ids descend from a 1..n position assignment (ingest
+      * renumber) and are therefore the reference-meaningful indices to
+      * display; false for synthetic order-carrying ids
+      * (`monotonically_increasing_id` from [[KFrame.wrap]], or deferred
+      * aggregate output ids), where the renderer enumerates instead.
+      */
+    private[graft] val idsMeaningful: Boolean) {
 
   import KFrame._
 
@@ -66,8 +73,10 @@ final class KFrame private[graft] (
       pivot: Option[PivotSpec] = pivot,
       ordering: Seq[SortKey] = ordering,
       rowIdAsc: Boolean = rowIdAsc,
-      idsArePositions: Boolean = idsArePositions): KFrame =
-    new KFrame(ds, groups, pivot, ordering, rowIdAsc, idsArePositions)
+      idsArePositions: Boolean = idsArePositions,
+      idsMeaningful: Boolean = idsMeaningful): KFrame =
+    new KFrame(ds, groups, pivot, ordering, rowIdAsc, idsArePositions,
+      idsMeaningful)
 
   /** The frame's total order as Spark sort columns. */
   private[graft] def orderCols: Seq[Column] = {
@@ -96,7 +105,8 @@ final class KFrame private[graft] (
   private[graft] def materializePositions: KFrame =
     if (idOrderIsFrameOrder && idsArePositions) this
     else copyWith(ds = renumber(ds.orderBy(orderCols: _*)),
-      ordering = Nil, rowIdAsc = true, idsArePositions = true)
+      ordering = Nil, rowIdAsc = true, idsArePositions = true,
+      idsMeaningful = true)
 
   // ---- §2.2 projection ------------------------------------------------
 
@@ -202,14 +212,21 @@ final class KFrame private[graft] (
       if (!agg.orderSensitive || idOrderIsFrameOrder) this
       else materializePositions
     val expr = agg.toColumn(field, F.col(RowId)).as(field)
-    val out =
-      if (groups.isEmpty)
-        m.ds.agg(expr).withColumn(RowId, F.lit(1L))
-      else
-        renumber(m.ds.groupBy(groups.map(F.col): _*).agg(expr)
-          .orderBy(groups.map(F.col(_).asc): _*))
-    copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
-      rowIdAsc = true, idsArePositions = true)
+    if (groups.isEmpty)
+      copyWith(ds = m.ds.agg(expr).withColumn(RowId, F.lit(1L)),
+        groups = Nil, pivot = None, ordering = Nil,
+        rowIdAsc = true, idsArePositions = true, idsMeaningful = true)
+    else {
+      // Key-ascending frame order stays LOGICAL (ordering spec over the
+      // unique group keys) — no output sort, no RDD renumber, the hash
+      // aggregate stays inside one codegen'd, AQE-planned lineage. Fresh
+      // 1..n ids materialize lazily only if a positional op needs them.
+      val out = m.ds.groupBy(groups.map(F.col): _*).agg(expr)
+        .withColumn(RowId, F.monotonically_increasing_id() + 1)
+      copyWith(ds = out, groups = Nil, pivot = None,
+        ordering = groups.map(SortKey(_, ascending = true)),
+        rowIdAsc = true, idsArePositions = false, idsMeaningful = false)
+    }
   }
 
   // ---- §2.5 reshape ---------------------------------------------------
@@ -239,7 +256,8 @@ final class KFrame private[graft] (
           F.lit(0.0).as(Value) :+ F.col(RowId): _*)
         .filter(F.lit(false))
       return copyWith(ds = meltTraits(empty), groups = Nil, pivot = None,
-        ordering = Nil, rowIdAsc = true, idsArePositions = true)
+        ordering = Nil, rowIdAsc = true, idsArePositions = true,
+        idsMeaningful = true)
     }
     val narrowed = m.ds.select((idCols ++ varCols :+ RowId).map(F.col): _*)
     val unpivoted = narrowed.unpivot(
@@ -256,7 +274,8 @@ final class KFrame private[graft] (
       .withColumn(RowId, (varIdx - 1) * F.col(MeltH) + F.col(RowId))
       .drop(MeltH)
     copyWith(ds = meltTraits(out), groups = Nil, pivot = None,
-      ordering = Nil, rowIdAsc = true, idsArePositions = true)
+      ordering = Nil, rowIdAsc = true, idsArePositions = true,
+      idsMeaningful = true)
   }
 
   def melt(id: String, vars: Seq[String]): KFrame = melt(Seq(id), vars)
@@ -450,7 +469,7 @@ final class KFrame private[graft] (
     val cols = (dataColumns :+ RowId).map(F.col)
     copyWith(ds = l.ds.select(cols: _*).unionByName(shifted.select(cols: _*)),
       groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true,
-      idsArePositions = true)
+      idsArePositions = true, idsMeaningful = true)
   }
 
   /** Positional horizontal concat — the reference's non-relational `join`
@@ -475,7 +494,7 @@ final class KFrame private[graft] (
       .otherwise(F.lit(1))
     val out = joined.filter(guard === 1).drop(ZipL, ZipR)
     copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
-      rowIdAsc = true, idsArePositions = true)
+      rowIdAsc = true, idsArePositions = true, idsMeaningful = true)
   }
 
   // ---- misc -----------------------------------------------------------
@@ -529,7 +548,7 @@ object KFrame {
     */
   def fromDataFrame(df: DataFrame): KFrame =
     new KFrame(renumber(df), Nil, None, Nil, rowIdAsc = true,
-      idsArePositions = true)
+      idsArePositions = true, idsMeaningful = true)
 
   /** Wrap a DataFrame with order-carrying (but non-contiguous) row ids from
     * `monotonically_increasing_id` — a pure projection, so the scan keeps
@@ -539,7 +558,8 @@ object KFrame {
     */
   def wrap(df: DataFrame): KFrame =
     new KFrame(df.withColumn(RowId, F.monotonically_increasing_id() + 1),
-      Nil, None, Nil, rowIdAsc = true, idsArePositions = false)
+      Nil, None, Nil, rowIdAsc = true, idsArePositions = false,
+      idsMeaningful = false)
 
   def fromParquet(spark: SparkSession, path: String): KFrame =
     wrap(spark.read.parquet(path))

@@ -72,10 +72,17 @@ object Render {
       .take(maxRows)
     val discrete = cols.map(isDiscrete(kf, _))
     val header = "" +: cols
-    val records = rows.toSeq.map { r =>
-      r.getLong(0).toString +: cols.indices.map(i => fmt(r.get(i + 1), discrete(i)))
+    // Reference-meaningful ids (1..n assignments, possibly subset by
+    // filters) display as-is; synthetic order-carrying ids (wrap ingest,
+    // deferred aggregate output) display as a fresh 1..n enumeration —
+    // exactly what their eventual materialization would assign.
+    val displayIds: Seq[Long] =
+      if (kf.idsMeaningful) rows.toSeq.map(_.getLong(0))
+      else (1L to rows.length.toLong)
+    val records = rows.toSeq.zip(displayIds).map { case (r, id) =>
+      id.toString +: cols.indices.map(i => fmt(r.get(i + 1), discrete(i)))
     }
-    showLines(header +: records) + groupFooter(kf, rows, cols)
+    showLines(header +: records) + groupFooter(kf, rows, displayIds, cols)
   }
 
   /** Group footer (`DataFrame.hs:122-126`): the group field-name list and
@@ -84,15 +91,16 @@ object Render {
     * `Combinator.hs:66-68`); `reorderByIndices` (`:69-72`) only orders each
     * group's row indices to current frame order.
     */
-  private def groupFooter(kf: KFrame, rows: Array[Row], cols: Seq[String]): String = {
+  private def groupFooter(kf: KFrame, rows: Array[Row], displayIds: Seq[Long],
+      cols: Seq[String]): String = {
     if (kf.groups.isEmpty) return ""
     val gIdx = kf.groups.map(g => cols.indexOf(g) + 1).filter(_ > 0)
     if (gIdx.isEmpty) return ""
     // rows are already in frame order; indices within a group keep it.
     val order = scala.collection.mutable.LinkedHashMap[Seq[Any], scala.collection.mutable.ArrayBuffer[Long]]()
-    rows.foreach { r =>
+    rows.zip(displayIds).foreach { case (r, id) =>
       val key: Seq[Any] = gIdx.map(i => r.get(i))
-      order.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += r.getLong(0)
+      order.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += id
     }
     val names = kf.groups.mkString("[\"", "\",\"", "\"]")
     implicit val keyOrd: Ordering[Seq[Any]] =
