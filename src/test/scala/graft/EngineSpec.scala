@@ -116,4 +116,36 @@ class EngineSpec extends AnyFunSuite with Matchers {
     intercept[KevinException](Relational.join(df, df, Seq("city")))
       .getMessage should include("ambiguous")
   }
+
+  // ---- CJK rendering (DataFrame.hs:101-104) ---------------------------
+
+  test("CJK columns render with double-width-aware alignment") {
+    val cjk = KFrame.fromCsvFile(spark, "src/test/resources/cjk.csv")
+    cjk.height shouldBe 3
+    cjk.traits("名前").dataType shouldBe KDataType.KText
+    cjk.traits("売上").dataType shouldBe KDataType.KNumber
+    val out = cjk.render()
+    val lines = out.split("\n").filter(_.nonEmpty).toSeq
+    // every table line must have identical DISPLAY width (isLatin1 -> 1,
+    // else 2) — plain string length would misalign CJK cells.
+    def displayWidth(s: String): Int = s.map(c => if (c.toInt < 256) 1 else 2).sum
+    lines.map(displayWidth).distinct.size shouldBe 1
+    out should include("東京")
+  }
+
+  // ---- date detection (capability upgrade over DataFrame.hs:207-210) --
+
+  test("detectDates=false (parity default): ISO dates stay Text") {
+    val d = CsvSource.load(spark, "src/test/resources/dates.csv", strict = true)
+    d.traits("day").dataType shouldBe KDataType.KText
+  }
+  test("detectDates=true: ISO dates become Date/Dimension columns") {
+    val d = CsvSource.load(spark, "src/test/resources/dates.csv",
+      strict = true, detectDates = true)
+    d.traits("day").dataType shouldBe KDataType.KDate
+    d.traits("day").role shouldBe DataRole.Dimension
+    d.filter(org.apache.spark.sql.functions.col("day") >
+      org.apache.spark.sql.functions.lit("2024-02-01").cast("date"))
+      .height shouldBe 2
+  }
 }

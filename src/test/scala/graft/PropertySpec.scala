@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+
+/** Exhaustive-range property tests over reshape/slice algebra (SURVEY.md §5
+  * strategy item 2): take/drop partition, sort idempotence + permutation
+  * invariance, melt height/mass conservation, append additivity. Ranges are
+  * enumerated deterministically (the whole input space that matters for a
+  * 12-row fixture) rather than sampled.
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  lazy val df: KFrame = KFrame.fromCsvFile(spark, "src/test/resources/retail.csv")
+  lazy val h: Long = df.height
+  val totalSale = 36000.0
+
+  test("take(n) + drop(n) partition the frame for every n in -3..16") {
+    for (n <- -3 to 16)
+      withClue(s"n=$n: ") {
+        (df.take(n).height + df.drop(n).height) shouldBe h
+      }
+  }
+
+  test("take(n) of sorted frame = n smallest values, for every n") {
+    val sortedCosts = df.toOrderedDF.select("cost").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    for (n <- 1 to 12) {
+      df.sort("cost").take(n).toOrderedDF
+        .select("cost").collect().map(_.getDouble(0)).toSeq shouldBe
+        sortedCosts.take(n)
+    }
+  }
+
+  val fields = Seq("gender", "city", "product", "year", "sale", "cost")
+
+  test("ascending sort is idempotent and a permutation, for every field") {
+    val all = df.toOrderedDF.collect().toSet
+    for (f <- fields) withClue(s"$f: ") {
+      val once = df.sort(f).toOrderedDF.collect().toSeq
+      val twice = df.sort(f).sort(f).toOrderedDF.collect().toSeq
+      once shouldBe twice
+      once.toSet shouldBe all
+    }
+  }
+
+  test("descending sort is deliberately NOT idempotent (reference reverse quirk)") {
+    // desc = reverse(stable asc of current order) (`Combinator.hs:229-230`):
+    // applying desc twice restores each key group's ORIGINAL row order,
+    // while a single desc shows it reversed. Pin the exact quirk.
+    val once = df.sort("gender", ascending = false).toOrderedDF
+      .select("sale").collect().map(_.getDouble(0)).toSeq
+    val twice = df.sort("gender", ascending = false)
+      .sort("gender", ascending = false).toOrderedDF
+      .select("sale").collect().map(_.getDouble(0)).toSeq
+    once shouldBe Seq(5200.0, 3100.0, 5000.0, 6100.0, 2800.0, 4500.0,
+      2600.0, 1400.0, 1700.0, 1500.0, 900.0, 1200.0)
+    twice shouldBe Seq(4500.0, 2800.0, 6100.0, 5000.0, 3100.0, 5200.0,
+      1200.0, 900.0, 1500.0, 1700.0, 1400.0, 2600.0)
+  }
+
+  test("sort desc reverses sort asc exactly, for every field") {
+    for (f <- fields) withClue(s"$f: ") {
+      df.sort(f, ascending = false).toOrderedDF.collect().toSeq shouldBe
+        df.sort(f).toOrderedDF.collect().toSeq.reverse
+    }
+  }
+
+  test("melt conserves height x nVars and value mass") {
+    val varSets = Seq(Seq("sale"), Seq("cost"), Seq("sale", "cost"),
+      Seq("sale", "cost", "discount"))
+    for (vars <- varSets) withClue(s"vars=$vars: ") {
+      val m = df.melt(Seq("city"), vars)
+      m.height shouldBe h * vars.length
+      val mass = m.toOrderedDF.agg(org.apache.spark.sql.functions.sum("value"))
+        .head().getDouble(0)
+      val want = vars.map(v =>
+        df.toOrderedDF.agg(org.apache.spark.sql.functions.sum(v)).head().getDouble(0)).sum
+      mass shouldBe want +- 1e-9
+    }
+  }
+
+  test("append height additivity over slice pairs") {
+    for (a <- Seq(1, 3, 12); b <- Seq(1, 5, 12)) withClue(s"a=$a b=$b: ") {
+      df.take(a).append(df.take(b)).height shouldBe (a + b).toLong
+    }
+  }
+
+  test("groupby+aggregate sum equals global sum for every key set") {
+    val keySets = Seq(Seq("gender"), Seq("city"), Seq("gender", "city"),
+      Seq("product", "year"))
+    for (keys <- keySets) withClue(s"keys=$keys: ") {
+      val grouped = df.groupby(keys: _*).aggregate(Agg.sum, "sale")
+      grouped.toOrderedDF
+        .agg(org.apache.spark.sql.functions.sum("sale")).head().getDouble(0) shouldBe
+        totalSale +- 1e-9
+    }
+  }
+
+  test("cast cell totals equal the frame total for every row/col split") {
+    val splits = Seq(
+      (Seq("gender"), Seq("city")), (Seq("city"), Seq("product")),
+      (Seq("product"), Seq("year")))
+    for ((rows, cols) <- splits) withClue(s"$rows x $cols: ") {
+      val wide = df.cast(rows, cols, Agg.sum, "sale").pivotedWide
+      val valueCols = wide.columns.filterNot(rows.contains)
+      val total = wide.collect().flatMap(r =>
+        valueCols.map(c => Option(r.getAs[Any](c)).map {
+          case d: Double => d
+        }.getOrElse(0.0))).sum
+      total shouldBe totalSale +- 1e-9
+    }
+  }
+}
