@@ -266,6 +266,19 @@ object Queries {
   def q_events_sessions(s: SparkSession, d: String): DataFrame =
     Streams.userSessions(Tables.events(s, d))
 
+  /** As-of join: every event picks up the value of the user's most recent
+    * at-or-before purchase — one shuffle, no range explosion (extras.AsOf).
+    */
+  def q_asof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+    graft.extras.AsOf.asofJoin(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        purchases, "user_id", "ts", Seq("last_purchase_value"))
+      .select("event_id", "last_purchase_value")
+  }
+
   // ---- M8: multimodal -------------------------------------------------
 
   def q_multimodal(s: SparkSession, d: String): DataFrame = {
@@ -400,6 +413,12 @@ object Queries {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_asof" ->
+      """SELECT l.event_id, r.value AS last_purchase_value
+        |FROM events l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |) r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT) AS n_bytes
@@ -436,6 +455,7 @@ object Queries {
     "q_text_quality" -> (q_text_quality _),
     "q_events_window" -> (q_events_window _),
     "q_events_sessions" -> (q_events_sessions _),
+    "q_asof" -> (q_asof _),
     "q_multimodal" -> (q_multimodal _)
   )
 

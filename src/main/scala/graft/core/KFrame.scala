@@ -249,7 +249,11 @@ final class KFrame private[graft] (
     val idCols = ids.filter(ds.columns.contains)
     val varCols = vars.filter(ds.columns.contains)
     varCols.foreach(requireFieldType(_, numeric = true, err = "invalid data"))
-    val m = materializePositions
+    // Var-major id arithmetic `(varIdx-1)*h + oldId` needs only an upper
+    // bound h >= every id — max(id) works for non-contiguous order-carrying
+    // ids too, so frame-ordered inputs skip the renumber. (Overflow bound:
+    // mono ids stay < 2^53 at realistic partition counts; nVars is small.)
+    val m = if (idOrderIsFrameOrder) this else materializePositions
     if (varCols.isEmpty) {
       val empty = m.ds
         .select(idCols.map(F.col) :+ F.lit("").as(Variable) :+
@@ -264,8 +268,8 @@ final class KFrame private[graft] (
       (idCols :+ RowId).map(F.col).toArray,
       varCols.map(c => F.col(c).cast("double")).toArray,
       Variable, Value)
-    // height as a 1-row in-plan aggregate, broadcast to every task:
-    // ids are positions post-materialize, so max(id) = h.
+    // id upper bound as a 1-row in-plan aggregate, broadcast to every
+    // task (equals the height when ids are positions).
     val hDF = m.ds.agg(F.coalesce(F.max(F.col(RowId)), F.lit(0L)).as(MeltH))
     val varIdx = F.array_position(
       F.array(varCols.map(F.lit): _*), F.col(Variable))
@@ -274,8 +278,8 @@ final class KFrame private[graft] (
       .withColumn(RowId, (varIdx - 1) * F.col(MeltH) + F.col(RowId))
       .drop(MeltH)
     copyWith(ds = meltTraits(out), groups = Nil, pivot = None,
-      ordering = Nil, rowIdAsc = true, idsArePositions = true,
-      idsMeaningful = true)
+      ordering = Nil, rowIdAsc = true, idsArePositions = m.idsArePositions,
+      idsMeaningful = m.idsArePositions && m.idsMeaningful)
   }
 
   def melt(id: String, vars: Seq[String]): KFrame = melt(Seq(id), vars)
@@ -459,17 +463,23 @@ final class KFrame private[graft] (
     val rightSig = other.dataColumns.map(c => c -> other.traits(c)).sortBy(_._1)
     if (leftSig != rightSig)
       throw new KevinException("Can't append dataframes with different fields")
-    val l = materializePositions
-    val r = other.materializePositions
+    // Order-carrying (non-contiguous) ids are enough: shifting the right
+    // side past max(left id) preserves both orders and keeps them disjoint.
+    // Only a pending logical sort forces a renumber; parquet-scale appends
+    // of frame-ordered sides stay entirely inside Catalyst (no RDD hop).
+    val l = if (idOrderIsFrameOrder) this else materializePositions
+    val r = if (other.idOrderIsFrameOrder) other else other.materializePositions
     val hDF = l.ds.agg(F.coalesce(F.max(F.col(RowId)), F.lit(0L)).as(MeltH))
     val shifted = r.ds
       .crossJoin(F.broadcast(hDF))
       .withColumn(RowId, F.col(RowId) + F.col(MeltH))
       .drop(MeltH)
     val cols = (dataColumns :+ RowId).map(F.col)
+    val positions = l.idsArePositions && r.idsArePositions
     copyWith(ds = l.ds.select(cols: _*).unionByName(shifted.select(cols: _*)),
       groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true,
-      idsArePositions = true, idsMeaningful = true)
+      idsArePositions = positions,
+      idsMeaningful = positions && l.idsMeaningful && r.idsMeaningful)
   }
 
   /** Positional horizontal concat — the reference's non-relational `join`

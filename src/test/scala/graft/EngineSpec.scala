@@ -117,6 +117,53 @@ class EngineSpec extends AnyFunSuite with Matchers {
       .getMessage should include("ambiguous")
   }
 
+  // ---- set ops (extras; absent in reference, SURVEY §2.7) -------------
+
+  test("set ops: union/intersect/except/distinct") {
+    import graft.extras.SetOps
+    val a = df.take(8)
+    val b = df.drop(4) // rows 5..12; overlap = rows 5..8
+    SetOps.union(a, b).height shouldBe 12
+    SetOps.intersect(a, b).height shouldBe 4
+    SetOps.except(a, b).height shouldBe 4
+    SetOps.distinct(df.append(df)).height shouldBe 12
+  }
+  test("set ops require matching signatures") {
+    import graft.extras.SetOps
+    intercept[KevinException](SetOps.union(df.select("city"), df.select("cost")))
+      .getMessage should include("different fields")
+  }
+
+  // ---- as-of join (extras) --------------------------------------------
+
+  test("asof join attaches the most recent at-or-before match per key") {
+    import spark.implicits._
+    import graft.extras.AsOf
+    val trades = Seq(
+      ("A", 1L, "t1"), ("A", 5L, "t2"), ("A", 10L, "t3"),
+      ("B", 3L, "t4"))
+      .toDF("sym", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", 0L, 100.0), ("A", 5L, 105.0), ("A", 7L, 107.0),
+      ("B", 9L, 50.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOf.asofJoin(trades, quotes, "sym", "ts", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade_id") ->
+        Option(r.getAs[Any]("px"))).toMap
+    out("t1") shouldBe Some(100.0) // quote at 0 <= 1
+    out("t2") shouldBe Some(105.0) // tie at ts=5 resolves to the quote
+    out("t3") shouldBe Some(107.0) // latest of 0/5/7
+    out("t4") shouldBe None        // B's only quote is later
+  }
+  test("asof join rejects value-column collisions") {
+    import spark.implicits._
+    import graft.extras.AsOf
+    val l = Seq(("A", 1L, 9.0)).toDF("sym", "ts", "px")
+    val r = Seq(("A", 0L, 1.0)).toDF("sym", "ts", "px")
+    an[IllegalArgumentException] should be thrownBy
+      AsOf.asofJoin(l, r, "sym", "ts", Seq("px"))
+  }
+
   // ---- CJK rendering (DataFrame.hs:101-104) ---------------------------
 
   test("CJK columns render with double-width-aware alignment") {
