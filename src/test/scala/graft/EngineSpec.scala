@@ -117,6 +117,16 @@ class EngineSpec extends AnyFunSuite with Matchers {
       .getMessage should include("ambiguous")
   }
 
+  // ---- CSV quote/escape parity (CsvParser.hs:12-45) -------------------
+
+  test("quoted fields keep embedded commas and doubled-quote escapes") {
+    val q = KFrame.fromCsvFile(spark, "src/test/resources/quoted.csv")
+    q.height shouldBe 3
+    val mottos = q.toOrderedDF.select("motto").collect().map(_.getString(0)).toSeq
+    mottos shouldBe Seq("hello, world", """she said "hi" to me""", "plain")
+    q.traits("score").dataType shouldBe KDataType.KNumber
+  }
+
   // ---- set ops (extras; absent in reference, SURVEY §2.7) -------------
 
   test("set ops: union/intersect/except/distinct") {

@@ -232,6 +232,18 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       spark.table("dedup_test").count()
   }
 
+  test("sliding windows count each event in every overlapping window") {
+    import spark.implicits._
+    val e = Seq((1L, "2024-01-01 10:45:00", 7L, "view", 1.0, ""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    // 1h window sliding by 30min: the event at 10:45 falls in the windows
+    // starting 10:00 and 10:30.
+    val out = Streams.slidingCounts(e).orderBy("ws").collect()
+    out.length shouldBe 2
+    out.map(_.getAs[Long]("n")).toSeq shouldBe Seq(1L, 1L)
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val e = Seq(
