@@ -73,42 +73,16 @@ object Dedup {
     * (MinHash, Jaccard) actually needs. At 100 TB this is the difference
     * between shuffling 6 KB and 2.4 KB per doc.
     *
-    * Implemented as a single-pass Scala UDF rather than nested
-    * higher-order-function expressions: a HOF tree referencing the token
-    * array from inside a lambda re-evaluates the tokenizer per array
-    * element whenever Spark falls back to interpreted evaluation (measured
-    * 150× slower under `explode`); the UDF tokenizes exactly once per row
-    * in every evaluation mode.
+    * Backed by the native [[graft.functions.ShingleHash]] Catalyst
+    * expression (codegen'd single pass per row): nested higher-order
+    * functions re-evaluate the tokenizer per array element under
+    * interpreted evaluation (measured 150× slower under `explode`), and a
+    * Scala UDF would pay SerDe per row.
     */
-  def hashedShingles(text: Column, n: Int = 3): Column = shingleHashUdf(text, F.lit(n))
-
-  private val shingleHashUdf = F.udf { (text: String, n: Int) =>
-    if (text == null) Array.empty[Long]
-    else {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-      if (toks.length < n) Array.empty[Long]
-      else {
-        def h64(s: String): Long = {
-          var h = 1125899906842597L
-          var i = 0
-          while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
-          h
-        }
-        val th = toks.map(h64)
-        val out = new Array[Long](toks.length - n + 1)
-        var i = 0
-        while (i < out.length) {
-          var h = th(i)
-          var j = 1
-          while (j < n) { h = h * 0x9E3779B97F4A7C15L + th(i + j); j += 1 }
-          h ^= (h >>> 32); h *= 0xD6E8FEB86659FD93L; h ^= (h >>> 32)
-          out(i) = h
-          i += 1
-        }
-        out.distinct
-      }
-    }
+  def hashedShingles(text: Column, n: Int = 3): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("shingle_hashes", text, F.lit(n))
   }
 
   /** 32-bit base hashes of a shingle-array column — computed ONCE and

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ShingleHash
+
+/** Session extensions registering the engine's native expressions for SQL
+  * use. Activate with either
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hashes"),
+      { args =>
+        require(args.length == 2, "shingle_hashes(text, n) takes 2 arguments")
+        ShingleHash(args.head, args(1))
+      })
+  )
+
+  /** Register the functions directly into an existing session (idempotent;
+    * used when the session was built without extensions — notebooks, or
+    * library code resolving via `call_function`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -69,6 +69,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     sim.size should be <= truth.size * 3
   }
 
+  test("shingle_hashes is SQL-callable via GraftExtensions registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT size(shingle_hashes('alpha beta gamma delta', 3)) AS n")
+      .head().getInt(0)
+    n shouldBe 2
+    // null text -> null propagates (BinaryExpression null-intolerance)
+    spark.sql("SELECT shingle_hashes(CAST(NULL AS STRING), 3) IS NULL AS z")
+      .head().getBoolean(0) shouldBe true
+  }
+
+  test("ShingleHash native expression survives codegen and matches kernel") {
+    import spark.implicits._
+    val texts = Seq("one two three four five", "x", "", "ONE two THREE four")
+    val viaExpr = texts.toDF("text")
+      .select(Dedup.hashedShingles(F.col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val direct = texts.map(t =>
+      graft.functions.ShingleHashKernel.hashToArray(t, 3).toSet)
+    viaExpr.toSeq shouldBe direct
+    // case-insensitive: shingles of "ONE two THREE four" == "one two three four"
+    direct(3) shouldBe graft.functions.ShingleHashKernel.hashToArray("one two three four", 3).toSet
+  }
+
   test("hashed shingles match string shingles' set cardinality semantics") {
     val both = docs.select(
       F.size(Dedup.shingles(F.col("text"))).as("s"),
