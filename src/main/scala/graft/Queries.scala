@@ -241,6 +241,11 @@ object Queries {
       round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"))
   }
 
+  def q_tfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -392,6 +397,17 @@ object Queries {
         |  CAST(list_sum(list_transform(ws, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
         |  round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws), 4) AS mean_word_len
         |FROM toks""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($DTok) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round(tf.tf * (ln((nn.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+        |FROM tf, dfreq, nn WHERE tf.term = dfreq.term""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
     "q_events_window" ->
@@ -451,6 +467,7 @@ object Queries {
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_text_stats" -> (q_text_stats _),
+    "q_tfidf" -> (q_tfidf _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
     "q_events_window" -> (q_events_window _),

@@ -43,6 +43,33 @@ object Relational {
   def broadcastJoin(left: KFrame, right: KFrame, keys: Seq[String]): KFrame =
     keyedJoin(left, right, keys, "inner", broadcastRight = true)
 
+  /** Skew-resistant equi-join via key salting: the left (skewed/fact) side
+    * gets a random salt in [0, saltFactor); the right side is replicated
+    * once per salt value. The hot key's rows then spread across
+    * `saltFactor` shuffle partitions instead of hammering one reducer.
+    *
+    * AQE's skew-join splitting (on by default) handles most skew at
+    * runtime; explicit salting remains the tool for extreme single-key
+    * skew or for forcing stable behavior in un-adaptive contexts. The salt
+    * is `pmod(xxhash64(left row id), saltFactor)` — deterministic per row,
+    * uniform across rows.
+    */
+  def saltedJoin(left: KFrame, right: KFrame, keys: Seq[String],
+      saltFactor: Int = 8): KFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val salt = "__salt"
+    val l = left.toOrderedDF.withColumn(salt,
+      F.pmod(F.xxhash64(keys.map(F.col): _*) + F.monotonically_increasing_id(),
+        F.lit(saltFactor)).cast("int"))
+    val r = right.toOrderedDF.withColumn(salt,
+      F.explode(F.array((0 until saltFactor).map(F.lit): _*)))
+    val overlap = (left.dataColumns.toSet intersect right.dataColumns.toSet) -- keys.toSet
+    if (overlap.nonEmpty)
+      throw new KevinException(
+        s"ambiguous non-key columns on both sides: ${overlap.toSeq.sorted.mkString(", ")}")
+    KFrame.wrap(l.join(r, keys :+ salt, "inner").drop(salt))
+  }
+
   private def keyedJoin(left: KFrame, right: KFrame, keys: Seq[String],
       how: String, broadcastRight: Boolean): KFrame = {
     keys.foreach { k =>

@@ -119,6 +119,61 @@ object Similarity {
       .drop("__rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * ANN layout: candidates are assigned to their nearest centroid's
+    * partition list once; each query probes only its `nProbe` nearest
+    * centroids' lists. Candidate volume drops by ~nProbe/nCentroids vs a
+    * full scan, and the probe is an equi-join on the centroid id — no
+    * cartesian.
+    *
+    * Centroids here are a deterministic sample of the candidate set
+    * (`sampleSeed`); a production deployment would k-means-refine them —
+    * the plan shape (assign → equi-join on list id → score → window top-k)
+    * is identical.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      sampleSeed: Long = 42L): DataFrame = {
+    val cents: Array[(Int, Array[Double])] = candidates
+      .select(F.col(vecCol).cast("array<double>"))
+      .sample(withReplacement = false, 0.5, sampleSeed)
+      .limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    require(cents.nonEmpty, "candidate set too small for IVF")
+
+    def centroidDists(vec: Column): Seq[(Int, Column)] = cents.toSeq.map {
+      case (cid, cv) =>
+        cid -> dot(vec.cast("array<double>"), F.array(cv.map(F.lit): _*))
+    }
+    /** ids of the `m` highest-dot-product centroids as an array column. */
+    def nearestCentroids(vec: Column, m: Int): Column = {
+      val scored = F.array(centroidDists(vec).map { case (cid, d) =>
+        F.struct(d.as("d"), F.lit(cid).as("cid"))
+      }: _*)
+      F.transform(
+        F.slice(F.reverse(F.array_sort(scored)), 1, m),
+        s => s.getField("cid"))
+    }
+
+    val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+      .withColumn("__list", nearestCentroids(F.col("__cv"), 1).getItem(0))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+      .withColumn("__list",
+        F.explode(nearestCentroids(F.col("__qv"), math.min(nProbe, cents.length))))
+
+    val scored = q.join(c, "__list")
+      .filter(F.col("query_id") =!= F.col("cand_id"))
+      .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "cand_id", "sim")
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
+    scored.withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].

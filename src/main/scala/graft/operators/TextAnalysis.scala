@@ -134,6 +134,30 @@ object TextAnalysis {
     F.when(cjkChars * 2 > F.length(text), F.lit("zh")).otherwise(pick)
   }
 
+  /** TF-IDF scores per (document, term): smoothed idf
+    * `ln((N+1)/(df+1)) + 1` over raw term frequency. Two shuffles total —
+    * one per-(doc,term) count, one document-frequency aggregate joined
+    * back (the DF table is tiny relative to the corpus and broadcastable);
+    * the corpus is scanned once.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+      .groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    // corpus size as an in-plan 1-row broadcast — no driver-side count job
+    val nDF = df.agg(F.count(F.lit(1)).cast("double").as("__n"))
+    val docFreq = tf.groupBy("term")
+      .agg(F.count_distinct(F.col(idCol)).as("df"))
+    tf.join(F.broadcast(docFreq), "term")
+      .crossJoin(F.broadcast(nDF))
+      .withColumn("idf",
+        F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+      .withColumn("tfidf", F.col("tf") * F.col("idf"))
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df"),
+        F.col("tfidf"))
+  }
+
   /** All quality/analysis signals as one projection — the shape a pipeline
     * actually runs (single pass over the scan).
     */

@@ -74,4 +74,33 @@ object Streams {
   def streamingDedup(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom arbitrary state per key via `mapGroupsWithState`: running
+    * per-user totals (event count + value sum) updated incrementally each
+    * micro-batch. The state store holds one small record per user —
+    * bounded by cardinality, not stream length; GroupStateTimeout would
+    * evict idle users in a production config. Works identically over a
+    * batch frame (Spark runs the state function once per group).
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (prevN, prevSum) = state.getOption.getOrElse((0L, 0.0))
+          var n = prevN
+          var sum = prevSum
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          (user, n, math.rint(sum * 100) / 100)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 }

@@ -139,6 +139,84 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("IVF topk probes centroid lists and achieves nontrivial recall") {
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivf.groupBy(_._1).values.foreach(_.size should be <= 5)
+    exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
+  }
+
+  test("tf-idf: common terms score low, rare terms high") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "apple durian durian durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 'apple' appears in all 3 docs -> df=3, idf = ln(4/4)+1 = 1
+    out((1L, "apple")) shouldBe ((2L, 3L, 2.0))
+    // 'durian' df=1 -> idf = ln(4/2)+1; tf=3
+    val (tfD, dfD, scoreD) = out((3L, "durian"))
+    tfD shouldBe 3L
+    dfD shouldBe 1L
+    scoreD shouldBe 3 * (math.log(2.0) + 1) +- 1e-9
+  }
+
+  test("salted join equals plain join") {
+    import graft.extras.Relational
+    import graft.core.KFrame
+    val orders = KFrame.wrap(Tables.orders(spark, sf))
+    val cust = KFrame.wrap(Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey"))
+    val plain = Relational.join(orders, cust, Seq("o_custkey"))
+      .toOrderedDF.select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Relational.saltedJoin(orders, cust, Seq("o_custkey"))
+      .toOrderedDF.select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    salted shouldBe plain
+  }
+
+  test("mapGroupsWithState running totals match a plain aggregate (batch)") {
+    val ev = Tables.events(spark, sf)
+    val got = Streams.runningUserTotals(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = ev.groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got shouldBe want
+  }
+
+  test("mapGroupsWithState accumulates across streaming micro-batches") {
+    val ev = Tables.events(spark, sf).limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    // two files -> two micro-batches; state must carry totals across them
+    val split = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    split(0).write.mode("overwrite").parquet(dir)
+    split(1).write.mode("append").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, ev.schema)
+    val q = Streams.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user must equal the full batch totals
+    val want = ev.groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val table = spark.table("state_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val lastPerUser = table.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    lastPerUser shouldBe want
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
