@@ -483,6 +483,7 @@ object Queries {
   def benchRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),
     "q_groupagg_sum" -> (q_groupagg_sum _),
+    "q_agg_concat" -> (q_agg_concat _),
     "q_sort_take" -> (q_sort_take _),
     "q_melt" -> (q_melt _),
     "q_join3" -> (q_join3 _),
@@ -490,6 +491,8 @@ object Queries {
     "q_dedup_near" -> (q_dedup_near _),
     "q_knn" -> (q_knn _),
     "q_text_stats" -> (q_text_stats _),
+    "q_tfidf" -> (q_tfidf _),
+    "q_asof" -> (q_asof _),
     "q_events_window" -> (q_events_window _)
   )
 }

@@ -413,4 +413,18 @@ class ParitySpec extends AnyFunSuite with Matchers {
     df.groupby("city").take(3).groups shouldBe Seq("city")
     df.groupby("city").drop(3).groups shouldBe Seq("city")
   }
+
+  /** DOCUMENTED DIVERGENCE (SURVEY §2.9 quirk): the reference's stored
+    * group indices survive row-slicing, so `groupby → take → aggregate`
+    * aggregates over rows that are no longer visible
+    * (`Combinator.hs:215-222` uses the stored `gs` as-is). We implement
+    * the sane semantics the survey recommends: groups are recomputed over
+    * the VISIBLE rows when aggregate fires.
+    */
+  test("groupby -> take -> aggregate uses visible rows only (sane-mode divergence)") {
+    val out = df.groupby("gender").take(3).aggregate(Agg.count, "cost")
+    // first 3 rows: F, M, F
+    col(out, "gender") shouldBe Seq("F", "M")
+    col(out, "cost") shouldBe Seq(2.0, 1.0)
+  }
 }
