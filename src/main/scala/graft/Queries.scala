@@ -212,6 +212,13 @@ object Queries {
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
 
+  /** Composed curation pipeline: quality gate → exact dedup → near-dup
+    * dedup, one lazy plan end-to-end (operators.Pipelines).
+    */
+  def q_pipeline(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pipelines.cleanCorpus(
+      Tables.documents(s, d), "doc_id", "text").select("doc_id")
+
   // ---- M8: similarity search ------------------------------------------
 
   def q_knn(s: SparkSession, d: String): DataFrame = {
@@ -379,6 +386,26 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
+    "q_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, ws FROM toks
+        |  WHERE len(ws) >= 10
+        |    AND list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws)
+        |        BETWEEN 2.0 AND 12.0
+        |), ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |exq AS (SELECT q.doc_id, q.ws FROM q JOIN ex ON q.doc_id = ex.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM exq WHERE len(ws) >= 3
+        |), dups AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |)
+        |SELECT doc_id FROM exq WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
     "q_knn" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -464,6 +491,7 @@ object Queries {
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
+    "q_pipeline" -> (q_pipeline _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_text_stats" -> (q_text_stats _),

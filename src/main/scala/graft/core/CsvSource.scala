@@ -50,7 +50,8 @@ object CsvSource {
         // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
         // cast throw on the first non-numeric cell instead of profiling it.
         F.count(F.when(F.expr(s"try_cast(trim(`$c`) as double)").isNotNull, 1)).as(s"n$i"),
-        F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1)).as(s"d$i"))
+        F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1)).as(s"d$i"),
+        F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}$"), 1)).as(s"dt$i"))
     }
     val p = raw.agg(profileExprs.head, profileExprs.tail: _*).head()
 
@@ -59,17 +60,22 @@ object CsvSource {
       val empty = p.getAs[Long](s"e$i")
       val num = p.getAs[Long](s"n$i")
       val date = p.getAs[Long](s"d$i")
+      val datetime = p.getAs[Long](s"dt$i")
       val nonEmpty = total - empty
       if (strict && empty > 0)
         throw new KevinException("Invalid data (possibly missing values)")
       val allNum = nonEmpty > 0 && num == nonEmpty
       val allDate = detectDates && nonEmpty > 0 && date == nonEmpty
-      if (strict && !allNum && !allDate && num > 0)
+      val allDateTime = detectDates && nonEmpty > 0 && datetime == nonEmpty
+      if (strict && !allNum && !allDate && !allDateTime && num > 0)
         throw new KevinException("Invalid data (possibly missing values)")
       val (expr, t) =
         if (allDate)
           (F.to_date(F.trim(F.col(c))),
             FieldTraits(KDataType.KDate, DataRole.Dimension, DataInterpretation.Discrete))
+        else if (allDateTime)
+          (F.to_timestamp(F.regexp_replace(F.trim(F.col(c)), "T", " ")),
+            FieldTraits(KDataType.KDateTime, DataRole.Dimension, DataInterpretation.Continuous))
         else if (allNum && c == "year") // the reference's "year" heuristic (DataFrame.hs:226-228)
           (F.trim(F.col(c)).cast("double"), FieldTraits.discreteNumber)
         else if (allNum)

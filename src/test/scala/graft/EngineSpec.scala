@@ -196,6 +196,13 @@ class EngineSpec extends AnyFunSuite with Matchers {
     val d = CsvSource.load(spark, "src/test/resources/dates.csv", strict = true)
     d.traits("day").dataType shouldBe KDataType.KText
   }
+  test("detectDates=true: ISO timestamps become DateTime columns") {
+    val d = CsvSource.load(spark, "src/test/resources/timestamps.csv",
+      strict = true, detectDates = true)
+    d.traits("seen").dataType shouldBe KDataType.KDateTime
+    d.toOrderedDF.schema("seen").dataType.typeName shouldBe "timestamp"
+    d.height shouldBe 2
+  }
   test("detectDates=true: ISO dates become Date/Dimension columns") {
     val d = CsvSource.load(spark, "src/test/resources/dates.csv",
       strict = true, detectDates = true)

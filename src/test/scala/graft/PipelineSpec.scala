@@ -110,6 +110,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getInt(0)).toSeq shouldBe Seq(0, 0, 0)
   }
 
+  test("cleanCorpus: quality gate + exact dedup + near-dup dedup compose") {
+    import graft.operators.Pipelines
+    val kept = Pipelines.cleanCorpus(docs, "doc_id", "text")
+    val total = docs.count()
+    val nearDups = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("b_id").distinct().count()
+    kept.count() should be <= (total - nearDups)
+    kept.count() should be > 0L
+    // survivors contain no near-dup pair among themselves
+    Dedup.minhashNearDupPairs(kept, "doc_id", "text", threshold = 0.8)
+      .count() shouldBe 0
+  }
+
+  test("approx sketches land within tolerance of exact answers") {
+    import graft.extras.Approx
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select("user_id").distinct().count().toDouble
+    val approx = Approx.countDistinct(ev, Nil, "user_id")
+      .head().getLong(0).toDouble
+    math.abs(approx - exact) / exact should be < 0.15
+    val med = Approx.quantiles(ev, "value", Seq(0.5))(0.5)
+    val exactMed = ev.stat.approxQuantile("value", Array(0.5), 0.0).head
+    math.abs(med - exactMed) should be < 1.0
+  }
+
   // ---- similarity ------------------------------------------------------
 
   test("brute-force topk: self excluded, k rows per query, sim descending") {
