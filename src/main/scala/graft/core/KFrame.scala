@@ -554,7 +554,7 @@ object KFrame {
   /** Wrap an existing DataFrame, assigning contiguous row ids 1..n in its
     * current order (partition-offset zipWithIndex). Exact position ids, at
     * the price of leaving whole-stage codegen once at ingest — use
-    * [[fromParquetFast]]/[[wrap]] for scan-heavy pipelines.
+    * [[fromParquet]]/[[wrap]] for scan-heavy pipelines.
     */
   def fromDataFrame(df: DataFrame): KFrame =
     new KFrame(renumber(df), Nil, None, Nil, rowIdAsc = true,

@@ -75,6 +75,32 @@ class EngineSpec extends AnyFunSuite with Matchers {
     out should include(" 2011 ")
     (out should not).include("2011.0")
   }
+  test("crosstab render with a 2-level column tree nests headers") {
+    val c = df.cast(Seq("gender"), Seq("year", "product"), Agg.sum, "sale")
+    c.pivot.get.colFields shouldBe Seq("year", "product")
+    val out = c.render()
+    val lines = out.split("\n").toSeq
+    // level-1 header: years; level-2 header: products under each year
+    lines.exists(l => l.contains("year") && l.contains("2011")) shouldBe true
+    lines.exists(l => l.contains("product") && l.contains("book")) shouldBe true
+    // F x 2011 x book = 1200 + 2600 = 3800
+    out should include("3800")
+  }
+
+  /** DOCUMENTED DEVIATIONS in lenient mode: the reference crashes on an
+    * Empty compare in sort (`DataFrame.hs:87`) and errors on Empty in an
+    * aggregate group (`Combinator.hs:140,174,192`); strict CSV mode keeps
+    * nulls out at ingest (parity), but lenient-mode frames carry SQL
+    * nulls with Spark semantics — nulls sort first, aggregates skip them.
+    */
+  test("lenient-mode null semantics: nulls sort first, aggregates skip them") {
+    val m = KFrame.fromCsvFile(spark, "src/test/resources/missing.csv", strict = false)
+    val sorted = m.sort("score").toOrderedDF.select("name").collect().map(_.getString(0))
+    sorted.head shouldBe "bob" // null score first (Spark nullsFirst asc)
+    val agg = m.aggregate(Agg.sum, "score").toOrderedDF.head().getDouble(0)
+    agg shouldBe 40.0 // 10 + 30, null skipped
+  }
+
   test("crosstab render contains row/col titles and cells") {
     val out = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale").render()
     out should include("gender")

@@ -123,6 +123,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0
   }
 
+  test("cleanCorpus plan contains no cartesian product") {
+    import graft.operators.Pipelines
+    val plan = Pipelines.cleanCorpus(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+  }
+
   test("approx sketches land within tolerance of exact answers") {
     import graft.extras.Approx
     val ev = Tables.events(spark, sf)
