@@ -97,6 +97,32 @@ object Multimodal {
       F.substring(s, 17, Int.MaxValue - 16)), F.lit("utf-8"))
   }
 
+  /** Batched per-partition decode — the plumbing shape of real codec /
+    * model-inference integration (a vision encoder wants payload BATCHES,
+    * not single rows): `mapPartitions` accumulates up to `batchSize`
+    * payloads, hands each batch to the (stubbed) kernel in one call, and
+    * streams results back. Schema, partitioning and batch shape are the
+    * real contract; only [[DecodeKernel.decodeBatch]] is fake.
+    *
+    * Output schema: input columns + `mime`, `width`, `height`, `n_bytes`.
+    */
+  def decodeBatched(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ MetaSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val decoded = DecodeKernel.decodeBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray)
+        batch.iterator.zip(decoded.iterator).map { case (r, d) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(d.mime, d.width, d.height, d.nBytes))
+        }
+      }
+    }(encoder)
+  }
+
   /** STUB frame sampling for video-shaped payloads: emits `n` pseudo-frames
     * per payload (explode — the real row-multiplying shape), each a slice
     * of the source bytes with its own index.
@@ -106,4 +132,20 @@ object Multimodal {
       .withColumn("frame",
         F.substring(F.col(payloadCol).cast("string"),
           (F.col("frame_idx") * 8 + 17).cast("int"), F.lit(8)))
+}
+
+/** Batch decode kernel — the one swap point for a real codec. STUB: parses
+  * the fake header written by [[Multimodal.packFake]].
+  */
+object DecodeKernel {
+  final case class Decoded(mime: String, width: Int, height: Int, nBytes: Long)
+
+  def decodeBatch(payloads: Array[Array[Byte]]): Array[Decoded] =
+    payloads.map { bytes =>
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      if (s.startsWith("FAKE") && s.length >= 16)
+        Decoded("image/fake", s.substring(4, 10).toInt, s.substring(10, 16).toInt,
+          bytes.length.toLong)
+      else Decoded("unknown", 0, 0, bytes.length.toLong)
+    }
 }

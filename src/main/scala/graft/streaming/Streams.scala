@@ -75,6 +75,35 @@ object Streams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Multi-output custom state via `flatMapGroupsWithState`: emits one row
+    * per NEW high-value event (value above `threshold`) carrying the
+    * running per-user count of such events — the alert/enrichment shape
+    * (0..n outputs per key per batch) that `mapGroupsWithState`'s
+    * one-output contract can't express. State = one counter per user.
+    */
+  def highValueAlerts(events: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Double, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.filter(_._3 > threshold).toSeq.sortBy(_._2).map {
+            case (_, eventId, v) =>
+              n += 1
+              (user, eventId, v, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "value", "running_high_count")
+  }
+
   /** Custom arbitrary state per key via `mapGroupsWithState`: running
     * per-user totals (event count + value sum) updated incrementally each
     * micro-batch. The state store holds one small record per user —

@@ -315,6 +315,48 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     packed.filter(F.col("meta.width") > 512).count() should be > 0L
   }
 
+  test("batched decode (mapPartitions) matches the projection decode") {
+    val packed = Multimodal.withFakeMedia(docs, "text")
+    val viaBatch = Multimodal.decodeBatched(packed, "payload", batchSize = 7)
+      .select("doc_id", "mime", "width", "height", "n_bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    val viaProj = packed.select(F.col("doc_id"),
+        Multimodal.decodeStub(F.col("payload")).as("d"))
+      .select("doc_id", "d.mime", "d.width", "d.height", "d.n_bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    viaBatch shouldBe viaProj
+  }
+
+  test("flatMapGroupsWithState emits running high-value alerts (batch + stream)") {
+    val ev = Tables.events(spark, sf)
+    val batchOut = Streams.highValueAlerts(ev, threshold = 0.9).collect()
+    val expectedCount = ev.filter(F.col("value") > 0.9).count()
+    batchOut.length.toLong shouldBe expectedCount
+    // per user, running counts are 1..n in event-id order
+    batchOut.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq shouldBe
+        (1L to rows.length.toLong)
+    }
+
+    // streaming: two micro-batches, counts must carry across them
+    val dir = java.nio.file.Files.createTempDirectory("graft-alerts").toString
+    val split = ev.limit(500).randomSplit(Array(0.5, 0.5), seed = 11)
+    split(0).write.mode("overwrite").parquet(dir)
+    split(1).write.mode("append").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, ev.schema)
+    val q = Streams.highValueAlerts(stream, threshold = 0.9)
+      .writeStream.format("memory").queryName("alerts_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("alerts_test").collect()
+    streamed.length.toLong shouldBe ev.limit(500).filter(F.col("value") > 0.9).count()
+    streamed.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.map(_.getLong(3)).sorted.toSeq shouldBe (1L to rows.length.toLong)
+    }
+  }
+
   test("resize rewrites header dims, frame sampling multiplies rows") {
     val packed = Multimodal.withFakeMedia(docs.limit(10), "text")
     val resized = packed.withColumn("payload",
