@@ -444,8 +444,10 @@ object Queries {
     "q_events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
+        |    -- >= not >: session_window treats a gap of exactly the gap
+        |    -- duration as a NEW session (window end is exclusive)
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), s AS (
         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts

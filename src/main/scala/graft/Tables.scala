@@ -28,6 +28,12 @@ object Tables {
     * parquet reader rejects by default. Read nanos as long (legacy conf)
     * and convert to a microsecond timestamp with integer arithmetic (a
     * double division would lose precision above 2^53 ns).
+    *
+    * SIDE EFFECT: the conf flips session-wide (it is consulted at both
+    * planning and execution, so it cannot be safely reset around a lazy
+    * plan). Benign for this library's tables — `events` is the only one
+    * with a NANOS column — but other NANOS parquet in the same session
+    * would silently read as longs after this call.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -124,9 +124,14 @@ object Render {
   private final case class TNode(label: String, value: Any, leaves: Int,
       children: Seq[TNode])
 
+  /** Sort key for raw values: nulls FIRST (consistent with Spark's
+    * asc-nulls-first, which orders every frame in the engine — the footer
+    * and an aggregate of the same grouping must agree), then numbers, then
+    * strings.
+    */
   private def numericAware(v: Any): (Int, Double, String) = v match {
+    case null => (-1, 0.0, "")
     case n: java.lang.Number => (0, n.doubleValue, "")
-    case null => (2, 0.0, "")
     case other => (1, 0.0, other.toString)
   }
 

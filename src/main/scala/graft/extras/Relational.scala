@@ -58,10 +58,16 @@ object Relational {
       saltFactor: Int = 8): KFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val salt = "__salt"
-    val l = left.toOrderedDF.withColumn(salt,
-      F.pmod(F.xxhash64(keys.map(F.col): _*) + F.monotonically_increasing_id(),
+    // Salt = pmod(hash(keys..., row id), f): the id goes INSIDE the hash —
+    // adding it outside could overflow a Long, which ANSI mode (Spark 4
+    // default) turns into a job-killing ARITHMETIC_OVERFLOW. toDF (not
+    // toOrderedDF): join output order is unspecified, and sorting the
+    // skewed fact side would defeat the operator's purpose.
+    val l = left.toDF.withColumn(salt,
+      F.pmod(
+        F.xxhash64(keys.map(F.col) :+ F.monotonically_increasing_id(): _*),
         F.lit(saltFactor)).cast("int"))
-    val r = right.toOrderedDF.withColumn(salt,
+    val r = right.toDF.withColumn(salt,
       F.explode(F.array((0 until saltFactor).map(F.lit): _*)))
     val overlap = (left.dataColumns.toSet intersect right.dataColumns.toSet) -- keys.toSet
     if (overlap.nonEmpty)

@@ -6,8 +6,12 @@ import graft.core.{KFrame, KevinException}
   * only `append` = UNION ALL exists; `/root/reference/TODO` never lists
   * them) and free in Spark, exposed in `extras` to keep the parity surface
   * auditable. All require the same column/traits signature as `append`
-  * (`Combinator.hs:323-326` check, reused here), and return fresh
-  * position ids in left-frame-order-first semantics.
+  * (`Combinator.hs:323-326` check, reused here).
+  *
+  * Row ORDER of the results is unspecified (as in SQL): the underlying
+  * distinct/intersect/except aggregates shuffle, and the returned frame's
+  * fresh ids reflect post-shuffle partition order. Sort the result to fix
+  * an order.
   */
 object SetOps {
 
@@ -40,6 +44,6 @@ object SetOps {
       b.toOrderedDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*)))
   }
 
-  /** DISTINCT rows of one frame, keeping first occurrence order. */
+  /** DISTINCT rows of one frame (order unspecified, see class doc). */
   def distinct(a: KFrame): KFrame = KFrame.wrap(a.toOrderedDF.distinct())
 }

@@ -85,18 +85,12 @@ object Dedup {
     F.call_function("shingle_hashes", text, F.lit(n))
   }
 
-  /** 32-bit base hashes of a shingle-array column — computed ONCE and
-    * materialized as its own column before the permutation fan-out (each of
-    * the `numHashes` permutations re-reads this array; inlining it would
-    * make codegen re-hash every shingle per permutation — measured 10×+
-    * slower).
-    */
-  def shingleHashes(shingleCol: Column): Column =
-    F.transform(shingleCol, s => F.xxhash64(s).bitwiseAND(F.lit(0xffffffffL)))
-
   /** MinHash signature (array of `numHashes` longs) over a pre-hashed
-    * shingle array (see [[shingleHashes]]): per permutation, min over the
-    * universally-hashed values. Pure column expressions, no UDF.
+    * shingle array in the 32-bit domain: per permutation, min over the
+    * universally-hashed values. Pure column expressions over an ATTRIBUTE —
+    * callers must materialize the hash array as a column first (inlining
+    * the hash computation would make each permutation re-hash every
+    * shingle; measured 10×+ slower).
     */
   def minhashSignature(hashCol: Column, numHashes: Int = 64,
       seed: Long = 42L): Column =
@@ -109,11 +103,10 @@ object Dedup {
     * with exact Jaccard within buckets only.
     *
     * Plan shape (the scale contract):
-    *   1. explode each doc's shingle hashes (each shingle hashed ONCE — an
-    *      inline signature expression would make codegen re-hash every
-    *      shingle per permutation; measured 10×+ slower) and compute the
-    *      signature as `numHashes` partial-aggregated `min`s per doc:
-    *      map-side combine collapses to one row per doc before the shuffle;
+    *   1. one codegen'd projection per doc: [[hashedShingles]] (native
+    *      expression, single tokenize+hash pass) materializes the hash
+    *      array, then [[minhashSignature]] computes `numHashes` mins over
+    *      that attribute — no shuffle, no per-permutation re-hash;
     *   2. 1 row per (doc, band) keyed by the hash of the band's signature
     *      slice;
     *   3. self-equi-join on the band key (hash-partitioned shuffle join on
@@ -137,17 +130,14 @@ object Dedup {
       hashedShingles(F.col(textCol), shingleN).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
 
-    // Signature as 64 array_min(transform(...)) expressions over the
-    // materialized hash-array ATTRIBUTE (cheap modular arithmetic only —
-    // the expensive tokenize+hash happened once inside the UDF above).
+    // Signature over the materialized hash-array ATTRIBUTE (cheap modular
+    // arithmetic only — the expensive tokenize+hash happened once inside
+    // the native expression above).
     val masked = F.transform(F.col("sh"),
       h => h.bitwiseAND(F.lit(0xffffffffL)))
     val sig = sh.select(F.col("id"), F.col("sh"), masked.as("hv"))
       .select(F.col("id"), F.col("sh"),
-        F.array(perms(numHashes, seed).map { case (a, b) =>
-          F.array_min(F.transform(F.col("hv"),
-            h => F.pmod(h * F.lit(a) + F.lit(b), F.lit(Prime))))
-        }: _*).as("sig"))
+        minhashSignature(F.col("hv"), numHashes, seed).as("sig"))
 
     // (band index, hash of the signature slice) per doc — 1 row per band.
     val banded = sig.select(
@@ -199,7 +189,8 @@ object Dedup {
     * the codegen upgrade path is a native Expression.
     */
   def simhash(text: Column): Column = {
-    val f = F.udf { (tokens: Seq[String]) =>
+    val f = F.udf { (tokensOrNull: Seq[String]) =>
+      val tokens = if (tokensOrNull == null) Seq.empty[String] else tokensOrNull
       val acc = new Array[Int](64)
       tokens.foreach { t =>
         val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |

@@ -22,6 +22,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Per-query top-k of a (query_id, cand_id, sim) frame; ties break on
+    * candidate id. Shared by the exact and approximate paths so rank
+    * semantics cannot drift.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
+    scored.withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0), (acc, v) => acc + v)
@@ -57,11 +69,7 @@ object Similarity {
     val scored = filtered
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
-    scored.withColumn("__rank", F.row_number().over(w))
-      .filter(F.col("__rank") <= k)
-      .drop("__rank")
+    topK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `nPlanes` × `dim` doubles from a
@@ -112,11 +120,7 @@ object Similarity {
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id") else F.lit(true))
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
-    scored.withColumn("__rank", F.row_number().over(w))
-      .filter(F.col("__rank") <= k)
-      .drop("__rank")
+    topK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
@@ -167,11 +171,7 @@ object Similarity {
       .filter(F.col("query_id") =!= F.col("cand_id"))
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("sim").desc, F.col("cand_id").asc)
-    scored.withColumn("__rank", F.row_number().over(w))
-      .filter(F.col("__rank") <= k)
-      .drop("__rank")
+    topK(scored, k)
   }
 
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
