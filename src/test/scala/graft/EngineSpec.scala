@@ -70,6 +70,17 @@ class EngineSpec extends AnyFunSuite with Matchers {
     lines(fi + 1) shouldBe "[1,2,5,6,9,11,12]"
     lines(fi + 2) shouldBe "[3,4,7,8,10]"
   }
+  test("group footer with a null key lists the null group first (nulls-first)") {
+    val m = KFrame.fromCsvFile(spark, "src/test/resources/missing.csv", strict = false)
+    val out = m.groupby("note").render()
+    val lines = out.split("\n").toSeq
+    val fi = lines.indexOf("""["note"]""")
+    fi should be >= 0
+    lines(fi + 1) shouldBe "[3]" // carol, null note — first
+    lines(fi + 2) shouldBe "[2]" // fine
+    lines(fi + 3) shouldBe "[1]" // good
+  }
+
   test("discrete numbers render with 0 decimals (DataFrame.hs:112-118)") {
     val out = df.take(1).render()
     out should include(" 2011 ")
