@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.{functions => F}
+
+import graft.sources.Layout
+
+/** Storage-layout tests: bucketed joins must be exchange-free, partitioned
+  * reads must show partition pruning in the scan — the plan-shape
+  * assertions that make the 100 TB layout claims falsifiable.
+  */
+class LayoutSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("same-bucketing tables join with no Exchange on either side") {
+    dropTable("orders_b")
+    dropTable("lineitem_b")
+    Layout.writeBucketed(Tables.orders(spark, sf),
+      "orders_b", Seq("o_orderkey"), numBuckets = 4)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", Seq("o_orderkey"), numBuckets = 4)
+    // Disable auto-broadcast so the sort-merge path is visible: at test
+    // scale the planner would broadcast these tiny tables, hiding the
+    // bucketing effect under test (at real scale neither side broadcasts).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.bucketedJoin(spark, "orders_b", "lineitem_b", Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan.take(2000)) {
+        (plan should not).include("Exchange")
+        plan should include("SortMergeJoin")
+      }
+      joined.count() shouldBe Tables.lineitem(spark, sf).count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partition filter prunes directories (PartitionFilters in scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Layout.withDatePartition(Tables.events(spark, sf), "ts")
+    Layout.writePartitioned(events, dir, Seq("p_date"))
+    val read = spark.read.parquet(dir)
+      .filter(F.col("p_date") === "2024-01-03")
+    val scan = read.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("p_date")
+    // pruned read returns exactly that day's events
+    val want = events.filter(F.col("p_date") === "2024-01-03").count()
+    read.count() shouldBe want
+    want should be > 0L
+  }
+}
