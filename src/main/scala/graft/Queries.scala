@@ -182,6 +182,25 @@ object Queries {
       .select(col("o_orderpriority"), round(col("revenue"), 2).as("revenue"))
   }
 
+  /** Set ops (extras.SetOps): EXCEPT/INTERSECT with SQL-native oracles. */
+  def q_set_except(s: SparkSession, d: String): DataFrame = {
+    val base = KFrame.wrap(ord(s, d)).select("o_orderkey", "o_orderpriority")
+    val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+    val highKeys = KFrame.wrap(ord(s, d))
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.extras.SetOps.except(urgent, highKeys).toDF
+  }
+
+  def q_set_intersect(s: SparkSession, d: String): DataFrame = {
+    val base = KFrame.wrap(ord(s, d)).select("o_orderkey", "o_orderpriority")
+    val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+    val highKeys = KFrame.wrap(ord(s, d))
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.extras.SetOps.intersect(urgent, highKeys).toDF
+  }
+
   /** Dimension-chain broadcast joins: customers per region. */
   def q_join_dims(s: SparkSession, d: String): DataFrame = {
     val nat = KFrame.wrap(
@@ -369,6 +388,14 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_near" ->
@@ -490,6 +517,8 @@ object Queries {
     "q_zip" -> (q_zip _),
     "q_join3" -> (q_join3 _),
     "q_join_dims" -> (q_join_dims _),
+    "q_set_except" -> (q_set_except _),
+    "q_set_intersect" -> (q_set_intersect _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_simhash" -> (q_dedup_simhash _),

@@ -208,6 +208,12 @@ final class KFrame private[graft] (
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
+    // Group names whose columns were since dropped by a select degrade
+    // gracefully to the remaining keys (documented divergence: the
+    // reference's stored group INDICES survive the column drop and still
+    // partition rows, but the key column is silently absent from its
+    // output — neither behavior is fully recoverable here).
+    val groups = this.groups.filter(ds.columns.contains)
     val m =
       if (!agg.orderSensitive || idOrderIsFrameOrder) this
       else materializePositions

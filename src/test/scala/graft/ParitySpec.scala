@@ -427,4 +427,12 @@ class ParitySpec extends AnyFunSuite with Matchers {
     col(out, "gender") shouldBe Seq("F", "M")
     col(out, "cost") shouldBe Seq(2.0, 1.0)
   }
+
+  test("groupby -> select dropping the group column degrades to remaining keys") {
+    val out = df.groupby("gender", "city").select("city", "cost")
+      .aggregate(Agg.sum, "cost")
+    // gender was dropped by select; aggregation proceeds on city alone
+    col(out, "city") shouldBe Seq("austin", "boston", "denver")
+    col(out, "cost") shouldBe Seq(1560.0, 2210.0, 1870.0)
+  }
 }
