@@ -105,6 +105,18 @@ object Queries {
       .groupby("o_orderpriority").aggregate(Agg.count, "o_totalprice")
       .toOrderedDF
 
+  /** Windowed transform (reference TODO "aggregate v.s. transform"):
+    * every lineitem row annotated with its returnflag-group quantity sum.
+    */
+  def q_transform(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .groupby("l_returnflag")
+      .transform(Agg.sum, "l_quantity", as = "grp_qty")
+      .toDF
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), round(col("grp_qty"), 2).as("grp_qty"))
+
   /** Order-sensitive concat: deterministic via an explicit unique-key sort
     * (frame order = c_custkey order).
     */
@@ -354,6 +366,10 @@ object Queries {
     "q_agg_concat" ->
       """SELECT c_mktsegment, string_agg(c_name, '' ORDER BY c_custkey) AS c_name
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_returnflag), 2) AS grp_qty
+        |FROM lineitem""".stripMargin,
     "q_sort_take" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
     "q_drop" ->
@@ -508,6 +524,7 @@ object Queries {
     "q_agg_sd" -> (q_agg_sd _),
     "q_agg_count" -> (q_agg_count _),
     "q_agg_concat" -> (q_agg_concat _),
+    "q_transform" -> (q_transform _),
     "q_sort_take" -> (q_sort_take _),
     "q_drop" -> (q_drop _),
     "q_head_last" -> (q_head_last _),

@@ -18,6 +18,14 @@ sealed trait KAggregator {
     * carries the frame's row order (used only by order-sensitive aggs).
     */
   def toColumn(field: String, orderCol: Column): Column
+  /** Windowed form for [[KFrame.transform]]. Composite aggregators
+    * (aggregate wrapped in scalar post-processing, e.g. Concat) must apply
+    * the window to the INNER aggregate — `.over` on the composite is a
+    * MISSING_GROUP_BY analysis error.
+    */
+  def overWindow(field: String, orderCol: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    toColumn(field, orderCol).over(w)
   /** true if the aggregator consumes numeric input (else string). */
   def numeric: Boolean
   /** true if the result depends on the order of values within a group
@@ -55,12 +63,15 @@ object Agg {
     * sort by order, join — deterministic under any partitioning.
     */
   case object Concat extends KAggregator {
+    private def collected(field: String, orderCol: Column): Column =
+      F.collect_list(F.struct(orderCol.as("o"), F.col(field).as("v")))
+    private def finish(c: Column): Column =
+      F.array_join(F.transform(F.array_sort(c), x => x.getField("v")), "")
     def toColumn(field: String, orderCol: Column): Column =
-      F.array_join(
-        F.transform(
-          F.array_sort(F.collect_list(F.struct(orderCol.as("o"), F.col(field).as("v")))),
-          x => x.getField("v")),
-        "")
+      finish(collected(field, orderCol))
+    override def overWindow(field: String, orderCol: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      finish(collected(field, orderCol).over(w))
     val numeric = false
     override val orderSensitive = true
   }
@@ -72,23 +83,31 @@ object Agg {
     * which folds a per-group list); groups themselves stay distributed.
     */
   final case class CustomNumeric(f: Seq[Double] => Double) extends KAggregator {
-    def toColumn(field: String, orderCol: Column): Column = {
-      val sortedVals = F.transform(
-        F.array_sort(F.collect_list(F.struct(orderCol.as("o"), F.col(field).cast("double").as("v")))),
-        x => x.getField("v"))
-      F.udf((xs: Seq[Double]) => f(xs)).apply(sortedVals)
-    }
+    private def collected(field: String, orderCol: Column): Column =
+      F.collect_list(F.struct(orderCol.as("o"), F.col(field).cast("double").as("v")))
+    private def finish(c: Column): Column =
+      F.udf((xs: Seq[Double]) => f(xs)).apply(
+        F.transform(F.array_sort(c), x => x.getField("v")))
+    def toColumn(field: String, orderCol: Column): Column =
+      finish(collected(field, orderCol))
+    override def overWindow(field: String, orderCol: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      finish(collected(field, orderCol).over(w))
     val numeric = true
     override val orderSensitive = true
   }
 
   final case class CustomString(f: Seq[String] => String) extends KAggregator {
-    def toColumn(field: String, orderCol: Column): Column = {
-      val sortedVals = F.transform(
-        F.array_sort(F.collect_list(F.struct(orderCol.as("o"), F.col(field).as("v")))),
-        x => x.getField("v"))
-      F.udf((xs: Seq[String]) => f(xs)).apply(sortedVals)
-    }
+    private def collected(field: String, orderCol: Column): Column =
+      F.collect_list(F.struct(orderCol.as("o"), F.col(field).as("v")))
+    private def finish(c: Column): Column =
+      F.udf((xs: Seq[String]) => f(xs)).apply(
+        F.transform(F.array_sort(c), x => x.getField("v")))
+    def toColumn(field: String, orderCol: Column): Column =
+      finish(collected(field, orderCol))
+    override def overWindow(field: String, orderCol: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      finish(collected(field, orderCol).over(w))
     val numeric = false
     override val orderSensitive = true
   }

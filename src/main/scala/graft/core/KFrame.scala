@@ -235,6 +235,47 @@ final class KFrame private[graft] (
     }
   }
 
+  /** The reference's planned-but-unbuilt `transform`
+    * (`/root/reference/test/Spec.lhs:119` "aggregate v.s. transform",
+    * `TODO:8`): per-group aggregate that KEEPS every row, appending the
+    * group's aggregated value as a new column — R plyr's
+    * `ddply(..., transform)`, SQL's windowed aggregate. With no stored
+    * groups the whole frame is one group. Keeps groups, keeps order,
+    * clears pivot.
+    *
+    * Scale: one window aggregate partitioned by the group keys (hash
+    * shuffle); no global window, no driver state. Order-sensitive
+    * aggregators fold in frame order within each group.
+    */
+  def transform(agg: KAggregator, field: String, as: String): KFrame = {
+    if (!ds.columns.contains(field))
+      throw new KevinException(s"no such field: $field")
+    requireFieldType(field, agg.numeric, err = "invalid type")
+    val groups = this.groups.filter(ds.columns.contains)
+    val m =
+      if (!agg.orderSensitive || idOrderIsFrameOrder) this
+      else materializePositions
+    val w =
+      if (groups.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy()
+      else
+        org.apache.spark.sql.expressions.Window.partitionBy(groups.map(F.col): _*)
+    val windowed = agg.overWindow(field, F.col(RowId), w)
+    m.copyWith(ds = m.ds.withColumn(as, windowed), pivot = None)
+  }
+
+  /** The reference's planned-but-unbuilt "sort by group"
+    * (`/root/reference/test/Spec.lhs:118`, `TODO:7`): reorder the frame by
+    * the stored group keys ascending, stable within groups. Keeps groups,
+    * clears pivot.
+    */
+  def sortByGroups: KFrame = {
+    val live = groups.filter(ds.columns.contains)
+    if (live.isEmpty) copyWith(pivot = None)
+    else copyWith(pivot = None,
+      ordering = live.map(SortKey(_, ascending = true)) ++ ordering)
+  }
+
   // ---- §2.5 reshape ---------------------------------------------------
 
   /** Wide→long (`Combinator.hs:78-120`): id columns replicated once per

@@ -428,6 +428,43 @@ class ParitySpec extends AnyFunSuite with Matchers {
     col(out, "cost") shouldBe Seq(2.0, 1.0)
   }
 
+  // ---- transform / sortByGroups (reference TODO 7/8, Spec.lhs:118-119) --
+
+  test("transform keeps all rows and appends per-group aggregate") {
+    val out = df.groupby("gender").transform(Agg.sum, "cost", as = "grp_cost")
+    out.height shouldBe 12
+    out.groups shouldBe Seq("gender") // transform keeps groups
+    val byGender = out.toOrderedDF.select("gender", "grp_cost").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byGender("F") shouldBe (300.0 + 310.0 + 520.0 + 640.0 + 340.0 + 850.0)
+    byGender("M") shouldBe (520.0 + 430.0 + 330.0 + 720.0 + 420.0 + 260.0)
+  }
+  test("transform with no groups uses the whole frame as one group") {
+    val out = df.transform(Agg.mean, "cost", as = "mean_cost")
+    out.height shouldBe 12
+    out.toOrderedDF.select("mean_cost").distinct().count() shouldBe 1
+  }
+  test("transform with concat folds in frame order within groups") {
+    val out = df.sort("sale").groupby("gender")
+      .transform(Agg.concat, "city", as = "cities")
+    val f = out.toOrderedDF.filter(col("gender") === "F")
+      .select("cities").head().getString(0)
+    f shouldBe "austinaustindenverbostonbostondenver"
+  }
+  def col(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(name)
+
+  test("sortByGroups orders by group keys, stable within groups") {
+    val out = df.groupby("product").sortByGroups
+    out.groups shouldBe Seq("product")
+    // books (rows 1,2,5,6,9,11,12 in frame order) then pens
+    col(out, "sale").take(7) shouldBe
+      Seq(1200.0, 4500.0, 1500.0, 6100.0, 1400.0, 2600.0, 5200.0)
+  }
+  test("sortByGroups without groups is a no-op") {
+    col(df.sortByGroups, "sale") shouldBe col(df, "sale")
+  }
+
   test("groupby -> select dropping the group column degrades to remaining keys") {
     val out = df.groupby("gender", "city").select("city", "cost")
       .aggregate(Agg.sum, "cost")
