@@ -75,6 +75,16 @@ object Streams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcast) static dimension — no streaming state at all, the
+    * canonical fact-stream × dimension-table shape. The dimension is
+    * re-resolved per batch, so a backing table that updates between
+    * batches is picked up automatically.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Multi-output custom state via `flatMapGroupsWithState`: emits one row
     * per NEW high-value event (value above `threshold`) carrying the
     * running per-user count of such events — the alert/enrichment shape

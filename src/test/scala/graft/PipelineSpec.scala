@@ -420,6 +420,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out.map(_.getAs[Long]("n")).toSeq shouldBe Seq(1L, 1L)
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).limit(100)
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", F.when(F.col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, ev.schema)
+    val q = Streams.enrichWithStatic(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("enrich_test")
+    out.count() shouldBe 100
+    out.filter(F.col("tier").isNull).count() shouldBe 0
+    out.filter((F.col("user_id") % 2 === 0) =!= (F.col("tier") === "even"))
+      .count() shouldBe 0
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val e = Seq(
