@@ -43,8 +43,12 @@ object Render {
     }.mkString
   }
 
+  /** `Empty` displays as the literal "empty" (`DataFrame.hs:92`
+    * `show Empty = "empty"`), both for null cells and absent crosstab
+    * intersections.
+    */
   private def fmt(v: Any, discrete: Boolean): String = v match {
-    case null => ""
+    case null => "empty"
     case d: java.lang.Double => fmtDouble(d, discrete)
     case f: java.lang.Float => fmtDouble(f.toDouble, discrete)
     case n: java.math.BigDecimal => fmtDouble(n.doubleValue, discrete)
@@ -188,7 +192,7 @@ object Render {
 
     def cellAt(rp: Seq[Any], cp: Seq[Any]): String =
       cells.get(rp ++ cp) match {
-        case None => ""
+        case None => "empty" // getVal' [] = Empty -> "empty" (DataFrame.hs:143,92)
         case Some(Seq(v)) => fmt(v, valDiscrete)
         case Some(_) =>
           throw new KevinException("invalid data (many values for the same index)")
@@ -217,7 +221,7 @@ object Render {
   }
 
   private def fmtTitle(v: Any): String = v match {
-    case null => ""
+    case null => "empty"
     case n: java.lang.Number => f"${n.doubleValue}%.0f"
     case other => other.toString
   }

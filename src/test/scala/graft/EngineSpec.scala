@@ -119,6 +119,14 @@ class EngineSpec extends AnyFunSuite with Matchers {
     out should include("2011")
     out should include("6400")
   }
+  test("absent crosstab cells and null flat cells render as 'empty' (DataFrame.hs:92)") {
+    // F x 2013 has no rows -> Empty -> "empty"
+    df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+      .render() should include("empty")
+    val m = KFrame.fromCsvFile(spark, "src/test/resources/missing.csv", strict = false)
+    val line = m.render().split("\n").find(_.contains("bob")).get
+    line should include("empty")
+  }
 
   // ---- keyed relational joins (extras) --------------------------------
 
