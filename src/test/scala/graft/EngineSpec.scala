@@ -58,6 +58,15 @@ class EngineSpec extends AnyFunSuite with Matchers {
     lines(1).trim should startWith("1")
     lines(1) should include("austin")
   }
+  test("filtered frame renders ORIGINAL row indices with gaps (index-list semantics)") {
+    val out = df.filterNumber("cost", _ > 500).render()
+    val idx = out.split("\n").drop(1).filter(_.trim.nonEmpty)
+      .takeWhile(l => l.trim.head.isDigit)
+      .map(_.trim.split("\\s+").head)
+    // costs > 500 are rows 2, 5, 7, 8, 11 of the original frame
+    idx.toSeq shouldBe Seq("2", "5", "7", "8", "11")
+  }
+
   test("render of column-empty frame -> (EMPTY DATAFRAME) (DataFrame.hs:107)") {
     df.select("hehehe").render() shouldBe "(EMPTY DATAFRAME)\n"
   }
