@@ -194,22 +194,26 @@ object Queries {
       .select(col("o_orderpriority"), round(col("revenue"), 2).as("revenue"))
   }
 
-  /** Set ops (extras.SetOps): EXCEPT/INTERSECT with SQL-native oracles. */
-  def q_set_except(s: SparkSession, d: String): DataFrame = {
-    val base = KFrame.wrap(ord(s, d)).select("o_orderkey", "o_orderpriority")
-    val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+  /** Set ops (extras.SetOps): EXCEPT/INTERSECT with SQL-native oracles.
+    * Both run on the same input pair, mirrored by the two SQL oracles.
+    */
+  private def setOpInputs(s: SparkSession, d: String): (KFrame, KFrame) = {
+    val urgent = KFrame.wrap(ord(s, d))
+      .select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderpriority") === "1-URGENT")
     val highKeys = KFrame.wrap(ord(s, d))
       .filter(col("o_totalprice") > 100000)
       .select("o_orderkey", "o_orderpriority")
+    (urgent, highKeys)
+  }
+
+  def q_set_except(s: SparkSession, d: String): DataFrame = {
+    val (urgent, highKeys) = setOpInputs(s, d)
     graft.extras.SetOps.except(urgent, highKeys).toDF
   }
 
   def q_set_intersect(s: SparkSession, d: String): DataFrame = {
-    val base = KFrame.wrap(ord(s, d)).select("o_orderkey", "o_orderpriority")
-    val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
-    val highKeys = KFrame.wrap(ord(s, d))
-      .filter(col("o_totalprice") > 100000)
-      .select("o_orderkey", "o_orderpriority")
+    val (urgent, highKeys) = setOpInputs(s, d)
     graft.extras.SetOps.intersect(urgent, highKeys).toDF
   }
 

@@ -18,14 +18,6 @@ sealed trait KAggregator {
     * carries the frame's row order (used only by order-sensitive aggs).
     */
   def toColumn(field: String, orderCol: Column): Column
-  /** Windowed form for [[KFrame.transform]]. Composite aggregators
-    * (aggregate wrapped in scalar post-processing, e.g. Concat) must apply
-    * the window to the INNER aggregate — `.over` on the composite is a
-    * MISSING_GROUP_BY analysis error.
-    */
-  def overWindow(field: String, orderCol: Column,
-      w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    toColumn(field, orderCol).over(w)
   /** true if the aggregator consumes numeric input (else string). */
   def numeric: Boolean
   /** true if the result depends on the order of values within a group
@@ -69,9 +61,6 @@ object Agg {
       F.array_join(F.transform(F.array_sort(c), x => x.getField("v")), "")
     def toColumn(field: String, orderCol: Column): Column =
       finish(collected(field, orderCol))
-    override def overWindow(field: String, orderCol: Column,
-        w: org.apache.spark.sql.expressions.WindowSpec): Column =
-      finish(collected(field, orderCol).over(w))
     val numeric = false
     override val orderSensitive = true
   }
@@ -90,9 +79,6 @@ object Agg {
         F.transform(F.array_sort(c), x => x.getField("v")))
     def toColumn(field: String, orderCol: Column): Column =
       finish(collected(field, orderCol))
-    override def overWindow(field: String, orderCol: Column,
-        w: org.apache.spark.sql.expressions.WindowSpec): Column =
-      finish(collected(field, orderCol).over(w))
     val numeric = true
     override val orderSensitive = true
   }
@@ -105,9 +91,6 @@ object Agg {
         F.transform(F.array_sort(c), x => x.getField("v")))
     def toColumn(field: String, orderCol: Column): Column =
       finish(collected(field, orderCol))
-    override def overWindow(field: String, orderCol: Column,
-        w: org.apache.spark.sql.expressions.WindowSpec): Column =
-      finish(collected(field, orderCol).over(w))
     val numeric = false
     override val orderSensitive = true
   }

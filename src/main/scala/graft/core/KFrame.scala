@@ -208,12 +208,7 @@ final class KFrame private[graft] (
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
-    // Group names whose columns were since dropped by a select degrade
-    // gracefully to the remaining keys (documented divergence: the
-    // reference's stored group INDICES survive the column drop and still
-    // partition rows, but the key column is silently absent from its
-    // output — neither behavior is fully recoverable here).
-    val groups = this.groups.filter(ds.columns.contains)
+    val groups = liveGroups
     val m =
       if (!agg.orderSensitive || idOrderIsFrameOrder) this
       else materializePositions
@@ -243,25 +238,38 @@ final class KFrame private[graft] (
     * groups the whole frame is one group. Keeps groups, keeps order,
     * clears pivot.
     *
-    * Scale: one window aggregate partitioned by the group keys (hash
-    * shuffle); no global window, no driver state. Order-sensitive
-    * aggregators fold in frame order within each group.
+    * Scale: order-insensitive aggregators run as one window aggregate
+    * partitioned by the group keys (hash shuffle). Order-sensitive ones
+    * (concat, custom folds) aggregate once per GROUP and join back on the
+    * keys — a windowed composite would re-run the sort+finish step per
+    * ROW, O(g²) in the group size. The no-groups case is a 1-row
+    * aggregate broadcast, never an empty-partitionBy window (which would
+    * move the whole frame to a single partition).
     */
   def transform(agg: KAggregator, field: String, as: String): KFrame = {
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
+    if (ds.columns.contains(as))
+      throw new KevinException(s"column already exists: $as")
     requireFieldType(field, agg.numeric, err = "invalid type")
-    val groups = this.groups.filter(ds.columns.contains)
+    val groups = liveGroups
     val m =
       if (!agg.orderSensitive || idOrderIsFrameOrder) this
       else materializePositions
-    val w =
-      if (groups.isEmpty)
-        org.apache.spark.sql.expressions.Window.partitionBy()
-      else
-        org.apache.spark.sql.expressions.Window.partitionBy(groups.map(F.col): _*)
-    val windowed = agg.overWindow(field, F.col(RowId), w)
-    m.copyWith(ds = m.ds.withColumn(as, windowed), pivot = None)
+    val out =
+      if (groups.isEmpty) {
+        val scalarDF = m.ds.agg(agg.toColumn(field, F.col(RowId)).as(as))
+        m.ds.crossJoin(F.broadcast(scalarDF))
+      } else if (agg.orderSensitive) {
+        val grouped = m.ds.groupBy(groups.map(F.col): _*)
+          .agg(agg.toColumn(field, F.col(RowId)).as(as))
+        m.ds.join(grouped, groups, "left")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groups.map(F.col): _*)
+        m.ds.withColumn(as, agg.toColumn(field, F.col(RowId)).over(w))
+      }
+    m.copyWith(ds = out, pivot = None)
   }
 
   /** The reference's planned-but-unbuilt "sort by group"
@@ -270,11 +278,20 @@ final class KFrame private[graft] (
     * clears pivot.
     */
   def sortByGroups: KFrame = {
-    val live = groups.filter(ds.columns.contains)
+    val live = liveGroups
     if (live.isEmpty) copyWith(pivot = None)
     else copyWith(pivot = None,
       ordering = live.map(SortKey(_, ascending = true)) ++ ordering)
   }
+
+  /** Stored group names whose columns still exist. Group names whose
+    * columns were since dropped by a select degrade gracefully to the
+    * remaining keys (documented divergence: the reference's stored group
+    * INDICES survive the column drop and still partition rows, but the
+    * key column is silently absent from its output — neither behavior is
+    * fully recoverable here).
+    */
+  private def liveGroups: Seq[String] = groups.filter(ds.columns.contains)
 
   // ---- §2.5 reshape ---------------------------------------------------
 

@@ -20,13 +20,15 @@ object Layout {
     * keys with the same `numBuckets` skip the exchange entirely.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     df.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Inner join of two same-bucketing catalog tables on the bucket keys.
     * With matching bucket specs the plan contains no Exchange on either

@@ -58,8 +58,9 @@ class LayoutSpec extends AnyFunSuite with Matchers {
     val read = spark.read.parquet(dir)
       .filter(F.col("p_date") === "2024-01-03")
     val scan = read.queryExecution.executedPlan.toString
-    scan should include("PartitionFilters")
-    scan should include("p_date")
+    // the predicate must be INSIDE the PartitionFilters list (an empty
+    // list + post-scan Filter would also contain both substrings)
+    scan should include regex """PartitionFilters: \[[^\]]*p_date"""
     // pruned read returns exactly that day's events
     val want = events.filter(F.col("p_date") === "2024-01-03").count()
     read.count() shouldBe want

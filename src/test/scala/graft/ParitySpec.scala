@@ -451,6 +451,13 @@ class ParitySpec extends AnyFunSuite with Matchers {
       .select("cities").head().getString(0)
     f shouldBe "austinaustindenverbostonbostondenver"
   }
+  test("transform rejects an output name that already exists") {
+    intercept[KevinException](df.transform(Agg.sum, "cost", as = "gender"))
+      .getMessage should include("already exists")
+    intercept[KevinException](df.transform(Agg.sum, "cost", as = "__row_id"))
+      .getMessage should include("already exists")
+  }
+
   def col(name: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.col(name)
 
