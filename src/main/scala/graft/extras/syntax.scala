@@ -1,0 +1,47 @@
+package graft.extras
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.KFrame
+import graft.operators.{Dedup, Pipelines, TextAnalysis}
+
+/** Fluent KFrame syntax for the pipeline operators — one chainable surface
+  * across the reference-parity core and the M8 extensions:
+  *
+  * {{{
+  * import graft.extras.syntax._
+  * docs.analyzeText("text")
+  *     .dedupExact("text", "doc_id")
+  *     .nearDupDedup("doc_id", "text")
+  *     .groupby("lang_pred").aggregate(Agg.count, "doc_id")
+  * }}}
+  */
+object syntax {
+
+  implicit final class PipelineOps(private val kf: KFrame) extends AnyVal {
+
+    private def lift(f: DataFrame => DataFrame): KFrame =
+      KFrame.wrap(f(kf.toOrderedDF))
+
+    /** Exact content dedup — keep the lowest-key row per duplicate class. */
+    def dedupExact(textCol: String, keyCol: String): KFrame =
+      lift(Dedup.exact(_, textCol, keyCol))
+
+    /** MinHash near-dup dedup (keep-lowest-id survivor policy). */
+    def nearDupDedup(idCol: String, textCol: String,
+        threshold: Double = 0.8): KFrame =
+      lift(Dedup.minhashDedup(_, idCol, textCol, threshold))
+
+    /** Quality-gate + exact-dedup + near-dup-dedup curation pipeline. */
+    def cleanCorpus(idCol: String, textCol: String): KFrame =
+      lift(Pipelines.cleanCorpus(_, idCol, textCol))
+
+    /** Append the text-analysis signal columns (tokens, quality, lang…). */
+    def analyzeText(textCol: String): KFrame =
+      lift(TextAnalysis.analyze(_, textCol))
+
+    /** Per-(doc, term) TF-IDF scores. */
+    def tfIdf(idCol: String, textCol: String): KFrame =
+      lift(TextAnalysis.tfIdf(_, idCol, textCol))
+  }
+}

@@ -123,6 +123,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0
   }
 
+  test("fluent KFrame syntax chains pipeline ops with core operators") {
+    import graft.core.{Agg, KFrame}
+    import graft.extras.syntax._
+    val kf = KFrame.wrap(docs)
+    val out = kf.analyzeText("text")
+      .dedupExact("text", "doc_id")
+      .nearDupDedup("doc_id", "text")
+      .groupby("lang_pred")
+      .aggregate(Agg.count, "doc_id")
+    val counts = out.toOrderedDF.collect()
+    counts.map(_.getDouble(1)).sum shouldBe
+      graft.operators.Dedup.minhashDedup(docs, "doc_id", "text").count().toDouble
+  }
+
   test("cleanCorpus plan contains no cartesian product") {
     import graft.operators.Pipelines
     val plan = Pipelines.cleanCorpus(docs, "doc_id", "text")

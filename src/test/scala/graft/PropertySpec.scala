@@ -84,6 +84,13 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("append(take(n), drop(n)) reassembles the frame for every n") {
+    val want = df.toOrderedDF.collect().toSeq
+    for (n <- Seq(1, 4, 6, 11)) withClue(s"n=$n: ") {
+      df.take(n).append(df.drop(n)).toOrderedDF.collect().toSeq shouldBe want
+    }
+  }
+
   test("append height additivity over slice pairs") {
     for (a <- Seq(1, 3, 12); b <- Seq(1, 5, 12)) withClue(s"a=$a b=$b: ") {
       df.take(a).append(df.take(b)).height shouldBe (a + b).toLong
