@@ -184,10 +184,9 @@ object Queries {
       Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"))
       .filter(col("c_mktsegment") === "BUILDING")
     val ordCust = Relational.broadcastJoin(KFrame.wrap(ord(s, d)), cust, Seq("o_custkey"))
-    val fact = KFrame.wrap(
-      li(s, d)
-        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .withColumnRenamed("l_orderkey", "o_orderkey"))
+    val fact = KFrame.wrap(li(s, d))
+      .derive("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .rename("l_orderkey", "o_orderkey")
     Relational.join(fact, ordCust, Seq("o_orderkey"))
       .groupby("o_orderpriority").aggregate(Agg.sum, "revenue")
       .toOrderedDF

@@ -126,6 +126,32 @@ final class KFrame private[graft] (
       ordering = base.ordering)
   }
 
+  /** Append a computed column (capability upgrade — the reference has no
+    * scalar expression surface at all, SURVEY.md §2.8; our Column overloads
+    * ARE that surface). Keeps groups and order, clears pivot. Traits of the
+    * new column derive from its Spark type.
+    */
+  def derive(name: String, expr: Column): KFrame = {
+    if (ds.columns.contains(name))
+      throw new KevinException(s"column already exists: $name")
+    copyWith(ds = ds.withColumn(name, expr), pivot = None)
+  }
+
+  /** Rename a column, preserving traits metadata, groups and order
+    * (helps avoid the duplicate-field hazards the reference's TODO:4
+    * acknowledges). Unknown source names error; occupied target names
+    * error.
+    */
+  def rename(from: String, to: String): KFrame = {
+    requireField(from)
+    if (ds.columns.contains(to))
+      throw new KevinException(s"column already exists: $to")
+    copyWith(
+      ds = ds.withColumnRenamed(from, to),
+      groups = groups.map(g => if (g == from) to else g),
+      ordering = ordering.map(k => if (k.field == from) k.copy(field = to) else k))
+  }
+
   // ---- §2.3 filters ---------------------------------------------------
 
   /** Idiomatic Column-expression filter — Catalyst-optimizable (pushdown).

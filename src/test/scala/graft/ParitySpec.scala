@@ -451,6 +451,35 @@ class ParitySpec extends AnyFunSuite with Matchers {
       .select("cities").head().getString(0)
     f shouldBe "austinaustindenverbostonbostondenver"
   }
+  // ---- derive / rename (capability upgrades) --------------------------
+
+  test("derive appends a computed column, keeps groups and order") {
+    import org.apache.spark.sql.functions.{col => c}
+    val out = df.groupby("city").sort("sale")
+      .derive("margin", c("sale") - c("cost"))
+    out.groups shouldBe Seq("city")
+    col(out, "margin").head shouldBe (900.0 - 310.0) // lowest sale row first
+  }
+  test("derive rejects existing names; rename preserves groups/order/traits") {
+    intercept[KevinException](df.derive("sale", org.apache.spark.sql.functions.lit(1)))
+      .getMessage should include("already exists")
+    val r = df.groupby("city").sort("city").rename("city", "town")
+    r.groups shouldBe Seq("town")
+    r.traits("town") shouldBe FieldTraits.text
+    col(r, "town").head shouldBe "austin"
+    intercept[KevinException](df.rename("hehehe", "x"))
+      .getMessage should include("no such field")
+    intercept[KevinException](df.rename("city", "sale"))
+      .getMessage should include("already exists")
+  }
+
+  test("chained sorts compose: last sort is primary, prior order breaks ties") {
+    val out = df.sort("sale").sort("gender")
+    col(out, "gender").take(6).toSet shouldBe Set("F")
+    // within F, sale ascending from the prior sort
+    col(out, "sale").take(6) shouldBe Seq(900.0, 1200.0, 1400.0, 1500.0, 1700.0, 2600.0)
+  }
+
   test("transform rejects an output name that already exists") {
     intercept[KevinException](df.transform(Agg.sum, "cost", as = "gender"))
       .getMessage should include("already exists")
