@@ -599,6 +599,14 @@ final class KFrame private[graft] (
 
   // ---- misc -----------------------------------------------------------
 
+  /** Optional caching passthrough (SURVEY §4: the reference's shared
+    * immutable columns map to lineage + optional `ds.cache()`): pin this
+    * frame's data in executor memory for iterative reuse.
+    */
+  def cache(): KFrame = copyWith(ds = ds.cache())
+
+  def unpersist(): KFrame = copyWith(ds = ds.unpersist())
+
   /** Driver-side pretty render (reference `Show DataFrame`,
     * `DataFrame.hs:94-180`): flat table with index column and group footer,
     * or full crosstab when pivoted; CJK-aware widths; discrete numbers
