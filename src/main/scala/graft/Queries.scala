@@ -282,6 +282,11 @@ object Queries {
       round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"))
   }
 
+  def q_chunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        size = 100, overlap = 50)
+      .select("doc_id", "chunk_idx", "chunk_text")
+
   def q_tfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -470,6 +475,18 @@ object Queries {
         |  CAST(list_sum(list_transform(ws, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
         |  round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws), 4) AS mean_word_len
         |FROM toks""".stripMargin,
+    "q_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws,
+        |    CAST(greatest(ceil((len(ws) - 100) / 50.0) + 1, 1) AS BIGINT) AS nc
+        |  FROM toks WHERE len(ws) > 0
+        |), c AS (
+        |  SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM n
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(ws[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "q_tfidf" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($DTok) AS term FROM documents
@@ -546,6 +563,7 @@ object Queries {
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_text_stats" -> (q_text_stats _),
+    "q_chunks" -> (q_chunks _),
     "q_tfidf" -> (q_tfidf _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),

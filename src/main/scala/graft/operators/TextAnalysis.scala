@@ -134,6 +134,38 @@ object TextAnalysis {
     F.when(cjkChars * 2 > F.length(text), F.lit("zh")).otherwise(pick)
   }
 
+  /** Split documents into fixed-size token-window chunks with overlap —
+    * the context-window preparation step of an embedding/training
+    * pipeline. Output: one row per (doc, chunk_idx) with the chunk's text
+    * (tokens joined by single spaces) and token count.
+    *
+    * Chunk i covers tokens [i·stride, i·stride + size) with
+    * stride = size − overlap; the last chunk may be short; empty docs
+    * produce no chunks. The token array is materialized as a column BEFORE
+    * the explode (a generator over a composed expression re-evaluates it
+    * per element under interpreted paths), and chunks reference it as an
+    * attribute — one tokenize per doc, no shuffle at all.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 100, overlap: Int = 50): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    val base = df.select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .filter(F.size(F.col("__ts")) > 0)
+      .withColumn("__n",
+        F.greatest(
+          F.ceil((F.size(F.col("__ts")) - size) / F.lit(stride.toDouble)) + 1,
+          F.lit(1L)))
+    base
+      .select(F.col(idCol), F.col("__ts"),
+        F.explode(F.sequence(F.lit(0L), F.col("__n") - 1)).as("chunk_idx"))
+      .select(F.col(idCol), F.col("chunk_idx"),
+        F.array_join(
+          F.slice(F.col("__ts"), (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)),
+          " ").as("chunk_text"))
+      .withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+  }
+
   /** TF-IDF scores per (document, term): smoothed idf
     * `ln((N+1)/(df+1)) + 1` over raw term frequency. Two shuffles total —
     * one per-(doc,term) count, one document-frequency aggregate joined

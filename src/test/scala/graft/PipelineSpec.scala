@@ -198,6 +198,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("chunkDocuments: windows cover all tokens with the stated overlap") {
+    import spark.implicits._
+    val words = (1 to 230).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(d, "doc_id", "text",
+      size = 100, overlap = 50).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    // 230 tokens, stride 50: ceil((230-100)/50)+1 = 4 chunks
+    byDoc(1L).length shouldBe 4
+    val texts = byDoc(1L).sortBy(_.getLong(1)).map(_.getString(2))
+    texts.head should startWith("w1 ")
+    texts(1) should startWith("w51 ") // 50-token overlap
+    texts.last should endWith(" w230") // full coverage
+    byDoc(2L).length shouldBe 1
+    byDoc(2L).head.getString(2) shouldBe "short doc"
+    byDoc.contains(3L) shouldBe false // empty doc -> no chunks
+  }
+
   test("tf-idf: common terms score low, rare terms high") {
     import spark.implicits._
     val d = Seq(
