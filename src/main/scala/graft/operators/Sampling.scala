@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling/mixing operators for dataset curation. All
+  * selection here is HASH-based, not `rand()`-based: `rand(seed)` is only
+  * deterministic for a fixed partitioning, so a repartition or AQE change
+  * silently changes the sample — xxhash64 of stable row keys gives the
+  * same sample on any cluster, any partitioning, any run. No collects,
+  * no windows without partition keys.
+  */
+object Sampling {
+
+  /** Keep ~`fraction` of rows, chosen by key hash: a row survives iff
+    * pmod(hash(key, salt), 2^31) < fraction·2^31. Deterministic per
+    * (key, salt); changing `salt` draws an independent sample.
+    */
+  def byHash(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val bound = (fraction * Int.MaxValue).toLong
+    df.filter(
+      F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))
+        < bound)
+  }
+
+  /** Per-class fractions (stratified): each class keeps its own hash
+    * fraction — `fractions` classes absent from the map keep nothing.
+    */
+  def stratified(df: DataFrame, classCol: String, keyCol: String,
+      fractions: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val bound = fractions.foldLeft(F.lit(-1L)) { case (acc, (cls, frac)) =>
+      F.when(F.col(classCol) === cls, F.lit((frac * Int.MaxValue).toLong))
+        .otherwise(acc)
+    }
+    df.filter(
+      F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))
+        < bound)
+  }
+
+  /** Exactly-k rows per key, chosen pseudo-randomly but deterministically:
+    * rank rows within each key by hash and keep the first k. One shuffle
+    * on the key; `WindowGroupLimit` prunes to k per key before the final
+    * sort at executor side.
+    */
+  def perKey(df: DataFrame, keyCol: String, idCol: String, k: Int,
+      salt: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.xxhash64(F.col(idCol), F.lit(salt)).asc, F.col(idCol).asc)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Weighted mixture of corpora: each source keeps a hash fraction equal
+    * to its weight (weights in [0,1], applied independently per source),
+    * tagged with a `source_id` column — the "mix N corpora at given
+    * rates" step of training-data assembly.
+    */
+  def mixture(sources: Seq[(DataFrame, Double)], keyCol: String,
+      salt: Long = 0L): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.zipWithIndex.map { case ((df, weight), i) =>
+      byHash(df, keyCol, weight, salt + i)
+        .withColumn("source_id", F.lit(i))
+    }.reduce(_ unionByName _)
+  }
+}

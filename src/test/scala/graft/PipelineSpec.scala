@@ -198,6 +198,41 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("hash sampling is deterministic, partition-independent, ~fraction-sized") {
+    import graft.operators.Sampling
+    val a = Sampling.byHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.byHash(docs.repartition(7), "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    a shouldBe b // partitioning must not change the sample
+    a.size.toDouble shouldBe (docs.count() * 0.3) +- docs.count() * 0.15
+    // different salt -> different (independent) sample
+    val c = Sampling.byHash(docs, "doc_id", 0.3, salt = 9).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    c should not be a
+  }
+
+  test("stratified sampling keeps per-class fractions; perKey keeps exactly k") {
+    import graft.operators.Sampling
+    val strat = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.0))
+    strat.filter(F.col("lang") === "en").count() shouldBe
+      docs.filter(F.col("lang") === "en").count()
+    strat.filter(F.col("lang") === "de").count() shouldBe 0
+    strat.filter(F.col("lang") === "fr").count() shouldBe 0 // absent class
+
+    val pk = Sampling.perKey(docs, "source", "doc_id", k = 3)
+    pk.groupBy("source").count().collect().foreach(_.getLong(1) shouldBe 3)
+  }
+
+  test("mixture tags sources and applies weights independently") {
+    import graft.operators.Sampling
+    val m = Sampling.mixture(Seq(docs -> 1.0, docs -> 0.2), "doc_id")
+    m.filter(F.col("source_id") === 0).count() shouldBe docs.count()
+    val w1 = m.filter(F.col("source_id") === 1).count().toDouble
+    w1 shouldBe (docs.count() * 0.2) +- docs.count() * 0.12
+  }
+
   test("chunkDocuments: windows cover all tokens with the stated overlap") {
     import spark.implicits._
     val words = (1 to 230).map(i => s"w$i").mkString(" ")
