@@ -128,6 +128,27 @@ class EngineSpec extends AnyFunSuite with Matchers {
     out should include("2011")
     out should include("6400")
   }
+  test("crosstab with empty row tree renders one content row (cast with no row fields)") {
+    val c = df.cast(Seq.empty, Seq("year"), Agg.sum, "sale")
+    c.pivot shouldBe Some(PivotSpec(Seq(), Seq("year"), "sale"))
+    val out = c.render()
+    out should include("year")
+    out should include("14000") // 2011 total
+    out should include("10900") // 2012 total
+    out should include("11100") // 2013 total
+    c.height shouldBe 1
+    c.width shouldBe 3
+  }
+  test("crosstab with empty column tree renders one value column (toPivot)") {
+    val agg = df.groupby("gender").aggregate(Agg.sum, "sale").toPivot("sale")
+    agg.pivot shouldBe Some(PivotSpec(Seq("gender"), Seq(), "sale"))
+    val out = agg.render()
+    out should include("gender")
+    out should include("9300")  // F total
+    out should include("26700") // M total
+    agg.height shouldBe 2
+    agg.width shouldBe 1
+  }
   test("absent crosstab cells and null flat cells render as 'empty' (DataFrame.hs:92)") {
     // F x 2013 has no rows -> Empty -> "empty"
     df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
