@@ -45,23 +45,9 @@ object Dedup {
 
   // ---- MinHash + LSH near-dup --------------------------------------------
 
-  /** Prime modulus for the universal-hash permutation family (Broder's
-    * minwise-permutation scheme). Shingle hashes are reduced to 32 bits and
-    * `a` stays below 2^31, so `a*h + b < 2^63` — no overflow under ANSI
-    * arithmetic (Spark 4 default) without resorting to modular
-    * multiplication tricks.
-    */
-  private val Prime = 4294967311L // first prime > 2^32
-
-  /** Deterministic permutation parameters (a, b) for `numHashes`
-    * permutations, derived from a fixed seed so signatures are reproducible
-    * across runs and executors.
-    */
-  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(seed)
-    def next(bound: Long): Long = math.abs(rnd.nextLong()) % bound
-    Seq.fill(numHashes)((next(Int.MaxValue - 1L) + 1, next(Prime)))
-  }
+  // Permutation family parameters (prime modulus, 32-bit hash domain, the
+  // ANSI-overflow-safe bound story) live with the fused native kernel:
+  // graft.functions.MinHashSigKernel.
 
   /** Word n-gram shingle set of a text column (distinct, lower-cased). */
   def shingles(text: Column, n: Int = 3): Column = TextAnalysis.wordShingles(text, n)
@@ -85,19 +71,18 @@ object Dedup {
     F.call_function("shingle_hashes", text, F.lit(n))
   }
 
-  /** MinHash signature (array of `numHashes` longs) over a pre-hashed
-    * shingle array in the 32-bit domain: per permutation, min over the
-    * universally-hashed values. Pure column expressions over an ATTRIBUTE —
-    * callers must materialize the hash array as a column first (inlining
-    * the hash computation would make each permutation re-hash every
-    * shingle; measured 10×+ slower).
+  /** MinHash signature (array of `numHashes` longs) over a shingle-hash
+    * array — the fused native [[graft.functions.MinHashSig]] expression
+    * (one pass, 64 running minima, no intermediate arrays; the
+    * `functions._` formulation would allocate one transform array per
+    * permutation per row).
     */
   def minhashSignature(hashCol: Column, numHashes: Int = 64,
-      seed: Long = 42L): Column =
-    F.array(perms(numHashes, seed).map { case (a, b) =>
-      F.array_min(F.transform(hashCol,
-        h => F.pmod(h * F.lit(a) + F.lit(b), F.lit(Prime))))
-    }: _*)
+      seed: Long = 42L): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("minhash_signature", hashCol, F.lit(numHashes), F.lit(seed))
+  }
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures, verified
     * with exact Jaccard within buckets only.
@@ -130,14 +115,10 @@ object Dedup {
       hashedShingles(F.col(textCol), shingleN).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
 
-    // Signature over the materialized hash-array ATTRIBUTE (cheap modular
-    // arithmetic only — the expensive tokenize+hash happened once inside
-    // the native expression above).
-    val masked = F.transform(F.col("sh"),
-      h => h.bitwiseAND(F.lit(0xffffffffL)))
-    val sig = sh.select(F.col("id"), F.col("sh"), masked.as("hv"))
-      .select(F.col("id"), F.col("sh"),
-        minhashSignature(F.col("hv"), numHashes, seed).as("sig"))
+    // Fused native signature kernel over the hash-array attribute (the
+    // kernel masks to the 32-bit domain internally).
+    val sig = sh.select(F.col("id"), F.col("sh"),
+      minhashSignature(F.col("sh"), numHashes, seed).as("sig"))
 
     // (band index, hash of the signature slice) per doc — 1 row per band.
     val banded = sig.select(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ShingleHash
+import graft.functions.{MinHashSig, ShingleHash}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -28,6 +28,13 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "shingle_hashes(text, n) takes 2 arguments")
         ShingleHash(args.head, args(1))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
+      { args =>
+        require(args.length == 3,
+          "minhash_signature(hashes, numHashes, seed) takes 3 arguments")
+        MinHashSig(args.head, args(1), args(2))
       })
   )
 

@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .head().getBoolean(0) shouldBe true
   }
 
+  test("MinHashSig native expression: SQL-callable, deterministic, permutation-correct") {
+    graft.plans.GraftExtensions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(shingle_hashes('a b c d e f g', 3), 8, 42) AS s")
+      .head().getSeq[Long](0)
+    sig.length shouldBe 8
+    // deterministic: same inputs -> same signature
+    spark.sql(
+      "SELECT minhash_signature(shingle_hashes('a b c d e f g', 3), 8, 42) AS s")
+      .head().getSeq[Long](0) shouldBe sig
+    // kernel equivalence: replicate one permutation by hand
+    val hs = graft.functions.ShingleHashKernel
+      .hashToArray("a b c d e f g", 3).map(_ & 0xffffffffL)
+    val (as, bs) = graft.functions.MinHashSigKernel.perms(8, 42L)
+    val want0 = hs.map(h => (as(0) * h + bs(0)) % graft.functions.MinHashSigKernel.Prime).min
+    sig.head shouldBe want0
+  }
+
   test("ShingleHash native expression survives codegen and matches kernel") {
     import spark.implicits._
     val texts = Seq("one two three four five", "x", "", "ONE two THREE four")
