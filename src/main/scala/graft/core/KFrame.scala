@@ -146,10 +146,13 @@ final class KFrame private[graft] (
     requireField(from)
     if (ds.columns.contains(to))
       throw new KevinException(s"column already exists: $to")
+    def sub(n: String): String = if (n == from) to else n
     copyWith(
       ds = ds.withColumnRenamed(from, to),
-      groups = groups.map(g => if (g == from) to else g),
-      ordering = ordering.map(k => if (k.field == from) k.copy(field = to) else k))
+      groups = groups.map(sub),
+      pivot = pivot.map(p => PivotSpec(
+        p.rowFields.map(sub), p.colFields.map(sub), sub(p.valueField))),
+      ordering = ordering.map(k => k.copy(field = sub(k.field))))
   }
 
   // ---- §2.3 filters ---------------------------------------------------

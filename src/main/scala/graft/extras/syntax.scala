@@ -20,8 +20,11 @@ object syntax {
 
   implicit final class PipelineOps(private val kf: KFrame) extends AnyVal {
 
+    // toDF, not toOrderedDF: every op below is order-insensitive, and
+    // toOrderedDF would insert a full range-partitioned sort before each
+    // stage (the scale-killer saltedJoin's comment warns about).
     private def lift(f: DataFrame => DataFrame): KFrame =
-      KFrame.wrap(f(kf.toOrderedDF))
+      KFrame.wrap(f(kf.toDF))
 
     /** Exact content dedup — keep the lowest-key row per duplicate class. */
     def dedupExact(textCol: String, keyCol: String): KFrame =

@@ -109,6 +109,9 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val r = numHashes / bands
     val sh = df.select(
       F.col(idCol).as("id"),

@@ -13,18 +13,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** The shared selection hash: uniform in [0, 2^31) per (key, salt).
+    * Both samplers compare this ONE definition against their thresholds,
+    * so they can never drift apart.
+    */
+  private def hashBucket(keyCol: String, salt: Long) =
+    F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))
+
+  private def toBound(fraction: Double): Long = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    (fraction * Int.MaxValue).toLong
+  }
+
   /** Keep ~`fraction` of rows, chosen by key hash: a row survives iff
-    * pmod(hash(key, salt), 2^31) < fraction·2^31. Deterministic per
-    * (key, salt); changing `salt` draws an independent sample.
+    * hashBucket < fraction·2^31. Deterministic per (key, salt); changing
+    * `salt` draws an independent sample.
     */
   def byHash(df: DataFrame, keyCol: String, fraction: Double,
-      salt: Long = 0L): DataFrame = {
-    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val bound = (fraction * Int.MaxValue).toLong
-    df.filter(
-      F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))
-        < bound)
-  }
+      salt: Long = 0L): DataFrame =
+    df.filter(hashBucket(keyCol, salt) < toBound(fraction))
 
   /** Per-class fractions (stratified): each class keeps its own hash
     * fraction — `fractions` classes absent from the map keep nothing.
@@ -32,12 +39,9 @@ object Sampling {
   def stratified(df: DataFrame, classCol: String, keyCol: String,
       fractions: Map[String, Double], salt: Long = 0L): DataFrame = {
     val bound = fractions.foldLeft(F.lit(-1L)) { case (acc, (cls, frac)) =>
-      F.when(F.col(classCol) === cls, F.lit((frac * Int.MaxValue).toLong))
-        .otherwise(acc)
+      F.when(F.col(classCol) === cls, F.lit(toBound(frac))).otherwise(acc)
     }
-    df.filter(
-      F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))
-        < bound)
+    df.filter(hashBucket(keyCol, salt) < bound)
   }
 
   /** Exactly-k rows per key, chosen pseudo-randomly but deterministically:

@@ -473,6 +473,14 @@ class ParitySpec extends AnyFunSuite with Matchers {
       .getMessage should include("already exists")
   }
 
+  test("rename remaps pivot spec fields (no stale column references)") {
+    val r = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+      .rename("gender", "sex")
+    r.pivot shouldBe Some(PivotSpec(Seq("sex"), Seq("year"), "sale"))
+    r.height shouldBe 2 // pivot-aware height works on the renamed column
+    r.render() should include("sex")
+  }
+
   test("chained sorts compose: last sort is primary, prior order breaks ties") {
     val out = df.sort("sale").sort("gender")
     col(out, "gender").take(6).toSet shouldBe Set("F")
