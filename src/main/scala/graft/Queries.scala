@@ -271,6 +271,20 @@ object Queries {
       "vec_id", "embedding", k = 10, dim = 64)
   }
 
+  /** Cross-modal join: documents ⋈ embeddings on id, per-cluster text
+    * stats — the retrieval-pipeline staple (broadcast the smaller side).
+    */
+  def q_doc_embed(s: SparkSession, d: String): DataFrame = {
+    val docs = KFrame.wrap(Tables.documents(s, d))
+    val emb = KFrame.wrap(
+      Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "label"))
+    Relational.broadcastJoin(docs, emb, Seq("doc_id"))
+      .groupby("label").aggregate(Agg.mean, "n_chars")
+      .toOrderedDF
+      .select(col("label"), round(col("n_chars"), 2).as("n_chars"))
+  }
+
   // ---- M8: text analysis ----------------------------------------------
 
   def q_text_stats(s: SparkSession, d: String): DataFrame = {
@@ -475,6 +489,10 @@ object Queries {
         |  CAST(list_sum(list_transform(ws, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
         |  round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws), 4) AS mean_word_len
         |FROM toks""".stripMargin,
+    "q_doc_embed" ->
+      """SELECT e.label, round(avg(d.n_chars), 2) AS n_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label""".stripMargin,
     "q_chunks" ->
       s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
         |n AS (
@@ -562,6 +580,7 @@ object Queries {
     "q_pipeline" -> (q_pipeline _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
+    "q_doc_embed" -> (q_doc_embed _),
     "q_text_stats" -> (q_text_stats _),
     "q_chunks" -> (q_chunks _),
     "q_tfidf" -> (q_tfidf _),
