@@ -334,6 +334,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     lastPerUser shouldBe want
   }
 
+  test("cosineNearDupPairs finds planted near-identical embedding pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    // plant a near-duplicate of vector 3 as id 100 (tiny perturbation)
+    val nearDup = (100L, base(3)._2.map(x => x + 1e-4f))
+    val df = (base :+ nearDup).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((3L, 100L))
+    // random 16-dim gaussians essentially never hit cosine >= 0.999
+    pairs.size should be <= 2
+  }
+
+  test("multimodal feature stub emits fixed-dim deterministic vectors") {
+    val packed = Multimodal.withFakeMedia(docs.limit(5), "text")
+    val f1 = packed.select(Multimodal.featuresStub(F.col("payload")).as("f"))
+      .collect().map(_.getSeq[Float](0))
+    f1.foreach(_.length shouldBe 8)
+    val f2 = packed.select(Multimodal.featuresStub(F.col("payload")).as("f"))
+      .collect().map(_.getSeq[Float](0))
+    f1.toSeq shouldBe f2.toSeq // deterministic
+    f1.foreach(_.foreach(v => v should (be >= -1.0f and be <= 1.0f)))
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
