@@ -311,8 +311,10 @@ object Queries {
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count_distinct(col("fp")).as("n"))
 
-  /** Language-ID + quality heuristics — rows-only (heuristic recipes are
-    * not SQL-replicable; sanity asserted in ScalaTest).
+  /** Language-ID + quality heuristics — oracle-checked: every signal is
+    * deterministic arithmetic over the shared tokenizer, so the DuckDB
+    * mirror replays the exact recipe (marker voting incl. tie-break order,
+    * quality band sums, stopword ratio).
     */
   def q_text_quality(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
@@ -518,6 +520,39 @@ object Queries {
         |FROM tf, dfreq, nn WHERE tf.term = dfreq.term""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
+    // Mirrors TextAnalysis.langId/qualityScore/stopwordRatio exactly: the
+    // marker-vote argmax ties break toward the earlier language (en, de,
+    // fr, es), CJK-share check first, quality = four 0.25 bands summed.
+    "q_text_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
+        |sc AS (
+        |  SELECT doc_id, text, ws,
+        |    length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk,
+        |    len(list_intersect(ws, ['the','and','of','to','is','that','for','with'])) AS s_en,
+        |    len(list_intersect(ws, ['der','die','das','und','ist','nicht','mit','ein'])) AS s_de,
+        |    len(list_intersect(ws, ['le','la','les','et','est','pas','pour','une'])) AS s_fr,
+        |    len(list_intersect(ws, ['el','la','los','que','es','por','con','una'])) AS s_es,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE (length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')))::DOUBLE / length(text) END AS punct,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws) END AS mwl,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE len(list_intersect(ws, ['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','that','this']))::DOUBLE / len(list_distinct(ws)) END AS swr
+        |  FROM toks),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN cjk * 2 > length(text) THEN 'zh'
+        |       WHEN mx = 0 THEN 'und'
+        |       WHEN s_en = mx THEN 'en'
+        |       WHEN s_de = mx THEN 'de'
+        |       WHEN s_fr = mx THEN 'fr'
+        |       ELSE 'es' END AS lang_pred,
+        |  round((CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN swr > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+        |  round(swr, 4) AS stopword_ratio
+        |FROM m""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

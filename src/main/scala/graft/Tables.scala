@@ -25,19 +25,28 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
   /** The events table stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long (legacy conf)
-    * and convert to a microsecond timestamp with integer arithmetic (a
-    * double division would lose precision above 2^53 ns).
+    * parquet reader rejects by default. Read nanos as long and convert to a
+    * microsecond timestamp with integer arithmetic (a double division would
+    * lose precision above 2^53 ns).
     *
-    * SIDE EFFECT: the conf flips session-wide (it is consulted at both
-    * planning and execution, so it cannot be safely reset around a lazy
-    * plan). Benign for this library's tables — `events` is the only one
-    * with a NANOS column — but other NANOS parquet in the same session
-    * would silently read as longs after this call.
+    * The nanos handling is scoped to THIS read — no session conf mutation
+    * (round-3 advice item 5). Two pieces make that work:
+    *   - an explicit user schema (`ts BIGINT`) skips footer schema
+    *     inference, the one step that consults the session-level
+    *     `spark.sql.legacy.parquet.nanosAsLong` flag eagerly;
+    *   - the flag is passed as a per-read datasource option, which
+    *     `newHadoopConfWithOptions` copies into the scan's task-side Hadoop
+    *     conf — exactly where the execution-time
+    *     `ParquetToSparkSchemaConverter(Configuration)` reads it.
+    * Other NANOS parquet reads in the same session are unaffected
+    * (proven by a round-trip test in EngineSpec).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    s.read.schema(schema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$d/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -174,7 +174,16 @@ object Render {
   private def crosstab(kf: KFrame, p: PivotSpec, maxRows: Int): String = {
     val fields = p.rowFields ++ p.colFields
     val sel = (fields :+ p.valueField).map(F.col)
-    val rows = kf.ds.select(sel: _*).take(maxRows * 10)
+    // Display budget: a crosstab backing larger than maxRows*10 cannot be
+    // rendered faithfully (missing cells would print as "empty",
+    // indistinguishable from genuinely absent intersections), so the
+    // over-budget case is an explicit error, never a silent truncation.
+    val budget = maxRows * 10
+    val rows = kf.ds.select(sel: _*).take(budget + 1)
+    if (rows.length > budget)
+      throw new KevinException(
+        s"crosstab backing exceeds the display budget ($budget rows); " +
+          "aggregate further or render fewer pivot levels")
     val valDiscrete = false // cells use plain `show` in the reference (:143)
 
     def tuplesFor(fs: Seq[String]): Seq[Seq[Any]] =

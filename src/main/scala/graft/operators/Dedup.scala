@@ -15,9 +15,9 @@ import org.apache.spark.sql.expressions.Window
   *    on (band, bandHash) buckets — there is NO all-pairs/cartesian stage
   *    anywhere in the plan; the exact-Jaccard verify runs only within
   *    buckets;
-  *  - everything is `functions._` column expressions (codegen'd); the only
-  *    UDF is SimHash's 64-bit sign-accumulator, a per-row map with no
-  *    shuffle interaction.
+  *  - everything is either a `functions._` column expression or a native
+  *    codegen'd Catalyst expression (`graft.functions`) — no Scala UDF in
+  *    any dedup path.
   */
 object Dedup {
 
@@ -168,29 +168,15 @@ object Dedup {
   /** 64-bit SimHash of the token stream (Charikar's sign-random-projection
     * sketch as popularized for web near-dup detection): bit j of the result
     * is the sign of the sum over tokens of (bit j of hash64(token) ? +1 :
-    * -1), with hash64 built from two 32-bit murmur3 halves. Implemented as a
-    * per-row Scala UDF over the token array — a pure map with no shuffle;
-    * the codegen upgrade path is a native Expression.
+    * -1). Backed by the native codegen'd
+    * [[graft.functions.SimHash64]] expression — one fused
+    * tokenize+hash+accumulate pass per row, no UDF SerDe, no token-array
+    * materialization (round-3 advice item 3).
     */
   def simhash(text: Column): Column = {
-    val f = F.udf { (tokensOrNull: Seq[String]) =>
-      val tokens = if (tokensOrNull == null) Seq.empty[String] else tokensOrNull
-      val acc = new Array[Int](64)
-      tokens.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-          j += 1
-        }
-      }
-      var out = 0L
-      var j = 0
-      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
-      out
-    }
-    f(TextAnalysis.tokens(text))
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("simhash64", text)
   }
 
   /** Hamming distance between two 64-bit sketches (bit_count of xor). */

@@ -169,8 +169,15 @@ object TextAnalysis {
   /** TF-IDF scores per (document, term): smoothed idf
     * `ln((N+1)/(df+1)) + 1` over raw term frequency. Two shuffles total —
     * one per-(doc,term) count, one document-frequency aggregate joined
-    * back (the DF table is tiny relative to the corpus and broadcastable);
-    * the corpus is scanned once.
+    * back; the corpus is scanned once.
+    *
+    * The term↔docFreq join carries NO broadcast hint on purpose: the
+    * distinct-term table of a web-scale corpus is itself huge (billions of
+    * rows — Heaps' law), so forcing a broadcast would OOM executors exactly
+    * when the data gets big. Left unhinted, AQE broadcasts it when the
+    * runtime stats say it is small (the sf0.01 test case) and falls back to
+    * a shuffled hash join at scale. The 1-row corpus-size aggregate is the
+    * only explicit broadcast.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
@@ -181,7 +188,7 @@ object TextAnalysis {
     val nDF = df.agg(F.count(F.lit(1)).cast("double").as("__n"))
     val docFreq = tf.groupBy("term")
       .agg(F.count_distinct(F.col(idCol)).as("df"))
-    tf.join(F.broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .crossJoin(F.broadcast(nDF))
       .withColumn("idf",
         F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))

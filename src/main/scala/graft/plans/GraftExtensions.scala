@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, ShingleHash}
+import graft.functions.{MinHashSig, ShingleHash, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -35,6 +35,12 @@ object GraftExtensions {
         require(args.length == 3,
           "minhash_signature(hashes, numHashes, seed) takes 3 arguments")
         MinHashSig(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      { args =>
+        require(args.length == 1, "simhash64(text) takes 1 argument")
+        SimHash64(args.head)
       })
   )
 

@@ -400,6 +400,13 @@ class ParitySpec extends AnyFunSuite with Matchers {
     intercept[KevinException](p.render())
       .getMessage should include("many values")
   }
+  test("crosstab backing over the display budget errors, never truncates") {
+    // retail has 13 rows; maxRows=1 gives a 10-row budget -> explicit error
+    // instead of a wrong-looking table with phantom "empty" cells
+    val p = df.select("city", "product", "sale").toPivot("sale")
+    intercept[KevinException](p.render(maxRows = 1))
+      .getMessage should include("display budget")
+  }
 
   // ---- state-effect matrix (SURVEY.md §2.9) ---------------------------
 

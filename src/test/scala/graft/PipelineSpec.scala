@@ -111,6 +111,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     direct(3) shouldBe graft.functions.ShingleHashKernel.hashToArray("one two three four", 3).toSet
   }
 
+  test("SimHash64 native expression survives codegen and matches kernel") {
+    import spark.implicits._
+    val texts = Seq("one two three four five", "x", "", "ONE two THREE four",
+      "the quick brown fox jumps over the lazy dog")
+    val viaExpr = texts.toDF("text")
+      .select(Dedup.simhash(F.col("text")).as("sk"))
+      .collect().map(_.getLong(0))
+    val direct = texts.map(graft.functions.SimHashKernel.simhashString)
+    viaExpr.toSeq shouldBe direct
+    // case-insensitive tokenizer: sketches of reordered case match
+    direct(3) shouldBe graft.functions.SimHashKernel.simhashString("one two three four")
+    // SQL-callable registration
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("SELECT simhash64('one two three four five') AS sk")
+      .head().getLong(0) shouldBe direct.head
+    // no UDF anywhere in the sketch plan
+    val plan = texts.toDF("text").select(Dedup.simhash(F.col("text")))
+      .queryExecution.executedPlan.toString
+    (plan should not).include("BatchEvalPython")
+    plan.toLowerCase should not include "scalaudf"
+  }
+
   test("hashed shingles match string shingles' set cardinality semantics") {
     val both = docs.select(
       F.size(Dedup.shingles(F.col("text"))).as("s"),
@@ -287,6 +309,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     scoreD shouldBe 3 * (math.log(2.0) + 1) +- 1e-9
   }
 
+  test("tf-idf term join is not hint-forced (AQE picks the strategy)") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
+    val analyzed = TextAnalysis.tfIdf(d, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    // Exactly ONE broadcast hint is allowed: the 1-row corpus-size
+    // aggregate. The term<->docFreq join must carry no hint — a forced
+    // broadcast of an unbounded vocabulary is the 100TB OOM mode.
+    "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
+  }
+
   test("salted join equals plain join") {
     import graft.extras.Relational
     import graft.core.KFrame
@@ -300,6 +333,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .toOrderedDF.select("o_orderkey", "c_name").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     salted shouldBe plain
+  }
+
+  test("events nanos handling is read-scoped, not session-wide") {
+    // the read itself works and yields a microsecond timestamp
+    val ev = Tables.events(spark, sf)
+    ev.select("ts").head().get(0) shouldBe a[java.sql.Timestamp]
+    // the session conf was never mutated…
+    spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("false") shouldBe "false"
+    // …so an unscoped read of the same NANOS parquet still gets the
+    // default-mode rejection: other NANOS reads in this session are
+    // unaffected by Tables.events.
+    val err = intercept[Exception] {
+      spark.read.parquet(s"$sf/events.parquet").schema
+    }
+    err.getMessage.toLowerCase should include("nanos")
   }
 
   test("mapGroupsWithState running totals match a plain aggregate (batch)") {
