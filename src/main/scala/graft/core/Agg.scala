@@ -70,6 +70,9 @@ object Agg {
     * (`/root/reference/src/Data/DataFrame/Combinator.hs:124`). Values of one
     * group are collected to an array (same memory model as the reference,
     * which folds a per-group list); groups themselves stay distributed.
+    * This list model is REQUIRED only because the closure may be
+    * order-sensitive; if the fold is commutative, use
+    * [[CustomFoldNumeric]] — bounded memory per group, no list.
     */
   final case class CustomNumeric(f: Seq[Double] => Double) extends KAggregator {
     private def collected(field: String, orderCol: Column): Column =
@@ -93,6 +96,50 @@ object Agg {
       finish(collected(field, orderCol))
     val numeric = false
     override val orderSensitive = true
+  }
+
+  /** Bounded-memory custom aggregator for ORDER-INSENSITIVE closures
+    * (SURVEY §2.12): a true incremental fold compiled through
+    * `Aggregator[IN, BUF, OUT]` + `functions.udaf`, so every group carries
+    * one fixed-size buffer `B` through partial (map-side) and final
+    * aggregation — never a per-group value list. This is the scale path for
+    * custom aggregation: [[CustomNumeric]]/[[CustomString]] keep the
+    * reference's fold-a-group-list memory model (required for
+    * order-sensitive folds) and can OOM on giant groups;
+    * a CustomFold cannot.
+    *
+    * The closure must be a commutative monoid fold — `merge` combines
+    * buffers from any two partitions in any order. Nulls are skipped, like
+    * every built-in aggregate.
+    *
+    * Example (mean without collect_list):
+    * {{{
+    * Agg.CustomFoldNumeric[(Double, Long)]((0.0, 0L),
+    *   step  = (b, x) => (b._1 + x, b._2 + 1),
+    *   merge = (a, b) => (a._1 + b._1, a._2 + b._2),
+    *   output = b => if (b._2 == 0) 0.0 else b._1 / b._2)
+    * }}}
+    */
+  final case class CustomFoldNumeric[B](zeroBuf: B, step: (B, Double) => B,
+      merge: (B, B) => B, output: B => Double)(
+      implicit ct: scala.reflect.ClassTag[B]) extends KAggregator {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    private val sparkAgg =
+      new org.apache.spark.sql.expressions.Aggregator[java.lang.Double, B, Double] {
+        def zero: B = zeroBuf
+        def reduce(b: B, a: java.lang.Double): B =
+          if (a == null) b else step(b, a.doubleValue)
+        def merge(b1: B, b2: B): B = CustomFoldNumeric.this.merge(b1, b2)
+        def finish(b: B): Double = output(b)
+        def bufferEncoder: Encoder[B] =
+          Encoders.kryo(ct.runtimeClass.asInstanceOf[Class[B]])
+        def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+    def toColumn(field: String, orderCol: Column): Column =
+      F.udaf(sparkAgg, Encoders.DOUBLE).apply(F.col(field).cast("double"))
+    val numeric = true
+    // orderSensitive stays false: aggregate/transform take the plain
+    // hash-aggregate path — no order materialization, no input sort.
   }
 
   val sum: KAggregator = Sum

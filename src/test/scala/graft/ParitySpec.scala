@@ -260,6 +260,23 @@ class ParitySpec extends AnyFunSuite with Matchers {
     col(df.groupby("gender").aggregate(firstLast, "city"), "city") shouldBe
       Seq("austindenver", "austindenver")
   }
+  test("CustomFoldNumeric: bounded-memory fold matches collect_list closure") {
+    // mean as a commutative (sum, count) fold — the incremental
+    // Aggregator/udaf path, one fixed-size buffer per group
+    val foldMean = Agg.CustomFoldNumeric[(Double, Long)]((0.0, 0L),
+      step = (b, x) => (b._1 + x, b._2 + 1),
+      merge = (a, b) => (a._1 + b._1, a._2 + b._2),
+      output = b => if (b._2 == 0) 0.0 else b._1 / b._2)
+    val viaFold = col(df.groupby("gender").aggregate(foldMean, "cost"), "cost")
+    val viaList = col(df.groupby("gender")
+      .aggregate(Agg.CustomNumeric(xs => xs.sum / xs.length), "cost"), "cost")
+    viaFold shouldBe viaList
+    viaFold shouldBe col(df.groupby("gender").aggregate(Agg.mean, "cost"), "cost")
+    // the scale contract: no per-group value list anywhere in the plan
+    val plan = df.groupby("gender").aggregate(foldMean, "cost")
+      .toOrderedDF.queryExecution.executedPlan.toString
+    (plan should not).include("collect_list")
+  }
 
   // ---- melt (Spec.lhs:98-106) -----------------------------------------
 
