@@ -644,6 +644,11 @@ object Queries {
     "q_text_stats" -> (q_text_stats _),
     "q_tfidf" -> (q_tfidf _),
     "q_asof" -> (q_asof _),
-    "q_events_window" -> (q_events_window _)
+    "q_events_window" -> (q_events_window _),
+    "q_cast_pivot" -> (q_cast_pivot _),
+    "q_pipeline" -> (q_pipeline _),
+    "q_events_sessions" -> (q_events_sessions _),
+    "q_transform" -> (q_transform _),
+    "q_set_except" -> (q_set_except _)
   )
 }
