@@ -465,25 +465,67 @@ final class KFrame private[graft] (
         rowIdAsc = !rowIdAsc)
   }
 
+  /** Attach a hidden contiguous 1..n position column in current frame order
+    * while PRESERVING the visible row ids (unlike [[materializePositions]],
+    * which rewrites them — reference display parity keeps original indices
+    * through take/drop). Distributed: range-partitioned sort + per-partition
+    * offset zipWithIndex; no global window, no single-task funnel.
+    */
+  private def withPositions: DataFrame = {
+    val ordered = ds.orderBy(orderCols: _*)
+    val schema = StructType(ordered.schema.fields :+
+      StructField(Pos, LongType, nullable = false))
+    val rdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Positional slice via the distributed position column: `keepFirst` keeps
+    * positions <= n (take), otherwise positions > n (drop). The scale path
+    * for huge n — a `limit(n)` plan funnels n rows through one task, this
+    * funnels none. Exposed package-private so specs can pin its equivalence
+    * to the direct paths without a multi-million-row fixture.
+    */
+  private[graft] def sliceViaPositions(n: Int, keepFirst: Boolean): KFrame = {
+    val pred = if (keepFirst) F.col(Pos) <= n else F.col(Pos) > n
+    copyWith(ds = withPositions.filter(pred).drop(Pos), pivot = None,
+      idsArePositions = false)
+  }
+
   /** First n rows in frame order; Haskell `take` edge semantics
     * (n<=0 → empty, oversized → all) (`Combinator.hs:293-295`).
+    *
+    * Three plans by cost: ids-are-positions frames slice with a pure
+    * distributed filter on the id (zero shuffle, ids stay positions);
+    * display-sized n uses `limit(n)` (per-partition LocalLimit then one
+    * n-row exchange); n beyond [[KFrame.DirectLimitThreshold]] switches to
+    * [[sliceViaPositions]] so no single task ever materializes n rows.
     */
   def take(n: Int): KFrame =
     if (n <= 0) copyWith(ds = ds.filter(F.lit(false)), pivot = None)
-    else copyWith(ds = ds.orderBy(orderCols: _*).limit(n), pivot = None,
-      idsArePositions = false)
+    else if (idOrderIsFrameOrder && idsArePositions)
+      copyWith(ds = ds.filter(F.col(RowId) <= n), pivot = None)
+    else if (n <= DirectLimitThreshold)
+      copyWith(ds = ds.orderBy(orderCols: _*).limit(n), pivot = None,
+        idsArePositions = false)
+    else sliceViaPositions(n, keepFirst = true)
 
-  /** All but the first n rows: anti-join against the first-n row ids. No
-    * broadcast hint — AQE picks broadcast when the limit side is small and
-    * degrades to a shuffle join when n is huge (never a driver OOM).
+  /** All but the first n rows. Same three-tier plan selection as [[take]];
+    * the mid tier anti-joins against the first-n row ids with no broadcast
+    * hint — AQE picks broadcast when the limit side is small and degrades to
+    * a shuffle join otherwise (never a driver OOM).
     */
   def drop(n: Int): KFrame =
     if (n <= 0) copyWith(pivot = None)
-    else {
+    else if (idOrderIsFrameOrder && idsArePositions)
+      copyWith(ds = ds.filter(F.col(RowId) > n), pivot = None,
+        idsArePositions = false)
+    else if (n <= DirectLimitThreshold) {
       val firstIds = ds.orderBy(orderCols: _*).limit(n).select(RowId)
       copyWith(ds = ds.join(firstIds, Seq(RowId), "left_anti"),
         pivot = None, idsArePositions = false)
-    }
+    } else sliceViaPositions(n, keepFirst = false)
 
   /** Empty-frame crash parity (`Spec.lhs:32-50`): the reference's
     * `head/tail/init/last` crash on a row-empty frame, EXCEPT when the frame
@@ -650,7 +692,16 @@ object KFrame {
   /** Hidden scratch columns. */
   private[core] val MeltH = "__melt_h"
   private[core] val ZipL = "__zip_l"
+  private[core] val Pos = "__pos"
   private[core] val ZipR = "__zip_r"
+
+  /** Above this n, take/drop abandon `limit(n)`-shaped plans (whose
+    * GlobalLimit funnels n rows through a single task) for the distributed
+    * position computation in `sliceViaPositions`. ~4M rows ≈ a few hundred
+    * MB through one task at worst — comfortably under executor memory;
+    * anything bigger gets the shuffle-based plan.
+    */
+  private[graft] val DirectLimitThreshold: Int = 1 << 22
 
   /** Wrap an existing DataFrame, assigning contiguous row ids 1..n in its
     * current order (partition-offset zipWithIndex). Exact position ids, at

@@ -84,6 +84,26 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sliceViaPositions (huge-n plan) matches take/drop, plain and sorted") {
+    for (n <- Seq(1, 4, 6, 12); base <- Seq(df, df.sort("cost")))
+      withClue(s"n=$n sorted=${base ne df}: ") {
+        base.sliceViaPositions(n, keepFirst = true).toOrderedDF
+          .collect().toSeq shouldBe base.take(n).toOrderedDF.collect().toSeq
+        base.sliceViaPositions(n, keepFirst = false).toOrderedDF
+          .collect().toSeq shouldBe base.drop(n).toOrderedDF.collect().toSeq
+      }
+  }
+
+  test("take/drop on a positions frame are pure filters: no limit, no join") {
+    // CSV ingest assigns exact 1..n position ids, so the slice should be a
+    // distributed filter on the id — no GlobalLimit funnel, no anti-join.
+    for (f <- Seq(df.take(5), df.drop(5))) {
+      val plan = f.toOrderedDF.queryExecution.executedPlan.toString
+      (plan should not).include("GlobalLimit")
+      (plan should not).include("Join")
+    }
+  }
+
   test("append(take(n), drop(n)) reassembles the frame for every n") {
     val want = df.toOrderedDF.collect().toSeq
     for (n <- Seq(1, 4, 6, 11)) withClue(s"n=$n: ") {
