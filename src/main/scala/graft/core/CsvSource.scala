@@ -20,9 +20,12 @@ import org.apache.spark.sql.{functions => F}
   * empties become nulls and mixed columns degrade to Text.
   *
   * `detectDates = true` additionally wires the reference's declared-but-
-  * disabled Date/DateTime detectors (`DataFrame.hs:207-210` are hard-coded
-  * False) using strict ISO formats — an intentional, documented capability
-  * upgrade that is OFF by default for parity.
+  * disabled Date/Time/DateTime detectors (`DataFrame.hs:207-210` are
+  * hard-coded False) using strict ISO formats — an intentional, documented
+  * capability upgrade that is OFF by default for parity. Bare time-of-day
+  * maps to an epoch-day-anchored `TIMESTAMP_NTZ` carrying the `KTime` trait
+  * (Spark's native TIME type is feature-flagged off; a library must not
+  * flip session-wide flags).
   */
 object CsvSource {
 
@@ -51,7 +54,9 @@ object CsvSource {
         // cast throw on the first non-numeric cell instead of profiling it.
         F.count(F.when(F.expr(s"try_cast(trim(`$c`) as double)").isNotNull, 1)).as(s"n$i"),
         F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1)).as(s"d$i"),
-        F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}$"), 1)).as(s"dt$i"))
+        F.count(F.when(v.rlike("^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}$"), 1)).as(s"dt$i"),
+        // bare time-of-day; range-checked so the later ANSI cast cannot throw
+        F.count(F.when(v.rlike("^([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d$"), 1)).as(s"tm$i"))
     }
     val p = raw.agg(profileExprs.head, profileExprs.tail: _*).head()
 
@@ -61,13 +66,15 @@ object CsvSource {
       val num = p.getAs[Long](s"n$i")
       val date = p.getAs[Long](s"d$i")
       val datetime = p.getAs[Long](s"dt$i")
+      val time = p.getAs[Long](s"tm$i")
       val nonEmpty = total - empty
       if (strict && empty > 0)
         throw new KevinException("Invalid data (possibly missing values)")
       val allNum = nonEmpty > 0 && num == nonEmpty
       val allDate = detectDates && nonEmpty > 0 && date == nonEmpty
       val allDateTime = detectDates && nonEmpty > 0 && datetime == nonEmpty
-      if (strict && !allNum && !allDate && !allDateTime && num > 0)
+      val allTime = detectDates && nonEmpty > 0 && time == nonEmpty
+      if (strict && !allNum && !allDate && !allDateTime && !allTime && num > 0)
         throw new KevinException("Invalid data (possibly missing values)")
       val (expr, t) =
         if (allDate)
@@ -76,6 +83,13 @@ object CsvSource {
         else if (allDateTime)
           (F.to_timestamp(F.regexp_replace(F.trim(F.col(c)), "T", " ")),
             FieldTraits(KDataType.KDateTime, DataRole.Dimension, DataInterpretation.Continuous))
+        else if (allTime)
+          // Time-of-day rides an epoch-day-anchored TIMESTAMP_NTZ (tz-free,
+          // parquet/oracle-safe everywhere); the KTime trait drives hh:mm:ss
+          // display. Spark 4.1's native TIME type stays behind the
+          // spark.sql.timeType.enabled flag, which a library must not flip.
+          (F.to_timestamp_ntz(F.concat(F.lit("1970-01-01 "), F.trim(F.col(c)))),
+            FieldTraits(KDataType.KTime, DataRole.Dimension, DataInterpretation.Continuous))
         else if (allNum && c == "year") // the reference's "year" heuristic (DataFrame.hs:226-228)
           (F.trim(F.col(c)).cast("double"), FieldTraits.discreteNumber)
         else if (allNum)

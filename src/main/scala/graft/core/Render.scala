@@ -47,16 +47,23 @@ object Render {
     * `show Empty = "empty"`), both for null cells and absent crosstab
     * intersections.
     */
-  private def fmt(v: Any, discrete: Boolean): String = v match {
-    case null => "empty"
-    case d: java.lang.Double => fmtDouble(d, discrete)
-    case f: java.lang.Float => fmtDouble(f.toDouble, discrete)
-    case n: java.math.BigDecimal => fmtDouble(n.doubleValue, discrete)
-    case n: java.lang.Number if discrete => n.toString
-    case n: java.lang.Long => n.toString
-    case n: java.lang.Integer => n.toString
-    case other => other.toString
-  }
+  private def fmt(v: Any, discrete: Boolean, time: Boolean = false): String =
+    v match {
+      case null => "empty"
+      case d: java.lang.Double => fmtDouble(d, discrete)
+      case f: java.lang.Float => fmtDouble(f.toDouble, discrete)
+      case n: java.math.BigDecimal => fmtDouble(n.doubleValue, discrete)
+      case n: java.lang.Number if discrete => n.toString
+      case n: java.lang.Long => n.toString
+      case n: java.lang.Integer => n.toString
+      // KTime columns ride an epoch-day-anchored TIMESTAMP_NTZ (CsvSource);
+      // display only the time-of-day component.
+      case t: java.time.LocalDateTime if time => TimeFmt.format(t)
+      case t: java.sql.Timestamp if time => TimeFmt.format(t.toLocalDateTime)
+      case other => other.toString
+    }
+
+  private val TimeFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")
 
   private def fmtDouble(d: Double, discrete: Boolean): String =
     if (discrete) f"$d%.0f"
@@ -75,6 +82,7 @@ object Render {
       .select((KFrame.RowId +: cols).map(F.col): _*)
       .take(maxRows)
     val discrete = cols.map(isDiscrete(kf, _))
+    val isTime = cols.map(kf.traits(_).dataType == KDataType.KTime)
     val header = "" +: cols
     // Reference-meaningful ids (1..n assignments, possibly subset by
     // filters) display as-is; synthetic order-carrying ids (wrap ingest,
@@ -84,7 +92,8 @@ object Render {
       if (kf.idsMeaningful) rows.toSeq.map(_.getLong(0))
       else (1L to rows.length.toLong)
     val records = rows.toSeq.zip(displayIds).map { case (r, id) =>
-      id.toString +: cols.indices.map(i => fmt(r.get(i + 1), discrete(i)))
+      id.toString +: cols.indices.map(i =>
+        fmt(r.get(i + 1), discrete(i), isTime(i)))
     }
     showLines(header +: records) + groupFooter(kf, rows, displayIds, cols)
   }
@@ -185,6 +194,7 @@ object Render {
         s"crosstab backing exceeds the display budget ($budget rows); " +
           "aggregate further or render fewer pivot levels")
     val valDiscrete = false // cells use plain `show` in the reference (:143)
+    val valIsTime = kf.traits(p.valueField).dataType == KDataType.KTime
 
     def tuplesFor(fs: Seq[String]): Seq[Seq[Any]] =
       rows.toSeq.map(r => fs.map(f => r.get(fields.indexOf(f)))).distinct
@@ -202,7 +212,7 @@ object Render {
     def cellAt(rp: Seq[Any], cp: Seq[Any]): String =
       cells.get(rp ++ cp) match {
         case None => "empty" // getVal' [] = Empty -> "empty" (DataFrame.hs:143,92)
-        case Some(Seq(v)) => fmt(v, valDiscrete)
+        case Some(Seq(v)) => fmt(v, valDiscrete, valIsTime)
         case Some(_) =>
           throw new KevinException("invalid data (many values for the same index)")
       }

@@ -93,7 +93,9 @@ object FieldTraits {
     f.dataType match {
       case _: NumericType => measure
       case DateType => FieldTraits(KDataType.KDate, DataRole.Dimension, DataInterpretation.Discrete)
-      case _: TimestampType => FieldTraits(KDataType.KDateTime, DataRole.Dimension, DataInterpretation.Continuous)
+      case _: TimestampType | TimestampNTZType =>
+        FieldTraits(KDataType.KDateTime, DataRole.Dimension, DataInterpretation.Continuous)
+      case _: TimeType => FieldTraits(KDataType.KTime, DataRole.Dimension, DataInterpretation.Continuous)
       case _ => text
     }
   }

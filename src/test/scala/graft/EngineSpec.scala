@@ -278,6 +278,22 @@ class EngineSpec extends AnyFunSuite with Matchers {
     d.toOrderedDF.schema("seen").dataType.typeName shouldBe "timestamp"
     d.height shouldBe 2
   }
+  test("detectDates=true: bare time-of-day becomes a KTime column") {
+    val d = CsvSource.load(spark, "src/test/resources/times.csv",
+      strict = true, detectDates = true)
+    d.traits("start").dataType shouldBe KDataType.KTime
+    d.traits("shift").dataType shouldBe KDataType.KText
+    // carried as tz-free epoch-day-anchored TIMESTAMP_NTZ (Spark's TIME
+    // type is feature-flagged off; a library must not flip session flags)
+    d.toOrderedDF.schema("start").dataType.typeName shouldBe "timestamp_ntz"
+    d.filter(org.apache.spark.sql.functions.col("start") >
+      org.apache.spark.sql.functions.expr("timestamp_ntz'1970-01-01 12:00:00'"))
+      .height shouldBe 2
+    // renders as bare hh:mm:ss
+    val out = d.render()
+    out should include("06:30:00")
+    (out should not).include("1970-01-01")
+  }
   test("detectDates=true: ISO dates become Date/Dimension columns") {
     val d = CsvSource.load(spark, "src/test/resources/dates.csv",
       strict = true, detectDates = true)
