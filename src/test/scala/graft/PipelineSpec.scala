@@ -184,6 +184,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("cleanCorpus runtime plan reuses the exact-dedup shuffle stage") {
+    // The STATIC plan duplicates the scan + quality-filter + dedup-window
+    // subtree 5x (one per consumer); the scale contract is that AQE's
+    // runtime stage cache collapses the duplicates, so the corpus is
+    // scanned at most twice (once pruned for the anti-join survivor side,
+    // once with text for the shingle branches) and the window shuffle is
+    // computed at most twice then reused. A change that breaks subtree
+    // canonical equality (e.g. a branch-specific filter) would silently
+    // multiply full-corpus scans at 100 TB — this pins it.
+    import graft.operators.Pipelines
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Pipelines.cleanCorpus(docs, "doc_id", "text")
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    finalPlan should include("ReusedExchange")
+    "FileScan parquet".r.findAllIn(finalPlan).size should be <= 2
+  }
+
   test("approx sketches land within tolerance of exact answers") {
     import graft.extras.Approx
     val ev = Tables.events(spark, sf)
