@@ -167,17 +167,20 @@ object TextAnalysis {
   }
 
   /** TF-IDF scores per (document, term): smoothed idf
-    * `ln((N+1)/(df+1)) + 1` over raw term frequency. Two shuffles total —
-    * one per-(doc,term) count, one document-frequency aggregate joined
-    * back; the corpus is scanned once.
+    * `ln((N+1)/(df+1)) + 1` over raw term frequency.
     *
-    * The term↔docFreq join carries NO broadcast hint on purpose: the
-    * distinct-term table of a web-scale corpus is itself huge (billions of
-    * rows — Heaps' law), so forcing a broadcast would OOM executors exactly
-    * when the data gets big. Left unhinted, AQE broadcasts it when the
-    * runtime stats say it is small (the sf0.01 test case) and falls back to
-    * a shuffled hash join at scale. The 1-row corpus-size aggregate is the
-    * only explicit broadcast.
+    * Plan shape (the scale contract): ONE corpus scan, two data shuffles —
+    * the per-(doc,term) count, then a term-partitioned window count that
+    * attaches document frequency to each tf row in place. The window
+    * replaces the tf⋈docFreq self-join entirely: a join formulation either
+    * re-scans and re-tokenizes the corpus for the docFreq branch (column
+    * pruning specializes the two aggregate subtrees, so AQE's stage cache
+    * cannot reuse the tf shuffle between them) or needs a broadcast of the
+    * distinct-term table, which is itself huge on a web corpus (billions of
+    * rows — Heaps' law) and would OOM executors exactly when the data gets
+    * big. Term skew in the window equals the join's shuffle skew on the
+    * same key — no new hazard. The 1-row corpus-size aggregate is the only
+    * explicit broadcast.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
@@ -186,9 +189,10 @@ object TextAnalysis {
       .agg(F.count(F.lit(1)).as("tf"))
     // corpus size as an in-plan 1-row broadcast — no driver-side count job
     val nDF = df.agg(F.count(F.lit(1)).cast("double").as("__n"))
-    val docFreq = tf.groupBy("term")
-      .agg(F.count_distinct(F.col(idCol)).as("df"))
-    tf.join(docFreq, "term")
+    // tf rows ARE the distinct (doc, term) pairs, so df(term) = row count
+    // per term partition.
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    tf.withColumn("df", F.count(F.lit(1)).over(byTerm))
       .crossJoin(F.broadcast(nDF))
       .withColumn("idf",
         F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))

@@ -330,15 +330,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     scoreD shouldBe 3 * (math.log(2.0) + 1) +- 1e-9
   }
 
-  test("tf-idf term join is not hint-forced (AQE picks the strategy)") {
+  test("tf-idf's only broadcast hint is the 1-row corpus-size aggregate") {
     import spark.implicits._
     val d = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
     val analyzed = TextAnalysis.tfIdf(d, "doc_id", "text")
       .queryExecution.analyzed.toString
-    // Exactly ONE broadcast hint is allowed: the 1-row corpus-size
-    // aggregate. The term<->docFreq join must carry no hint — a forced
-    // broadcast of an unbounded vocabulary is the 100TB OOM mode.
+    // No hint may ever touch term-keyed data: a forced broadcast of an
+    // unbounded vocabulary is the 100TB OOM mode (df now rides a window,
+    // so there is no term join at all to mis-hint).
     "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
+  }
+
+  test("tf-idf scans and tokenizes the corpus exactly once") {
+    // df rides a term-partitioned window over tf instead of a tf⋈docFreq
+    // self-join: a join formulation re-scans + re-tokenizes the corpus for
+    // the docFreq branch (pruning specializes the subtrees, defeating AQE
+    // stage reuse). One Generate (tokenize+explode) and one text-bearing
+    // scan is the 100 TB contract.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = TextAnalysis.tfIdf(docs, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "Generate explode".r.findAllIn(p).size shouldBe 1
+    "FileScan parquet \\[doc_id".r.findAllIn(p).size shouldBe 1
   }
 
   test("salted join equals plain join") {
