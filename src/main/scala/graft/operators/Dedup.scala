@@ -113,10 +113,19 @@ object Dedup {
     // fallback uses SparkSession.active, wrong in multi-session apps)
     graft.plans.GraftExtensions.register(df.sparkSession)
     val r = numHashes / bands
+    // The shingle table feeds THREE consumers (banding + both sides of the
+    // in-bucket verify). Left as a bare projection, each consumer re-scans
+    // and re-shingle-hashes the corpus (their downstream partitionings
+    // differ, so no stage is shared). The explicit repartition(id) is a
+    // materialization point: one canonically-identical exchange that AQE's
+    // stage cache computes once and reuses everywhere — one extra shuffle
+    // of (id, hashes) buys two fewer corpus scans + shingle passes
+    // (plan-pinned in PipelineSpec).
     val sh = df.select(
       F.col(idCol).as("id"),
       hashedShingles(F.col(textCol), shingleN).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
+      .repartition(F.col("id"))
 
     // Fused native signature kernel over the hash-array attribute (the
     // kernel masks to the 32-bit domain internally).

@@ -49,6 +49,21 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("minhash LSH scans and shingle-hashes the corpus exactly once") {
+    // The shingle table feeds banding + both verify sides; the explicit
+    // repartition(id) materialization point makes all three consumers
+    // reuse ONE exchange at runtime instead of re-scanning the corpus.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should include("ReusedExchange")
+  }
+
   test("minhashDedup drops the higher-id member of each pair") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("b_id").collect().map(_.getLong(0)).toSet
