@@ -201,7 +201,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // repartition(id) materialization point: both self-join sides reuse one
+    // exchange instead of re-scanning + re-sketching (see minhash above).
     val sk = df.select(F.col(idCol).as("id"), simhash(F.col(textCol)).as("sk"))
+      .repartition(F.col("id"))
     val banded = sk.select(F.col("id"), F.col("sk"),
       F.explode(F.array((0 until nBands).map { b =>
         F.struct(F.lit(b).as("band"),

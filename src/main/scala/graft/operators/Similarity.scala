@@ -93,10 +93,31 @@ object Similarity {
     bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
   }
 
+  /** One row per (id, table, bucket): every table's SRP bucket key computed
+    * in a single projection then exploded — ONE pass over the vectors for
+    * all `nTables` tables. The N-branch formulation (one join per table,
+    * union the results) re-scans and re-projects the vector table once per
+    * branch per side; this shape replaces 2·nTables scans with 2.
+    */
+  private def tableBuckets(df: DataFrame, id: String, vec: String, dim: Int,
+      nPlanes: Int, nTables: Int, seed: Long): DataFrame =
+    df.select(F.col(id), F.explode(F.array((0 until nTables).map { t =>
+        F.struct(F.lit(t).as("t"),
+          srpBucket(F.col(vec), dim, nPlanes, seed + t).as("b"))
+      }: _*)).as("__tb"))
+      .select(F.col(id), F.col("__tb.t").as("__t"), F.col("__tb.b").as("__b"))
+
   /** Approximate cosine top-k via `nTables` independent SRP hash tables:
-    * per table, queries and candidates join on the bucket key; union the
-    * table candidates, dedup, score, window top-k. No cartesian stage —
-    * each table contributes one hash-partitioned equi-join.
+    * queries and candidates meet in ONE equi-join on the composite
+    * (table, bucket) key; dedup the candidate pairs, score, window top-k.
+    * No cartesian stage anywhere.
+    *
+    * Scan discipline: each side is projected and bucketed once
+    * ([[tableBuckets]]), and the explicit repartition(id) materialization
+    * points mean the scoring joins reuse the SAME exchanges (partitioning
+    * tracks through the id aliases) instead of re-scanning the vector
+    * tables — 2 scans total regardless of `nTables` (plan-pinned in
+    * PipelineSpec).
     *
     * Recall rises with `nTables` and falls with `nPlanes` (narrower
     * buckets); callers trade those against candidate volume. A query whose
@@ -108,13 +129,13 @@ object Similarity {
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+      .repartition(F.col("query_id"))
     val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
-    val tables = (0 until nTables).map { t =>
-      val qb = q.withColumn("__b", srpBucket(F.col("__qv"), dim, nPlanes, seed + t))
-      val cb = c.withColumn("__b", srpBucket(F.col("__cv"), dim, nPlanes, seed + t))
-      qb.join(cb, "__b").select("query_id", "cand_id")
-    }
-    val cands = tables.reduce(_ unionAll _).distinct()
+      .repartition(F.col("cand_id"))
+    val qb = tableBuckets(q, "query_id", "__qv", dim, nPlanes, nTables, seed)
+    val cb = tableBuckets(c, "cand_id", "__cv", dim, nPlanes, nTables, seed)
+    val cands = qb.join(cb, Seq("__t", "__b")).select("query_id", "cand_id")
+      .distinct()
     val scored = cands
       .join(q, "query_id").join(c, "cand_id")
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id") else F.lit(true))
@@ -181,14 +202,17 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
       nTables: Int = 6, seed: Long = 42L): DataFrame = {
+    // Same scan discipline as lshTopK: one bucketing pass for all tables,
+    // one repartition(id) materialization point reused by the self-join
+    // sides AND the two verify joins (partitioning tracks the id aliases).
     val v = df.select(F.col(idCol).as("id"), F.col(vecCol).as("__v"))
-    val tables = (0 until nTables).map { t =>
-      val b = v.withColumn("__b", srpBucket(F.col("__v"), dim, nPlanes, seed + t))
-      b.as("x").join(b.as("y"),
-          F.col("x.__b") === F.col("y.__b") && F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
-    }
-    val cands = tables.reduce(_ unionAll _).distinct()
+      .repartition(F.col("id"))
+    val b = tableBuckets(v, "id", "__v", dim, nPlanes, nTables, seed)
+    val cands = b.as("x").join(b.as("y"),
+        F.col("x.__t") === F.col("y.__t") && F.col("x.__b") === F.col("y.__b") &&
+          F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+      .distinct()
     cands
       .join(v.select(F.col("id").as("a_id"), F.col("__v").as("__av")), "a_id")
       .join(v.select(F.col("id").as("b_id"), F.col("__v").as("__bv")), "b_id")

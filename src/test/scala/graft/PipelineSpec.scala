@@ -261,6 +261,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("LSH topk scans each vector table once, regardless of nTables") {
+    // All 8 tables' bucket keys come from ONE projection per side (explode
+    // of (table, bucket) structs) and the repartition materialization
+    // points let the scoring joins reuse the same exchanges — the N-branch
+    // join-per-table formulation scanned each side once per table.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Similarity.lshTopK(emb.filter(F.col("vec_id") < 10), emb,
+      "vec_id", "embedding", k = 5, dim = 64)
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
+    p should include("ReusedExchange")
+  }
+
   test("IVF topk probes centroid lists and achieves nontrivial recall") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
