@@ -142,6 +142,31 @@ object Agg {
     // hash-aggregate path — no order materialization, no input sort.
   }
 
+  /** String sibling of [[CustomFoldNumeric]]: bounded-memory incremental
+    * fold for ORDER-INSENSITIVE string closures (e.g. lexicographic
+    * min/max, distinct-ish sketches). Same contract: commutative monoid
+    * (zero, step, merge, output), nulls skipped, one fixed-size buffer per
+    * group, no collect_list.
+    */
+  final case class CustomFoldString[B](zeroBuf: B, step: (B, String) => B,
+      merge: (B, B) => B, output: B => String)(
+      implicit ct: scala.reflect.ClassTag[B]) extends KAggregator {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    private val sparkAgg =
+      new org.apache.spark.sql.expressions.Aggregator[String, B, String] {
+        def zero: B = zeroBuf
+        def reduce(b: B, a: String): B = if (a == null) b else step(b, a)
+        def merge(b1: B, b2: B): B = CustomFoldString.this.merge(b1, b2)
+        def finish(b: B): String = output(b)
+        def bufferEncoder: Encoder[B] =
+          Encoders.kryo(ct.runtimeClass.asInstanceOf[Class[B]])
+        def outputEncoder: Encoder[String] = Encoders.STRING
+      }
+    def toColumn(field: String, orderCol: Column): Column =
+      F.udaf(sparkAgg, Encoders.STRING).apply(F.col(field))
+    val numeric = false
+  }
+
   val sum: KAggregator = Sum
   val mean: KAggregator = Mean
   val count: KAggregator = Count

@@ -260,6 +260,19 @@ class ParitySpec extends AnyFunSuite with Matchers {
     col(df.groupby("gender").aggregate(firstLast, "city"), "city") shouldBe
       Seq("austindenver", "austindenver")
   }
+  test("CustomFoldString: bounded-memory lexicographic min, no collect_list") {
+    val lexMin = Agg.CustomFoldString[String]("",
+      step = (b, x) => if (b.isEmpty || x < b) x else b,
+      merge = (a, b) => if (a.isEmpty) b else if (b.isEmpty) a
+        else if (a < b) a else b,
+      output = identity)
+    col(df.groupby("gender").aggregate(lexMin, "city"), "city") shouldBe
+      Seq("austin", "austin")
+    val plan = df.groupby("gender").aggregate(lexMin, "city")
+      .toOrderedDF.queryExecution.executedPlan.toString
+    (plan should not).include("collect_list")
+  }
+
   test("CustomFoldNumeric: bounded-memory fold matches collect_list closure") {
     // mean as a commutative (sum, count) fold — the incremental
     // Aggregator/udaf path, one fixed-size buffer per group
