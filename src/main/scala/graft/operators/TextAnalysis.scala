@@ -169,18 +169,28 @@ object TextAnalysis {
   /** TF-IDF scores per (document, term): smoothed idf
     * `ln((N+1)/(df+1)) + 1` over raw term frequency.
     *
-    * Plan shape (the scale contract): ONE corpus scan, two data shuffles —
-    * the per-(doc,term) count, then a term-partitioned window count that
-    * attaches document frequency to each tf row in place. The window
-    * replaces the tf⋈docFreq self-join entirely: a join formulation either
-    * re-scans and re-tokenizes the corpus for the docFreq branch (column
-    * pruning specializes the two aggregate subtrees, so AQE's stage cache
-    * cannot reuse the tf shuffle between them) or needs a broadcast of the
-    * distinct-term table, which is itself huge on a web corpus (billions of
-    * rows — Heaps' law) and would OOM executors exactly when the data gets
-    * big. Term skew in the window equals the join's shuffle skew on the
-    * same key — no new hazard. The 1-row corpus-size aggregate is the only
-    * explicit broadcast.
+    * Plan shape (the scale contract): ONE corpus scan + tokenize pass, and
+    * every term-keyed operation is either a partial+final aggregate or an
+    * AQE-skew-splittable join — never a construct that must colocate all
+    * rows of one term in one task:
+    *
+    *  - df could ride a `Window.partitionBy(term)` count with no join at
+    *    all, but a window CANNOT be skew-split: a stop-word appearing in
+    *    every document would funnel billions of rows through a single task.
+    *    The tf⋈docFreq equi-join keeps AQE free to split the skewed left
+    *    partitions against the 1-row-per-term right side.
+    *  - the join carries NO broadcast hint: the distinct-term table of a
+    *    web corpus is itself huge (Heaps' law), so a forced broadcast is
+    *    the 100 TB OOM mode. AQE broadcasts it when runtime stats allow.
+    *  - docFreq counts `when(tf >= 1, 1)` — semantically identical to
+    *    count(*) since tf >= 1 by construction, but the reference to the
+    *    tf value stops column pruning from specializing the docFreq
+    *    branch's copy of the tf aggregate (a pruned copy is no longer
+    *    canonically identical, AQE's stage cache cannot reuse it, and the
+    *    corpus gets scanned + tokenized a second time; with the guard both
+    *    branches share ONE tf stage — plan-pinned in PipelineSpec).
+    *
+    * The 1-row corpus-size aggregate is the only explicit broadcast.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
@@ -190,9 +200,10 @@ object TextAnalysis {
     // corpus size as an in-plan 1-row broadcast — no driver-side count job
     val nDF = df.agg(F.count(F.lit(1)).cast("double").as("__n"))
     // tf rows ARE the distinct (doc, term) pairs, so df(term) = row count
-    // per term partition.
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-    tf.withColumn("df", F.count(F.lit(1)).over(byTerm))
+    // per term (see the pruning note above for the when-guard).
+    val docFreq = tf.groupBy("term")
+      .agg(F.count(F.when(F.col("tf") >= 1, 1)).as("df"))
+    tf.join(docFreq, "term")
       .crossJoin(F.broadcast(nDF))
       .withColumn("idf",
         F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))

@@ -374,11 +374,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
   }
 
   test("tf-idf scans and tokenizes the corpus exactly once") {
-    // df rides a term-partitioned window over tf instead of a tf⋈docFreq
-    // self-join: a join formulation re-scans + re-tokenizes the corpus for
-    // the docFreq branch (pruning specializes the subtrees, defeating AQE
-    // stage reuse). One Generate (tokenize+explode) and one text-bearing
-    // scan is the 100 TB contract.
+    // The docFreq branch references the tf value (count of when(tf >= 1))
+    // precisely so column pruning cannot specialize its copy of the tf
+    // aggregate — both branches stay canonically identical and AQE's stage
+    // cache computes tf once (the ReusedExchange below). One Generate
+    // (tokenize+explode) + one text-bearing scan is the 100 TB contract;
+    // the join itself stays AQE-skew-splittable (a window-based df would
+    // funnel a stop-word's rows through one task).
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val q = TextAnalysis.tfIdf(docs, "doc_id", "text")
     q.collect()
@@ -388,6 +390,7 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
     "Generate explode".r.findAllIn(p).size shouldBe 1
     "FileScan parquet \\[doc_id".r.findAllIn(p).size shouldBe 1
+    p should include("ReusedExchange")
   }
 
   test("salted join equals plain join") {
