@@ -238,6 +238,16 @@ object Queries {
         threshold = 0.8)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
 
+  /** Near-dup clusters: connected components of the verified pair graph,
+    * labeled by smallest reachable id. Oracle = DuckDB recursive CTE
+    * (transitive closure + min per node) over the same brute-force pairs.
+    */
+  def q_dedup_clusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8))
+      .select(col("id").as("doc_id"), col("cluster"))
+
   /** SimHash near-dup pairs — rows-only (the sketch is hash-specific, not
     * SQL-replicable; correctness of the 25 engineered near-dup pairs is
     * pinned by the ScalaTest suite against the Jaccard ground truth).
@@ -453,6 +463,29 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM toks WHERE len(ws) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM pairs
+        |), reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        |)
+        |SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u""".stripMargin,
     "q_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
         |q AS (
@@ -611,6 +644,7 @@ object Queries {
     "q_set_intersect" -> (q_set_intersect _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_near" -> (q_dedup_near _),
+    "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
     "q_knn" -> (q_knn _),

@@ -172,6 +172,71 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Resolve near-dup pairs into connected components: every id that
+    * appears in a pair is labeled with the SMALLEST id reachable through
+    * the pair graph (`cluster`) — the principled cluster-level survivor
+    * policy of large-scale dedup pipelines (keep one doc per component,
+    * not merely per pair, so transitive chains a~b~c collapse together).
+    *
+    * Iterative min-label propagation (union-find in dataframe form):
+    * each round replaces a node's label with the min over its own and its
+    * neighbors' labels; rounds needed = O(log component-diameter), each
+    * round one hash equi-join + aggregate over the PAIR graph — which is
+    * orders of magnitude smaller than the corpus, so a driver-side loop
+    * over jobs is the right shape (the per-round convergence check reads a
+    * single aggregate row, and `localCheckpoint` truncates the growing
+    * lineage so analysis cost stays flat). Labels only ever decrease, so
+    * an unchanged label SUM means a fixpoint.
+    *
+    * Input must have `a_id`/`b_id` columns ([[minhashNearDupPairs]] /
+    * [[simhashNearDupPairs]] / [[graft.operators.Similarity.cosineNearDupPairs]]
+    * output). Returns (id, cluster); ids in no pair are implicitly their
+    * own singleton cluster (left-join and coalesce at the call site).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+    val edges = pairs.select(F.col("a_id").as("u"), F.col("b_id").as("v"))
+      .unionAll(pairs.select(F.col("b_id").as("u"), F.col("a_id").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(F.col("u").as("id")).distinct()
+      .withColumn("cluster", F.col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(F.sum("cluster")).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(F.col("id").as("v"), F.col("cluster")), "v")
+        .groupBy(F.col("u").as("id"))
+        .agg(F.min("cluster").as("__nbr"))
+      labels = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val sum = labels.agg(F.sum("cluster")).head().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level near-dup dedup: keep exactly ONE document (the
+    * lowest-id member) per connected component of the near-dup graph.
+    * Strictly stronger than [[minhashDedup]]'s pairwise policy (drop every
+    * higher-id pair member): with edges (1,9) and (5,9), the pair policy
+    * keeps both 1 and 5 — they never meet in a pair — while the cluster
+    * policy sees one component {1,5,9} and keeps only 1.
+    */
+  def minhashDedupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashNearDupPairs(df, idCol, textCol, threshold = threshold))
+    val losers = clusters.filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash of the token stream (Charikar's sign-random-projection

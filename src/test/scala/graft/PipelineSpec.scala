@@ -64,6 +64,39 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("nearDupClusters: hub component collapses where the pair policy cannot") {
+    import spark.implicits._
+    // edges (1,9),(5,9): 1 and 5 never meet in a pair, but share component
+    // {1,5,9}; plus an independent pair (20,21).
+    val pairs = Seq((1L, 9L), (5L, 9L), (20L, 21L)).toDF("a_id", "b_id")
+    val cl = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl shouldBe Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("nearDupClusters: long chain converges to one component") {
+    import spark.implicits._
+    // path 1-2-3-...-10 (diameter 9, needs several propagation rounds)
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cl = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl.keySet shouldBe (1L to 10L).toSet
+    cl.values.toSet shouldBe Set(1L)
+  }
+
+  test("minhashDedupClusters keeps exactly one doc per component") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.minhashDedupClusters(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every non-representative member dropped, representatives kept
+    clusters.foreach { case (id, rep) =>
+      kept.contains(id) shouldBe (id == rep)
+    }
+    (kept.size + clusters.count { case (id, rep) => id != rep }) shouldBe docs.count()
+  }
+
   test("minhashDedup drops the higher-id member of each pair") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("b_id").collect().map(_.getLong(0)).toSet
