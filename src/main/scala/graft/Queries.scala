@@ -335,6 +335,19 @@ object Queries {
       round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
   }
 
+  /** Repetition + PII signals (C4/Gopher-style curation rules) — all pure
+    * column expressions; the PII regexes are RE2-compatible so the oracle
+    * runs the identical pattern.
+    */
+  def q_text_repetition(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      round(TextAnalysis.maxWordFrequency(t), 6).as("max_word_freq"),
+      round(TextAnalysis.dupLineFraction(t), 6).as("dup_line_frac"),
+      TextAnalysis.emailCount(t).as("n_emails"))
+  }
+
   // ---- M8: events / streaming-shaped ----------------------------------
 
   def q_events_window(s: SparkSession, d: String): DataFrame =
@@ -586,6 +599,19 @@ object Queries {
         |      + (CASE WHEN swr > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
         |  round(swr, 4) AS stopword_ratio
         |FROM m""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+        |    round(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w))))::DOUBLE / len(ws), 6) END
+        |    AS max_word_freq,
+        |  CASE WHEN len(string_split(text, chr(10))) <= 1 THEN 0.0 ELSE
+        |    round(1.0 - len(list_distinct(string_split(text, chr(10))))::DOUBLE /
+        |      len(string_split(text, chr(10))), 6) END AS dup_line_frac,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails
+        |FROM toks""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
@@ -655,6 +681,7 @@ object Queries {
     "q_tfidf" -> (q_tfidf _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
+    "q_text_repetition" -> (q_text_repetition _),
     "q_events_window" -> (q_events_window _),
     "q_events_sessions" -> (q_events_sessions _),
     "q_asof" -> (q_asof _),

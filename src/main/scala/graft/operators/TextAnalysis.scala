@@ -212,6 +212,53 @@ object TextAnalysis {
         F.col("tfidf"))
   }
 
+  // ---- repetition & PII signals (C4/Gopher-style curation rules) --------
+
+  /** Frequency of the most common token as a fraction of all tokens — the
+    * Gopher repetition signal that catches keyword-stuffed / looping docs.
+    * Per-row expression over the token array attribute (quadratic in
+    * DISTINCT tokens per doc — display-bounded; no shuffle, no UDF).
+    */
+  def maxWordFrequency(text: Column): Column = {
+    val ts = tokens(text)
+    F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
+      F.aggregate(F.array_distinct(ts), F.lit(0),
+        (acc, w) => F.greatest(acc, F.size(F.filter(ts, x => x === w))))
+        .cast("double") / F.size(ts))
+  }
+
+  /** Fraction of physical lines that are duplicates of an earlier line —
+    * boilerplate/navigation detector (Gopher's duplicate-line rule).
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = F.split(text, "\n")
+    F.when(F.size(lines) <= 1, F.lit(0.0)).otherwise(
+      F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(lines))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no backtracking
+    * constructs) so the DuckDB oracle can run the IDENTICAL regex.
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRx = "\\+?\\d[\\d()\\s-]{6,}\\d"
+
+  def emailCount(text: Column): Column =
+    F.regexp_count(text, F.lit(EmailRx)).cast("long")
+
+  def ipv4Count(text: Column): Column =
+    F.regexp_count(text, F.lit(Ipv4Rx)).cast("long")
+
+  /** Replace emails, IPv4s and phone-ish digit runs with typed placeholder
+    * tags — the standard pre-training scrub. Order matters: emails first
+    * (an address can contain digits), then IPs, then the greedy phone run.
+    */
+  def redactPII(text: Column): Column = {
+    val noEmail = F.regexp_replace(text, F.lit(EmailRx), F.lit("<EMAIL>"))
+    val noIp = F.regexp_replace(noEmail, F.lit(Ipv4Rx), F.lit("<IP>"))
+    F.regexp_replace(noIp, F.lit(PhoneRx), F.lit("<PHONE>"))
+  }
+
   /** All quality/analysis signals as one projection — the shape a pipeline
     * actually runs (single pass over the scan).
     */

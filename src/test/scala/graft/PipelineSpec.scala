@@ -552,6 +552,43 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().foreach(r => r.getString(1) shouldBe r.getString(0))
   }
 
+  test("repetition signals: max word frequency and duplicate lines") {
+    import spark.implicits._
+    val d = Seq(
+      ("loop", "spam spam spam eggs"),                 // 3/4 top token
+      ("flat", "one two three four"),                  // 1/4
+      ("dup", "nav bar\ncontent here\nnav bar"),       // 1 of 3 lines dup
+      ("empty", "")).toDF("id", "text")
+    val out = d.select(F.col("id"),
+      TextAnalysis.maxWordFrequency(F.col("text")).as("mwf"),
+      TextAnalysis.dupLineFraction(F.col("text")).as("dlf"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out("loop")._1 shouldBe 0.75 +- 1e-9
+    out("flat")._1 shouldBe 0.25 +- 1e-9
+    out("dup")._2 shouldBe (1.0 / 3.0) +- 1e-9
+    out("empty") shouldBe ((0.0, 0.0))
+  }
+
+  test("PII: counts and redaction with typed placeholders") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "write to bob.smith+x@example.co.uk or call +1 (555) 123-4567"),
+      ("b", "server at 10.0.255.1 and 192.168.1.77, no mail"),
+      ("c", "clean text, nothing here")).toDF("id", "text")
+    val out = d.select(F.col("id"),
+      TextAnalysis.emailCount(F.col("text")).as("e"),
+      TextAnalysis.ipv4Count(F.col("text")).as("i"),
+      TextAnalysis.redactPII(F.col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out("a")._1 shouldBe 1L
+    out("a")._3 should include("<EMAIL>")
+    out("a")._3 should include("<PHONE>")
+    (out("a")._3 should not).include("555")
+    out("b")._2 shouldBe 2L
+    out("b")._3 shouldBe "server at <IP> and <IP>, no mail"
+    out("c")._3 shouldBe "clean text, nothing here"
+  }
+
   test("fingerprint is whitespace/punctuation-insensitive") {
     import spark.implicits._
     val d = Seq(("a", "Hello,  World!"), ("b", "hello world"), ("c", "hello worlds"))
