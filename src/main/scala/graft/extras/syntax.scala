@@ -35,6 +35,20 @@ object syntax {
         threshold: Double = 0.8): KFrame =
       lift(Dedup.minhashDedup(_, idCol, textCol, threshold))
 
+    /** Cluster-level near-dup dedup: one survivor per connected component
+      * of the near-dup graph (strictly stronger than [[nearDupDedup]]).
+      */
+    def nearDupDedupClusters(idCol: String, textCol: String,
+        threshold: Double = 0.8): KFrame =
+      lift(Dedup.minhashDedupClusters(_, idCol, textCol, threshold))
+
+    /** Replace emails / IPv4s / phone-ish runs in `textCol` with typed
+      * placeholders, in place.
+      */
+    def redactPII(textCol: String): KFrame =
+      lift(df => df.withColumn(textCol,
+        TextAnalysis.redactPII(org.apache.spark.sql.functions.col(textCol))))
+
     /** Quality-gate + exact-dedup + near-dup-dedup curation pipeline. */
     def cleanCorpus(idCol: String, textCol: String): KFrame =
       lift(Pipelines.cleanCorpus(_, idCol, textCol))

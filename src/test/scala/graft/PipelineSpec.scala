@@ -225,6 +225,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       graft.operators.Dedup.minhashDedup(docs, "doc_id", "text").count().toDouble
   }
 
+  test("fluent syntax: cluster dedup and in-place PII redaction") {
+    import graft.core.KFrame
+    import graft.extras.syntax._
+    import spark.implicits._
+    val kf = KFrame.wrap(docs)
+    kf.nearDupDedupClusters("doc_id", "text").height shouldBe
+      Dedup.minhashDedupClusters(docs, "doc_id", "text").count()
+    val pii = KFrame.wrap(Seq((1L, "mail me: a@b.io")).toDF("id", "text"))
+    pii.redactPII("text").toDF.head().getString(1) shouldBe "mail me: <EMAIL>"
+  }
+
   test("cleanCorpus plan contains no cartesian product") {
     import graft.operators.Pipelines
     val plan = Pipelines.cleanCorpus(docs, "doc_id", "text")
