@@ -104,6 +104,36 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("nearDupClusters equals driver-side union-find on random graphs") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // deterministic pseudo-random edge sets over ids 1..30
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(25) {
+        val a = rnd.nextInt(30) + 1L; val b = rnd.nextInt(30) + 1L
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(e => e._1 != e._2).distinct
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = graft.operators.Dedup
+        .nearDupClusters(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial edges=$edges: ") { got shouldBe want }
+    }
+  }
+
   test("append(take(n), drop(n)) reassembles the frame for every n") {
     val want = df.toOrderedDF.collect().toSeq
     for (n <- Seq(1, 4, 6, 11)) withClue(s"n=$n: ") {
