@@ -710,6 +710,8 @@ object Queries {
     "q_pipeline" -> (q_pipeline _),
     "q_events_sessions" -> (q_events_sessions _),
     "q_transform" -> (q_transform _),
-    "q_set_except" -> (q_set_except _)
+    "q_set_except" -> (q_set_except _),
+    "q_dedup_clusters" -> (q_dedup_clusters _),
+    "q_text_repetition" -> (q_text_repetition _)
   )
 }

