@@ -144,6 +144,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Lloyd-refine a centroid set against (a bounded sample of) the
+    * candidate vectors. Each iteration: distributed nearest-centroid
+    * assignment (argmax expression over centroid literals — no shuffle of
+    * vectors), then per-(cluster, dim) mean via posexplode + aggregate
+    * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
+    * bounded by construction, never the data). Training runs on a
+    * deterministic sample capped at `sampleCap` rows so refinement cost is
+    * constant regardless of corpus size — centroid quality needs a sample,
+    * not the corpus.
+    */
+  def kmeansRefine(candidates: DataFrame, vecCol: String,
+      init: Array[(Int, Array[Double])], iters: Int,
+      sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    if (iters <= 0) return init
+    val sample = candidates.select(F.col(vecCol).cast("array<double>").as("__v"))
+      .sample(withReplacement = false, 1.0, seed).limit(sampleCap)
+    var cents = init
+    for (_ <- 1 to iters) {
+      val assignExpr = {
+        val scored = F.array(cents.map { case (cid, cv) =>
+          F.struct(dot(F.col("__v"), F.array(cv.map(F.lit): _*)).as("d"),
+            F.lit(cid).as("cid"))
+        }: _*)
+        F.reverse(F.array_sort(scored)).getItem(0).getField("cid")
+      }
+      val means = sample.withColumn("__c", assignExpr)
+        .select(F.col("__c"), F.posexplode(F.col("__v")))
+        .groupBy("__c", "pos").agg(F.avg("col").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            (cid, m)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
     * ANN layout: candidates are assigned to their nearest centroid's
     * partition list once; each query probes only its `nProbe` nearest
@@ -151,22 +194,25 @@ object Similarity {
     * full scan, and the probe is an equi-join on the centroid id — no
     * cartesian.
     *
-    * Centroids here are a deterministic sample of the candidate set
-    * (`sampleSeed`); a production deployment would k-means-refine them —
-    * the plan shape (assign → equi-join on list id → score → window top-k)
-    * is identical.
+    * Centroids start as a deterministic sample of the candidate set
+    * (`sampleSeed`) and are optionally Lloyd-refined ([[kmeansRefine]],
+    * `refineIters` > 0) on a bounded sample. The plan shape
+    * (assign → equi-join on list id → score → window top-k) is identical
+    * either way; only the k·dim centroid literals change.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      sampleSeed: Long = 42L): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = candidates
+      sampleSeed: Long = 42L, refineIters: Int = 0): DataFrame = {
+    val sampled: Array[(Int, Array[Double])] = candidates
       .select(F.col(vecCol).cast("array<double>"))
       .sample(withReplacement = false, 0.5, sampleSeed)
       .limit(nCentroids)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    require(cents.nonEmpty, "candidate set too small for IVF")
+    require(sampled.nonEmpty, "candidate set too small for IVF")
+    val cents = kmeansRefine(candidates, vecCol, sampled, refineIters,
+      seed = sampleSeed)
 
     def centroidDists(vec: Column): Seq[(Int, Column)] = cents.toSeq.map {
       case (cid, cv) =>

@@ -335,6 +335,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val init = emb.select(F.col("embedding").cast("array<double>"))
+      .sample(withReplacement = false, 0.5, 42L).limit(8)
+      .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    val refinedA = Similarity.kmeansRefine(emb, "embedding", init, iters = 3)
+    val refinedB = Similarity.kmeansRefine(emb, "embedding", init, iters = 3)
+    // deterministic across invocations (same seed, same sample)
+    refinedA.map(_._2.toSeq) shouldBe refinedB.map(_._2.toSeq)
+    // refinement actually moves centroids off the raw sample
+    refinedA.map(_._2.toSeq) should not be init.map(_._2.toSeq)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4, refineIters = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
+  }
+
   test("hash sampling is deterministic, partition-independent, ~fraction-sized") {
     import graft.operators.Sampling
     val a = Sampling.byHash(docs, "doc_id", 0.3).select("doc_id")
