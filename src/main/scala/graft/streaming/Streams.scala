@@ -75,6 +75,23 @@ object Streams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact-dedup of a DOCUMENT stream by normalized content
+    * fingerprint ([[graft.operators.TextAnalysis.fingerprint]] —
+    * whitespace/punctuation-insensitive), within the watermark horizon:
+    * the streaming face of `Dedup.exact`. State = one 8-byte hash per
+    * distinct document inside the horizon — bounded, and the codegen'd
+    * fingerprint runs in the micro-batch projection, so the dedup state
+    * never stores text.
+    */
+  def streamingDocDedup(stream: DataFrame, textCol: String, tsCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__fp",
+        graft.operators.TextAnalysis.fingerprint(F.col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — no streaming state at all, the
     * canonical fact-stream × dimension-table shape. The dimension is

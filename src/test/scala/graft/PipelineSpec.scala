@@ -744,6 +744,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       spark.table("dedup_test").count()
   }
 
+  test("streaming doc dedup: same content (modulo punctuation) passes once") {
+    import spark.implicits._
+    val d1 = Seq(
+      (1L, "Hello,  World!", "2024-01-01 10:00:00"),
+      (2L, "fresh content here", "2024-01-01 10:01:00"))
+    val d2 = Seq(
+      (3L, "hello world", "2024-01-01 10:02:00"),       // near-identical to 1
+      (4L, "another new doc", "2024-01-01 10:03:00"))
+    def frame(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "ts_s")
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
+    frame(d1).write.mode("overwrite").parquet(dir)
+    frame(d2).write.mode("append").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, frame(d1).schema)
+    val q = Streams.streamingDocDedup(stream, "text", "ts")
+      .writeStream.format("memory").queryName("docdedup_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("docdedup_test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // exactly one of {1, 3} survives (same fingerprint), plus 2 and 4
+    kept.intersect(Set(1L, 3L)).size shouldBe 1
+    kept should contain allOf (2L, 4L)
+    kept.size shouldBe 3
+  }
+
   test("sliding windows count each event in every overlapping window") {
     import spark.implicits._
     val e = Seq((1L, "2024-01-01 10:45:00", 7L, "view", 1.0, ""))
