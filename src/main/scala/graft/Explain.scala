@@ -14,7 +14,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q_select", "q_filter_col", "q_groupagg_sum", "q_melt", "q_join3")
+      "q_select", "q_filter_col", "q_groupagg_sum", "q_melt", "q_join3",
+      "q_tfidf", "q_dedup_near", "q_pipeline")
     names.foreach { n =>
       println(s"\n======== $n ========")
       Queries.registry(n)(spark, d).explain("formatted")
