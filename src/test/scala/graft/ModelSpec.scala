@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+
+/** Model-based testing of the order-coupled operator surface: random
+  * pipelines of sort / take / drop / head / tail / init / filter are run
+  * both through KFrame (ordering spec, id flips, logical-order machinery)
+  * and through a trivially-correct in-memory list model implementing the
+  * reference's semantics directly:
+  *
+  *  - sort asc = STABLE sort of the current row list
+  *    (`Combinator.hs:228-237`);
+  *  - sort desc = reverse of that stable asc — the reference's
+  *    `Descending = reverse` quirk, which also reverses equal-key runs;
+  *  - take/drop = Haskell list semantics; head/tail/init = 1-row slices;
+  *  - typed filter keeps matching rows in current order.
+  *
+  * The model is a dozen lines over Vector[Row]; if KFrame's far more
+  * intricate deferred-order implementation ever diverges under ANY
+  * composition of these ops, a seed here catches it.
+  */
+class ModelSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  lazy val base: KFrame = KFrame.fromCsvFile(spark, "src/test/resources/retail.csv")
+  // model rows in frame order: (gender, city, product, year, sale, cost, discount)
+  lazy val baseRows: Vector[Vector[Any]] = base.toOrderedDF.collect()
+    .map(_.toSeq.toVector).toVector
+  lazy val cols: Vector[String] = base.dataColumns.toVector
+
+  private def numIdx(c: String) = cols.indexOf(c)
+
+  sealed trait Op
+  case class Sort(field: String, asc: Boolean) extends Op
+  case class Take(n: Int) extends Op
+  case class Drop(n: Int) extends Op
+  case object Tail extends Op
+  case object Init extends Op
+  case class FilterGt(field: String, x: Double) extends Op
+
+  private def applyModel(rows: Vector[Vector[Any]], op: Op): Vector[Vector[Any]] =
+    op match {
+      case Sort(f, asc) =>
+        val i = numIdx(f)
+        val sorted = rows.sortBy { r =>
+          r(i) match {
+            case d: java.lang.Double => Left(d.doubleValue): Either[Double, String]
+            case other => Right(String.valueOf(other)): Either[Double, String]
+          }
+        }(Ordering.fromLessThan {
+          case (Left(a), Left(b)) => a < b
+          case (Right(a), Right(b)) => a < b
+          case _ => false
+        }) // sortBy is stable
+        if (asc) sorted else sorted.reverse
+      case Take(n) => rows.take(n)
+      case Drop(n) => rows.drop(n)
+      case Tail => rows.drop(1)
+      case Init => rows.dropRight(1)
+      case FilterGt(f, x) =>
+        val i = numIdx(f)
+        rows.filter(_(i).asInstanceOf[java.lang.Double].doubleValue > x)
+    }
+
+  private def applyFrame(kf: KFrame, op: Op): KFrame = op match {
+    case Sort(f, asc) => kf.sort(f, asc)
+    case Take(n) => kf.take(n)
+    case Drop(n) => kf.drop(n)
+    case Tail => kf.tail
+    case Init => kf.init
+    case FilterGt(f, x) => kf.filterNumber(f, (v: Double) => v > x)
+  }
+
+  private def randomOp(rnd: scala.util.Random): Op = rnd.nextInt(6) match {
+    case 0 => Sort(cols(rnd.nextInt(cols.length)), rnd.nextBoolean())
+    case 1 => Take(rnd.nextInt(15) - 1)
+    case 2 => Drop(rnd.nextInt(15) - 1)
+    case 3 => Tail
+    case 4 => Init
+    case 5 => FilterGt(Vector("sale", "cost", "discount")(rnd.nextInt(3)),
+      Vector(300.0, 1500.0, 0.1)(rnd.nextInt(3)))
+  }
+
+  test("random order-coupled pipelines match the reference list model") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 40) {
+      var model = baseRows
+      var frame = base
+      val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+      for (_ <- 1 to 5) {
+        var op = randomOp(rnd)
+        // head/tail/init crash on empty in the reference — regenerate
+        while ((op == Tail || op == Init) && model.isEmpty) op = randomOp(rnd)
+        ops += op
+        model = applyModel(model, op)
+        frame = applyFrame(frame, op)
+      }
+      val got = frame.toOrderedDF.collect().map(_.toSeq.toVector).toVector
+      withClue(s"trial $trial ops=${ops.mkString(" -> ")}: ") {
+        got shouldBe model
+      }
+    }
+  }
+}
