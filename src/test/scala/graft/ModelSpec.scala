@@ -85,6 +85,43 @@ class ModelSpec extends AnyFunSuite with Matchers {
       Vector(300.0, 1500.0, 0.1)(rnd.nextInt(3)))
   }
 
+  test("random prefix + groupby/aggregate(sum) matches the model (key-asc)") {
+    // aggregate collapses the VISIBLE rows' groups to one row per key in
+    // key-ascending order (Combinator.hs:66-68 sortOn snd); model = plain
+    // groupBy + sum + sorted keys over whatever the random prefix left.
+    val rnd = new scala.util.Random(4242L)
+    val keyPool = Vector("gender", "city", "product")
+    for (trial <- 1 to 20) {
+      var model = baseRows
+      var frame = base
+      val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+      for (_ <- 1 to 3) {
+        var op = randomOp(rnd)
+        while ((op == Tail || op == Init) && model.isEmpty) op = randomOp(rnd)
+        ops += op
+        model = applyModel(model, op)
+        frame = applyFrame(frame, op)
+      }
+      val key = keyPool(rnd.nextInt(keyPool.length))
+      val ki = numIdx(key)
+      val vi = numIdx("sale")
+      val want = model.groupBy(r => r(ki).asInstanceOf[String]).toVector
+        .map { case (k, rs) =>
+          Vector[Any](k,
+            rs.map(_(vi).asInstanceOf[java.lang.Double].doubleValue).sum)
+        }
+        .sortBy(_(0).asInstanceOf[String])
+      val got = frame.groupby(key).aggregate(Agg.sum, "sale")
+        .toOrderedDF.collect().map(_.toSeq.toVector).toVector
+      withClue(s"trial $trial ops=${ops.mkString(" -> ")} key=$key: ") {
+        got.map(r => Vector(r(0),
+          math.rint(r(1).asInstanceOf[Double] * 1e9) / 1e9)) shouldBe
+          want.map(r => Vector(r(0),
+            math.rint(r(1).asInstanceOf[Double] * 1e9) / 1e9))
+      }
+    }
+  }
+
   test("random order-coupled pipelines match the reference list model") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 40) {
