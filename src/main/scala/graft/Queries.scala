@@ -263,6 +263,15 @@ object Queries {
     graft.operators.Pipelines.cleanCorpus(
       Tables.documents(s, d), "doc_id", "text").select("doc_id")
 
+  /** Full curation chain: quality → exact dedup → near-dedup → PII
+    * redaction → chunking, one lazy plan; the oracle replays every stage
+    * in DuckDB including the redaction regexes (RE2-compatible on purpose).
+    */
+  def q_curate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pipelines.curateForTraining(
+        Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_text")
+
   // ---- M8: similarity search ------------------------------------------
 
   def q_knn(s: SparkSession, d: String): DataFrame = {
@@ -519,6 +528,45 @@ object Queries {
         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         |)
         |SELECT doc_id FROM exq WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+    "q_curate" ->
+      s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, ws FROM toks
+        |  WHERE len(ws) >= 10
+        |    AND list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws)
+        |        BETWEEN 2.0 AND 12.0
+        |), ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |exq AS (SELECT q.doc_id, q.text, q.ws FROM q JOIN ex ON q.doc_id = ex.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM exq WHERE len(ws) >= 3
+        |), dups AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |), red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+        |      '\\+?\\d[\\d()\\s-]{6,}\\d', '<PHONE>', 'g') AS text
+        |  FROM exq WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        |), rt AS (
+        |  SELECT doc_id, $DTok AS ws FROM red
+        |), n AS (
+        |  SELECT doc_id, ws,
+        |    CAST(greatest(ceil((len(ws) - 100) / 50.0) + 1, 1) AS BIGINT) AS nc
+        |  FROM rt WHERE len(ws) > 0
+        |), c AS (
+        |  SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM n
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(ws[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "q_knn" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -673,6 +721,7 @@ object Queries {
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
+    "q_curate" -> (q_curate _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_doc_embed" -> (q_doc_embed _),

@@ -25,4 +25,20 @@ object Pipelines {
     val exact = Dedup.exact(quality, textCol, idCol)
     Dedup.minhashDedup(exact, idCol, textCol, threshold = nearDupThreshold)
   }
+
+  /** The full training-data preparation chain: quality gate → exact dedup
+    * → near-dup dedup → PII redaction → token-window chunking. Still ONE
+    * lazy Catalyst plan end-to-end — redaction is a projection over the
+    * survivors, chunking explodes token windows with no shuffle — so the
+    * composite inherits every per-stage scale property (AQE stage reuse
+    * across the dedup subtrees, banded LSH, bounded chunk arithmetic).
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens), training-ready.
+    */
+  def curateForTraining(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 100, overlap: Int = 50): DataFrame = {
+    val clean = cleanCorpus(df, idCol, textCol)
+    val redacted = clean.withColumn(textCol,
+      TextAnalysis.redactPII(F.col(textCol)))
+    TextAnalysis.chunkDocuments(redacted, idCol, textCol, chunkSize, overlap)
+  }
 }
