@@ -761,6 +761,7 @@ object Queries {
     "q_transform" -> (q_transform _),
     "q_set_except" -> (q_set_except _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
-    "q_text_repetition" -> (q_text_repetition _)
+    "q_text_repetition" -> (q_text_repetition _),
+    "q_curate" -> (q_curate _)
   )
 }

@@ -264,6 +264,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "FileScan parquet".r.findAllIn(finalPlan).size should be <= 2
   }
 
+  test("curateForTraining runs the five-stage chain on ONE corpus scan") {
+    // quality → exact dedup → near-dedup → redact → chunk: the composite's
+    // consumers all prune to (doc_id, text), so every branch reuses the
+    // dedup-window stage — the full training-prep chain reads the corpus
+    // exactly once at runtime.
+    import graft.operators.Pipelines
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Pipelines.curateForTraining(docs, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should include("ReusedExchange")
+  }
+
   test("approx sketches land within tolerance of exact answers") {
     import graft.extras.Approx
     val ev = Tables.events(spark, sf)
