@@ -272,6 +272,19 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "chunk_idx", "chunk_text")
 
+  /** Test-set contamination hits: training docs sharing 8-gram shingles
+    * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
+    * shingle hashes; the oracle joins on the shingle strings — equal
+    * results modulo ~1e-9 hash collisions.
+    */
+  def q_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("text").as("btext"))
+    graft.operators.Contamination.contaminationHits(
+      docs, "doc_id", "text", bench, "btext", n = 8)
+  }
+
   // ---- M8: similarity search ------------------------------------------
 
   def q_knn(s: SparkSession, d: String): DataFrame = {
@@ -567,6 +580,19 @@ object Queries {
         |SELECT doc_id, chunk_idx,
         |  array_to_string(ws[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' ') AS chunk_text
         |FROM c""".stripMargin,
+    "q_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws)-6)]) AS gs
+        |  FROM toks WHERE len(ws) >= 8
+        |), bench AS (
+        |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0
+        |), dg AS (
+        |  SELECT doc_id, unnest(gs) AS gram FROM g
+        |)
+        |SELECT doc_id, count(*) AS hits
+        |FROM dg JOIN bench USING (gram) GROUP BY doc_id""".stripMargin,
     "q_knn" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -722,6 +748,7 @@ object Queries {
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
     "q_curate" -> (q_curate _),
+    "q_contamination" -> (q_contamination _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_doc_embed" -> (q_doc_embed _),

@@ -64,6 +64,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("contamination: benchmark docs are flagged, decontaminate drops them") {
+    import graft.operators.Contamination
+    val bench = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("text").as("btext"))
+    val hits = Contamination.contaminationHits(docs, "doc_id", "text",
+      bench, "btext", n = 8)
+    val flagged = hits.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every benchmark doc with >= 8 tokens overlaps itself
+    val benchIds = docs.filter(F.col("doc_id") % 50 === 0)
+      .filter(TextAnalysis.tokenCount(F.col("text")) >= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    benchIds.subsetOf(flagged) shouldBe true
+    // decontaminate removes exactly the flagged docs
+    val kept = Contamination.decontaminate(docs, "doc_id", "text",
+      bench, "btext", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept.intersect(flagged) shouldBe empty
+    (kept.size + flagged.size).toLong shouldBe docs.count()
+    // no cartesian in the plan
+    val plan = hits.queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+  }
+
   test("nearDupClusters: hub component collapses where the pair policy cannot") {
     import spark.implicits._
     // edges (1,9),(5,9): 1 and 5 never meet in a pair, but share component
