@@ -272,6 +272,18 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "chunk_idx", "chunk_text")
 
+  /** Sequence packing over the chunked corpus: per-bucket concat-then-split
+    * into 256-token packs; output = per-pack chunk/token totals.
+    */
+  def q_pack(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
+      "doc_id", "text", size = 100, overlap = 50)
+    graft.operators.Packing.packStats(
+      graft.operators.Packing.packChunks(chunks, "doc_id", "chunk_idx",
+        "n_tokens", budget = 256, nBuckets = 16),
+      "n_tokens")
+  }
+
   /** Test-set contamination hits: training docs sharing 8-gram shingles
     * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
     * shingle hashes; the oracle joins on the shingle strings — equal
@@ -580,6 +592,31 @@ object Queries {
         |SELECT doc_id, chunk_idx,
         |  array_to_string(ws[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' ') AS chunk_text
         |FROM c""".stripMargin,
+    "q_pack" ->
+      s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws,
+        |    CAST(greatest(ceil((len(ws) - 100) / 50.0) + 1, 1) AS BIGINT) AS nc
+        |  FROM toks WHERE len(ws) > 0
+        |), c AS (
+        |  SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM n
+        |), ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    len(string_split(
+        |      array_to_string(ws[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' '),
+        |      ' '))::BIGINT AS n_tokens
+        |  FROM c
+        |), p AS (
+        |  SELECT doc_id, chunk_idx, n_tokens,
+        |    doc_id % 16 AS bucket,
+        |    sum(n_tokens) OVER (PARTITION BY doc_id % 16
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ch
+        |)
+        |SELECT CAST(bucket * 1099511627776 + ((cum - n_tokens) // 256) AS BIGINT) AS pack_id,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1""".stripMargin,
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
         |g AS (
@@ -749,6 +786,7 @@ object Queries {
     "q_pipeline" -> (q_pipeline _),
     "q_curate" -> (q_curate _),
     "q_contamination" -> (q_contamination _),
+    "q_pack" -> (q_pack _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_doc_embed" -> (q_doc_embed _),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing — assemble chunk rows into fixed-token-budget training
+  * examples (the concat-then-split packing used for LLM pretraining
+  * batches). Extension scope; the last mile of the curation chain after
+  * [[TextAnalysis.chunkDocuments]].
+  *
+  * Scale design: a single global concatenation order would funnel the
+  * whole corpus through one window partition, so packing runs per BUCKET —
+  * chunks hash to `nBuckets` independent streams (a document's chunks stay
+  * together), each bucket packs by running token count in one windowed
+  * pass. One shuffle total, bucket sizes are corpus/nBuckets (uniform
+  * hash), and pack boundaries are pure arithmetic: pack k of bucket b =
+  * the chunks whose cumulative token start lies in [k·budget, (k+1)·budget).
+  * A pack's token total therefore lands within ±(one chunk) of `budget` —
+  * exactly the boundary-straddle slop of concat-then-split packing.
+  */
+object Packing {
+
+  /** Assign every chunk a `pack_id`. Deterministic: bucket = id mod
+    * `nBuckets` (numeric ids; hash string keys upstream), order within
+    * bucket = (id, chunk index). `pack_id` = bucket · 2^40 + pack ordinal
+    * within the bucket.
+    */
+  def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
+      tokCol: String, budget: Int, nBuckets: Int = 64): DataFrame = {
+    require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
+    val w = Window.partitionBy("__bucket")
+      .orderBy(F.col(idCol), F.col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__bucket", F.pmod(F.col(idCol), F.lit(nBuckets.toLong)))
+      .withColumn("__end", F.sum(F.col(tokCol).cast("long")).over(w))
+      .withColumn("pack_id",
+        F.col("__bucket") * F.lit(1L << 40) +
+          F.floor((F.col("__end") - F.col(tokCol)) / F.lit(budget.toLong)))
+      .drop("__bucket", "__end")
+  }
+
+  /** Pack summary: one row per pack with its chunk count and token total —
+    * the sanity surface for batch-shape monitoring.
+    */
+  def packStats(packed: DataFrame, tokCol: String): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.col(tokCol).cast("long")).as("n_tokens"))
+}

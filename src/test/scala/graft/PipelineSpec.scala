@@ -64,6 +64,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("packing: pack totals land within one chunk of the budget") {
+    import graft.operators.{Packing, TextAnalysis}
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      size = 100, overlap = 50)
+    val packed = Packing.packChunks(chunks, "doc_id", "chunk_idx",
+      "n_tokens", budget = 256, nBuckets = 16)
+    val maxChunk = chunks.agg(F.max("n_tokens")).head().getInt(0)
+    val stats = Packing.packStats(packed, "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    stats should not be empty
+    // every pack's total stays within the concat-then-split slop bound
+    stats.foreach { case (_, _, toks) =>
+      toks should be <= (256L + maxChunk)
+    }
+    // non-terminal packs of each bucket are at least budget - maxChunk full
+    val byBucket = stats.groupBy(_._1 >> 40)
+    byBucket.values.foreach { packs =>
+      val lastPack = packs.map(_._1).max
+      packs.filter(_._1 != lastPack).foreach { case (_, _, toks) =>
+        toks should be >= (256L - maxChunk)
+      }
+    }
+    // partition-count independence: same assignment at any parallelism
+    val repacked = Packing.packChunks(chunks.repartition(3), "doc_id",
+      "chunk_idx", "n_tokens", budget = 256, nBuckets = 16)
+    repacked.select("doc_id", "chunk_idx", "pack_id").collect().toSet shouldBe
+      packed.select("doc_id", "chunk_idx", "pack_id").collect().toSet
+  }
+
   test("contamination: benchmark docs are flagged, decontaminate drops them") {
     import graft.operators.Contamination
     val bench = docs.filter(F.col("doc_id") % 50 === 0)
