@@ -29,6 +29,10 @@ object Packing {
   def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
       tokCol: String, budget: Int, nBuckets: Int = 64): DataFrame = {
     require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
+    // pack_id = bucket * 2^40 + ordinal must fit a long: buckets < 2^22
+    // and <= 2^40 packs per bucket (~10^14 tokens/bucket at budget 256 —
+    // far past any per-bucket share of a 100 TB corpus).
+    require(nBuckets < (1 << 22), "nBuckets must fit the 2^40 pack-id split")
     val w = Window.partitionBy("__bucket")
       .orderBy(F.col(idCol), F.col(idxCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

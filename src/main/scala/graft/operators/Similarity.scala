@@ -245,6 +245,20 @@ object Similarity {
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].
     */
+  /** Semantic (embedding-space) cluster dedup: keep one document per
+    * connected component of the cosine near-dup graph — the embedding
+    * sibling of [[Dedup.minhashDedupClusters]], sharing its min-label
+    * propagation ([[Dedup.nearDupClusters]]).
+    */
+  def cosineDedupClusters(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      cosineNearDupPairs(df, idCol, vecCol, dim, threshold))
+    val losers = clusters.filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
       nTables: Int = 6, seed: Long = 42L): DataFrame = {

@@ -604,6 +604,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     pairs should contain((3L, 100L))
     // random 16-dim gaussians essentially never hit cosine >= 0.999
     pairs.size should be <= 2
+    // cluster dedup keeps the lower id of the planted pair
+    val kept = Similarity.cosineDedupClusters(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    kept should contain(3L)
+    (kept should not).contain(100L)
   }
 
   test("multimodal feature stub emits fixed-dim deterministic vectors") {
