@@ -122,6 +122,39 @@ class ModelSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("random prefix + melt matches the model (var-major order)") {
+    // melt output = for each var (argument order), every visible row in
+    // frame order (`Combinator.hs:78-120`): id cols + fixed (variable,
+    // value) columns. Exercises the id-stride renumber under whatever
+    // non-contiguous ids / pending sorts the random prefix produced.
+    val rnd = new scala.util.Random(99L)
+    val valuePool = Vector("sale", "cost", "discount")
+    for (trial <- 1 to 15) {
+      var model = baseRows
+      var frame = base
+      val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+      for (_ <- 1 to 3) {
+        var op = randomOp(rnd)
+        while ((op == Tail || op == Init) && model.isEmpty) op = randomOp(rnd)
+        ops += op
+        model = applyModel(model, op)
+        frame = applyFrame(frame, op)
+      }
+      val ids = Seq("gender", "city").take(1 + rnd.nextInt(2))
+      val vars = rnd.shuffle(valuePool).take(1 + rnd.nextInt(3))
+      val want: Vector[Vector[Any]] = vars.toVector.flatMap { v =>
+        val vi = numIdx(v)
+        model.map(r => ids.toVector.map(c => r(numIdx(c))) ++
+          Vector[Any](v, r(vi)))
+      }
+      val got = frame.melt(ids, vars).toOrderedDF.collect()
+        .map(_.toSeq.toVector).toVector
+      withClue(s"trial $trial ops=${ops.mkString(" -> ")} ids=$ids vars=$vars: ") {
+        got shouldBe want
+      }
+    }
+  }
+
   test("random order-coupled pipelines match the reference list model") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 40) {
