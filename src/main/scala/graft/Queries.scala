@@ -390,6 +390,12 @@ object Queries {
   def q_events_sessions(s: SparkSession, d: String): DataFrame =
     Streams.userSessions(Tables.events(s, d))
 
+  /** Sliding windows (1h width, 30m slide): every event lands in exactly
+    * two windows; the oracle unions the two bucket assignments.
+    */
+  def q_events_sliding(s: SparkSession, d: String): DataFrame =
+    Streams.slidingCounts(Tables.events(s, d))
+
   /** As-of join: every event picks up the value of the user's most recent
     * at-or-before purchase — one shuffle, no range explosion (extras.AsOf).
     */
@@ -727,6 +733,13 @@ object Queries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      """SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |  FROM events
+        |) GROUP BY 1, 2""".stripMargin,
     "q_events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
@@ -798,6 +811,7 @@ object Queries {
     "q_text_repetition" -> (q_text_repetition _),
     "q_events_window" -> (q_events_window _),
     "q_events_sessions" -> (q_events_sessions _),
+    "q_events_sliding" -> (q_events_sliding _),
     "q_asof" -> (q_asof _),
     "q_multimodal" -> (q_multimodal _)
   )
