@@ -122,6 +122,25 @@ class ModelSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("pipeline results are independent of shuffle partition count") {
+    // the same pipelines under a 3-partition session must produce byte-
+    // identical results — order, ids, aggregates must never depend on
+    // parallelism (the property that holds at 32 partitions locally and
+    // thousands on a cluster).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    val kf2 = KFrame.fromCsvFile(s2, "src/test/resources/retail.csv")
+    def run(kf: KFrame): Seq[Seq[Any]] =
+      kf.sort("cost", ascending = false).drop(3).tail
+        .toOrderedDF.collect().map(_.toSeq).toSeq
+    run(kf2) shouldBe run(base)
+    def agg(kf: KFrame): Seq[Seq[Any]] =
+      kf.filterNumber("sale", (v: Double) => v > 1000)
+        .groupby("city").aggregate(Agg.sum, "sale")
+        .toOrderedDF.collect().map(_.toSeq).toSeq
+    agg(kf2) shouldBe agg(base)
+  }
+
   test("random prefix + melt matches the model (var-major order)") {
     // melt output = for each var (argument order), every visible row in
     // frame order (`Combinator.hs:78-120`): id cols + fixed (variable,
