@@ -200,7 +200,10 @@ object Dedup {
     var labels = edges.select(F.col("u").as("id")).distinct()
       .withColumn("cluster", F.col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(F.sum("cluster")).head().getLong(0)
+    // coalesce: sum over an EMPTY label set (no pairs at all) is null
+    def labelSum(df: DataFrame): Long =
+      df.agg(F.coalesce(F.sum("cluster"), F.lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -213,7 +216,7 @@ object Dedup {
           F.least(F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val sum = labels.agg(F.sum("cluster")).head().getLong(0)
+      val sum = labelSum(labels)
       converged = sum == prevSum
       prevSum = sum
       i += 1

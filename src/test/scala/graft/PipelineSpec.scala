@@ -126,6 +126,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     cl shouldBe Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("nearDupClusters: empty pair set yields an empty cluster table") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    Dedup.nearDupClusters(none).count() shouldBe 0L
+  }
+
   test("nearDupClusters: long chain converges to one component") {
     import spark.implicits._
     // path 1-2-3-...-10 (diameter 9, needs several propagation rounds)
