@@ -25,6 +25,10 @@ object Contamination {
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    // register into the sessions that OWN the frames (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    graft.plans.GraftExtensions.register(bench.sparkSession)
     val docSh = docs.select(F.col(idCol),
         F.explode(Dedup.hashedShingles(F.col(textCol), n)).as("__sh"))
     val benchSh = bench.select(

@@ -178,49 +178,65 @@ object Dedup {
     * policy of large-scale dedup pipelines (keep one doc per component,
     * not merely per pair, so transitive chains a~b~c collapse together).
     *
-    * Iterative min-label propagation (union-find in dataframe form):
-    * each round replaces a node's label with the min over its own and its
-    * neighbors' labels; rounds needed = O(log component-diameter), each
-    * round one hash equi-join + aggregate over the PAIR graph — which is
-    * orders of magnitude smaller than the corpus, so a driver-side loop
-    * over jobs is the right shape (the per-round convergence check reads a
-    * single aggregate row, and `localCheckpoint` truncates the growing
-    * lineage so analysis cost stays flat). Labels only ever decrease, so
-    * an unchanged label SUM means a fixpoint.
+    * Iterative min-label propagation WITH pointer jumping (union-find in
+    * dataframe form): each round a node takes the min over (its own label,
+    * its neighbors' labels, its label's label). The neighbor step alone
+    * moves labels one hop per round (O(diameter) rounds — a 40-link chain
+    * of templated near-dups would exhaust a small budget and silently
+    * return split components); the label's-label hop doubles the reach
+    * each round, so rounds = O(log diameter) and maxIter=48 covers any
+    * representable component. If the budget is ever exhausted anyway the
+    * call THROWS rather than returning wrong clusters. Each round is two
+    * hash equi-joins + an aggregate over the PAIR graph — orders of
+    * magnitude smaller than the corpus — so a driver-side loop over jobs
+    * is the right shape; `localCheckpoint` truncates the growing lineage
+    * so analysis cost stays flat. Labels only ever decrease, so the exact
+    * fixpoint test is "no row changed" (a limit-1 probe against the
+    * previous labels — NOT a label sum, which overflows ANSI long
+    * arithmetic when ids are 64-bit hashes).
     *
     * Input must have `a_id`/`b_id` columns ([[minhashNearDupPairs]] /
     * [[simhashNearDupPairs]] / [[graft.operators.Similarity.cosineNearDupPairs]]
     * output). Returns (id, cluster); ids in no pair are implicitly their
     * own singleton cluster (left-join and coalesce at the call site).
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 48): DataFrame = {
     val edges = pairs.select(F.col("a_id").as("u"), F.col("b_id").as("v"))
       .unionAll(pairs.select(F.col("b_id").as("u"), F.col("a_id").as("v")))
       .localCheckpoint()
     var labels = edges.select(F.col("u").as("id")).distinct()
       .withColumn("cluster", F.col("id"))
       .localCheckpoint()
-    // coalesce: sum over an EMPTY label set (no pairs at all) is null
-    def labelSum(df: DataFrame): Long =
-      df.agg(F.coalesce(F.sum("cluster"), F.lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels.select(F.col("id").as("v"), F.col("cluster")), "v")
         .groupBy(F.col("u").as("id"))
         .agg(F.min("cluster").as("__nbr"))
-      labels = labels.join(viaNeighbors, Seq("id"), "left")
+      // pointer jump: the current label's own label
+      val viaLabel = labels.select(F.col("id").as("cluster"),
+        F.col("cluster").as("__hop"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaLabel, Seq("cluster"), "left")
         .select(F.col("id"),
-          F.least(F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster")))
+          F.least(F.col("cluster"),
+            F.coalesce(F.col("__nbr"), F.col("cluster")),
+            F.coalesce(F.col("__hop"), F.col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val sum = labelSum(labels)
-      converged = sum == prevSum
-      prevSum = sum
+      // exact fixpoint: did ANY label change? (labels only decrease)
+      converged = next.join(
+          labels.select(F.col("id"), F.col("cluster").as("__prev")), "id")
+        .filter(F.col("cluster") =!= F.col("__prev"))
+        .isEmpty
+      labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds")
     labels
   }
 
@@ -267,6 +283,9 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val nBands = maxHamming + 1
     val width = 64 / nBands
     // repartition(id) materialization point: both self-join sides reuse one

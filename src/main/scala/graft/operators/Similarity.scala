@@ -24,12 +24,16 @@ object Similarity {
 
   /** Per-query top-k of a (query_id, cand_id, sim) frame; ties break on
     * candidate id. Shared by the exact and approximate paths so rank
-    * semantics cannot drift.
+    * semantics cannot drift. Null/NaN scores (zero vectors — see
+    * [[cosine]]) are dropped first: NaN sorts ABOVE every real double, so
+    * a single all-zero embedding would otherwise occupy rank 1 of every
+    * query's results.
     */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("cand_id").asc)
-    scored.withColumn("__rank", F.row_number().over(w))
+    scored.filter(F.col("sim").isNotNull && !F.isnan(F.col("sim")))
+      .withColumn("__rank", F.row_number().over(w))
       .filter(F.col("__rank") <= k)
       .drop("__rank")
   }
@@ -40,11 +44,19 @@ object Similarity {
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  /** Cosine similarity of two vector columns (cast to double first). */
+  /** Cosine similarity of two vector columns (cast to double first).
+    * NULL when either vector has zero norm: under Spark 4's default ANSI
+    * mode the bare division THROWS DIVIDE_BY_ZERO — one all-zero embedding
+    * (padding row, failed encoder) would kill the whole job — and with
+    * ANSI off it yields NaN, which sorts ABOVE every real score. The
+    * when-guard evaluates the division only on the non-zero branch.
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    val denom = norm(ad) * norm(bd)
+    F.when(denom === 0.0, F.lit(null).cast("double"))
+      .otherwise(dot(ad, bd) / denom)
   }
 
   /** Exact cosine top-k: for every query vector, the k nearest candidates.
@@ -149,17 +161,21 @@ object Similarity {
     * assignment (argmax expression over centroid literals — no shuffle of
     * vectors), then per-(cluster, dim) mean via posexplode + aggregate
     * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
-    * bounded by construction, never the data). Training runs on a
-    * deterministic sample capped at `sampleCap` rows so refinement cost is
-    * constant regardless of corpus size — centroid quality needs a sample,
-    * not the corpus.
+    * bounded by construction, never the data). Training runs on the
+    * `sampleCap` rows with the smallest `xxhash64(id, seed)` — a
+    * distributed top-k by hash, so the sample is deterministic, spread
+    * uniformly across the corpus regardless of physical row order (a bare
+    * `limit` would take the first partitions only — one source shard),
+    * and constant-cost at any corpus size.
     */
-  def kmeansRefine(candidates: DataFrame, vecCol: String,
+  def kmeansRefine(candidates: DataFrame, idCol: String, vecCol: String,
       init: Array[(Int, Array[Double])], iters: Int,
       sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
     if (iters <= 0) return init
-    val sample = candidates.select(F.col(vecCol).cast("array<double>").as("__v"))
-      .sample(withReplacement = false, 1.0, seed).limit(sampleCap)
+    val sample = candidates
+      .select(F.col(vecCol).cast("array<double>").as("__v"),
+        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
+      .orderBy("__h").limit(sampleCap).drop("__h")
     var cents = init
     for (_ <- 1 to iters) {
       val assignExpr = {
@@ -203,7 +219,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      sampleSeed: Long = 42L, refineIters: Int = 0): DataFrame = {
+      sampleSeed: Long = 42L, refineIters: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     val sampled: Array[(Int, Array[Double])] = candidates
       .select(F.col(vecCol).cast("array<double>"))
       .sample(withReplacement = false, 0.5, sampleSeed)
@@ -211,7 +228,7 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     require(sampled.nonEmpty, "candidate set too small for IVF")
-    val cents = kmeansRefine(candidates, vecCol, sampled, refineIters,
+    val cents = kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
       seed = sampleSeed)
 
     def centroidDists(vec: Column): Seq[(Int, Column)] = cents.toSeq.map {
@@ -235,30 +252,34 @@ object Similarity {
         F.explode(nearestCentroids(F.col("__qv"), math.min(nProbe, cents.length))))
 
     val scored = q.join(c, "__list")
-      .filter(F.col("query_id") =!= F.col("cand_id"))
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id")
+        else F.lit(true))
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
     topK(scored, k)
+  }
+
+  /** Semantic (embedding-space) cluster dedup: keep one document per
+    * connected component of the cosine near-dup graph — the embedding
+    * sibling of [[Dedup.minhashDedupClusters]], sharing its min-label
+    * propagation ([[Dedup.nearDupClusters]]). The LSH knobs pass straight
+    * through to [[cosineNearDupPairs]].
+    */
+  def cosineDedupClusters(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
+      nTables: Int = 6, seed: Long = 42L): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nPlanes,
+        nTables, seed))
+    val losers = clusters.filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].
     */
-  /** Semantic (embedding-space) cluster dedup: keep one document per
-    * connected component of the cosine near-dup graph — the embedding
-    * sibling of [[Dedup.minhashDedupClusters]], sharing its min-label
-    * propagation ([[Dedup.nearDupClusters]]).
-    */
-  def cosineDedupClusters(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95): DataFrame = {
-    val clusters = Dedup.nearDupClusters(
-      cosineNearDupPairs(df, idCol, vecCol, dim, threshold))
-    val losers = clusters.filter(F.col("id") =!= F.col("cluster"))
-      .select(F.col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
-  }
-
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
       nTables: Int = 6, seed: Long = 42L): DataFrame = {
@@ -277,7 +298,8 @@ object Similarity {
       .join(v.select(F.col("id").as("a_id"), F.col("__v").as("__av")), "a_id")
       .join(v.select(F.col("id").as("b_id"), F.col("__v").as("__bv")), "b_id")
       .withColumn("sim", cosine(F.col("__av"), F.col("__bv")))
-      .filter(F.col("sim") >= threshold)
+      // null-guard (zero vectors); >= on null is null -> row dropped
+      .filter(F.col("sim").isNotNull && F.col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }
 }

@@ -132,14 +132,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Dedup.nearDupClusters(none).count() shouldBe 0L
   }
 
-  test("nearDupClusters: long chain converges to one component") {
+  test("nearDupClusters: 100-link chain converges (pointer jumping)") {
     import spark.implicits._
-    // path 1-2-3-...-10 (diameter 9, needs several propagation rounds)
-    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // path 1-2-...-101: diameter 100. Pure neighbor propagation would need
+    // 100 rounds; the label's-label hop makes reach double per round, so
+    // this converges well inside the 48-round budget (or throws — never
+    // silently splits the component).
+    val pairs = (1L until 101L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val cl = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    cl.keySet shouldBe (1L to 10L).toSet
+    cl.keySet shouldBe (1L to 101L).toSet
     cl.values.toSet shouldBe Set(1L)
+  }
+
+  test("nearDupClusters handles 64-bit hash ids (no ANSI sum overflow)") {
+    import spark.implicits._
+    // ids near Long.MaxValue: the old label-SUM fixpoint check overflowed
+    // under ANSI; the changed-row probe must not.
+    val a = Long.MaxValue - 2; val b = Long.MaxValue - 1; val c = Long.MaxValue
+    val pairs = Seq((a, c), (b, c)).toDF("a_id", "b_id")
+    val cl = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl shouldBe Map(a -> a, b -> a, c -> a)
   }
 
   test("minhashDedupClusters keeps exactly one doc per component") {
@@ -380,6 +394,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("zero vectors (NaN cosine) never enter top-k or near-dup results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val good = (0L until 10L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val zero = (99L, Array.fill(8)(0.0f))
+    val df = (good :+ zero).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df.filter(F.col("vec_id") < 3), df,
+      "vec_id", "embedding", k = 3)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    // without the isnan guard, NaN sorts above every real score and 99
+    // would be rank 1 for EVERY query
+    (top should not).contain(99L)
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      dim = 8, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (x, y) => x should not be 99L; y should not be 99L }
+  }
+
   test("LSH topk scans each vector table once, regardless of nTables") {
     // All 8 tables' bucket keys come from ONE projection per side (explode
     // of (table, bucket) structs) and the repartition materialization
@@ -415,8 +447,8 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val init = emb.select(F.col("embedding").cast("array<double>"))
       .sample(withReplacement = false, 0.5, 42L).limit(8)
       .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    val refinedA = Similarity.kmeansRefine(emb, "embedding", init, iters = 3)
-    val refinedB = Similarity.kmeansRefine(emb, "embedding", init, iters = 3)
+    val refinedA = Similarity.kmeansRefine(emb, "vec_id", "embedding", init, iters = 3)
+    val refinedB = Similarity.kmeansRefine(emb, "vec_id", "embedding", init, iters = 3)
     // deterministic across invocations (same seed, same sample)
     refinedA.map(_._2.toSeq) shouldBe refinedB.map(_._2.toSeq)
     // refinement actually moves centroids off the raw sample
