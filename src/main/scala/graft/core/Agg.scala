@@ -112,6 +112,13 @@ object Agg {
     * buffers from any two partitions in any order. Nulls are skipped, like
     * every built-in aggregate.
     *
+    * IMPORTANT: `step`/`merge` must be PURE — return a new buffer, never
+    * mutate their argument. `zero` hands every group the same `zeroBuf`
+    * instance (the standard Spark `Aggregator` zero contract), so an
+    * in-place-mutating closure (e.g. a mutable Set sketch) would silently
+    * accumulate ALL groups into one shared buffer. Use immutable buffer
+    * types, as in the example.
+    *
     * Example (mean without collect_list):
     * {{{
     * Agg.CustomFoldNumeric[(Double, Long)]((0.0, 0L),
@@ -144,9 +151,10 @@ object Agg {
 
   /** String sibling of [[CustomFoldNumeric]]: bounded-memory incremental
     * fold for ORDER-INSENSITIVE string closures (e.g. lexicographic
-    * min/max, distinct-ish sketches). Same contract: commutative monoid
-    * (zero, step, merge, output), nulls skipped, one fixed-size buffer per
-    * group, no collect_list.
+    * min/max, sketches over immutable buffers). Same contract:
+    * commutative monoid (zero, step, merge, output) with PURE step/merge
+    * (see [[CustomFoldNumeric]] — `zero` shares one instance), nulls
+    * skipped, one fixed-size buffer per group, no collect_list.
     */
   final case class CustomFoldString[B](zeroBuf: B, step: (B, String) => B,
       merge: (B, B) => B, output: B => String)(

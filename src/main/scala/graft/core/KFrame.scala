@@ -267,10 +267,11 @@ final class KFrame private[graft] (
     * groups the whole frame is one group. Keeps groups, keeps order,
     * clears pivot.
     *
-    * Scale: order-insensitive aggregators run as one window aggregate
-    * partitioned by the group keys (hash shuffle). Order-sensitive ones
-    * (concat, custom folds) aggregate once per GROUP and join back on the
-    * keys — a windowed composite would re-run the sort+finish step per
+    * Scale: order-insensitive aggregators (incl. the CustomFold family)
+    * run as one window aggregate partitioned by the group keys (hash
+    * shuffle). Order-sensitive ones (concat, the CustomNumeric/
+    * CustomString list closures) aggregate once per GROUP and join back on
+    * the keys — a windowed composite would re-run the sort+finish step per
     * ROW, O(g²) in the group size. The no-groups case is a 1-row
     * aggregate broadcast, never an empty-partitionBy window (which would
     * move the whole frame to a single partition).
@@ -471,15 +472,8 @@ final class KFrame private[graft] (
     * through take/drop). Distributed: range-partitioned sort + per-partition
     * offset zipWithIndex; no global window, no single-task funnel.
     */
-  private def withPositions: DataFrame = {
-    val ordered = ds.orderBy(orderCols: _*)
-    val schema = StructType(ordered.schema.fields :+
-      StructField(Pos, LongType, nullable = false))
-    val rdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  private def withPositions: DataFrame =
+    appendIndex(ds.orderBy(orderCols: _*), Pos)
 
   /** Positional slice via the distributed position column: `keepFirst` keeps
     * positions <= n (take), otherwise positions > n (drop). The scale path
@@ -733,18 +727,25 @@ object KFrame {
       strict: Boolean = true): KFrame =
     CsvSource.load(spark, path, strict)
 
-  /** Contiguous 1..n ids in current order via RDD zipWithIndex (one count
-    * job + a map; metadata preserved). Deliberately NOT a
-    * `row_number() over ()` — that would shuffle everything to one
-    * partition.
+  /** Append a contiguous 1..n long column named `name` in the frame's
+    * current physical order via RDD zipWithIndex (one count job + a map;
+    * metadata preserved). Deliberately NOT a `row_number() over ()` — that
+    * would shuffle everything to one partition. Shared by [[renumber]]
+    * (rewrites the row id) and the take/drop position slices (which keep
+    * the row id and add a scratch position column).
     */
-  private[core] def renumber(df: DataFrame): DataFrame = {
-    val noId = if (df.columns.contains(RowId)) df.drop(RowId) else df
-    val schema = StructType(noId.schema.fields :+
-      StructField(RowId, LongType, nullable = false))
-    val rdd = noId.rdd.zipWithIndex.map { case (r, i) =>
+  private[core] def appendIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    noId.sparkSession.createDataFrame(rdd, schema)
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Contiguous 1..n ids in current order (see [[appendIndex]]). */
+  private[core] def renumber(df: DataFrame): DataFrame = {
+    val noId = if (df.columns.contains(RowId)) df.drop(RowId) else df
+    appendIndex(noId, RowId)
   }
 }
