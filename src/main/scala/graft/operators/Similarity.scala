@@ -38,25 +38,56 @@ object Similarity {
       .drop("__rank")
   }
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (one allocation-free pass;
+    * the composed `aggregate(zip_with(...))` form allocates the zipped
+    * array per evaluation). NULL on length mismatch / null element, as the
+    * composed form's null-padding produced.
+    */
+  def dot(a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("dot_product", a, b)
+  }
+
+  /** Composed `functions._` formulation, kept as the equivalence baseline
+    * for the native kernel (PipelineSpec pins them row-for-row equal).
+    */
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  /** Cosine similarity of two vector columns (cast to double first).
-    * NULL when either vector has zero norm: under Spark 4's default ANSI
-    * mode the bare division THROWS DIVIDE_BY_ZERO — one all-zero embedding
-    * (padding row, failed encoder) would kill the whole job — and with
-    * ANSI off it yields NaN, which sorts ABOVE every real score. The
-    * when-guard evaluates the division only on the non-zero branch.
+  /** Cosine similarity of two vector columns (cast to double first) — the
+    * native codegen'd [[graft.functions.CosineSim]] expression: dot, ‖a‖
+    * and ‖b‖ in ONE fused pass instead of three reductions over three
+    * zipped temporaries.
+    *
+    * NULL when either vector has zero norm: a bare division would THROW
+    * DIVIDE_BY_ZERO under Spark 4's default ANSI mode — one all-zero
+    * embedding (padding row, failed encoder) would kill the whole job —
+    * and with ANSI off it would yield NaN, which sorts ABOVE every real
+    * score. NaN elements also fold into NULL (see
+    * [[graft.functions.VectorBinaryExpression]] for the sentinel
+    * contract).
     */
   def cosine(a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("cosine_sim",
+      a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Composed formulation of [[cosine]] (equivalence baseline — see
+    * [[dotComposed]]).
+    */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    val denom = norm(ad) * norm(bd)
+    val dc = dotComposed(ad, bd)
+    val denom = F.sqrt(dotComposed(ad, ad)) * F.sqrt(dotComposed(bd, bd))
     F.when(denom === 0.0, F.lit(null).cast("double"))
-      .otherwise(dot(ad, bd) / denom)
+      .otherwise(dc / denom)
   }
 
   /** Exact cosine top-k: for every query vector, the k nearest candidates.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, ShingleHash, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, ShingleHash, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -41,6 +41,18 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "simhash64(text) takes 1 argument")
         SimHash64(args.head)
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      { args =>
+        require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSim(args.head, args(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      { args =>
+        require(args.length == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(args.head, args(1))
       })
   )
 
