@@ -248,6 +248,17 @@ object Queries {
           threshold = 0.8))
       .select(col("id").as("doc_id"), col("cluster"))
 
+  /** Inverted-index EXACT Jaccard pairs (`Dedup.jaccardPairsIndex`,
+    * uncapped = exact): same pair set as q_dedup_near — LSH recall is
+    * exact at this threshold — but computed through the postings
+    * self-join, so the exact-similarity-join path is oracle-checked
+    * end-to-end against the same brute-force DuckDB SQL.
+    */
+  def q_dedup_jaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsIndex(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+
   /** SimHash near-dup pairs — rows-only (the sketch is hash-specific, not
     * SQL-replicable; correctness of the 25 engineered near-dup pairs is
     * pinned by the ScalaTest suite against the Jaccard ground truth).
@@ -428,6 +439,26 @@ object Queries {
   private val DTok =
     """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"""
 
+  /** Brute-force exact-Jaccard pair SQL shared by the two exact-pair-set
+    * oracles: q_dedup_near pins LSH recall against it; q_dedup_jaccard
+    * pins the inverted-index exact join against it.
+    */
+  private lazy val jaccardPairsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+      |  FROM toks WHERE len(ws) >= 3
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |        len(list_distinct(list_concat(a.shingles, b.shingles))), 3) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1_agg_sql,
     "q_select" -> "SELECT l_linenumber, l_orderkey FROM lineitem",
@@ -501,21 +532,8 @@ object Queries {
         |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-    "q_dedup_near" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, $DTok AS ws FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
-        |  FROM toks WHERE len(ws) >= 3
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 3) AS jaccard
-        |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id
-        |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
+    "q_dedup_near" -> jaccardPairsSql,
+    "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, $DTok AS ws FROM documents
@@ -795,6 +813,7 @@ object Queries {
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
+    "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
     "q_curate" -> (q_curate _),
@@ -840,6 +859,7 @@ object Queries {
     "q_transform" -> (q_transform _),
     "q_set_except" -> (q_set_except _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
+    "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_curate" -> (q_curate _)
   )

@@ -309,6 +309,71 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
   }
 
+  // ---- inverted-index exact n-gram Jaccard --------------------------------
+
+  /** EXACT n-gram Jaccard near-dup pairs via an inverted index — the
+    * set-similarity-join shape (postings self-join + length filter, after
+    * Xiao et al.'s PPJoin family) that completes the dedup menu between
+    * [[jaccardPairsBruteForce]] (exact, quadratic — validation only) and
+    * [[minhashNearDupPairs]] (approximate, linear-ish — the default at
+    * corpus scale).
+    *
+    * Plan shape:
+    *   1. one codegen'd [[hashedShingles]] pass per doc (shared kernel with
+    *      the MinHash path), carrying the set size alongside;
+    *   2. explode to (id, size, shingleHash) postings — the only row
+    *      multiplication, bounded by total shingle count;
+    *   3. self-equi-join postings on the 64-bit shingle hash with the
+    *      LENGTH FILTER in the join condition (Jaccard >= t requires
+    *      min(|A|,|B|) >= t·max(|A|,|B|) — prunes cross-size pairs before
+    *      the aggregate) and `a_id < b_id`;
+    *   4. count rows per (a, b) = |A ∩ B| exactly (shingle hashes are
+    *      distinct within a doc), then Jaccard = common / (|A| + |B| −
+    *      common) — no second pass over the texts, no array intersection.
+    *
+    * Cost is Σ_h df(h)·(df(h)−1)/2 over shingle document frequencies —
+    * exact similarity joins are inherently quadratic in the posting length
+    * of boilerplate shingles. `maxDocFreq = Some(cap)` drops postings
+    * longer than the cap first: the standard web-dedup mitigation, but a
+    * documented UNDER-COUNT — a pair whose overlap lives only in capped
+    * shingles is missed, so jaccard values for surviving pairs can also
+    * drop below their true value. `None` (default) is exact and is the
+    * oracle-checked configuration.
+    *
+    * Returns (a_id, b_id, jaccard) with a_id < b_id, like the other pair
+    * producers ([[nearDupClusters]]-compatible).
+    */
+  def jaccardPairsIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(F.col(idCol).as("id"),
+        hashedShingles(F.col(textCol), shingleN).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+    val posts = sh.select(F.col("id"), F.size(F.col("sh")).as("sz"),
+      F.explode(F.col("sh")).as("h"))
+    val pruned = maxDocFreq match {
+      case Some(cap) =>
+        // document frequency per shingle over the SAME postings frame —
+        // AQE reuses the exchange; no second corpus scan
+        val rare = posts.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
+          .filter(F.col("__df") <= cap).select("h")
+        posts.join(rare, "h")
+      case None => posts
+    }
+    pruned.as("x").join(pruned.as("y"),
+        F.col("x.h") === F.col("y.h") &&
+        F.col("x.id") < F.col("y.id") &&
+        F.least(F.col("x.sz"), F.col("y.sz")).cast("double") >=
+          F.lit(threshold) * F.greatest(F.col("x.sz"), F.col("y.sz")))
+      .groupBy(F.col("x.id").as("a_id"), F.col("x.sz").as("__sa"),
+        F.col("y.id").as("b_id"), F.col("y.sz").as("__sb"))
+      .agg(F.count(F.lit(1)).as("__common"))
+      .withColumn("jaccard", F.col("__common").cast("double") /
+        (F.col("__sa") + F.col("__sb") - F.col("__common")).cast("double"))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   // ---- brute-force n-gram Jaccard (oracle/baseline path) ------------------
 
   /** All-pairs exact n-gram Jaccard — the quadratic BASELINE used to

@@ -42,6 +42,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     lsh should not be empty
   }
 
+  test("inverted-index Jaccard pairs == brute-force, exactly") {
+    val idx = Dedup.jaccardPairsIndex(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    idx.keySet shouldBe brute.keySet
+    idx should not be empty
+    // same jaccard VALUES too: common/(sa+sb-common) over hashed shingles
+    // must equal |intersect|/|union| over the arrays
+    idx.foreach { case (k, j) => j shouldBe brute(k) +- 1e-12 }
+    // the whole point: no all-pairs stage anywhere in the exact path
+    val plan = Dedup.jaccardPairsIndex(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("inverted-index Jaccard docFreq cap only removes pairs (under-count)") {
+    val exact = Dedup.jaccardPairsIndex(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairsIndex(docs, "doc_id", "text",
+        threshold = 0.8, maxDocFreq = Some(3))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped.subsetOf(exact) shouldBe true
+  }
+
   test("minhash LSH plan contains no cartesian product") {
     val plan = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
@@ -250,6 +278,59 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val plan = texts.toDF("text").select(Dedup.simhash(F.col("text")))
       .queryExecution.executedPlan.toString
     (plan should not).include("BatchEvalPython")
+    plan.toLowerCase should not include "scalaudf"
+  }
+
+  test("CosineSim/DotProduct native expressions match the composed forms") {
+    // row-for-row equivalence on real embedding pairs: same values (same
+    // accumulation order → bit-comparable, checked at 1e-12) and same
+    // null-ness in both directions
+    val a = emb.filter(F.col("vec_id") < 30)
+      .select(F.col("embedding").cast("array<double>").as("va"))
+    val b = emb.filter(F.col("vec_id").between(30, 59))
+      .select(F.col("embedding").cast("array<double>").as("vb"))
+    val cols = a.crossJoin(b).select(
+      Similarity.cosine(F.col("va"), F.col("vb")).as("n"),
+      Similarity.cosineComposed(F.col("va"), F.col("vb")).as("c"),
+      Similarity.dot(F.col("va"), F.col("vb")).as("nd"),
+      Similarity.dotComposed(F.col("va"), F.col("vb")).as("cd"))
+    cols.count() should be > 0L
+    cols.filter(
+      (F.col("n").isNull =!= F.col("c").isNull) ||
+      (F.col("nd").isNull =!= F.col("cd").isNull) ||
+      F.abs(F.col("n") - F.col("c")) > 1e-12 ||
+      F.abs(F.col("nd") - F.col("cd")) > 1e-12).count() shouldBe 0L
+  }
+
+  test("native vector ops: null sentinel, SQL registration, kernel, no UDF") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),        // zero norm
+      (Seq(1.0, 2.0), Seq(1.0)),             // length mismatch
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0))  // NaN element folds into NULL
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(F.col("a"), F.col("b")).as("c"),
+      Similarity.dot(F.col("a"), F.col("b")).as("d")).collect()
+    out(0).isNullAt(0) shouldBe true   // zero-norm cosine -> null
+    out(0).getDouble(1) shouldBe 0.0   // zero-vector dot is a real 0.0
+    out(1).isNullAt(0) shouldBe true   // mismatch -> null (both ops)
+    out(1).isNullAt(1) shouldBe true
+    out(2).isNullAt(0) shouldBe true   // NaN element -> null (both ops)
+    out(2).isNullAt(1) shouldBe true
+    // SQL-callable registration
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .head().getDouble(0) shouldBe 1.0 +- 1e-15
+    spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+    // interpreted kernel path (what nullSafeEval calls)
+    val ga = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(3.0, 4.0))
+    graft.functions.VectorKernel.cosine(ga, ga) shouldBe 1.0 +- 1e-15
+    graft.functions.VectorKernel.dot(ga, ga) shouldBe 25.0
+    // stays native — no UDF in the scoring plan
+    val plan = df.select(Similarity.cosine(F.col("a"), F.col("b")))
+      .queryExecution.executedPlan.toString
     plan.toLowerCase should not include "scalaudf"
   }
 
