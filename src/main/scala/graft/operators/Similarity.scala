@@ -252,6 +252,23 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       sampleSeed: Long = 42L, refineIters: Int = 0,
       excludeSelf: Boolean = true): DataFrame = {
+    val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
+      sampleSeed, refineIters)
+    val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+      .withColumn("__list",
+        F.explode(nearestCentroids(cents, F.col("__qv"),
+          math.min(nProbe, cents.length))))
+    probeJoin(q, c, k, excludeSelf)
+  }
+
+  /** Deterministic sampled (+ optionally Lloyd-refined) centroid set — the
+    * coarse quantizer shared by [[ivfTopK]] and [[buildIvfIndex]].
+    */
+  private def trainCentroids(candidates: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, sampleSeed: Long,
+      refineIters: Int): Array[(Int, Array[Double])] = {
     val sampled: Array[(Int, Array[Double])] = candidates
       .select(F.col(vecCol).cast("array<double>"))
       .sample(withReplacement = false, 0.5, sampleSeed)
@@ -259,35 +276,94 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     require(sampled.nonEmpty, "candidate set too small for IVF")
-    val cents = kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
+    kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
       seed = sampleSeed)
+  }
 
-    def centroidDists(vec: Column): Seq[(Int, Column)] = cents.toSeq.map {
-      case (cid, cv) =>
-        cid -> dot(vec.cast("array<double>"), F.array(cv.map(F.lit): _*))
-    }
-    /** ids of the `m` highest-dot-product centroids as an array column. */
-    def nearestCentroids(vec: Column, m: Int): Column = {
-      val scored = F.array(centroidDists(vec).map { case (cid, d) =>
-        F.struct(d.as("d"), F.lit(cid).as("cid"))
-      }: _*)
-      F.transform(
-        F.slice(F.reverse(F.array_sort(scored)), 1, m),
-        s => s.getField("cid"))
-    }
+  /** ids of the `m` highest-dot-product centroids as an array column
+    * (centroids ride along as k·dim literals — executor-local argmax, no
+    * shuffle, no broadcast variable).
+    */
+  private def nearestCentroids(cents: Array[(Int, Array[Double])],
+      vec: Column, m: Int): Column = {
+    val scored = F.array(cents.toSeq.map { case (cid, cv) =>
+      F.struct(dot(vec.cast("array<double>"), F.array(cv.map(F.lit): _*)).as("d"),
+        F.lit(cid).as("cid"))
+    }: _*)
+    F.transform(
+      F.slice(F.reverse(F.array_sort(scored)), 1, m),
+      s => s.getField("cid"))
+  }
 
-    val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
-      .withColumn("__list", nearestCentroids(F.col("__cv"), 1).getItem(0))
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
-      .withColumn("__list",
-        F.explode(nearestCentroids(F.col("__qv"), math.min(nProbe, cents.length))))
-
+  /** Shared probe tail: equi-join bucketed queries with listed candidates,
+    * score, per-query top-k.
+    */
+  private def probeJoin(q: DataFrame, c: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val scored = q.join(c, "__list")
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id")
         else F.lit(true))
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
     topK(scored, k)
+  }
+
+  /** Build and PERSIST an IVF index: train the coarse quantizer, assign
+    * every candidate to its nearest centroid, and write the corpus
+    * parquet-partitioned by list id (`__list=<cid>/` directories), with
+    * the centroid table in a `_centroids` side directory (the underscore
+    * prefix hides it from partition discovery, so the same root path reads
+    * back as just the index).
+    *
+    * This is the build-once / probe-many shape that makes IVF pay at
+    * 100 TB: [[ivfTopK]] re-trains and re-assigns on every call — fine for
+    * one-shot analytics, wrong for a serving corpus probed thousands of
+    * times. Here assignment cost is paid once at write time, and every
+    * probe reads ONLY the probed lists' directories (static partition
+    * pruning — `PartitionFilters` in the scan, no I/O for the other
+    * `nCentroids − nProbe` fractions of the corpus; plan-pinned in
+    * PipelineSpec).
+    */
+  def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, sampleSeed: Long = 42L,
+      refineIters: Int = 0): Unit = {
+    val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
+      sampleSeed, refineIters)
+    val assigned = candidates
+      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
+    graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .repartition(1) // nCentroids rows — one tiny file, one read at probe
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]): load the centroid
+    * table (nCentroids rows — bounded, documented driver-side collect,
+    * same class as [[ivfTopK]]'s centroid literals), bucket the queries,
+    * and scan ONLY the probed lists via an `isin` partition filter — the
+    * union of probe lists is at most nCentroids values, so the filter is
+    * always tiny even when the query frame is not.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val cents: Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$path/_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+      .withColumn("__list",
+        F.explode(nearestCentroids(cents, F.col("__qv"),
+          math.min(nProbe, cents.length))))
+    // distinct probed lists: bounded by nCentroids, never by |queries|
+    val probed = q.select("__list").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
+    probeJoin(q, c, k, excludeSelf)
   }
 
   /** Semantic (embedding-space) cluster dedup: keep one document per

@@ -523,6 +523,26 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(ivf).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("persisted IVF index: partition-pruned probe == inline ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val probe = Similarity.probeIvfIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    // same quantizer knobs -> byte-identical centroid set -> same results
+    val inline = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4)
+    val a = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+    a should not be empty
+    // the probe reads ONLY probed list directories: the list predicate
+    // must be INSIDE the scan's PartitionFilters (pruning at planning
+    // time), not a post-scan Filter
+    val scan = probe.queryExecution.executedPlan.toString
+    scan should include regex """PartitionFilters: \[[^\]]*__list"""
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
