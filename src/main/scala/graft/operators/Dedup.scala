@@ -65,11 +65,8 @@ object Dedup {
     * interpreted evaluation (measured 150× slower under `explode`), and a
     * Scala UDF would pay SerDe per row.
     */
-  def hashedShingles(text: Column, n: Int = 3): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
-    F.call_function("shingle_hashes", text, F.lit(n))
-  }
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    graft.plans.GraftExtensions.callNative("shingle_hashes", text, F.lit(n))
 
   /** MinHash signature (array of `numHashes` longs) over a shingle-hash
     * array — the fused native [[graft.functions.MinHashSig]] expression
@@ -78,11 +75,9 @@ object Dedup {
     * permutation per row).
     */
   def minhashSignature(hashCol: Column, numHashes: Int = 64,
-      seed: Long = 42L): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
-    F.call_function("minhash_signature", hashCol, F.lit(numHashes), F.lit(seed))
-  }
+      seed: Long = 42L): Column =
+    graft.plans.GraftExtensions.callNative("minhash_signature", hashCol,
+      F.lit(numHashes), F.lit(seed))
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures, verified
     * with exact Jaccard within buckets only.
@@ -266,11 +261,8 @@ object Dedup {
     * tokenize+hash+accumulate pass per row, no UDF SerDe, no token-array
     * materialization (round-3 advice item 3).
     */
-  def simhash(text: Column): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
-    F.call_function("simhash64", text)
-  }
+  def simhash(text: Column): Column =
+    graft.plans.GraftExtensions.callNative("simhash64", text)
 
   /** Hamming distance between two 64-bit sketches (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column =

@@ -16,9 +16,10 @@ import org.apache.spark.sql.expressions.Window
   *    construction (documented recall/bucket-width tradeoff); multi-table
   *    probing raises recall.
   *
-  * All scoring is `functions._` expressions over the vector arrays
-  * (zip_with + aggregate → whole-stage codegen); vectors are cast to double
-  * before arithmetic so scores are reproducible bit-for-bit.
+  * All scoring runs through the native codegen'd `cosine_sim` /
+  * `dot_product` expressions ([[graft.functions.VectorKernel]] — one fused
+  * allocation-free pass per pair); vectors are cast to double before
+  * arithmetic so scores are reproducible bit-for-bit.
   */
 object Similarity {
 
@@ -38,17 +39,15 @@ object Similarity {
       .drop("__rank")
   }
 
-  /** Dot product of two array<double> columns — the native codegen'd
-    * [[graft.functions.DotProduct]] expression (one allocation-free pass;
-    * the composed `aggregate(zip_with(...))` form allocates the zipped
-    * array per evaluation). NULL on length mismatch / null element, as the
-    * composed form's null-padding produced.
+  /** Dot product of two vector columns (cast to double first) — the
+    * native codegen'd [[graft.functions.DotProduct]] expression (one
+    * allocation-free pass; the composed `aggregate(zip_with(...))` form
+    * allocates the zipped array per evaluation). NULL on length mismatch /
+    * null element, as the composed form's null-padding produced.
     */
-  def dot(a: Column, b: Column): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
-    F.call_function("dot_product", a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.callNative("dot_product",
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Composed `functions._` formulation, kept as the equivalence baseline
     * for the native kernel (PipelineSpec pins them row-for-row equal).
@@ -71,12 +70,9 @@ object Similarity {
     * [[graft.functions.VectorBinaryExpression]] for the sentinel
     * contract).
     */
-  def cosine(a: Column, b: Column): Column = {
-    graft.plans.GraftExtensions.register(
-      org.apache.spark.sql.SparkSession.active)
-    F.call_function("cosine_sim",
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.callNative("cosine_sim",
       a.cast("array<double>"), b.cast("array<double>"))
-  }
 
   /** Composed formulation of [[cosine]] (equivalence baseline — see
     * [[dotComposed]]).
@@ -103,6 +99,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
     val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
     val joined = c.crossJoin(F.broadcast(q))
@@ -171,6 +170,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int,
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
       .repartition(F.col("query_id"))
     val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
@@ -203,6 +205,7 @@ object Similarity {
       init: Array[(Int, Array[Double])], iters: Int,
       sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
     if (iters <= 0) return init
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
     val sample = candidates
       .select(F.col(vecCol).cast("array<double>").as("__v"),
         F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
@@ -252,6 +255,9 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       sampleSeed: Long = 42L, refineIters: Int = 0,
       excludeSelf: Boolean = true): DataFrame = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
     val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
       sampleSeed, refineIters)
     val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
@@ -327,6 +333,9 @@ object Similarity {
   def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, sampleSeed: Long = 42L,
       refineIters: Int = 0): Unit = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
     val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
       sampleSeed, refineIters)
     val assigned = candidates
@@ -351,14 +360,22 @@ object Similarity {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val cents: Array[(Int, Array[Double])] =
       spark.read.parquet(s"$path/_centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
+    // localCheckpoint: the bucketed query frame feeds BOTH the probed-list
+    // collect and the scoring join — without it the second consumer would
+    // re-scan and re-score the query side, and a non-deterministic
+    // `queries` frame could land on lists absent from the filter (rows
+    // silently lost). Eager, small by the probe contract (|queries|·nProbe
+    // rows), precedented by Dedup.nearDupClusters.
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
       .withColumn("__list",
         F.explode(nearestCentroids(cents, F.col("__qv"),
           math.min(nProbe, cents.length))))
+      .localCheckpoint()
     // distinct probed lists: bounded by nCentroids, never by |queries|
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(path)
@@ -390,6 +407,9 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 10,
       nTables: Int = 6, seed: Long = 42L): DataFrame = {
+    // register into the session that OWNS this frame (the Column-builder
+    // fallback uses SparkSession.active, wrong in multi-session apps)
+    graft.plans.GraftExtensions.register(df.sparkSession)
     // Same scan discipline as lshTopK: one bucketing pass for all tables,
     // one repartition(id) materialization point reused by the self-join
     // sides AND the two verify joins (partitioning tracks the id aliases).

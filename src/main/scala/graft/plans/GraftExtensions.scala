@@ -65,4 +65,17 @@ object GraftExtensions {
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+
+  /** Build a Column calling one of the native functions, registering them
+    * into the thread's active session first — the shared fallback for
+    * Column-builder APIs that have no DataFrame (and thus no session) in
+    * hand. Operators that DO hold a frame additionally register into
+    * `df.sparkSession` at entry, which covers multi-session apps where the
+    * frame's session is not the active one.
+    */
+  def callNative(name: String,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function(name, cols: _*)
+  }
 }

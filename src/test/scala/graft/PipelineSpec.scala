@@ -332,6 +332,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val plan = df.select(Similarity.cosine(F.col("a"), F.col("b")))
       .queryExecution.executedPlan.toString
     plan.toLowerCase should not include "scalaudf"
+    // public dot/norm accept raw float embeddings (cast internally, like
+    // cosine) — the strict native type-check must never surface to callers
+    val r = emb.limit(1).select(
+      Similarity.dot(F.col("embedding"), F.col("embedding")).as("d"),
+      Similarity.norm(F.col("embedding")).as("n")).head()
+    r.getDouble(1) shouldBe math.sqrt(r.getDouble(0)) +- 1e-12
   }
 
   test("hashed shingles match string shingles' set cardinality semantics") {
