@@ -361,6 +361,15 @@ object Queries {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 6).as("tfidf"))
 
+  /** BM25 per (doc, term) — the length-normalized retrieval weight; full
+    * DuckDB oracle replays tf/df/N/avgdl and the Lucene-idf formula.
+    */
+  def q_bm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("dl").cast("long").as("dl"), col("df"),
+        round(col("bm25"), 6).as("bm25"))
+
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -699,6 +708,25 @@ object Queries {
         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
         |  round(tf.tf * (ln((nn.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
         |FROM tf, dfreq, nn WHERE tf.term = dfreq.term""".stripMargin,
+    "q_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), exploded AS (
+        |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM exploded GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM tf)
+        |)
+        |SELECT tf.doc_id, tf.term, tf.tf, tf.dl, dfreq.df,
+        |  round(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)), 6) AS bm25
+        |FROM tf, dfreq, stats WHERE tf.term = dfreq.term""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
     // Mirrors TextAnalysis.langId/qualityScore/stopwordRatio exactly: the
@@ -825,6 +853,7 @@ object Queries {
     "q_text_stats" -> (q_text_stats _),
     "q_chunks" -> (q_chunks _),
     "q_tfidf" -> (q_tfidf _),
+    "q_bm25" -> (q_bm25 _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
     "q_text_repetition" -> (q_text_repetition _),
@@ -851,6 +880,7 @@ object Queries {
     "q_knn" -> (q_knn _),
     "q_text_stats" -> (q_text_stats _),
     "q_tfidf" -> (q_tfidf _),
+    "q_bm25" -> (q_bm25 _),
     "q_asof" -> (q_asof _),
     "q_events_window" -> (q_events_window _),
     "q_cast_pivot" -> (q_cast_pivot _),

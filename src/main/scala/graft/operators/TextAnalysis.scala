@@ -212,6 +212,57 @@ object TextAnalysis {
         F.col("tfidf"))
   }
 
+  /** BM25 (Okapi, positive Lucene-style idf) relevance weights per
+    * (doc, term) — the retrieval-grade sibling of [[tfIdf]], adding
+    * per-document length normalization:
+    *
+    *   idf   = ln((N − df + 0.5) / (df + 0.5) + 1)
+    *   bm25  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * N and avgdl are over tokenized (non-empty-token) documents — the
+    * population the tf table normalizes against.
+    *
+    * Same scale contract as [[tfIdf]] (read its plan notes): every
+    * term-keyed step is a partial+final aggregate or an AQE-skew-splittable
+    * equi-join, the unbounded vocabulary is never broadcast, and the only
+    * hint is the 1-row corpus-stats aggregate. The tf aggregate feeds
+    * THREE consumers here (scoring join, docFreq, docLens); each auxiliary
+    * consumer references every tf column inside a no-op-by-construction
+    * guard so column pruning cannot specialize its copy away from
+    * canonical identity — all three share ONE tf stage and the corpus is
+    * scanned + tokenized once (the tfIdf trick, plan-pinned in
+    * PipelineSpec).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = df
+      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .select(F.col(idCol), F.size(F.col("__ts")).as("dl"),
+        F.explode(F.col("__ts")).as("term"))
+      .groupBy(F.col(idCol), F.col("dl"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term")
+      .agg(F.count(F.when(
+        F.col("tf") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 0,
+        1)).as("df"))
+    val docLens = tf.groupBy(F.col(idCol))
+      .agg(F.max(F.when(F.col("tf") >= 1 && F.col("term").isNotNull,
+        F.col("dl"))).as("__dl"))
+    val stats = docLens.agg(
+      F.count(F.lit(1)).cast("double").as("__n"),
+      F.avg(F.col("__dl")).as("__avgdl"))
+    tf.join(docFreq, "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("idf",
+        F.log((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
+      .withColumn("bm25",
+        F.col("idf") * (F.col("tf") * (k1 + 1.0)) /
+          (F.col("tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))))
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("dl"),
+        F.col("df"), F.col("bm25"))
+  }
+
   // ---- repetition & PII signals (C4/Gopher-style curation rules) --------
 
   /** Frequency of the most common token as a fraction of all tokens — the

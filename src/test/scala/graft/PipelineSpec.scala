@@ -672,6 +672,54 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("bm25: hand-computed scores, length normalization, rare-term boost") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),          // dl=3
+      (2L, "apple cherry"),                // dl=2
+      (3L, "apple durian durian durian"))  // dl=4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5))).toMap
+    // N=3, avgdl=3
+    val (tfA, dlA, dfA, sA) = out((2L, "apple"))
+    tfA shouldBe 1L; dlA shouldBe 2; dfA shouldBe 3L
+    val idfApple = math.log(0.5 / 3.5 + 1)
+    sA shouldBe idfApple * (1 * 2.2) /
+      (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3.0)) +- 1e-9
+    val (tfD, dlD, dfD, sD) = out((3L, "durian"))
+    tfD shouldBe 3L; dlD shouldBe 4; dfD shouldBe 1L
+    val idfDurian = math.log(2.5 / 1.5 + 1)
+    sD shouldBe idfDurian * (3 * 2.2) /
+      (3 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0)) +- 1e-9
+    // same doc, same tf: the rarer term outscores the stop-word
+    out((2L, "cherry"))._4 should be > sA
+  }
+
+  test("bm25 scans and tokenizes the corpus exactly once (shared tf stage)") {
+    // tf feeds THREE consumers (scoring join, docFreq, docLens→stats);
+    // every auxiliary consumer references every tf column inside a no-op
+    // guard so pruning can't break canonical identity — same contract as
+    // tf-idf, one text-bearing scan, one Generate, ReusedExchange for the
+    // shared tf shuffle.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = TextAnalysis.bm25(docs, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "Generate explode".r.findAllIn(p).size shouldBe 1
+    "FileScan parquet \\[doc_id".r.findAllIn(p).size shouldBe 1
+    p should include("ReusedExchange")
+    // no hint ever touches term-keyed data (vocabulary broadcast = the
+    // 100TB OOM mode); the only hint is the 1-row stats aggregate
+    val analyzed = TextAnalysis.bm25(docs, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
+  }
+
   test("salted join equals plain join") {
     import graft.extras.Relational
     import graft.core.KFrame
