@@ -370,6 +370,15 @@ object Queries {
         col("dl").cast("long").as("dl"), col("df"),
         round(col("bm25"), 6).as("bm25"))
 
+  /** Top-k BM25 retrieval for a fixed query — oracle replays the scorer
+    * plus DuckDB's own ORDER BY score DESC, doc_id LIMIT k (deterministic
+    * under the unique-id tie-break on both sides).
+    */
+  def q_bm25_search(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        "spark join window", k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -727,6 +736,31 @@ object Queries {
         |        * (tf.tf * 2.2)
         |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)), 6) AS bm25
         |FROM tf, dfreq, stats WHERE tf.term = dfreq.term""".stripMargin,
+    "q_bm25_search" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), exploded AS (
+        |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM exploded GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM tf)
+        |), scores AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS score
+        |  FROM tf, dfreq, stats
+        |  WHERE tf.term = dfreq.term
+        |    AND tf.term IN ('spark', 'join', 'window')
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, round(score, 6) AS score FROM scores
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
     // Mirrors TextAnalysis.langId/qualityScore/stopwordRatio exactly: the
@@ -854,6 +888,7 @@ object Queries {
     "q_chunks" -> (q_chunks _),
     "q_tfidf" -> (q_tfidf _),
     "q_bm25" -> (q_bm25 _),
+    "q_bm25_search" -> (q_bm25_search _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
     "q_text_repetition" -> (q_text_repetition _),

@@ -263,6 +263,33 @@ object TextAnalysis {
         F.col("df"), F.col("bm25"))
   }
 
+  /** Top-k BM25 retrieval for one query string: tokenize the query with
+    * the corpus tokenizer (driver-side — a query is a handful of terms),
+    * keep only matching (doc, term) weights, sum per doc, deterministic
+    * top-k (score desc, id asc). Returns (idCol, score).
+    *
+    * The term filter is an `isin` over the query's tokens, pushed beneath
+    * the [[bm25]] join — only matching terms' rows survive the tf side.
+    * Repeated query terms weigh once (set semantics), the standard bag-of-
+    * words simplification for short queries.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25Search: query has no tokens")
+    bm25(df, idCol, textCol, k1, b)
+      .filter(F.col("term").isin(qTerms: _*))
+      .groupBy(F.col(idCol))
+      .agg(F.sum("bm25").as("score"))
+      // sort+limit → TakeOrderedAndProject: per-partition top-k merged on
+      // the driver (k rows per partition), NOT a global single-partition
+      // window — a stop-word query matching the whole corpus still ranks
+      // distributed.
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- repetition & PII signals (C4/Gopher-style curation rules) --------
 
   /** Frequency of the most common token as a fraction of all tokens — the

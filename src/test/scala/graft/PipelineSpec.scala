@@ -720,6 +720,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
   }
 
+  test("bm25Search: top-k retrieval, distributed TakeOrdered plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "apple durian durian durian"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.bm25Search(d, "doc_id", "text",
+      "durian cherry", k = 2).collect()
+    hits.length shouldBe 2
+    // durian: tf=3 in doc3 beats cherry: tf=1 in doc2 (same df=1)
+    hits(0).getLong(0) shouldBe 3L
+    hits(1).getLong(0) shouldBe 2L
+    hits(0).getDouble(1) should be > hits(1).getDouble(1)
+    // scalable top-k: sort+limit compiles to TakeOrderedAndProject, never
+    // a single-partition global window
+    val plan = TextAnalysis.bm25Search(docs, "doc_id", "text", "data", k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bm25Search(d, "doc_id", "text", "!!!", k = 1)
+  }
+
   test("salted join equals plain join") {
     import graft.extras.Relational
     import graft.core.KFrame
