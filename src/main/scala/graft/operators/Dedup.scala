@@ -116,25 +116,34 @@ object Dedup {
     // stage cache computes once and reuses everywhere — one extra shuffle
     // of (id, hashes) buys two fewer corpus scans + shingle passes
     // (plan-pinned in PipelineSpec).
+    // NOTE no `.filter(size(sh) > 0)` here: a Filter over this projection
+    // gets predicate-pushed BELOW it with `sh` substituted by the full
+    // expression, so the scan stage would evaluate shingle_hashes 3× per
+    // row (twice in the pushed filter, once in the projection — measured
+    // in the final adaptive plan). Empty-shingle docs instead ride along
+    // and are dropped by the when-guard inside the banding explode below
+    // (explode(null) emits no rows), keeping the kernel at exactly ONE
+    // evaluation per row (plan-pinned in PipelineSpec).
     val sh = df.select(
       F.col(idCol).as("id"),
       hashedShingles(F.col(textCol), shingleN).as("sh"))
-      .filter(F.size(F.col("sh")) > 0)
       .repartition(F.col("id"))
 
     // Fused native signature kernel over the hash-array attribute (the
-    // kernel masks to the 32-bit domain internally).
+    // kernel masks to the 32-bit domain internally; an empty hash array
+    // yields the neutral all-MaxValue signature, never banded).
     val sig = sh.select(F.col("id"), F.col("sh"),
       minhashSignature(F.col("sh"), numHashes, seed).as("sig"))
 
-    // (band index, hash of the signature slice) per doc — 1 row per band.
+    // (band index, hash of the signature slice) per doc — 1 row per band;
+    // empty-shingle docs produce NO bands (see the pushdown note above).
     val banded = sig.select(
       F.col("id"),
-      F.explode(F.array((0 until bands).map { b =>
+      F.explode(F.when(F.size(F.col("sh")) > 0, F.array((0 until bands).map { b =>
         F.struct(
           F.lit(b).as("band"),
           F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bk"))
+      }: _*))).as("bk"))
       .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
 
     val candidates = banded.as("x").join(banded.as("y"),
@@ -338,15 +347,21 @@ object Dedup {
   def jaccardPairsIndex(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = df.select(F.col(idCol).as("id"),
+    // No emptiness filter needed: explode of an empty shingle array emits
+    // no postings (and a pushed-down filter would re-evaluate the shingle
+    // kernel per row — see the note in minhashNearDupPairs). The
+    // repartition(h) is a materialization point: postings feed BOTH self-
+    // join sides (and the doc-frequency aggregate when capped); one
+    // canonical h-exchange is computed once, reused everywhere, and
+    // already satisfies the join's distribution — without it each side
+    // re-scans and re-shingles the corpus (plan-pinned in PipelineSpec).
+    val posts = df.select(F.col(idCol).as("id"),
         hashedShingles(F.col(textCol), shingleN).as("sh"))
-      .filter(F.size(F.col("sh")) > 0)
-    val posts = sh.select(F.col("id"), F.size(F.col("sh")).as("sz"),
-      F.explode(F.col("sh")).as("h"))
+      .select(F.col("id"), graft.plans.Hygiene.sizeNonNull(F.col("sh")).as("sz"),
+        graft.plans.Hygiene.explodeNonEmpty(F.col("sh")).as("h"))
+      .repartition(F.col("h"))
     val pruned = maxDocFreq match {
       case Some(cap) =>
-        // document frequency per shingle over the SAME postings frame —
-        // AQE reuses the exchange; no second corpus scan
         val rare = posts.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
           .filter(F.col("__df") <= cap).select("h")
         posts.join(rare, "h")

@@ -71,4 +71,35 @@ object Sampling {
         .withColumn("source_id", F.lit(i))
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-weighted corpus mixing (the multilingual-LM standard):
+    * the output's composition follows q_i ∝ (n_i/N)^alpha — alpha = 1
+    * keeps natural proportions, alpha = 0 equalizes sources, values in
+    * between upweight small corpora without drowning large ones. Each
+    * source keeps fraction q_i·T/n_i (T = `outFraction`·N target rows),
+    * realized by the same deterministic hash filter as [[mixture]].
+    *
+    * Down-sampling only: a keep-fraction is capped at 1, so a small
+    * source that temperature would OVER-sample contributes all its rows
+    * once and the realized mixture under-shoots its share (documented
+    * standard behavior — row replication is an epoch/packing concern, not
+    * a sampling one). One `count()` job per source to learn n_i
+    * (parquet-metadata cheap); everything else stays a lazy filter.
+    */
+  def temperatureMixture(sources: Seq[DataFrame], keyCol: String,
+      alpha: Double, outFraction: Double = 1.0, salt: Long = 0L): DataFrame = {
+    require(sources.nonEmpty, "temperatureMixture needs at least one source")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(outFraction > 0 && outFraction <= 1,
+      s"outFraction in (0,1], got $outFraction")
+    val ns = sources.map(_.count().toDouble)
+    require(ns.forall(_ > 0), "temperatureMixture: empty source")
+    val total = ns.sum
+    val probs = ns.map(n => math.pow(n / total, alpha))
+    val z = probs.sum
+    val fracs = ns.zip(probs).map { case (n, p) =>
+      math.min(1.0, (p / z) * outFraction * total / n)
+    }
+    mixture(sources.zip(fracs), keyCol, salt)
+  }
 }

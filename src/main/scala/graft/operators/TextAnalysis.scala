@@ -150,15 +150,20 @@ object TextAnalysis {
       size: Int = 100, overlap: Int = 50): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val stride = size - overlap
+    // The empty-doc guard lives INSIDE the explode argument, not in a
+    // Filter: a filter over this projection would be predicate-pushed
+    // below it with `__ts` substituted by the full tokenizer expression —
+    // 3 tokenizer evaluations per row in the scan stage (see
+    // graft.plans.Hygiene). when(...) → null → explode emits no chunks.
     val base = df.select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
-      .filter(F.size(F.col("__ts")) > 0)
       .withColumn("__n",
         F.greatest(
           F.ceil((F.size(F.col("__ts")) - size) / F.lit(stride.toDouble)) + 1,
           F.lit(1L)))
     base
       .select(F.col(idCol), F.col("__ts"),
-        F.explode(F.sequence(F.lit(0L), F.col("__n") - 1)).as("chunk_idx"))
+        F.explode(F.when(F.size(F.col("__ts")) > 0,
+          F.sequence(F.lit(0L), F.col("__n") - 1))).as("chunk_idx"))
       .select(F.col(idCol), F.col("chunk_idx"),
         F.array_join(
           F.slice(F.col("__ts"), (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)),
@@ -238,7 +243,7 @@ object TextAnalysis {
     val tf = df
       .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
       .select(F.col(idCol), F.size(F.col("__ts")).as("dl"),
-        F.explode(F.col("__ts")).as("term"))
+        graft.plans.Hygiene.explodeNonEmpty(F.col("__ts")).as("term"))
       .groupBy(F.col(idCol), F.col("dl"), F.col("term"))
       .agg(F.count(F.lit(1)).as("tf"))
     val docFreq = tf.groupBy("term")

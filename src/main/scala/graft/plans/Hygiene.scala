@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Plan-hygiene helpers: tiny wrappers that keep specific Catalyst
+  * optimizer rules from pessimizing hot paths. Each is a semantic no-op;
+  * every use is plan-pinned by a kernel-evaluation-count test.
+  */
+object Hygiene {
+
+  /** `explode(a)` for an ATTRIBUTE whose defining expression is expensive
+    * (tokenizer, shingle hasher).
+    *
+    * A bare `explode(attribute)` triggers `InferFiltersFromGenerate`,
+    * which adds `size(a) > 0 AND isnotnull(a)` above the projection that
+    * defines `a`; predicate pushdown then substitutes the full defining
+    * expression into that filter below the projection — the scan stage
+    * ends up evaluating the expensive kernel THREE times per row (twice in
+    * the pushed filter, once in the projection), and as an interpreted
+    * Filter when the expression is a higher-order function. Spark's own
+    * rule refuses to infer for non-attribute inputs precisely to avoid
+    * duplicating expensive expressions (SPARK-36715); wrapping the
+    * attribute in `when(size(a) > 0, a)` — a no-op, since `explode` emits
+    * nothing for null exactly as for empty — opts the attribute case out
+    * too. The `size()` guard runs on the already-materialized array, which
+    * is cheap.
+    */
+  def explodeNonEmpty(a: Column): Column =
+    F.explode(F.when(F.size(a) > 0, a))
+
+  /** `size(a)` as a NON-NULLABLE column, for a size that is carried
+    * through the explode and later compared in a join condition.
+    *
+    * A nullable `size(a)` attribute in a null-intolerant join condition
+    * makes `InferFiltersFromConstraints` add `isnotnull(sz)` above the
+    * join input; pushdown then substitutes the defining chain below the
+    * projection — `isnotnull(size(kernel(text)))` in the scan stage, a
+    * second full kernel evaluation per row. `coalesce(size(a), 0)` is
+    * non-nullable, so no filter is ever inferred; it is a semantic no-op
+    * on rows that survive [[explodeNonEmpty]] (their array is non-empty,
+    * so `size` is never null there).
+    */
+  def sizeNonNull(a: Column): Column = F.coalesce(F.size(a), F.lit(0))
+}

@@ -92,6 +92,39 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("expensive kernels evaluate exactly ONCE per row in final plans") {
+    // graft.plans.Hygiene contract: a bare explode(attribute) (or a
+    // Filter over the defining projection) lets the optimizer push an
+    // inferred predicate BELOW the projection with the kernel expression
+    // substituted — the scan stage then evaluates the tokenizer / shingle
+    // hasher 2-3x per row. The when-guard (explodeNonEmpty) and the
+    // non-nullable size (sizeNonNull) opt out; pin the result: exactly one
+    // kernel occurrence in each FINAL adaptive plan (scan metadata echoes
+    // pushed filters, so a regression shows up as extra occurrences).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect()
+      q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case o => o.toString
+      }
+    }
+    val shingleKernel = "shingle_hashes"
+    val tokenizerKernel = "split(lower"
+    shingleKernel.r.findAllIn(
+      finalPlan(Dedup.jaccardPairsIndex(docs, "doc_id", "text"))
+    ).size shouldBe 1
+    shingleKernel.r.findAllIn(
+      finalPlan(Dedup.minhashNearDupPairs(docs, "doc_id", "text"))
+    ).size shouldBe 1
+    java.util.regex.Pattern.quote(tokenizerKernel).r.findAllIn(
+      finalPlan(TextAnalysis.chunkDocuments(docs, "doc_id", "text"))
+    ).size shouldBe 1
+    java.util.regex.Pattern.quote(tokenizerKernel).r.findAllIn(
+      finalPlan(TextAnalysis.bm25(docs, "doc_id", "text"))
+    ).size shouldBe 1
+  }
+
   test("packing: pack totals land within one chunk of the budget") {
     import graft.operators.{Packing, TextAnalysis}
     val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
@@ -603,6 +636,38 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     m.filter(F.col("source_id") === 0).count() shouldBe docs.count()
     val w1 = m.filter(F.col("source_id") === 1).count().toDouble
     w1 shouldBe (docs.count() * 0.2) +- docs.count() * 0.12
+  }
+
+  test("temperatureMixture: alpha interpolates natural -> equal shares") {
+    import graft.operators.Sampling
+    // three "corpora" of very different sizes from one table
+    val big = docs                                        // 500 docs
+    val mid = docs.filter(F.col("doc_id") % 5 === 0)      // ~100
+    val small = docs.filter(F.col("doc_id") % 50 === 0)   // ~10
+    val sizes = Seq(big, mid, small).map(_.count().toDouble)
+    // alpha=1: natural proportions — every source keeps ~outFraction
+    val nat = Sampling.temperatureMixture(Seq(big, mid, small), "doc_id",
+      alpha = 1.0, outFraction = 0.5)
+    val natBySrc = nat.groupBy("source_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      natBySrc(i) shouldBe (n * 0.5) +- math.max(6.0, n * 0.3)
+    }
+    // alpha=0: equal target shares; the small corpus saturates (cap at 1,
+    // down-sampling only) and contributes everything it has
+    val eq = Sampling.temperatureMixture(Seq(big, mid, small), "doc_id",
+      alpha = 0.0, outFraction = 0.3)
+    val eqBySrc = eq.groupBy("source_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val target = 0.3 * sizes.sum / 3
+    eqBySrc(0) shouldBe target +- math.max(6.0, target * 0.35)
+    eqBySrc(2) shouldBe sizes(2) // saturated: all ~10 rows kept
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMixture(
+      Seq(big.repartition(7), mid, small), "doc_id",
+      alpha = 0.0, outFraction = 0.3)
+    again.select("source_id", "doc_id").collect().toSet shouldBe
+      eq.select("source_id", "doc_id").collect().toSet
   }
 
   test("chunkDocuments: windows cover all tokens with the stated overlap") {
