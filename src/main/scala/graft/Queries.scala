@@ -411,6 +411,29 @@ object Queries {
       TextAnalysis.emailCount(t).as("n_emails"))
   }
 
+  /** Per-doc unigram cross-entropy (perplexity-proxy quality score) — the
+    * oracle replays the MLE unigram model and the ln T − Σtf·ln ctf / dl
+    * formula over the shared tokenizer.
+    */
+  def q_unigram_ll(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogLoss(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("dl"), round(col("xent"), 6).as("xent"))
+
+  /** Corpus-wide top-50 bigrams (count desc, bigram asc tie-break) — the
+    * dataset-statistics staple; oracle replays the n-gram window + LIMIT
+    * under the identical deterministic ordering.
+    */
+  def q_ngram_top(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 50)
+
+  /** Two-sided perplexity trim at the [0.05, 0.95] corpus quantiles —
+    * scores rounded to 6dp before the quantile on BOTH sides so threshold
+    * equality is engine-independent (see perplexityBand's doc).
+    */
+  def q_perplexity_band(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexityBand(Tables.documents(s, d), "doc_id", "text",
+      lo = 0.05, hi = 0.95)
+
   // ---- M8: events / streaming-shaped ----------------------------------
 
   def q_events_window(s: SparkSession, d: String): DataFrame =
@@ -476,6 +499,27 @@ object Queries {
       |WHERE a.doc_id < b.doc_id
       |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin
+
+  /** Shared unigram-LM CTE chain (tokens → tf → corpus term freq → 1-row
+    * total → per-doc cross-entropy, 6dp): q_unigram_ll reads `scored`
+    * directly; q_perplexity_band appends the quantile trim.
+    */
+  private lazy val unigramCte: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), exploded AS (
+      |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks
+      |), tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM exploded GROUP BY 1, 2, 3
+      |), ctf AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1
+      |), tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS t FROM ctf
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    round(ln(tot.t) - sum(tf.tf * ln(ctf.ctf)) / tf.dl, 6) AS xent
+      |  FROM tf, ctf, tot WHERE tf.term = ctf.term
+      |  GROUP BY tf.doc_id, tf.dl, tot.t
+      |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1_agg_sql,
@@ -809,6 +853,25 @@ object Queries {
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails
         |FROM toks""".stripMargin,
+    "q_unigram_ll" ->
+      s"""$unigramCte
+        |SELECT doc_id, dl, xent FROM scored""".stripMargin,
+    "q_ngram_top" ->
+      s"""WITH toks AS (SELECT $DTok AS ws FROM documents),
+        |g AS (
+        |  SELECT unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS ngram
+        |  FROM toks WHERE len(ws) >= 2
+        |)
+        |SELECT ngram, count(*) AS n FROM g GROUP BY 1
+        |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+    "q_perplexity_band" ->
+      s"""$unigramCte,
+        |th AS (
+        |  SELECT quantile_cont(xent, 0.05) AS lo, quantile_cont(xent, 0.95) AS hi
+        |  FROM scored
+        |)
+        |SELECT doc_id, xent FROM scored, th
+        |WHERE xent >= lo AND xent <= hi""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
@@ -892,6 +955,9 @@ object Queries {
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
     "q_text_repetition" -> (q_text_repetition _),
+    "q_unigram_ll" -> (q_unigram_ll _),
+    "q_ngram_top" -> (q_ngram_top _),
+    "q_perplexity_band" -> (q_perplexity_band _),
     "q_events_window" -> (q_events_window _),
     "q_events_sessions" -> (q_events_sessions _),
     "q_events_sliding" -> (q_events_sliding _),
@@ -926,6 +992,8 @@ object Queries {
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_text_repetition" -> (q_text_repetition _),
-    "q_curate" -> (q_curate _)
+    "q_curate" -> (q_curate _),
+    "q_unigram_ll" -> (q_unigram_ll _),
+    "q_ngram_top" -> (q_ngram_top _)
   )
 }

@@ -354,6 +354,110 @@ object TextAnalysis {
     F.regexp_replace(noIp, F.lit(PhoneRx), F.lit("<PHONE>"))
   }
 
+  // ---- corpus statistics & perplexity-style scoring ---------------------
+
+  /** ALL word n-grams of a token-array ATTRIBUTE, duplicates kept — the
+    * frequency-counting sibling of [[wordShingles]] (which is distinct,
+    * for set-based Jaccard). Takes the materialized token array, not the
+    * text: a higher-order lambda re-evaluates subtrees per ELEMENT when
+    * interpreted, so inlining the tokenizer here would re-tokenize the
+    * document once per n-gram (the Generate trap — see the verify notes).
+    * Callers project `tokens(text)` to an attribute first.
+    */
+  def ngramsOf(ts: Column, n: Int): Column = {
+    require(n >= 1, s"ngramsOf: n must be >= 1, got $n")
+    val count = F.size(ts) - (n - 1)
+    F.when(count >= 1,
+        F.transform(F.sequence(F.lit(1), count),
+          i => F.array_join(F.slice(ts, i, F.lit(n)), " ")))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  /** Top-k most frequent word n-grams over the whole corpus — the basic
+    * dataset-statistics query (vocabulary head, boilerplate discovery,
+    * contamination probes). Deterministic output order: count desc, then
+    * n-gram asc.
+    *
+    * Scale: tokenize+ngram is a projection over the scan; the count is a
+    * partial+final hash aggregate keyed by n-gram (AQE-skew-splittable);
+    * sort+limit compiles to TakeOrderedAndProject — per-partition top-k
+    * merged on the driver, k rows per partition, never a global sort.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 50): DataFrame = {
+    df.select(tokens(F.col(textCol)).as("__ts"))
+      .select(ngramsOf(F.col("__ts"), n).as("__gs"))
+      .select(graft.plans.Hygiene.explodeNonEmpty(F.col("__gs")).as("ngram"))
+      .groupBy("ngram").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Per-document unigram cross-entropy (nats/token) under the corpus' own
+    * maximum-likelihood unigram model — the cheap stand-in for LM
+    * perplexity scoring used in quality filtering (CCNet-style): rare-word
+    * gibberish scores high, boilerplate scores low. Self-scoring, so every
+    * token is in-vocabulary (no smoothing needed):
+    *
+    *   xent(doc) = ln T − (Σ_terms tf·ln ctf) / dl
+    *
+    * with ctf = corpus frequency of the term and T = Σ ctf.
+    *
+    * Scale contract (the [[bm25]] topology): tf feeds the scoring join and
+    * the corpus-frequency aggregate, and ctf feeds the join and the 1-row
+    * total — each auxiliary consumer references every upstream column
+    * inside a no-op-by-construction guard so column pruning cannot
+    * specialize its copy, and all consumers share ONE tf stage: the corpus
+    * is scanned and tokenized exactly once (plan-pinned in PipelineSpec).
+    * The unbounded vocabulary is never broadcast; the only hint is the
+    * 1-row total. Returns (idCol, dl, xent); empty-token docs drop.
+    */
+  def unigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .select(F.col(idCol), graft.plans.Hygiene.sizeNonNull(F.col("__ts")).as("dl"),
+        graft.plans.Hygiene.explodeNonEmpty(F.col("__ts")).as("term"))
+      .groupBy(F.col(idCol), F.col("dl"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val ctf = tf.groupBy("term")
+      .agg(F.sum(F.when(
+        F.col("tf") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 0,
+        F.col("tf"))).as("ctf"))
+    val total = ctf.agg(F.sum(F.when(F.col("term").isNotNull, F.col("ctf")))
+      .cast("double").as("__t"))
+    tf.join(ctf, "term")
+      .crossJoin(F.broadcast(total))
+      .groupBy(F.col(idCol), F.col("dl"), F.col("__t"))
+      .agg(F.sum(F.col("tf") * F.log(F.col("ctf"))).as("__s"))
+      .withColumn("xent", F.log(F.col("__t")) - F.col("__s") / F.col("dl"))
+      .select(F.col(idCol), F.col("dl").cast("long").as("dl"), F.col("xent"))
+  }
+
+  /** Perplexity-band filtering: keep documents whose unigram cross-entropy
+    * sits within the [lo, hi] corpus quantiles — the standard two-sided
+    * trim (drop boilerplate at the low tail, gibberish at the high tail).
+    *
+    * Scores are rounded to 6 decimals BEFORE the quantile so threshold
+    * equality is well-defined across engines (ties at a quantile position
+    * interpolate to that exact value). The thresholds come from Spark's
+    * exact `percentile` aggregate as a 1-row broadcast — no global sort,
+    * no window. At extreme cardinality swap in `approx_percentile`; the
+    * band then becomes approximate (documented trade, not the default).
+    * Returns (idCol, xent) for the surviving documents.
+    */
+  def perplexityBand(df: DataFrame, idCol: String, textCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val scored = unigramLogLoss(df, idCol, textCol)
+      .select(F.col(idCol), F.round(F.col("xent"), 6).as("xent"))
+    val th = scored.agg(
+      F.percentile(F.col("xent"), F.lit(lo)).as("__lo"),
+      F.percentile(F.col("xent"), F.lit(hi)).as("__hi"))
+    scored.crossJoin(F.broadcast(th))
+      .filter(F.col("xent") >= F.col("__lo") && F.col("xent") <= F.col("__hi"))
+      .select(F.col(idCol), F.col("xent"))
+  }
+
   /** All quality/analysis signals as one projection — the shape a pipeline
     * actually runs (single pass over the scan).
     */

@@ -785,6 +785,68 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
   }
 
+  test("unigramLogLoss matches the hand-computed MLE cross-entropy") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = TextAnalysis.unigramLogLoss(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus counts: a=2, b=2, c=1; T=5
+    val t = 5.0
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe (math.log(t) -
+      (2 * math.log(2.0) + math.log(2.0)) / 3.0) +- 1e-9
+    out(2L)._1 shouldBe 2L
+    out(2L)._2 shouldBe (math.log(t) -
+      (math.log(2.0) + math.log(1.0)) / 2.0) +- 1e-9
+  }
+
+  test("unigramLogLoss scans and tokenizes the corpus exactly once") {
+    // Same stage-sharing contract as bm25: tf feeds the scoring join and
+    // the corpus-frequency aggregate, ctf feeds the join and the 1-row
+    // total; the pruning-defeating guards keep every consumer canonically
+    // identical so AQE computes tf ONCE. The only hint is the 1-row total.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = TextAnalysis.unigramLogLoss(docs, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "Generate explode".r.findAllIn(p).size shouldBe 1
+    "FileScan parquet \\[doc_id".r.findAllIn(p).size shouldBe 1
+    p should include("ReusedExchange")
+    val analyzed = TextAnalysis.unigramLogLoss(docs, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    "ResolvedHint".r.findAllIn(analyzed).size shouldBe 1
+  }
+
+  test("topNgrams counts every occurrence; ties break n-gram ascending") {
+    import spark.implicits._
+    val d = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("id", "text")
+    // bigrams: doc1 = [x y, y x, x y, y z], doc2 = [x y, y q]
+    val out = TextAnalysis.topNgrams(d, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    out shouldBe Seq(("x y", 3L), ("y q", 1L), ("y x", 1L))
+  }
+
+  test("perplexityBand keeps exactly the docs inside the corpus quantiles") {
+    val scored = TextAnalysis.unigramLogLoss(docs, "doc_id", "text")
+      .select(F.col("doc_id"), F.round(F.col("xent"), 6).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side mirror of exact-percentile linear interpolation
+    // (lower + (higher - lower) * frac, the same arithmetic Spark uses)
+    val vs = scored.values.toArray.sorted
+    def q(p: Double): Double = {
+      val pos = p * (vs.length - 1); val i = pos.toInt; val g = pos - i
+      if (i + 1 < vs.length) vs(i) + (vs(i + 1) - vs(i)) * g else vs(i)
+    }
+    val (lo, hi) = (q(0.05), q(0.95))
+    val kept = TextAnalysis.perplexityBand(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe scored.collect { case (id, x) if x >= lo && x <= hi => id }.toSet
+    kept.size should be < scored.size // both tails actually trimmed
+  }
+
   test("bm25Search: top-k retrieval, distributed TakeOrdered plan") {
     import spark.implicits._
     val d = Seq(
