@@ -259,6 +259,20 @@ object Queries {
         threshold = 0.8)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
 
+  /** Cross-corpus near-dedup: odd-id docs are the "new batch", even-id
+    * docs the "existing corpus"; every new doc within 0.8 Jaccard of an
+    * existing one is reported. Oracle = brute-force exact cross-Jaccard
+    * over the same parity split.
+    */
+  def q_dedup_xcorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashNearDupAgainst(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs — rows-only (the sketch is hash-specific, not
     * SQL-replicable; correctness of the 25 engineered near-dup pairs is
     * pinned by the ScalaTest suite against the Jaccard ground truth).
@@ -596,6 +610,21 @@ object Queries {
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
+    "q_dedup_xcorpus" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM toks WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 3) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, $DTok AS ws FROM documents
@@ -939,6 +968,7 @@ object Queries {
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
+    "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
     "q_curate" -> (q_curate _),
@@ -994,6 +1024,7 @@ object Queries {
     "q_text_repetition" -> (q_text_repetition _),
     "q_curate" -> (q_curate _),
     "q_unigram_ll" -> (q_unigram_ll _),
-    "q_ngram_top" -> (q_ngram_top _)
+    "q_ngram_top" -> (q_ngram_top _),
+    "q_dedup_xcorpus" -> (q_dedup_xcorpus _)
   )
 }

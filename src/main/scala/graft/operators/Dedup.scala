@@ -107,23 +107,48 @@ object Dedup {
     // register into the session that OWNS this frame (the Column-builder
     // fallback uses SparkSession.active, wrong in multi-session apps)
     graft.plans.GraftExtensions.register(df.sparkSession)
+    val (sh, banded) = shingleBandTables(df, idCol, textCol, shingleN,
+      numHashes, bands, seed)
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        F.col("x.band") === F.col("y.band") &&
+        F.col("x.bh") === F.col("y.bh") &&
+        F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+      .distinct()
+
+    candidates
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Shared MinHash plumbing: the repartition(id)-materialized shingle
+    * table and its (id, band, band-hash) explosion.
+    *
+    * The shingle table feeds multiple consumers (banding + the verify
+    * side(s)). Left as a bare projection, each consumer re-scans and
+    * re-shingle-hashes the corpus (their downstream partitionings differ,
+    * so no stage is shared); the explicit repartition(id) is a
+    * materialization point — one canonically-identical exchange that AQE's
+    * stage cache computes once and reuses everywhere. One extra shuffle of
+    * (id, hashes) buys the saved corpus scans + shingle passes
+    * (plan-pinned in PipelineSpec).
+    *
+    * NO `.filter(size(sh) > 0)` over the projection: such a Filter gets
+    * predicate-pushed BELOW it with `sh` substituted by the full
+    * expression, so the scan stage would evaluate shingle_hashes 3× per
+    * row (measured in the final adaptive plan — see graft.plans.Hygiene).
+    * Empty-shingle docs instead ride along and are dropped by the
+    * when-guard inside the banding explode (explode(null) emits no rows),
+    * keeping the kernel at exactly ONE evaluation per row (plan-pinned).
+    */
+  private def shingleBandTables(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     val r = numHashes / bands
-    // The shingle table feeds THREE consumers (banding + both sides of the
-    // in-bucket verify). Left as a bare projection, each consumer re-scans
-    // and re-shingle-hashes the corpus (their downstream partitionings
-    // differ, so no stage is shared). The explicit repartition(id) is a
-    // materialization point: one canonically-identical exchange that AQE's
-    // stage cache computes once and reuses everywhere — one extra shuffle
-    // of (id, hashes) buys two fewer corpus scans + shingle passes
-    // (plan-pinned in PipelineSpec).
-    // NOTE no `.filter(size(sh) > 0)` here: a Filter over this projection
-    // gets predicate-pushed BELOW it with `sh` substituted by the full
-    // expression, so the scan stage would evaluate shingle_hashes 3× per
-    // row (twice in the pushed filter, once in the projection — measured
-    // in the final adaptive plan). Empty-shingle docs instead ride along
-    // and are dropped by the when-guard inside the banding explode below
-    // (explode(null) emits no rows), keeping the kernel at exactly ONE
-    // evaluation per row (plan-pinned in PipelineSpec).
     val sh = df.select(
       F.col(idCol).as("id"),
       hashedShingles(F.col(textCol), shingleN).as("sh"))
@@ -145,20 +170,57 @@ object Dedup {
           F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).as("bh"))
       }: _*))).as("bk"))
       .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
+    (sh, banded)
+  }
 
-    val candidates = banded.as("x").join(banded.as("y"),
+  /** Cross-corpus near-dup pairs: (a_id from `df`, b_id from `ref`,
+    * jaccard) for every df-doc within `threshold` Jaccard of a ref-doc —
+    * the "dedup the new crawl against what we already have" primitive.
+    * Unlike [[Contamination]] (exact long-n-gram overlap against a SMALL
+    * benchmark suite), BOTH sides here can be full-sized corpora: each is
+    * independently shingled, signed and banded (same seed, so signatures
+    * are comparable), candidates come from a band-key equi-join across the
+    * two band tables (hash-partitioned, AQE-skew-splittable, no broadcast
+    * assumption and no cartesian), and only in-bucket candidates pay the
+    * exact-Jaccard verify. Same missed-pair odds as
+    * [[minhashNearDupPairs]]. Id spaces are independent — no a < b
+    * constraint; a doc may match many ref docs.
+    */
+  def minhashNearDupAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    graft.plans.GraftExtensions.register(ref.sparkSession)
+    val (shA, bandedA) = shingleBandTables(df, idCol, textCol, shingleN,
+      numHashes, bands, seed)
+    val (shB, bandedB) = shingleBandTables(ref, refIdCol, refTextCol,
+      shingleN, numHashes, bands, seed)
+    val candidates = bandedA.as("x").join(bandedB.as("y"),
         F.col("x.band") === F.col("y.band") &&
-        F.col("x.bh") === F.col("y.bh") &&
-        F.col("x.id") < F.col("y.id"))
+        F.col("x.bh") === F.col("y.bh"))
       .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
       .distinct()
-
     candidates
-      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .join(shA.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(shB.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
       .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
       .filter(F.col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Keep only the `df` docs with NO near-dup in `ref` (anti-join against
+    * the matched a_ids of [[minhashNearDupAgainst]]) — incremental-ingest
+    * dedup: `ref` is the already-curated corpus, `df` the new batch.
+    */
+  def dedupAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val hit = minhashNearDupAgainst(df, idCol, textCol,
+        ref, refIdCol, refTextCol, threshold = threshold)
+      .select(F.col("a_id").as(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */

@@ -70,6 +70,43 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     capped.subsetOf(exact) shouldBe true
   }
 
+  test("cross-corpus near-dup pairs == brute-force cross ground truth") {
+    val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+    val existing = docs.filter(F.col("doc_id") % 2 === 0)
+    val got = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        existing, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: brute-force pairs over the whole corpus, keep those
+    // crossing the split, re-orient as (odd new-batch id, even existing id)
+    val brute = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    got shouldBe brute
+    got should not be empty
+    // no cartesian anywhere; the only corpus scans are the two sides
+    val plan = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        existing, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("dedupAgainst keeps exactly the unmatched new-batch docs") {
+    val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+    val existing = docs.filter(F.col("doc_id") % 2 === 0)
+    val hitIds = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        existing, "doc_id", "text", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val kept = Dedup.dedupAgainst(newBatch, "doc_id", "text",
+        existing, "doc_id", "text", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val all = newBatch.collect().map(_.getLong(0)).toSet
+    kept shouldBe (all -- hitIds)
+    hitIds should not be empty
+  }
+
   test("minhash LSH plan contains no cartesian product") {
     val plan = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
