@@ -72,6 +72,19 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic epoch shuffle: a stable pseudo-random TOTAL order from
+    * (key, epoch) — the training-time "shuffle the corpus differently each
+    * epoch, identically on every rerun" primitive. Implemented as a global
+    * sort on the key's epoch-salted hash (range-partitioned exchange —
+    * Spark's scalable total order; no single-task funnel), with the key as
+    * tie-break so duplicate hashes still order deterministically. Writing
+    * the result with a partition-preserving writer yields the epoch's
+    * shard files directly.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Long): DataFrame =
+    df.orderBy(F.xxhash64(F.col(keyCol), F.lit(epoch)).asc,
+      F.col(keyCol).asc)
+
   /** Temperature-weighted corpus mixing (the multilingual-LM standard):
     * the output's composition follows q_i ∝ (n_i/N)^alpha — alpha = 1
     * keeps natural proportions, alpha = 0 equalizes sources, values in

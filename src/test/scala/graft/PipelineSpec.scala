@@ -707,6 +707,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       eq.select("source_id", "doc_id").collect().toSet
   }
 
+  test("epochShuffle: deterministic total order, epoch-dependent, complete") {
+    import graft.operators.Sampling
+    val e0 = Sampling.epochShuffle(docs, "doc_id", epoch = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // same epoch, different input partitioning -> identical order
+    val e0again = Sampling.epochShuffle(docs.repartition(7), "doc_id", 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    e0again shouldBe e0
+    // different epoch -> different permutation of the SAME rows
+    val e1 = Sampling.epochShuffle(docs, "doc_id", epoch = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    e1 should not be e0
+    e1.sorted shouldBe e0.sorted
+    // total order via range exchange, not a single-partition sort
+    val plan = Sampling.epochShuffle(docs, "doc_id", 0L)
+      .queryExecution.executedPlan.toString
+    plan should include("rangepartitioning")
+  }
+
   test("chunkDocuments: windows cover all tokens with the stated overlap") {
     import spark.implicits._
     val words = (1 to 230).map(i => s"w$i").mkString(" ")
