@@ -60,5 +60,26 @@ object syntax {
     /** Per-(doc, term) TF-IDF scores. */
     def tfIdf(idCol: String, textCol: String): KFrame =
       lift(TextAnalysis.tfIdf(_, idCol, textCol))
+
+    /** Drop every doc with a near-dup in `ref` (incremental-ingest dedup
+      * against an existing corpus).
+      */
+    def dedupAgainstCorpus(idCol: String, textCol: String, ref: KFrame,
+        refIdCol: String, refTextCol: String,
+        threshold: Double = 0.8): KFrame =
+      lift(Dedup.dedupAgainst(_, idCol, textCol, ref.toDF, refIdCol,
+        refTextCol, threshold))
+
+    /** Keep docs inside the [lo, hi] corpus quantiles of unigram
+      * cross-entropy (two-sided perplexity trim); re-joins the survivors
+      * so ALL columns ride through, unlike the bare operator's (id, xent).
+      */
+    def perplexityTrim(idCol: String, textCol: String, lo: Double = 0.05,
+        hi: Double = 0.95): KFrame =
+      lift { df =>
+        val keep = TextAnalysis.perplexityBand(df, idCol, textCol, lo, hi)
+          .select(idCol)
+        df.join(keep, Seq(idCol), "left_semi")
+      }
   }
 }

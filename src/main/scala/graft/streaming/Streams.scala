@@ -92,6 +92,24 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming ingestion dedup against a STATIC reference corpus: drop
+    * every incoming doc whose normalized fingerprint already exists in
+    * `ref` — the "don't re-ingest what we already curated" gate, run as a
+    * stream-static left-anti join on 64-bit fingerprints. No streaming
+    * state: the reference side is a bounded table resolved per batch
+    * (pre-compute it to parquet for big corpora so each batch reads
+    * fingerprints, not text). Combine with [[streamingDocDedup]] for
+    * within-stream duplicates.
+    */
+  def streamingDedupAgainstStatic(stream: DataFrame, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint _
+    val refFp = ref.select(fp(F.col(refTextCol)).as("__fp")).distinct()
+    stream.withColumn("__fp", fp(F.col(textCol)))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — no streaming state at all, the
     * canonical fact-stream × dimension-table shape. The dimension is

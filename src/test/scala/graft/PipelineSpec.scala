@@ -1245,6 +1245,45 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     kept.size shouldBe 3
   }
 
+  test("streaming dedup against a static corpus drops known fingerprints") {
+    import spark.implicits._
+    val ref = Seq((100L, "Hello,  World!"), (101L, "old curated doc"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "hello world", "2024-01-01 10:00:00"),   // fp-matches ref 100
+      (2L, "brand new doc", "2024-01-01 10:01:00"),
+      (3L, "old curated doc", "2024-01-01 10:02:00")) // exact ref 101
+      .toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xdedup").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, incoming.schema)
+    val q = Streams.streamingDedupAgainstStatic(stream, "text",
+        ref.select(F.col("doc_id").as("ref_id"), F.col("text")), "text")
+      .writeStream.format("memory").queryName("xdedup_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("xdedup_test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+  }
+
+  test("fluent syntax: dedupAgainstCorpus + perplexityTrim chain") {
+    import graft.extras.syntax._
+    import graft.core.KFrame
+    val newBatch = KFrame.wrap(docs.filter(F.col("doc_id") % 2 === 1))
+    val existing = KFrame.wrap(docs.filter(F.col("doc_id") % 2 === 0))
+    val out = newBatch
+      .dedupAgainstCorpus("doc_id", "text", existing, "doc_id", "text")
+      .perplexityTrim("doc_id", "text", lo = 0.02, hi = 0.98)
+    val ids = out.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+    // survivors are a strict subset of the batch, all columns intact
+    val batchIds = newBatch.toDF.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    ids.subsetOf(batchIds) shouldBe true
+    ids.size should be < batchIds.size
+    out.toDF.columns should contain allOf ("doc_id", "text")
+  }
+
   test("sliding windows count each event in every overlapping window") {
     import spark.implicits._
     val e = Seq((1L, "2024-01-01 10:45:00", 7L, "view", 1.0, ""))
