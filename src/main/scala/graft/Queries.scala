@@ -412,6 +412,24 @@ object Queries {
       round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
   }
 
+  /** Per-language corpus rollup (docs, tokens, mean quality) — the
+    * dataset-composition dashboard query: one pure-projection pass over
+    * the scan, then a partial+final aggregate on the handful of language
+    * codes. Quality scores are exact 0.25 multiples (dyadic rationals),
+    * so their sum and mean are fp-exact and engine-independent.
+    */
+  def q_corpus_stats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.tokenCount(t).as("nt"),
+        TextAnalysis.qualityScore(t).as("q"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        round(avg(col("q")), 4).as("avg_quality"))
+  }
+
   /** Repetition + PII signals (C4/Gopher-style curation rules) — all pure
     * column expressions; the PII regexes are RE2-compatible so the oracle
     * runs the identical pattern.
@@ -513,6 +531,46 @@ object Queries {
       |WHERE a.doc_id < b.doc_id
       |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin
+
+  /** Shared per-doc text-signal CTE chain mirroring TextAnalysis.langId /
+    * qualityScore / stopwordRatio exactly: marker-vote argmax tying toward
+    * the earlier language (en, de, fr, es), CJK-share check first, quality
+    * = four 0.25 bands summed. Ends in `sig(doc_id, nt, lang_pred,
+    * quality, swr)` — q_text_quality reads it per doc, q_corpus_stats
+    * rolls it up per language.
+    */
+  private lazy val textSignalsCte: String =
+    s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
+      |sc AS (
+      |  SELECT doc_id, text, ws,
+      |    length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk,
+      |    len(list_intersect(ws, ['the','and','of','to','is','that','for','with'])) AS s_en,
+      |    len(list_intersect(ws, ['der','die','das','und','ist','nicht','mit','ein'])) AS s_de,
+      |    len(list_intersect(ws, ['le','la','les','et','est','pas','pour','une'])) AS s_fr,
+      |    len(list_intersect(ws, ['el','la','los','que','es','por','con','una'])) AS s_es,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE (length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')))::DOUBLE / length(text) END AS punct,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |         ELSE list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws) END AS mwl,
+      |    CASE WHEN len(ws) = 0 THEN 0.0
+      |         ELSE len(list_intersect(ws, ['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','that','this']))::DOUBLE / len(list_distinct(ws)) END AS swr
+      |  FROM toks),
+      |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM sc),
+      |sig AS (
+      |  SELECT doc_id, len(ws) AS nt,
+      |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+      |         WHEN mx = 0 THEN 'und'
+      |         WHEN s_en = mx THEN 'en'
+      |         WHEN s_de = mx THEN 'de'
+      |         WHEN s_fr = mx THEN 'fr'
+      |         ELSE 'es' END AS lang_pred,
+      |    (CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN swr > 0.0 THEN 0.25 ELSE 0.0 END) AS quality,
+      |    swr
+      |  FROM m
+      |)""".stripMargin
 
   /** Shared unigram-LM CTE chain (tokens → tf → corpus term freq → 1-row
     * total → per-doc cross-entropy, 6dp): q_unigram_ll reads `scored`
@@ -836,39 +894,17 @@ object Queries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
-    // Mirrors TextAnalysis.langId/qualityScore/stopwordRatio exactly: the
-    // marker-vote argmax ties break toward the earlier language (en, de,
-    // fr, es), CJK-share check first, quality = four 0.25 bands summed.
     "q_text_quality" ->
-      s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents),
-        |sc AS (
-        |  SELECT doc_id, text, ws,
-        |    length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk,
-        |    len(list_intersect(ws, ['the','and','of','to','is','that','for','with'])) AS s_en,
-        |    len(list_intersect(ws, ['der','die','das','und','ist','nicht','mit','ein'])) AS s_de,
-        |    len(list_intersect(ws, ['le','la','les','et','est','pas','pour','une'])) AS s_fr,
-        |    len(list_intersect(ws, ['el','la','los','que','es','por','con','una'])) AS s_es,
-        |    CASE WHEN length(text) = 0 THEN 0.0
-        |         ELSE (length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')))::DOUBLE / length(text) END AS punct,
-        |    CASE WHEN len(ws) = 0 THEN 0.0
-        |         ELSE list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws) END AS mwl,
-        |    CASE WHEN len(ws) = 0 THEN 0.0
-        |         ELSE len(list_intersect(ws, ['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','that','this']))::DOUBLE / len(list_distinct(ws)) END AS swr
-        |  FROM toks),
-        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM sc)
-        |SELECT doc_id,
-        |  CASE WHEN cjk * 2 > length(text) THEN 'zh'
-        |       WHEN mx = 0 THEN 'und'
-        |       WHEN s_en = mx THEN 'en'
-        |       WHEN s_de = mx THEN 'de'
-        |       WHEN s_fr = mx THEN 'fr'
-        |       ELSE 'es' END AS lang_pred,
-        |  round((CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN swr > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+      s"""$textSignalsCte
+        |SELECT doc_id, lang_pred, round(quality, 2) AS quality,
         |  round(swr, 4) AS stopword_ratio
-        |FROM m""".stripMargin,
+        |FROM sig""".stripMargin,
+    "q_corpus_stats" ->
+      s"""$textSignalsCte
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM sig GROUP BY lang_pred""".stripMargin,
     "q_text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, text, $DTok AS ws FROM documents)
         |SELECT doc_id,
@@ -984,6 +1020,7 @@ object Queries {
     "q_bm25_search" -> (q_bm25_search _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
+    "q_corpus_stats" -> (q_corpus_stats _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_unigram_ll" -> (q_unigram_ll _),
     "q_ngram_top" -> (q_ngram_top _),
