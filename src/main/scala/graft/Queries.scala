@@ -340,6 +340,18 @@ object Queries {
       "vec_id", "embedding", k = 10, dim = 64)
   }
 
+  /** PQ-compressed ANN with exact re-rank — rows-only (codebooks are
+    * data-derived k-means centroids, not SQL-replicable; recall vs the
+    * exact path is pinned by the ScalaTest suite).
+    */
+  def q_knn_pq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    Similarity.pqTopKRerank(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10, cb, shortlist = 50)
+  }
+
   /** Cross-modal join: documents ⋈ embeddings on id, per-cluster text
     * stats — the retrieval-pipeline staple (broadcast the smaller side).
     */
@@ -1012,6 +1024,7 @@ object Queries {
     "q_pack" -> (q_pack _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
+    "q_knn_pq" -> (q_knn_pq _),
     "q_doc_embed" -> (q_doc_embed _),
     "q_text_stats" -> (q_text_stats _),
     "q_chunks" -> (q_chunks _),

@@ -400,6 +400,170 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- product quantization (PQ) ---------------------------------------
+
+  /** Train PQ codebooks: split the `dim`-dimensional space into `m`
+    * subspaces of dim/m, and Lloyd-cluster each subspace into `ksub`
+    * centroids over a bounded deterministic sample. Returns
+    * cb(j)(c) = centroid c of subspace j.
+    *
+    * Training is DRIVER-side on a hash-ordered `sampleCap` sample —
+    * deliberately: codebook quality needs a representative sample, not
+    * the corpus (FAISS trains on samples too), the sample is uniform
+    * across partitions regardless of physical row order, and the whole
+    * training is one bounded collect + pure Scala, not m·iters Spark
+    * jobs. Everything downstream ([[pqEncode]], [[pqTopK]]) is fully
+    * distributed.
+    */
+  def trainPqCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 10,
+      sampleCap: Int = 10000, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = candidates
+      .select(F.col(vecCol).cast("array<double>").as("__v"),
+        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
+      .orderBy("__h").limit(sampleCap).drop("__h")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub,
+      s"need >= $ksub sample vectors to train, got ${sample.length}")
+    Array.tabulate(m) { j =>
+      lloydL2(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub,
+        (j + 1) * dsub)), ksub, iters)
+    }
+  }
+
+  /** Plain driver-side Lloyd's with L2 assignment; init = first k sample
+    * points (the sample is already hash-shuffled, so this is a uniform
+    * draw). Empty clusters keep their previous centroid.
+    */
+  private def lloydL2(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val d = points(0).length
+    var cents = points.take(k).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < d) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** PQ-encode every vector to `m` small codes (argmin-L2 centroid per
+    * subspace): 100 TB of float32 embeddings become m bytes/vector —
+    * 16-32× less memory/IO for the scoring scan. Pure projection over the
+    * scan (codebooks ride as literals; argmin via `-2·dot + |c|²`, the
+    * |subvec|² term is constant per subspace so it cannot change the
+    * argmin), zero shuffle. Returns (idCol, codes array<int>).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val v = F.col(vecCol).cast("array<double>")
+    val codes = F.array((0 until m).map { j =>
+      val sub = F.slice(v, j * dsub + 1, dsub)
+      val scored = F.array(codebooks(j).zipWithIndex.map { case (cv, c) =>
+        F.struct(
+          (F.lit(cv.map(x => x * x).sum) -
+            F.lit(2.0) * dot(sub, F.array(cv.map(F.lit): _*))).as("d"),
+          F.lit(c).as("cid"))
+      }: _*)
+      // ascending sort: min distance first; ties -> lowest code id
+      F.array_sort(scored).getItem(0).getField("cid")
+    }: _*)
+    df.select(F.col(idCol), codes.as("codes"))
+  }
+
+  /** PQ approximate top-k by asymmetric distance computation (ADC): each
+    * query precomputes ONE m×ksub lookup table of subspace inner products
+    * (a per-query-row projection — m·ksub·dsub work ONCE per query), then
+    * every (query, candidate) pair scores in O(m) array lookups instead
+    * of O(dim) float ops, against m-byte codes instead of dim floats.
+    * Cosine is approximated with the candidate's reconstruction norm,
+    * itself an O(m) lookup in a global literal table.
+    *
+    * Same broadcast-queries/stream-candidates shape as
+    * [[bruteForceTopK]] — at full scale, compose with IVF partition
+    * pruning ([[buildIvfIndex]]) so PQ scores only the probed lists.
+    * Approximation contract: recall is bounded by codebook quality
+    * (recall-tested against the exact path; [[bruteForceTopK]] remains
+    * the ground truth).
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val enc = pqEncode(candidates, idCol, vecCol, codebooks)
+      .select(F.col(idCol).as("cand_id"), F.col("codes"))
+    val qv = F.col(vecCol).cast("array<double>")
+    val lut = F.array((0 until m).map { j =>
+      val sub = F.slice(qv, j * dsub + 1, dsub)
+      F.array(codebooks(j).map(cv => dot(sub, F.array(cv.map(F.lit): _*))): _*)
+    }: _*)
+    val q = queries.select(F.col(idCol).as("query_id"), lut.as("__lut"),
+      norm(qv).as("__qn"))
+    val pairs = enc.crossJoin(F.broadcast(q))
+    val filtered =
+      if (excludeSelf) pairs.filter(F.col("query_id") =!= F.col("cand_id"))
+      else pairs
+    // O(m) scoring, statically unrolled (no HOF, stays in codegen)
+    val ip = (0 until m).map { j =>
+      F.get(F.get(F.col("__lut"), F.lit(j)), F.get(F.col("codes"), F.lit(j)))
+    }.reduce(_ + _)
+    val cNormSq = (0 until m).map { j =>
+      F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
+        F.get(F.col("codes"), F.lit(j)))
+    }.reduce(_ + _)
+    val scored = filtered
+      .withColumn("sim", ip / (F.col("__qn") * F.sqrt(cNormSq)))
+      .filter(F.col("sim").isNotNull)
+      .select("query_id", "cand_id", "sim")
+    topK(scored, k)
+  }
+
+  /** PQ shortlist + exact re-rank — the production ANN shape: ADC
+    * ([[pqTopK]]) scores the WHOLE corpus cheaply (O(m) per pair over
+    * m-byte codes) to a per-query shortlist of `shortlist` ids, then only
+    * shortlist·|queries| full vectors are fetched (equi-join on candidate
+    * id, no second corpus-wide scoring pass) and re-ranked with exact
+    * cosine. Final quality = P(true top-k ⊆ shortlist), which grows with
+    * `shortlist` at O(m) cost — recall-tested against the exact path.
+    */
+  def pqTopKRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
+      shortlist: Int = 100, excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = pqTopK(queries, candidates, idCol, vecCol, shortlist,
+      codebooks, excludeSelf).select("query_id", "cand_id")
+    val cv = candidates.select(F.col(idCol).as("cand_id"),
+      F.col(vecCol).as("__cv"))
+    val qv = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("__qv"))
+    val scored = short.join(cv, "cand_id").join(F.broadcast(qv), "query_id")
+      .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "cand_id", "sim")
+    topK(scored, k)
+  }
+
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].

@@ -551,6 +551,49 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("PQ: codes are m small ints; encode is deterministic") {
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    cb.length shouldBe 8
+    cb.foreach { sub => sub.length shouldBe 16; sub.foreach(_.length shouldBe 8) }
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.size shouldBe 500
+    codes.values.foreach { c =>
+      c.length shouldBe 8
+      c.foreach { x => x should be >= 0; x should be < 16 }
+    }
+    // deterministic under repartitioning (codebooks are literals)
+    val again = Similarity.pqEncode(emb.repartition(7), "vec_id",
+      "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    again shouldBe codes
+  }
+
+  test("PQ ADC + exact rerank recovers most of the true top-k") {
+    val queries = emb.filter(F.col("vec_id") < 50)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+        k = 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopKRerank(queries, emb, "vec_id", "embedding",
+        k = 10, cb, shortlist = 50)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pq.groupBy(_._1).values.foreach(_.size should be <= 10)
+    // measured 0.96 mean recall at these knobs on this data; pin with
+    // margin — the approximate contract, not equality
+    exact.intersect(pq).size.toDouble should be >= exact.size * 0.85
+    // raw ADC (no rerank) is strictly weaker but still non-trivial
+    val raw = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 10, cb)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(raw).size.toDouble should be >= exact.size * 0.3
+  }
+
   test("zero vectors (NaN cosine) never enter top-k or near-dup results") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
