@@ -1075,6 +1075,9 @@ object Queries {
     "q_curate" -> (q_curate _),
     "q_unigram_ll" -> (q_unigram_ll _),
     "q_ngram_top" -> (q_ngram_top _),
-    "q_dedup_xcorpus" -> (q_dedup_xcorpus _)
+    "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
+    "q_corpus_stats" -> (q_corpus_stats _),
+    "q_perplexity_band" -> (q_perplexity_band _),
+    "q_knn_pq" -> (q_knn_pq _)
   )
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native PQ encoder: one fused argmin-L2 pass assigning each of the `m`
+  * subvectors of the input to its nearest codebook centroid.
+  *
+  * The `functions._` formulation (per subspace, an array of `ksub`
+  * distance/code structs reduced by `array_min`) allocates m·ksub boxed
+  * structs PER ROW; this kernel is three primitive loops over a flattened
+  * codebook with no per-row allocation beyond the m-int output, and
+  * `doGenCode` keeps it inside whole-stage codegen. The codebook argument
+  * must be a LITERAL (foldable): it is flattened once on the driver and
+  * ships as a codegen reference, never evaluated per row. Registered for
+  * SQL as `pq_codes(vec, codebooks)` by [[graft.plans.GraftExtensions]].
+  */
+case class PqCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val okCb = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    })
+    if (okVec && okCb) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_codes expects (array<double> vec, LITERAL " +
+        "array<array<array<double>>> codebooks), got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val cb: PqCodesKernel.Codebook =
+    PqCodesKernel.fromLiteral(right.eval().asInstanceOf[ArrayData])
+
+  override protected def nullSafeEval(vec: Any, cbRaw: Any): Any =
+    PqCodesKernel.encode(vec.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb,
+      classOf[PqCodesKernel.Codebook].getName)
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.PqCodesKernel.encode($v, $cbRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqCodesKernel {
+
+  /** Driver-flattened codebook: centroid i of subspace j starts at
+    * `flat(j·ksub·dsub + i·dsub)`.
+    */
+  final case class Codebook(flat: Array[Double], m: Int, ksub: Int, dsub: Int)
+
+  def fromLiteral(raw: ArrayData): Codebook = {
+    val m = raw.numElements()
+    require(m > 0, "pq_codes: empty codebook")
+    val ksub = raw.getArray(0).numElements()
+    require(ksub > 0, "pq_codes: empty subspace codebook")
+    val dsub = raw.getArray(0).getArray(0).numElements()
+    require(dsub > 0, "pq_codes: zero-dimensional centroids")
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = raw.getArray(j)
+      require(sub.numElements() == ksub, "pq_codes: ragged codebook (ksub)")
+      var c = 0
+      while (c < ksub) {
+        val cent = sub.getArray(c)
+        require(cent.numElements() == dsub, "pq_codes: ragged centroid (dsub)")
+        var i = 0
+        while (i < dsub) {
+          flat(j * ksub * dsub + c * dsub + i) = cent.getDouble(i)
+          i += 1
+        }
+        c += 1
+      }
+      j += 1
+    }
+    Codebook(flat, m, ksub, dsub)
+  }
+
+  /** Argmin-L2 code per subspace; ties break toward the lower code id
+    * (strict `<` on a left-to-right scan). Throws on a vector shorter
+    * than m·dsub — a caller error, not a data condition.
+    */
+  def encode(vec: ArrayData, cb: Codebook): ArrayData = {
+    val dim = cb.m * cb.dsub
+    require(vec.numElements() >= dim,
+      s"pq_codes: vector has ${vec.numElements()} dims, codebook expects >= $dim")
+    val out = new Array[Int](cb.m)
+    var j = 0
+    while (j < cb.m) {
+      val base = j * cb.ksub * cb.dsub
+      val voff = j * cb.dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.ksub) {
+        var s = 0.0
+        var i = 0
+        val off = base + c * cb.dsub
+        while (i < cb.dsub) {
+          val t = vec.getDouble(voff + i) - cb.flat(off + i)
+          s += t * t
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

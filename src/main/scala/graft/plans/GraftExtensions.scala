@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, ShingleHash, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, PqCodes, ShingleHash, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -53,6 +53,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "dot_product(a, b) takes 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      { args =>
+        require(args.length == 2, "pq_codes(vec, codebooks) takes 2 arguments")
+        PqCodes(args.head, args(1))
       })
   )
 

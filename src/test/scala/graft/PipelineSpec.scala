@@ -568,6 +568,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       "embedding", cb)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     again shouldBe codes
+    // native kernel == composed struct/array_min formulation, row for row
+    val composed = Similarity.pqEncodeComposed(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    composed shouldBe codes
+    // SQL-callable through the registered extension
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT pq_codes(array(0.0D, 1.0D), array(array(array(0.0D), array(9.0D)), " +
+        "array(array(5.0D), array(1.5D)))) AS c").as[Seq[Int]].head()
+    sql shouldBe Seq(0, 1)
   }
 
   test("PQ ADC + exact rerank recovers most of the true top-k") {
