@@ -383,6 +383,98 @@ object Similarity {
     probeJoin(q, c, k, excludeSelf)
   }
 
+  /** Build and PERSIST an IVF-PQ index — the full production ANN layout
+    * ([[buildIvfIndex]] + [[pqEncode]] composed): every candidate row
+    * stores its id, full vector AND m-int PQ codes, parquet-partitioned
+    * by nearest-centroid list, with `_centroids` and `_codebooks` side
+    * tables. Probes then stack three prunings: partition pruning (only
+    * probed lists' directories are touched), COLUMN pruning (the ADC
+    * shortlist pass reads only the codes column — the full vectors' bytes
+    * stay on disk), and the exact re-rank reads vectors for shortlist
+    * rows only.
+    */
+  def buildIvfPqIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nCentroids: Int = 16, m: Int = 8,
+      ksub: Int = 16, sampleSeed: Long = 42L, refineIters: Int = 0,
+      pqIters: Int = 10, sampleCap: Int = 10000): Unit = {
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
+      sampleSeed, refineIters)
+    val cbs = trainPqCodebooks(candidates, idCol, vecCol, dim, m, ksub,
+      pqIters, sampleCap, sampleSeed)
+    val assigned = pqEncode(candidates, idCol, vecCol, cbs)
+      .withColumnRenamed(idCol, "cand_id")
+      .join(candidates.select(F.col(idCol).as("cand_id"),
+        F.col(vecCol).as("__cv")), "cand_id")
+      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
+    graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    // m·ksub rows — bounded side table, one read at probe time
+    (for (j <- cbs.indices; c <- cbs(j).indices)
+      yield (j, c, cbs(j)(c).toSeq))
+      .toDF("j", "c", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Probe a persisted IVF-PQ index ([[buildIvfPqIndex]]): bucket the
+    * queries against the stored centroids, ADC-score ONLY the probed
+    * lists' codes (partition + column pruning — the shortlist pass never
+    * reads vector bytes), then exact-rerank the per-query `shortlist`
+    * against full vectors fetched by candidate-id join. Centroid and
+    * codebook loads are bounded driver-side collects (nCentroids and
+    * m·ksub rows), same class as [[probeIvfIndex]].
+    */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, shortlist: Int = 100,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    graft.plans.GraftExtensions.register(spark)
+    val cents: Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$path/_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val ksub = cbRows.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, ksub)((j, c) => cbRows((j, c)))
+    // localCheckpoint for the same reason as probeIvfIndex: the bucketed
+    // query frame feeds the probed-list collect AND the scoring join.
+    val q = pqQuerySide(queries, idCol, vecCol, cbs)
+      .join(queries.select(F.col(idCol).as("query_id"),
+        F.col(vecCol).as("__qv")), "query_id")
+      .withColumn("__list",
+        F.explode(nearestCentroids(cents, F.col("__qv"),
+          math.min(nProbe, cents.length))))
+      .localCheckpoint()
+    val probed = q.select("__list").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path)
+      .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
+    // ADC shortlist: codes-only scan (no __cv in this subtree's schema)
+    val pairs = q.select("query_id", "__lut", "__qn", "__list")
+      .join(idx.select("cand_id", "codes", "__list"), "__list")
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id")
+        else F.lit(true))
+    val short = topK(adcScored(pairs, cbs), shortlist)
+      .select("query_id", "cand_id")
+    // exact rerank: vectors fetched for shortlist rows only
+    val scored = short
+      .join(idx.select(F.col("cand_id"), F.col("__cv")), "cand_id")
+      .join(F.broadcast(queries.select(F.col(idCol).as("query_id"),
+        F.col(vecCol).as("__qv"))), "query_id")
+      .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+      .select("query_id", "cand_id", "sim")
+    topK(scored, k)
+  }
+
   /** Semantic (embedding-space) cluster dedup: keep one document per
     * connected component of the cosine near-dup graph — the embedding
     * sibling of [[Dedup.minhashDedupClusters]], sharing its min-label
@@ -526,22 +618,41 @@ object Similarity {
       vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
       excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(candidates.sparkSession)
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val enc = pqEncode(candidates, idCol, vecCol, codebooks)
       .select(F.col(idCol).as("cand_id"), F.col("codes"))
+    val q = pqQuerySide(queries, idCol, vecCol, codebooks)
+    val pairs = enc.crossJoin(F.broadcast(q))
+    val filtered =
+      if (excludeSelf) pairs.filter(F.col("query_id") =!= F.col("cand_id"))
+      else pairs
+    topK(adcScored(filtered, codebooks), k)
+  }
+
+  /** Query-side ADC preparation: (query_id, __lut, __qn) where __lut is
+    * the m×ksub table of subspace inner products — computed ONCE per query
+    * row — and __qn the query norm.
+    */
+  private def pqQuerySide(queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
     val qv = F.col(vecCol).cast("array<double>")
     val lut = F.array((0 until m).map { j =>
       val sub = F.slice(qv, j * dsub + 1, dsub)
       F.array(codebooks(j).map(cv => dot(sub, F.array(cv.map(F.lit): _*))): _*)
     }: _*)
-    val q = queries.select(F.col(idCol).as("query_id"), lut.as("__lut"),
+    queries.select(F.col(idCol).as("query_id"), lut.as("__lut"),
       norm(qv).as("__qn"))
-    val pairs = enc.crossJoin(F.broadcast(q))
-    val filtered =
-      if (excludeSelf) pairs.filter(F.col("query_id") =!= F.col("cand_id"))
-      else pairs
-    // O(m) scoring, statically unrolled (no HOF, stays in codegen)
+  }
+
+  /** ADC scoring over (__lut, __qn, codes) pair rows: approximate cosine
+    * in O(m) statically-unrolled array lookups (no HOF, stays in
+    * codegen); the candidate reconstruction norm is an O(m) lookup in a
+    * global literal table. Returns (query_id, cand_id, sim).
+    */
+  private def adcScored(pairs: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
     val ip = (0 until m).map { j =>
       F.get(F.get(F.col("__lut"), F.lit(j)), F.get(F.col("codes"), F.lit(j)))
     }.reduce(_ + _)
@@ -549,11 +660,10 @@ object Similarity {
       F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
         F.get(F.col("codes"), F.lit(j)))
     }.reduce(_ + _)
-    val scored = filtered
+    pairs
       .withColumn("sim", ip / (F.col("__qn") * F.sqrt(cNormSq)))
       .filter(F.col("sim").isNotNull)
       .select("query_id", "cand_id", "sim")
-    topK(scored, k)
   }
 
   /** PQ shortlist + exact re-rank — the production ANN shape: ADC

@@ -673,6 +673,43 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     scan should include regex """PartitionFilters: \[[^\]]*__list"""
   }
 
+  test("persisted IVF-PQ index: exhaustive probe == pqTopKRerank; pruned plans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64,
+      nCentroids = 8, m = 16, ksub = 32)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    // nProbe == nCentroids -> every list probed -> identical candidate set
+    // and identical codebooks (same seed) -> same results as the inline path
+    val exhaustive = Similarity.probeIvfPqIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cbs = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    val inline = Similarity.pqTopKRerank(queries, emb, "vec_id", "embedding",
+        k = 5, cbs, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exhaustive shouldBe inline
+    exhaustive should not be empty
+    // pruned probe: partition filter in the scan, and the ADC shortlist
+    // subtree reads codes WITHOUT the full vector column (column pruning
+    // keeps the vector bytes on disk until the rerank)
+    val pruned = Similarity.probeIvfPqIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include regex """PartitionFilters: \[[^\]]*__list"""
+    val codesOnlyScan = """ReadSchema: struct<cand_id:bigint,codes:array<int>>"""
+    plan should include(codesOnlyScan)
+    // pruned probe still achieves non-trivial recall vs the exact path
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pruned.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(got).size.toDouble should be >= exact.size * 0.2
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
