@@ -424,6 +424,15 @@ object Queries {
       round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
   }
 
+  /** Per-key top-k: the 3 highest-balance customers per market segment,
+    * ties by key — rank-limit pushdown keeps k rows per key per map
+    * partition BEFORE the shuffle (WindowGroupLimit, plan-pinned).
+    */
+  def q_top_per_key(s: SparkSession, d: String): DataFrame =
+    graft.extras.Relational.topKPerKey(
+      Tables.customer(s, d).select("c_mktsegment", "c_custkey", "c_acctbal"),
+      Seq("c_mktsegment"), "c_acctbal", "c_custkey", k = 3)
+
   /** Per-language corpus rollup (docs, tokens, mean quality) — the
     * dataset-composition dashboard query: one pure-projection pass over
     * the scan, then a partial+final aggregate on the handful of language
@@ -911,6 +920,10 @@ object Queries {
         |SELECT doc_id, lang_pred, round(quality, 2) AS quality,
         |  round(swr, 4) AS stopword_ratio
         |FROM sig""".stripMargin,
+    "q_top_per_key" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) <= 3""".stripMargin,
     "q_corpus_stats" ->
       s"""$textSignalsCte
         |SELECT lang_pred, count(*) AS n_docs,
@@ -1034,6 +1047,7 @@ object Queries {
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_quality" -> (q_text_quality _),
     "q_corpus_stats" -> (q_corpus_stats _),
+    "q_top_per_key" -> (q_top_per_key _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_unigram_ll" -> (q_unigram_ll _),
     "q_ngram_top" -> (q_ngram_top _),

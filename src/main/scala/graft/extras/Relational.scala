@@ -76,6 +76,28 @@ object Relational {
     KFrame.wrap(l.join(r, keys :+ salt, "inner").drop(salt))
   }
 
+  /** Per-key top-k by score: for every distinct `keys` combination keep
+    * the `k` rows with the highest `scoreCol`, ties broken by `tieCol`
+    * ascending (pass the row's unique id for a deterministic result).
+    *
+    * Plan shape: `row_number` over (keys, score desc, tie asc) — Spark's
+    * rank-limit pushdown turns the `<= k` filter into a WindowGroupLimit
+    * that keeps only k candidates per key in each map partition BEFORE
+    * the shuffle (plan-pinned), so the exchange carries O(k · keys) rows,
+    * not the corpus. Per-key work after the shuffle is bounded by k·(map
+    * partitions), never by the key's full row count.
+    */
+  def topKPerKey(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      scoreCol: String, tieCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col(scoreCol).desc, F.col(tieCol).asc)
+    df.withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .drop("__rank")
+  }
+
   private def keyedJoin(left: KFrame, right: KFrame, keys: Seq[String],
       how: String, broadcastRight: Boolean): KFrame = {
     keys.foreach { k =>

@@ -605,6 +605,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(raw).size.toDouble should be >= exact.size * 0.3
   }
 
+  test("pq_codes: null propagates; short vector is an error, not silence") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("SELECT pq_codes(CAST(NULL AS ARRAY<DOUBLE>), " +
+        "array(array(array(0.0D)))) IS NULL AS z")
+      .collect()(0).getBoolean(0) shouldBe true
+    an[Exception] should be thrownBy
+      spark.sql("SELECT pq_codes(array(1.0D), " +
+          "array(array(array(0.0D, 0.0D)))) AS c")
+        .collect()
+  }
+
+  test("topKPerKey: rank-limit pushdown keeps k per key before the shuffle") {
+    import graft.extras.Relational
+    val top = Relational.topKPerKey(
+      Tables.customer(spark, sf).select("c_mktsegment", "c_custkey", "c_acctbal"),
+      Seq("c_mktsegment"), "c_acctbal", "c_custkey", k = 3)
+    val rows = top.collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.values.foreach(_.length should be <= 3)
+    bySeg.size should be > 1
+    // the pre-shuffle per-partition limit is what makes this scale: the
+    // exchange carries O(k·keys) rows, not the corpus
+    top.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
   test("zero vectors (NaN cosine) never enter top-k or near-dup results") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
