@@ -66,8 +66,11 @@ object PqCodesKernel {
   final case class Codebook(flat: Array[Double], m: Int, ksub: Int, dsub: Int)
 
   def fromLiteral(raw: ArrayData): Codebook = {
+    require(raw != null, "pq_codes: codebook literal must not be null")
     val m = raw.numElements()
     require(m > 0, "pq_codes: empty codebook")
+    require(raw.getArray(0) != null && raw.getArray(0).getArray(0) != null,
+      "pq_codes: codebook contains null sub-arrays")
     val ksub = raw.getArray(0).numElements()
     require(ksub > 0, "pq_codes: empty subspace codebook")
     val dsub = raw.getArray(0).getArray(0).numElements()
@@ -76,11 +79,13 @@ object PqCodesKernel {
     var j = 0
     while (j < m) {
       val sub = raw.getArray(j)
-      require(sub.numElements() == ksub, "pq_codes: ragged codebook (ksub)")
+      require(sub != null && sub.numElements() == ksub,
+        "pq_codes: ragged codebook (ksub)")
       var c = 0
       while (c < ksub) {
         val cent = sub.getArray(c)
-        require(cent.numElements() == dsub, "pq_codes: ragged centroid (dsub)")
+        require(cent != null && cent.numElements() == dsub,
+          "pq_codes: ragged centroid (dsub)")
         var i = 0
         while (i < dsub) {
           flat(j * ksub * dsub + c * dsub + i) = cent.getDouble(i)
@@ -94,13 +99,15 @@ object PqCodesKernel {
   }
 
   /** Argmin-L2 code per subspace; ties break toward the lower code id
-    * (strict `<` on a left-to-right scan). Throws on a vector shorter
-    * than m·dsub — a caller error, not a data condition.
+    * (strict `<` on a left-to-right scan). Throws on any vector whose
+    * length differs from m·dsub — a caller error (mis-sized codebook),
+    * not a data condition; a longer vector silently encoding only its
+    * prefix would surface as mysteriously bad recall.
     */
   def encode(vec: ArrayData, cb: Codebook): ArrayData = {
     val dim = cb.m * cb.dsub
-    require(vec.numElements() >= dim,
-      s"pq_codes: vector has ${vec.numElements()} dims, codebook expects >= $dim")
+    require(vec.numElements() == dim,
+      s"pq_codes: vector has ${vec.numElements()} dims, codebook expects $dim")
     val out = new Array[Int](cb.m)
     var j = 0
     while (j < cb.m) {

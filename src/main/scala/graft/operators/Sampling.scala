@@ -77,9 +77,15 @@ object Sampling {
     * epoch, identically on every rerun" primitive. Implemented as a global
     * sort on the key's epoch-salted hash (range-partitioned exchange —
     * Spark's scalable total order; no single-task funnel), with the key as
-    * tie-break so duplicate hashes still order deterministically. Writing
-    * the result with a partition-preserving writer yields the epoch's
-    * shard files directly.
+    * tie-break so distinct keys with colliding hashes still order
+    * deterministically.
+    *
+    * CONTRACT: `keyCol` must uniquely identify rows (a doc id, not a
+    * content hash with duplicates) — rows SHARING a key value get
+    * identical sort keys, and their relative order is then
+    * partitioning-dependent like any Spark sort tie. Writing the result
+    * with a partition-preserving writer yields the epoch's shard files
+    * directly.
     */
   def epochShuffle(df: DataFrame, keyCol: String, epoch: Long): DataFrame =
     df.orderBy(F.xxhash64(F.col(keyCol), F.lit(epoch)).asc,

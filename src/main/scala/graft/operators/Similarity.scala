@@ -342,13 +342,29 @@ object Similarity {
       .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
       .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
     graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
-    val spark = candidates.sparkSession
+    writeCentroids(candidates.sparkSession, path, cents)
+  }
+
+  /** Shared `_centroids` side-table write: nCentroids rows, one tiny file,
+    * one read at probe time.
+    */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[(Int, Array[Double])]): Unit = {
     import spark.implicits._
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "vec")
-      .repartition(1) // nCentroids rows — one tiny file, one read at probe
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
+
+  /** Shared `_centroids` load: bounded driver-side collect, cid-ascending
+    * (assignment correctness depends on the stable order).
+    */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]): load the centroid
     * table (nCentroids rows — bounded, documented driver-side collect,
@@ -361,10 +377,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val cents: Array[(Int, Array[Double])] =
-      spark.read.parquet(s"$path/_centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     // localCheckpoint: the bucketed query frame feeds BOTH the probed-list
     // collect and the scoring join — without it the second consumer would
     // re-scan and re-score the query side, and a non-deterministic
@@ -402,18 +415,18 @@ object Similarity {
       sampleSeed, refineIters)
     val cbs = trainPqCodebooks(candidates, idCol, vecCol, dim, m, ksub,
       pqIters, sampleCap, sampleSeed)
-    val assigned = pqEncode(candidates, idCol, vecCol, cbs)
-      .withColumnRenamed(idCol, "cand_id")
-      .join(candidates.select(F.col(idCol).as("cand_id"),
-        F.col(vecCol).as("__cv")), "cand_id")
+    // ONE projection computes id, vector, codes and list — no re-join, no
+    // second corpus scan, no shuffle of the fat vector column at build
+    val assigned = candidates
+      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"),
+        graft.plans.GraftExtensions.callNative("pq_codes",
+          F.col(vecCol).cast("array<double>"),
+          F.typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
       .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
     graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
     val spark = candidates.sparkSession
+    writeCentroids(spark, path, cents)
     import spark.implicits._
-    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("cid", "vec")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
     // m·ksub rows — bounded side table, one read at probe time
     (for (j <- cbs.indices; c <- cbs(j).indices)
       yield (j, c, cbs(j)(c).toSeq))
@@ -436,10 +449,7 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     graft.plans.GraftExtensions.register(spark)
-    val cents: Array[(Int, Array[Double])] =
-      spark.read.parquet(s"$path/_centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
@@ -448,9 +458,9 @@ object Similarity {
     val cbs = Array.tabulate(m, ksub)((j, c) => cbRows((j, c)))
     // localCheckpoint for the same reason as probeIvfIndex: the bucketed
     // query frame feeds the probed-list collect AND the scoring join.
-    val q = pqQuerySide(queries, idCol, vecCol, cbs)
-      .join(queries.select(F.col(idCol).as("query_id"),
-        F.col(vecCol).as("__qv")), "query_id")
+    // withVec: __qv rides the SAME projection as the LUT — the query
+    // frame is evaluated once, with no self-join.
+    val q = pqQuerySide(queries, idCol, vecCol, cbs, withVec = true)
       .withColumn("__list",
         F.explode(nearestCentroids(cents, F.col("__qv"),
           math.min(nProbe, cents.length))))
@@ -465,11 +475,12 @@ object Similarity {
         else F.lit(true))
     val short = topK(adcScored(pairs, cbs), shortlist)
       .select("query_id", "cand_id")
-    // exact rerank: vectors fetched for shortlist rows only
+    // exact rerank: vectors fetched for shortlist rows only; query
+    // vectors come from the checkpointed frame (distinct undoes the
+    // per-list explode), not a third evaluation of `queries`
     val scored = short
       .join(idx.select(F.col("cand_id"), F.col("__cv")), "cand_id")
-      .join(F.broadcast(queries.select(F.col(idCol).as("query_id"),
-        F.col(vecCol).as("__qv"))), "query_id")
+      .join(F.broadcast(q.select("query_id", "__qv").distinct()), "query_id")
       .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
       .select("query_id", "cand_id", "sim")
     topK(scored, k)
@@ -628,12 +639,15 @@ object Similarity {
     topK(adcScored(filtered, codebooks), k)
   }
 
-  /** Query-side ADC preparation: (query_id, __lut, __qn) where __lut is
-    * the m×ksub table of subspace inner products — computed ONCE per query
-    * row — and __qn the query norm.
+  /** Query-side ADC preparation: (query_id, __lut, __qn[, __qv]) where
+    * __lut is the m×ksub table of subspace inner products — computed ONCE
+    * per query row — and __qn the query norm. `withVec` carries the raw
+    * vector along in the SAME projection (for callers that re-rank or
+    * bucket), so the query frame is never evaluated twice.
     */
   private def pqQuerySide(queries: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      withVec: Boolean = false): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val qv = F.col(vecCol).cast("array<double>")
@@ -641,8 +655,10 @@ object Similarity {
       val sub = F.slice(qv, j * dsub + 1, dsub)
       F.array(codebooks(j).map(cv => dot(sub, F.array(cv.map(F.lit): _*))): _*)
     }: _*)
-    queries.select(F.col(idCol).as("query_id"), lut.as("__lut"),
+    val base = Seq(F.col(idCol).as("query_id"), lut.as("__lut"),
       norm(qv).as("__qn"))
+    queries.select(
+      (if (withVec) base :+ F.col(vecCol).as("__qv") else base): _*)
   }
 
   /** ADC scoring over (__lut, __qn, codes) pair rows: approximate cosine
