@@ -172,4 +172,48 @@ class PropertySpec extends AnyFunSuite with Matchers {
       total shouldBe totalSale +- 1e-9
     }
   }
+
+  test("topKPerKey matches the driver model on random keyed data with ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val rnd = new scala.util.Random(7)
+    // scores drawn from a tiny range to force plenty of ties per key
+    val rows = (1L to 300L).map(i =>
+      (i, s"k${rnd.nextInt(6)}", rnd.nextInt(5).toDouble))
+    val data = rows.toDF("id", "key", "score")
+    for (k <- Seq(1, 3, 10)) withClue(s"k=$k: ") {
+      val got = graft.extras.Relational
+        .topKPerKey(data.repartition(5), Seq("key"), "score", "id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      val model = rows.groupBy(_._2).values.flatMap { g =>
+        g.sortBy { case (id, _, s) => (-s, id) }.take(k)
+      }.toSet
+      got shouldBe model
+    }
+  }
+
+  test("unigramLogLoss matches the driver model on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val got = graft.operators.TextAnalysis
+      .unigramLogLoss(docs.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // driver model: MLE unigram over the same tokenization
+    val toks = docs.map { case (i, t) => i -> t.split(" ").toSeq }.toMap
+    val ctf = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = ctf.values.sum.toDouble
+    docs.foreach { case (i, _) =>
+      val ts = toks(i)
+      got(i)._1 shouldBe ts.length.toLong
+      val expected =
+        math.log(total) - ts.map(t => math.log(ctf(t).toDouble)).sum / ts.length
+      got(i)._2 shouldBe expected +- 1e-9
+    }
+  }
 }
