@@ -345,6 +345,51 @@ object Similarity {
     writeCentroids(candidates.sparkSession, path, cents)
   }
 
+  /** Append a new batch to a persisted IVF index ([[buildIvfIndex]])
+    * WITHOUT retraining or rewriting: the stored coarse quantizer assigns
+    * the new rows, which land as additional files inside their lists'
+    * partition directories (append-mode partitioned write — existing data
+    * is never touched, probes see the union immediately). The quantizer
+    * is intentionally frozen: centroids define the partition layout, so
+    * refreshing them means a rebuild. If the corpus drifts far from the
+    * training distribution, lists skew and probe recall decays — rebuild
+    * on drift, append between rebuilds (the standard serving cadence).
+    */
+  def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    graft.plans.GraftExtensions.register(newDocs.sparkSession)
+    val cents = readCentroids(newDocs.sparkSession, path)
+    newDocs
+      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
+      .write.partitionBy("__list").mode("append").parquet(path)
+  }
+
+  /** [[appendToIvfIndex]] for an IVF-PQ index ([[buildIvfPqIndex]]): the
+    * stored codebooks encode the new rows (ONE projection: id, vector,
+    * codes, list), so appended rows are immediately ADC-scorable. Same
+    * frozen-quantizer contract as the IVF append.
+    */
+  def appendToIvfPqIndex(newDocs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val cents = readCentroids(spark, path)
+    val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val ksub = cbRows.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, ksub)((j, c) => cbRows((j, c)))
+    newDocs
+      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"),
+        graft.plans.GraftExtensions.callNative("pq_codes",
+          F.col(vecCol).cast("array<double>"),
+          F.typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
+      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
+      .write.partitionBy("__list").mode("append").parquet(path)
+  }
+
   /** Shared `_centroids` side-table write: nCentroids rows, one tiny file,
     * one read at probe time.
     */

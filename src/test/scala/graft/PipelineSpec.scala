@@ -735,6 +735,36 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(got).size.toDouble should be >= exact.size * 0.2
   }
 
+  test("index append: frozen quantizer, probes see the union immediately") {
+    val evens = emb.filter(F.col("vec_id") % 2 === 0)
+    val odds = emb.filter(F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    // IVF: build on half, append the other half; an exhaustive probe
+    // exact-scores every stored row, so it must equal brute force over
+    // the FULL set even though the quantizer never saw the appended half
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.buildIvfIndex(evens, "vec_id", "embedding", dir, nCentroids = 8)
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir)
+    val probed = Similarity.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probed shouldBe exact
+    // IVF-PQ: same, with an all-covering shortlist so the exact rerank
+    // decides everything (codebook quality cannot matter)
+    val dirPq = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.buildIvfPqIndex(evens, "vec_id", "embedding", dirPq, dim = 64,
+      nCentroids = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dirPq)
+    spark.read.parquet(dirPq).count() shouldBe emb.count()
+    val probedPq = Similarity.probeIvfPqIndex(spark, dirPq, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probedPq shouldBe exact
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
