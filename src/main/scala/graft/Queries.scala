@@ -424,6 +424,12 @@ object Queries {
       round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
   }
 
+  /** Token-length histogram (20-token bins) — the dataset-card length
+    * distribution; oracle replays the floor-division binning.
+    */
+  def q_token_histogram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenHistogram(Tables.documents(s, d), "text", binWidth = 20)
+
   /** Per-key top-k: the 3 highest-balance customers per market segment,
     * ties by key — rank-limit pushdown keeps k rows per key per map
     * partition BEFORE the shuffle (WindowGroupLimit, plan-pinned).
@@ -920,6 +926,10 @@ object Queries {
         |SELECT doc_id, lang_pred, round(quality, 2) AS quality,
         |  round(swr, 4) AS stopword_ratio
         |FROM sig""".stripMargin,
+    "q_token_histogram" ->
+      s"""WITH toks AS (SELECT $DTok AS ws FROM documents)
+        |SELECT (len(ws) // 20) * 20 AS bin_lo, count(*) AS n_docs
+        |FROM toks GROUP BY 1""".stripMargin,
     "q_top_per_key" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
         |QUALIFY row_number() OVER (
@@ -1048,6 +1058,7 @@ object Queries {
     "q_text_quality" -> (q_text_quality _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_top_per_key" -> (q_top_per_key _),
+    "q_token_histogram" -> (q_token_histogram _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_unigram_ll" -> (q_unigram_ll _),
     "q_ngram_top" -> (q_ngram_top _),

@@ -458,6 +458,23 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("xent"))
   }
 
+  /** Token-count histogram with fixed-width bins — the dataset-card
+    * length distribution. Returns (bin_lo, n_docs) where bin_lo is the
+    * inclusive lower edge (floor(tokens / width) · width). One projection
+    * + one partial+final aggregate keyed by the bin — bin cardinality is
+    * corpus_max/width regardless of corpus size, so the exchange is
+    * always tiny.
+    */
+  def tokenHistogram(df: DataFrame, textCol: String,
+      binWidth: Int = 20): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    df.select(
+        ((tokenCount(F.col(textCol)) / binWidth).cast("long") * binWidth)
+          .as("bin_lo"))
+      .groupBy("bin_lo")
+      .agg(F.count(F.lit(1)).as("n_docs"))
+  }
+
   /** All quality/analysis signals as one projection — the shape a pipeline
     * actually runs (single pass over the scan).
     */
