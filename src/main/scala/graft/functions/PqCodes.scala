@@ -69,11 +69,13 @@ object PqCodesKernel {
     require(raw != null, "pq_codes: codebook literal must not be null")
     val m = raw.numElements()
     require(m > 0, "pq_codes: empty codebook")
-    require(raw.getArray(0) != null && raw.getArray(0).getArray(0) != null,
-      "pq_codes: codebook contains null sub-arrays")
-    val ksub = raw.getArray(0).numElements()
+    val sub0 = raw.getArray(0)
+    require(sub0 != null, "pq_codes: codebook contains null sub-arrays")
+    val ksub = sub0.numElements()
     require(ksub > 0, "pq_codes: empty subspace codebook")
-    val dsub = raw.getArray(0).getArray(0).numElements()
+    val cent0 = sub0.getArray(0)
+    require(cent0 != null, "pq_codes: codebook contains null centroids")
+    val dsub = cent0.numElements()
     require(dsub > 0, "pq_codes: zero-dimensional centroids")
     val flat = new Array[Double](m * ksub * dsub)
     var j = 0

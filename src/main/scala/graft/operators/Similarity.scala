@@ -357,12 +357,26 @@ object Similarity {
     */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    graft.plans.GraftExtensions.register(newDocs.sparkSession)
-    val cents = readCentroids(newDocs.sparkSession, path)
+    val spark = newDocs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    requireIndexKind(spark, path, wantCodes = false)
+    val cents = readCentroids(spark, path)
     newDocs
       .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
       .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
       .write.partitionBy("__list").mode("append").parquet(path)
+  }
+
+  /** Fail fast when an append targets the wrong index flavor: appending
+    * codes-less rows into an IVF-PQ index would make them invisible to
+    * ADC probes (null sim filtered out) — silent recall loss, no error.
+    */
+  private def requireIndexKind(spark: org.apache.spark.sql.SparkSession,
+      path: String, wantCodes: Boolean): Unit = {
+    val hasCodes = spark.read.parquet(path).schema.fieldNames.contains("codes")
+    require(hasCodes == wantCodes,
+      if (wantCodes) s"$path is a plain IVF index (no codes column); use appendToIvfIndex"
+      else s"$path is an IVF-PQ index (codes column present); use appendToIvfPqIndex")
   }
 
   /** [[appendToIvfIndex]] for an IVF-PQ index ([[buildIvfPqIndex]]): the
@@ -374,13 +388,9 @@ object Similarity {
       path: String): Unit = {
     val spark = newDocs.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    requireIndexKind(spark, path, wantCodes = true)
     val cents = readCentroids(spark, path)
-    val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val m = cbRows.keys.map(_._1).max + 1
-    val ksub = cbRows.keys.map(_._2).max + 1
-    val cbs = Array.tabulate(m, ksub)((j, c) => cbRows((j, c)))
+    val cbs = readCodebooks(spark, path)
     newDocs
       .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"),
         graft.plans.GraftExtensions.callNative("pq_codes",
@@ -410,6 +420,19 @@ object Similarity {
     spark.read.parquet(s"$path/_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+
+  /** Shared `_codebooks` load: m·ksub rows reshaped to cb(j)(c) — bounded
+    * driver-side collect.
+    */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    Array.tabulate(m, ksub)((j, c) => rows((j, c)))
+  }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]): load the centroid
     * table (nCentroids rows — bounded, documented driver-side collect,
@@ -495,12 +518,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     graft.plans.GraftExtensions.register(spark)
     val cents = readCentroids(spark, path)
-    val cbRows = spark.read.parquet(s"$path/_codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val m = cbRows.keys.map(_._1).max + 1
-    val ksub = cbRows.keys.map(_._2).max + 1
-    val cbs = Array.tabulate(m, ksub)((j, c) => cbRows((j, c)))
+    val cbs = readCodebooks(spark, path)
     // localCheckpoint for the same reason as probeIvfIndex: the bucketed
     // query frame feeds the probed-list collect AND the scoring join.
     // withVec: __qv rides the SAME projection as the LUT — the query

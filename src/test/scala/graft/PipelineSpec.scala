@@ -763,6 +763,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 600)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     probedPq shouldBe exact
+    // wrong-flavor appends fail fast instead of silently corrupting the
+    // index (codes-less rows would be invisible to ADC probes)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dirPq)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dir)
   }
 
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
