@@ -110,6 +110,25 @@ object Streams {
       .drop("__fp")
   }
 
+  /** The full streaming ingestion gate, composed: quality filter (cheap
+    * projection signals — C4/Gopher-style, same thresholds as the batch
+    * `Pipelines` recipes), within-stream near-dup dedup (normalized
+    * fingerprint inside the watermark, [[streamingDocDedup]]), then the
+    * static-corpus gate ([[streamingDedupAgainstStatic]]). Everything a
+    * crawler front-door runs before documents reach curated storage, as
+    * one lazy plan per micro-batch; state is bounded by the watermark
+    * (the fingerprint store evicts) and the static side carries only
+    * fingerprints.
+    */
+  def curateStream(stream: DataFrame, textCol: String, tsCol: String,
+      ref: DataFrame, refTextCol: String, lateness: String = "1 hour",
+      minQuality: Double = 0.5): DataFrame = {
+    val passed = stream.filter(
+      graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
+    val deduped = streamingDocDedup(passed, textCol, tsCol, lateness)
+    streamingDedupAgainstStatic(deduped, textCol, ref, refTextCol)
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — no streaming state at all, the
     * canonical fact-stream × dimension-table shape. The dimension is

@@ -1436,6 +1436,37 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out.toDF.columns should contain allOf ("doc_id", "text")
   }
 
+  test("curateStream: quality gate + stream dedup + static gate, end-to-end") {
+    import spark.implicits._
+    val ref = Seq((100L, "this is the known curated document " +
+      "that we already have stored with many plain words in it"))
+      .toDF("ref_id", "text")
+    val good = "this is a perfectly reasonable document with plenty of " +
+      "normal words and a decent length for the quality gate to accept"
+    val incoming = Seq(
+      (1L, good, "2024-01-01 10:00:00"),                  // survives
+      (2L, good + "!", "2024-01-01 10:01:00"),            // stream near-dup of 1
+      (3L, "x@#", "2024-01-01 10:02:00"),                 // fails quality
+      (4L, "This is the KNOWN curated document that we already have " +
+        "stored, with many plain words in it", "2024-01-01 10:03:00"))
+      .toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curstream").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, incoming.schema)
+    val q = Streams.curateStream(stream, "text", "ts", ref, "text")
+      .writeStream.format("memory").queryName("curstream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("curstream_test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 4 fingerprints to the ref doc (case/punct-normalized) -> gated;
+    // docs 1/2 share a fingerprint -> exactly one passes; 3 fails quality
+    kept.intersect(Set(1L, 2L)).size shouldBe 1
+    (kept should not).contain(3L)
+    (kept should not).contain(4L)
+  }
+
   test("sliding windows count each event in every overlapping window") {
     import spark.implicits._
     val e = Seq((1L, "2024-01-01 10:45:00", 7L, "view", 1.0, ""))
