@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
 
 /** Native PQ encoder: one fused argmin-L2 pass assigning each of the `m`
   * subvectors of the input to its nearest codebook centroid.
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * The `functions._` formulation (per subspace, an array of `ksub`
   * distance/code structs reduced by `array_min`) allocates m·ksub boxed
   * structs PER ROW; this kernel is three primitive loops over a flattened
-  * codebook with no per-row allocation beyond the m-int output, and
+  * codebook with no per-row allocation beyond the m-byte output, and
   * `doGenCode` keeps it inside whole-stage codegen. The codebook argument
   * must be a LITERAL (foldable): it is flattened once on the driver and
   * ships as a codegen reference, never evaluated per row. Registered for
@@ -37,7 +37,7 @@ case class PqCodes(left: Expression, right: Expression)
         Seq(left, right).map(_.dataType.simpleString).mkString("(", ", ", ")"))
   }
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "pq_codes"
 
   @transient private lazy val cb: PqCodesKernel.Codebook =
@@ -77,6 +77,10 @@ object PqCodesKernel {
     require(cent0 != null, "pq_codes: codebook contains null centroids")
     val dsub = cent0.numElements()
     require(dsub > 0, "pq_codes: zero-dimensional centroids")
+    // codes are stored as signed bytes — m BYTES per vector, the whole
+    // point of PQ compression; 128 centroids per subspace is the
+    // classical PQ configuration ceiling anyway
+    require(ksub <= 128, s"pq_codes: ksub=$ksub exceeds the byte-code limit of 128")
     val flat = new Array[Double](m * ksub * dsub)
     var j = 0
     while (j < m) {
@@ -110,7 +114,7 @@ object PqCodesKernel {
     val dim = cb.m * cb.dsub
     require(vec.numElements() == dim,
       s"pq_codes: vector has ${vec.numElements()} dims, codebook expects $dim")
-    val out = new Array[Int](cb.m)
+    val out = new Array[Byte](cb.m)
     var j = 0
     while (j < cb.m) {
       val base = j * cb.ksub * cb.dsub
@@ -130,7 +134,7 @@ object PqCodesKernel {
         if (s < bestD) { bestD = s; best = c }
         c += 1
       }
-      out(j) = best
+      out(j) = best.toByte
       j += 1
     }
     new GenericArrayData(out)

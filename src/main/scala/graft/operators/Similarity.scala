@@ -637,7 +637,8 @@ object Similarity {
     * kernel (the codebook flattens once on the driver and ships as a
     * codegen reference; the composed struct/array_min formulation below
     * allocates m·ksub boxed structs per row — measured 2.2× slower
-    * end-to-end on q_knn_pq). Returns (idCol, codes array<int>).
+    * end-to-end on q_knn_pq). Returns (idCol, codes array<tinyint>) —
+    * m BYTES per vector, the PQ compression contract.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
@@ -666,7 +667,7 @@ object Similarity {
         F.struct(
           (F.lit(cv.map(x => x * x).sum) -
             F.lit(2.0) * dot(sub, F.array(cv.map(F.lit): _*))).as("d"),
-          F.lit(c).as("cid"))
+          F.lit(c.toByte).as("cid"))
       }: _*)
       F.array_min(scored).getField("cid")
     }: _*)
@@ -732,12 +733,13 @@ object Similarity {
   private def adcScored(pairs: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
+    def code(j: Int) = F.get(F.col("codes"), F.lit(j)).cast("int")
     val ip = (0 until m).map { j =>
-      F.get(F.get(F.col("__lut"), F.lit(j)), F.get(F.col("codes"), F.lit(j)))
+      F.get(F.get(F.col("__lut"), F.lit(j)), code(j))
     }.reduce(_ + _)
     val cNormSq = (0 until m).map { j =>
       F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
-        F.get(F.col("codes"), F.lit(j)))
+        code(j))
     }.reduce(_ + _)
     pairs
       .withColumn("sim", ip / (F.col("__qn") * F.sqrt(cNormSq)))

@@ -551,34 +551,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
   }
 
-  test("PQ: codes are m small ints; encode is deterministic") {
+  test("PQ: codes are m bytes; encode is deterministic") {
     val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 8, ksub = 16)
     cb.length shouldBe 8
     cb.foreach { sub => sub.length shouldBe 16; sub.foreach(_.length shouldBe 8) }
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     codes.size shouldBe 500
     codes.values.foreach { c =>
       c.length shouldBe 8
-      c.foreach { x => x should be >= 0; x should be < 16 }
+      c.foreach { x => x.toInt should be >= 0; x.toInt should be < 16 }
     }
     // deterministic under repartitioning (codebooks are literals)
     val again = Similarity.pqEncode(emb.repartition(7), "vec_id",
       "embedding", cb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     again shouldBe codes
     // native kernel == composed struct/array_min formulation, row for row
     val composed = Similarity.pqEncodeComposed(emb, "vec_id", "embedding", cb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     composed shouldBe codes
-    // SQL-callable through the registered extension
-    import spark.implicits._
+    // SQL-callable through the registered extension; codes are BYTES —
+    // m bytes per vector is the compression contract
     graft.plans.GraftExtensions.register(spark)
-    val sql = spark.sql(
+    val sqlRow = spark.sql(
       "SELECT pq_codes(array(0.0D, 1.0D), array(array(array(0.0D), array(9.0D)), " +
-        "array(array(5.0D), array(1.5D)))) AS c").as[Seq[Int]].head()
-    sql shouldBe Seq(0, 1)
+        "array(array(5.0D), array(1.5D)))) AS c")
+    sqlRow.schema("c").dataType.simpleString shouldBe "array<tinyint>"
+    sqlRow.head().getSeq[Byte](0) shouldBe Seq(0.toByte, 1.toByte)
   }
 
   test("PQ ADC + exact rerank recovers most of the true top-k") {
@@ -723,7 +724,7 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     pruned.collect()
     val plan = pruned.queryExecution.executedPlan.toString
     plan should include regex """PartitionFilters: \[[^\]]*__list"""
-    val codesOnlyScan = """ReadSchema: struct<cand_id:bigint,codes:array<int>>"""
+    val codesOnlyScan = """ReadSchema: struct<cand_id:bigint,codes:array<tinyint>>"""
     plan should include(codesOnlyScan)
     // pruned probe still achieves non-trivial recall vs the exact path
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
