@@ -77,10 +77,11 @@ object PqCodesKernel {
     require(cent0 != null, "pq_codes: codebook contains null centroids")
     val dsub = cent0.numElements()
     require(dsub > 0, "pq_codes: zero-dimensional centroids")
-    // codes are stored as signed bytes — m BYTES per vector, the whole
-    // point of PQ compression; 128 centroids per subspace is the
-    // classical PQ configuration ceiling anyway
-    require(ksub <= 128, s"pq_codes: ksub=$ksub exceeds the byte-code limit of 128")
+    // codes are stored as bytes (m BYTES per vector, the point of PQ
+    // compression) in UNSIGNED encoding: ksub up to 256 — the classical
+    // 8-bit PQ configuration — wraps through the signed byte and readers
+    // undo it with pmod 256
+    require(ksub <= 256, s"pq_codes: ksub=$ksub exceeds the byte-code limit of 256")
     val flat = new Array[Double](m * ksub * dsub)
     var j = 0
     while (j < m) {
@@ -134,7 +135,7 @@ object PqCodesKernel {
         if (s < bestD) { bestD = s; best = c }
         c += 1
       }
-      out(j) = best.toByte
+      out(j) = (best & 0xFF).toByte // unsigned encoding, see fromLiteral
       j += 1
     }
     new GenericArrayData(out)

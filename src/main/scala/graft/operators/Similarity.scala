@@ -373,10 +373,22 @@ object Similarity {
     */
   private def requireIndexKind(spark: org.apache.spark.sql.SparkSession,
       path: String, wantCodes: Boolean): Unit = {
-    val hasCodes = spark.read.parquet(path).schema.fieldNames.contains("codes")
+    val schema = spark.read.parquet(path).schema
+    val hasCodes = schema.fieldNames.contains("codes")
     require(hasCodes == wantCodes,
       if (wantCodes) s"$path is a plain IVF index (no codes column); use appendToIvfIndex"
       else s"$path is an IVF-PQ index (codes column present); use appendToIvfPqIndex")
+    // appends must also match the stored code ELEMENT type: mixing byte-
+    // coded part-files into an older int-coded index would make the
+    // parquet reader fail nondeterministically depending on which footer
+    // wins schema inference
+    if (wantCodes) {
+      val elem = schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      require(elem == org.apache.spark.sql.types.ByteType,
+        s"$path stores codes as array<${elem.simpleString}>, not " +
+          "array<tinyint> — rebuild the index with this version before appending")
+    }
   }
 
   /** [[appendToIvfIndex]] for an IVF-PQ index ([[buildIvfPqIndex]]): the
@@ -660,6 +672,10 @@ object Similarity {
     graft.plans.GraftExtensions.register(df.sparkSession)
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    // same unsigned-byte ceiling as the native kernel (c.toByte wraps
+    // identically to the kernel's (c & 0xFF).toByte for c < 256)
+    require(codebooks(0).length <= 256,
+      s"pq encode: ksub=${codebooks(0).length} exceeds the byte-code limit of 256")
     val v = F.col(vecCol).cast("array<double>")
     val codes = F.array((0 until m).map { j =>
       val sub = F.slice(v, j * dsub + 1, dsub)
@@ -733,7 +749,8 @@ object Similarity {
   private def adcScored(pairs: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
-    def code(j: Int) = F.get(F.col("codes"), F.lit(j)).cast("int")
+    // codes are UNSIGNED bytes (ksub up to 256); undo the signed wrap
+    def code(j: Int) = F.pmod(F.get(F.col("codes"), F.lit(j)).cast("int"), F.lit(256))
     val ip = (0 until m).map { j =>
       F.get(F.get(F.col("__lut"), F.lit(j)), code(j))
     }.reduce(_ + _)

@@ -110,23 +110,30 @@ object Streams {
       .drop("__fp")
   }
 
-  /** The full streaming ingestion gate, composed: quality filter (cheap
-    * projection signals — C4/Gopher-style, same thresholds as the batch
-    * `Pipelines` recipes), within-stream near-dup dedup (normalized
-    * fingerprint inside the watermark, [[streamingDocDedup]]), then the
-    * static-corpus gate ([[streamingDedupAgainstStatic]]). Everything a
-    * crawler front-door runs before documents reach curated storage, as
-    * one lazy plan per micro-batch; state is bounded by the watermark
-    * (the fingerprint store evicts) and the static side carries only
-    * fingerprints.
+  /** The full streaming ingestion gate, composed: quality filter
+    * (`qualityScore >= minQuality`, the banded 0-1 signal — a LIGHTER
+    * gate than the batch `Pipelines.cleanCorpus` recipe, which hard-
+    * requires token count and word-length bands; align thresholds
+    * explicitly if stream and batch must curate identically), then
+    * within-stream dedup and the static-corpus gate, both on the SAME
+    * normalized 64-bit fingerprint (exact dedup after case/punctuation
+    * normalization — near-dup detection stays a batch job). The
+    * fingerprint kernel is computed ONCE per surviving row and shared by
+    * both dedup stages. One lazy plan per micro-batch; state is bounded
+    * by the watermark and the static side carries only fingerprints.
     */
   def curateStream(stream: DataFrame, textCol: String, tsCol: String,
       ref: DataFrame, refTextCol: String, lateness: String = "1 hour",
       minQuality: Double = 0.5): DataFrame = {
-    val passed = stream.filter(
-      graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
-    val deduped = streamingDocDedup(passed, textCol, tsCol, lateness)
-    streamingDedupAgainstStatic(deduped, textCol, ref, refTextCol)
+    val fp = graft.operators.TextAnalysis.fingerprint _
+    val refFp = ref.select(fp(F.col(refTextCol)).as("__fp")).distinct()
+    stream
+      .filter(graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
+      .withColumn("__fp", fp(F.col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
   }
 
   /** Stream-static enrichment join: each micro-batch joins against the
