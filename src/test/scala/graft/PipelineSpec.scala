@@ -582,6 +582,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     sqlRow.head().getSeq[Byte](0) shouldBe Seq(0.toByte, 1.toByte)
   }
 
+  test("PQ with ksub > 128: unsigned byte codes round-trip through ADC") {
+    // forces code ids above 127 (negative signed bytes) — the unsigned
+    // encoding path: native == composed, lookups undo the wrap, and an
+    // all-covering shortlist + exact rerank still equals brute force
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 200)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    // unsigned decode lands in [0, 200); the wrap actually occurs
+    val decoded = codes.values.flatMap(_.map(b => b.toInt & 0xFF))
+    decoded.foreach { x => x should be >= 0; x should be < 200 }
+    decoded.exists(_ > 127) shouldBe true
+    val composed = Similarity.pqEncodeComposed(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    composed shouldBe codes
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopKRerank(queries, emb, "vec_id", "embedding",
+        k = 5, cb, shortlist = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pq shouldBe exact
+  }
+
   test("PQ ADC + exact rerank recovers most of the true top-k") {
     val queries = emb.filter(F.col("vec_id") < 50)
     val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
