@@ -520,6 +520,20 @@ object Queries {
       .select("event_id", "last_purchase_value")
   }
 
+  /** Forward as-of: every event picks up the value of the user's NEXT
+    * at-or-after purchase — oracle is DuckDB's native ASOF with the
+    * inequality flipped.
+    */
+  def q_asof_fwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("next_purchase_value"))
+    graft.extras.AsOf.asofJoinForward(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        purchases, "user_id", "ts", Seq("next_purchase_value"))
+      .select("event_id", "next_purchase_value")
+  }
+
   // ---- M8: multimodal -------------------------------------------------
 
   def q_multimodal(s: SparkSession, d: String): DataFrame = {
@@ -1006,6 +1020,12 @@ object Queries {
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |) r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_fwd" ->
+      """SELECT l.event_id, r.value AS next_purchase_value
+        |FROM events l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |) r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT) AS n_bytes
@@ -1067,6 +1087,7 @@ object Queries {
     "q_events_sessions" -> (q_events_sessions _),
     "q_events_sliding" -> (q_events_sliding _),
     "q_asof" -> (q_asof _),
+    "q_asof_fwd" -> (q_asof_fwd _),
     "q_multimodal" -> (q_multimodal _)
   )
 
@@ -1088,6 +1109,7 @@ object Queries {
     "q_tfidf" -> (q_tfidf _),
     "q_bm25" -> (q_bm25 _),
     "q_asof" -> (q_asof _),
+    "q_asof_fwd" -> (q_asof_fwd _),
     "q_events_window" -> (q_events_window _),
     "q_cast_pivot" -> (q_cast_pivot _),
     "q_pipeline" -> (q_pipeline _),

@@ -28,28 +28,52 @@ object AsOf {
     *                  left columns)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, valueCols: Seq[String]): DataFrame = {
+      timeCol: String, valueCols: Seq[String]): DataFrame =
+    asofCore(left, right, keyCol, timeCol, valueCols, forward = false)
+
+  /** Forward as-of: for every left row, attach the EARLIEST right row
+    * whose `timeCol` is >= the left row's (next match at-or-after), per
+    * `keyCol` — the "time-to-next-event" / next-purchase direction. Same
+    * single-shuffle tagged-union plan as [[asofJoin]], with the window
+    * frame and tie order mirrored; a right row at the exact left time
+    * matches (inclusive), as in the backward direction.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String]): DataFrame =
+    asofCore(left, right, keyCol, timeCol, valueCols, forward = true)
+
+  private def asofCore(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String], forward: Boolean): DataFrame = {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"value columns collide with left side: $collisions")
 
-    val Side = "__asof_side" // 0 = right (sorts first on ties), 1 = left
+    // Tie order makes the equal-time right row land INSIDE the left row's
+    // frame in both directions: backward frames end at currentRow, so the
+    // right row must sort first; forward frames start at currentRow, so
+    // it must sort last.
+    val Side = "__asof_side"
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val leftCols = left.columns.toSeq
 
-    val taggedLeft = valueCols.foldLeft(left.withColumn(Side, F.lit(1)))(
+    val taggedLeft = valueCols.foldLeft(left.withColumn(Side, F.lit(leftTag)))(
       (df, c) => df.withColumn(c, F.lit(null).cast(right.schema(c).dataType)))
     val taggedRight = right.select(
-      (Seq(F.col(keyCol), F.col(timeCol), F.lit(0).as(Side)) ++
+      (Seq(F.col(keyCol), F.col(timeCol), F.lit(rightTag).as(Side)) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol)
           .map(c => F.lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(F.col)): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight)
-    val w = Window.partitionBy(keyCol)
+    val base = Window.partitionBy(keyCol)
       .orderBy(F.col(timeCol).asc, F.col(Side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, F.last(F.col(c), ignoreNulls = true).over(w)))
-    filled.filter(F.col(Side) === 1).drop(Side)
+      df.withColumn(c,
+        (if (forward) F.first(F.col(c), ignoreNulls = true)
+         else F.last(F.col(c), ignoreNulls = true)).over(w)))
+    filled.filter(F.col(Side) === leftTag).drop(Side)
       .select(leftCols.map(F.col) ++ valueCols.map(F.col): _*)
   }
 }

@@ -240,6 +240,26 @@ class EngineSpec extends AnyFunSuite with Matchers {
     out("t3") shouldBe Some(107.0) // latest of 0/5/7
     out("t4") shouldBe None        // B's only quote is later
   }
+  test("forward asof join attaches the next at-or-after match per key") {
+    import spark.implicits._
+    import graft.extras.AsOf
+    val trades = Seq(
+      ("A", 1L, "t1"), ("A", 5L, "t2"), ("A", 10L, "t3"),
+      ("B", 3L, "t4"))
+      .toDF("sym", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", 0L, 100.0), ("A", 5L, 105.0), ("A", 7L, 107.0),
+      ("B", 9L, 50.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOf.asofJoinForward(trades, quotes, "sym", "ts", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade_id") ->
+        Option(r.getAs[Any]("px"))).toMap
+    out("t1") shouldBe Some(105.0) // next quote at-or-after 1 is ts=5
+    out("t2") shouldBe Some(105.0) // tie at ts=5 matches (inclusive)
+    out("t3") shouldBe None        // no quote after 10
+    out("t4") shouldBe Some(50.0)  // B's quote at 9 >= 3
+  }
+
   test("asof join rejects value-column collisions") {
     import spark.implicits._
     import graft.extras.AsOf
