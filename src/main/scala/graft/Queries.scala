@@ -126,6 +126,25 @@ object Queries {
       .groupby("c_mktsegment").aggregate(Agg.concat, "c_name")
       .toOrderedDF
 
+  /** Bounded-memory custom fold (§2.12 scale path — `Agg.CustomFoldNumeric`
+    * compiles to `Aggregator[IN,BUF,OUT]` + `functions.udaf`): geometric
+    * mean of l_quantity per returnflag as a (Σln, n) commutative-monoid
+    * fold, one fixed-size buffer per group through partial+final
+    * aggregation — never a per-group value list. The closure is chosen to
+    * be SQL-expressible (exp(avg(ln x))) so the driver oracle checks the
+    * whole udaf path end-to-end.
+    */
+  def q_agg_fold(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(li(s, d))
+      .groupby("l_returnflag")
+      .aggregate(Agg.CustomFoldNumeric[(Double, Long)]((0.0, 0L),
+        step = (b, x) => (b._1 + math.log(x), b._2 + 1),
+        merge = (a, b) => (a._1 + b._1, a._2 + b._2),
+        output = b => if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)),
+        "l_quantity")
+      .toOrderedDF
+      .select(col("l_returnflag"), round(col("l_quantity"), 6).as("l_quantity"))
+
   // ---- §2.6 sort / take / drop / head / last --------------------------
 
   def q_sort_take(s: SparkSession, d: String): DataFrame =
@@ -297,6 +316,20 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "chunk_idx", "chunk_text")
 
+  /** Batch face of the STREAMING ingestion gate ([[Streams.curateBatch]] ==
+    * `curateStream` semantics with deterministic lowest-id survivors):
+    * quality >= 0.5 → one survivor per normalized 64-bit fingerprint →
+    * anti-join against the "already curated" corpus (every 10th doc). The
+    * oracle replays the gate over the normalized token STRING — fingerprint
+    * equality is string equality up to 64-bit hash collisions (~1e-9).
+    */
+  def q_curate_stream_batch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    Streams.curateBatch(docs, "doc_id", "text", ref, "text", minQuality = 0.5)
+      .select("doc_id")
+  }
+
   /** Sequence packing over the chunked corpus: per-bucket concat-then-split
     * into 256-token packs; output = per-pack chunk/token totals.
     */
@@ -352,6 +385,30 @@ object Queries {
       "vec_id", "embedding", k = 10, cb, shortlist = 50)
   }
 
+  /** Persisted IVF-PQ index probe — the serving-shape ANN path: the index
+    * is built ONCE per scale-factor dir into a cached temp location (the
+    * build-once/probe-many contract; in the bench the warm second run
+    * therefore times the probe alone), then probed with partition + column
+    * pruning (plan-pinned in PipelineSpec). Rows-only in the driver gate —
+    * centroids/codebooks are data-derived k-means, not SQL-replicable;
+    * recall vs the exact path is pinned in ScalaTest.
+    */
+  private val ivfPqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_knn_ivfpq(s: SparkSession, d: String): DataFrame = {
+    val path = ivfPqIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-reg").toString + "/index"
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", dir, dim = 64, nCentroids = 16, m = 16, ksub = 32)
+      dir
+    })
+    Similarity.probeIvfPqIndex(s, path,
+      Tables.embeddings(s, d).filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 10, nProbe = 8, shortlist = 50)
+  }
+
   /** Cross-modal join: documents ⋈ embeddings on id, per-cluster text
     * stats — the retrieval-pipeline staple (broadcast the smaller side).
     */
@@ -368,13 +425,22 @@ object Queries {
 
   // ---- M8: text analysis ----------------------------------------------
 
+  /** Tokenize-once discipline (this and every multi-signal text query):
+    * the token array is materialized to a `__ts` attribute in an inner
+    * projection and each signal reads the attribute — ONE tokenizer
+    * evaluation per row, plan-pinned by PipelineSpec's kernel-once test.
+    * Inlining `tokens(text)` into each signal would run it once per signal
+    * per row, interpreted (HOF lambdas are CSE-exempt — SPARK-35410).
+    */
   def q_text_stats(s: SparkSession, d: String): DataFrame = {
-    val t = col("text")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(t).as("n_tokens"),
-      TextAnalysis.subwordCount(t).as("n_subwords"),
-      round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"))
+    val ts = col("__ts")
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountOf(ts).as("n_tokens"),
+        TextAnalysis.subwordCountOf(ts).as("n_subwords"),
+        round(TextAnalysis.meanWordLenOf(ts), 4).as("mean_word_len"))
   }
 
   def q_chunks(s: SparkSession, d: String): DataFrame =
@@ -417,11 +483,14 @@ object Queries {
     */
   def q_text_quality(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.langId(t).as("lang_pred"),
-      round(TextAnalysis.qualityScore(t), 2).as("quality"),
-      round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"))
+    val ts = col("__ts")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t, TextAnalysis.tokens(t).as("__ts"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.langIdOf(ts, t).as("lang_pred"),
+        round(TextAnalysis.qualityScoreOf(ts, t), 2).as("quality"),
+        round(TextAnalysis.stopwordRatioOf(ts), 4).as("stopword_ratio"))
   }
 
   /** Token-length histogram (20-token bins) — the dataset-card length
@@ -447,10 +516,12 @@ object Queries {
     */
   def q_corpus_stats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
+    val ts = col("__ts")
     Tables.documents(s, d)
-      .select(TextAnalysis.langId(t).as("lang_pred"),
-        TextAnalysis.tokenCount(t).as("nt"),
-        TextAnalysis.qualityScore(t).as("q"))
+      .select(t, TextAnalysis.tokens(t).as("__ts"))
+      .select(TextAnalysis.langIdOf(ts, t).as("lang_pred"),
+        TextAnalysis.tokenCountOf(ts).as("nt"),
+        TextAnalysis.qualityScoreOf(ts, t).as("q"))
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).cast("long").as("n_tokens"),
@@ -463,11 +534,13 @@ object Queries {
     */
   def q_text_repetition(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      round(TextAnalysis.maxWordFrequency(t), 6).as("max_word_freq"),
-      round(TextAnalysis.dupLineFraction(t), 6).as("dup_line_frac"),
-      TextAnalysis.emailCount(t).as("n_emails"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t, TextAnalysis.tokens(t).as("__ts"))
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.maxWordFrequencyOf(col("__ts")), 6).as("max_word_freq"),
+        round(TextAnalysis.dupLineFraction(t), 6).as("dup_line_frac"),
+        TextAnalysis.emailCount(t).as("n_emails"))
   }
 
   /** Per-doc unigram cross-entropy (perplexity-proxy quality score) — the
@@ -659,6 +732,9 @@ object Queries {
     "q_agg_concat" ->
       """SELECT c_mktsegment, string_agg(c_name, '' ORDER BY c_custkey) AS c_name
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_agg_fold" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_transform" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  round(sum(l_quantity) OVER (PARTITION BY l_returnflag), 2) AS grp_qty
@@ -831,6 +907,19 @@ object Queries {
         |SELECT CAST(bucket * 1099511627776 + ((cum - n_tokens) // 256) AS BIGINT) AS pack_id,
         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM p GROUP BY 1""".stripMargin,
+    "q_curate_stream_batch" ->
+      s"""$textSignalsCte,
+        |norm AS (
+        |  SELECT t.doc_id, array_to_string(t.ws, ' ') AS ns
+        |  FROM toks t JOIN sig s ON t.doc_id = s.doc_id
+        |  WHERE s.quality >= 0.5
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id, ns FROM norm GROUP BY ns
+        |), refn AS (
+        |  SELECT DISTINCT array_to_string(ws, ' ') AS ns FROM toks
+        |  WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id FROM keep WHERE ns NOT IN (SELECT ns FROM refn)""".stripMargin,
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
         |g AS (
@@ -1043,6 +1132,7 @@ object Queries {
     "q_agg_sd" -> (q_agg_sd _),
     "q_agg_count" -> (q_agg_count _),
     "q_agg_concat" -> (q_agg_concat _),
+    "q_agg_fold" -> (q_agg_fold _),
     "q_transform" -> (q_transform _),
     "q_sort_take" -> (q_sort_take _),
     "q_drop" -> (q_drop _),
@@ -1063,11 +1153,13 @@ object Queries {
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
     "q_curate" -> (q_curate _),
+    "q_curate_stream_batch" -> (q_curate_stream_batch _),
     "q_contamination" -> (q_contamination _),
     "q_pack" -> (q_pack _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_knn_pq" -> (q_knn_pq _),
+    "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_doc_embed" -> (q_doc_embed _),
     "q_text_stats" -> (q_text_stats _),
     "q_chunks" -> (q_chunks _),
@@ -1125,6 +1217,23 @@ object Queries {
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_perplexity_band" -> (q_perplexity_band _),
-    "q_knn_pq" -> (q_knn_pq _)
+    "q_knn_pq" -> (q_knn_pq _),
+    // round-5 additions: the remaining registry families (contamination,
+    // packing, retrieval top-k, per-key top-k, histograms, sliding windows,
+    // set intersect, streaming-gate batch face, custom fold, text signals)
+    // plus the persisted IVF-PQ probe (built once per dir — the warm
+    // second run times the probe alone, the serving-path latency).
+    "q_contamination" -> (q_contamination _),
+    "q_pack" -> (q_pack _),
+    "q_bm25_search" -> (q_bm25_search _),
+    "q_top_per_key" -> (q_top_per_key _),
+    "q_token_histogram" -> (q_token_histogram _),
+    "q_events_sliding" -> (q_events_sliding _),
+    "q_set_intersect" -> (q_set_intersect _),
+    "q_curate_stream_batch" -> (q_curate_stream_batch _),
+    "q_agg_fold" -> (q_agg_fold _),
+    "q_text_stats" -> (q_text_stats _),
+    "q_text_quality" -> (q_text_quality _),
+    "q_knn_ivfpq" -> (q_knn_ivfpq _)
   )
 }

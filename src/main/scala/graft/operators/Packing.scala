@@ -25,9 +25,18 @@ object Packing {
     * `nBuckets` (numeric ids; hash string keys upstream), order within
     * bucket = (id, chunk index). `pack_id` = bucket · 2^40 + pack ordinal
     * within the bucket.
+    *
+    * `nBuckets` is REQUIRED (no default): each bucket is ONE window
+    * partition — a single task runs its cumulative sum over corpus/nBuckets
+    * rows — so a fixed default silently turns into a multi-TB-per-task
+    * funnel when the corpus grows. Size it so corpus/nBuckets rows fit one
+    * task comfortably, or use [[packChunksAuto]] to derive it from the
+    * input at the cost of one count() job. Each bucket's packs are a pure
+    * function of that bucket's own chunks (ordinals never cross buckets),
+    * so raising nBuckets only splits work, never changes pack semantics.
     */
   def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
-      tokCol: String, budget: Int, nBuckets: Int = 64): DataFrame = {
+      tokCol: String, budget: Int, nBuckets: Int): DataFrame = {
     require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
     // pack_id = bucket * 2^40 + ordinal must fit a long: buckets < 2^22
     // and <= 2^40 packs per bucket (~10^14 tokens/bucket at budget 256 —
@@ -43,6 +52,25 @@ object Packing {
         F.col("__bucket") * F.lit(1L << 40) +
           F.floor((F.col("__end") - F.col(tokCol)) / F.lit(budget.toLong)))
       .drop("__bucket", "__end")
+  }
+
+  /** [[packChunks]] with a scale-safe bucket count derived from the input:
+    * nBuckets = max(defaultParallelism, ceil(n / maxRowsPerBucket)), so no
+    * bucket's single-task cumulative sum ever covers more than
+    * `maxRowsPerBucket` rows (expected; id-mod bucketing is uniform for
+    * dense ids) and small inputs still use every core. Costs one extra
+    * count() job over the chunk frame — callers that already know the
+    * corpus size should pass `nBuckets` to [[packChunks]] directly.
+    */
+  def packChunksAuto(chunks: DataFrame, idCol: String, idxCol: String,
+      tokCol: String, budget: Int,
+      maxRowsPerBucket: Long = 4L * 1000 * 1000): DataFrame = {
+    require(maxRowsPerBucket > 0, "maxRowsPerBucket must be positive")
+    val n = chunks.count()
+    val parallelism = chunks.sparkSession.sparkContext.defaultParallelism.toLong
+    val nBuckets = math.max(parallelism, (n + maxRowsPerBucket - 1) / maxRowsPerBucket)
+    packChunks(chunks, idCol, idxCol, tokCol, budget,
+      math.min(nBuckets, (1L << 22) - 1).toInt)
   }
 
   /** Pack summary: one row per pack with its chunk count and token total —

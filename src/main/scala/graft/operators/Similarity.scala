@@ -189,35 +189,54 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Bounded deterministic training sample: the `cap` rows with the
+    * smallest `xxhash64(id, seed)` — a distributed top-k by hash
+    * (TakeOrderedAndProject: cap rows per partition merged on the driver),
+    * so the sample is deterministic, spread uniformly across the corpus
+    * regardless of physical row order (a bare `limit`, or `sample().limit`,
+    * takes the first surviving partitions only — one corner of a
+    * sorted/sharded corpus), and constant-cost at any corpus size. Shared
+    * by every trainer ([[trainCentroids]], [[kmeansRefine]],
+    * [[trainPqCodebooks]]) so the sampling policy cannot drift per path.
+    * Returns a single `__v: array<double>` column.
+    */
+  private def hashSample(df: DataFrame, idCol: String, vecCol: String,
+      cap: Int, seed: Long): DataFrame =
+    df.select(F.col(vecCol).cast("array<double>").as("__v"),
+        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
+      .orderBy("__h").limit(cap).drop("__h")
+
   /** Lloyd-refine a centroid set against (a bounded sample of) the
     * candidate vectors. Each iteration: distributed nearest-centroid
-    * assignment (argmax expression over centroid literals — no shuffle of
-    * vectors), then per-(cluster, dim) mean via posexplode + aggregate
+    * assignment by LOWEST L2 distance via the `-2·dot + |c|²` trick (the
+    * |point|² term is constant per row, so it cannot change the argmin;
+    * max-inner-product assignment is NOT Lloyd's for unnormalized vectors
+    * and can oscillate) — an expression over centroid literals, no shuffle
+    * of vectors — then per-(cluster, dim) mean via posexplode + aggregate
     * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
-    * bounded by construction, never the data). Training runs on the
-    * `sampleCap` rows with the smallest `xxhash64(id, seed)` — a
-    * distributed top-k by hash, so the sample is deterministic, spread
-    * uniformly across the corpus regardless of physical row order (a bare
-    * `limit` would take the first partitions only — one source shard),
-    * and constant-cost at any corpus size.
+    * bounded by construction, never the data). Training runs on a
+    * [[hashSample]] of `sampleCap` rows, localCheckpoint'ed ONCE before
+    * the loop: the sample frame is consumed every iteration, and without
+    * the checkpoint each Lloyd step would re-scan and re-sort the full
+    * candidate corpus (iters × corpus-wide top-k jobs).
     */
   def kmeansRefine(candidates: DataFrame, idCol: String, vecCol: String,
       init: Array[(Int, Array[Double])], iters: Int,
       sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
     if (iters <= 0) return init
     graft.plans.GraftExtensions.register(candidates.sparkSession)
-    val sample = candidates
-      .select(F.col(vecCol).cast("array<double>").as("__v"),
-        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
-      .orderBy("__h").limit(sampleCap).drop("__h")
+    val sample = hashSample(candidates, idCol, vecCol, sampleCap, seed)
+      .localCheckpoint()
     var cents = init
     for (_ <- 1 to iters) {
       val assignExpr = {
         val scored = F.array(cents.map { case (cid, cv) =>
-          F.struct(dot(F.col("__v"), F.array(cv.map(F.lit): _*)).as("d"),
+          F.struct(
+            (F.lit(cv.map(x => x * x).sum) -
+              F.lit(2.0) * dot(F.col("__v"), F.array(cv.map(F.lit): _*))).as("d"),
             F.lit(cid).as("cid"))
         }: _*)
-        F.reverse(F.array_sort(scored)).getItem(0).getField("cid")
+        F.array_min(scored).getField("cid")
       }
       val means = sample.withColumn("__c", assignExpr)
         .select(F.col("__c"), F.posexplode(F.col("__v")))
@@ -270,17 +289,20 @@ object Similarity {
   }
 
   /** Deterministic sampled (+ optionally Lloyd-refined) centroid set — the
-    * coarse quantizer shared by [[ivfTopK]] and [[buildIvfIndex]].
+    * coarse quantizer shared by [[ivfTopK]] and [[buildIvfIndex]]. Seeds
+    * come from [[hashSample]] (hash-ordered top-k), so even with the
+    * default `refineIters = 0` the initial centroids are spread uniformly
+    * across the corpus — a first-partition draw on data sorted/sharded by
+    * semantic cluster would seed every centroid from one corner, skewing
+    * lists and decaying probe recall.
     */
   private def trainCentroids(candidates: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int, sampleSeed: Long,
       refineIters: Int): Array[(Int, Array[Double])] = {
-    val sampled: Array[(Int, Array[Double])] = candidates
-      .select(F.col(vecCol).cast("array<double>"))
-      .sample(withReplacement = false, 0.5, sampleSeed)
-      .limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    val sampled: Array[(Int, Array[Double])] =
+      hashSample(candidates, idCol, vecCol, nCentroids, sampleSeed)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     require(sampled.nonEmpty, "candidate set too small for IVF")
     kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
       seed = sampleSeed)
@@ -598,11 +620,9 @@ object Similarity {
       sampleCap: Int = 10000, seed: Long = 42L): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val dsub = dim / m
-    val sample: Array[Array[Double]] = candidates
-      .select(F.col(vecCol).cast("array<double>").as("__v"),
-        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
-      .orderBy("__h").limit(sampleCap).drop("__h")
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample: Array[Array[Double]] =
+      hashSample(candidates, idCol, vecCol, sampleCap, seed)
+        .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= ksub,
       s"need >= $ksub sample vectors to train, got ${sample.length}")
     Array.tabulate(m) { j =>
@@ -758,8 +778,14 @@ object Similarity {
       F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
         code(j))
     }.reduce(_ + _)
+    // Zero-norm guard, SAME null contract as cosine_sim/cosineComposed: a
+    // bare division would THROW DIVIDE_BY_ZERO under Spark 4's default ANSI
+    // mode when a query embedding is all zeros (__qn = 0.0) — the isNotNull
+    // filter below runs AFTER the division, so it cannot save the job.
+    val denom = F.col("__qn") * F.sqrt(cNormSq)
     pairs
-      .withColumn("sim", ip / (F.col("__qn") * F.sqrt(cNormSq)))
+      .withColumn("sim",
+        F.when(denom === 0.0, F.lit(null).cast("double")).otherwise(ip / denom))
       .filter(F.col("sim").isNotNull)
       .select("query_id", "cand_id", "sim")
   }

@@ -14,22 +14,36 @@ import org.apache.spark.sql.{functions => F}
   */
 object TextAnalysis {
 
-  /** Lower-cased word tokens (unicode letters+digits runs). */
+  /** Lower-cased word tokens (unicode letters+digits runs).
+    *
+    * TOKENIZE ONCE: every multi-signal consumer must project this to an
+    * attribute (`.select(tokens(col).as("__ts"))`) and compute its signals
+    * with the `*Of` token-array variants below. Higher-order-function
+    * lambdas are CodegenFallback AND exempt from subexpression elimination
+    * (expressions containing `LambdaVariable` are excluded — SPARK-35410),
+    * so inlining `tokens(text)` into N signals runs N interpreted tokenizer
+    * passes per row. The attribute pattern is plan-pinned (kernel-once
+    * test in PipelineSpec).
+    */
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), "[^\\p{L}\\p{N}]+"), t => F.length(t) > 0)
 
   /** Whitespace token count — the cheap "how many words" measure. */
-  def tokenCount(text: Column): Column = F.size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  /** [[tokenCount]] over a materialized token-array attribute. */
+  def tokenCountOf(ts: Column): Column = F.size(ts)
 
   /** BPE-ish subword count: splits on whitespace, then charges
     * ceil(len/4) subword units per word — the standard quick estimate of
     * LLM token counts (~4 chars/token) without a tokenizer model.
     */
-  def subwordCount(text: Column): Column = {
-    val words = tokens(text)
-    F.aggregate(words, F.lit(0L),
+  def subwordCount(text: Column): Column = subwordCountOf(tokens(text))
+
+  /** [[subwordCount]] over a materialized token-array attribute. */
+  def subwordCountOf(ts: Column): Column =
+    F.aggregate(ts, F.lit(0L),
       (acc, w) => acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
-  }
 
   /** Character n-gram shingles of the concatenated token stream — the
     * canonical MinHash input. `n` characters per shingle, distinct.
@@ -62,8 +76,10 @@ object TextAnalysis {
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "are", "was", "it", "for", "on", "with", "as", "that", "this")
 
-  def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over a materialized token-array attribute. */
+  def stopwordRatioOf(ts: Column): Column = {
     val stops = F.array(Stopwords.map(F.lit): _*)
     F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
       F.size(F.array_intersect(ts, stops)).cast("double") / F.size(F.array_distinct(ts)))
@@ -76,24 +92,31 @@ object TextAnalysis {
         .cast("double") / F.length(text))
 
   /** Mean word length in characters. */
-  def meanWordLen(text: Column): Column = {
-    val ts = tokens(text)
+  def meanWordLen(text: Column): Column = meanWordLenOf(tokens(text))
+
+  /** [[meanWordLen]] over a materialized token-array attribute. */
+  def meanWordLenOf(ts: Column): Column =
     F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
       F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w))
         .cast("double") / F.size(ts))
-  }
 
   /** Composite document-quality score in [0,1]: length band + sane mean
     * word length + low punctuation + some stopwords. The exact recipe is a
     * heuristic (C4/Gopher-flavored); each signal is also exposed alone.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val lengthOk = F.when(nTok.between(10, 100000), F.lit(0.25)).otherwise(F.lit(0.0))
-    val mwl = meanWordLen(text)
-    val wordLenOk = F.when(mwl.between(2.0, 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(tokens(text), text)
+
+  /** [[qualityScore]] over a materialized token-array attribute (the punct
+    * band still reads the raw text — it is a cheap regexp, not a tokenize).
+    */
+  def qualityScoreOf(ts: Column, text: Column): Column = {
+    val lengthOk = F.when(tokenCountOf(ts).between(10, 100000), F.lit(0.25))
+      .otherwise(F.lit(0.0))
+    val wordLenOk = F.when(meanWordLenOf(ts).between(2.0, 12.0), F.lit(0.25))
+      .otherwise(F.lit(0.0))
     val punctOk = F.when(punctRatio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-    val stopOk = F.when(stopwordRatio(text) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    val stopOk = F.when(stopwordRatioOf(ts) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
     lengthOk + wordLenOk + punctOk + stopOk
   }
 
@@ -101,8 +124,11 @@ object TextAnalysis {
     * whitespace/punctuation-insensitive exact-dup key (cf. rolling-hash
     * document fingerprinting; xxhash64 is Spark-native and codegen'd).
     */
-  def fingerprint(text: Column): Column =
-    F.xxhash64(F.array_join(tokens(text), " "))
+  def fingerprint(text: Column): Column = fingerprintOf(tokens(text))
+
+  /** [[fingerprint]] over a materialized token-array attribute. */
+  def fingerprintOf(ts: Column): Column =
+    F.xxhash64(F.array_join(ts, " "))
 
   /** Language-ID marker words per language (tiny in-expression profiles —
     * a real deployment would broadcast larger n-gram profiles; the Spark
@@ -119,9 +145,13 @@ object TextAnalysis {
     * voting; `und` when nothing matches. Pure column expression — runs in
     * codegen, no UDF, no shuffle.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOf(tokens(text), text)
+
+  /** [[langId]] over a materialized token-array attribute (the CJK-share
+    * check still reads the raw text — a regexp, not a tokenize).
+    */
+  def langIdOf(ts: Column, text: Column): Column = {
     val cjkChars = F.length(F.regexp_replace(text, "[^\\p{IsHan}]", ""))
-    val ts = tokens(text)
     val scores: Seq[(String, Column)] = LangMarkers.filter(_._2.nonEmpty).map {
       case (lang, markers) =>
         lang -> F.size(F.array_intersect(ts, F.array(markers.map(F.lit): _*)))
@@ -304,8 +334,11 @@ object TextAnalysis {
     * distinct×n count-per-token scan (measured 4× on the documents
     * bench). No shuffle, no UDF.
     */
-  def maxWordFrequency(text: Column): Column = {
-    val ts = tokens(text)
+  def maxWordFrequency(text: Column): Column =
+    maxWordFrequencyOf(tokens(text))
+
+  /** [[maxWordFrequency]] over a materialized token-array attribute. */
+  def maxWordFrequencyOf(ts: Column): Column = {
     val best = F.aggregate(
       F.array_sort(ts),
       // (prev token, current run length, best run length); tokens are
@@ -475,18 +508,27 @@ object TextAnalysis {
       .agg(F.count(F.lit(1)).as("n_docs"))
   }
 
-  /** All quality/analysis signals as one projection — the shape a pipeline
-    * actually runs (single pass over the scan).
+  /** All quality/analysis signals in one pass over the scan: the token
+    * array is materialized to a `__ts` attribute in an inner projection
+    * and every signal reads the attribute (`*Of` variants) — ONE tokenizer
+    * evaluation per row (plan-pinned), where inlining `tokens(text)` into
+    * each signal would run ~8 interpreted tokenizer passes per row (HOF
+    * lambdas are CSE-exempt, see [[tokens]]). CollapseProject keeps the
+    * two projections apart because `__ts` is non-cheap and multiply
+    * referenced.
     */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = F.col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_subwords", subwordCount(t))
-      .withColumn("mean_word_len", meanWordLen(t))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
-      .withColumn("fingerprint", fingerprint(t))
+    val ts = F.col("__ts")
+    df.withColumn("__ts", tokens(t))
+      .select(df.columns.map(F.col) ++ Seq(
+        tokenCountOf(ts).as("n_tokens"),
+        subwordCountOf(ts).as("n_subwords"),
+        meanWordLenOf(ts).as("mean_word_len"),
+        punctRatio(t).as("punct_ratio"),
+        stopwordRatioOf(ts).as("stopword_ratio"),
+        qualityScoreOf(ts, t).as("quality"),
+        langIdOf(ts, t).as("lang_pred"),
+        fingerprintOf(ts).as("fingerprint")): _*)
   }
 }

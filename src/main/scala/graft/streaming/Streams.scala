@@ -136,6 +136,34 @@ object Streams {
       .drop("__fp")
   }
 
+  /** The BATCH face of [[curateStream]] — the same gate logic replayed
+    * deterministically over a bounded frame, so the streaming ingestion
+    * gate's semantics are oracle-checkable (`dropDuplicatesWithinWatermark`
+    * only runs on streams, and which duplicate survives there is
+    * arrival-order-dependent; the batch stand-in keeps the LOWEST id per
+    * normalized fingerprint). Stages, in order, all one lazy plan:
+    * quality gate (>= `minQuality`) → one survivor per 64-bit normalized
+    * fingerprint (rank-1 window on the 8-byte hash — the shuffle carries
+    * fingerprints, never text bodies) → left-anti join against the static
+    * reference corpus's fingerprint set.
+    */
+  def curateBatch(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = graft.operators.TextAnalysis.fingerprint _
+    val refFp = ref.select(fp(F.col(refTextCol)).as("__fp")).distinct()
+    val gated = docs
+      .filter(graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
+      .withColumn("__fp", fp(F.col(textCol)))
+    val w = Window.partitionBy("__fp").orderBy(F.col(idCol).asc)
+    gated
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — no streaming state at all, the
     * canonical fact-stream × dimension-table shape. The dimension is

@@ -1537,4 +1537,170 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(0).getAs[Long]("n_events") shouldBe 2
     out(1).getAs[Long]("n_events") shouldBe 1
   }
+
+  // ---- round 5: ADC guard, seeding, plan pins, packing, stream gate ------
+
+  test("PQ paths survive a zero-norm query vector (ANSI divide guard)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val good = (0L until 20L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val zeroQ = (99L, Array.fill(8)(0.0f))
+    val df = (good :+ zeroQ).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+      dim = 8, m = 2, ksub = 4)
+    val queries = df.filter(F.col("vec_id") === 99L || F.col("vec_id") < 2)
+    // without adcScored's when-guard the division by __qn = 0.0 THROWS
+    // DIVIDE_BY_ZERO under Spark 4's default ANSI mode — one bad embedding
+    // killing the whole probe job
+    val out = Similarity.pqTopKRerank(queries, df, "vec_id", "embedding",
+        k = 3, cb, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the zero query scores null everywhere (cosine null contract) and
+    // contributes no rows; the real queries still rank their top-k
+    out.map(_._1).toSet shouldBe Set(0L, 1L)
+  }
+
+  test("IVF centroid seeding is corpus-wide even on cluster-sorted input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def pt(center: Double) =
+      Array.fill(8)((center + rnd.nextGaussian() * 0.1).toFloat)
+    // two well-separated clusters, physical row order = all of A, then all
+    // of B (the sorted/sharded-corpus layout)
+    val a = (0L until 100L).map(i => (i, pt(-5.0)))
+    val b = (100L until 200L).map(i => (i, pt(5.0)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    // the defect being guarded against: a sample().limit() seed draw takes
+    // the FIRST surviving rows — every seed lands in cluster A
+    val oldStyle = df.select(F.col("embedding").cast("array<double>"))
+      .sample(withReplacement = false, 0.5, 42L).limit(8)
+      .collect().map(_.getSeq[Double](0))
+    oldStyle.count(_.sum > 0) shouldBe 0
+    // the hash-ordered seed sampler draws corpus-wide: both clusters are
+    // represented, so neither cluster's lists starve
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-skew").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", dir, nCentroids = 8)
+    val cents = spark.read.parquet(s"$dir/_centroids").collect()
+      .map(_.getSeq[Double](1))
+    cents.count(_.sum < 0) should be > 0
+    cents.count(_.sum > 0) should be > 0
+    // and probes over the skew-prone layout still recover the exact top-k
+    // neighborhood of queries from BOTH clusters
+    val queries = df.filter(F.col("vec_id") === 0L || F.col("vec_id") === 199L)
+    val probe = Similarity.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(probe).size.toDouble should be >= exact.size * 0.5
+  }
+
+  test("Dedup.exact rank-1 filter compiles to WindowGroupLimit (map-side prune)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Dedup.exact(docs, "text", "doc_id")
+    q.collect()
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    // SCALE.md's claim, pinned directly on exact(): the rank-1 filter is
+    // pushed to a per-partition group limit BEFORE the hash shuffle, so
+    // duplicate classes collapse map-side and heavy boilerplate can't
+    // funnel one reducer
+    p should include("WindowGroupLimit")
+  }
+
+  test("multi-signal text queries tokenize exactly ONCE per row") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect()
+      q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case o => o.toString
+      }
+    }
+    // HOF lambdas are CSE-exempt (SPARK-35410): inlining tokens(text) into
+    // each signal re-runs the tokenizer per signal per row, interpreted.
+    // The queries materialize a __ts attribute instead; pin one tokenizer
+    // occurrence in each FINAL adaptive plan.
+    val tokenizer = java.util.regex.Pattern.quote("split(lower").r
+    Seq(
+      "q_text_stats" -> Queries.q_text_stats(spark, sf),
+      "q_text_quality" -> Queries.q_text_quality(spark, sf),
+      "q_corpus_stats" -> Queries.q_corpus_stats(spark, sf),
+      "q_text_repetition" -> Queries.q_text_repetition(spark, sf),
+      "analyze" -> TextAnalysis.analyze(docs, "text")
+    ).foreach { case (name, q) =>
+      withClue(s"$name: ") {
+        tokenizer.findAllIn(finalPlan(q)).size shouldBe 1
+      }
+    }
+  }
+
+  test("packing: buckets are independent; auto variant derives the count") {
+    import graft.operators.Packing
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      size = 100, overlap = 50)
+    val packed = Packing.packChunks(chunks, "doc_id", "chunk_idx",
+      "n_tokens", budget = 256, nBuckets = 16)
+    // bucket purity: packing ONLY bucket 3's chunks (same nBuckets) yields
+    // identical pack assignments — ordinals never depend on other buckets,
+    // so raising nBuckets splits work without changing pack semantics
+    val only3 = chunks.filter(F.pmod(F.col("doc_id"), F.lit(16L)) === 3)
+    val alone = Packing.packChunks(only3, "doc_id", "chunk_idx", "n_tokens",
+        budget = 256, nBuckets = 16)
+      .select("doc_id", "chunk_idx", "pack_id").collect().toSet
+    val together = packed
+      .filter(F.col("pack_id") >= 3L * (1L << 40) &&
+        F.col("pack_id") < 4L * (1L << 40))
+      .select("doc_id", "chunk_idx", "pack_id").collect().toSet
+    alone shouldBe together
+    alone should not be empty
+    // packChunksAuto == packChunks at the derived bucket count
+    val n = chunks.count()
+    val expectedNb = math.max(
+      spark.sparkContext.defaultParallelism.toLong, (n + 49) / 50).toInt
+    val auto = Packing.packChunksAuto(chunks, "doc_id", "chunk_idx",
+        "n_tokens", budget = 256, maxRowsPerBucket = 50)
+      .select("doc_id", "chunk_idx", "pack_id").collect().toSet
+    val manual = Packing.packChunks(chunks, "doc_id", "chunk_idx",
+        "n_tokens", budget = 256, nBuckets = expectedNb)
+      .select("doc_id", "chunk_idx", "pack_id").collect().toSet
+    auto shouldBe manual
+  }
+
+  test("curateBatch replays the streaming gate deterministically") {
+    import spark.implicits._
+    val good = "this is a perfectly reasonable document with plenty of " +
+      "normal words and a decent length for the quality gate to accept"
+    val incoming = Seq(
+      (5L, good), // dup class of 1, higher id -> dropped
+      (1L, good), // survives: lowest id of its fingerprint class
+      (2L, good + "!"), // same normalized fingerprint -> dropped
+      (3L, "x@#"), // fails the quality gate
+      (4L, "this doc matches the reference corpus so it must be gated " +
+        "even though the quality is fine and it is long enough"))
+      .toDF("doc_id", "text")
+    val ref = Seq("This DOC matches the reference corpus, so it must be " +
+      "gated; even though the quality is fine and it is long enough!")
+      .toDF("text")
+    val kept = Streams.curateBatch(incoming, "doc_id", "text", ref, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L)
+  }
+
+  test("q_knn_ivfpq (registry): persisted-index probe recall vs exact path") {
+    val got = Queries.q_knn_ivfpq(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.groupBy(_._1).values.foreach(_.size should be <= 10)
+    exact.intersect(got).size.toDouble should be >= exact.size * 0.3
+  }
 }
