@@ -409,6 +409,38 @@ object Queries {
       "embedding", k = 10, nProbe = 8, shortlist = 50)
   }
 
+  /** Per-label mean embedding (class centroids) in long (label, pos, mean)
+    * form — the prototype builder for classification probes / cluster
+    * summaries. Exchange carries |labels|·dim aggregate rows after
+    * map-side combine, never vectors. 1-based pos to match the SQL oracle.
+    */
+  def q_embed_centroids(s: SparkSession, d: String): DataFrame =
+    Similarity.meanVectorByKey(Tables.embeddings(s, d), "label", "embedding")
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("mean"), 6).as("mean"))
+
+  /** Language-ID evaluation: confusion counts of the heuristic langId
+    * against the table's own `lang` ground-truth column — the dataset-card
+    * accuracy report. One tokenize pass (attribute), tiny aggregate.
+    */
+  def q_langid_eval(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val ts = col("__ts")
+    Tables.documents(s, d)
+      .select(col("lang"), t, TextAnalysis.tokens(t).as("__ts"))
+      .select(col("lang"), TextAnalysis.langIdOf(ts, t).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-source duplication profile (docs / distinct classes / redundant
+    * copies) over the `source` column — the dedup-rate monitoring query.
+    * Spark groups by the 256-bit content hash; the oracle groups by the
+    * text itself (equal modulo sha2 collisions).
+    */
+  def q_dup_by_source(s: SparkSession, d: String): DataFrame =
+    Dedup.dupStats(Tables.documents(s, d), "source", "text")
+
   /** Cross-modal join: documents ⋈ embeddings on id, per-cluster text
     * stats — the retrieval-pipeline staple (broadcast the smaller side).
     */
@@ -1024,6 +1056,24 @@ object Queries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT count(DISTINCT array_to_string($DTok, ' ')) AS n FROM documents""",
+    "q_embed_centroids" ->
+      """SELECT label, i AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+        |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |GROUP BY label, i""".stripMargin,
+    "q_langid_eval" ->
+      s"""$textSignalsCte
+        |SELECT d.lang, s.lang_pred, count(*) AS n
+        |FROM sig s JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_dup_by_source" ->
+      """WITH cls AS (
+        |  SELECT source, text, count(*) AS c FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_classes,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+        |FROM cls GROUP BY source""".stripMargin,
     "q_text_quality" ->
       s"""$textSignalsCte
         |SELECT doc_id, lang_pred, round(quality, 2) AS quality,
@@ -1160,6 +1210,9 @@ object Queries {
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_knn_pq" -> (q_knn_pq _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
+    "q_embed_centroids" -> (q_embed_centroids _),
+    "q_langid_eval" -> (q_langid_eval _),
+    "q_dup_by_source" -> (q_dup_by_source _),
     "q_doc_embed" -> (q_doc_embed _),
     "q_text_stats" -> (q_text_stats _),
     "q_chunks" -> (q_chunks _),
@@ -1234,6 +1287,9 @@ object Queries {
     "q_agg_fold" -> (q_agg_fold _),
     "q_text_stats" -> (q_text_stats _),
     "q_text_quality" -> (q_text_quality _),
-    "q_knn_ivfpq" -> (q_knn_ivfpq _)
+    "q_knn_ivfpq" -> (q_knn_ivfpq _),
+    "q_embed_centroids" -> (q_embed_centroids _),
+    "q_langid_eval" -> (q_langid_eval _),
+    "q_dup_by_source" -> (q_dup_by_source _)
   )
 }

@@ -443,6 +443,25 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  // ---- duplication profiling ----------------------------------------------
+
+  /** Per-group duplication profile — the dedup-rate dashboard (one row per
+    * `groupCol` value: total docs, distinct content classes, and redundant
+    * copies). Two stacked partial+final aggregates: the first keyed on
+    * (group, 32-byte content hash) — the shuffle carries hashes, never
+    * text — the second on the group alone, so the exchange after the first
+    * stage is one row per duplicate CLASS, not per document.
+    */
+  def dupStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(F.col(groupCol), contentHash(F.col(textCol)).as("__h"))
+      .groupBy(F.col(groupCol), F.col("__h"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .groupBy(F.col(groupCol))
+      .agg(
+        F.sum(F.col("__c")).cast("long").as("n_docs"),
+        F.count(F.lit(1)).as("n_classes"),
+        F.sum(F.col("__c") - 1).cast("long").as("n_dup_docs"))
+
   // ---- brute-force n-gram Jaccard (oracle/baseline path) ------------------
 
   /** All-pairs exact n-gram Jaccard — the quadratic BASELINE used to

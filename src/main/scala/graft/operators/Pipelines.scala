@@ -14,14 +14,24 @@ object Pipelines {
     * One scan feeds the quality projection; the exact pass shuffles
     * 32-byte hashes; the near-dup pass runs banded LSH over the survivors
     * only. Returns the surviving rows of `df`.
+    *
+    * The gate tokenizes ONCE per row: the token array is materialized
+    * behind a [[graft.plans.Hygiene.attributeBarrier]] (a Generate is a
+    * predicate-pushdown barrier — a plain projection would be substituted
+    * back into the pushed filter, re-running the tokenizer per predicate
+    * per row in every scan stage of the composed plan; plan-pinned).
     */
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, minMeanWordLen: Double = 2.0,
       maxMeanWordLen: Double = 12.0, nearDupThreshold: Double = 0.8): DataFrame = {
     val t = F.col(textCol)
-    val quality = df.filter(
-      TextAnalysis.tokenCount(t) >= minTokens &&
-        TextAnalysis.meanWordLen(t).between(minMeanWordLen, maxMeanWordLen))
+    val ts = F.col("__ts")
+    val quality = df
+      .select(df.columns.map(F.col) :+
+        graft.plans.Hygiene.attributeBarrier(TextAnalysis.tokens(t)).as("__ts"): _*)
+      .filter(TextAnalysis.tokenCountOf(ts) >= minTokens &&
+        TextAnalysis.meanWordLenOf(ts).between(minMeanWordLen, maxMeanWordLen))
+      .drop("__ts")
     val exact = Dedup.exact(quality, textCol, idCol)
     Dedup.minhashDedup(exact, idCol, textCol, threshold = nearDupThreshold)
   }

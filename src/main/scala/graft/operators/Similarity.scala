@@ -583,6 +583,32 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-key mean vector (class centroids) in LONG form: one row per
+    * (key, pos) with the mean of that dimension — posexplode then a
+    * partial+final hash aggregate keyed on (key, pos). The shuffle
+    * carries |keys|·dim aggregate rows after map-side combine, never
+    * vectors; works for any dim without parameters. The wide
+    * (key, centroid array) form is [[keyCentroids]].
+    */
+  def meanVectorByKey(df: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    df.select(F.col(keyCol), F.posexplode(F.col(vecCol).cast("array<double>")))
+      .groupBy(F.col(keyCol), F.col("pos"))
+      .agg(F.avg("col").as("mean"))
+
+  /** Per-key centroid vectors (key, centroid: array<double>) — the class/
+    * cluster prototype builder (label centroids for classification probes,
+    * cluster summaries, IVF warm starts). Assembled from
+    * [[meanVectorByKey]]; the collect_list is bounded by dim per key.
+    */
+  def keyCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    meanVectorByKey(df, keyCol, vecCol)
+      .groupBy(F.col(keyCol))
+      .agg(F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("mean")))).as("__ps"))
+      .select(F.col(keyCol),
+        F.transform(F.col("__ps"), x => x.getField("mean")).as("centroid"))
+
   /** Semantic (embedding-space) cluster dedup: keep one document per
     * connected component of the cosine near-dup graph — the embedding
     * sibling of [[Dedup.minhashDedupClusters]], sharing its min-label

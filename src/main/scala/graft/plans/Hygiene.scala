@@ -29,6 +29,24 @@ object Hygiene {
   def explodeNonEmpty(a: Column): Column =
     F.explode(F.when(F.size(a) > 0, a))
 
+  /** Materialize an expensive expression as an attribute that FILTERS can
+    * reference without re-evaluating it — the filter-side sibling of
+    * [[explodeNonEmpty]].
+    *
+    * A plain `Project(e as a) + Filter(p(a))` does not work: predicate
+    * pushdown substitutes the alias through the projection
+    * (`PushPredicateThroughNonJoin`), so the scan stage evaluates `e` once
+    * per reference in the predicate PLUS once in the projection. A
+    * `Generate` is a pushdown barrier for predicates referencing its
+    * output, so `explode(array(e))` — exactly one output row per input
+    * row, `e` evaluated once — pins the filter ABOVE the single
+    * evaluation. The array(...) wrapper also keeps
+    * `InferFiltersFromGenerate` away (non-attribute input, SPARK-36715).
+    * Null semantics: `e = null` → `array(null)` still emits one row with
+    * a null attribute (unlike `explode(null)`, which would DROP the row).
+    */
+  def attributeBarrier(e: Column): Column = F.explode(F.array(e))
+
   /** `size(a)` as a NON-NULLABLE column, for a size that is carried
     * through the explode and later compared in a join condition.
     *

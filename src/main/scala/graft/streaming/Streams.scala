@@ -125,15 +125,34 @@ object Streams {
   def curateStream(stream: DataFrame, textCol: String, tsCol: String,
       ref: DataFrame, refTextCol: String, lateness: String = "1 hour",
       minQuality: Double = 0.5): DataFrame = {
-    val fp = graft.operators.TextAnalysis.fingerprint _
-    val refFp = ref.select(fp(F.col(refTextCol)).as("__fp")).distinct()
-    stream
-      .filter(graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
-      .withColumn("__fp", fp(F.col(textCol)))
+    val refFp = ref.select(graft.operators.TextAnalysis
+      .fingerprint(F.col(refTextCol)).as("__fp")).distinct()
+    qualityGateWithFingerprint(stream, textCol, minQuality)
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__fp")
       .join(refFp, Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
+
+  /** Shared gate head of [[curateStream]] / [[curateBatch]]: tokenize ONCE
+    * per row behind a [[graft.plans.Hygiene.attributeBarrier]] (a Generate
+    * is a predicate-pushdown barrier — a plain projection would be
+    * substituted back into the pushed quality filter, re-running the
+    * tokenizer ~4x per row), gate on the token-array quality score, and
+    * compute the normalized fingerprint from the SAME token array. Emits
+    * the input columns plus `__fp`.
+    */
+  private def qualityGateWithFingerprint(docs: DataFrame, textCol: String,
+      minQuality: Double): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val t = F.col(textCol)
+    val ts = F.col("__ts")
+    docs
+      .select(docs.columns.map(F.col) :+
+        graft.plans.Hygiene.attributeBarrier(ta.tokens(t)).as("__ts"): _*)
+      .filter(ta.qualityScoreOf(ts, t) >= minQuality)
+      .withColumn("__fp", ta.fingerprintOf(ts))
+      .drop("__ts")
   }
 
   /** The BATCH face of [[curateStream]] — the same gate logic replayed
@@ -151,11 +170,9 @@ object Streams {
       ref: DataFrame, refTextCol: String,
       minQuality: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = graft.operators.TextAnalysis.fingerprint _
-    val refFp = ref.select(fp(F.col(refTextCol)).as("__fp")).distinct()
-    val gated = docs
-      .filter(graft.operators.TextAnalysis.qualityScore(F.col(textCol)) >= minQuality)
-      .withColumn("__fp", fp(F.col(textCol)))
+    val refFp = ref.select(graft.operators.TextAnalysis
+      .fingerprint(F.col(refTextCol)).as("__fp")).distinct()
+    val gated = qualityGateWithFingerprint(docs, textCol, minQuality)
     val w = Window.partitionBy("__fp").orderBy(F.col(idCol).asc)
     gated
       .withColumn("__rn", F.row_number().over(w))

@@ -1637,6 +1637,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         tokenizer.findAllIn(finalPlan(q)).size shouldBe 1
       }
     }
+    // Composed pipelines: the quality gate's FILTER can't be saved by a
+    // plain attribute projection (predicate pushdown substitutes aliases
+    // through Project), so the gate tokenizes behind a Generate barrier
+    // (Hygiene.attributeBarrier) — one evaluation per runtime corpus scan
+    // (2 scans after AQE stage reuse; was 16 occurrences before the
+    // barrier). Same contract for the streaming gate's batch face.
+    withClue("q_pipeline: ") {
+      tokenizer.findAllIn(finalPlan(Queries.q_pipeline(spark, sf)))
+        .size should be <= 2
+    }
+    withClue("q_curate_stream_batch: ") {
+      tokenizer.findAllIn(finalPlan(Queries.q_curate_stream_batch(spark, sf)))
+        .size should be <= 2
+    }
   }
 
   test("packing: buckets are independent; auto variant derives the count") {
@@ -1689,6 +1703,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val kept = Streams.curateBatch(incoming, "doc_id", "text", ref, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     kept shouldBe Set(1L)
+  }
+
+  test("keyCentroids assembles the long-form means in dimension order") {
+    val long = Similarity.meanVectorByKey(emb, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val wide = Similarity.keyCentroids(emb, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    wide should not be empty
+    wide.foreach { case (label, c) =>
+      c.length shouldBe 64
+      c.zipWithIndex.foreach { case (v, i) =>
+        v shouldBe long((label, i)) +- 1e-12
+      }
+    }
+  }
+
+  test("dupStats reconciles with exact distinct counts per group") {
+    val stats = Dedup.dupStats(docs, "source", "text").collect()
+    stats should not be empty
+    stats.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    stats.map(_.getAs[Long]("n_classes")).sum shouldBe
+      docs.select("source", "text").distinct().count()
+    stats.foreach { r =>
+      r.getAs[Long]("n_dup_docs") shouldBe
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_classes")
+    }
   }
 
   test("q_knn_ivfpq (registry): persisted-index probe recall vs exact path") {
