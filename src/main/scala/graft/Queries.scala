@@ -342,6 +342,21 @@ object Queries {
       "n_tokens")
   }
 
+  /** C4-style corpus-level LINE dedup: repeated lines (boilerplate) are
+    * removed corpus-wide, keeping each line's first (lowest doc_id, pos)
+    * occurrence, and documents are reassembled. The synthetic corpus has
+    * single-line texts, so the query stamps the classic input shape — a
+    * per-source boilerplate footer on every doc — and the oracle replays
+    * the same construction: every doc keeps its unique body, exactly one
+    * doc per source keeps the footer.
+    */
+  def q_dedup_lines(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        concat(lit("FOOTER "), col("source"))).as("text"))
+    Dedup.dedupLines(stamped, "doc_id", "text")
+  }
+
   /** Test-set contamination hits: training docs sharing 8-gram shingles
     * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
     * shingle hashes; the oracle joins on the shingle strings — equal
@@ -815,6 +830,23 @@ object Queries {
         |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_lines" ->
+      """WITH stamped AS (
+        |  SELECT doc_id, text || chr(10) || 'FOOTER ' || source AS text
+        |  FROM documents
+        |), raw AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM stamped
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |    unnest(ls) AS line
+        |  FROM raw
+        |), keep AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_xcorpus" ->
@@ -1196,6 +1228,7 @@ object Queries {
     "q_set_except" -> (q_set_except _),
     "q_set_intersect" -> (q_set_intersect _),
     "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_lines" -> (q_dedup_lines _),
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
@@ -1290,6 +1323,7 @@ object Queries {
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_langid_eval" -> (q_langid_eval _),
-    "q_dup_by_source" -> (q_dup_by_source _)
+    "q_dup_by_source" -> (q_dup_by_source _),
+    "q_dedup_lines" -> (q_dedup_lines _)
   )
 }

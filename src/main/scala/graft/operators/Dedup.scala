@@ -443,6 +443,42 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  // ---- corpus-level line dedup (C4-style boilerplate removal) --------------
+
+  /** Remove duplicate LINES across the whole corpus, keeping each line's
+    * first occurrence (lowest `(keyCol, position)`) — the C4-style
+    * boilerplate scrub (navigation bars, footers, license headers repeat
+    * verbatim across pages; document-level dedup never sees them).
+    * Returns (keyCol, textCol) with each document's surviving lines
+    * rejoined in original order; documents whose every line was a repeat
+    * drop out.
+    *
+    * Scale shape: explode to one row per line (projection, no shuffle),
+    * then ONE shuffle keyed on the line content for the first-occurrence
+    * window — the rank-1 filter compiles to WindowGroupLimit, so each map
+    * partition forwards one candidate per distinct line instead of every
+    * copy (the boilerplate line that appears on 10^9 pages arrives at its
+    * reducer 1-per-map-partition, not 10^9 times). Reassembly is a second
+    * aggregate keyed by document id; per-group state is bounded by the
+    * document's own line count.
+    */
+  def dedupLines(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(F.col(keyCol), F.posexplode(F.split(F.col(textCol), "\n")))
+      .withColumnRenamed("col", "__line")
+    val w = Window.partitionBy(F.col("__line"))
+      .orderBy(F.col(keyCol).asc, F.col("pos").asc)
+    lines
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .groupBy(F.col(keyCol))
+      .agg(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("__line")))),
+          x => x.getField("__line")),
+        "\n").as(textCol))
+  }
+
   // ---- duplication profiling ----------------------------------------------
 
   /** Per-group duplication profile — the dedup-rate dashboard (one row per

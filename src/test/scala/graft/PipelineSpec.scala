@@ -1719,6 +1719,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dedupLines: corpus-wide first-occurrence line dedup, map-side pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Seq(
+      (1L, "alpha\nFOOTER\nbeta"),
+      (2L, "gamma\nFOOTER"),
+      (3L, "FOOTER")).toDF("id", "text")
+    val q = Dedup.dedupLines(df, "id", "text")
+    val out = q.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 keeps the footer (first occurrence), doc 2 loses it, doc 3
+    // (every line a repeat) drops out entirely
+    out shouldBe Map(1L -> "alpha\nFOOTER\nbeta", 2L -> "gamma")
+    // the rank-1 filter compiles to WindowGroupLimit: a boilerplate line
+    // reaches its reducer once per map partition, not once per copy
+    val p = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    p should include("WindowGroupLimit")
+  }
+
   test("dupStats reconciles with exact distinct counts per group") {
     val stats = Dedup.dupStats(docs, "source", "text").collect()
     stats should not be empty
