@@ -654,6 +654,34 @@ object Queries {
       .select("event_id", "next_purchase_value")
   }
 
+  /** Interval (stream-stream-shaped) join: every event paired with the
+    * purchases the same user made in the prior 30 minutes — the canonical
+    * time-bounded enrichment. Equi-join on user with the range as join
+    * filter (no cartesian); under readStream the same plan runs with
+    * watermarks on both sides (e2e-tested in ScalaTest).
+    */
+  def q_interval_join(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    Streams.intervalJoin(ev, purchases, "user_id", "ts", "p_ts", "30 minutes")
+      .select(col("event_id"), col("p_ts"),
+        round(col("p_value"), 2).as("p_value"))
+  }
+
+  /** Semi-structured props: parse the events.props JSON column once with
+    * an explicit schema (`from_json`, codegen-planned) and roll up the
+    * extracted field per event type. The oracle extracts the same field
+    * with an engine-portable regexp.
+    */
+  def q_events_props(s: SparkSession, d: String): DataFrame =
+    Streams.extractProps(Tables.events(s, d), "props", "k BIGINT")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+
   // ---- M8: multimodal -------------------------------------------------
 
   def q_multimodal(s: SparkSession, d: String): DataFrame = {
@@ -1197,6 +1225,18 @@ object Queries {
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |) r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "q_interval_join" ->
+      """SELECT l.event_id, r.ts AS p_ts, round(r.value, 2) AS p_value
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        | AND r.ts <= l.ts""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT) AS n_bytes
@@ -1266,6 +1306,8 @@ object Queries {
     "q_events_sliding" -> (q_events_sliding _),
     "q_asof" -> (q_asof _),
     "q_asof_fwd" -> (q_asof_fwd _),
+    "q_interval_join" -> (q_interval_join _),
+    "q_events_props" -> (q_events_props _),
     "q_multimodal" -> (q_multimodal _)
   )
 
@@ -1324,6 +1366,8 @@ object Queries {
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_langid_eval" -> (q_langid_eval _),
     "q_dup_by_source" -> (q_dup_by_source _),
-    "q_dedup_lines" -> (q_dedup_lines _)
+    "q_dedup_lines" -> (q_dedup_lines _),
+    "q_interval_join" -> (q_interval_join _),
+    "q_events_props" -> (q_events_props _)
   )
 }

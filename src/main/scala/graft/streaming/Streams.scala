@@ -181,6 +181,49 @@ object Streams {
       .drop("__fp", "__rn")
   }
 
+  /** Interval (time-bounded) equi-join — the STREAM-STREAM join shape:
+    * each left row pairs with the right rows of the same key whose
+    * timestamp lies within `[leftTs - before, leftTs]` (e.g. "events with
+    * the purchases the same user made in the prior 30 minutes"). Plain
+    * DataFrames in, so the SAME plan runs in batch (for the oracle gate)
+    * and under `readStream` on both sides — there, put a watermark on
+    * BOTH inputs (`withWatermark`) so Spark can bound the join state: the
+    * time-range condition plus the watermarks tell it when a buffered row
+    * can never match again and gets evicted.
+    *
+    * Scale: an equi-join on the key with the range as a join filter — a
+    * sort-merge/shuffled-hash join, never a cartesian; per-key output is
+    * bounded by how many right rows fall in the window (the caller's
+    * modeling choice, exactly as in Spark's own stream-stream joins).
+    * Column names must be disjoint apart from `keyCol` (pre-alias the
+    * right side).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, before: String): DataFrame =
+    left.join(right,
+      left(keyCol) === right(keyCol) &&
+        F.col(rightTs) >= F.col(leftTs) - F.expr(s"INTERVAL $before") &&
+        F.col(rightTs) <= F.col(leftTs))
+      .drop(right(keyCol))
+
+  /** Typed projection of a JSON properties column (the `events.props`
+    * shape): parse once with an explicit schema — `from_json` is strict,
+    * columnar and codegen-planned, never a per-field reparse — and emit
+    * the requested fields as top-level columns alongside the input.
+    * Fields absent from a row's JSON (or malformed rows) come out null,
+    * the standard semi-structured contract.
+    */
+  def extractProps(events: DataFrame, propsCol: String,
+      schemaDdl: String): DataFrame = {
+    val parsed = F.from_json(F.col(propsCol),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .fieldNames.toSeq
+    events.withColumn("__p", parsed)
+      .select(F.col("*") +: fields.map(f => F.col(s"__p.$f").as(f)): _*)
+      .drop("__p")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — no streaming state at all, the
     * canonical fact-stream × dimension-table shape. The dimension is

@@ -1493,6 +1493,49 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (kept should not).contain(4L)
   }
 
+  test("interval join: stream-stream result == batch result (e2e readStream)") {
+    val ev = Tables.events(spark, sf)
+      .select(F.col("event_id"), F.col("ts"), F.col("user_id")).limit(200)
+    val pur = Tables.events(spark, sf)
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("ts").as("p_ts"),
+        F.col("value").as("p_value"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getDouble(2))
+    val batch = Streams.intervalJoin(ev, pur, "user_id", "ts", "p_ts",
+        "30 minutes")
+      .select("event_id", "p_ts", "p_value").collect().map(key).toSet
+    batch should not be empty
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ij-l").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ij-r").toString
+    ev.write.mode("overwrite").parquet(d1)
+    pur.write.mode("overwrite").parquet(d2)
+    // both sides watermarked: the range condition + watermarks bound the
+    // join state (buffered rows evict once they can never match again)
+    val s1 = Streams.readEventStream(spark, d1, ev.schema)
+      .withWatermark("ts", "1 hour")
+    val s2 = Streams.readEventStream(spark, d2, pur.schema)
+      .withWatermark("p_ts", "1 hour")
+    val q = Streams.intervalJoin(s1, s2, "user_id", "ts", "p_ts", "30 minutes")
+      .select("event_id", "p_ts", "p_value")
+      .writeStream.format("memory").queryName("ijoin_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("ijoin_test").collect().map(key).toSet shouldBe batch
+  }
+
+  test("extractProps: schema'd JSON fields; malformed/null rows -> null") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k": 5}"""), (2L, "not json"),
+      (3L, null.asInstanceOf[String]), (4L, """{"other": 1}"""))
+      .toDF("id", "props")
+    val out = Streams.extractProps(df, "props", "k BIGINT")
+      .select("id", "k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    out shouldBe Map(1L -> Some(5L), 2L -> None, 3L -> None, 4L -> None)
+  }
+
   test("sliding windows count each event in every overlapping window") {
     import spark.implicits._
     val e = Seq((1L, "2024-01-01 10:45:00", 7L, "view", 1.0, ""))
