@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Agg, KFrame}
 import graft.extras.Relational
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Selection, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** The operator-coverage query registry (SURVEY.md §2 checklist + the M8
@@ -693,6 +693,58 @@ object Queries {
         col("dec.n_bytes").as("n_bytes"))
   }
 
+  // ---- data selection (Selection.scala) --------------------------------
+
+  /** Deterministic 80/10/10 corpus split — pure projection (no shuffle,
+    * no rand()); the oracle replays the md5-prefix thresholds as hex
+    * constants (floor(0.8·2^32) = 0xcccccccc, floor(0.9·2^32) =
+    * 0xe6666666).
+    */
+  def q_split(s: SparkSession, d: String): DataFrame =
+    Selection.hashSplit(
+      Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Per-source token-budget cap (keep docs in doc_id order until 1000
+    * tokens per source) — the mixture-assembly primitive; the oracle
+    * replays the windowed running sum.
+    */
+  def q_token_budget(s: SparkSession, d: String): DataFrame =
+    Selection.capTokensPerGroup(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
+      "source", "doc_id", col("nt"), budget = 1000L)
+      .select(col("doc_id"), col("source"), col("nt"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+
+  /** Gopher/MassiveText rule battery (Rae et al. 2021 A1.1) per doc —
+    * booleans cast to int for engine-independent hashing; the oracle
+    * replays every rule (whitespace words, line fractions, symbol counts,
+    * stop-word hits) over the same text.
+    */
+  def q_gopher(s: SparkSession, d: String): DataFrame = {
+    val ruleCols = Seq("r_wc", "r_mwl", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stop", "gopher_pass")
+    Selection.gopherRules(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id") +: ruleCols.map(c => col(c).cast("int").as(c)): _*)
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023), exact n-gram variant
+    * (numBuckets = 0) with the French subcorpus as the target — the oracle
+    * replays the unigram+bigram feature space, add-1 smoothing over the
+    * union vocabulary and the per-doc Σ n·log-ratio. The hashed-bucket
+    * scale variant is pinned against this one in SelectionSpec.
+    */
+  def q_dsir(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d)
+    Selection.dsirLogWeights(
+        docsDf, docsDf.filter(col("lang") === "fr"), "doc_id", "text",
+        numBuckets = 0)
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1240,7 +1292,96 @@ object Queries {
     "q_multimodal" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) + 16 AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, CAST(len($DTok) AS BIGINT) AS nt FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks
+        |)
+        |SELECT doc_id, source, nt, cum_tokens FROM c WHERE cum_tokens <= 1000""".stripMargin,
+    "q_gopher" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+        |    string_split(text, chr(10)) AS ls,
+        |    $DTok AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS DOUBLE) AS wc,
+        |    CAST(len(ls) AS DOUBLE) AS nl,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) AS twl,
+        |    (len(text) - len(replace(text, '#', ''))) / 1
+        |      + (len(text) - len(replace(text, '...', ''))) / 3
+        |      + (len(text) - len(replace(text, '…', ''))) / 1 AS sym,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS bl,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE) AS el,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) AS aw,
+        |    (CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END) AS sh
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(wc >= 50 AND wc <= 100000 AS INT) AS r_wc,
+        |    CAST(CASE WHEN wc > 0 THEN twl / wc >= 3 AND twl / wc <= 10 ELSE false END AS INT) AS r_mwl,
+        |    CAST(CASE WHEN wc > 0 THEN sym / wc <= 0.1 ELSE false END AS INT) AS r_symbol,
+        |    CAST(CASE WHEN nl > 0 THEN bl / nl <= 0.1 ELSE true END AS INT) AS r_bullet,
+        |    CAST(CASE WHEN nl > 0 THEN el / nl <= 0.3 ELSE true END AS INT) AS r_ellipsis,
+        |    CAST(CASE WHEN wc > 0 THEN aw / wc >= 0.8 ELSE false END AS INT) AS r_alpha,
+        |    CAST(sh >= 2 AS INT) AS r_stop
+        |  FROM m
+        |)
+        |SELECT doc_id, r_wc, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+        |  r_wc * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop AS gopher_pass
+        |FROM r""".stripMargin,
+    "q_dsir" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $DTok AS ws FROM documents
+        |), uni AS (
+        |  SELECT doc_id, lang, unnest(ws) AS f FROM toks
+        |), bi AS (
+        |  SELECT doc_id, lang,
+        |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS f
+        |  FROM toks WHERE len(ws) >= 2
+        |), feats AS (
+        |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+        |), docfeat AS (
+        |  SELECT doc_id, f, count(*) AS n FROM feats GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1
+        |), ct AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats WHERE lang = 'fr' GROUP BY 1
+        |), u AS (
+        |  SELECT coalesce(cr.f, ct.f) AS f,
+        |    coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+        |  FROM cr FULL OUTER JOIN ct ON cr.f = ct.f
+        |), stats AS (
+        |  SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM u
+        |), ratios AS (
+        |  SELECT f, ln((ct + 1.0) / (tt + 1.0 * v)) - ln((cr + 1.0) / (tr + 1.0 * v)) AS lr
+        |  FROM u, stats
+        |)
+        |SELECT d.doc_id, round(sum(d.n * r.lr), 6) AS logw
+        |FROM docfeat d JOIN ratios r ON d.f = r.f
+        |GROUP BY d.doc_id""".stripMargin
   )
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1308,7 +1449,11 @@ object Queries {
     "q_asof_fwd" -> (q_asof_fwd _),
     "q_interval_join" -> (q_interval_join _),
     "q_events_props" -> (q_events_props _),
-    "q_multimodal" -> (q_multimodal _)
+    "q_multimodal" -> (q_multimodal _),
+    "q_split" -> (q_split _),
+    "q_token_budget" -> (q_token_budget _),
+    "q_gopher" -> (q_gopher _),
+    "q_dsir" -> (q_dsir _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Data-selection operators for training-corpus assembly (extension scope,
+  * SURVEY.md §7.2 M8): deterministic corpus splits, token-budget caps, the
+  * MassiveText/Gopher quality-rule battery (Rae et al. 2021, "Scaling
+  * Language Models: Methods, Analysis & Insights from Training Gopher",
+  * appendix A1.1), and DSIR importance resampling (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling").
+  *
+  * Everything is column expressions + standard shuffles — no UDF, no
+  * driver-side data collects (the only collects are bounded by
+  * construction and documented at the call site).
+  */
+object Selection {
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test (or any weighted) split: assigns each
+    * row a split name from the first 8 hex chars of `md5(key || salt)`
+    * compared against cumulative-weight thresholds rendered as fixed-width
+    * lowercase hex. A pure projection — no shuffle, no rand() (so the
+    * assignment is reproducible across runs, partitionings and engines:
+    * the same row lands in the same split everywhere, which is what makes
+    * held-out sets trustworthy). Lexicographic comparison of fixed-width
+    * lowercase hex equals numeric comparison, so the split fractions are
+    * exact to 1/2^32.
+    *
+    * `weights` need not sum exactly to 1 — they are normalized. The last
+    * split takes the residual mass so every row is assigned.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val cum = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val prefix = F.substring(
+      F.md5(F.concat(F.col(keyCol).cast("string"), F.lit(salt))), 1, 8)
+    // thresholds BETWEEN splits: floor(cumFrac * 2^32) as 8-char hex
+    val bounds = cum.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    val assigned = bounds.zip(weights.map(_._1)).foldLeft(Option.empty[Column]) {
+      case (acc, (hex, name)) =>
+        val cond = prefix < F.lit(hex)
+        Some(acc.fold(F.when(cond, name))(_.when(cond, name)))
+    }
+    val splitCol = assigned.fold(F.lit(weights.head._1))(_.otherwise(weights.last._1))
+    df.withColumn("split", splitCol)
+  }
+
+  // ----------------------------------------------------------- token caps
+
+  /** Keep rows, in `orderCol` order within each `groupCol` group, while the
+    * group's running token total stays within `budget` — the per-source
+    * token cap used when assembling a mixture to a fixed token budget.
+    * `orderCol` must be unique within a group (it defines which documents
+    * make the cut — typically a quality rank or a [[hashSplit]]-style hash
+    * for an unbiased cap).
+    *
+    * SCALE: one shuffle on `groupCol`; each group's cumulative sum runs in
+    * ONE task (a window over the group). That is the right shape when
+    * groups are sources/datasets (thousands of groups, bounded skew); for
+    * a cap over ONE giant group use [[capTokensGlobal]], which range-splits
+    * the prefix sum. Returns the input columns plus `cum_tokens`.
+    */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tokCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", F.sum(tokCol).over(w))
+      .filter(F.col("cum_tokens") <= budget)
+  }
+
+  /** Global token-budget cap — same semantics as a one-group
+    * [[capTokensPerGroup]] (take rows in `orderCol` order until `budget`
+    * tokens), but the prefix sum is DISTRIBUTED: rows are bucketed by
+    * driver-collected approximate quantiles of `orderCol` (a bounded
+    * collect: `nBuckets` doubles, never data), each bucket's cumulative
+    * sum runs as its own window task in parallel, and bucket offsets come
+    * from a second tiny window over the `nBuckets`-row bucket-total
+    * aggregate. No global single-task window at any size; the equivalence
+    * to the one-group window is test-pinned.
+    *
+    * `orderCol` must be numeric and unique (it defines the priority
+    * order). Returns the input columns plus `cum_tokens`.
+    */
+  def capTokensGlobal(df: DataFrame, orderCol: String, tokCol: Column,
+      budget: Long, nBuckets: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = // bounded driver collect: nBuckets-1 doubles
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probes, 0.001)
+    val bucket = bounds.foldLeft(F.lit(0)) { (acc, b) =>
+      acc + F.when(F.col(orderCol).cast("double") > b, 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__b", bucket)
+    val inBucket = Window.partitionBy("__b").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed.withColumn("__cum_local", F.sum(tokCol).over(inBucket))
+    val offsets = bucketed.groupBy("__b")
+      .agg(F.sum(tokCol).as("__bt"))
+      .withColumn("__off",
+        F.coalesce(
+          F.sum("__bt").over(
+            Window.orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+      .select("__b", "__off")
+    withLocal
+      .join(F.broadcast(offsets), "__b") // nBuckets rows — bounded
+      .withColumn("cum_tokens", F.col("__cum_local") + F.col("__off"))
+      .filter(F.col("cum_tokens") <= budget)
+      .drop("__b", "__cum_local", "__off")
+  }
+
+  // --------------------------------------------------------- Gopher rules
+
+  /** The 8 Gopher stop words (Rae et al. 2021 A1.1): a document must
+    * contain at least [[GopherMinStopHits]] of them. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** MassiveText/Gopher quality-rule battery (Rae et al. 2021, A1.1) as
+    * one pure projection: per-rule booleans plus the combined
+    * `gopher_pass`. Words here are WHITESPACE-split raw words (punctuation
+    * kept — the rules reason about symbols inside words), computed once to
+    * an attribute; stop-word hits use the lowercased alnum tokenizer
+    * ([[TextAnalysis.tokens]]) so "The," still counts. Rules:
+    *
+    *  - `r_wc`:       50 <= word count <= 100000
+    *  - `r_mwl`:      3 <= mean word length <= 10
+    *  - `r_symbol`:   ('#' count + '...'/'…' count) / words <= 0.1
+    *  - `r_bullet`:   <= 10% of lines start with a bullet (-, *, •)
+    *  - `r_ellipsis`: <= 30% of lines end with '...' or '…'
+    *  - `r_alpha`:    >= 80% of words contain a letter
+    *  - `r_stop`:     >= 2 of the 8 stop words present
+    *
+    * SCALE: no shuffle — the battery is a scan-side filter; at 100 TB this
+    * is the cheap first gate that runs before any dedup shuffle (compose
+    * via `.filter(col("gopher_pass"))`).
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val text = F.col(textCol)
+    val inner = df
+      .withColumn("__ws", F.filter(F.split(text, "\\s+"), w => F.length(w) > 0))
+      .withColumn("__ls", F.split(text, "\n"))
+      .withColumn("__ts", TextAnalysis.tokens(text))
+    val wc = F.size(F.col("__ws")).cast("double")
+    val nl = F.size(F.col("__ls")).cast("double")
+    // counts via length deltas — no regex scan for the fixed symbols
+    def occurrences(needle: String): Column =
+      ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) /
+        needle.length).cast("double")
+    val symbolCount = occurrences("#") + occurrences("...") + occurrences("…")
+    val bulletLines =
+      F.size(F.filter(F.col("__ls"), l => l.rlike("^\\s*[-*•]"))).cast("double")
+    val ellipsisLines =
+      F.size(F.filter(F.col("__ls"), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
+    val alphaWords =
+      F.size(F.filter(F.col("__ws"), w => w.rlike("\\p{L}"))).cast("double")
+    val meanWl = F.when(wc > 0,
+      F.aggregate(F.col("__ws"), F.lit(0L), (acc, w) => acc + F.length(w))
+        .cast("double") / wc)
+    val stopHits = GopherStopwords
+      .map(s => F.when(F.array_contains(F.col("__ts"), s), 1).otherwise(0))
+      .reduce(_ + _)
+    inner
+      .withColumn("r_wc", wc >= 50 && wc <= 100000)
+      .withColumn("r_mwl", F.coalesce(meanWl >= 3 && meanWl <= 10, F.lit(false)))
+      .withColumn("r_symbol", F.when(wc > 0, symbolCount / wc <= 0.1).otherwise(F.lit(false)))
+      .withColumn("r_bullet", F.when(nl > 0, bulletLines / nl <= 0.1).otherwise(F.lit(true)))
+      .withColumn("r_ellipsis", F.when(nl > 0, ellipsisLines / nl <= 0.3).otherwise(F.lit(true)))
+      .withColumn("r_alpha", F.when(wc > 0, alphaWords / wc >= 0.8).otherwise(F.lit(false)))
+      .withColumn("r_stop", stopHits >= GopherMinStopHits)
+      .withColumn("gopher_pass",
+        F.col("r_wc") && F.col("r_mwl") && F.col("r_symbol") && F.col("r_bullet") &&
+          F.col("r_ellipsis") && F.col("r_alpha") && F.col("r_stop"))
+      .drop("__ws", "__ls", "__ts")
+  }
+
+  /** Rows passing the full Gopher battery. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    val ruleCols = Seq("r_wc", "r_mwl", "r_symbol", "r_bullet", "r_ellipsis",
+      "r_alpha", "r_stop", "gopher_pass")
+    gopherRules(df, textCol).filter(F.col("gopher_pass")).drop(ruleCols: _*)
+  }
+
+  // ----------------------------------------------------------------- DSIR
+
+  /** (doc id, feature, multiplicity) for the DSIR feature space: unigrams
+    * + bigrams of [[TextAnalysis.tokens]], exactly one tokenizer pass per
+    * row (the token array is an attribute; bigram strings contain a space
+    * so the two feature families cannot collide). With `numBuckets > 0`
+    * features are hashed into that many buckets (the paper's hashed
+    * n-gram features — fixed-size model regardless of vocabulary, the
+    * 100 TB shape); with `numBuckets = 0` raw n-gram strings are kept
+    * (exact variant — oracle-expressible, and what the hashed variant is
+    * test-pinned against).
+    */
+  private def docFeatures(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame = {
+    val ts = F.col("__ts")
+    val bigrams = F.when(F.size(ts) >= 2,
+      F.zip_with(
+        F.slice(ts, F.lit(1), F.size(ts) - 1),
+        F.slice(ts, F.lit(2), F.size(ts) - 1),
+        (a, b) => F.concat(a, F.lit(" "), b)))
+      .otherwise(F.array().cast("array<string>"))
+    val feats = df
+      .select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("__ts"))
+      .select(F.col(idCol),
+        graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams)).as("__f"))
+    val keyed =
+      if (numBuckets > 0)
+        feats.select(F.col(idCol),
+          F.pmod(F.xxhash64(F.col("__f")), F.lit(numBuckets.toLong)).as("feat"))
+      else feats.select(F.col(idCol), F.col("__f").as("feat"))
+    keyed.groupBy(F.col(idCol), F.col("feat")).agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023): score each `raw` doc
+    * by how much more likely its hashed-n-gram bag is under the `target`
+    * corpus' feature distribution than under `raw`'s own,
+    *
+    *   logw(d) = sum over d's features f of n_d(f) * [ log p_t(f) - log p_r(f) ]
+    *
+    * with add-`smoothing` estimates p_c(f) = (cnt_c(f) + s) / (T_c + s*V)
+    * over the UNION feature vocabulary V of both corpora (so unseen
+    * features are defined on both sides). Returns (idCol, logw); docs with
+    * no tokens drop.
+    *
+    * SCALE: each corpus is scanned and tokenized once; the feature table
+    * is never broadcast and never collected (V and the totals travel as a
+    * 1-row broadcast, like [[TextAnalysis.unigramLogLoss]]'s); the
+    * doc-feature -> ratio join shuffles on the feature key and is
+    * AQE-skew-splittable. With `numBuckets > 0` state is capped at
+    * `numBuckets` rows per corpus regardless of vocabulary size.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 1 << 16,
+      smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val rawFeats = docFeatures(raw, idCol, textCol, numBuckets)
+    val cr = rawFeats.groupBy("feat")
+      .agg(F.sum(F.when(F.col(idCol).isNotNull && F.col("n") >= 1, F.col("n")))
+        .as("cr"))
+    val ct = docFeatures(target, idCol, textCol, numBuckets)
+      .groupBy("feat").agg(F.sum("n").as("ct"))
+    val union = cr.join(ct, Seq("feat"), "full_outer")
+      .select(F.col("feat"),
+        F.coalesce(F.col("cr"), F.lit(0L)).as("cr"),
+        F.coalesce(F.col("ct"), F.lit(0L)).as("ct"))
+    // 1-row stats; the guard references every column so pruning cannot
+    // specialize this consumer away from the shared `union` stage
+    val stats = union.agg(
+      F.sum(F.when(F.col("feat").isNotNull && F.col("ct") >= 0, F.col("cr")))
+        .cast("double").as("__tr"),
+      F.sum("ct").cast("double").as("__tt"),
+      F.count(F.lit(1)).cast("double").as("__v"))
+    val s = F.lit(smoothing)
+    val ratios = union.crossJoin(F.broadcast(stats))
+      .select(F.col("feat"),
+        (F.log((F.col("ct") + s) / (F.col("__tt") + s * F.col("__v"))) -
+          F.log((F.col("cr") + s) / (F.col("__tr") + s * F.col("__v"))))
+          .as("__lr"))
+    rawFeats.join(ratios, "feat")
+      .groupBy(idCol)
+      .agg(F.sum(F.col("n") * F.col("__lr")).as("logw"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLING over [[dsirLogWeights]]: take the
+    * `k` raw docs with the highest `logw / temperature + Gumbel noise` —
+    * equivalent to sampling k docs without replacement with probability
+    * proportional to softmax(logw / temperature) (the Gumbel-max trick).
+    * The noise is hash-derived from (id, seed) — never `rand()` — so the
+    * selection is deterministic and partition-independent. Returns
+    * (idCol, logw, score), k rows, via a TakeOrderedAndProject (no global
+    * sort materialization).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, numBuckets: Int = 1 << 16,
+      temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val m = 1L << 31
+    val u = (F.pmod(F.xxhash64(F.col(idCol), F.lit(seed)), F.lit(m))
+      .cast("double") + 0.5) / m.toDouble
+    val gumbel = -F.log(-F.log(u))
+    dsirLogWeights(raw, target, idCol, textCol, numBuckets)
+      .withColumn("score", F.col("logw") / temperature + gumbel)
+      .orderBy(F.col("score").desc, F.col(idCol))
+      .limit(k)
+  }
+}

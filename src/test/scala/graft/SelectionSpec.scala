@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.Selection
+
+/** Tests for the data-selection operators (Selection.scala): deterministic
+  * hash splits, token-budget caps (and the global-cap/window equivalence),
+  * the Gopher rule battery, and DSIR importance weighting (exact-variant
+  * enrichment + hashed-variant agreement — the exact variant itself is
+  * oracle-checked by the driver via q_dsir).
+  */
+class SelectionSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def docs = Tables.documents(spark, sf)
+
+  // ---- hashSplit -------------------------------------------------------
+
+  test("hashSplit covers every row with near-exact fractions") {
+    import spark.implicits._
+    val n = 20000
+    val df = (0 until n).toDF("id")
+    val out = Selection.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe n
+    counts("train").toDouble / n shouldBe 0.8 +- 0.02
+    counts("val").toDouble / n shouldBe 0.1 +- 0.02
+    counts("test").toDouble / n shouldBe 0.1 +- 0.02
+  }
+
+  test("hashSplit assignment is partition-independent and salt-sensitive") {
+    import spark.implicits._
+    val df = (0 until 2000).toDF("id")
+    def assign(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Selection.hashSplit(d, "id", Seq("a" -> 0.5, "b" -> 0.5), salt)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val one = assign(df, "graft")
+    val two = assign(df.repartition(13), "graft")
+    one shouldBe two
+    val other = assign(df, "other-salt")
+    other should not be one // a re-salt reshuffles the assignment
+  }
+
+  test("hashSplit normalizes weights and rejects bad input") {
+    import spark.implicits._
+    val df = (0 until 100).toDF("id")
+    // weights 8/1/1 == 0.8/0.1/0.1
+    val a = Selection.hashSplit(df, "id",
+      Seq("x" -> 8.0, "y" -> 1.0, "z" -> 1.0)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val b = Selection.hashSplit(df, "id",
+      Seq("x" -> 0.8, "y" -> 0.1, "z" -> 0.1)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    a shouldBe b
+    an[IllegalArgumentException] should be thrownBy
+      Selection.hashSplit(df, "id", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Selection.hashSplit(df, "id", Seq("a" -> 0.0))
+  }
+
+  // ---- token caps ------------------------------------------------------
+
+  test("capTokensPerGroup cuts each group at the budget, in order") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 40L), ("s1", 2L, 40L), ("s1", 3L, 40L), // cum 40, 80, 120
+      ("s2", 1L, 90L), ("s2", 2L, 20L)                   // cum 90, 110
+    ).toDF("src", "ord", "tok")
+    val out = Selection.capTokensPerGroup(df, "src", "ord", F.col("tok"), 100L)
+      .select("src", "ord", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set(("s1", 1L, 40L), ("s1", 2L, 80L), ("s2", 1L, 90L))
+  }
+
+  test("capTokensGlobal == one-group capTokensPerGroup (distributed prefix sum)") {
+    import spark.implicits._
+    val df = (0 until 5000).map { i =>
+      (i.toLong, 1L + math.abs(i * 2654435761L % 97)) // deterministic "lengths"
+    }.toDF("ord", "tok").repartition(16)
+    val budget = 60000L
+    val viaWindow = Selection
+      .capTokensPerGroup(df.withColumn("g", F.lit(1)), "g", "ord", F.col("tok"), budget)
+      .select("ord", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGlobal = Selection.capTokensGlobal(df, "ord", F.col("tok"), budget, nBuckets = 32)
+      .select("ord", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaGlobal shouldBe viaWindow
+    viaGlobal.nonEmpty shouldBe true
+    viaGlobal.size should be < 5000
+  }
+
+  test("capTokensGlobal with nBuckets=1 degenerates to the single window") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, 10L)).toDF("ord", "tok")
+    val out = Selection.capTokensGlobal(df, "ord", F.col("tok"), 55L, nBuckets = 1)
+      .select("ord").collect().map(_.getLong(0)).sorted
+    out.toSeq shouldBe (0L until 5L)
+  }
+
+  // ---- Gopher rules ----------------------------------------------------
+
+  val passText: String = // 60 plain words incl. stop words, no symbols
+    (Seq("the", "report", "covers", "results", "that", "have", "been",
+      "reviewed", "with", "care", "and", "details", "of") ++
+      Seq.fill(47)("finding")).mkString(" ")
+
+  def rules(text: String): Map[String, Boolean] = {
+    import spark.implicits._
+    val r = Selection.gopherRules(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect().head
+    Seq("r_wc", "r_mwl", "r_symbol", "r_bullet", "r_ellipsis", "r_alpha",
+      "r_stop", "gopher_pass").map(c => c -> r.getAs[Boolean](c)).toMap
+  }
+
+  test("gopher battery passes a plain healthy document") {
+    val m = rules(passText)
+    m.values.forall(identity) shouldBe true
+  }
+
+  test("gopher r_wc fails short documents") {
+    val m = rules("too few words here")
+    m("r_wc") shouldBe false
+    m("gopher_pass") shouldBe false
+  }
+
+  test("gopher r_symbol fails hashtag spam; r_mwl fails long tokens") {
+    val hashtags = passText.split(" ").map("#" + _).mkString(" ")
+    rules(hashtags)("r_symbol") shouldBe false
+    val longWords = Seq.fill(60)("antidisestablishmentarian").mkString(" ")
+    rules(longWords)("r_mwl") shouldBe false
+  }
+
+  test("gopher r_bullet and r_ellipsis count line fractions") {
+    val bullets = (1 to 10).map(i => s"- item $i of the list that we have with")
+      .mkString("\n") + "\n" + passText
+    rules(bullets)("r_bullet") shouldBe false
+    val trailing = (1 to 7).map(_ => "the story continues...").mkString("\n") +
+      "\n" + passText + "\n" + passText
+    rules(trailing)("r_ellipsis") shouldBe false
+  }
+
+  test("gopher r_alpha fails numeric tables; r_stop fails stopword-free text") {
+    val numbers = (1 to 60).map(_.toString).mkString(" ")
+    val mNum = rules(numbers)
+    mNum("r_alpha") shouldBe false
+    val noStops = Seq.fill(60)("zebra quartz").mkString(" ")
+    rules(noStops)("r_stop") shouldBe false
+  }
+
+  test("gopher rules on the corpus: per-rule pass rates are sane") {
+    // The synthetic corpus (vocab of ~40 query-engine words, ~55 words/doc)
+    // legitimately fails the full battery — only `the`/`a` from the 8-word
+    // stop list occur, and ~half the docs sit below the 50-word floor. The
+    // per-rule columns still must discriminate, not all-pass or all-fail
+    // uniformly on rules the corpus genuinely varies on.
+    val total = docs.count()
+    val r = Selection.gopherRules(docs, "text")
+    def passes(c: String) = r.filter(F.col(c)).count()
+    passes("r_symbol") shouldBe total  // no #/… in the corpus
+    passes("r_bullet") shouldBe total  // no bullet lines
+    passes("r_alpha") shouldBe total   // all-word corpus
+    val wc = passes("r_wc")
+    wc should be > 0L
+    wc should be < total               // the 50-word floor bites
+    passes("r_stop") should be < total // 8-word stop list barely present
+    Selection.gopherFilter(docs, "text").columns should not contain "r_wc"
+  }
+
+  // ---- DSIR ------------------------------------------------------------
+
+  test("DSIR exact weights upweight target-like documents (fr target)") {
+    val target = docs.filter(F.col("lang") === "fr")
+    val w = Selection.dsirLogWeights(docs, target, "doc_id", "text", numBuckets = 0)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val means = w.groupBy(F.col("lang") === "fr")
+      .agg(F.avg("logw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    means(true) should be > means(false) + 1.0 // clear separation, not noise
+  }
+
+  test("DSIR hashed weights agree with exact on ranking (fr enrichment survives)") {
+    val target = docs.filter(F.col("lang") === "fr")
+    val hashed = Selection
+      .dsirLogWeights(docs, target, "doc_id", "text", numBuckets = 4096)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val means = hashed.groupBy(F.col("lang") === "fr")
+      .agg(F.avg("logw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    means(true) should be > means(false)
+  }
+
+  test("dsirSelect is deterministic per seed and enriches the target share") {
+    val target = docs.filter(F.col("lang") === "fr")
+    def pick(seed: Long) = Selection
+      .dsirSelect(docs, target, "doc_id", "text", k = 50,
+        numBuckets = 4096, seed = seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val one = pick(7L)
+    pick(7L) shouldBe one
+    val frIds = target.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusShare = frIds.size.toDouble / docs.count()
+    val pickedShare = one.count(frIds).toDouble / one.size
+    pickedShare should be > corpusShare // resample shifts toward the target
+  }
+}
