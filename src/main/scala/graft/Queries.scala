@@ -745,6 +745,23 @@ object Queries {
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) over the embeddings corpus plus 20
+    * planted near-duplicates (additively perturbed copies, ids +10000) —
+    * exactly one member of each planted pair must survive. Rows-only for
+    * the driver (k-means centroids are not SQL-expressible); the keep
+    * policy and planted-pair semantics are pinned in PipelineSpec.
+    */
+  def q_semdedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
+        col("label"))
+    Similarity.semDedup(emb.unionByName(planted), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.99)
+      .select(col("vec_id"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1453,7 +1470,8 @@ object Queries {
     "q_split" -> (q_split _),
     "q_token_budget" -> (q_token_budget _),
     "q_gopher" -> (q_gopher _),
-    "q_dsir" -> (q_dsir _)
+    "q_dsir" -> (q_dsir _),
+    "q_semdedup" -> (q_semdedup _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time

@@ -626,6 +626,71 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means the embedding
+    * space, find cosine-duplicate pairs WITHIN each cluster only, and for
+    * every duplicate group keep the single member with the LOWEST cosine
+    * similarity to its cluster centroid (the paper's keep policy — the
+    * most atypical example carries the most marginal information), dropping
+    * the rest.
+    *
+    * SCALE: the quadratic pair stage is confined to one cluster at a time —
+    * `nClusters` is the knob that bounds per-cluster candidate counts and
+    * must GROW with the corpus (the paper uses ~50k clusters at web scale;
+    * cost is Σ|cluster|², minimized by balanced clusters). Centroids are
+    * trained on a bounded hash-uniform sample ([[kmeansRefine]], L2
+    * assignment) and ride into the executors as literals — no broadcast
+    * variable, no extra shuffle for assignment; the cluster-keyed
+    * repartition is the one materialization point, reused by both
+    * self-join sides (AQE stage reuse). Duplicate groups collapse through
+    * [[Dedup.nearDupClusters]] (pointer-jumped min-label propagation) and
+    * the keep rule is a rank-1 filter (WindowGroupLimit — map-side prune)
+    * over the PAIR-GRAPH members only, never the corpus.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 64, threshold: Double = 0.95,
+      refineIters: Int = 2, sampleSeed: Long = 42L): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val cents = trainCentroids(df, idCol, vecCol, nClusters, sampleSeed,
+      refineIters)
+    // per-row: argmin-L2 cluster id + cosine to that centroid, in ONE
+    // literal-array expression (sorts nClusters structs; first field is
+    // the L2 surrogate -2·dot + |c|², so array_sort's lexicographic order
+    // IS the L2 order; ties break on cid then csim deterministically)
+    val scored = F.array(cents.toSeq.map { case (cid, cv) =>
+      val cl = F.array(cv.map(F.lit): _*)
+      F.struct(
+        (F.lit(cv.map(x => x * x).sum) - F.lit(2.0) * dot(F.col("__v"), cl))
+          .as("d"),
+        F.lit(cid).as("cid"),
+        cosine(F.col("__v"), cl).as("csim"))
+    }: _*)
+    val assigned = df
+      .select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__best", F.element_at(F.array_sort(scored), 1))
+      .select(F.col("id"), F.col("__v"),
+        F.col("__best.cid").as("__cid"), F.col("__best.csim").as("__csim"))
+      .repartition(F.col("__cid")) // materialization point: both join sides
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        F.col("x.__cid") === F.col("y.__cid") && F.col("x.id") < F.col("y.id"))
+      .withColumn("sim", cosine(F.col("x.__v"), F.col("y.__v")))
+      .filter(F.col("sim").isNotNull && F.col("sim") >= threshold)
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+    val groups = Dedup.nearDupClusters(pairs) // (id, cluster)
+    val members = groups
+      .join(assigned.select(F.col("id"), F.col("__csim")), "id")
+    val keepRank = F.row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(F.col("__csim").asc, F.col("id").asc))
+    val losers = members.withColumn("__r", keepRank)
+      .filter(F.col("__r") > 1)
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- product quantization (PQ) ---------------------------------------
 
   /** Train PQ codebooks: split the `dim`-dimensional space into `m`

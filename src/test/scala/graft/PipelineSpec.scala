@@ -1189,6 +1189,48 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (kept should not).contain(100L)
   }
 
+  test("semDedup keeps the lowest-centroid-similarity member of a dup group") {
+    import spark.implicits._
+    val dim = 16
+    // 12 mutually-distinct "singletons" near e0 (pairwise cos ≈ 0.978 <
+    // 0.995) + a duplicate trio along e1 whose members differ only in
+    // their e0 component (pairwise cos ≈ 0.9998 >= 0.995). With one
+    // cluster the refined centroid is the corpus mean (≈ 0.82·e0 +
+    // 0.2·e1), so cosine-to-centroid grows with the e0 coefficient and
+    // the keep-lowest policy must keep 103 (smallest e0 component).
+    val singles = (1 to 12).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (if (j == 0) 1.0f else 0.0f) + (if (j == i + 1) 0.15f else 0.0f)))
+    }
+    val trio = Seq(0.10f -> 101L, 0.09f -> 102L, 0.08f -> 103L).map {
+      case (c, id) =>
+        (id, Array.tabulate(dim)(j =>
+          (if (j == 1) 1.0f else 0.0f) + (if (j == 0) c else 0.0f)))
+    }
+    val df = (singles ++ trio).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding",
+      nClusters = 1, threshold = 0.995, refineIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    kept.size shouldBe 13
+    (1 to 12).foreach(i => kept should contain(i.toLong))
+    kept.intersect(Set(101L, 102L, 103L)) shouldBe Set(103L)
+  }
+
+  test("semDedup with clusters drops exactly one member of each planted pair") {
+    val emb = Tables.embeddings(spark, sf) // 500 rows, no natural cos>=0.99
+    val planted = emb.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), x => x + F.lit(1e-4f)).as("embedding"),
+        F.col("label"))
+    val kept = Similarity.semDedup(emb.unionByName(planted), "vec_id",
+      "embedding", nClusters = 8, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    kept.size shouldBe 500 // 520 in, one of each of the 20 pairs dropped
+    (0L until 20L).foreach { i =>
+      kept(i) ^ kept(i + 10000) shouldBe true // exactly one survivor per pair
+    }
+  }
+
   test("multimodal feature stub emits fixed-dim deterministic vectors") {
     val packed = Multimodal.withFakeMedia(docs.limit(5), "text")
     val f1 = packed.select(Multimodal.featuresStub(F.col("payload")).as("f"))
