@@ -745,6 +745,16 @@ object Queries {
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
   }
 
+  /** Per-doc interpolated-bigram cross-entropy (CCNet-style LM quality
+    * score) — the oracle replays the single-tf-stage model: bigram counts,
+    * left/right marginals, 1-row total, λ-interpolation with the SAME
+    * float expression shape (`λ·(c12/cl) + (1−λ)·(cr/T)`), rounded 6dp on
+    * both sides.
+    */
+  def q_bigram_ll(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogLoss(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("dl"), round(col("xent2"), 6).as("xent2"))
+
   /** SemDeDup (Abbas et al. 2023) over the embeddings corpus plus 20
     * planted near-duplicates (additively perturbed copies, ids +10000) —
     * exactly one member of each planted pair must survive. Rows-only for
@@ -1367,6 +1377,33 @@ object Queries {
         |SELECT doc_id, r_wc, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
         |  r_wc * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop AS gopher_pass
         |FROM r""".stripMargin,
+    "q_bigram_ll" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), bg AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS b
+        |  FROM toks WHERE len(ws) >= 2
+        |), btf AS (
+        |  SELECT doc_id, dl, split_part(b, ' ', 1) AS w1,
+        |    split_part(b, ' ', 2) AS w2, count(*) AS tf2
+        |  FROM bg GROUP BY 1, 2, 3, 4
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(sum(tf2) AS BIGINT) AS c12 FROM btf GROUP BY 1, 2
+        |), cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cl FROM c12 GROUP BY 1
+        |), cr AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM c12 GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c12) AS DOUBLE) AS t FROM c12
+        |), scored AS (
+        |  SELECT btf.doc_id, btf.dl,
+        |    round(-sum(btf.tf2 * ln(
+        |      0.9 * (c12.c12 / cl.cl) + (1.0 - 0.9) * (cr.cr / tot.t)
+        |    )) / (btf.dl - 1), 6) AS xent2
+        |  FROM btf, c12, cl, cr, tot
+        |  WHERE btf.w1 = c12.w1 AND btf.w2 = c12.w2
+        |    AND c12.w1 = cl.w1 AND c12.w2 = cr.w2
+        |  GROUP BY btf.doc_id, btf.dl
+        |)
+        |SELECT doc_id, dl, xent2 FROM scored""".stripMargin,
     "q_dsir" ->
       s"""WITH toks AS (
         |  SELECT doc_id, lang, $DTok AS ws FROM documents
@@ -1471,7 +1508,8 @@ object Queries {
     "q_token_budget" -> (q_token_budget _),
     "q_gopher" -> (q_gopher _),
     "q_dsir" -> (q_dsir _),
-    "q_semdedup" -> (q_semdedup _)
+    "q_semdedup" -> (q_semdedup _),
+    "q_bigram_ll" -> (q_bigram_ll _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time

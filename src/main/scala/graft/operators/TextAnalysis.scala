@@ -466,6 +466,68 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("dl").cast("long").as("dl"), F.col("xent"))
   }
 
+  /** Per-doc cross-entropy under a Jelinek-Mercer interpolated BIGRAM
+    * language model trained on the corpus itself (the CCNet/KenLM-style
+    * upgrade of [[unigramLogLoss]] — Wenzek et al. 2020 filter on LM
+    * perplexity; Jelinek & Mercer 1980 interpolation):
+    *
+    *   p(w2 | w1) = λ · c(w1,w2)/cl(w1) + (1−λ) · cr(w2)/T
+    *
+    * where c is the corpus bigram count, cl/cr its left/right marginals
+    * and T the total bigram positions — ALL derived from ONE bigram
+    * term-frequency stage, so the corpus is scanned and tokenized exactly
+    * once (the unigram backoff is deliberately the right-position marginal,
+    * not a second unigram scan; both engines replay the same definition).
+    * Per doc: xent2 = −Σ tf·ln p / (dl−1) over its dl−1 bigram positions.
+    * Docs with fewer than 2 tokens drop.
+    *
+    * SCALE: partial+final aggregates throughout; the marginals and the
+    * 1-row total follow [[unigramLogLoss]]'s topology (guards keep every
+    * consumer on the shared tf stage; the bigram vocabulary is never
+    * broadcast or collected); the btf→c12→cl/cr joins shuffle on term
+    * keys and are AQE-skew-splittable.
+    */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val ts = F.col("__ts")
+    val bigrams = F.when(F.size(ts) >= 2,
+      F.zip_with(
+        F.slice(ts, F.lit(1), F.size(ts) - 1),
+        F.slice(ts, F.lit(2), F.size(ts) - 1),
+        (a, b) => F.struct(a.as("w1"), b.as("w2"))))
+      .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    val btf = df
+      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .select(F.col(idCol), graft.plans.Hygiene.sizeNonNull(ts).as("dl"),
+        graft.plans.Hygiene.explodeNonEmpty(bigrams).as("__bg"))
+      .select(F.col(idCol), F.col("dl").cast("long").as("dl"),
+        F.col("__bg.w1").as("w1"), F.col("__bg.w2").as("w2"))
+      .groupBy(F.col(idCol), F.col("dl"), F.col("w1"), F.col("w2"))
+      .agg(F.count(F.lit(1)).as("tf2"))
+    // corpus counts — the guard references every upstream column so
+    // column pruning cannot specialize this consumer off the shared stage
+    val c12 = btf.groupBy("w1", "w2")
+      .agg(F.sum(F.when(
+        F.col("tf2") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 2,
+        F.col("tf2"))).as("c12"))
+    val cl = c12.groupBy("w1").agg(F.sum("c12").as("cl"))
+    val cr = c12.groupBy("w2").agg(F.sum("c12").as("cr"))
+    val total = c12.agg(F.sum(F.when(F.col("w1").isNotNull &&
+      F.col("w2").isNotNull, F.col("c12"))).cast("double").as("__t"))
+    val lam = F.lit(lambda)
+    val oneMinus = F.lit(1.0) - lam
+    btf.join(c12, Seq("w1", "w2"))
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(F.broadcast(total))
+      .withColumn("__p",
+        lam * (F.col("c12") / F.col("cl")) + oneMinus * (F.col("cr") / F.col("__t")))
+      .groupBy(F.col(idCol), F.col("dl"))
+      .agg(F.sum(F.col("tf2") * F.log(F.col("__p"))).as("__s"))
+      .withColumn("xent2", -F.col("__s") / (F.col("dl") - 1))
+      .select(F.col(idCol), F.col("dl"), F.col("xent2"))
+  }
+
   /** Perplexity-band filtering: keep documents whose unigram cross-entropy
     * sits within the [lo, hi] corpus quantiles — the standard two-sided
     * trim (drop boilerplate at the low tail, gibberish at the high tail).

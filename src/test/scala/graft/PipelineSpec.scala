@@ -1189,6 +1189,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (kept should not).contain(100L)
   }
 
+  test("bigramLogLoss matches the hand-computed interpolated model") {
+    import spark.implicits._
+    // corpus: d1 = "x y x y x", d2 = "x z"; c12: xy=2 yx=2 xz=1;
+    // cl: x=3 y=2; cr: y=2 x=2 z=1; T=5
+    val df = Seq((1L, "x y x y x"), (2L, "x z"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogLoss(df, "doc_id", "text", lambda = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(1L, 2L) // <2-token docs drop
+    val pyx = 0.9 * (2.0 / 3) + 0.1 * (2.0 / 5) // p(y|x) = .64
+    val pxy = 0.9 * (2.0 / 2) + 0.1 * (2.0 / 5) // p(x|y) = .94
+    val pzx = 0.9 * (1.0 / 3) + 0.1 * (1.0 / 5) // p(z|x) = .32
+    out(1L)._1 shouldBe 5L
+    out(1L)._2 shouldBe -(2 * math.log(pyx) + 2 * math.log(pxy)) / 4 +- 1e-9
+    out(2L)._1 shouldBe 2L
+    out(2L)._2 shouldBe -math.log(pzx) / 1 +- 1e-9
+  }
+
   test("semDedup keeps the lowest-centroid-similarity member of a dup group") {
     import spark.implicits._
     val dim = 16
