@@ -222,7 +222,12 @@ object Selection {
         feats.select(F.col(idCol),
           F.pmod(F.xxhash64(F.col("__f")), F.lit(numBuckets.toLong)).as("feat"))
       else feats.select(F.col(idCol), F.col("__f").as("feat"))
-    keyed.groupBy(F.col(idCol), F.col("feat")).agg(F.count(F.lit(1)).as("n"))
+    keyed
+      // vacuously-true null filter stated explicitly so the ratio join's
+      // inferred isnotnull(feat) cannot split the shared feature stage
+      // into non-canonical per-consumer copies (see bigramLogLoss)
+      .filter(F.col("feat").isNotNull)
+      .groupBy(F.col(idCol), F.col("feat")).agg(F.count(F.lit(1)).as("n"))
   }
 
   /** DSIR importance log-weights (Xie et al. 2023): score each `raw` doc

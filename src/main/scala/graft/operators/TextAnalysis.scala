@@ -491,30 +491,41 @@ object TextAnalysis {
       lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     val ts = F.col("__ts")
-    val bigrams = F.when(F.size(ts) >= 2,
-      F.zip_with(
-        F.slice(ts, F.lit(1), F.size(ts) - 1),
-        F.slice(ts, F.lit(2), F.size(ts) - 1),
-        (a, b) => F.struct(a.as("w1"), b.as("w2"))))
-      .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    // adjacent-pair structs via arrays_zip over two guarded slices — NO
+    // lambda in the Generate child (a zip_with/struct lambda defeats
+    // exchange canonicalization after self-DAG dedup-rewrite, splitting
+    // the shared stage into per-consumer copies); greatest(dl−1, 0) makes
+    // 0/1-token docs yield [] instead of a negative slice length
+    val n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    val bigrams = F.arrays_zip(
+      F.slice(ts, F.lit(1), n1), F.slice(ts, F.lit(2), n1))
     val btf = df
       .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
       .select(F.col(idCol), graft.plans.Hygiene.sizeNonNull(ts).as("dl"),
         graft.plans.Hygiene.explodeNonEmpty(bigrams).as("__bg"))
       .select(F.col(idCol), F.col("dl").cast("long").as("dl"),
-        F.col("__bg.w1").as("w1"), F.col("__bg.w2").as("w2"))
+        F.col("__bg").getField("0").as("w1"),
+        F.col("__bg").getField("1").as("w2"))
+      // explicit (vacuously true) null filter on BOTH words: each consumer
+      // join infers a different isnotnull subset and would push it below
+      // the aggregate, splitting the shared stage into non-canonical
+      // copies; stating the superset here makes every branch identical
+      .filter(F.col("w1").isNotNull && F.col("w2").isNotNull)
       .groupBy(F.col(idCol), F.col("dl"), F.col("w1"), F.col("w2"))
       .agg(F.count(F.lit(1)).as("tf2"))
-    // corpus counts — the guard references every upstream column so
-    // column pruning cannot specialize this consumer off the shared stage
-    val c12 = btf.groupBy("w1", "w2")
-      .agg(F.sum(F.when(
-        F.col("tf2") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 2,
-        F.col("tf2"))).as("c12"))
-    val cl = c12.groupBy("w1").agg(F.sum("c12").as("cl"))
-    val cr = c12.groupBy("w2").agg(F.sum("c12").as("cr"))
-    val total = c12.agg(F.sum(F.when(F.col("w1").isNotNull &&
-      F.col("w2").isNotNull, F.col("c12"))).cast("double").as("__t"))
+    // corpus counts — every consumer reads ONE hop from btf (bm25's
+    // shared-tf-stage shape; marginals over btf equal marginals over c12
+    // by associativity of sum), and each guard references every upstream
+    // column so pruning cannot specialize its copy off the shared stage
+    def guarded: Column = F.when(
+      F.col("tf2") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 2,
+      F.col("tf2"))
+    val c12 = btf.groupBy("w1", "w2").agg(F.sum(guarded).as("c12"))
+    val cl = btf.groupBy("w1").agg(F.sum(guarded).as("cl"))
+    val cr = btf.groupBy("w2").agg(F.sum(guarded).as("cr"))
+    val total = btf.agg(
+      F.sum(F.when(F.col("w1").isNotNull && F.col("w2").isNotNull, guarded))
+        .cast("double").as("__t"))
     val lam = F.lit(lambda)
     val oneMinus = F.lit(1.0) - lam
     btf.join(c12, Seq("w1", "w2"))

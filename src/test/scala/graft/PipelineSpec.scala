@@ -162,6 +162,42 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     ).size shouldBe 1
   }
 
+  test("round-5 operators: kernel-once + no-cartesian plan pins") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.operators.Selection
+    def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect()
+      q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case o => o.toString
+      }
+    }
+    val tok = java.util.regex.Pattern.quote("split(lower")
+    // bigram LM: ONE corpus scan, ONE tokenizer evaluation — every count
+    // (c12, marginals, total) must hang off the shared bigram tf stage
+    val biPlan = finalPlan(
+      TextAnalysis.bigramLogLoss(docs, "doc_id", "text"))
+    tok.r.findAllIn(biPlan).size shouldBe 1
+    "FileScan parquet".r.findAllIn(biPlan).size shouldBe 1
+    // gopher battery: a pure scan-side projection — one scan, one
+    // alnum-tokenizer pass (plus the distinct whitespace/line splits)
+    val gPlan = finalPlan(Selection.gopherRules(docs, "text"))
+    tok.r.findAllIn(gPlan).size shouldBe 1
+    "FileScan parquet".r.findAllIn(gPlan).size shouldBe 1
+    gPlan should not include "CartesianProduct"
+    // DSIR: each corpus side tokenized exactly once (raw + target = 2)
+    val dPlan = finalPlan(Selection.dsirLogWeights(
+      docs, docs.filter(F.col("lang") === "fr"), "doc_id", "text",
+      numBuckets = 4096))
+    tok.r.findAllIn(dPlan).size shouldBe 2
+    dPlan should not include "CartesianProduct"
+    // semDedup: the within-cluster pair stage must be an equi-join on the
+    // cluster key, never an all-pairs product
+    val sPlan = finalPlan(Similarity.semDedup(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.99))
+    sPlan should not include "CartesianProduct"
+  }
+
   test("packing: pack totals land within one chunk of the budget") {
     import graft.operators.{Packing, TextAnalysis}
     val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
