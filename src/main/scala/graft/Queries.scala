@@ -755,6 +755,17 @@ object Queries {
     TextAnalysis.bigramLogLoss(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("dl"), round(col("xent2"), 6).as("xent2"))
 
+  /** Per-doc duplicated-passage profile (Lee et al. 2021 rolling-window
+    * approximation) at window = 8 — exact string keys so the oracle can
+    * replay span generation + the global count; the hashed scale variant
+    * is pinned row-identical in PipelineSpec.
+    */
+  def q_dup_passages(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicatedPassages(Tables.documents(s, d), "doc_id", "text",
+        window = 8, hashed = false)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("dup_frac"), 6).as("dup_frac"))
+
   /** SemDeDup (Abbas et al. 2023) over the embeddings corpus plus 20
     * planted near-duplicates (additively perturbed copies, ids +10000) —
     * exactly one member of each planted pair must survive. Rows-only for
@@ -1377,6 +1388,24 @@ object Queries {
         |SELECT doc_id, r_wc, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
         |  r_wc * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop AS gopher_pass
         |FROM r""".stripMargin,
+    "q_dup_passages" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $DTok AS ws FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(len(ws) - 7 AS BIGINT) AS n_windows,
+        |    unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS wkey
+        |  FROM toks WHERE len(ws) >= 8
+        |), g AS (
+        |  SELECT wkey, count(*) AS gc FROM wins GROUP BY 1
+        |), perdoc AS (
+        |  SELECT wins.doc_id, wins.n_windows,
+        |    CAST(sum(CASE WHEN g.gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM wins JOIN g ON wins.wkey = g.wkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, n_windows, n_dup,
+        |  round(n_dup / n_windows, 6) AS dup_frac
+        |FROM perdoc""".stripMargin,
     "q_bigram_ll" ->
       s"""WITH toks AS (
         |  SELECT doc_id, $DTok AS ws FROM documents
@@ -1509,7 +1538,8 @@ object Queries {
     "q_gopher" -> (q_gopher _),
     "q_dsir" -> (q_dsir _),
     "q_semdedup" -> (q_semdedup _),
-    "q_bigram_ll" -> (q_bigram_ll _)
+    "q_bigram_ll" -> (q_bigram_ll _),
+    "q_dup_passages" -> (q_dup_passages _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time

@@ -466,6 +466,64 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("dl").cast("long").as("dl"), F.col("xent"))
   }
 
+  /** Per-doc duplicated-passage profile (the rolling-window approximation
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — repeated ≥window-token spans anywhere in the corpus
+    * mark memorization-prone text): every `window`-token rolling span is
+    * keyed, spans whose corpus-wide occurrence count exceeds 1 (ANY
+    * repetition — across docs or within one) are duplicated, and each doc
+    * reports its duplicated-window fraction. Docs shorter than `window`
+    * have no spans and drop.
+    *
+    * With `hashed = true` (the 100 TB default) span keys are 64-bit
+    * xxhash64 — the span STRINGS never enter a shuffle, only 8-byte keys
+    * do; `hashed = false` keeps raw strings for oracle replay (same
+    * result modulo astronomically-unlikely hash collisions). One corpus
+    * scan and one tokenizer pass (shared-stage topology with the explicit
+    * superset null filter — see [[bigramLogLoss]]); the span-count
+    * aggregate is partial+final on the key, AQE-skew-splittable (heavy
+    * boilerplate keys collapse map-side).
+    *
+    * Returns (idCol, n_windows, n_dup, dup_frac).
+    */
+  def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, hashed: Boolean = true): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ts = F.col("__ts")
+    // the when-guard (not a row Filter!) makes short docs yield NO spans:
+    // a Filter on size(tokens(text)) would be pushed below the projection
+    // with the tokenizer substituted — two kernel evaluations per scan row
+    // (the Hygiene hazard); sequence() must also never see a stop < start
+    // (it would DESCEND, not return empty)
+    val spans = F.when(F.size(ts) >= window,
+      F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (window - 1)),
+        i => F.concat_ws(" ", F.slice(ts, i, F.lit(window)))))
+    val wtf = df
+      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .select(F.col(idCol),
+        (graft.plans.Hygiene.sizeNonNull(ts) - (window - 1)).cast("long")
+          .as("n_windows"),
+        graft.plans.Hygiene.explodeNonEmpty(spans).as("__w"))
+      .select(F.col(idCol), F.col("n_windows"),
+        (if (hashed) F.xxhash64(F.col("__w")) else F.col("__w")).as("wkey"))
+      // superset filter stated explicitly: keeps the shared stage canonical
+      // under each consumer's inferred isnotnull (see bigramLogLoss)
+      .filter(F.col("wkey").isNotNull && F.col(idCol).isNotNull)
+      .groupBy(F.col(idCol), F.col("n_windows"), F.col("wkey"))
+      .agg(F.count(F.lit(1)).as("c")) // per-doc span tf — BOTH consumers read this
+    val gcount = wtf.groupBy("wkey")
+      .agg(F.sum(F.when(
+        F.col(idCol).isNotNull && F.col("n_windows") >= 1 && F.col("c") >= 1,
+        F.col("c"))).as("gc"))
+    wtf.join(gcount, "wkey")
+      .groupBy(F.col(idCol), F.col("n_windows"))
+      .agg(F.sum(F.when(F.col("gc") > 1, F.col("c")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", F.col("n_dup") / F.col("n_windows"))
+      .select(F.col(idCol), F.col("n_windows"), F.col("n_dup"),
+        F.col("dup_frac"))
+  }
+
   /** Per-doc cross-entropy under a Jelinek-Mercer interpolated BIGRAM
     * language model trained on the corpus itself (the CCNet/KenLM-style
     * upgrade of [[unigramLogLoss]] — Wenzek et al. 2020 filter on LM

@@ -191,6 +191,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       numBuckets = 4096))
     tok.r.findAllIn(dPlan).size shouldBe 2
     dPlan should not include "CartesianProduct"
+    // duplicated passages: one scan, one tokenizer pass (hashed keys)
+    val pPlan = finalPlan(TextAnalysis.duplicatedPassages(
+      docs, "doc_id", "text", window = 8))
+    tok.r.findAllIn(pPlan).size shouldBe 1
+    "FileScan parquet".r.findAllIn(pPlan).size shouldBe 1
     // semDedup: the within-cluster pair stage must be an equi-join on the
     // cluster key, never an all-pairs product
     val sPlan = finalPlan(Similarity.semDedup(emb, "vec_id", "embedding",
@@ -1223,6 +1228,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     kept should contain(3L)
     (kept should not).contain(100L)
+  }
+
+  test("duplicatedPassages: hashed keys match exact-string keys row-for-row") {
+    def run(h: Boolean) = TextAnalysis
+      .duplicatedPassages(docs, "doc_id", "text", window = 8, hashed = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = run(false)
+    run(true) shouldBe exact
+    exact.map(_._3).sum should be > 0L // the corpus genuinely shares spans
+    // an intra-doc repetition counts as duplicated even with one doc
+    import spark.implicits._
+    val solo = Seq((1L, ("a b c d e f g h " * 2) + "tail words here now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatedPassages(solo, "doc_id", "text",
+      window = 8, hashed = true).collect().head
+    r.getLong(2) should be > 0L
   }
 
   test("bigramLogLoss matches the hand-computed interpolated model") {
