@@ -783,6 +783,24 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Hashed-feature DSIR twin of [[q_dsir]] (rows-only: xxhash64 buckets
+    * are not SQL-replayable; agreement with the exact variant is pinned
+    * in SelectionSpec).
+    */
+  def q_dsir_hashed(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d)
+    Selection.dsirLogWeights(docsDf,
+      docsDf.filter(col("lang") === "fr"), "doc_id", "text",
+      numBuckets = 1 << 16)
+  }
+
+  /** Hashed-span twin of [[q_dup_passages]] (rows-only; row identity with
+    * the exact variant is pinned in PipelineSpec).
+    */
+  def q_dup_passages_hashed(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicatedPassages(Tables.documents(s, d), "doc_id",
+      "text", window = 8, hashed = true)
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1539,7 +1557,12 @@ object Queries {
     "q_dsir" -> (q_dsir _),
     "q_semdedup" -> (q_semdedup _),
     "q_bigram_ll" -> (q_bigram_ll _),
-    "q_dup_passages" -> (q_dup_passages _)
+    "q_dup_passages" -> (q_dup_passages _),
+    // rows-only 100 TB-shape twins of q_dsir / q_dup_passages (8-byte
+    // hashed keys in the shuffles); exact-variant oracles + row-identity/
+    // agreement tests pin their semantics
+    "q_dsir_hashed" -> (q_dsir_hashed _),
+    "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
   )
 
   /** Headline subset for the bench harness (each run twice; warm time
@@ -1599,6 +1622,20 @@ object Queries {
     "q_dup_by_source" -> (q_dup_by_source _),
     "q_dedup_lines" -> (q_dedup_lines _),
     "q_interval_join" -> (q_interval_join _),
-    "q_events_props" -> (q_events_props _)
+    "q_events_props" -> (q_events_props _),
+    // round-5 additions: data selection (split/caps/gopher/DSIR), semantic
+    // dedup, bigram LM scoring, duplicated-passage profiling
+    "q_split" -> (q_split _),
+    "q_token_budget" -> (q_token_budget _),
+    "q_gopher" -> (q_gopher _),
+    "q_dsir" -> (q_dsir _),
+    "q_semdedup" -> (q_semdedup _),
+    "q_bigram_ll" -> (q_bigram_ll _),
+    "q_dup_passages" -> (q_dup_passages _),
+    // scale-path variants: hashed keys are what a 100 TB run would use —
+    // only 8-byte keys (not span strings / n-gram strings) enter the
+    // shuffles; correctness pinned by the exact twins + agreement tests
+    "q_dsir_hashed" -> (q_dsir_hashed _),
+    "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
   )
 }
