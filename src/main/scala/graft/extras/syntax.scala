@@ -3,7 +3,7 @@ package graft.extras
 import org.apache.spark.sql.DataFrame
 
 import graft.core.KFrame
-import graft.operators.{Dedup, Pipelines, TextAnalysis}
+import graft.operators.{Dedup, Pipelines, Selection, TextAnalysis}
 
 /** Fluent KFrame syntax for the pipeline operators — one chainable surface
   * across the reference-parity core and the M8 extensions:
@@ -80,6 +80,43 @@ object syntax {
         val keep = TextAnalysis.perplexityBand(df, idCol, textCol, lo, hi)
           .select(idCol)
         df.join(keep, Seq(idCol), "left_semi")
+      }
+
+    /** Keep docs passing the full Gopher/MassiveText rule battery. */
+    def gopherFilter(textCol: String): KFrame =
+      lift(Selection.gopherFilter(_, textCol))
+
+    /** Append the per-rule Gopher booleans + `gopher_pass`. */
+    def gopherRules(textCol: String): KFrame =
+      lift(Selection.gopherRules(_, textCol))
+
+    /** Deterministic weighted split column (`split`). */
+    def hashSplit(keyCol: String, weights: Seq[(String, Double)],
+        salt: String = "graft"): KFrame =
+      lift(Selection.hashSplit(_, keyCol, weights, salt))
+
+    /** DSIR-resample toward `target`: keep the k highest
+      * importance+Gumbel-scored docs (all columns ride through).
+      */
+    def dsirResample(idCol: String, textCol: String, target: KFrame, k: Int,
+        numBuckets: Int = 1 << 16, seed: Long = 42L): KFrame =
+      lift { df =>
+        val keep = Selection.dsirSelect(df, target.toDF, idCol, textCol, k,
+          numBuckets, seed = seed).select(idCol)
+        df.join(keep, Seq(idCol), "left_semi")
+      }
+
+    /** Drop docs whose duplicated-passage fraction exceeds `maxDupFrac`
+      * (docs shorter than `window` tokens have no spans and are KEPT).
+      */
+    def dropDuplicatedPassages(idCol: String, textCol: String,
+        window: Int = 50, maxDupFrac: Double = 0.3): KFrame =
+      lift { df =>
+        val bad = TextAnalysis
+          .duplicatedPassages(df, idCol, textCol, window)
+          .filter(org.apache.spark.sql.functions.col("dup_frac") > maxDupFrac)
+          .select(idCol)
+        df.join(bad, Seq(idCol), "left_anti")
       }
   }
 }

@@ -51,4 +51,32 @@ object Pipelines {
       TextAnalysis.redactPII(F.col(textCol)))
     TextAnalysis.chunkDocuments(redacted, idCol, textCol, chunkSize, overlap)
   }
+
+  /** The LAST mile: curate → pack into token-budget sequences → assign
+    * deterministic train/val/test splits → write split-partitioned
+    * parquet, and return the frame read back from the written layout.
+    *
+    * Splits are assigned at PACK granularity ([[Selection.hashSplit]] on
+    * `pack_id`) so no training sequence ever straddles a split boundary —
+    * chunk- or doc-level splitting would leak val/test text into train
+    * via shared packs. The write is directory-per-split
+    * ([[graft.sources.Layout.writePartitioned]]): a reader filtering
+    * `split = 'train'` scans only that directory (PartitionFilters —
+    * plan-pinned in the test), which is the access pattern every epoch
+    * runs. The whole chain before the sink remains ONE lazy plan;
+    * `nBuckets` sizes the packing windows ([[Packing.packChunks]]'s
+    * single-task-per-bucket contract).
+    */
+  def materializeTrainingSet(df: DataFrame, idCol: String, textCol: String,
+      path: String, budget: Int = 2048, nBuckets: Int = 256,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      chunkSize: Int = 100, overlap: Int = 50): DataFrame = {
+    val chunks = curateForTraining(df, idCol, textCol, chunkSize, overlap)
+    val packed = Packing.packChunks(chunks, idCol, "chunk_idx", "n_tokens",
+      budget, nBuckets)
+    val split = Selection.hashSplit(packed, "pack_id", splits)
+    graft.sources.Layout.writePartitioned(split, path, Seq("split"))
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -506,6 +506,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     pii.redactPII("text").toDF.head().getString(1) shouldBe "mail me: <EMAIL>"
   }
 
+  test("fluent syntax: selection ops match their operator forms") {
+    import graft.core.KFrame
+    import graft.extras.syntax._
+    import graft.operators.{Selection, TextAnalysis}
+    val kf = KFrame.wrap(docs)
+    kf.gopherFilter("text").height shouldBe
+      Selection.gopherFilter(docs, "text").count()
+    kf.gopherRules("text").toDF.columns should contain("gopher_pass")
+    val split = kf.hashSplit("doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+    split.toDF.groupBy("split").count().count() shouldBe 2
+    val fr = KFrame.wrap(docs.filter(F.col("lang") === "fr"))
+    val picked = kf.dsirResample("doc_id", "text", fr, k = 50,
+      numBuckets = 4096)
+    picked.height shouldBe 50L
+    picked.toDF.columns.toSeq shouldBe docs.columns.toSeq // all cols ride
+    val dropped = kf.dropDuplicatedPassages("doc_id", "text",
+      window = 8, maxDupFrac = 0.9)
+    dropped.height should be <= docs.count()
+    dropped.toDF.columns.toSeq shouldBe docs.columns.toSeq
+  }
+
   test("cleanCorpus plan contains no cartesian product") {
     import graft.operators.Pipelines
     val plan = Pipelines.cleanCorpus(docs, "doc_id", "text")
@@ -1496,6 +1517,51 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     got shouldBe expected
+  }
+
+  test("gopher gate streams unmodified: readStream result == batch result") {
+    import graft.operators.Selection
+    // pure projection + filter — the SAME call must run under readStream
+    val batchKept = Selection.gopherFilter(docs, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = Selection.gopherFilter(stream, "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gopher_stream").collect().map(_.getLong(0)).toSet
+    got shouldBe batchKept
+  }
+
+  test("materializeTrainingSet writes split-partitioned packs; probes prune") {
+    import graft.operators.{Packing, Pipelines, Selection}
+    val dir = java.nio.file.Files.createTempDirectory("graft-trainset").toString
+    val out = Pipelines.materializeTrainingSet(docs, "doc_id", "text",
+      s"$dir/set", budget = 256, nBuckets = 8)
+    // written rows == the curated+packed+split plan replayed directly
+    val chunks = Pipelines.curateForTraining(docs, "doc_id", "text")
+    val packed = Packing.packChunks(chunks, "doc_id", "chunk_idx",
+      "n_tokens", budget = 256, nBuckets = 8)
+    val expect = Selection.hashSplit(packed, "pack_id",
+      Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotBySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    gotBySplit shouldBe expect
+    gotBySplit.values.sum should be > 0L
+    // no pack straddles a split (split assigned at pack granularity)
+    out.groupBy("pack_id")
+      .agg(F.countDistinct("split").as("ns"))
+      .filter(F.col("ns") > 1).count() shouldBe 0L
+    // epoch access pattern: a split filter prunes directories
+    val trainScan = spark.read.parquet(s"$dir/set")
+      .filter(F.col("split") === "train")
+    trainScan.collect()
+    trainScan.queryExecution.executedPlan.toString should include("PartitionFilters: [isnotnull(split")
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
