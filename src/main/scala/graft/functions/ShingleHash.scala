@@ -46,6 +46,38 @@ case class ShingleHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positional sibling of [[ShingleHash]]: ALL rolling n-gram hashes in
+  * document order, duplicates kept — the kernel of
+  * `TextAnalysis.duplicatedPassages`, where every window POSITION counts
+  * (an intra-doc repeat is a duplicated passage; `ShingleHash`'s distinct
+  * would erase it and `size(...)` must equal tokens − n + 1). Registered
+  * for SQL as `shingle_hashes_all(text, n)`.
+  */
+case class ShingleHashAll(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_all expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHashKernel.hashAll(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ShingleHashKernel.hashAll($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashAll =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Row kernel shared by the expression's interpreted and codegen'd paths:
   * tokenize once, 64-bit-hash each token, combine n-gram hashes, distinct.
   */
@@ -54,7 +86,15 @@ object ShingleHashKernel {
   def hash(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(hashToArray(if (text == null) null else text.toString, n))
 
-  def hashToArray(text: String, n: Int): Array[Long] = {
+  def hashAll(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      hashAllToArray(if (text == null) null else text.toString, n))
+
+  def hashToArray(text: String, n: Int): Array[Long] =
+    hashAllToArray(text, n).distinct
+
+  /** All positional n-gram hashes, document order, duplicates kept. */
+  def hashAllToArray(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.empty[Long]
     val toks = text.toLowerCase(java.util.Locale.ROOT)
       .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
@@ -72,7 +112,7 @@ object ShingleHashKernel {
       out(i) = h
       i += 1
     }
-    out.distinct
+    out
   }
 
   private def h64(s: String): Long = {

@@ -489,24 +489,39 @@ object TextAnalysis {
   def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
       window: Int = 50, hashed: Boolean = true): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val ts = F.col("__ts")
-    // the when-guard (not a row Filter!) makes short docs yield NO spans:
-    // a Filter on size(tokens(text)) would be pushed below the projection
-    // with the tokenizer substituted — two kernel evaluations per scan row
-    // (the Hygiene hazard); sequence() must also never see a stop < start
-    // (it would DESCEND, not return empty)
-    val spans = F.when(F.size(ts) >= window,
-      F.transform(
-        F.sequence(F.lit(1), F.size(ts) - (window - 1)),
-        i => F.concat_ws(" ", F.slice(ts, i, F.lit(window)))))
-    val wtf = df
-      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
-      .select(F.col(idCol),
-        (graft.plans.Hygiene.sizeNonNull(ts) - (window - 1)).cast("long")
-          .as("n_windows"),
-        graft.plans.Hygiene.explodeNonEmpty(spans).as("__w"))
-      .select(F.col(idCol), F.col("n_windows"),
-        (if (hashed) F.xxhash64(F.col("__w")) else F.col("__w")).as("wkey"))
+    val spanRows =
+      if (hashed) {
+        // fused native path: `shingle_hashes_all` tokenizes + hashes every
+        // positional window in ONE codegen'd kernel call per row (the
+        // composed tokens->transform->concat_ws->xxhash64 chain runs the
+        // per-window concat as an interpreted lambda under Generate);
+        // duplicates kept — every POSITION is a window
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val sh = graft.plans.GraftExtensions.callNative("shingle_hashes_all",
+          F.col(textCol), F.lit(window))
+        df.select(F.col(idCol), sh.as("__sh"))
+          .select(F.col(idCol),
+            graft.plans.Hygiene.sizeNonNull(F.col("__sh")).cast("long")
+              .as("n_windows"),
+            graft.plans.Hygiene.explodeNonEmpty(F.col("__sh")).as("wkey"))
+      } else {
+        val ts = F.col("__ts")
+        // the when-guard (not a row Filter!) makes short docs yield NO
+        // spans: a Filter on size(tokens(text)) would be pushed below the
+        // projection with the tokenizer substituted — two kernel
+        // evaluations per scan row (the Hygiene hazard); sequence() must
+        // also never see a stop < start (it would DESCEND, not empty)
+        val spans = F.when(F.size(ts) >= window,
+          F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (window - 1)),
+            i => F.concat_ws(" ", F.slice(ts, i, F.lit(window)))))
+        df.select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+          .select(F.col(idCol),
+            (graft.plans.Hygiene.sizeNonNull(ts) - (window - 1)).cast("long")
+              .as("n_windows"),
+            graft.plans.Hygiene.explodeNonEmpty(spans).as("wkey"))
+      }
+    val wtf = spanRows
       // superset filter stated explicitly: keeps the shared stage canonical
       // under each consumer's inferred isnotnull (see bigramLogLoss)
       .filter(F.col("wkey").isNotNull && F.col(idCol).isNotNull)

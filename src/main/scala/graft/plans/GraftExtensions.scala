@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, PqCodes, ShingleHash, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, PqCodes, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -28,6 +28,13 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "shingle_hashes(text, n) takes 2 arguments")
         ShingleHash(args.head, args(1))
+      }),
+    (FunctionIdentifier("shingle_hashes_all"),
+      new ExpressionInfo(classOf[ShingleHashAll].getName, "shingle_hashes_all"),
+      { args =>
+        require(args.length == 2,
+          "shingle_hashes_all(text, n) takes 2 arguments")
+        ShingleHashAll(args.head, args(1))
       }),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),

@@ -191,11 +191,18 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       numBuckets = 4096))
     tok.r.findAllIn(dPlan).size shouldBe 2
     dPlan should not include "CartesianProduct"
-    // duplicated passages: one scan, one tokenizer pass (hashed keys)
+    // duplicated passages (hashed): one scan, ONE fused native kernel call
+    // (tokenize+hash inside shingle_hashes_all; no Spark-side tokenizer)
     val pPlan = finalPlan(TextAnalysis.duplicatedPassages(
       docs, "doc_id", "text", window = 8))
-    tok.r.findAllIn(pPlan).size shouldBe 1
+    "shingle_hashes_all".r.findAllIn(pPlan).size shouldBe 1
+    tok.r.findAllIn(pPlan).size shouldBe 0
     "FileScan parquet".r.findAllIn(pPlan).size shouldBe 1
+    // exact-string variant keeps the tokenizer, still once
+    val pePlan = finalPlan(TextAnalysis.duplicatedPassages(
+      docs, "doc_id", "text", window = 8, hashed = false))
+    tok.r.findAllIn(pePlan).size shouldBe 1
+    "FileScan parquet".r.findAllIn(pePlan).size shouldBe 1
     // semDedup: the within-cluster pair stage must be an equi-join on the
     // cluster key, never an all-pairs product
     val sPlan = finalPlan(Similarity.semDedup(emb, "vec_id", "embedding",
