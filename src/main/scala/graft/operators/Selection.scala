@@ -195,33 +195,46 @@ object Selection {
   // ----------------------------------------------------------------- DSIR
 
   /** (doc id, feature, multiplicity) for the DSIR feature space: unigrams
-    * + bigrams of [[TextAnalysis.tokens]], exactly one tokenizer pass per
-    * row (the token array is an attribute; bigram strings contain a space
-    * so the two feature families cannot collide). With `numBuckets > 0`
-    * features are hashed into that many buckets (the paper's hashed
-    * n-gram features — fixed-size model regardless of vocabulary, the
-    * 100 TB shape); with `numBuckets = 0` raw n-gram strings are kept
-    * (exact variant — oracle-expressible, and what the hashed variant is
-    * test-pinned against).
+    * + bigrams of the shared tokenizer. With `numBuckets > 0` features are
+    * hashed into that many buckets (the paper's hashed n-gram features —
+    * fixed-size model regardless of vocabulary, the 100 TB shape) via the
+    * fused `shingle_hashes_all` kernel (positional 1-gram ∪ 2-gram hashes,
+    * multiplicities kept, one codegen call per n); with `numBuckets = 0`
+    * raw n-gram strings are kept, tokenized once to an attribute (bigram
+    * strings contain a space so the families cannot collide) — the
+    * oracle-expressible exact variant the hashed one is test-pinned
+    * against.
     */
   private def docFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int): DataFrame = {
-    val ts = F.col("__ts")
-    val bigrams = F.when(F.size(ts) >= 2,
-      F.zip_with(
-        F.slice(ts, F.lit(1), F.size(ts) - 1),
-        F.slice(ts, F.lit(2), F.size(ts) - 1),
-        (a, b) => F.concat(a, F.lit(" "), b)))
-      .otherwise(F.array().cast("array<string>"))
-    val feats = df
-      .select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("__ts"))
-      .select(F.col(idCol),
-        graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams)).as("__f"))
     val keyed =
-      if (numBuckets > 0)
-        feats.select(F.col(idCol),
-          F.pmod(F.xxhash64(F.col("__f")), F.lit(numBuckets.toLong)).as("feat"))
-      else feats.select(F.col(idCol), F.col("__f").as("feat"))
+      if (numBuckets > 0) {
+        // fused native path: the hashed unigram+bigram feature bag IS the
+        // union of positional 1-gram and 2-gram shingle hashes — two
+        // codegen'd kernel calls per row, multiplicities kept, no
+        // Spark-side tokenizer/zip/concat chain (which runs its
+        // per-element lambdas interpreted under Generate)
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        def grams(n: Int) = graft.plans.GraftExtensions
+          .callNative("shingle_hashes_all", F.col(textCol), F.lit(n))
+        df.select(F.col(idCol), F.concat(grams(1), grams(2)).as("__fh"))
+          .select(F.col(idCol),
+            graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"))
+          .select(F.col(idCol), // pmod can't wrap a generator directly
+            F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"))
+      } else {
+        val ts = F.col("__ts")
+        val bigrams = F.when(F.size(ts) >= 2,
+          F.zip_with(
+            F.slice(ts, F.lit(1), F.size(ts) - 1),
+            F.slice(ts, F.lit(2), F.size(ts) - 1),
+            (a, b) => F.concat(a, F.lit(" "), b)))
+          .otherwise(F.array().cast("array<string>"))
+        df.select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("__ts"))
+          .select(F.col(idCol),
+            graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams))
+              .as("feat"))
+      }
     keyed
       // vacuously-true null filter stated explicitly so the ratio join's
       // inferred isnotnull(feat) cannot split the shared feature stage

@@ -185,12 +185,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     tok.r.findAllIn(gPlan).size shouldBe 1
     "FileScan parquet".r.findAllIn(gPlan).size shouldBe 1
     gPlan should not include "CartesianProduct"
-    // DSIR: each corpus side tokenized exactly once (raw + target = 2)
+    // DSIR (hashed): per corpus side, ONE projection with two fused
+    // kernel calls (1-gram + 2-gram) — no Spark-side tokenizer at all
     val dPlan = finalPlan(Selection.dsirLogWeights(
       docs, docs.filter(F.col("lang") === "fr"), "doc_id", "text",
       numBuckets = 4096))
-    tok.r.findAllIn(dPlan).size shouldBe 2
+    "shingle_hashes_all".r.findAllIn(dPlan).size shouldBe 4
+    tok.r.findAllIn(dPlan).size shouldBe 0
     dPlan should not include "CartesianProduct"
+    // DSIR (exact): each corpus side tokenized exactly once
+    val dePlan = finalPlan(Selection.dsirLogWeights(
+      docs, docs.filter(F.col("lang") === "fr"), "doc_id", "text",
+      numBuckets = 0))
+    tok.r.findAllIn(dePlan).size shouldBe 2
+    dePlan should not include "CartesianProduct"
     // duplicated passages (hashed): one scan, ONE fused native kernel call
     // (tokenize+hash inside shingle_hashes_all; no Spark-side tokenizer)
     val pPlan = finalPlan(TextAnalysis.duplicatedPassages(
