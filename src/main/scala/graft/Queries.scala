@@ -745,6 +745,36 @@ object Queries {
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
   }
 
+  /** Naive-Bayes quality classifier (the fastText-classifier stand-in of
+    * GPT-3 App. A / CCNet §4.4), exact n-gram variant: fit on the 80%
+    * hash-split with `lang = 'en'` as the positive class, score the
+    * held-out 20%. The oracle replays the split, the unigram+bigram
+    * feature space, the smoothed class-conditional log-ratios with
+    * unseen-feature fallback, and the doc-count prior. The hashed scale
+    * variant is pinned against this one in SelectionSpec.
+    */
+  def q_nb_quality(s: SparkSession, d: String): DataFrame =
+    q_nb_quality_buckets(s, d, numBuckets = 0)
+
+  /** Hashed-feature twin of [[q_nb_quality]] (rows-only: xxhash64 buckets
+    * are not SQL-replayable; agreement with the exact variant is pinned in
+    * SelectionSpec).
+    */
+  def q_nb_quality_hashed(s: SparkSession, d: String): DataFrame =
+    q_nb_quality_buckets(s, d, numBuckets = 1 << 16)
+
+  private def q_nb_quality_buckets(s: SparkSession, d: String,
+      numBuckets: Int): DataFrame = {
+    val split = Selection.hashSplit(Tables.documents(s, d), "doc_id",
+      Seq("train" -> 0.8, "score" -> 0.2))
+    Selection.nbClassifierScore(
+        split.filter(col("split") === "train")
+          .withColumn("__lab", col("lang") === "en"),
+        split.filter(col("split") === "score"),
+        "doc_id", "text", "__lab", numBuckets = numBuckets)
+      .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
+  }
+
   /** Per-doc interpolated-bigram cross-entropy (CCNet-style LM quality
     * score) — the oracle replays the single-tf-stage model: bigram counts,
     * left/right marginals, 1-row total, λ-interpolation with the SAME
@@ -1482,7 +1512,55 @@ object Queries {
         |)
         |SELECT d.doc_id, round(sum(d.n * r.lr), 6) AS logw
         |FROM docfeat d JOIN ratios r ON d.f = r.f
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+    "q_nb_quality" ->
+      s"""WITH split AS (
+        |  SELECT doc_id, lang, text,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc'
+        |      AS is_train
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, lang, is_train, $DTok AS ws FROM split
+        |), uni AS (
+        |  SELECT doc_id, lang, is_train, unnest(ws) AS f FROM toks
+        |), bi AS (
+        |  SELECT doc_id, lang, is_train,
+        |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS f
+        |  FROM toks WHERE len(ws) >= 2
+        |), feats AS (
+        |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+        |), counts AS (
+        |  SELECT f,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+        |  FROM feats WHERE is_train GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(sum(cpos) AS DOUBLE) AS tp,
+        |    CAST(sum(cneg) AS DOUBLE) AS tn,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM counts
+        |), llr AS (
+        |  SELECT f,
+        |    ln((cpos + 1.0) / (tp + 1.0 * v)) - ln((cneg + 1.0) / (tn + 1.0 * v)) AS lr
+        |  FROM counts, stats
+        |), prior AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS np,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS nn
+        |  FROM split WHERE is_train
+        |), docfeat AS (
+        |  SELECT doc_id, f, count(*) AS n
+        |  FROM feats WHERE NOT is_train GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |    sum(d.n * coalesce(l.lr,
+        |      ln(s.tn + 1.0 * s.v) - ln(s.tp + 1.0 * s.v))) AS fs
+        |  FROM docfeat d LEFT JOIN llr l ON d.f = l.f CROSS JOIN stats s
+        |  GROUP BY 1
+        |)
+        |SELECT sc.doc_id,
+        |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
+        |FROM scored sc, prior p""".stripMargin
   )
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1558,10 +1636,12 @@ object Queries {
     "q_semdedup" -> (q_semdedup _),
     "q_bigram_ll" -> (q_bigram_ll _),
     "q_dup_passages" -> (q_dup_passages _),
-    // rows-only 100 TB-shape twins of q_dsir / q_dup_passages (8-byte
-    // hashed keys in the shuffles); exact-variant oracles + row-identity/
-    // agreement tests pin their semantics
+    "q_nb_quality" -> (q_nb_quality _),
+    // rows-only 100 TB-shape twins of q_dsir / q_nb_quality /
+    // q_dup_passages (8-byte hashed keys in the shuffles); exact-variant
+    // oracles + row-identity/agreement tests pin their semantics
     "q_dsir_hashed" -> (q_dsir_hashed _),
+    "q_nb_quality_hashed" -> (q_nb_quality_hashed _),
     "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
   )
 
@@ -1636,6 +1716,9 @@ object Queries {
     // only 8-byte keys (not span strings / n-gram strings) enter the
     // shuffles; correctness pinned by the exact twins + agreement tests
     "q_dsir_hashed" -> (q_dsir_hashed _),
-    "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
+    "q_dup_passages_hashed" -> (q_dup_passages_hashed _),
+    // NB quality classifier (fastText stand-in): exact + hashed model
+    "q_nb_quality" -> (q_nb_quality _),
+    "q_nb_quality_hashed" -> (q_nb_quality_hashed _)
   )
 }

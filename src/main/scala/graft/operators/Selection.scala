@@ -206,7 +206,8 @@ object Selection {
     * against.
     */
   private def docFeatures(df: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(F.col)
     val keyed =
       if (numBuckets > 0) {
         // fused native path: the hashed unigram+bigram feature bag IS the
@@ -217,11 +218,11 @@ object Selection {
         graft.plans.GraftExtensions.register(df.sparkSession)
         def grams(n: Int) = graft.plans.GraftExtensions
           .callNative("shingle_hashes_all", F.col(textCol), F.lit(n))
-        df.select(F.col(idCol), F.concat(grams(1), grams(2)).as("__fh"))
-          .select(F.col(idCol),
-            graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"))
-          .select(F.col(idCol), // pmod can't wrap a generator directly
-            F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"))
+        df.select(keep :+ F.concat(grams(1), grams(2)).as("__fh"): _*)
+          .select(keep :+
+            graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"): _*)
+          .select(keep :+ // pmod can't wrap a generator directly
+            F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"): _*)
       } else {
         val ts = F.col("__ts")
         val bigrams = F.when(F.size(ts) >= 2,
@@ -230,17 +231,17 @@ object Selection {
             F.slice(ts, F.lit(2), F.size(ts) - 1),
             (a, b) => F.concat(a, F.lit(" "), b)))
           .otherwise(F.array().cast("array<string>"))
-        df.select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("__ts"))
-          .select(F.col(idCol),
+        df.select(keep :+ TextAnalysis.tokens(F.col(textCol)).as("__ts"): _*)
+          .select(keep :+
             graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams))
-              .as("feat"))
+              .as("feat"): _*)
       }
     keyed
       // vacuously-true null filter stated explicitly so the ratio join's
       // inferred isnotnull(feat) cannot split the shared feature stage
       // into non-canonical per-consumer copies (see bigramLogLoss)
       .filter(F.col("feat").isNotNull)
-      .groupBy(F.col(idCol), F.col("feat")).agg(F.count(F.lit(1)).as("n"))
+      .groupBy(keep :+ F.col("feat"): _*).agg(F.count(F.lit(1)).as("n"))
   }
 
   /** DSIR importance log-weights (Xie et al. 2023): score each `raw` doc
@@ -315,5 +316,83 @@ object Selection {
       .withColumn("score", F.col("logw") / temperature + gumbel)
       .orderBy(F.col("score").desc, F.col(idCol))
       .limit(k)
+  }
+
+  // ------------------------------------------- NB quality classifier
+
+  /** Multinomial Naive-Bayes quality classifier — the distributed
+    * closed-form stand-in for the fastText-style linear classifier that
+    * GPT-3/CCNet-shaped pipelines fit on (curated-positive, crawl-negative)
+    * examples and use to score candidate documents (Brown et al. 2020
+    * appendix A; Wenzek et al. 2020 §4.4; Joulin et al. 2017). Fit on
+    * `labeled` (boolean `labelCol`; true = positive / high-quality class)
+    * over the DSIR feature space ([[docFeatures]]: unigrams + bigrams —
+    * exact strings at `numBuckets = 0`, the oracle-expressible variant;
+    * hashed into `numBuckets` buckets otherwise, the fixed-model-size
+    * 100 TB shape), then score `toScore`:
+    *
+    *   score(d) = ln((npos+s)/(nneg+s)) + sum_f n_d(f) * llr(f)
+    *   llr(f)   = ln((cpos(f)+s)/(Tpos+s*V)) - ln((cneg(f)+s)/(Tneg+s*V))
+    *
+    * with add-`smoothing` estimates over the TRAINING vocabulary V (count
+    * of distinct training features). A scored feature unseen in training
+    * takes llr's c=0 value, ln(Tneg+s*V) - ln(Tpos+s*V) — scoring never
+    * errors on novel vocabulary, matching how every class-conditional
+    * likelihood degrades to pure smoothing mass. Positive score = more
+    * positive-class-like. Returns (idCol, nb_score); scored docs with no
+    * tokens drop (consistent with [[dsirLogWeights]]).
+    *
+    * SCALE: the labeled corpus' TEXT is scanned and tokenized once — class
+    * counts come from ONE conditional aggregate over the shared feature
+    * stage, not a per-class scan or a cross-corpus outer join (labels live
+    * in the same frame, unlike DSIR's two corpora). The doc-count prior is
+    * a second scan of `labeled` pruned to the label column only (text
+    * untouched — at 100 TB the text scan dominates; this one reads a
+    * boolean column). The model (feat → llr) is never collected or
+    * broadcast: V/totals travel as 1-row broadcasts and the score-side
+    * feature join shuffles on the feature key (AQE-skew-splittable). With
+    * `numBuckets > 0` model state is capped at `numBuckets` rows.
+    */
+  def nbClassifierScore(labeled: DataFrame, toScore: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = 1 << 16, smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val s = F.lit(smoothing)
+    // per-feature class counts: one aggregate over one tokenizer pass
+    val counts = docFeatures(labeled, idCol, textCol, numBuckets,
+        carry = Seq(labelCol))
+      .groupBy("feat").agg(
+        F.sum(F.when(F.col(labelCol), F.col("n")).otherwise(0L)).as("cpos"),
+        F.sum(F.when(!F.col(labelCol), F.col("n")).otherwise(0L)).as("cneg"))
+    // 1-row stats; the guard references every column so pruning cannot
+    // specialize this consumer off the shared `counts` stage (see DSIR)
+    val stats = counts.agg(
+      F.sum(F.when(F.col("feat").isNotNull && F.col("cneg") >= 0,
+        F.col("cpos"))).cast("double").as("__tp"),
+      F.sum("cneg").cast("double").as("__tn"),
+      F.count(F.lit(1)).cast("double").as("__v"))
+    val llr = counts.crossJoin(F.broadcast(stats))
+      .select(F.col("feat"),
+        (F.log((F.col("cpos") + s) / (F.col("__tp") + s * F.col("__v"))) -
+          F.log((F.col("cneg") + s) / (F.col("__tn") + s * F.col("__v"))))
+          .as("__llr"))
+    // label-only scan: prunes to one boolean column, no tokenization
+    val prior = labeled.agg(
+      F.sum(F.when(F.col(labelCol), 1L).otherwise(0L)).cast("double")
+        .as("__np"),
+      F.sum(F.when(!F.col(labelCol), 1L).otherwise(0L)).cast("double")
+        .as("__nn"))
+    val unseen =
+      F.log(F.col("__tn") + s * F.col("__v")) -
+        F.log(F.col("__tp") + s * F.col("__v"))
+    docFeatures(toScore, idCol, textCol, numBuckets)
+      .join(llr, Seq("feat"), "left_outer")
+      .crossJoin(F.broadcast(stats))
+      .groupBy(idCol)
+      .agg(F.sum(F.col("n") * F.coalesce(F.col("__llr"), unseen)).as("__fs"))
+      .crossJoin(F.broadcast(prior))
+      .select(F.col(idCol),
+        (F.col("__fs") +
+          F.log((F.col("__np") + s) / (F.col("__nn") + s))).as("nb_score"))
   }
 }

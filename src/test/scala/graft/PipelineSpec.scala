@@ -199,6 +199,21 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       numBuckets = 0))
     tok.r.findAllIn(dePlan).size shouldBe 2
     dePlan should not include "CartesianProduct"
+    // NB classifier (hashed): two fused kernel calls per feature side
+    // (train + score = 4) — no Spark-side tokenizer; the 1-row stat/prior
+    // broadcasts must not degrade to a CartesianProduct
+    def nbPlan(buckets: Int) = finalPlan(Selection.nbClassifierScore(
+      docs.withColumn("__lab", F.col("lang") === "en"),
+      docs.filter(F.col("lang") =!= "fr"),
+      "doc_id", "text", "__lab", numBuckets = buckets))
+    val nhPlan = nbPlan(4096)
+    "shingle_hashes_all".r.findAllIn(nhPlan).size shouldBe 4
+    tok.r.findAllIn(nhPlan).size shouldBe 0
+    nhPlan should not include "CartesianProduct"
+    // NB classifier (exact): train + score sides tokenized once each
+    val nePlan = nbPlan(0)
+    tok.r.findAllIn(nePlan).size shouldBe 2
+    nePlan should not include "CartesianProduct"
     // duplicated passages (hashed): one scan, ONE fused native kernel call
     // (tokenize+hash inside shingle_hashes_all; no Spark-side tokenizer)
     val pPlan = finalPlan(TextAnalysis.duplicatedPassages(

@@ -197,6 +197,84 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     means(true) should be > means(false)
   }
 
+  // ---- NB quality classifier -------------------------------------------
+
+  /** Corpus with PLANTED class signal: positive docs mix marker words from
+    * pool A into a shared vocabulary, negative docs mix pool B. (The
+    * documents fixture is useless here: its text is one shared ~31-word
+    * pool for every lang value, so no label generalizes to held-out docs —
+    * held-out separation needs genuine signal.) Deterministic index
+    * arithmetic, no RNG.
+    */
+  private lazy val nbCorpus = {
+    import spark.implicits._
+    val shared = Vector("the", "data", "table", "row", "value", "group")
+    val posW = Vector("alpha", "bravo", "carbon", "delta") ++ shared
+    val negW = Vector("xray", "yankee", "zulu", "omega") ++ shared
+    (0L until 200L).map { id =>
+      val pool = if (id % 2 == 0) posW else negW
+      val text = (0 until 30)
+        .map(i => pool(((id * 31 + i * 7) % pool.size).toInt))
+        .mkString(" ")
+      (id, text, id % 2 == 0)
+    }.toDF("id", "text", "lab")
+  }
+
+  private def nbScores(numBuckets: Int): Map[Long, (Boolean, Double)] =
+    Selection.nbClassifierScore(
+        nbCorpus.filter(F.col("id") < 160),
+        nbCorpus.filter(F.col("id") >= 160),
+        "id", "text", "lab", numBuckets = numBuckets)
+      .join(nbCorpus.select("id", "lab"), "id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getDouble(1))).toMap
+
+  test("NB classifier separates planted classes on held-out docs (exact)") {
+    val scored = nbScores(numBuckets = 0)
+    scored.size shouldBe 40
+    val (pos, neg) = scored.values.partition(_._1)
+    val meanPos = pos.map(_._2).sum / pos.size
+    val meanNeg = neg.map(_._2).sum / neg.size
+    meanPos should be > meanNeg + 5.0 // planted markers: decisive margin
+    // and every held-out doc individually lands on the right side
+    pos.map(_._2).min should be > neg.map(_._2).max
+  }
+
+  test("NB hashed model reproduces exact scores at collision-free width") {
+    // ~120 distinct features into 2^20 buckets: no collisions (verified —
+    // xxhash64 is fixed, so this stays deterministic), hence identical
+    // counts/llr and score differences down at float-reassociation level
+    val exact = nbScores(numBuckets = 0)
+    val hashed = nbScores(numBuckets = 1 << 20)
+    hashed.keySet shouldBe exact.keySet
+    exact.foreach { case (id, (_, s)) =>
+      hashed(id)._2 shouldBe s +- 1e-9
+    }
+  }
+
+  test("NB classifier handles novel vocabulary: prior + n * unseen-ratio") {
+    import spark.implicits._
+    // train vocab: {good, fine, bad, poor} + bigrams; the scored doc
+    // shares none of it, so its score must be exactly
+    //   prior + n_features * unseenLlr
+    // and the classes are symmetric — tp=tn=5 (3 uni + 2 bi occurrences
+    // per class), v=8 (4 distinct feats per class), np=nn=1, s=1 — so
+    // prior = ln(2/2) = 0 and unseen = ln(13)-ln(13) = 0.
+    val labeled = Seq((1L, "good fine good", true), (2L, "bad poor bad", false))
+      .toDF("id", "text", "lab")
+    val scored = Selection.nbClassifierScore(labeled,
+      Seq((9L, "novel words only")).toDF("id", "text"),
+      "id", "text", "lab", numBuckets = 0)
+    val rows = scored.collect()
+    rows.length shouldBe 1
+    rows.head.getDouble(1) shouldBe 0.0 +- 1e-12
+    // and an empty-text scored doc drops (no tokens -> no features)
+    Selection.nbClassifierScore(labeled,
+        Seq((9L, "")).toDF("id", "text"), "id", "text", "lab",
+        numBuckets = 0)
+      .count() shouldBe 0L
+  }
+
   test("dsirSelect is deterministic per seed and enriches the target share") {
     val target = docs.filter(F.col("lang") === "fr")
     def pick(seed: Long) = Selection
