@@ -775,6 +775,33 @@ object Queries {
       .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
   }
 
+  /** Persisted-model face of [[q_nb_quality]]: the model is fitted ONCE
+    * per scale-factor dir into a cached temp artifact (fit-once/score-many
+    * contract — in the bench the warm run times the scoring join alone),
+    * then scored via [[Selection.scoreWithNbModel]]. Exact feature flavor,
+    * so it shares q_nb_quality's DuckDB oracle verbatim: the persisted
+    * path must reproduce the in-plan path to the rounded digit.
+    */
+  private val nbModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_nb_model(s: SparkSession, d: String): DataFrame = {
+    def split = Selection.hashSplit(Tables.documents(s, d), "doc_id",
+      Seq("train" -> 0.8, "score" -> 0.2))
+    val path = nbModelDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-nbmodel-reg").toString + "/model"
+      Selection.saveNbModel(
+        split.filter(col("split") === "train")
+          .withColumn("__lab", col("lang") === "en"),
+        "doc_id", "text", "__lab", dir, numBuckets = 0)
+      dir
+    })
+    Selection.scoreWithNbModel(s, path,
+        split.filter(col("split") === "score"), "doc_id", "text")
+      .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
+  }
+
   /** Per-doc interpolated-bigram cross-entropy (CCNet-style LM quality
     * score) — the oracle replays the single-tf-stage model: bigram counts,
     * left/right marginals, 1-row total, λ-interpolation with the SAME
@@ -1513,7 +1540,16 @@ object Queries {
         |SELECT d.doc_id, round(sum(d.n * r.lr), 6) AS logw
         |FROM docfeat d JOIN ratios r ON d.f = r.f
         |GROUP BY d.doc_id""".stripMargin,
-    "q_nb_quality" ->
+    "q_nb_quality" -> nbQualitySql,
+    // the persisted-model path must reproduce the in-plan path exactly
+    "q_nb_model" -> nbQualitySql
+  )
+
+  /** Shared DuckDB replay of the NB quality classifier (exact feature
+    * flavor): split, unigram+bigram features, smoothed class-conditional
+    * log-ratios with the unseen fallback, doc-count prior.
+    */
+  private lazy val nbQualitySql: String =
       s"""WITH split AS (
         |  SELECT doc_id, lang, text,
         |    substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc'
@@ -1561,7 +1597,6 @@ object Queries {
         |SELECT sc.doc_id,
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin
-  )
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),
@@ -1637,6 +1672,7 @@ object Queries {
     "q_bigram_ll" -> (q_bigram_ll _),
     "q_dup_passages" -> (q_dup_passages _),
     "q_nb_quality" -> (q_nb_quality _),
+    "q_nb_model" -> (q_nb_model _),
     // rows-only 100 TB-shape twins of q_dsir / q_nb_quality /
     // q_dup_passages (8-byte hashed keys in the shuffles); exact-variant
     // oracles + row-identity/agreement tests pin their semantics
@@ -1717,8 +1753,10 @@ object Queries {
     // shuffles; correctness pinned by the exact twins + agreement tests
     "q_dsir_hashed" -> (q_dsir_hashed _),
     "q_dup_passages_hashed" -> (q_dup_passages_hashed _),
-    // NB quality classifier (fastText stand-in): exact + hashed model
+    // NB quality classifier (fastText stand-in): exact + hashed model,
+    // plus the persisted fit-once/score-many artifact path
     "q_nb_quality" -> (q_nb_quality _),
-    "q_nb_quality_hashed" -> (q_nb_quality_hashed _)
+    "q_nb_quality_hashed" -> (q_nb_quality_hashed _),
+    "q_nb_model" -> (q_nb_model _)
   )
 }

@@ -208,6 +208,21 @@ object Selection {
   private def docFeatures(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int, carry: Seq[String] = Nil): DataFrame = {
     val keep = (idCol +: carry).map(F.col)
+    docFeatureRows(df, idCol, textCol, numBuckets, carry)
+      .groupBy(keep :+ F.col("feat"): _*).agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** Pre-aggregation face of [[docFeatures]]: one row per feature
+    * OCCURRENCE (no per-doc tf collapse) — the stateless shape a
+    * STREAMING consumer needs, where a `groupBy` here would be a second
+    * stateful aggregation (sums over occurrences equal sums over
+    * (feat, tf) pairs by associativity, so consumers are free to
+    * re-aggregate at whatever key the sink requires).
+    */
+  private[graft] def docFeatureRows(df: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(F.col)
     val keyed =
       if (numBuckets > 0) {
         // fused native path: the hashed unigram+bigram feature bag IS the
@@ -241,7 +256,6 @@ object Selection {
       // inferred isnotnull(feat) cannot split the shared feature stage
       // into non-canonical per-consumer copies (see bigramLogLoss)
       .filter(F.col("feat").isNotNull)
-      .groupBy(keep :+ F.col("feat"): _*).agg(F.count(F.lit(1)).as("n"))
   }
 
   /** DSIR importance log-weights (Xie et al. 2023): score each `raw` doc
@@ -356,6 +370,21 @@ object Selection {
   def nbClassifierScore(labeled: DataFrame, toScore: DataFrame,
       idCol: String, textCol: String, labelCol: String,
       numBuckets: Int = 1 << 16, smoothing: Double = 1.0): DataFrame = {
+    val (llr, params) = nbFit(labeled, idCol, textCol, labelCol,
+      numBuckets, smoothing)
+    nbScoreJoin(docFeatures(toScore, idCol, textCol, numBuckets),
+      llr, params, idCol)
+  }
+
+  /** Lazy model fit shared by [[nbClassifierScore]] and [[saveNbModel]]:
+    * returns (llr: (feat, __llr), params: ONE row with totals __tp/__tn,
+    * vocab __v, doc counts __np/__nn, smoothing __s and feature flavor
+    * __numBuckets — the model is self-describing, so a loaded model needs
+    * no caller-side hyperparameters). No action is triggered here.
+    */
+  private def nbFit(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int,
+      smoothing: Double): (DataFrame, DataFrame) = {
     require(smoothing > 0, s"smoothing must be positive, got $smoothing")
     val s = F.lit(smoothing)
     // per-feature class counts: one aggregate over one tokenizer pass
@@ -371,28 +400,111 @@ object Selection {
         F.col("cpos"))).cast("double").as("__tp"),
       F.sum("cneg").cast("double").as("__tn"),
       F.count(F.lit(1)).cast("double").as("__v"))
-    val llr = counts.crossJoin(F.broadcast(stats))
-      .select(F.col("feat"),
-        (F.log((F.col("cpos") + s) / (F.col("__tp") + s * F.col("__v"))) -
-          F.log((F.col("cneg") + s) / (F.col("__tn") + s * F.col("__v"))))
-          .as("__llr"))
     // label-only scan: prunes to one boolean column, no tokenization
     val prior = labeled.agg(
       F.sum(F.when(F.col(labelCol), 1L).otherwise(0L)).cast("double")
         .as("__np"),
       F.sum(F.when(!F.col(labelCol), 1L).otherwise(0L)).cast("double")
         .as("__nn"))
+    val params = stats.crossJoin(prior)
+      .withColumn("__s", s)
+      .withColumn("__numBuckets", F.lit(numBuckets))
+    // llr consumes the SAME 1-row params frame every other consumer
+    // broadcasts — one canonical broadcast exchange, so AQE reuses it
+    // instead of recomputing the stats subtree per consumer (a separate
+    // broadcast(stats) made the final plan kernel-scan the labeled corpus
+    // an extra time; plan-pinned in PipelineSpec)
+    val llr = counts.crossJoin(F.broadcast(params))
+      .select(F.col("feat"),
+        (F.log((F.col("cpos") + s) / (F.col("__tp") + s * F.col("__v"))) -
+          F.log((F.col("cneg") + s) / (F.col("__tn") + s * F.col("__v"))))
+          .as("__llr"))
+    (llr, params)
+  }
+
+  /** Shared scoring tail: left-join doc features to the model, fall back
+    * to the unseen ratio, re-aggregate per doc with the prior folded into
+    * the SAME aggregate (`first` of a params-constant — a second params
+    * consumer after the groupBy cannot be column-pruned past the
+    * cross-join cardinality, so Catalyst keeps a degenerate copy of the
+    * whole stats subtree including an extra corpus scan; plan-pinned).
+    * `params` is one row and rides as ONE reused broadcast — never a
+    * shuffle key.
+    */
+  private def nbScoreJoin(sfeats: DataFrame, llr: DataFrame,
+      params: DataFrame, idCol: String): DataFrame = {
+    val s = F.col("__s")
     val unseen =
       F.log(F.col("__tn") + s * F.col("__v")) -
         F.log(F.col("__tp") + s * F.col("__v"))
-    docFeatures(toScore, idCol, textCol, numBuckets)
+    sfeats
       .join(llr, Seq("feat"), "left_outer")
-      .crossJoin(F.broadcast(stats))
+      .crossJoin(F.broadcast(params))
       .groupBy(idCol)
-      .agg(F.sum(F.col("n") * F.coalesce(F.col("__llr"), unseen)).as("__fs"))
-      .crossJoin(F.broadcast(prior))
-      .select(F.col(idCol),
-        (F.col("__fs") +
-          F.log((F.col("__np") + s) / (F.col("__nn") + s))).as("nb_score"))
+      .agg((F.sum(F.col("n") * F.coalesce(F.col("__llr"), unseen)) +
+        F.first(F.log((F.col("__np") + s) / (F.col("__nn") + s))))
+        .as("nb_score"))
+  }
+
+  /** Persist a fitted NB model — the fit-once/score-many serving shape
+    * (same contract as the IVF index family: training cost is paid at
+    * build, probes/scoring read the artifact). Layout: `path/llr` is the
+    * (feat, __llr) table (never collected — written distributed),
+    * `path/_params` the self-describing 1-row parameter sidecar.
+    */
+  def saveNbModel(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, path: String, numBuckets: Int = 1 << 16,
+      smoothing: Double = 1.0): Unit = {
+    val (llr, params) = nbFit(labeled, idCol, textCol, labelCol,
+      numBuckets, smoothing)
+    llr.write.mode("overwrite").parquet(s"$path/llr")
+    params.repartition(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Score a frame against a persisted NB model ([[saveNbModel]]). The
+    * only driver-side read is the feature flavor (`__numBuckets`) from the
+    * 1-row sidecar — it decides the query PLAN (exact strings vs hashed
+    * kernel), so it cannot stay lazy; bounded by construction (same class
+    * as the IVF centroid load). The llr table itself streams through the
+    * feature join, never the driver.
+    */
+  def scoreWithNbModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, toScore: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val params = spark.read.parquet(s"$path/_params")
+    val numBuckets = params.select("__numBuckets").head().getInt(0)
+    nbScoreJoin(docFeatures(toScore, idCol, textCol, numBuckets),
+      spark.read.parquet(s"$path/llr"), params, idCol)
+  }
+
+  /** Streaming face of [[scoreWithNbModel]]: per-occurrence feature rows
+    * (stateless explode — [[docFeatureRows]]; a per-doc tf pre-aggregate
+    * here would be a SECOND stateful aggregation, which streaming append
+    * mode forbids), stream-static join to the model on the feature key, a
+    * literal-key broadcast join to the 1-row params, then ONE watermarked
+    * tumbling aggregation per (window, doc) emitting
+    * `prior + sum(llr-or-unseen)`. State is bounded by the watermark; the
+    * model is resolved per micro-batch from the artifact, never collected.
+    */
+  def scoreStreamWithNbModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, width: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame = {
+    val params = spark.read.parquet(s"$path/_params")
+    val numBuckets = params.select("__numBuckets").head().getInt(0)
+    val s = F.col("__s")
+    val unseen =
+      F.log(F.col("__tn") + s * F.col("__v")) -
+        F.log(F.col("__tp") + s * F.col("__v"))
+    val prior = F.log((F.col("__np") + s) / (F.col("__nn") + s))
+    docFeatureRows(stream, idCol, textCol, numBuckets, carry = Seq(tsCol))
+      .join(spark.read.parquet(s"$path/llr"), Seq("feat"), "left_outer")
+      .withColumn("__pk", F.lit(1))
+      .join(F.broadcast(params.withColumn("__pk", F.lit(1))), "__pk")
+      .withWatermark(tsCol, lateness)
+      .groupBy(F.window(F.col(tsCol), width), F.col(idCol))
+      .agg((F.sum(F.coalesce(F.col("__llr"), unseen)) + F.first(prior))
+        .as("nb_score"))
+      .select(F.col("window"), F.col(idCol), F.col("nb_score"))
   }
 }

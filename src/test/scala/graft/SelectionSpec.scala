@@ -252,6 +252,54 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("persisted NB model reproduces the in-plan classifier scores") {
+    val expected = nbScores(numBuckets = 0)
+    // exact flavor round-trip
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nbmodel").toString + "/model"
+    Selection.saveNbModel(nbCorpus.filter(F.col("id") < 160),
+      "id", "text", "lab", dir, numBuckets = 0)
+    val got = Selection.scoreWithNbModel(spark, dir,
+        nbCorpus.filter(F.col("id") >= 160), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (_, s)) => got(id) shouldBe s +- 1e-9 }
+    // the artifact is self-describing: a model saved hashed must drive the
+    // hashed feature plan on load (collision-free width -> same scores)
+    val dirH = java.nio.file.Files
+      .createTempDirectory("graft-nbmodelh").toString + "/model"
+    Selection.saveNbModel(nbCorpus.filter(F.col("id") < 160),
+      "id", "text", "lab", dirH, numBuckets = 1 << 20)
+    val gotH = Selection.scoreWithNbModel(spark, dirH,
+        nbCorpus.filter(F.col("id") >= 160), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    expected.foreach { case (id, (_, s)) => gotH(id) shouldBe s +- 1e-9 }
+  }
+
+  test("streaming NB scoring == batch scoring (end-to-end readStream)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nbstream").toString
+    Selection.saveNbModel(nbCorpus.filter(F.col("id") < 160),
+      "id", "text", "lab", s"$dir/model", numBuckets = 0)
+    val scoreDocs = nbCorpus.filter(F.col("id") >= 160)
+      .withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    scoreDocs.write.mode("overwrite").parquet(s"$dir/docs")
+    val stream = spark.readStream.schema(scoreDocs.schema)
+      .parquet(s"$dir/docs")
+    val q = Selection.scoreStreamWithNbModel(spark, s"$dir/model",
+        stream, "id", "text", "ts", width = "1 day")
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("nb_stream").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val batch = Selection.scoreWithNbModel(spark, s"$dir/model",
+        scoreDocs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe batch.keySet
+    batch.foreach { case (id, s) => got(id) shouldBe s +- 1e-9 }
+  }
+
   test("NB classifier handles novel vocabulary: prior + n * unseen-ratio") {
     import spark.implicits._
     // train vocab: {good, fine, bad, poor} + bigrams; the scored doc
