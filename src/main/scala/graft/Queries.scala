@@ -424,6 +424,19 @@ object Queries {
       "embedding", k = 10, nProbe = 8, shortlist = 50)
   }
 
+  /** Sparse random projection (Achlioptas JL, s = 4) of the embeddings to
+    * 8 dims, long form (vec_id, pos, v) — the md5-derived projection
+    * matrix is engine-replayable, so this gets a full DuckDB oracle
+    * (matrix rebuilt in SQL from the same md5 keys, matvec as a
+    * join-aggregate). 1-based pos to match q_embed_centroids.
+    */
+  def q_random_project(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col"), 6).as("v"))
+
   /** Per-label mean embedding (class centroids) in long (label, pos, mean)
     * form — the prototype builder for classification probes / cluster
     * summaries. Exchange carries |labels|·dim aggregate rows after
@@ -1286,6 +1299,23 @@ object Queries {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
         |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
         |GROUP BY label, i""".stripMargin,
+    "q_random_project" ->
+      """WITH mat AS (
+        |  SELECT i, j,
+        |    CASE substr(md5('graft_' || CAST(i AS VARCHAR) || '_'
+        |                    || CAST(j AS VARCHAR)), 1, 1)
+        |      WHEN '0' THEN 1.0 WHEN '2' THEN 1.0
+        |      WHEN '1' THEN -1.0 WHEN '3' THEN -1.0
+        |      ELSE 0.0 END * sqrt(4.0 / 8.0) AS w
+        |  FROM generate_series(0, 63) AS ti(i)
+        |  CROSS JOIN generate_series(0, 7) AS tj(j)
+        |), e AS (
+        |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) AS t(i)
+        |)
+        |SELECT e.vec_id, CAST(mat.j + 1 AS BIGINT) AS pos,
+        |  round(sum(e.x * mat.w), 6) AS v
+        |FROM e JOIN mat USING (i) GROUP BY 1, 2""".stripMargin,
     "q_langid_eval" ->
       s"""$textSignalsCte
         |SELECT d.lang, s.lang_pred, count(*) AS n
@@ -1639,6 +1669,7 @@ object Queries {
     "q_knn_pq" -> (q_knn_pq _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_embed_centroids" -> (q_embed_centroids _),
+    "q_random_project" -> (q_random_project _),
     "q_langid_eval" -> (q_langid_eval _),
     "q_dup_by_source" -> (q_dup_by_source _),
     "q_doc_embed" -> (q_doc_embed _),
@@ -1734,6 +1765,7 @@ object Queries {
     "q_text_quality" -> (q_text_quality _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_embed_centroids" -> (q_embed_centroids _),
+    "q_random_project" -> (q_random_project _),
     "q_langid_eval" -> (q_langid_eval _),
     "q_dup_by_source" -> (q_dup_by_source _),
     "q_dedup_lines" -> (q_dedup_lines _),

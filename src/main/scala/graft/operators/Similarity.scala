@@ -691,6 +691,50 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- random projection (JL) ------------------------------------------
+
+  /** Sparse random projection (Achlioptas 2003's database-friendly
+    * Johnson-Lindenstrauss transform, s = 4): project `inDim`-dim vectors
+    * to `outDim` dims through a deterministic sparse ±1 matrix derived
+    * from md5 — entry w(i,j) comes from the first hex char of
+    * `md5("<salt>_<i>_<j>")`: '0'/'2' → +1, '1'/'3' → −1, anything else
+    * 0 (P(±1) = 1/(2s) = 1/8 each), scaled by sqrt(s/outDim) so squared
+    * norms are preserved in expectation (E[‖Px‖²] = ‖x‖², since
+    * E[w²] = 2/(2s) = 1/s; unbiasedness is test-pinned on the corpus).
+    * Deriving entries from md5 keys makes the matrix ENGINE-REPLAYABLE —
+    * any SQL engine reproduces it character-for-character (the
+    * q_random_project oracle does) — unlike PRNG-seeded matrices.
+    *
+    * SCALE: the matrix is driver-generated literals (outDim·inDim
+    * entries — bounded by construction, independent of data); the
+    * projection itself is outDim codegen'd native dot kernels per row —
+    * one scan, no shuffle, no UDF, no driver data collect. This is the
+    * standard compression stage in front of LSH/IVF bucketing when raw
+    * embedding dims are wide. Returns (idCol, proj: array<double>).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, salt: String = "graft"): DataFrame = {
+    require(inDim > 0, s"inDim must be positive, got $inDim")
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def entry(i: Int, j: Int): Double = {
+      // first lowercase-hex char of the digest = high nibble of byte 0
+      val nib = (md.digest(s"${salt}_${i}_${j}".getBytes("UTF-8"))(0) >> 4) & 0xf
+      nib match {
+        case 0 | 2 => 1.0
+        case 1 | 3 => -1.0
+        case _ => 0.0
+      }
+    }
+    val scale = math.sqrt(4.0 / outDim)
+    val dots = (0 until outDim).map { j =>
+      val w = Array.tabulate(inDim)(i => entry(i, j) * scale)
+      dot(F.col(vecCol), F.array(w.map(F.lit): _*))
+    }
+    df.select(F.col(idCol), F.array(dots: _*).as("proj"))
+  }
+
   // ---- product quantization (PQ) ---------------------------------------
 
   /** Train PQ codebooks: split the `dim`-dimensional space into `m`

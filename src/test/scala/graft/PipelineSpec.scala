@@ -231,6 +231,26 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val sPlan = finalPlan(Similarity.semDedup(emb, "vec_id", "embedding",
       nClusters = 4, threshold = 0.99))
     sPlan should not include "CartesianProduct"
+    // random projection: a pure scan-side projection — outDim native dot
+    // kernels, one scan, NO shuffle of any kind
+    val rpPlan = finalPlan(Similarity.randomProject(
+      emb, "vec_id", "embedding", inDim = 64, outDim = 8))
+    "dot_product".r.findAllIn(rpPlan).size shouldBe 8
+    "FileScan parquet".r.findAllIn(rpPlan).size shouldBe 1
+    rpPlan should not include "Exchange"
+  }
+
+  test("randomProject preserves squared norms in expectation (JL unbiased)") {
+    val emb = Tables.embeddings(spark, sf)
+    def sq(c: org.apache.spark.sql.Column) =
+      F.aggregate(c.cast("array<double>"), F.lit(0.0), (a, x) => a + x * x)
+    val ratio = Similarity.randomProject(
+        emb, "vec_id", "embedding", inDim = 64, outDim = 16)
+      .join(emb, "vec_id")
+      .select((sq(F.col("proj")) / sq(F.col("embedding"))).as("r"))
+      .agg(F.avg("r")).head().getDouble(0)
+    // E[r] = 1 exactly; the corpus mean over 500 vectors concentrates
+    ratio shouldBe 1.0 +- 0.15
   }
 
   test("packing: pack totals land within one chunk of the budget") {
