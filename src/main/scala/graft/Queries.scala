@@ -798,21 +798,43 @@ object Queries {
   private val nbModelDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def q_nb_model(s: SparkSession, d: String): DataFrame = {
-    def split = Selection.hashSplit(Tables.documents(s, d), "doc_id",
+  private def nbSplit(s: SparkSession, d: String): DataFrame =
+    Selection.hashSplit(Tables.documents(s, d), "doc_id",
       Seq("train" -> 0.8, "score" -> 0.2))
-    val path = nbModelDirs.computeIfAbsent(d, _ => {
+
+  private def nbModelPath(s: SparkSession, d: String): String =
+    nbModelDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-nbmodel-reg").toString + "/model"
       Selection.saveNbModel(
-        split.filter(col("split") === "train")
+        nbSplit(s, d).filter(col("split") === "train")
           .withColumn("__lab", col("lang") === "en"),
         "doc_id", "text", "__lab", dir, numBuckets = 0)
       dir
     })
-    Selection.scoreWithNbModel(s, path,
-        split.filter(col("split") === "score"), "doc_id", "text")
+
+  def q_nb_model(s: SparkSession, d: String): DataFrame =
+    Selection.scoreWithNbModel(s, nbModelPath(s, d),
+        nbSplit(s, d).filter(col("split") === "score"), "doc_id", "text")
       .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
+
+  /** The STREAMING NB-scoring plan ([[Selection.scoreStreamWithNbModel]])
+    * executed in batch mode — the same stateless-explode → model-join →
+    * windowed-aggregation plan the streaming face runs (Catalyst's
+    * EliminateEventTimeWatermark drops only the watermark node on batch
+    * children), over deterministic per-doc event times derived from
+    * doc_id. Oracle-checkable end-to-end: the NB score replay plus the
+    * tumbling-window floor — the windowed aggregation must reproduce the
+    * per-doc classifier exactly (each doc's feature rows share one
+    * timestamp, so the (window, doc) sum IS the doc score plus prior).
+    */
+  def q_nb_stream_batch(s: SparkSession, d: String): DataFrame = {
+    val scoreDocs = nbSplit(s, d).filter(col("split") === "score")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    Selection.scoreStreamWithNbModel(s, nbModelPath(s, d), scoreDocs,
+        "doc_id", "text", "ts", width = "1 hour", lateness = "1 hour")
+      .select(unix_timestamp(col("window.start")).as("ws"), col("doc_id"),
+        round(col("nb_score"), 6).as("nb_score"))
   }
 
   /** Per-doc interpolated-bigram cross-entropy (CCNet-style LM quality
@@ -853,6 +875,36 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Serving face of [[q_semdedup]]: centroids trained ONCE per
+    * scale-factor dir into a persisted artifact
+    * ([[Similarity.saveSemDedupCentroids]] — build-once/score-many; in the
+    * bench the warm run times the dedup alone, per-call k-means gone),
+    * then the same planted-pair corpus deduped against the frozen
+    * clustering. Rows-only (k-means centroids are not SQL-expressible);
+    * identity with the inline path + keep policy pinned in PipelineSpec.
+    */
+  private val semDedupCentroidDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_semdedup_model(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val path = semDedupCentroidDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-semdedup-reg").toString + "/centroids"
+      Similarity.saveSemDedupCentroids(corpus, "vec_id", "embedding", dir,
+        nClusters = 8)
+      dir
+    })
+    Similarity.semDedupWithCentroids(s, path, corpus, "vec_id", "embedding",
+        threshold = 0.99)
+      .select(col("vec_id"))
+  }
+
   /** Hashed-feature DSIR twin of [[q_dsir]] (rows-only: xxhash64 buckets
     * are not SQL-replayable; agreement with the exact variant is pinned
     * in SelectionSpec).
@@ -862,6 +914,42 @@ object Queries {
     Selection.dsirLogWeights(docsDf,
       docsDf.filter(col("lang") === "fr"), "doc_id", "text",
       numBuckets = 1 << 16)
+  }
+
+  /** Per-doc BPE token counts under a corpus-trained merge table
+    * ([[TextAnalysis.trainBpeMerges]] + the native `bpe_count` kernel) —
+    * production-tokenizer arithmetic for budget caps and packing. The
+    * vocabulary is trained ONCE per scale-factor dir (driver-side on a
+    * bounded hash sample, the fit-once contract); the count itself is one
+    * codegen'd kernel call per row. Rows-only: the greedy lowest-rank
+    * merge loop is not SQL-expressible (sequential replay diverges when a
+    * merge creates a lower-rank pair); segmentation semantics are pinned
+    * in PipelineSpec against hand-computed fixtures.
+    */
+  private val bpeVocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  def q_bpe_count(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeVocabDirs.computeIfAbsent(d, _ =>
+      TextAnalysis.trainBpeMerges(Tables.documents(s, d), "text",
+        numMerges = 200))
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.subwordCountBpe(col("text"), merges).as("n_bpe"))
+  }
+
+  /** The DSIR resampler itself ([[Selection.dsirSelect]]) — the operator a
+    * selection pipeline actually calls: Gumbel-top-k over the importance
+    * log-weights (hash-derived noise, deterministic, TakeOrdered — no
+    * global sort). Rows-only: xxhash64 noise/buckets are not
+    * SQL-replayable; determinism and target-distribution enrichment are
+    * pinned in SelectionSpec.
+    */
+  def q_dsir_select(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d)
+    Selection.dsirSelect(docsDf, docsDf.filter(col("lang") === "fr"),
+        "doc_id", "text", k = 100, numBuckets = 1 << 16)
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+        round(col("score"), 6).as("score"))
   }
 
   /** Hashed-span twin of [[q_dup_passages]] (rows-only; row identity with
@@ -1572,7 +1660,15 @@ object Queries {
         |GROUP BY d.doc_id""".stripMargin,
     "q_nb_quality" -> nbQualitySql,
     // the persisted-model path must reproduce the in-plan path exactly
-    "q_nb_model" -> nbQualitySql
+    "q_nb_model" -> nbQualitySql,
+    // the streaming plan run in batch: same NB score, plus the tumbling
+    // 1-hour window floor over ts = epoch 1704067200 + doc_id seconds
+    "q_nb_stream_batch" ->
+      s"""$nbQualityCtes
+        |SELECT CAST(floor((1704067200 + sc.doc_id) / 3600) * 3600 AS BIGINT) AS ws,
+        |  sc.doc_id,
+        |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
+        |FROM scored sc, prior p""".stripMargin
   )
 
   /** Shared DuckDB replay of the NB quality classifier (exact feature
@@ -1580,6 +1676,15 @@ object Queries {
     * log-ratios with the unseen fallback, doc-count prior.
     */
   private lazy val nbQualitySql: String =
+    s"""$nbQualityCtes
+      |SELECT sc.doc_id,
+      |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
+      |FROM scored sc, prior p""".stripMargin
+
+  /** The NB replay's CTE chain (through `scored`/`prior`), shared by the
+    * plain, persisted-model and windowed-stream-batch oracle faces.
+    */
+  private lazy val nbQualityCtes: String =
       s"""WITH split AS (
         |  SELECT doc_id, lang, text,
         |    substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc'
@@ -1623,10 +1728,7 @@ object Queries {
         |      ln(s.tn + 1.0 * s.v) - ln(s.tp + 1.0 * s.v))) AS fs
         |  FROM docfeat d LEFT JOIN llr l ON d.f = l.f CROSS JOIN stats s
         |  GROUP BY 1
-        |)
-        |SELECT sc.doc_id,
-        |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
-        |FROM scored sc, prior p""".stripMargin
+        |)""".stripMargin
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),
@@ -1700,6 +1802,12 @@ object Queries {
     "q_gopher" -> (q_gopher _),
     "q_dsir" -> (q_dsir _),
     "q_semdedup" -> (q_semdedup _),
+    // round-6: the build-once serving faces + the resampler + the
+    // streaming plan's batch face
+    "q_semdedup_model" -> (q_semdedup_model _),
+    "q_dsir_select" -> (q_dsir_select _),
+    "q_nb_stream_batch" -> (q_nb_stream_batch _),
+    "q_bpe_count" -> (q_bpe_count _),
     "q_bigram_ll" -> (q_bigram_ll _),
     "q_dup_passages" -> (q_dup_passages _),
     "q_nb_quality" -> (q_nb_quality _),
@@ -1712,83 +1820,15 @@ object Queries {
     "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
   )
 
-  /** Headline subset for the bench harness (each run twice; warm time
-    * reported). Kept separate from [[registry]] so correctness coverage can
-    * grow without inflating the bench run.
+  /** The bench harness runs the FULL registry (each query twice; warm time
+    * reported): a plan regression on ANY registered operator — including
+    * the cheap parity queries and the ANN serving paths — shows up in
+    * BENCH_r{N}.json instead of being invisible because the query wasn't
+    * on a headline shortlist. Kept as its own `def` so a future round can
+    * still bench non-registry shapes without touching the correctness
+    * registry.
     */
-  def benchRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1_agg _),
-    "q_groupagg_sum" -> (q_groupagg_sum _),
-    "q_agg_concat" -> (q_agg_concat _),
-    "q_sort_take" -> (q_sort_take _),
-    "q_melt" -> (q_melt _),
-    "q_join3" -> (q_join3 _),
-    "q_dedup_exact" -> (q_dedup_exact _),
-    "q_dedup_near" -> (q_dedup_near _),
-    "q_knn" -> (q_knn _),
-    "q_text_stats" -> (q_text_stats _),
-    "q_tfidf" -> (q_tfidf _),
-    "q_bm25" -> (q_bm25 _),
-    "q_asof" -> (q_asof _),
-    "q_asof_fwd" -> (q_asof_fwd _),
-    "q_events_window" -> (q_events_window _),
-    "q_cast_pivot" -> (q_cast_pivot _),
-    "q_pipeline" -> (q_pipeline _),
-    "q_events_sessions" -> (q_events_sessions _),
-    "q_transform" -> (q_transform _),
-    "q_set_except" -> (q_set_except _),
-    "q_dedup_clusters" -> (q_dedup_clusters _),
-    "q_dedup_jaccard" -> (q_dedup_jaccard _),
-    "q_text_repetition" -> (q_text_repetition _),
-    "q_curate" -> (q_curate _),
-    "q_unigram_ll" -> (q_unigram_ll _),
-    "q_ngram_top" -> (q_ngram_top _),
-    "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
-    "q_corpus_stats" -> (q_corpus_stats _),
-    "q_perplexity_band" -> (q_perplexity_band _),
-    "q_knn_pq" -> (q_knn_pq _),
-    // round-5 additions: the remaining registry families (contamination,
-    // packing, retrieval top-k, per-key top-k, histograms, sliding windows,
-    // set intersect, streaming-gate batch face, custom fold, text signals)
-    // plus the persisted IVF-PQ probe (built once per dir — the warm
-    // second run times the probe alone, the serving-path latency).
-    "q_contamination" -> (q_contamination _),
-    "q_pack" -> (q_pack _),
-    "q_bm25_search" -> (q_bm25_search _),
-    "q_top_per_key" -> (q_top_per_key _),
-    "q_token_histogram" -> (q_token_histogram _),
-    "q_events_sliding" -> (q_events_sliding _),
-    "q_set_intersect" -> (q_set_intersect _),
-    "q_curate_stream_batch" -> (q_curate_stream_batch _),
-    "q_agg_fold" -> (q_agg_fold _),
-    "q_text_stats" -> (q_text_stats _),
-    "q_text_quality" -> (q_text_quality _),
-    "q_knn_ivfpq" -> (q_knn_ivfpq _),
-    "q_embed_centroids" -> (q_embed_centroids _),
-    "q_random_project" -> (q_random_project _),
-    "q_langid_eval" -> (q_langid_eval _),
-    "q_dup_by_source" -> (q_dup_by_source _),
-    "q_dedup_lines" -> (q_dedup_lines _),
-    "q_interval_join" -> (q_interval_join _),
-    "q_events_props" -> (q_events_props _),
-    // round-5 additions: data selection (split/caps/gopher/DSIR), semantic
-    // dedup, bigram LM scoring, duplicated-passage profiling
-    "q_split" -> (q_split _),
-    "q_token_budget" -> (q_token_budget _),
-    "q_gopher" -> (q_gopher _),
-    "q_dsir" -> (q_dsir _),
-    "q_semdedup" -> (q_semdedup _),
-    "q_bigram_ll" -> (q_bigram_ll _),
-    "q_dup_passages" -> (q_dup_passages _),
-    // scale-path variants: hashed keys are what a 100 TB run would use —
-    // only 8-byte keys (not span strings / n-gram strings) enter the
-    // shuffles; correctness pinned by the exact twins + agreement tests
-    "q_dsir_hashed" -> (q_dsir_hashed _),
-    "q_dup_passages_hashed" -> (q_dup_passages_hashed _),
-    // NB quality classifier (fastText stand-in): exact + hashed model,
-    // plus the persisted fit-once/score-many artifact path
-    "q_nb_quality" -> (q_nb_quality _),
-    "q_nb_quality_hashed" -> (q_nb_quality_hashed _),
-    "q_nb_model" -> (q_nb_model _)
-  )
+  def benchRegistry: Map[String, (SparkSession, String) => DataFrame] =
+    registry
+
 }

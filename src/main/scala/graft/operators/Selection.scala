@@ -144,33 +144,35 @@ object Selection {
     *
     * SCALE: no shuffle — the battery is a scan-side filter; at 100 TB this
     * is the cheap first gate that runs before any dedup shuffle (compose
-    * via `.filter(col("gopher_pass"))`).
+    * via `.filter(col("gopher_pass"))`). All ten signals come from ONE
+    * fused native kernel pass over the raw text
+    * ([[graft.functions.GopherStats]] — a single character scan, no regex
+    * engine, inside whole-stage codegen), materialized to an attribute so
+    * the kernel evaluates once per row. The alternatives both lose:
+    * per-line/per-word HOF lambdas are CodegenFallback (interpreted
+    * regexes), and whole-text `regexp_count`/`rlike` formulations stay in
+    * codegen but run ~11 separate regex scans per row (measured 1.7× the
+    * HOF version). Kernel-once + no-lambdafunction are plan-pinned, and
+    * the kernel's counters are equivalence-tested against both regex
+    * formulations in SelectionSpec.
     */
   def gopherRules(df: DataFrame, textCol: String): DataFrame = {
-    val text = F.col(textCol)
-    val inner = df
-      .withColumn("__ws", F.filter(F.split(text, "\\s+"), w => F.length(w) > 0))
-      .withColumn("__ls", F.split(text, "\n"))
-      .withColumn("__ts", TextAnalysis.tokens(text))
-    val wc = F.size(F.col("__ws")).cast("double")
-    val nl = F.size(F.col("__ls")).cast("double")
-    // counts via length deltas — no regex scan for the fixed symbols
-    def occurrences(needle: String): Column =
-      ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) /
-        needle.length).cast("double")
-    val symbolCount = occurrences("#") + occurrences("...") + occurrences("…")
-    val bulletLines =
-      F.size(F.filter(F.col("__ls"), l => l.rlike("^\\s*[-*•]"))).cast("double")
-    val ellipsisLines =
-      F.size(F.filter(F.col("__ls"), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
-    val alphaWords =
-      F.size(F.filter(F.col("__ws"), w => w.rlike("\\p{L}"))).cast("double")
-    val meanWl = F.when(wc > 0,
-      F.aggregate(F.col("__ws"), F.lit(0L), (acc, w) => acc + F.length(w))
-        .cast("double") / wc)
-    val stopHits = GopherStopwords
-      .map(s => F.when(F.array_contains(F.col("__ts"), s), 1).otherwise(0))
-      .reduce(_ + _)
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // attribute materialization behind a Generate barrier: every rule
+    // reads the SAME kernel output (a bare withColumn gets inlined into
+    // all ~26 rule references by CollapseProject — Hygiene.attributeBarrier
+    // pins exactly one evaluation; plan-pinned in SelectionSpec)
+    val inner = df.withColumn("__g", graft.plans.Hygiene.attributeBarrier(
+      graft.plans.GraftExtensions.callNative("gopher_stats", F.col(textCol))))
+    def g(i: Int): Column = F.get(F.col("__g"), F.lit(i)).cast("double")
+    val wc = g(0)
+    val nl = g(2)
+    val symbolCount = g(6) + g(7) + g(8)
+    val bulletLines = g(3)
+    val ellipsisLines = g(4)
+    val alphaWords = g(5)
+    val meanWl = F.when(wc > 0, g(1) / wc)
+    val stopHits = g(9)
     inner
       .withColumn("r_wc", wc >= 50 && wc <= 100000)
       .withColumn("r_mwl", F.coalesce(meanWl >= 3 && meanWl <= 10, F.lit(false)))
@@ -182,7 +184,7 @@ object Selection {
       .withColumn("gopher_pass",
         F.col("r_wc") && F.col("r_mwl") && F.col("r_symbol") && F.col("r_bullet") &&
           F.col("r_ellipsis") && F.col("r_alpha") && F.col("r_stop"))
-      .drop("__ws", "__ls", "__ts")
+      .drop("__g")
   }
 
   /** Rows passing the full Gopher battery. */

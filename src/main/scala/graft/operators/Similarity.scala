@@ -206,12 +206,33 @@ object Similarity {
         F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
       .orderBy("__h").limit(cap).drop("__h")
 
+  /** The ONE nearest-centroid scoring definition: an array of
+    * (d, cid) structs where `d` is the L2 surrogate `-2·dot + |c|²` (the
+    * |point|² term is constant per row, so it cannot change the argmin —
+    * and lexicographic struct order therefore IS the L2 order with
+    * deterministic cid tie-breaks). Every assignment site — Lloyd
+    * refinement, IVF list assignment, IVF probe bucketing, SemDeDup
+    * clustering — derives from this helper, so build and probe can never
+    * tessellate the space differently. (Max-inner-product assignment is
+    * NOT Lloyd's for unnormalized vectors: large-norm centroids swallow
+    * disproportionate lists — skewed partitions at scale — and probe
+    * recall decays faster with nProbe.) Centroids ride as k·dim literals:
+    * executor-local argmin, no shuffle, no broadcast variable.
+    */
+  private def l2Scored(cents: Array[(Int, Array[Double])],
+      vec: Column): Column =
+    F.array(cents.toSeq.map { case (cid, cv) =>
+      F.struct(
+        (F.lit(cv.map(x => x * x).sum) -
+          F.lit(2.0) * dot(vec.cast("array<double>"), F.array(cv.map(F.lit): _*)))
+          .as("d"),
+        F.lit(cid).as("cid"))
+    }: _*)
+
   /** Lloyd-refine a centroid set against (a bounded sample of) the
     * candidate vectors. Each iteration: distributed nearest-centroid
-    * assignment by LOWEST L2 distance via the `-2·dot + |c|²` trick (the
-    * |point|² term is constant per row, so it cannot change the argmin;
-    * max-inner-product assignment is NOT Lloyd's for unnormalized vectors
-    * and can oscillate) — an expression over centroid literals, no shuffle
+    * assignment by LOWEST L2 distance ([[l2Scored]]) — an expression over
+    * centroid literals, no shuffle
     * of vectors — then per-(cluster, dim) mean via posexplode + aggregate
     * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
     * bounded by construction, never the data). Training runs on a
@@ -229,15 +250,7 @@ object Similarity {
       .localCheckpoint()
     var cents = init
     for (_ <- 1 to iters) {
-      val assignExpr = {
-        val scored = F.array(cents.map { case (cid, cv) =>
-          F.struct(
-            (F.lit(cv.map(x => x * x).sum) -
-              F.lit(2.0) * dot(F.col("__v"), F.array(cv.map(F.lit): _*))).as("d"),
-            F.lit(cid).as("cid"))
-        }: _*)
-        F.array_min(scored).getField("cid")
-      }
+      val assignExpr = F.array_min(l2Scored(cents, F.col("__v"))).getField("cid")
       val means = sample.withColumn("__c", assignExpr)
         .select(F.col("__c"), F.posexplode(F.col("__v")))
         .groupBy("__c", "pos").agg(F.avg("col").as("m"))
@@ -308,20 +321,18 @@ object Similarity {
       seed = sampleSeed)
   }
 
-  /** ids of the `m` highest-dot-product centroids as an array column
-    * (centroids ride along as k·dim literals — executor-local argmax, no
-    * shuffle, no broadcast variable).
+  /** ids of the `m` LOWEST-L2-distance centroids as an array column —
+    * [[l2Scored]] sorted ascending (lexicographic struct order = L2 order,
+    * cid tie-breaks), so list assignment uses the SAME metric the
+    * quantizer trains under ([[kmeansRefine]]/[[lloydL2]]): the lists a
+    * probe walks are exactly the Voronoi cells the L2-trained centroids
+    * tessellate.
     */
   private def nearestCentroids(cents: Array[(Int, Array[Double])],
-      vec: Column, m: Int): Column = {
-    val scored = F.array(cents.toSeq.map { case (cid, cv) =>
-      F.struct(dot(vec.cast("array<double>"), F.array(cv.map(F.lit): _*)).as("d"),
-        F.lit(cid).as("cid"))
-    }: _*)
+      vec: Column, m: Int): Column =
     F.transform(
-      F.slice(F.reverse(F.array_sort(scored)), 1, m),
+      F.slice(F.array_sort(l2Scored(cents, vec)), 1, m),
       s => s.getField("cid"))
-  }
 
   /** Shared probe tail: equi-join bucketed queries with listed candidates,
     * score, per-query top-k.
@@ -434,8 +445,18 @@ object Similarity {
       .write.partitionBy("__list").mode("append").parquet(path)
   }
 
+  /** The assignment metric this version writes and reads. Persisted
+    * centroid artifacts carry it in a `_meta` sidecar: centroid-relative
+    * layouts (IVF list membership, SemDeDup cluster confinement) are only
+    * valid under the metric that produced them, so a probe/append against
+    * an artifact built under a DIFFERENT metric must fail fast — silently
+    * walking max-IP lists with L2 probes loses recall with no error.
+    */
+  private val AssignMetric = "l2"
+
   /** Shared `_centroids` side-table write: nCentroids rows, one tiny file,
-    * one read at probe time.
+    * one read at probe time. Also stamps the `_meta` assignment-metric
+    * sidecar ([[AssignMetric]]).
     */
   private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String, cents: Array[(Int, Array[Double])]): Unit = {
@@ -444,16 +465,35 @@ object Similarity {
       .toDF("cid", "vec")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
+    Seq(AssignMetric).toDF("assign")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
   /** Shared `_centroids` load: bounded driver-side collect, cid-ascending
-    * (assignment correctness depends on the stable order).
+    * (assignment correctness depends on the stable order). Fails fast when
+    * the artifact's `_meta` is missing (built by a pre-metric-stamp
+    * version, which assigned by max inner product) or names a different
+    * assignment metric — the stored layout would not be the tessellation
+    * this version probes.
     */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[(Int, Array[Double])] =
+      path: String): Array[(Int, Array[Double])] = {
+    val assign =
+      try spark.read.parquet(s"$path/_meta").head().getString(0)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          "missing"
+      }
+    require(assign == AssignMetric,
+      s"$path was built under assignment metric '$assign', this version " +
+        s"probes '$AssignMetric' — rebuild the index/centroids before use")
     spark.read.parquet(s"$path/_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+  }
 
   /** Shared `_codebooks` load: m·ksub rows reshaped to cb(j)(c) — bounded
     * driver-side collect.
@@ -637,7 +677,10 @@ object Similarity {
     * SCALE: the quadratic pair stage is confined to one cluster at a time —
     * `nClusters` is the knob that bounds per-cluster candidate counts and
     * must GROW with the corpus (the paper uses ~50k clusters at web scale;
-    * cost is Σ|cluster|², minimized by balanced clusters). Centroids are
+    * cost is Σ|cluster|², minimized by balanced clusters). It is therefore
+    * REQUIRED — a fixed default silently turns into a corpus²/nClusters
+    * funnel when the corpus grows; use [[semDedupAuto]] to derive it from
+    * a count. Centroids are
     * trained on a bounded hash-uniform sample ([[kmeansRefine]], L2
     * assignment) and ride into the executors as literals — no broadcast
     * variable, no extra shuffle for assignment; the cluster-keyed
@@ -645,21 +688,90 @@ object Similarity {
     * self-join sides (AQE stage reuse). Duplicate groups collapse through
     * [[Dedup.nearDupClusters]] (pointer-jumped min-label propagation) and
     * the keep rule is a rank-1 filter (WindowGroupLimit — map-side prune)
-    * over the PAIR-GRAPH members only, never the corpus.
+    * over the PAIR-GRAPH members only, never the corpus. This face
+    * retrains centroids per call; the build-once/score-many serving shape
+    * is [[saveSemDedupCentroids]] + [[semDedupWithCentroids]].
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 64, threshold: Double = 0.95,
+      nClusters: Int, threshold: Double = 0.95,
       refineIters: Int = 2, sampleSeed: Long = 42L): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    semDedupCore(df, idCol, vecCol,
+      trainCentroids(df, idCol, vecCol, nClusters, sampleSeed, refineIters),
+      threshold)
+  }
+
+  /** [[semDedup]] with a scale-safe cluster count derived from the input:
+    * nClusters = max(defaultParallelism, ceil(n / maxRowsPerCluster)), so
+    * the per-cluster quadratic pair stage never covers more than
+    * `maxRowsPerCluster` rows in expectation (cost Σ|cluster|² — ~16M
+    * pair evaluations per cluster at the default) and small inputs still
+    * use every core. Costs one extra count() job — callers that already
+    * know the corpus size should size `nClusters` themselves (the paper
+    * uses ~50k clusters at web scale). Same derivation contract as
+    * [[Packing.packChunksAuto]].
+    */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, maxRowsPerCluster: Long = 4096,
+      refineIters: Int = 2, sampleSeed: Long = 42L): DataFrame = {
+    require(maxRowsPerCluster > 0, "maxRowsPerCluster must be positive")
+    val n = df.count()
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val nClusters = math.max(parallelism,
+      (n + maxRowsPerCluster - 1) / maxRowsPerCluster)
+    semDedup(df, idCol, vecCol,
+      math.min(nClusters, Int.MaxValue.toLong).toInt, threshold,
+      refineIters, sampleSeed)
+  }
+
+  /** Train and PERSIST SemDeDup centroids — the build-once face that makes
+    * incremental corpus hygiene affordable: [[semDedup]] retrains k-means
+    * on every call (fine for one-shot runs, wrong for a recurring
+    * curation cadence), while this pays training once and
+    * [[semDedupWithCentroids]] scores any number of batches against the
+    * frozen clustering. Same `_centroids` + `_meta` sidecar layout as
+    * [[buildIvfIndex]], so the artifact is also a valid IVF warm start.
+    * Same frozen-quantizer contract as [[appendToIvfIndex]]: rebuild on
+    * distribution drift, reuse between rebuilds.
+    */
+  def saveSemDedupCentroids(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nClusters: Int, refineIters: Int = 2,
+      sampleSeed: Long = 42L): Unit = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    writeCentroids(df.sparkSession, path,
+      trainCentroids(df, idCol, vecCol, nClusters, sampleSeed, refineIters))
+  }
+
+  /** [[semDedup]] against centroids persisted by [[saveSemDedupCentroids]]
+    * (or an IVF index root — same sidecar layout): no per-call training,
+    * the only extra cost over the dedup itself is the bounded nClusters-row
+    * centroid load. Fails fast on a metric-mismatched artifact
+    * ([[readCentroids]]).
+    */
+  def semDedupWithCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    semDedupCore(df, idCol, vecCol, readCentroids(spark, path), threshold)
+  }
+
+  /** Shared SemDeDup body: cluster-confined pair stage + component
+    * collapse + keep-most-atypical rank-1 filter, against a FIXED centroid
+    * set (trained per call by [[semDedup]], loaded from an artifact by
+    * [[semDedupWithCentroids]] — one definition, so the two faces cannot
+    * drift).
+    */
+  private def semDedupCore(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    graft.plans.GraftExtensions.register(df.sparkSession)
-    val cents = trainCentroids(df, idCol, vecCol, nClusters, sampleSeed,
-      refineIters)
     // per-row: argmin-L2 cluster id + cosine to that centroid, in ONE
     // literal-array expression (sorts nClusters structs; first field is
-    // the L2 surrogate -2·dot + |c|², so array_sort's lexicographic order
-    // IS the L2 order; ties break on cid then csim deterministically)
+    // the L2 surrogate -2·dot + |c|² — [[l2Scored]]'s metric with the
+    // cosine riding along — so array_sort's lexicographic order IS the L2
+    // order; ties break on cid then csim deterministically)
     val scored = F.array(cents.toSeq.map { case (cid, cv) =>
       val cl = F.array(cv.map(F.lit): _*)
       F.struct(

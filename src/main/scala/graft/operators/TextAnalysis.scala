@@ -45,6 +45,124 @@ object TextAnalysis {
     F.aggregate(ts, F.lit(0L),
       (acc, w) => acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
 
+  // ---- BPE token counting ----------------------------------------------
+
+  /** Token count under a REAL byte-pair-encoding merge table (Sennrich et
+    * al. 2016) — the production-grade sibling of [[subwordCount]]'s
+    * ceil(len/4) estimate: token-budget caps ([[Selection.capTokensPerGroup]])
+    * and sequence packing ([[Packing.packChunks]]) take any count column,
+    * so swapping this in makes their arithmetic match a deployed
+    * tokenizer. One native codegen'd kernel call per row
+    * ([[graft.functions.BpeCount]]); the merge table rides as a driver
+    * literal (bounded: numMerges pairs), never a broadcast, never per-row
+    * state. Unknown characters stay unmerged (1 token/char) — counting
+    * never errors on novel text.
+    */
+  def subwordCountBpe(text: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.GraftExtensions.callNative("bpe_count", text,
+      F.typedLit(merges.map(p => Seq(p._1, p._2))))
+
+  /** The BPE token strings themselves (document order) — inspection face
+    * and test ground truth for [[subwordCountBpe]] (same kernel).
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.GraftExtensions.callNative("bpe_tokens", text,
+      F.typedLit(merges.map(p => Seq(p._1, p._2))))
+
+  /** Learn a BPE merge table from the corpus — classic frequency-greedy
+    * training (Sennrich et al. 2016 alg. 1): start from characters, repeat
+    * `numMerges` times "count adjacent symbol pairs over the word-frequency
+    * dict, fuse the most frequent" (ties break lexicographically, so the
+    * table is deterministic).
+    *
+    * Training is DRIVER-side over a bounded hash-uniform sample
+    * (deliberately — the same contract as [[Similarity.trainPqCodebooks]]:
+    * a merge table needs a representative sample, not the corpus; the
+    * word-frequency dict is one bounded aggregate-collect, uniform across
+    * partitions regardless of physical row order, and the merge loop is
+    * pure Scala, not numMerges Spark jobs). Everything downstream —
+    * counting, capping, packing — is fully distributed through the native
+    * kernel. Vocabulary words are the shared lowercase-alnum tokens, the
+    * same family the kernel segments at count time.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      sampleCap: Int = 10000, seed: Long = 42L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    // bounded deterministic sample: lowest xxhash64(text, seed) texts
+    // (hash on the text itself — no id column required of callers)
+    val sampled = df.select(F.col(textCol).as("__t"),
+        F.xxhash64(F.col(textCol), F.lit(seed)).as("__h"))
+      .orderBy("__h").limit(sampleCap)
+    // word-frequency dict: one aggregate over the sample's tokens;
+    // bounded by the sample's vocabulary, collected once
+    val wordFreq: Array[(String, Long)] = sampled
+      .select(graft.plans.Hygiene.explodeNonEmpty(tokens(F.col("__t"))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words as mutable symbol sequences, weighted by frequency
+    var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      (w.toCharArray.map(String.valueOf), n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // most frequent pair; deterministic lexicographic tie-break
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        val (a, b) = best._1
+        merges += ((a, b))
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Persist a learned merge table as a parquet sidecar (rank, left,
+    * right) — the fit-once/score-many artifact face (same contract as
+    * [[Selection.saveNbModel]]): train the vocabulary once, count against
+    * it from any number of jobs via [[loadBpeVocab]].
+    */
+  def saveBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table ([[saveBpeVocab]]) — bounded driver
+    * collect (numMerges rows), rank-ascending (segmentation correctness
+    * depends on the learned order).
+    */
+  def loadBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+
   /** Character n-gram shingles of the concatenated token stream — the
     * canonical MinHash input. `n` characters per shingle, distinct.
     * (Guarded: `sequence(1, 0)` would generate a DESCENDING [1,0], so a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, PqCodes, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, PqCodes, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -66,6 +66,24 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "pq_codes(vec, codebooks) takes 2 arguments")
         PqCodes(args.head, args(1))
+      }),
+    (FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      { args =>
+        require(args.length == 2, "bpe_count(text, merges) takes 2 arguments")
+        BpeCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      { args =>
+        require(args.length == 1, "gopher_stats(text) takes 1 argument")
+        GopherStats(args.head)
+      }),
+    (FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      { args =>
+        require(args.length == 2, "bpe_tokens(text, merges) takes 2 arguments")
+        BpeTokens(args.head, args(1))
       })
   )
 

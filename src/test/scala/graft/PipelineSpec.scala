@@ -179,10 +179,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       TextAnalysis.bigramLogLoss(docs, "doc_id", "text"))
     tok.r.findAllIn(biPlan).size shouldBe 1
     "FileScan parquet".r.findAllIn(biPlan).size shouldBe 1
-    // gopher battery: a pure scan-side projection — one scan, one
-    // alnum-tokenizer pass (plus the distinct whitespace/line splits)
+    // gopher battery: a pure scan-side projection — one scan, and since
+    // round 6 NO tokenizer/HOF at all (whole-text regexp_count/rlike
+    // formulation; the no-lambdafunction pin lives in SelectionSpec)
     val gPlan = finalPlan(Selection.gopherRules(docs, "text"))
-    tok.r.findAllIn(gPlan).size shouldBe 1
+    tok.r.findAllIn(gPlan).size shouldBe 0
     "FileScan parquet".r.findAllIn(gPlan).size shouldBe 1
     gPlan should not include "CartesianProduct"
     // DSIR (hashed): per corpus side, ONE projection with two fused
@@ -1377,6 +1378,99 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("IVF list assignment is L2: stored lists ARE the centroid Voronoi cells") {
+    import spark.implicits._
+    // wildly varying norms (0.5x to 40x): under max-inner-product
+    // assignment the large-norm centroids swallow most rows; under L2 the
+    // stored lists must equal each row's argmin-L2 centroid exactly
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 300L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val scale = (if (i % 29 == 0) 40.0 else 0.5 + (i % 7) * 0.5).toFloat
+      (i, base.map(_ * scale))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-l2").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", dir, nCentroids = 8,
+      refineIters = 2)
+    val cents = spark.read.parquet(s"$dir/_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val rows = spark.read.parquet(dir)
+      .select("cand_id", "__cv", "__list").collect()
+    rows.length shouldBe 300
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val best = cents.minBy { case (_, c) =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._1
+      r.getInt(2) shouldBe best
+    }
+    // balance: with L2 cells over 8 refined centroids no list may swallow
+    // the corpus (max-IP assignment concentrates large-norm cells)
+    val sizes = rows.groupBy(_.getInt(2)).map(_._2.length)
+    sizes.max should be < 200
+  }
+
+  test("semDedup serving face: frozen centroids reproduce the inline path") {
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), x => x + F.lit(1e-4f)).as("embedding"),
+        F.col("label"))
+    val corpus = emb.unionByName(planted)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semdedup").toString + "/centroids"
+    Similarity.saveSemDedupCentroids(corpus, "vec_id", "embedding", dir,
+      nClusters = 8)
+    val served = Similarity.semDedupWithCentroids(spark, dir, corpus,
+        "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // same knobs -> same trained centroids -> identical kept set
+    val inline = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    served shouldBe inline
+    served.size shouldBe 500
+  }
+
+  test("semDedup planted-pair semantics hold across cluster counts; auto derives") {
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), x => x + F.lit(1e-4f)).as("embedding"),
+        F.col("label"))
+    val corpus = emb.unionByName(planted)
+    // near-identical pairs share a nearest centroid under ANY clustering,
+    // so the one-survivor-per-pair contract is cluster-count-independent
+    for (nc <- Seq(4, 16)) {
+      val kept = Similarity.semDedup(corpus, "vec_id", "embedding",
+          nClusters = nc, threshold = 0.99)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      kept.size shouldBe 500
+      (0L until 20L).foreach { i =>
+        kept(i) ^ kept(i + 10000) shouldBe true
+      }
+    }
+    val auto = Similarity.semDedupAuto(corpus, "vec_id", "embedding",
+        threshold = 0.99, maxRowsPerCluster = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    auto.size shouldBe 500
+  }
+
+  test("centroid artifacts without an assignment-metric stamp fail fast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-meta").toString + "/centroids"
+    // a pre-metric-stamp artifact: _centroids present, no _meta — its lists
+    // were assigned by max inner product, not this version's L2 cells
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cid", "vec")
+      .write.parquet(s"$dir/_centroids")
+    val df = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.semDedupWithCentroids(spark, dir, df, "vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeIvfIndex(spark, dir, df, "vec_id", "embedding", k = 1)
+  }
+
   test("multimodal feature stub emits fixed-dim deterministic vectors") {
     val packed = Multimodal.withFakeMedia(docs.limit(5), "text")
     val f1 = packed.select(Multimodal.featuresStub(F.col("payload")).as("f"))
@@ -1886,6 +1980,74 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // duplicate classes collapse map-side and heavy boilerplate can't
     // funnel one reducer
     p should include("WindowGroupLimit")
+  }
+
+  test("BPE segmentation: hand-computed merges, greedy lowest-rank order") {
+    import spark.implicits._
+    // merges: 0:(a,b), 1:(ab,c), 2:(x,y) — "abc" must fuse THROUGH rank 0
+    // into rank 1's (ab,c): the greedy loop re-checks after every merge
+    // (sequential one-pass replay would stop at [ab, c])
+    val merges = Seq("a" -> "b", "ab" -> "c", "x" -> "y")
+    val df = Seq(
+      (1L, "abc ab xyz"), // abc->1, ab->1, xyz->[xy,z]->2   => 4
+      (2L, "ABC, ab!"),   // lowercased + punctuation-split  => 2
+      (3L, "qqq"),        // no merges apply: 3 chars        => 3
+      (4L, "")            // no tokens                       => 0
+    ).toDF("id", "text")
+    val got = df.select(F.col("id"),
+        TextAnalysis.subwordCountBpe(F.col("text"), merges).as("n"),
+        TextAnalysis.bpeTokens(F.col("text"), merges).as("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[String](2)))
+      .toMap
+    got(1L) shouldBe (4L, Seq("abc", "ab", "xy", "z"))
+    got(2L) shouldBe (2L, Seq("abc", "ab"))
+    got(3L) shouldBe (3L, Seq("q", "q", "q"))
+    got(4L) shouldBe (0L, Seq.empty)
+    // count face == size of token face for every corpus row (one kernel)
+    val agree = docs.select(
+        TextAnalysis.subwordCountBpe(F.col("text"), merges).as("n"),
+        F.size(TextAnalysis.bpeTokens(F.col("text"), merges)).cast("long").as("m"))
+      .filter(F.col("n") =!= F.col("m")).count()
+    agree shouldBe 0L
+  }
+
+  test("BPE training learns frequency-greedy merges; save/load round-trips") {
+    import spark.implicits._
+    // classic fixture: 'lo' dominates (low x5, lower x2), then 'low'
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(2)("newest")).mkString(" ")
+    val df = Seq((1L, corpus)).toDF("id", "text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", numMerges = 3)
+    merges.head shouldBe ("l" -> "o")
+    merges(1) shouldBe ("lo" -> "w")
+    // deterministic across invocations
+    TextAnalysis.trainBpeMerges(df, "text", numMerges = 3) shouldBe merges
+    // segmenting the training corpus with the learned table fuses "low"
+    val toks = df.select(TextAnalysis.bpeTokens(F.col("text"), merges).as("ts"))
+      .head().getSeq[String](0)
+    toks.count(_ == "low") shouldBe 7 // 5x low + the 'low' prefix of lower
+    // artifact round-trip preserves table and order
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/vocab"
+    TextAnalysis.saveBpeVocab(spark, merges, dir)
+    TextAnalysis.loadBpeVocab(spark, dir) shouldBe merges
+    // trainer exhausts gracefully when numMerges exceeds the pair space
+    val tiny = TextAnalysis.trainBpeMerges(
+      Seq((1L, "ab ab")).toDF("id", "text"), "text", numMerges = 50)
+    tiny shouldBe Seq("a" -> "b")
+  }
+
+  test("BPE counts drive token-budget caps and packing unchanged") {
+    import spark.implicits._
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 100)
+    val counted = docs.select(F.col("doc_id"), F.col("source"),
+      TextAnalysis.subwordCountBpe(F.col("text"), merges).as("nt"))
+    val capped = graft.operators.Selection.capTokensPerGroup(
+      counted, "source", "doc_id", F.col("nt"), budget = 2000L)
+    // caps hold under the BPE counter exactly as under any count column
+    capped.groupBy("source").agg(F.max("cum_tokens").as("m"))
+      .collect().foreach(_.getLong(1) should be <= 2000L)
+    capped.count() should be > 0L
   }
 
   test("multi-signal text queries tokenize exactly ONCE per row") {

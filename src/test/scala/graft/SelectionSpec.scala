@@ -174,6 +174,128 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     Selection.gopherFilter(docs, "text").columns should not contain "r_wc"
   }
 
+  test("gopher battery stays in whole-stage codegen: no HOF lambdas in the gate") {
+    // HOF lambdas (ArrayFilter/ArrayAggregate/...) are CodegenFallback; the
+    // gate is positioned as the cheap scan-side filter that runs before any
+    // dedup shuffle, so its signals must execute inside codegen — the plan
+    // must carry no lambdafunction anywhere, and the fused counter kernel
+    // must evaluate exactly ONCE per row (attribute materialization)
+    val q = Selection.gopherRules(docs.select(F.col("doc_id"), F.col("text")),
+      "text").filter(F.col("gopher_pass"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should not include "lambdafunction"
+    "gopher_stats".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("gopher kernel counters == per-line/per-word HOF battery, all rules") {
+    // the fused kernel must reproduce the round-5 HOF formulation's rule
+    // BOOLEANS bit-for-bit on the corpus (the DuckDB oracle replays the
+    // HOF formulation, so kernel == HOF keeps q_gopher green)
+    val text = F.col("text")
+    val ws = F.filter(F.split(text, "\\s+"), w => F.length(w) > 0)
+    val ls = F.split(text, "\n")
+    def occurrences(needle: String) =
+      ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) /
+        needle.length).cast("double")
+    val owc = F.size(ws).cast("double")
+    val onl = F.size(ls).cast("double")
+    val osym = occurrences("#") + occurrences("...") + occurrences("…")
+    val obul = F.size(F.filter(ls, l => l.rlike("^\\s*[-*•]"))).cast("double")
+    val oell = F.size(F.filter(ls, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
+    val oalp = F.size(F.filter(ws, w => w.rlike("\\p{L}"))).cast("double")
+    val omwl = F.when(owc > 0,
+      F.aggregate(ws, F.lit(0L), (acc, w) => acc + F.length(w)).cast("double") / owc)
+    val ostop = Selection.GopherStopwords
+      .map(s => F.when(F.array_contains(
+        graft.operators.TextAnalysis.tokens(text), s), 1).otherwise(0))
+      .reduce(_ + _)
+    import spark.implicits._
+    val tricky = Seq(
+      "  - indented bullet\n\n- after a blank line\nplain text here",
+      "wait... what... ok...\n...\nthe end... \nplain",
+      "1 22 333 #tag №½ x2 α-β the be to of",
+      "- a\n- b\n- c\n   \n\t- tabbed\nnormal line with the and be",
+      "... \n…\t\nno bullets at all, just the usual words to have",
+      ". . .\nx....\n.…\n…. \nends…", // adjacency + mixed-ellipsis edges
+      "#### that... have#with", "", " ", "\n\n\n", passText)
+    val corpus = docs.select(F.col("text")).limit(200)
+      .union(tricky.toDF("text"))
+    val oldRules = corpus.select(
+      (owc >= 50 && owc <= 100000).as("r_wc"),
+      F.coalesce(omwl >= 3 && omwl <= 10, F.lit(false)).as("r_mwl"),
+      F.when(owc > 0, osym / owc <= 0.1).otherwise(F.lit(false)).as("r_symbol"),
+      F.when(onl > 0, obul / onl <= 0.1).otherwise(F.lit(true)).as("r_bullet"),
+      F.when(onl > 0, oell / onl <= 0.3).otherwise(F.lit(true)).as("r_ellipsis"),
+      F.when(owc > 0, oalp / owc >= 0.8).otherwise(F.lit(false)).as("r_alpha"),
+      (ostop >= Selection.GopherMinStopHits).as("r_stop"))
+      .collect().map(_.toSeq)
+    val kernRules = Selection.gopherRules(corpus, "text")
+      .select("r_wc", "r_mwl", "r_symbol", "r_bullet", "r_ellipsis",
+        "r_alpha", "r_stop")
+      .collect().map(_.toSeq)
+    kernRules.toSeq shouldBe oldRules.toSeq
+    // the kernel's embedded stop list must track the published one
+    graft.functions.GopherStatsKernel.Stops.toSeq shouldBe
+      Selection.GopherStopwords
+  }
+
+  test("whole-text gopher formulation == per-line/per-word HOF formulation") {
+    import spark.implicits._
+    // crafted texts that stress the (?m)/lookbehind equivalences: indented
+    // and blank-line-preceded bullets, multiple ellipses per line, letterless
+    // symbol words, consecutive bullet lines, trailing whitespace after '...'
+    val tricky = Seq(
+      "  - indented bullet\n\n- after a blank line\nplain text here",
+      "wait... what... ok...\n...\nthe end... \nplain",
+      "1 22 333 #tag №½ x2 α-β the be to of",
+      "- a\n- b\n- c\n   \n\t- tabbed\nnormal line with the and be",
+      "... \n…\t\nno bullets at all, just the usual words to have",
+      "", " ", "\n\n\n", passText)
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // the round-5 per-line/per-word HOF formulation, inlined as the baseline
+    val text = F.col("text")
+    val ws = F.filter(F.split(text, "\\s+"), w => F.length(w) > 0)
+    val ls = F.split(text, "\n")
+    val old = df
+      .withColumn("o_wc", F.size(ws))
+      .withColumn("o_wl", F.aggregate(ws, F.lit(0L), (acc, w) => acc + F.length(w)))
+      .withColumn("o_bullet", F.size(F.filter(ls, l => l.rlike("^\\s*[-*•]"))))
+      .withColumn("o_ellipsis",
+        F.size(F.filter(ls, l => l.rlike("(\\.\\.\\.|…)\\s*$"))))
+      .withColumn("o_alpha", F.size(F.filter(ws, w => w.rlike("\\p{L}"))))
+      .select("id", "o_wc", "o_wl", "o_bullet", "o_ellipsis", "o_alpha")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    val lws = "[ \\t\\x0B\\f\\r]"
+    val now = df
+      .withColumn("n_wc", F.regexp_count(text, F.lit("\\S+")))
+      .withColumn("n_wl", F.length(F.regexp_replace(text, "\\s+", "")).cast("long"))
+      .withColumn("n_bullet", F.regexp_count(text, F.lit(s"(?m)^$lws*[-*•]")))
+      .withColumn("n_ellipsis",
+        F.regexp_count(text, F.lit(s"(?m)(\\.\\.\\.|…)$lws*$$")))
+      .withColumn("n_alpha", F.regexp_count(text, F.lit("(?<!\\S)\\S*?\\p{L}")))
+      .select("id", "n_wc", "n_wl", "n_bullet", "n_ellipsis", "n_alpha")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    now shouldBe old
+    // stop-word membership: whole-text boundary-lookaround rlike must equal
+    // array_contains over the shared tokenizer for every (text, stopword)
+    val tokenized = df.select(F.col("id"),
+      graft.operators.TextAnalysis.tokens(text).as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaRlike = Selection.GopherStopwords.map { s =>
+      s -> df.select(F.col("id"), F.lower(text)
+          .rlike(s"(?<![\\p{L}\\p{N}])${s}(?![\\p{L}\\p{N}])").as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    viaRlike.foreach { case (s, hits) =>
+      hits.foreach { case (id, hit) =>
+        assert(hit == tokenized(id).contains(s), s"stopword '$s' on text #$id")
+      }
+    }
+  }
+
   // ---- DSIR ------------------------------------------------------------
 
   test("DSIR exact weights upweight target-like documents (fr target)") {
