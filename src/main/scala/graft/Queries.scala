@@ -370,6 +370,22 @@ object Queries {
       docs, "doc_id", "text", bench, "btext", n = 8)
   }
 
+  /** Scan-side Bloom decontamination twin of [[q_contamination]]: the
+    * benchmark's shingle set rides into the corpus scan as one bounded
+    * Bloom literal — no shuffle, no join (plan-pinned). Rows-only: the
+    * double-hashed filter probes are not SQL-replayable; the
+    * no-false-negative superset relation vs the exact path (excess
+    * bounded at FP-noise level) is pinned in PipelineSpec.
+    */
+  def q_contamination_bloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("text").as("btext"))
+    val bloom = graft.operators.Contamination.benchBloom(bench, "btext", n = 8)
+    graft.operators.Contamination.contaminationHitsBloom(
+      docs, "doc_id", "text", bloom, n = 8)
+  }
+
   // ---- M8: similarity search ------------------------------------------
 
   def q_knn(s: SparkSession, d: String): DataFrame = {
@@ -1765,6 +1781,7 @@ object Queries {
     "q_curate" -> (q_curate _),
     "q_curate_stream_batch" -> (q_curate_stream_batch _),
     "q_contamination" -> (q_contamination _),
+    "q_contamination_bloom" -> (q_contamination_bloom _),
     "q_pack" -> (q_pack _),
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),

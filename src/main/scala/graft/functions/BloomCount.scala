@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Native membership counter against a serialized Bloom filter: how many
+  * of an `array<long>` of 64-bit keys MIGHT be in the filter — the kernel
+  * of scan-side decontamination (`Contamination.contaminationHitsBloom`),
+  * where the benchmark corpus' shingle set rides into the corpus scan as
+  * one bounded literal instead of the corpus riding into a shuffle.
+  *
+  * The filter argument must be a LITERAL (foldable) binary in
+  * [[BloomKernel]]'s layout (`k` + bit length header, then the bit array):
+  * it parses once on the driver and ships as a codegen reference (the
+  * [[PqCodes]] contract). Per key, `k` probe positions come from
+  * Kirsch-Mitzenmacher double hashing (h1 + i·h2 over the finalized
+  * 64-bit key), so membership tests are k bit-reads with no per-row
+  * allocation. No false negatives by construction — a count of 0 PROVES
+  * the doc shares no shingle with the filter's build set; positives carry
+  * the filter's fpp. Registered for SQL as `bloom_count(hashes, filter)`.
+  */
+case class BloomCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okKeys = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val okFilter = right.foldable && right.dataType == BinaryType
+    if (okKeys && okFilter) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bloom_count expects (array<bigint> keys, LITERAL binary filter), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_count"
+
+  @transient private lazy val bloom: BloomKernel.Bloom =
+    BloomKernel.deserialize(right.eval().asInstanceOf[Array[Byte]])
+
+  override protected def nullSafeEval(keys: Any, f: Any): Any =
+    BloomKernel.countMight(keys.asInstanceOf[ArrayData], bloom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomKernel.Bloom].getName)
+    defineCodeGen(ctx, ev, (ks, _) =>
+      s"graft.functions.BloomKernel.countMight($ks, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomKernel {
+
+  /** Parsed filter: `k` probe functions over a word-aligned bit array. */
+  final case class Bloom(k: Int, nBits: Long, words: Array[Long])
+      extends Serializable
+
+  /** Size a filter for `expectedItems` keys at false-positive rate `fpp`:
+    * the standard m = −n·ln p / ln²2 bits, k = m/n·ln 2 probes.
+    */
+  def build(keys: Iterator[Long], expectedItems: Long, fpp: Double): Bloom = {
+    require(expectedItems > 0, "bloom: expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"bloom: fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2.0)
+    val nBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    val k = math.max(1, math.round(nBits.toDouble / expectedItems * ln2).toInt)
+    val words = new Array[Long](((nBits + 63) / 64).toInt)
+    val b = Bloom(k, words.length * 64L, words)
+    keys.foreach(add(b, _))
+    b
+  }
+
+  private def mix(h: Long): Long = {
+    var x = h
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^= (x >>> 33); x
+  }
+
+  private def add(b: Bloom, key: Long): Unit = {
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < b.k) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, b.nBits)
+      b.words((pos >>> 6).toInt) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(b: Bloom, key: Long): Boolean = {
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < b.k) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, b.nBits)
+      if ((b.words((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def countMight(keys: ArrayData, b: Bloom): Long = {
+    var hits = 0L
+    var i = 0
+    val n = keys.numElements()
+    while (i < n) {
+      if (mightContain(b, keys.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** Layout: int k, long nBits, then the words. */
+  def serialize(b: Bloom): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 + b.words.length * 8)
+    buf.putInt(b.k); buf.putLong(b.nBits)
+    b.words.foreach(buf.putLong)
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Bloom = {
+    require(bytes != null && bytes.length >= 12,
+      "bloom_count: filter literal is null or truncated")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val k = buf.getInt(); val nBits = buf.getLong()
+    require(k >= 1 && nBits >= 64 && nBits % 64 == 0 &&
+        bytes.length == 12 + (nBits / 64) * 8,
+      "bloom_count: malformed filter literal")
+    val words = new Array[Long]((nBits / 64).toInt)
+    var i = 0
+    while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+    Bloom(k, nBits, words)
+  }
+}

@@ -50,4 +50,65 @@ object Contamination {
       .select(idCol)
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  // ---- Bloom scan-side path --------------------------------------------
+
+  /** Build a Bloom filter of the benchmark's distinct n-gram shingle
+    * hashes — the SCAN-SIDE decontamination artifact: instead of the
+    * corpus' shingles entering a shuffle to meet the benchmark in an
+    * equi-join, the benchmark's shingle SET rides into the corpus scan as
+    * one bounded literal and the whole check becomes a pure projection
+    * ([[contaminationHitsBloom]]).
+    *
+    * The build collects the benchmark's distinct hashes to the driver —
+    * bounded by the BENCHMARK's size, which is the contract that makes
+    * this path apply (eval suites are MBs next to a 100 TB corpus; for a
+    * benchmark too big to collect, use the exact join path). Filter size
+    * is ~1.2·log2(1/fpp)/8 bytes per shingle (≈3.6 MB per million
+    * shingles at the 1e-6 default) — broadcast-class.
+    */
+  def benchBloom(bench: DataFrame, benchTextCol: String, n: Int = 8,
+      fpp: Double = 1e-6): Array[Byte] = {
+    graft.plans.GraftExtensions.register(bench.sparkSession)
+    val hashes = bench.select(
+        F.explode(Dedup.hashedShingles(F.col(benchTextCol), n)).as("__sh"))
+      .distinct().collect().map(_.getLong(0))
+    require(hashes.nonEmpty, "benchBloom: benchmark produced no shingles")
+    graft.functions.BloomKernel.serialize(
+      graft.functions.BloomKernel.build(hashes.iterator, hashes.length, fpp))
+  }
+
+  /** Per-document POSSIBLE benchmark-overlap hits against a
+    * [[benchBloom]] filter: (idCol, hits), docs with zero possible hits
+    * absent — the same output shape as [[contaminationHits]], computed in
+    * ONE pure projection over the corpus scan (fused shingle kernel +
+    * native `bloom_count`, both whole-stage codegen; no shuffle, no join,
+    * no explode). No false negatives: hits here is >= the exact path's
+    * hits per doc, so filtering on it drops a SUPERSET of the exact
+    * drops — conservative in the safe direction for decontamination
+    * (subset/superset relation is test-pinned).
+    */
+  def contaminationHitsBloom(docs: DataFrame, idCol: String, textCol: String,
+      bloom: Array[Byte], n: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(F.col(idCol),
+        graft.plans.GraftExtensions.callNative("bloom_count",
+          Dedup.hashedShingles(F.col(textCol), n), F.lit(bloom)).as("hits"))
+      .filter(F.col("hits") > 0)
+  }
+
+  /** Scan-side [[decontaminate]]: one corpus projection + filter, no
+    * shuffle of corpus data anywhere (the anti-join disappears — the
+    * filter IS the membership test). Drops a superset of the exact
+    * path's drops at rate bounded by `fpp` per (doc, shingle) test.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minHits: Long = 1L, fpp: Double = 1e-6): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val bloom = benchBloom(bench, benchTextCol, n, fpp)
+    docs.filter(
+      graft.plans.GraftExtensions.callNative("bloom_count",
+        Dedup.hashedShingles(F.col(textCol), n), F.lit(bloom)) < minHits)
+  }
 }

@@ -306,6 +306,64 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("bloom decontamination: no false negatives, agrees with exact path") {
+    import graft.operators.Contamination
+    val bench = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("text").as("btext"))
+    val exact = Contamination.contaminationHits(docs, "doc_id", "text",
+        bench, "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Contamination.benchBloom(bench, "btext", n = 8)
+    val approx = Contamination.contaminationHitsBloom(docs, "doc_id", "text",
+        bloom, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NO FALSE NEGATIVES: every exact hit is a bloom hit, per doc
+    exact.foreach { case (id, h) =>
+      approx.getOrElse(id, 0L) should be >= h
+    }
+    // false positives are rare and bounded: probes are deterministic, and
+    // at pin time this corpus drew exactly ONE spurious (doc, shingle) hit
+    // out of ~24k probes (doc 170) — within the fpp contract; the excess
+    // must stay tiny and per-doc excess must stay at FP-noise level
+    val extraDocs = approx.keySet -- exact.keySet
+    extraDocs.size should be <= 2
+    approx.foreach { case (id, h) =>
+      (h - exact.getOrElse(id, 0L)) should be <= 2L
+    }
+    // dropped sets: bloom drops ⊇ exact drops, excess bounded as above
+    val keptExact = Contamination.decontaminate(docs, "doc_id", "text",
+      bench, "btext").select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBloom = Contamination.decontaminateBloom(docs, "doc_id", "text",
+      bench, "btext").select("doc_id").collect().map(_.getLong(0)).toSet
+    keptBloom.subsetOf(keptExact) shouldBe true
+    (keptExact -- keptBloom).size should be <= 2
+    // the whole point: the bloom path is a pure scan — no join, no
+    // exchange, corpus shingles never leave their partitions
+    val plan = Contamination.contaminationHitsBloom(docs, "doc_id", "text",
+      bloom, n = 8).queryExecution.executedPlan.toString
+    (plan should not).include("Exchange")
+    (plan should not).include("Join")
+    plan should include("bloom_count")
+  }
+
+  test("bloom kernel: serialize round-trip, zero false negatives on fuzz keys") {
+    import graft.functions.BloomKernel
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(5000)(rnd.nextLong())
+    val bloom = BloomKernel.build(members.iterator, members.length, 1e-4)
+    val rt = BloomKernel.deserialize(BloomKernel.serialize(bloom))
+    rt.k shouldBe bloom.k
+    rt.words.toSeq shouldBe bloom.words.toSeq
+    members.foreach(k => BloomKernel.mightContain(rt, k) shouldBe true)
+    // false-positive rate on non-members lands near the configured fpp
+    val nonMembers = Array.fill(20000)(rnd.nextLong())
+      .filterNot(members.contains)
+    val fp = nonMembers.count(BloomKernel.mightContain(rt, _))
+    fp.toDouble / nonMembers.length should be < 1e-3
+    an[IllegalArgumentException] should be thrownBy
+      BloomKernel.deserialize(Array[Byte](1, 2, 3))
+  }
+
   test("nearDupClusters: hub component collapses where the pair policy cannot") {
     import spark.implicits._
     // edges (1,9),(5,9): 1 and 5 never meet in a pair, but share component

@@ -193,6 +193,50 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("GopherStats kernel == java-regex reference on 2000 adversarial fuzz strings") {
+    import graft.functions.GopherStatsKernel
+    // reference: the exact regex/split formulations the DuckDB oracle and
+    // the round-5 battery used, evaluated with java.util.regex directly
+    val bulletP = java.util.regex.Pattern.compile("^\\s*[-*•]")
+    val ellipsisP = java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*$")
+    val letterP = java.util.regex.Pattern.compile("\\p{L}")
+    def ref(s: String): Array[Long] = {
+      val ws = s.split("\\s+").filter(_.nonEmpty)
+      val ls = s.split("\n", -1) // Spark split keeps trailing empties
+      def cpLen(x: String) = x.codePointCount(0, x.length).toLong
+      val toks = s.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSet
+      Array[Long](
+        ws.length.toLong,
+        ws.map(cpLen).sum,
+        ls.length.toLong,
+        ls.count(l => bulletP.matcher(l).find()).toLong,
+        ls.count(l => ellipsisP.matcher(l).find()).toLong,
+        ws.count(w => letterP.matcher(w).find()).toLong,
+        s.count(_ == '#').toLong,
+        (s.length - s.replace("...", "").length).toLong / 3,
+        s.count(_ == '…').toLong,
+        graft.operators.Selection.GopherStopwords.count(toks.contains).toLong)
+    }
+    // alphabet stresses every rule: the six \s chars, dots/ellipses,
+    // bullets at and away from line starts, stop words and near-misses,
+    // non-letter digits/symbols, multi-byte letters, a surrogate pair
+    val atoms = Array(" ", "\t", "\n", "\r", "\f", "\u000B", ".", "...",
+      "…", "-", "*", "•", "#", "a", "Z", "9", ",", "é", "ß", "中", "😀",
+      "the", "THE", "thee", "be", "to", "of", "and", "that", "have",
+      "with", "withx")
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 2000) {
+      val n = rnd.nextInt(30)
+      val s = Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString
+      withClue(s"trial $trial input ${s.replace("\n", "\\n")}: ") {
+        GopherStatsKernel.statsArray(s).toSeq shouldBe ref(s).toSeq
+      }
+    }
+    // null contract: all-zero counters
+    GopherStatsKernel.statsArray(null).toSeq shouldBe Seq.fill(10)(0L)
+  }
+
   test("unigramLogLoss matches the driver model on a random corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
