@@ -863,6 +863,28 @@ object Queries {
     TextAnalysis.bigramLogLoss(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("dl"), round(col("xent2"), 6).as("xent2"))
 
+  /** MassiveText repetition battery (Rae et al. 2021 A1.1) per doc: all
+    * 13 within-document repetition fractions plus the combined pass flag,
+    * computed by ONE fused kernel call per row. The corpus' single-line
+    * texts exercise the n-gram signals but not the line/paragraph ones,
+    * so the query stamps a classic repetitious shape — every third doc
+    * gets its text repeated across 3 lines with a blank line (paragraph
+    * break) before the last — and the oracle replays every signal over
+    * the same stamped text (line/para splits with trailing empties, token
+    * n-grams with space-joined char lengths, count-then-mass tie-breaks).
+    */
+  def q_text_rep(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat_ws("\n", col("text"), col("text"), lit(""), col("text")))
+        .otherwise(col("text")).as("text"))
+    val sigCols = TextAnalysis.RepetitionSignals.map(c =>
+      round(col(c), 6).as(c))
+    TextAnalysis.repetitionRules(stamped, "text")
+      .select(col("doc_id") +: sigCols :+
+        col("rep_pass").cast("int").as("rep_pass"): _*)
+  }
+
   /** Per-doc duplicated-passage profile (Lee et al. 2021 rolling-window
     * approximation) at window = 8 — exact string keys so the oracle can
     * replay span generation + the global count; the hashed scale variant
@@ -1674,6 +1696,7 @@ object Queries {
         |SELECT d.doc_id, round(sum(d.n * r.lr), 6) AS logw
         |FROM docfeat d JOIN ratios r ON d.f = r.f
         |GROUP BY d.doc_id""".stripMargin,
+    "q_text_rep" -> textRepSql,
     "q_nb_quality" -> nbQualitySql,
     // the persisted-model path must reproduce the in-plan path exactly
     "q_nb_model" -> nbQualitySql,
@@ -1686,6 +1709,96 @@ object Queries {
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin
   )
+
+  /** DuckDB replay of the MassiveText repetition battery: line/paragraph
+    * splits with trailing empties, token n-grams with space-joined char
+    * lengths (`len(array_to_string(...))` = code points, the kernel's
+    * measure), top-class selection as "max count, ties toward larger
+    * count·len", and the A1.1 thresholds for the pass flag. Double
+    * divisions of exact integers bit-match the kernel's, so the rounded
+    * signals and the raw-signal pass flag hash-compare exactly.
+    */
+  private lazy val textRepSql: String = {
+    def seg(alias: String, delim: String) =
+      s"""${alias}s AS (
+        |  SELECT doc_id, unnest(string_split(text, $delim)) AS seg FROM stamped
+        |), ${alias}g AS (
+        |  SELECT doc_id, seg, count(*) AS c, len(seg) AS l
+        |  FROM ${alias}s GROUP BY 1, 2
+        |), ${alias}a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) AS dup_n,
+        |    CAST(sum(c * l) AS DOUBLE) AS tot,
+        |    CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE) AS dup_chars
+        |  FROM ${alias}g GROUP BY 1
+        |)""".stripMargin
+    def gram(n: Int) =
+      s"""g$n AS (
+        |  SELECT doc_id, g, count(*) AS c, len(g) AS l FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(ws[i:i+${n - 1}], ' ')
+        |              FOR i IN range(1, len(ws) - ${n - 2})]) AS g
+        |    FROM toks WHERE len(ws) >= $n
+        |  ) GROUP BY 1, 2
+        |)""".stripMargin
+    def top(n: Int) =
+      s"""t$n AS (
+        |  SELECT doc_id, max(CASE WHEN c = mc THEN c * l END) AS mass FROM (
+        |    SELECT doc_id, c, l, max(c) OVER (PARTITION BY doc_id) AS mc
+        |    FROM g$n
+        |  ) GROUP BY 1
+        |)""".stripMargin
+    def dup(n: Int) =
+      s"""d$n AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS mass
+        |  FROM g$n GROUP BY 1
+        |)""".stripMargin
+    val sigs = Seq(
+      "CASE WHEN la.n > 0 THEN la.dup_n / la.n ELSE 0 END" -> 0.30,
+      "CASE WHEN la.tot > 0 THEN la.dup_chars / la.tot ELSE 0 END" -> 0.20,
+      "CASE WHEN pa.n > 0 THEN pa.dup_n / pa.n ELSE 0 END" -> 0.30,
+      "CASE WHEN pa.tot > 0 THEN pa.dup_chars / pa.tot ELSE 0 END" -> 0.20) ++
+      Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, t) =>
+        s"CASE WHEN tc.tot > 0 THEN least(1.0, coalesce(t$n.mass, 0) / tc.tot) ELSE 0 END" -> t
+      } ++
+      (5 to 10).zip(Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)).map { case (n, t) =>
+        s"CASE WHEN tc.tot > 0 THEN least(1.0, coalesce(d$n.mass, 0) / tc.tot) ELSE 0 END" -> t
+      }
+    val names = TextAnalysis.RepetitionSignals
+    val sigSelect = sigs.zip(names)
+      .map { case ((e, _), nm) => s"round($e, 6) AS $nm" }
+      .mkString(",\n    ")
+    val passExpr = sigs
+      .map { case (e, t) => s"($e) <= $t" }
+      .mkString(" AND ")
+    s"""WITH stamped AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN text || chr(10) || text || chr(10) || chr(10) || text
+      |      ELSE text END AS text
+      |  FROM documents
+      |), ${seg("l", "chr(10)")}, ${seg("p", "chr(10) || chr(10)")},
+      |toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM stamped
+      |), tc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) = 0 THEN 0
+      |         ELSE CAST(len(array_to_string(ws, ' ')) AS DOUBLE) END AS tot
+      |  FROM toks
+      |),
+      |${(2 to 10).map(gram).mkString(",\n")},
+      |${(2 to 4).map(top).mkString(",\n")},
+      |${(5 to 10).map(dup).mkString(",\n")}
+      |SELECT la.doc_id,
+      |    $sigSelect,
+      |  CAST($passExpr AS INT) AS rep_pass
+      |FROM la
+      |JOIN pa ON la.doc_id = pa.doc_id
+      |JOIN tc ON la.doc_id = tc.doc_id
+      |${(2 to 4).map(n => s"LEFT JOIN t$n ON la.doc_id = t$n.doc_id").mkString("\n")}
+      |${(5 to 10).map(n => s"LEFT JOIN d$n ON la.doc_id = d$n.doc_id").mkString("\n")}""".stripMargin
+  }
 
   /** Shared DuckDB replay of the NB quality classifier (exact feature
     * flavor): split, unigram+bigram features, smoothed class-conditional
@@ -1803,6 +1916,7 @@ object Queries {
     "q_top_per_key" -> (q_top_per_key _),
     "q_token_histogram" -> (q_token_histogram _),
     "q_text_repetition" -> (q_text_repetition _),
+    "q_text_rep" -> (q_text_rep _),
     "q_unigram_ll" -> (q_unigram_ll _),
     "q_ngram_top" -> (q_ngram_top _),
     "q_perplexity_band" -> (q_perplexity_band _),

@@ -482,6 +482,59 @@ object TextAnalysis {
       F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(lines))
   }
 
+  /** Column order of the MassiveText repetition battery
+    * ([[repetitionRules]]) and of the `rep_stats` kernel's output array.
+    */
+  val RepetitionSignals: Seq[String] = Seq(
+    "dup_line_frac", "dup_line_char_frac",
+    "dup_para_frac", "dup_para_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+
+  /** Removal thresholds per signal (Rae et al. 2021 A1.1, "repetitious
+    * text" table): a document FAILS when any signal EXCEEDS its bound.
+    */
+  val RepetitionThresholds: Seq[Double] = Seq(
+    0.30, 0.20, 0.30, 0.20,          // line / paragraph (frac, char frac)
+    0.20, 0.18, 0.16,                // top 2-/3-/4-gram char fraction
+    0.15, 0.14, 0.13, 0.12, 0.11, 0.10) // dup 5..10-gram char fraction
+
+  /** MassiveText repetition battery (Rae et al. 2021 A1.1): the 13
+    * within-document repetition fractions — duplicate line/paragraph
+    * fractions (plain + char-weighted), top-{2,3,4}-gram character
+    * fractions, duplicate-{5..10}-gram character fractions — plus the
+    * combined `rep_pass` under the paper's thresholds. Complements the
+    * cross-document [[duplicatedPassages]] profile and the structural
+    * [[Selection.gopherRules]] battery; signal definitions are documented
+    * on [[graft.functions.RepStats]] and replayed verbatim by the
+    * q_text_rep DuckDB oracle.
+    *
+    * SCALE: repetition is a PER-DOCUMENT property, so the whole battery is
+    * ONE fused native kernel call per row ([[graft.functions.RepStats]])
+    * behind an attribute barrier — scan-side, no shuffle, no explode (the
+    * groupBy-per-(doc, ngram) formulation would shuffle the corpus nine
+    * times over on doc-keyed n-gram rows); kernel-once is plan-pinned.
+    */
+  def repetitionRules(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val inner = df.withColumn("__r", graft.plans.Hygiene.attributeBarrier(
+      graft.plans.GraftExtensions.callNative("rep_stats", F.col(textCol))))
+    val withSignals = RepetitionSignals.zipWithIndex.foldLeft(inner) {
+      case (acc, (name, i)) =>
+        acc.withColumn(name, F.get(F.col("__r"), F.lit(i)))
+    }
+    val pass = RepetitionSignals.zip(RepetitionThresholds)
+      .map { case (name, t) => F.col(name) <= t }
+      .reduce(_ && _)
+    withSignals.withColumn("rep_pass", pass).drop("__r")
+  }
+
+  /** Rows passing the full repetition battery, signal columns dropped. */
+  def repetitionFilter(df: DataFrame, textCol: String): DataFrame =
+    repetitionRules(df, textCol).filter(F.col("rep_pass"))
+      .drop(RepetitionSignals :+ "rep_pass": _*)
+
   /** PII patterns — deliberately RE2-compatible (no backtracking
     * constructs) so the DuckDB oracle can run the IDENTICAL regex.
     */

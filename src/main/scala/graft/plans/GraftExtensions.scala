@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, PqCodes, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -72,6 +72,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "bpe_count(text, merges) takes 2 arguments")
         BpeCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
+      { args =>
+        require(args.length == 1, "rep_stats(text) takes 1 argument")
+        RepStats(args.head)
       }),
     (FunctionIdentifier("bloom_count"),
       new ExpressionInfo(classOf[BloomCount].getName, "bloom_count"),

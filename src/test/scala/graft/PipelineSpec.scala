@@ -2040,6 +2040,68 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     p should include("WindowGroupLimit")
   }
 
+  test("repetition battery: hand-computed fractions on crafted fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),    // pure 2-token loop
+      (2L, "x\nx\ny"),        // repeated line, no paragraph break
+      (3L, "p\n\np\n\nq"),    // repeated paragraph
+      // 30 distinct words: long enough that the count-1 top-n-gram
+      // fractions stay under threshold (the battery presumes the Gopher
+      // 50-word floor has run; a 4-word doc "fails" top-ngram trivially)
+      (4L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+        "tango uniform victor whiskey xray yankee zulu maple cedar birch aspen")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRules(df, "text")
+      .select(F.col("doc_id") +:
+        TextAnalysis.RepetitionSignals.map(F.col) :+ F.col("rep_pass"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: tokens [a b a b a b], joined chars = 11
+    //   top2 = "a b"×3 · len 3 = 9/11; top3 tie c=2 → mass 10/11;
+    //   top4 = "a b a b"×2 · len 7 = 14/11 → clamps to 1.0; dup5+ = 0
+    val d1 = got(1L)
+    d1.getDouble(5) shouldBe 9.0 / 11 +- 1e-12  // top_2gram
+    d1.getDouble(6) shouldBe 10.0 / 11 +- 1e-12 // top_3gram
+    d1.getDouble(7) shouldBe 1.0 +- 1e-12       // top_4gram (clamped)
+    d1.getDouble(8) shouldBe 0.0 +- 1e-12       // dup_5gram
+    d1.getBoolean(14) shouldBe false            // fails top-ngram rules
+    // doc 2: lines [x, x, y] → dup 2/3, chars (2·1)/(2·1+1) = 2/3;
+    //   one paragraph → para fracs 0
+    val d2 = got(2L)
+    d2.getDouble(1) shouldBe 2.0 / 3 +- 1e-12
+    d2.getDouble(2) shouldBe 2.0 / 3 +- 1e-12
+    d2.getDouble(3) shouldBe 0.0 +- 1e-12
+    // doc 3: paragraphs [p, p, q] → dup 2/3; lines [p, "", p, "", q] →
+    //   p×2 and ""×2 duplicated → dup_line_frac 4/5; char-weighted the
+    //   empty lines carry 0 chars → dup chars 2 of 3
+    val d3 = got(3L)
+    d3.getDouble(3) shouldBe 2.0 / 3 +- 1e-12
+    d3.getDouble(1) shouldBe 4.0 / 5 +- 1e-12
+    d3.getDouble(2) shouldBe 2.0 / 3 +- 1e-12
+    // doc 4: nothing repeats; only top-ngram fractions are nonzero and
+    // small enough to pass every rule
+    val d4 = got(4L)
+    d4.getDouble(1) shouldBe 0.0 +- 1e-12
+    d4.getDouble(8) shouldBe 0.0 +- 1e-12
+    d4.getBoolean(14) shouldBe true
+    // filter face drops failures and signal columns
+    val kept = TextAnalysis.repetitionFilter(df, "text")
+    kept.columns should not contain "dup_line_frac"
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet should
+      not contain 1L
+  }
+
+  test("repetition battery: one kernel call, no shuffle, no HOF in the plan") {
+    val q = TextAnalysis.repetitionRules(docs, "text")
+      .filter(F.col("rep_pass"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    "rep_stats".r.findAllIn(plan).size shouldBe 1
+    plan should not include "lambdafunction"
+    (plan should not).include("Exchange")
+  }
+
   test("BPE segmentation: hand-computed merges, greedy lowest-rank order") {
     import spark.implicits._
     // merges: 0:(a,b), 1:(ab,c), 2:(x,y) — "abc" must fuse THROUGH rank 0
