@@ -2102,6 +2102,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("Exchange")
   }
 
+  test("gopher + repetition gates compose into ONE scan, each kernel once") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the full MassiveText gate = structural battery ∧ repetition battery;
+    // both are scan-side kernel projections, so chaining the filter faces
+    // must stay a single corpus scan with each kernel evaluated once —
+    // no exchange, no second pass, no kernel duplication
+    val q = graft.operators.Selection.gopherFilter(
+      TextAnalysis.repetitionFilter(docs, "text"), "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "rep_stats".r.findAllIn(plan).size shouldBe 1
+    "gopher_stats".r.findAllIn(plan).size shouldBe 1
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    (plan should not).include("Exchange")
+  }
+
   test("BPE segmentation: hand-computed merges, greedy lowest-rank order") {
     import spark.implicits._
     // merges: 0:(a,b), 1:(ab,c), 2:(x,y) — "abc" must fuse THROUGH rank 0

@@ -237,6 +237,62 @@ class PropertySpec extends AnyFunSuite with Matchers {
     GopherStatsKernel.statsArray(null).toSeq shouldBe Seq.fill(10)(0L)
   }
 
+  test("RepStats kernel == collections reference on 1500 adversarial fuzz strings") {
+    import graft.functions.RepStatsKernel
+    def cp(x: String) = x.codePointCount(0, x.length).toLong
+    def dup(segs: Array[String]): (Double, Double) = {
+      val n = segs.length
+      if (n == 0) return (0.0, 0.0)
+      val classes = segs.groupBy(identity).values.toSeq
+      val dupN = classes.filter(_.length > 1).map(_.length.toLong).sum
+      val tot = segs.map(cp).sum
+      val dupC = classes.filter(_.length > 1)
+        .map(g => g.length.toLong * cp(g.head)).sum
+      (dupN.toDouble / n, if (tot == 0) 0.0 else dupC.toDouble / tot)
+    }
+    def ref(s: String): Array[Double] = {
+      val out = new Array[Double](13)
+      val (l0, l1) = dup(s.split("\n", -1)); out(0) = l0; out(1) = l1
+      val (p0, p1) = dup(s.split("\n\n", -1)); out(2) = p0; out(3) = p1
+      val toks = s.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      if (toks.isEmpty) return out
+      val tot = cp(toks.mkString(" ")).toDouble
+      for (n <- 2 to 10 if toks.length >= n) {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        // .toSeq BEFORE .map: mapping a Map to (count, len) tuples would
+        // rebuild a Map keyed by count, collapsing same-count classes
+        val classes = grams.groupBy(identity).toSeq.map { case (g, occ) =>
+          (occ.size.toLong, cp(g))
+        }
+        val v =
+          if (n <= 4) {
+            val mc = classes.map(_._1).max
+            classes.collect { case (c, l) if c == mc => c * l }.max.toDouble
+          } else
+            classes.collect { case (c, l) if c > 1 => c * l }.sum.toDouble
+        out(2 + n) = math.min(1.0, v / tot)
+      }
+      out
+    }
+    val atoms = Array("\n", "\n\n", " ", ".", "a", "b", "ab", "aa",
+      "the cat", "词 语", "line one", "#", "-", "x", "yy", "\t")
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 0 until 1500) {
+      val s = Seq.fill(rnd.nextInt(25))(atoms(rnd.nextInt(atoms.length)))
+        .mkString
+      val got = RepStatsKernel.statsArray(s)
+      val want = ref(s)
+      withClue(s"trial $trial input ${s.replace("\n", "\\n")}: ") {
+        got.length shouldBe 13
+        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          withClue(s"signal $i: ") { g shouldBe w +- 1e-12 }
+        }
+      }
+    }
+    RepStatsKernel.statsArray(null).toSeq shouldBe Seq.fill(13)(0.0)
+  }
+
   test("unigramLogLoss matches the driver model on a random corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
