@@ -80,6 +80,29 @@ object BloomKernel {
     b
   }
 
+  /** An empty filter sized for `expectedItems` at `fpp` — deterministic
+    * (k, nBits) from the inputs, so independently-built empties over the
+    * same sizing are [[or]]-mergeable: the distributed build path
+    * (one empty per partition, fold keys in, OR-merge log-depth).
+    */
+  def emptySized(expectedItems: Long, fpp: Double): Bloom =
+    build(Iterator.empty, expectedItems, fpp)
+
+  /** Merge two filters built under the SAME sizing by OR-ing bitmaps —
+    * the union filter: a key added to either side tests positive in the
+    * merge, and fpp stays bounded by the shared sizing as long as the
+    * TOTAL insert count stays within `expectedItems`.
+    */
+  def or(a: Bloom, b: Bloom): Bloom = {
+    require(a.k == b.k && a.nBits == b.nBits,
+      s"bloom or-merge: incompatible sizings (k=${a.k}/${b.k}, " +
+        s"nBits=${a.nBits}/${b.nBits})")
+    val words = new Array[Long](a.words.length)
+    var i = 0
+    while (i < words.length) { words(i) = a.words(i) | b.words(i); i += 1 }
+    Bloom(a.k, a.nBits, words)
+  }
+
   private def mix(h: Long): Long = {
     var x = h
     x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
@@ -87,7 +110,7 @@ object BloomKernel {
     x ^= (x >>> 33); x
   }
 
-  private def add(b: Bloom, key: Long): Unit = {
+  def add(b: Bloom, key: Long): Unit = {
     val h1 = mix(key)
     val h2 = mix(h1) | 1L
     var i = 0

@@ -111,4 +111,37 @@ object Contamination {
       graft.plans.GraftExtensions.callNative("bloom_count",
         Dedup.hashedShingles(F.col(textCol), n), F.lit(bloom)) < minHits)
   }
+
+  /** Persist a [[benchBloom]] artifact (build once per benchmark-suite
+    * release, decontaminate every crawl batch against it): one parquet row
+    * carrying the filter bytes AND the shingle size — probes must shingle
+    * under the `n` the filter was built with, so the loader reads and
+    * applies it and fails fast on a foreign artifact.
+    */
+  def saveBenchBloom(bench: DataFrame, benchTextCol: String, path: String,
+      n: Int = 8, fpp: Double = 1e-6): Unit = {
+    val bloom = benchBloom(bench, benchTextCol, n, fpp)
+    val spark = bench.sparkSession
+    import spark.implicits._
+    Seq(("shingle-bloom", n, bloom)).toDF("kind", "n", "bloom")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[decontaminateBloom]] against a persisted [[saveBenchBloom]]
+    * artifact — the fit-once/score-many serving face (stream-safe too:
+    * the gate is a pure stateless filter).
+    */
+  def decontaminateFromArtifact(docs: DataFrame, textCol: String,
+      path: String, minHits: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.read.parquet(path).head()
+    require(row.getAs[String]("kind") == "shingle-bloom",
+      s"$path is not a shingle-bloom artifact (kind=${row.getAs[String]("kind")})")
+    docs.filter(
+      graft.plans.GraftExtensions.callNative("bloom_count",
+        Dedup.hashedShingles(F.col(textCol), row.getAs[Int]("n")),
+        F.lit(row.getAs[Array[Byte]]("bloom"))) < minHits)
+  }
 }

@@ -498,6 +498,251 @@ object Dedup {
         F.count(F.lit(1)).as("n_classes"),
         F.sum(F.col("__c") - 1).cast("long").as("n_dup_docs"))
 
+  // ---- persisted band index (build-once / probe-many near-dedup) ----------
+
+  /** Persist a corpus's LSH near-dup artifact at `path` — the serving face
+    * of [[minhashNearDupAgainst]] for the incremental-ingest cadence
+    * (every new crawl batch probes the SAME curated corpus): the corpus's
+    * shingling/signing/banding work is paid once at build time instead of
+    * per probe. Same fit-once/score-many contract as `buildIvfIndex` and
+    * `saveNbModel`.
+    *
+    * Layout:
+    *  - `path` main table: (id, sh) — hashed shingle sets, the
+    *    exact-Jaccard verify side;
+    *  - `path/_bands`: (id, band, bh) — banded signature keys, the
+    *    candidate-join side;
+    *  - `path/_params`: one row (shingleN, numHashes, bands, seed) — a
+    *    probe must band the new batch under IDENTICAL parameters for
+    *    signatures to be comparable, so probes read and apply these and
+    *    [[appendToBandIndex]] fails fast if the artifact is missing them.
+    */
+  def saveBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val (sh, banded) = shingleBandTables(corpus, idCol, textCol, shingleN,
+      numHashes, bands, seed)
+    sh.write.mode("overwrite").parquet(path)
+    banded.write.mode("overwrite").parquet(s"$path/_bands")
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands, seed))
+      .toDF("shingleN", "numHashes", "bands", "seed")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readBandParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Long) = {
+    val row =
+      try spark.read.parquet(s"$path/_params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path is not a band index (no readable _params sidecar): " +
+              e.getMessage)
+      }
+    (row.getAs[Int]("shingleN"), row.getAs[Int]("numHashes"),
+      row.getAs[Int]("bands"), row.getAs[Long]("seed"))
+  }
+
+  /** Near-dup pairs of a new batch against a persisted band index —
+    * (a_id from `newBatch`, b_id from the index, jaccard >= `threshold`).
+    *
+    * Probe plan (the part the artifact buys): the index is NEVER
+    * re-shingled or re-signed. The new batch — small next to the corpus
+    * under the incremental-ingest contract — is banded fresh under the
+    * artifact's stored parameters; its band table meets `_bands` in an
+    * equi-join where AQE broadcasts the batch side, so the index band
+    * table streams through ONE scan with no exchange of index data. The
+    * surviving candidates (batch-sized) then pick up the stored shingle
+    * sets by id for the exact-Jaccard verify — again broadcast-class
+    * against the main table's scan. Corpus data crosses no shuffle
+    * boundary at any probe.
+    */
+  def nearDupPairsAgainstIndex(newBatch: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double = 0.8): DataFrame = {
+    val spark = newBatch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
+    val (shNew, bandedNew) = shingleBandTables(newBatch, idCol, textCol,
+      shingleN, numHashes, bands, seed)
+    val idxBands = spark.read.parquet(s"$path/_bands")
+    val idxSh = spark.read.parquet(path)
+    val candidates = idxBands.as("y").join(bandedNew.as("x"),
+        F.col("x.band") === F.col("y.band") &&
+        F.col("x.bh") === F.col("y.bh"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+      .distinct()
+    candidates
+      .join(shNew.withColumnRenamed("id", "a_id")
+        .withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(idxSh.withColumnRenamed("id", "b_id")
+        .withColumnRenamed("sh", "b_sh"), "b_id")
+      .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Keep only the new-batch docs with NO near-dup in the indexed corpus
+    * (anti-join against [[nearDupPairsAgainstIndex]] hits) — the
+    * incremental-ingest gate, served from the persisted artifact.
+    */
+  def dedupAgainstIndex(newBatch: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.8): DataFrame = {
+    val hit = nearDupPairsAgainstIndex(newBatch, idCol, textCol, path,
+        threshold)
+      .select(F.col("a_id").as(idCol)).distinct()
+    newBatch.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Grow a persisted band index with an accepted batch WITHOUT rebuilding:
+    * the batch is shingled/signed/banded under the artifact's stored
+    * parameters and appended to both tables (append-mode writes — existing
+    * files untouched, later probes see the union). The standard cadence:
+    * probe a batch ([[dedupAgainstIndex]]), append the survivors.
+    */
+  def appendToBandIndex(newBatch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newBatch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
+    val (sh, banded) = shingleBandTables(newBatch, idCol, textCol, shingleN,
+      numHashes, bands, seed)
+    sh.write.mode("append").parquet(path)
+    banded.write.mode("append").parquet(s"$path/_bands")
+  }
+
+  // ---- band-key Bloom gate (scan-side / streaming near-dup check) ----------
+
+  /** All `bands` LSH band keys of a text as ONE array<long> column — the
+    * no-explode sibling of the banding in [[shingleBandTables]], for
+    * consumers that test the keys per row instead of joining on them
+    * ([[nearDupGateBloom]]). Computed in two chained projections so the
+    * shingle and signature kernels evaluate once per row, with the band
+    * array built from the signature ATTRIBUTE.
+    */
+  private def bandKeyArray(sig: Column, numHashes: Int,
+      bands: Int): Column = {
+    val r = numHashes / bands
+    F.array((0 until bands).map { b =>
+      F.xxhash64(F.slice(sig, b * r + 1, r))
+    }: _*)
+  }
+
+  /** Build the band-key Bloom filter of a corpus — the bounded artifact
+    * that lets a STREAM (or any scan) test "is this doc probably a
+    * near-dup of the corpus?" as a pure projection: no join, no shuffle,
+    * no state. A hit means some corpus doc shares an LSH band (the same
+    * candidate event that seeds [[minhashNearDupAgainst]]'s verify), so
+    * gating on it drops a SUPERSET of what the exact banded path would
+    * drop — no false negatives at the band level, excess bounded by band
+    * collisions below `threshold` plus the filter's `fpp`. The
+    * conservative direction for corpus hygiene, same trade as
+    * `Contamination.decontaminateBloom`.
+    *
+    * Scale contract: the filter must be broadcast-class, since it rides
+    * into the scan as one literal — sizing is docs·bands keys (~2.9 bits/
+    * key/ln(1/fpp)... concretely ~3.6 MB per million keys at 1e-6, ~2.4 MB
+    * at 1e-4). That bounds this gate to corpora of ~10^8–10^9 band keys;
+    * beyond it, probe the persisted band index instead
+    * ([[dedupAgainstIndex]] — exact, join-shaped). The build itself is
+    * distributed: one corpus scan, one pre-sized filter per partition,
+    * OR-merged on the driver (`treeAggregate`-shaped; no key collect).
+    */
+  def corpusBandBloom(corpus: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L, fpp: Double = 1e-4): Array[Byte] = {
+    import graft.functions.BloomKernel
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val nDocs = corpus.count()
+    require(nDocs > 0, "corpusBandBloom: empty corpus")
+    val expected = math.max(64L, nDocs * bands)
+    val keys = corpus
+      .select(hashedShingles(F.col(textCol), shingleN).as("sh"))
+      .select(minhashSignature(F.col("sh"), numHashes, seed).as("sig"),
+        F.col("sh"))
+      .select(F.when(F.size(F.col("sh")) > 0,
+        bandKeyArray(F.col("sig"), numHashes, bands)).as("bk"))
+      .filter(F.col("bk").isNotNull)
+    val merged = keys.rdd.treeAggregate(
+        BloomKernel.emptySized(expected, fpp))(
+      seqOp = (b, row) => {
+        val arr = row.getSeq[Long](0)
+        arr.foreach(BloomKernel.add(b, _))
+        b
+      },
+      combOp = BloomKernel.or)
+    BloomKernel.serialize(merged)
+  }
+
+  /** The scan-side near-dup gate: keep only docs whose band keys ALL miss
+    * the corpus filter ([[corpusBandBloom]]). One filter predicate over
+    * the scan — a pure stateless projection, so the SAME call gates a
+    * `readStream` micro-batch pipeline (no watermark, no state store) and
+    * a batch frame (the oracle-able face). Empty-shingle docs have no
+    * band keys and always pass, matching the banded join path (they are
+    * never candidates there either).
+    */
+  def nearDupGateBloom(df: DataFrame, textCol: String, bloom: Array[Byte],
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // shingle kernel ONCE per row behind the Generate barrier (the filter
+    // references the attribute twice — size guard + signature chain — and
+    // a bare alias would be substituted through by predicate pushdown)
+    val withSh = df.select(df.columns.map(F.col) :+
+      graft.plans.Hygiene.attributeBarrier(
+        hashedShingles(F.col(textCol), shingleN)).as("__sh"): _*)
+    val sig = minhashSignature(F.col("__sh"), numHashes, seed)
+    val hits = graft.plans.GraftExtensions.callNative("bloom_count",
+      bandKeyArray(sig, numHashes, bands), F.lit(bloom))
+    // || short-circuits: empty docs never hash; non-empty docs run the
+    // sig+bloom chain exactly once
+    withSh.filter(F.size(F.col("__sh")) === 0 || hits === 0L)
+      .drop("__sh")
+  }
+
+  /** Persist a [[corpusBandBloom]] artifact: one parquet row carrying the
+    * filter bytes AND the banding parameters — a gate must band incoming
+    * docs under the parameters the filter was built with, so loaders read
+    * and apply them ([[nearDupGateFromArtifact]]) and fail fast on a
+    * foreign artifact (`kind` mismatch).
+    */
+  def saveBandBloom(corpus: DataFrame, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L, fpp: Double = 1e-4): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val bloom = corpusBandBloom(corpus, textCol, shingleN, numHashes, bands,
+      seed, fpp)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(("band-bloom", shingleN, numHashes, bands, seed, bloom))
+      .toDF("kind", "shingleN", "numHashes", "bands", "seed", "bloom")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[nearDupGateBloom]] against a persisted [[saveBandBloom]] artifact —
+    * parameters and filter come from the artifact (one bounded driver
+    * read), so the caller can't band under the wrong family. This is the
+    * STREAMING serving face: the returned gate is a pure stateless
+    * filter, applied identically to a batch frame or a `readStream`
+    * micro-batch flow (see `Streams.nearDupStreamGate`).
+    */
+  def nearDupGateFromArtifact(df: DataFrame, textCol: String,
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    val row = spark.read.parquet(path).head()
+    require(row.getAs[String]("kind") == "band-bloom",
+      s"$path is not a band-bloom artifact (kind=${row.getAs[String]("kind")})")
+    nearDupGateBloom(df, textCol, row.getAs[Array[Byte]]("bloom"),
+      row.getAs[Int]("shingleN"), row.getAs[Int]("numHashes"),
+      row.getAs[Int]("bands"), row.getAs[Long]("seed"))
+  }
+
   // ---- brute-force n-gram Jaccard (oracle/baseline path) ------------------
 
   /** All-pairs exact n-gram Jaccard — the quadratic BASELINE used to

@@ -558,6 +558,18 @@ object TextAnalysis {
     F.regexp_replace(noIp, F.lit(PhoneRx), F.lit("<PHONE>"))
   }
 
+  /** Canonical text cleanup (NFC + line-terminator/control/whitespace
+    * normalization) — run it BEFORE anything content-addressed: exact
+    * hashes, fingerprints, shingles and MinHash signatures all diverge on
+    * trivially-different encodings of the same text (the CCNet-style
+    * normalize-first contract, Wenzek et al. 2020 §4.1). One native kernel
+    * call per row ([[graft.functions.NormalizeText]] — rule list and order
+    * there), whole-stage codegen, scan-side, no shuffle; every rule is
+    * replayable in ANSI SQL so the operator is fully oracle-checked.
+    */
+  def normalizeText(text: Column): Column =
+    graft.plans.GraftExtensions.callNative("normalize_text", text)
+
   // ---- corpus statistics & perplexity-style scoring ---------------------
 
   /** ALL word n-grams of a token-array ATTRIBUTE, duplicates kept — the

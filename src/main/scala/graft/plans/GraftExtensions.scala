@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NormalizeText, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -96,6 +96,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "bpe_tokens(text, merges) takes 2 arguments")
         BpeTokens(args.head, args(1))
+      }),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      { args =>
+        require(args.length == 1, "normalize_text(text) takes 1 argument")
+        NormalizeText(args.head)
       })
   )
 

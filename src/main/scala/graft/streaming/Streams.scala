@@ -110,6 +110,25 @@ object Streams {
       .drop("__fp")
   }
 
+  /** Streaming NEAR-dup gate against a static corpus's band-Bloom artifact
+    * ([[graft.operators.Dedup.saveBandBloom]]): drop incoming docs whose
+    * LSH band keys hit the corpus filter — "is this probably a near-dup of
+    * what we already curated?", answered inside the micro-batch projection.
+    * Zero streaming state, no watermark, no join: the filter bytes ride
+    * into the scan as one literal, so this is the ONLY near-dup check that
+    * works at streaming ingest time (the banded-join path needs both sides
+    * shuffled; stream-side aggregation of candidate verdicts would need
+    * state). Conservative by construction — drops a superset of the exact
+    * banded path's drops (band collisions below the threshold plus bloom
+    * fpp; the no-false-negative direction for corpus hygiene). Exactness
+    * later is batch business: re-verify survivors with
+    * `Dedup.dedupAgainstIndex` at compaction time.
+    */
+  def nearDupStreamGate(stream: DataFrame, textCol: String,
+      bloomArtifactPath: String): DataFrame =
+    graft.operators.Dedup.nearDupGateFromArtifact(stream, textCol,
+      bloomArtifactPath)
+
   /** The full streaming ingestion gate, composed: quality filter
     * (`qualityScore >= minQuality`, the banded 0-1 signal — a LIGHTER
     * gate than the batch `Pipelines.cleanCorpus` recipe, which hard-

@@ -2102,6 +2102,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("Exchange")
   }
 
+  test("normalizeText: scan-side kernel projection, codegen, no shuffle") {
+    val q = docs.select(F.col("doc_id"),
+      TextAnalysis.normalizeText(F.col("text")).as("clean"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    "normalize_text".r.findAllIn(plan).size shouldBe 1
+    // `*(n)` prefix = inside a WholeStageCodegen stage
+    plan should include("*(1) Project")
+    (plan should not).include("Exchange")
+    // semantic spot-checks through the Spark surface (kernel semantics
+    // are fuzz-pinned in PropertySpec): clean input is a fixed point;
+    // normalize-before-fingerprint makes encoding variants converge
+    import spark.implicits._
+    val variants = Seq(
+      "Caf\u00E9  du\tmonde\r\n",
+      "Cafe\u0301 du monde\n\u0007").toDF("t")
+    val cleaned = variants
+      .select(TextAnalysis.normalizeText(F.col("t")).as("c"))
+      .distinct().collect()
+    cleaned.length shouldBe 1
+    cleaned.head.getString(0) shouldBe "Caf\u00E9 du monde"
+  }
+
   test("gopher + repetition gates compose into ONE scan, each kernel once") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // the full MassiveText gate = structural battery ∧ repetition battery;
@@ -2327,6 +2350,125 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       r.getAs[Long]("n_dup_docs") shouldBe
         r.getAs[Long]("n_docs") - r.getAs[Long]("n_classes")
     }
+  }
+
+  test("persisted band index: probe == live cross-corpus path; append grows it") {
+    val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx")
+      .toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", dir)
+    val got = Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text",
+        dir, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val live = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.keySet shouldBe live.keySet
+    got should not be empty
+    got.foreach { case (k, j) => j shouldBe live(k) +- 1e-12 }
+    // the gate face drops exactly the docs with an index hit
+    val keptIdx = Dedup.dedupAgainstIndex(newBatch, "doc_id", "text", dir)
+      .collect().map(_.getLong(0)).toSet
+    val all = newBatch.collect().map(_.getLong(0)).toSet
+    keptIdx shouldBe (all -- got.keySet.map(_._1))
+    // the artifact's whole point: the probe never re-shingles the corpus —
+    // the ONE shingle kernel in the plan is the new batch's
+    val plan = Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text", dir)
+      .queryExecution.executedPlan.toString
+    "shingle_hashes".r.findAllIn(plan).size shouldBe 1
+    // append survivors, then an exact copy of an appended doc must hit
+    Dedup.appendToBandIndex(
+      newBatch.filter(F.col("doc_id").isin(keptIdx.toSeq.take(5): _*)),
+      "doc_id", "text", dir)
+    val probeId = keptIdx.head
+    val probe = docs.filter(F.col("doc_id") === probeId)
+      .withColumn("doc_id", F.col("doc_id") + 1000000L)
+    val rehit = Dedup.nearDupPairsAgainstIndex(probe, "doc_id", "text",
+        dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rehit should contain ((probeId + 1000000L, probeId))
+    // fail fast on a parquet dir that is not a band index
+    val bogus = java.nio.file.Files.createTempDirectory("graft-notidx")
+      .toString + "/t"
+    corpus.limit(3).write.parquet(bogus)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text", bogus)
+  }
+
+  test("band-bloom gate: drops ⊇ exact banded hits; artifact replays; streams") {
+    val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    val bloom = Dedup.corpusBandBloom(corpus, "text")
+    val gated = Dedup.nearDupGateBloom(newBatch, "text", bloom)
+    val kept = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = newBatch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactHits = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.8)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    // no false negatives at the band level: every exact banded hit is
+    // dropped by the gate; excess drops are band collisions + bloom fpp
+    exactHits should not be empty
+    kept.intersect(exactHits) shouldBe empty
+    kept should not be empty
+    // gate output schema is the input schema (no helper columns leak)
+    gated.columns.toSeq shouldBe newBatch.columns.toSeq
+    // pure scan: no join, no exchange; shingle kernel exactly once
+    val plan = gated.queryExecution.executedPlan.toString
+    (plan should not).include("Exchange")
+    (plan should not).include("Join")
+    "shingle_hashes".r.findAllIn(plan).size shouldBe 1
+    plan should include("bloom_count")
+    // persisted artifact replays the in-memory gate identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandbloom")
+      .toString + "/bb"
+    Dedup.saveBandBloom(corpus, "text", dir)
+    val keptArt = Dedup.nearDupGateFromArtifact(newBatch, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    keptArt shouldBe kept
+    // a foreign artifact (different kind sidecar) fails fast
+    val benchDir = java.nio.file.Files.createTempDirectory("graft-shbloom")
+      .toString + "/sb"
+    graft.operators.Contamination.saveBenchBloom(
+      corpus.select(F.col("text").as("btext")), "btext", benchDir)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.nearDupGateFromArtifact(newBatch, "text", benchDir)
+    // the SAME artifact gate runs under readStream unmodified
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ndstream")
+      .toString
+    newBatch.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(newBatch.schema).parquet(inDir)
+    val q = Streams.nearDupStreamGate(stream, "text", dir)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val gotStream = spark.table("neardup_stream").collect()
+      .map(_.getLong(0)).toSet
+    gotStream shouldBe kept
+  }
+
+  test("decontaminateFromArtifact == decontaminateBloom; wrong kind fails") {
+    import graft.operators.Contamination
+    val bench = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("text").as("btext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchbloom")
+      .toString + "/bb"
+    Contamination.saveBenchBloom(bench, "btext", dir, n = 8)
+    val keptArt = Contamination.decontaminateFromArtifact(docs, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptLive = Contamination.decontaminateBloom(docs, "doc_id", "text",
+        bench, "btext", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    keptArt shouldBe keptLive
+    keptArt should not be empty
+    // a band-bloom artifact is not a shingle-bloom artifact
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-bandart")
+      .toString + "/ba"
+    Dedup.saveBandBloom(docs.filter(F.col("doc_id") % 2 === 0), "text",
+      bandDir)
+    an[IllegalArgumentException] should be thrownBy
+      Contamination.decontaminateFromArtifact(docs, "text", bandDir)
   }
 
   test("q_knn_ivfpq (registry): persisted-index probe recall vs exact path") {

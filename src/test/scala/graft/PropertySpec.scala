@@ -237,6 +237,69 @@ class PropertySpec extends AnyFunSuite with Matchers {
     GopherStatsKernel.statsArray(null).toSeq shouldBe Seq.fill(10)(0L)
   }
 
+  test("NormalizeText kernel == regex-chain reference on 2000 fuzz strings") {
+    import graft.functions.NormalizeTextKernel
+    // independent formulation: the exact regex pipeline the DuckDB oracle
+    // runs (NFC -> CR(LF)->LF -> TAB->space -> control strip -> space-run
+    // collapse -> edge trim), via java.util.regex replaceAll chains
+    def ref(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val step = nfc
+        .replaceAll("\r\n?", "\n")
+        .replaceAll("\t", " ")
+        .replaceAll("[\u0001-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+        .replaceAll("  +", " ")
+      var lo = 0; var hi = step.length
+      while (lo < hi && (step.charAt(lo) == ' ' || step.charAt(lo) == '\n')) lo += 1
+      while (hi > lo && (step.charAt(hi - 1) == ' ' || step.charAt(hi - 1) == '\n')) hi -= 1
+      step.substring(lo, hi)
+    }
+    // alphabet stresses every rule: CR/LF/CRLF mixes, tabs, C0 controls,
+    // DEL, combining accents (NFC composition), precomposed chars, space
+    // runs, multi-byte letters, a surrogate pair
+    val atoms = Array(" ", "  ", "\t", "\r", "\n", "\r\n", "\u0007",
+      "\u000B", "\u001B[0m", "\u007F", "e\u0301", "\u00E9", "o\u0308",
+      "a", "Z.", "9", "中", "😀", "word", " x ")
+    val rnd = new scala.util.Random(7777)
+    for (trial <- 0 until 2000) {
+      val s = Seq.fill(rnd.nextInt(25))(atoms(rnd.nextInt(atoms.length))).mkString
+      withClue(s"trial $trial input ${s.replace("\n", "\\n").replace("\r", "\\r")}: ") {
+        NormalizeTextKernel.normalizeString(s) shouldBe ref(s)
+      }
+    }
+    // hand-pinned edges: idempotence, empty, null
+    val messy = "  \tTitre: re\u0301sume\u0301\r\n\rbody  text\u0007\n "
+    val clean = NormalizeTextKernel.normalizeString(messy)
+    clean shouldBe "Titre: r\u00E9sum\u00E9\n\nbody text"
+    NormalizeTextKernel.normalizeString(clean) shouldBe clean
+    NormalizeTextKernel.normalizeString("") shouldBe ""
+    NormalizeTextKernel.normalize(null) shouldBe null
+  }
+
+  test("BloomKernel or-merge == single filter built from the union of keys") {
+    import graft.functions.BloomKernel
+    val rnd = new scala.util.Random(2026)
+    val keysA = Array.fill(4000)(rnd.nextLong())
+    val keysB = Array.fill(4000)(rnd.nextLong())
+    val expected = (keysA.length + keysB.length).toLong
+    // distributed-build shape: one pre-sized empty per "partition", keys
+    // folded in, OR-merged — must be BIT-IDENTICAL to one filter built
+    // from all keys under the same sizing (add is deterministic, and OR
+    // of the per-partition bitmaps is exactly the union of set bits)
+    val a = BloomKernel.emptySized(expected, 1e-4)
+    keysA.foreach(BloomKernel.add(a, _))
+    val b = BloomKernel.emptySized(expected, 1e-4)
+    keysB.foreach(BloomKernel.add(b, _))
+    val merged = BloomKernel.or(a, b)
+    val single = BloomKernel.build((keysA ++ keysB).iterator, expected, 1e-4)
+    merged.k shouldBe single.k
+    merged.nBits shouldBe single.nBits
+    merged.words.toSeq shouldBe single.words.toSeq
+    // incompatible sizings refuse to merge
+    an[IllegalArgumentException] should be thrownBy
+      BloomKernel.or(a, BloomKernel.emptySized(64, 1e-4))
+  }
+
   test("RepStats kernel == collections reference on 1500 adversarial fuzz strings") {
     import graft.functions.RepStatsKernel
     def cp(x: String) = x.codePointCount(0, x.length).toLong
