@@ -2373,9 +2373,16 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val all = newBatch.collect().map(_.getLong(0)).toSet
     keptIdx shouldBe (all -- got.keySet.map(_._1))
     // the artifact's whole point: the probe never re-shingles the corpus —
-    // the ONE shingle kernel in the plan is the new batch's
-    val plan = Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text", dir)
-      .queryExecution.executedPlan.toString
+    // the ONE shingle kernel in the plan is the new batch's. Like every
+    // other kernel-count pin, execute FIRST so AQE finalizes exchange
+    // reuse (the static plan duplicates the shared repartition(id) stage).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text", dir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
     "shingle_hashes".r.findAllIn(plan).size shouldBe 1
     // append survivors, then an exact copy of an appended doc must hit
     Dedup.appendToBandIndex(
