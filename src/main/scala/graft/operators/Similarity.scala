@@ -206,20 +206,45 @@ object Similarity {
         F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
       .orderBy("__h").limit(cap).drop("__h")
 
-  /** The ONE nearest-centroid scoring definition: an array of
-    * (d, cid) structs where `d` is the L2 surrogate `-2·dot + |c|²` (the
-    * |point|² term is constant per row, so it cannot change the argmin —
-    * and lexicographic struct order therefore IS the L2 order with
-    * deterministic cid tie-breaks). Every assignment site — Lloyd
-    * refinement, IVF list assignment, IVF probe bucketing, SemDeDup
-    * clustering — derives from this helper, so build and probe can never
-    * tessellate the space differently. (Max-inner-product assignment is
-    * NOT Lloyd's for unnormalized vectors: large-norm centroids swallow
-    * disproportionate lists — skewed partitions at scale — and probe
-    * recall decays faster with nProbe.) Centroids ride as k·dim literals:
-    * executor-local argmin, no shuffle, no broadcast variable.
+  /** The ONE nearest-centroid scoring definition: the `min(m, k)` nearest
+    * centroids of `vec` as `(d, cid, csim)` structs sorted ascending by
+    * `(d, cid)`, where `d` is the L2 surrogate `-2·dot + |c|²` (the
+    * |point|² term is constant per row, so it cannot change the argmin)
+    * and `csim` the cosine to that centroid (null on zero norm, like
+    * [[cosine]]). Every assignment site — Lloyd refinement, IVF list
+    * assignment, IVF probe bucketing, SemDeDup clustering — derives from
+    * this helper, so build and probe can never tessellate the space
+    * differently. (Max-inner-product assignment is NOT Lloyd's for
+    * unnormalized vectors: large-norm centroids swallow disproportionate
+    * lists — skewed partitions at scale — and probe recall decays faster
+    * with nProbe.)
+    *
+    * Backed by the native [[graft.functions.NearestCentroids]] kernel:
+    * the centroid set is ONE `typedLit` literal flattened once on the
+    * driver and shipped as a codegen reference, so generated code is
+    * constant-size in k — the composed per-centroid-literal form
+    * ([[l2ScoredComposed]]) hits janino's 64 KB method limit (interpreted
+    * fallback) in the low hundreds of centroids and stops planning long
+    * before SemDeDup's paper-scale ~50k clusters. Executor-local argmin
+    * either way: no shuffle, no join; the payload rides the
+    * stage-broadcast task binary.
     */
-  private def l2Scored(cents: Array[(Int, Array[Double])],
+  private def nearestScored(cents: Array[(Int, Array[Double])],
+      vec: Column, m: Int): Column = {
+    require(cents.nonEmpty, "nearestScored: empty centroid set")
+    graft.plans.GraftExtensions.callNative("nearest_centroids",
+      vec.cast("array<double>"),
+      F.typedLit(cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }),
+      F.lit(m))
+  }
+
+  /** Composed per-centroid-literal formulation of the same (d, cid)
+    * scoring, kept as the equivalence baseline for the native kernel
+    * (PipelineSpec pins argmin/top-m/csim row-for-row equal at small k —
+    * see [[dotComposed]] for the convention). Code size grows with k·dim:
+    * NOT scale-safe, never called from an operator path.
+    */
+  private[graft] def l2ScoredComposed(cents: Array[(Int, Array[Double])],
       vec: Column): Column =
     F.array(cents.toSeq.map { case (cid, cv) =>
       F.struct(
@@ -231,8 +256,8 @@ object Similarity {
 
   /** Lloyd-refine a centroid set against (a bounded sample of) the
     * candidate vectors. Each iteration: distributed nearest-centroid
-    * assignment by LOWEST L2 distance ([[l2Scored]]) — an expression over
-    * centroid literals, no shuffle
+    * assignment by LOWEST L2 distance ([[nearestScored]]) — a native
+    * kernel projection, no shuffle
     * of vectors — then per-(cluster, dim) mean via posexplode + aggregate
     * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
     * bounded by construction, never the data). Training runs on a
@@ -250,7 +275,8 @@ object Similarity {
       .localCheckpoint()
     var cents = init
     for (_ <- 1 to iters) {
-      val assignExpr = F.array_min(l2Scored(cents, F.col("__v"))).getField("cid")
+      val assignExpr =
+        F.element_at(nearestScored(cents, F.col("__v"), 1), 1).getField("cid")
       val means = sample.withColumn("__c", assignExpr)
         .select(F.col("__c"), F.posexplode(F.col("__v")))
         .groupBy("__c", "pos").agg(F.avg("col").as("m"))
@@ -280,7 +306,7 @@ object Similarity {
     * (`sampleSeed`) and are optionally Lloyd-refined ([[kmeansRefine]],
     * `refineIters` > 0) on a bounded sample. The plan shape
     * (assign → equi-join on list id → score → window top-k) is identical
-    * either way; only the k·dim centroid literals change.
+    * either way; only the kernel's centroid table changes.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -322,17 +348,14 @@ object Similarity {
   }
 
   /** ids of the `m` LOWEST-L2-distance centroids as an array column —
-    * [[l2Scored]] sorted ascending (lexicographic struct order = L2 order,
-    * cid tie-breaks), so list assignment uses the SAME metric the
-    * quantizer trains under ([[kmeansRefine]]/[[lloydL2]]): the lists a
-    * probe walks are exactly the Voronoi cells the L2-trained centroids
-    * tessellate.
+    * [[nearestScored]] projected to cids, so list assignment uses the
+    * SAME metric the quantizer trains under
+    * ([[kmeansRefine]]/[[lloydL2]]): the lists a probe walks are exactly
+    * the Voronoi cells the L2-trained centroids tessellate.
     */
   private def nearestCentroids(cents: Array[(Int, Array[Double])],
       vec: Column, m: Int): Column =
-    F.transform(
-      F.slice(F.array_sort(l2Scored(cents, vec)), 1, m),
-      s => s.getField("cid"))
+    F.transform(nearestScored(cents, vec, m), s => s.getField("cid"))
 
   /** Shared probe tail: equi-join bucketed queries with listed candidates,
     * score, per-query top-k.
@@ -682,8 +705,10 @@ object Similarity {
     * funnel when the corpus grows; use [[semDedupAuto]] to derive it from
     * a count. Centroids are
     * trained on a bounded hash-uniform sample ([[kmeansRefine]], L2
-    * assignment) and ride into the executors as literals — no broadcast
-    * variable, no extra shuffle for assignment; the cluster-keyed
+    * assignment) and ride into the executors inside the stage-broadcast
+    * task binary as one kernel reference ([[nearestScored]] — codegen
+    * size constant in nClusters, so paper-scale counts plan and compile);
+    * no extra shuffle for assignment; the cluster-keyed
     * repartition is the one materialization point, reused by both
     * self-join sides (AQE stage reuse). Duplicate groups collapse through
     * [[Dedup.nearDupClusters]] (pointer-jumped min-label propagation) and
@@ -768,21 +793,14 @@ object Similarity {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // per-row: argmin-L2 cluster id + cosine to that centroid, in ONE
-    // literal-array expression (sorts nClusters structs; first field is
-    // the L2 surrogate -2·dot + |c|² — [[l2Scored]]'s metric with the
-    // cosine riding along — so array_sort's lexicographic order IS the L2
-    // order; ties break on cid then csim deterministically)
-    val scored = F.array(cents.toSeq.map { case (cid, cv) =>
-      val cl = F.array(cv.map(F.lit): _*)
-      F.struct(
-        (F.lit(cv.map(x => x * x).sum) - F.lit(2.0) * dot(F.col("__v"), cl))
-          .as("d"),
-        F.lit(cid).as("cid"),
-        cosine(F.col("__v"), cl).as("csim"))
-    }: _*)
+    // native kernel call ([[nearestScored]] m=1 — constant codegen size
+    // whatever nClusters is, which is what lets semDedupAuto's derived
+    // counts actually execute at corpus scale; ties break on cid
+    // deterministically)
     val assigned = df
       .select(F.col(idCol).as("id"), F.col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__best", F.element_at(F.array_sort(scored), 1))
+      .withColumn("__best",
+        F.element_at(nearestScored(cents, F.col("__v"), 1), 1))
       .select(F.col("id"), F.col("__v"),
         F.col("__best.cid").as("__cid"), F.col("__best.csim").as("__csim"))
       .repartition(F.col("__cid")) // materialization point: both join sides

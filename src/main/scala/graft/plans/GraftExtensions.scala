@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NormalizeText, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -96,6 +96,14 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "bpe_tokens(text, merges) takes 2 arguments")
         BpeTokens(args.head, args(1))
+      }),
+    (FunctionIdentifier("nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName,
+        "nearest_centroids"),
+      { args =>
+        require(args.length == 3,
+          "nearest_centroids(vec, centroids, m) takes 3 arguments")
+        NearestCentroids.fromArgs(args.head, args(1), args(2))
       }),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),

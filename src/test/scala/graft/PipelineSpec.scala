@@ -802,6 +802,135 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(raw).size.toDouble should be >= exact.size * 0.3
   }
 
+  test("nearest_centroids kernel == composed literal scoring, row for row") {
+    // centroids from real embedding rows, cids deliberately NOT in index
+    // order so tie-breaks/ordering are exercised on the id, not the slot
+    val centVecs = emb.orderBy("vec_id")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<double>"))
+      .limit(10).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cents = centVecs.zipWithIndex.map { case (v, i) => ((i * 7) % 10, v) }
+    val centsLit = F.typedLit(cents.toSeq.map { case (c, v) => (c, v.toSeq) })
+    val k3 = graft.plans.GraftExtensions.callNative("nearest_centroids",
+      F.col("embedding").cast("array<double>"), centsLit, F.lit(3))
+    val got = emb.select(F.col("vec_id"), k3.as("nn")).collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+    }.toMap
+    got.values.foreach(_.length shouldBe 3)
+    // composed baseline: array_sort over per-centroid literal structs
+    val composed = emb.select(F.col("vec_id"),
+        F.slice(F.array_sort(Similarity.l2ScoredComposed(cents,
+          F.col("embedding"))), 1, 3).as("nn"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+      }.toMap
+    got.keySet shouldBe composed.keySet
+    got.foreach { case (id, nn) =>
+      nn.map(_.getInt(1)) shouldBe composed(id).map(_.getInt(1))
+      // d is the SAME metric in the same FP evaluation order: exact equality
+      nn.map(_.getDouble(0)) shouldBe composed(id).map(_.getDouble(0))
+    }
+    // csim field == the cosine kernel against the winning centroid
+    val byCid = cents.toMap
+    val vecs = emb
+      .select(F.col("vec_id"), F.col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def refCos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (id, nn) =>
+      nn.foreach { s =>
+        s.getDouble(2) shouldBe refCos(vecs(id), byCid(s.getInt(1)))
+      }
+    }
+  }
+
+  test("nearest_centroids at k=4096: constant-size plan, codegen, parity") {
+    // the scale gate the literal path fails: 4096 centroids × 64 dims as
+    // per-centroid literals is a multi-MB plan that trips janino's 64 KB
+    // method limit (logged CodegenFallback); the kernel must plan small
+    // and stay compiled. codegen.fallback=false turns any silent
+    // interpreted fallback of the expression into a hard error.
+    val dim = 64
+    val cents = Array.tabulate(4096) { i =>
+      (i, Array.tabulate(dim) { j =>
+        (((i.toLong * 1315423911L + j * 2654435761L) % 1000L).toDouble /
+          250.0) - 2.0
+      })
+    }
+    val centsLit = F.typedLit(cents.toSeq.map { case (c, v) => (c, v.toSeq) })
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val q = emb.select(F.col("vec_id"),
+        F.element_at(graft.plans.GraftExtensions.callNative(
+          "nearest_centroids", F.col("embedding").cast("array<double>"),
+          centsLit, F.lit(1)), 1).getField("cid").as("cid"))
+      val got = q.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got.size shouldBe 500
+      // the plan must NOT grow with k: a literal-path plan at this k is
+      // tens of MB; the kernel's is a constant-size call
+      val plan = q.queryExecution.executedPlan.toString
+      plan.length should be < 65536
+      // the starred prefix is executedPlan.toString's whole-stage-codegen
+      // marker; with codegen.fallback=false above, a janino failure would
+      // have thrown instead of silently interpreting
+      "\\*\\(\\d+\\) Project".r.findFirstIn(plan) should not be empty
+      // brute-force argmin parity on a sample of rows
+      val vecs = emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id"), F.col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      vecs.foreach { case (id, v) =>
+        val best = cents.minBy { case (cid, cv) =>
+          val d = cv.map(x => x * x).sum -
+            2.0 * v.zip(cv).map { case (a, b) => a * b }.sum
+          (d, cid)
+        }._1
+        got(id) shouldBe best
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("nearest_centroids: SQL face, tie-breaks, null/edge semantics") {
+    graft.plans.GraftExtensions.register(spark)
+    // two equidistant centroids: lowest cid wins, in slot order
+    val tie = spark.sql(
+      "SELECT nearest_centroids(array(0.0D, 0.0D), " +
+        "array(struct(7, array(1.0D, 0.0D)), struct(2, array(0.0D, 1.0D))), " +
+        "3) AS nn").head().getSeq[org.apache.spark.sql.Row](0)
+    tie.map(_.getInt(1)) shouldBe Seq(2, 7) // m > k → k entries
+    tie.foreach(_.getDouble(0) shouldBe 1.0) // d = |c|² − 2·0
+    // zero-norm vector: assignment still total (d = |c|²), csim null
+    val z = spark.sql(
+      "SELECT nearest_centroids(array(0.0D, 0.0D), " +
+        "array(struct(0, array(3.0D, 4.0D))), 1) AS nn")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    z.head.getInt(1) shouldBe 0
+    z.head.isNullAt(2) shouldBe true
+    // null vector → null; wrong-length vector → null (whole result)
+    spark.sql("SELECT nearest_centroids(CAST(NULL AS ARRAY<DOUBLE>), " +
+        "array(struct(0, array(1.0D))), 1) IS NULL AS n")
+      .head().getBoolean(0) shouldBe true
+    spark.sql("SELECT nearest_centroids(array(1.0D, 2.0D, 3.0D), " +
+        "array(struct(0, array(1.0D))), 1) IS NULL AS n")
+      .head().getBoolean(0) shouldBe true
+    // non-literal centroid argument is an analysis error, not silence
+    an[Exception] should be thrownBy
+      spark.sql("SELECT nearest_centroids(array(1.0D), " +
+        "array(struct(CAST(rand()*0 AS INT), array(1.0D))), 1)").collect()
+  }
+
   test("pq_codes: null propagates; short vector is an error, not silence") {
     graft.plans.GraftExtensions.register(spark)
     spark.sql("SELECT pq_codes(CAST(NULL AS ARRAY<DOUBLE>), " +
