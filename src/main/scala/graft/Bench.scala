@@ -12,11 +12,24 @@ import java.nio.file.{Files, Paths}
   * contributes `-1` (never a fake success time). The line is also written
   * to `bench_out.json` as a belt-and-braces channel in case stdout is
   * wrapped by a build tool.
+  *
+  * The driver harvests the line from a bounded LOG TAIL, so the line is
+  * kept deliberately small: per-query seconds are rounded to 3 decimals
+  * (ms resolution — full doubles made the r6/r7 lines outgrow the tail
+  * window and truncate mid-JSON, `"parsed": null`). Two rounds running,
+  * the driver host was also contended enough to inflate shuffle-heavy
+  * queries 13-64× vs idle re-runs, so the line carries `"load"` (the
+  * 1-minute system load average at bench start, -1 where the JVM can't
+  * read it) and `bench_detail.json` records per-query {cold, warm} pairs —
+  * a contended run is then self-diagnosing instead of a phantom
+  * regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,27 +44,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results: Seq[(String, Double)] = Queries.benchRegistry.toSeq.map {
+    // (name, cold, warm); a failure is (-1, -1), never a fake success time
+    val results: Seq[(String, Double, Double)] = Queries.benchRegistry.toSeq.map {
       case (name, fn) =>
-        val sec =
-          try { timeOnce(fn); timeOnce(fn) } // warm: report the second run
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              -1.0
-          }
-        name -> sec
+        try { val c = timeOnce(fn); val w = timeOnce(fn); (name, c, w) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            (name, -1.0, -1.0)
+        }
     }
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, _, w) => "\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._3).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"queries":$qs,"sf":$sfNum}"""
     println(line)
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    catch { case _: Throwable => () }
+    try {
+      Files.writeString(Paths.get("bench_out.json"), line + "\n")
+      val detail = results
+        .map { case (k, c, w) => "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}" }
+        .mkString("{\"load\":" + r3(load) + ",\"queries\":{", ",", "}}")
+      Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

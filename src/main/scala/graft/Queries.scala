@@ -1049,15 +1049,19 @@ object Queries {
 
   /** The DSIR resampler itself ([[Selection.dsirSelect]]) — the operator a
     * selection pipeline actually calls: Gumbel-top-k over the importance
-    * log-weights (hash-derived noise, deterministic, TakeOrdered — no
-    * global sort). Rows-only: xxhash64 noise/buckets are not
-    * SQL-replayable; determinism and target-distribution enrichment are
-    * pinned in SelectionSpec.
+    * log-weights (md5-derived noise, deterministic, TakeOrdered — no
+    * global sort). Exact-feature flavor (numBuckets = 0) so the WHOLE
+    * operator replays in DuckDB: the oracle rebuilds q_dsir's log-weights,
+    * derives the identical Gumbel noise from the same md5 prefix
+    * (`u = (int(md5(id ∥ "_dsir_42")[0:8]) + 0.5) / 2^32`), and takes the
+    * same top-k. The hashed-bucket scale twin stays rows-only
+    * (q_dsir_hashed); noise determinism and target enrichment are pinned
+    * in SelectionSpec.
     */
   def q_dsir_select(s: SparkSession, d: String): DataFrame = {
     val docsDf = Tables.documents(s, d)
     Selection.dsirSelect(docsDf, docsDf.filter(col("lang") === "fr"),
-        "doc_id", "text", k = 100, numBuckets = 1 << 16)
+        "doc_id", "text", k = 100, numBuckets = 0)
       .select(col("doc_id"), round(col("logw"), 6).as("logw"),
         round(col("score"), 6).as("score"))
   }
@@ -1086,6 +1090,46 @@ object Queries {
     * Jaccard at 0.8 (the brute-force ground truth the banded LSH path
     * equals at this threshold — recall pinned in PipelineSpec).
     */
+  /** Shared DSIR log-weight CTEs (exact unigram+bigram features, add-1
+    * smoothing over the union vocabulary): q_dsir reads `logws` directly;
+    * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
+    * top. logw is UNROUNDED here so the resampler's score ranks on full
+    * precision, exactly as the engine does.
+    */
+  private lazy val dsirLogwCtes: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, $DTok AS ws FROM documents
+      |), uni AS (
+      |  SELECT doc_id, lang, unnest(ws) AS f FROM toks
+      |), bi AS (
+      |  SELECT doc_id, lang,
+      |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS f
+      |  FROM toks WHERE len(ws) >= 2
+      |), feats AS (
+      |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+      |), docfeat AS (
+      |  SELECT doc_id, f, count(*) AS n FROM feats GROUP BY 1, 2
+      |), cr AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1
+      |), ct AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats WHERE lang = 'fr' GROUP BY 1
+      |), u AS (
+      |  SELECT coalesce(cr.f, ct.f) AS f,
+      |    coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+      |  FROM cr FULL OUTER JOIN ct ON cr.f = ct.f
+      |), stats AS (
+      |  SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt,
+      |    CAST(count(*) AS DOUBLE) AS v
+      |  FROM u
+      |), ratios AS (
+      |  SELECT f, ln((ct + 1.0) / (tt + 1.0 * v)) - ln((cr + 1.0) / (tr + 1.0 * v)) AS lr
+      |  FROM u, stats
+      |), logws AS (
+      |  SELECT d.doc_id, sum(d.n * r.lr) AS logw
+      |  FROM docfeat d JOIN ratios r ON d.f = r.f
+      |  GROUP BY d.doc_id
+      |)""".stripMargin
+
   private lazy val xcorpusJaccardSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, $DTok AS ws FROM documents
@@ -1782,37 +1826,21 @@ object Queries {
         |)
         |SELECT doc_id, dl, xent2 FROM scored""".stripMargin,
     "q_dsir" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, lang, $DTok AS ws FROM documents
-        |), uni AS (
-        |  SELECT doc_id, lang, unnest(ws) AS f FROM toks
-        |), bi AS (
-        |  SELECT doc_id, lang,
-        |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS f
-        |  FROM toks WHERE len(ws) >= 2
-        |), feats AS (
-        |  SELECT * FROM uni UNION ALL SELECT * FROM bi
-        |), docfeat AS (
-        |  SELECT doc_id, f, count(*) AS n FROM feats GROUP BY 1, 2
-        |), cr AS (
-        |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1
-        |), ct AS (
-        |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats WHERE lang = 'fr' GROUP BY 1
-        |), u AS (
-        |  SELECT coalesce(cr.f, ct.f) AS f,
-        |    coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
-        |  FROM cr FULL OUTER JOIN ct ON cr.f = ct.f
-        |), stats AS (
-        |  SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt,
-        |    CAST(count(*) AS DOUBLE) AS v
-        |  FROM u
-        |), ratios AS (
-        |  SELECT f, ln((ct + 1.0) / (tt + 1.0 * v)) - ln((cr + 1.0) / (tr + 1.0 * v)) AS lr
-        |  FROM u, stats
+      s"""$dsirLogwCtes
+        |SELECT doc_id, round(logw, 6) AS logw FROM logws""".stripMargin,
+    // the resampler: SAME log-weights, plus the md5-replayed Gumbel noise
+    // (u = (int(md5(id || '_dsir_42')[0:8]) + 0.5) / 2^32) and the
+    // deterministic (score desc, id) top-k — the full operator, replayed
+    "q_dsir_select" ->
+      s"""$dsirLogwCtes, noised AS (
+        |  SELECT doc_id, logw,
+        |    logw / 1.0 - ln(-ln(
+        |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_dsir_42'), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0))) AS score
+        |  FROM logws
         |)
-        |SELECT d.doc_id, round(sum(d.n * r.lr), 6) AS logw
-        |FROM docfeat d JOIN ratios r ON d.f = r.f
-        |GROUP BY d.doc_id""".stripMargin,
+        |SELECT doc_id, round(logw, 6) AS logw, round(score, 6) AS score
+        |FROM noised ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "q_text_rep" -> textRepSql,
     "q_nb_quality" -> nbQualitySql,
     // the persisted-model path must reproduce the in-plan path exactly

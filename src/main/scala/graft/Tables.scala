@@ -24,13 +24,18 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** The events table stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long and convert to a
-    * microsecond timestamp with integer arithmetic (a double division would
-    * lose precision above 2^53 ns).
+  /** The events table's `ts` encoding has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * by default) in some, plain microsecond TIMESTAMP in others. Sniff the
+    * footer once per (path) and dispatch:
     *
-    * The nanos handling is scoped to THIS read — no session conf mutation
-    * (round-3 advice item 5). Two pieces make that work:
+    *  - micros: a plain scan — pushdown/pruning reach the parquet as-is;
+    *  - nanos: read the physical int64 as long and convert with integer
+    *    arithmetic (`div 1000` — a double division would lose precision
+    *    above 2^53 ns).
+    *
+    * The nanos handling stays scoped to THAT read — no session conf
+    * mutation (round-3 advice item 5). Two pieces make that work:
     *   - an explicit user schema (`ts BIGINT`) skips footer schema
     *     inference, the one step that consults the session-level
     *     `spark.sql.legacy.parquet.nanosAsLong` flag eagerly;
@@ -40,16 +45,41 @@ object Tables {
     *     `ParquetToSparkSchemaConverter(Configuration)` reads it.
     * Other NANOS parquet reads in the same session are unaffected
     * (proven by a round-trip test in EngineSpec).
+    *
+    * The sniff itself is one footer read (`spark.read.parquet(...).schema`
+    * throws the nanos-unsupported analysis error iff the file is nanos),
+    * cached per path so repeated loaders don't re-list.
     */
+  private val eventsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def events(s: SparkSession, d: String): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    s.read.schema(schema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val path = s"$d/events.parquet"
+    val isNanos = eventsIsNanos.computeIfAbsent(path, _ =>
+      try { s.read.parquet(path).schema; java.lang.Boolean.FALSE }
+      catch {
+        case e: Exception
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("nanos") =>
+          java.lang.Boolean.TRUE
+      })
+    if (!isNanos) {
+      // micros generations carry isAdjustedToUTC=false, which Spark reads
+      // as TIMESTAMP_NTZ; cast to TimestampType (session tz is UTC — the
+      // same instants) so the engine-facing schema is identical across
+      // testdata generations. No-op when the file is already UTC-adjusted.
+      s.read.parquet(path).withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    } else {
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      s.read.schema(schema)
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -40,10 +40,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   *    [[CosineSim]]'s zero-norm sentinel.
   *
   * Null semantics: null input vector → null; length ≠ centroid dim, null
-  * element, or NaN element → null result (the composed form instead
-  * yields per-struct null `d` fields with undefined sort placement — no
-  * consumer feeds it malformed vectors, and an explicit whole-result null
-  * is the saner contract).
+  * element, or non-finite element (NaN or ±Inf — an Inf element times a
+  * 0.0 centroid element would otherwise smuggle NaN into the surrogate
+  * distances, where every comparison is false and the top-m order
+  * diverges from the composed baseline's deterministic NaN-last sort) →
+  * null result (the composed form instead yields per-struct null `d`
+  * fields with undefined sort placement — no consumer feeds it malformed
+  * vectors, and an explicit whole-result null is the saner contract).
+  * Callers that need malformed rows OBSERVABLE rather than silently
+  * null-assigned should audit with `Similarity.malformedVectors` first.
   */
 case class NearestCentroids(child: Expression,
     cs: QuantizerKernel.CentroidSet, m: Int) extends UnaryExpression {
@@ -116,9 +121,14 @@ object NearestCentroids {
         (if (cents.foldable) "" else " (non-foldable)"))
     require(m.foldable && m.dataType == IntegerType,
       s"nearest_centroids: m must be a LITERAL int, got ${m.dataType.simpleString}")
+    val mVal = m.eval()
+    // a foldable NULL int (CAST(NULL AS INT)) would unbox to 0 and return
+    // empty arrays for every row — error with the same strictness as the
+    // centroid-argument checks instead
+    require(mVal != null, "nearest_centroids: m must not be null")
     NearestCentroids(vec,
       QuantizerKernel.fromLiteral(cents.eval().asInstanceOf[ArrayData]),
-      m.eval().asInstanceOf[Int])
+      mVal.asInstanceOf[Int])
   }
 }
 
@@ -131,9 +141,28 @@ object QuantizerKernel {
     * `flat(i·dim) until ((i+1)·dim)`; `norms2`/`norms` are its
     * precomputed ‖c‖² (summed in ascending-dimension order, matching the
     * composed form's driver-side `cv.map(x*x).sum`) and ‖c‖.
+    *
+    * Equality is CONTENT-based (a case class over Arrays would compare by
+    * reference): two `nearest_centroids` calls built from the same
+    * centroid literal must compare equal so Catalyst's canonicalized plan
+    * matching and common-subexpression elimination keep working — the
+    * property the old all-literal form got for free. norms2/norms are
+    * derived from (flat, dim), so (flat, cids, k, dim) is the identity.
     */
   final case class CentroidSet(flat: Array[Double], cids: Array[Int],
-      k: Int, dim: Int, norms2: Array[Double], norms: Array[Double])
+      k: Int, dim: Int, norms2: Array[Double], norms: Array[Double]) {
+    override def equals(other: Any): Boolean = other match {
+      case that: CentroidSet =>
+        k == that.k && dim == that.dim &&
+          java.util.Arrays.equals(flat, that.flat) &&
+          java.util.Arrays.equals(cids, that.cids)
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Objects.hash(Integer.valueOf(k), Integer.valueOf(dim),
+        Integer.valueOf(java.util.Arrays.hashCode(flat)),
+        Integer.valueOf(java.util.Arrays.hashCode(cids)))
+  }
 
   def fromLiteral(raw: ArrayData): CentroidSet = {
     require(raw != null, "nearest_centroids: centroid literal must not be null")
@@ -163,8 +192,8 @@ object QuantizerKernel {
       while (j < dim) {
         require(!v.isNullAt(j), "nearest_centroids: null centroid element")
         val x = v.getDouble(j)
-        require(!java.lang.Double.isNaN(x),
-          "nearest_centroids: NaN centroid element")
+        require(java.lang.Double.isFinite(x),
+          "nearest_centroids: non-finite centroid element")
         flat(i * dim + j) = x
         n2 += x * x
         j += 1
@@ -179,7 +208,8 @@ object QuantizerKernel {
   }
 
   /** The `min(m, k)` nearest centroids of `vec` by `(d, cid)` ascending,
-    * or null for a malformed vector (wrong length / null / NaN element).
+    * or null for a malformed vector (wrong length / null / non-finite
+    * element).
     * O(k·(dim + m)) per row, allocation bounded by the m-row output.
     */
   def topM(vec: ArrayData, cs: CentroidSet, m: Int): ArrayData = {
@@ -191,7 +221,7 @@ object QuantizerKernel {
     while (j < dim) {
       if (vec.isNullAt(j)) return null
       val x = vec.getDouble(j)
-      if (java.lang.Double.isNaN(x)) return null
+      if (!java.lang.Double.isFinite(x)) return null
       v(j) = x
       nv2 += x * x
       j += 1

@@ -314,19 +314,24 @@ object Selection {
     * `k` raw docs with the highest `logw / temperature + Gumbel noise` —
     * equivalent to sampling k docs without replacement with probability
     * proportional to softmax(logw / temperature) (the Gumbel-max trick).
-    * The noise is hash-derived from (id, seed) — never `rand()` — so the
-    * selection is deterministic and partition-independent. Returns
-    * (idCol, logw, score), k rows, via a TakeOrderedAndProject (no global
-    * sort materialization).
+    * The noise is md5-derived from (id, seed) — never `rand()` — so the
+    * selection is deterministic, partition-independent AND
+    * engine-replayable (the [[hashSplit]] / `randomProject` trick: any
+    * SQL engine with md5 reproduces `u` bit-for-bit, which is what lets
+    * the registry's q_dsir_select carry a full DuckDB oracle instead of a
+    * rows-only check): `u = (first8HexChars(md5(id ++ "_dsir_" ++ seed))
+    * + 0.5) / 2^32`, Gumbel = −ln(−ln u). Returns (idCol, logw, score),
+    * k rows, via a TakeOrderedAndProject (no global sort
+    * materialization).
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, numBuckets: Int = 1 << 16,
       temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(temperature > 0, s"temperature must be positive, got $temperature")
-    val m = 1L << 31
-    val u = (F.pmod(F.xxhash64(F.col(idCol), F.lit(seed)), F.lit(m))
-      .cast("double") + 0.5) / m.toDouble
+    val u = (F.conv(F.substring(F.md5(
+        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed"))),
+        1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
     val gumbel = -F.log(-F.log(u))
     dsirLogWeights(raw, target, idCol, textCol, numBuckets)
       .withColumn("score", F.col("logw") / temperature + gumbel)

@@ -74,6 +74,33 @@ object Similarity {
     graft.plans.GraftExtensions.callNative("cosine_sim",
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Audit face for the kernel's malformed-vector contract: the rows of
+    * `df` whose `vecCol` the quantizer kernel would refuse (null vector,
+    * length ≠ `dim`, null element, non-finite element), tagged with a
+    * `reason` column. The assignment paths ([[semDedup]]'s `__cid`,
+    * [[ivfTopK]]'s probe) map such rows to a NULL assignment, which a
+    * later equi-join/explode then silently drops from pair generation —
+    * the row survives dedup unexamined. That is the documented contract
+    * (garbage vectors must not crash a 100 TB job), but silent is not
+    * observable: pipelines that want a bound on it run this projection
+    * first (one scan, no shuffle; count or quarantine the result).
+    */
+  def malformedVectors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val v = F.col(vecCol).cast("array<double>")
+    val hasNullElem = F.exists(v, x => x.isNull)
+    // NaN != NaN and ±Inf both fail the finite window check below
+    val hasNonFinite = F.exists(v,
+      x => x.isNaN || x > Double.MaxValue || x < Double.MinValue)
+    val reason = F.when(v.isNull, "null_vector")
+      .when(F.size(v) =!= dim, "wrong_length")
+      .when(hasNullElem, "null_element")
+      .when(hasNonFinite, "non_finite_element")
+    df.withColumn("reason", reason).filter(F.col("reason").isNotNull)
+      .select(F.col(idCol), F.col("reason"))
+  }
+
   /** Composed formulation of [[cosine]] (equivalence baseline — see
     * [[dotComposed]]).
     */

@@ -929,6 +929,90 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy
       spark.sql("SELECT nearest_centroids(array(1.0D), " +
         "array(struct(CAST(rand()*0 AS INT), array(1.0D))), 1)").collect()
+    // non-finite vector elements (NaN or ±Inf) → whole-result null: an Inf
+    // element times a 0.0 centroid element would otherwise put NaN in the
+    // surrogate distances, where every comparison is false and the top-m
+    // order diverges from the composed baseline's NaN-last sort
+    for (bad <- Seq("double('NaN')", "double('Infinity')",
+        "double('-Infinity')")) {
+      spark.sql(s"SELECT nearest_centroids(array(1.0D, $bad), " +
+          "array(struct(0, array(0.0D, 0.0D))), 1) IS NULL AS n")
+        .head().getBoolean(0) shouldBe true
+    }
+    // non-finite CENTROID element is a build-time error, not NaN poison
+    an[Exception] should be thrownBy
+      spark.sql("SELECT nearest_centroids(array(1.0D), " +
+        "array(struct(0, array(double('Infinity')))), 1)").collect()
+    // foldable-NULL m would unbox to 0 and silently return empty arrays —
+    // it must error with the same strictness as the centroid checks
+    an[Exception] should be thrownBy
+      spark.sql("SELECT nearest_centroids(array(1.0D), " +
+        "array(struct(0, array(1.0D))), CAST(NULL AS INT))").collect()
+  }
+
+  test("nearest_centroids: content equality restores CSE/canonicalization") {
+    // CentroidSet holds Arrays; without a content-based equals two calls
+    // built from the SAME centroid literal would compare by reference and
+    // defeat the subexpression elimination the old all-literal form got
+    // for free
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import graft.functions.{NearestCentroids, QuantizerKernel}
+    // two CentroidSets built from semantically identical but physically
+    // DISTINCT arrays (e.g. the same centroid seq passed through typedLit
+    // twice): without content-based equals, case-class equality over
+    // Array fields is reference equality and CSE/canonicalized plan
+    // matching — free under the old all-literal form — silently dies
+    def centData(head: Double): GenericArrayData =
+      new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](0,
+          new GenericArrayData(Array(head, 2.0)))),
+        new GenericInternalRow(Array[Any](1,
+          new GenericArrayData(Array(3.0, 4.0))))))
+    def build(head: Double): NearestCentroids = NearestCentroids(
+      Literal.create(Seq(1.0, 0.0), ArrayType(DoubleType, containsNull = false)),
+      QuantizerKernel.fromLiteral(centData(head)), 1)
+    val (a, b) = (build(1.0), build(1.0))
+    (a.cs eq b.cs) shouldBe false // distinct instances, same content
+    a.cs shouldBe b.cs
+    a.cs.hashCode shouldBe b.cs.hashCode
+    a shouldBe b
+    a.hashCode shouldBe b.hashCode
+    a.semanticEquals(b) shouldBe true
+    // and a DIFFERENT centroid payload must not compare equal
+    (a == build(9.0)) shouldBe false
+  }
+
+  test("malformedVectors audits exactly the rows the kernel null-assigns") {
+    import spark.implicits._
+    val dim = 2
+    val rows = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0)))),            // clean
+      (2L, None),                                       // null vector
+      (3L, Some(Seq(Some(1.0)))),                       // wrong length
+      (4L, Some(Seq(Some(1.0), None))),                 // null element
+      (5L, Some(Seq(Some(Double.NaN), Some(0.0)))),     // NaN
+      (6L, Some(Seq(Some(Double.PositiveInfinity), Some(0.0))))) // Inf
+    val df = rows.toDF("id", "vec")
+    val audit = Similarity.malformedVectors(df, "id", "vec", dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    audit shouldBe Map(2L -> "null_vector", 3L -> "wrong_length",
+      4L -> "null_element", 5L -> "non_finite_element",
+      6L -> "non_finite_element")
+    // contract cross-check: the audited ids are EXACTLY the ids the kernel
+    // maps to a null assignment (the silently-survives-dedup set)
+    graft.plans.GraftExtensions.register(spark)
+    val cents = F.typedLit(Seq((0, Seq(0.0, 0.0))))
+    val nullAssigned = df.select(F.col("id"),
+        graft.plans.GraftExtensions.callNative("nearest_centroids",
+          F.col("vec").cast("array<double>"), cents, F.lit(1)).as("nn"))
+      .filter(F.col("nn").isNull)
+      .collect().map(_.getLong(0)).toSet
+    nullAssigned shouldBe audit.keySet
+    // the audit is one scan-side projection: no shuffle in the plan
+    Similarity.malformedVectors(df, "id", "vec", dim)
+      .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
   test("pq_codes: null propagates; short vector is an error, not silence") {
@@ -1423,16 +1507,26 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // the read itself works and yields a microsecond timestamp
     val ev = Tables.events(spark, sf)
     ev.select("ts").head().get(0) shouldBe a[java.sql.Timestamp]
+    // ts decodes into the generator's 2024 range whichever encoding this
+    // testdata generation used (driver generations have flipped between
+    // TIMESTAMP(NANOS) and plain micros): a nanos division misapplied to
+    // a micros file would land the dates in 1970
+    ev.select(F.year(F.col("ts"))).head().getInt(0) shouldBe 2024
     // the session conf was never mutated…
     spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       .getOrElse("false") shouldBe "false"
-    // …so an unscoped read of the same NANOS parquet still gets the
-    // default-mode rejection: other NANOS reads in this session are
-    // unaffected by Tables.events.
-    val err = intercept[Exception] {
+    // …and IF the file is nanos-encoded, an unscoped read of the same
+    // parquet still gets the default-mode rejection (the scoped read
+    // option must not leak session-wide). On a micros generation there is
+    // nothing to scope and the plain read just works.
+    try {
       spark.read.parquet(s"$sf/events.parquet").schema
+      Tables.events(spark, sf).count() shouldBe
+        spark.read.parquet(s"$sf/events.parquet").count()
+    } catch {
+      case e: Exception =>
+        e.getMessage.toLowerCase should include("nanos")
     }
-    err.getMessage.toLowerCase should include("nanos")
   }
 
   test("mapGroupsWithState running totals match a plain aggregate (batch)") {
@@ -1784,6 +1878,53 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))))
       .toMap
     viaBatch shouldBe viaProj
+  }
+
+  test("real PNG/JPEG payloads decode via JDK ImageIO; resize re-encodes") {
+    import spark.implicits._
+    // real image bytes, written by the JDK's own encoders: dimensions come
+    // from actual pixel buffers, not any fake header
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val png = imageBytes(37, 21, "png")
+    val jpg = imageBytes(64, 48, "jpeg")
+    val corrupt = Array[Byte](1, 2, 3, 4, 5)
+    val df = Seq((1L, png), (2L, jpg), (3L, corrupt)).toDF("id", "payload")
+    val got = Multimodal.decodeBatched(df, "payload")
+      .select("id", "mime", "width", "height", "n_bytes").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    got(1L) shouldBe (("image/png", 37, 21, png.length.toLong))
+    got(2L) shouldBe (("image/jpeg", 64, 48, jpg.length.toLong))
+    // corrupt bytes quarantine as unknown — never an exception
+    got(3L) shouldBe (("unknown", 0, 0, 5L))
+    // resize: real images re-encode at the target dims (decode them back
+    // to prove it), corrupt payloads pass through untouched
+    val resized = Multimodal.resizeBatched(df, "payload", w = 10, h = 5)
+    val redec = Multimodal.decodeBatched(resized, "payload")
+      .select("id", "mime", "width", "height").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    redec(1L) shouldBe (("image/png", 10, 5))
+    redec(2L) shouldBe (("image/png", 10, 5)) // re-encoded as PNG
+    redec(3L) shouldBe (("unknown", 0, 0))
+    // fake payloads keep their deterministic header path through the SAME
+    // kernels (mixed batches are the production case)
+    val fake = Multimodal.withFakeMedia(docs.limit(3), "text")
+    val fakeResized = Multimodal.resizeBatched(fake, "payload", w = 9, h = 4)
+    Multimodal.decodeBatched(fakeResized, "payload")
+      .select("mime", "width", "height").collect().foreach { r =>
+        r.getString(0) shouldBe "image/fake"
+        r.getInt(1) shouldBe 9
+        r.getInt(2) shouldBe 4
+      }
   }
 
   test("flatMapGroupsWithState emits running high-value alerts (batch + stream)") {
