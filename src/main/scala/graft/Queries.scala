@@ -857,22 +857,23 @@ object Queries {
   def q_nb_quality(s: SparkSession, d: String): DataFrame =
     q_nb_quality_buckets(s, d, numBuckets = 0)
 
-  /** Hashed-feature twin of [[q_nb_quality]] (rows-only: xxhash64 buckets
-    * are not SQL-replayable; agreement with the exact variant is pinned in
-    * SelectionSpec).
+  /** Hashed-feature twin of [[q_nb_quality]] — bounded model state (2^16
+    * buckets) in the md5 bucket flavor, so the DuckDB oracle rebuilds the
+    * same buckets and replays the classifier end-to-end. The fused-kernel
+    * xxhash64 flavor is pinned against the exact variant in SelectionSpec.
     */
   def q_nb_quality_hashed(s: SparkSession, d: String): DataFrame =
-    q_nb_quality_buckets(s, d, numBuckets = 1 << 16)
+    q_nb_quality_buckets(s, d, numBuckets = 1 << 16, hashFn = "md5")
 
   private def q_nb_quality_buckets(s: SparkSession, d: String,
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int, hashFn: String = "xxhash64"): DataFrame = {
     val split = Selection.hashSplit(Tables.documents(s, d), "doc_id",
       Seq("train" -> 0.8, "score" -> 0.2))
     Selection.nbClassifierScore(
         split.filter(col("split") === "train")
           .withColumn("__lab", col("lang") === "en"),
         split.filter(col("split") === "score"),
-        "doc_id", "text", "__lab", numBuckets = numBuckets)
+        "doc_id", "text", "__lab", numBuckets = numBuckets, hashFn = hashFn)
       .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
   }
 
@@ -1015,15 +1016,18 @@ object Queries {
       .select(col("vec_id"))
   }
 
-  /** Hashed-feature DSIR twin of [[q_dsir]] (rows-only: xxhash64 buckets
-    * are not SQL-replayable; agreement with the exact variant is pinned
-    * in SelectionSpec).
+  /** Hashed-feature DSIR twin of [[q_dsir]] — the bounded-model-state
+    * 100 TB shape (2^16 feature buckets), in the md5 bucket flavor so the
+    * DuckDB oracle rebuilds the same buckets and replays the weights
+    * end-to-end. The fused-kernel xxhash64 flavor (the hot-path default)
+    * is pinned against this one in SelectionSpec.
     */
   def q_dsir_hashed(s: SparkSession, d: String): DataFrame = {
     val docsDf = Tables.documents(s, d)
     Selection.dsirLogWeights(docsDf,
-      docsDf.filter(col("lang") === "fr"), "doc_id", "text",
-      numBuckets = 1 << 16)
+        docsDf.filter(col("lang") === "fr"), "doc_id", "text",
+        numBuckets = 1 << 16, hashFn = "md5")
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"))
   }
 
   /** Per-doc BPE token counts under a corpus-trained merge table
@@ -1066,12 +1070,18 @@ object Queries {
         round(col("score"), 6).as("score"))
   }
 
-  /** Hashed-span twin of [[q_dup_passages]] (rows-only; row identity with
-    * the exact variant is pinned in PipelineSpec).
+  /** Hashed-span twin of [[q_dup_passages]] — the production shuffle
+    * shape (8-byte span keys instead of strings). Row identity with the
+    * exact variant is pinned in PipelineSpec, which is exactly what lets
+    * it share q_dup_passages' DuckDB oracle verbatim (the q_nb_model
+    * precedent): the driver verifies the hashed path's OUTPUT against
+    * the string-keyed ground truth.
     */
   def q_dup_passages_hashed(s: SparkSession, d: String): DataFrame =
     TextAnalysis.duplicatedPassages(Tables.documents(s, d), "doc_id",
-      "text", window = 8, hashed = true)
+        "text", window = 8, hashed = true)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("dup_frac"), 6).as("dup_frac"))
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -1090,13 +1100,46 @@ object Queries {
     * Jaccard at 0.8 (the brute-force ground truth the banded LSH path
     * equals at this threshold — recall pinned in PipelineSpec).
     */
-  /** Shared DSIR log-weight CTEs (exact unigram+bigram features, add-1
+  /** Whole-doc duplicated-passage profile (Lee 2021 window=8) — shared
+    * verbatim by q_dup_passages and its hashed twin (row identity pinned
+    * in PipelineSpec).
+    */
+  private lazy val dupPassagesSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), wins AS (
+      |  SELECT doc_id, CAST(len(ws) - 7 AS BIGINT) AS n_windows,
+      |    unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS wkey
+      |  FROM toks WHERE len(ws) >= 8
+      |), g AS (
+      |  SELECT wkey, count(*) AS gc FROM wins GROUP BY 1
+      |), perdoc AS (
+      |  SELECT wins.doc_id, wins.n_windows,
+      |    CAST(sum(CASE WHEN g.gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM wins JOIN g ON wins.wkey = g.wkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, n_windows, n_dup,
+      |  round(n_dup / n_windows, 6) AS dup_frac
+      |FROM perdoc""".stripMargin
+
+  /** Shared DSIR log-weight CTEs (unigram+bigram features, add-1
     * smoothing over the union vocabulary): q_dsir reads `logws` directly;
     * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
-    * top. logw is UNROUNDED here so the resampler's score ranks on full
+    * top; q_dsir_hashed sets `buckets > 0`, which inserts the md5-prefix
+    * bucket map (the engine replay of `docFeatureRows`' md5 flavor).
+    * logw is UNROUNDED here so the resampler's score ranks on full
     * precision, exactly as the engine does.
     */
-  private lazy val dsirLogwCtes: String =
+  private def dsirLogwCtes(buckets: Int = 0): String = {
+    val (bucketCte, featsRef) =
+      if (buckets > 0)
+        (s""", fb AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substr(md5(f), 1, 8))::BIGINT % $buckets AS f
+          |  FROM feats
+          |)""".stripMargin, "fb")
+      else ("", "feats")
     s"""WITH toks AS (
       |  SELECT doc_id, lang, $DTok AS ws FROM documents
       |), uni AS (
@@ -1107,12 +1150,12 @@ object Queries {
       |  FROM toks WHERE len(ws) >= 2
       |), feats AS (
       |  SELECT * FROM uni UNION ALL SELECT * FROM bi
-      |), docfeat AS (
-      |  SELECT doc_id, f, count(*) AS n FROM feats GROUP BY 1, 2
+      |)$bucketCte, docfeat AS (
+      |  SELECT doc_id, f, count(*) AS n FROM $featsRef GROUP BY 1, 2
       |), cr AS (
-      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1
+      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM $featsRef GROUP BY 1
       |), ct AS (
-      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM feats WHERE lang = 'fr' GROUP BY 1
+      |  SELECT f, CAST(count(*) AS BIGINT) AS c FROM $featsRef WHERE lang = 'fr' GROUP BY 1
       |), u AS (
       |  SELECT coalesce(cr.f, ct.f) AS f,
       |    coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
@@ -1129,6 +1172,7 @@ object Queries {
       |  FROM docfeat d JOIN ratios r ON d.f = r.f
       |  GROUP BY d.doc_id
       |)""".stripMargin
+  }
 
   private lazy val xcorpusJaccardSql: String =
     s"""WITH toks AS (
@@ -1780,24 +1824,13 @@ object Queries {
         |SELECT doc_id, r_wc, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
         |  r_wc * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop AS gopher_pass
         |FROM r""".stripMargin,
-    "q_dup_passages" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, $DTok AS ws FROM documents
-        |), wins AS (
-        |  SELECT doc_id, CAST(len(ws) - 7 AS BIGINT) AS n_windows,
-        |    unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS wkey
-        |  FROM toks WHERE len(ws) >= 8
-        |), g AS (
-        |  SELECT wkey, count(*) AS gc FROM wins GROUP BY 1
-        |), perdoc AS (
-        |  SELECT wins.doc_id, wins.n_windows,
-        |    CAST(sum(CASE WHEN g.gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-        |  FROM wins JOIN g ON wins.wkey = g.wkey
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_id, n_windows, n_dup,
-        |  round(n_dup / n_windows, 6) AS dup_frac
-        |FROM perdoc""".stripMargin,
+    "q_dup_passages" -> dupPassagesSql,
+    // the hashed twin is pinned ROW-IDENTICAL to the exact variant in
+    // PipelineSpec (64-bit span keys, collision-free at any realistic
+    // scale), so it shares the exact oracle verbatim — the q_nb_model
+    // precedent: the driver verifies the hashed path's output against
+    // the string-keyed ground truth
+    "q_dup_passages_hashed" -> dupPassagesSql,
     "q_bigram_ll" ->
       s"""WITH toks AS (
         |  SELECT doc_id, $DTok AS ws FROM documents
@@ -1826,13 +1859,18 @@ object Queries {
         |)
         |SELECT doc_id, dl, xent2 FROM scored""".stripMargin,
     "q_dsir" ->
-      s"""$dsirLogwCtes
+      s"""${dsirLogwCtes()}
+        |SELECT doc_id, round(logw, 6) AS logw FROM logws""".stripMargin,
+    // the hashed twin: same weights over md5-prefix feature buckets —
+    // the bounded-model-state flavor, with the bucket map replayed in SQL
+    "q_dsir_hashed" ->
+      s"""${dsirLogwCtes(buckets = 1 << 16)}
         |SELECT doc_id, round(logw, 6) AS logw FROM logws""".stripMargin,
     // the resampler: SAME log-weights, plus the md5-replayed Gumbel noise
     // (u = (int(md5(id || '_dsir_42')[0:8]) + 0.5) / 2^32) and the
     // deterministic (score desc, id) top-k — the full operator, replayed
     "q_dsir_select" ->
-      s"""$dsirLogwCtes, noised AS (
+      s"""${dsirLogwCtes()}, noised AS (
         |  SELECT doc_id, logw,
         |    logw / 1.0 - ln(-ln(
         |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_dsir_42'), 1, 8))::BIGINT
@@ -1845,10 +1883,17 @@ object Queries {
     "q_nb_quality" -> nbQualitySql,
     // the persisted-model path must reproduce the in-plan path exactly
     "q_nb_model" -> nbQualitySql,
+    // the hashed twin: same classifier over md5-prefix feature buckets —
+    // the bounded-model-state flavor, with the bucket map replayed in SQL
+    "q_nb_quality_hashed" ->
+      s"""${nbQualityCtes(buckets = 1 << 16)}
+        |SELECT sc.doc_id,
+        |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
+        |FROM scored sc, prior p""".stripMargin,
     // the streaming plan run in batch: same NB score, plus the tumbling
     // 1-hour window floor over ts = epoch 1704067200 + doc_id seconds
     "q_nb_stream_batch" ->
-      s"""$nbQualityCtes
+      s"""${nbQualityCtes()}
         |SELECT CAST(floor((1704067200 + sc.doc_id) / 3600) * 3600 AS BIGINT) AS ws,
         |  sc.doc_id,
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
@@ -1950,7 +1995,7 @@ object Queries {
     * log-ratios with the unseen fallback, doc-count prior.
     */
   private lazy val nbQualitySql: String =
-    s"""$nbQualityCtes
+    s"""${nbQualityCtes()}
       |SELECT sc.doc_id,
       |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
       |FROM scored sc, prior p""".stripMargin
@@ -1958,8 +2003,16 @@ object Queries {
   /** The NB replay's CTE chain (through `scored`/`prior`), shared by the
     * plain, persisted-model and windowed-stream-batch oracle faces.
     */
-  private lazy val nbQualityCtes: String =
-      s"""WITH split AS (
+  private def nbQualityCtes(buckets: Int = 0): String = {
+    val (bucketCte, featsRef) =
+      if (buckets > 0)
+        (s""", fb AS (
+          |  SELECT doc_id, lang, is_train,
+          |    ('0x' || substr(md5(f), 1, 8))::BIGINT % $buckets AS f
+          |  FROM feats
+          |)""".stripMargin, "fb")
+      else ("", "feats")
+    s"""WITH split AS (
         |  SELECT doc_id, lang, text,
         |    substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc'
         |      AS is_train
@@ -1974,11 +2027,11 @@ object Queries {
         |  FROM toks WHERE len(ws) >= 2
         |), feats AS (
         |  SELECT * FROM uni UNION ALL SELECT * FROM bi
-        |), counts AS (
+        |)$bucketCte, counts AS (
         |  SELECT f,
         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cneg
-        |  FROM feats WHERE is_train GROUP BY 1
+        |  FROM $featsRef WHERE is_train GROUP BY 1
         |), stats AS (
         |  SELECT CAST(sum(cpos) AS DOUBLE) AS tp,
         |    CAST(sum(cneg) AS DOUBLE) AS tn,
@@ -1995,7 +2048,7 @@ object Queries {
         |  FROM split WHERE is_train
         |), docfeat AS (
         |  SELECT doc_id, f, count(*) AS n
-        |  FROM feats WHERE NOT is_train GROUP BY 1, 2
+        |  FROM $featsRef WHERE NOT is_train GROUP BY 1, 2
         |), scored AS (
         |  SELECT d.doc_id,
         |    sum(d.n * coalesce(l.lr,
@@ -2003,6 +2056,7 @@ object Queries {
         |  FROM docfeat d LEFT JOIN llr l ON d.f = l.f CROSS JOIN stats s
         |  GROUP BY 1
         |)""".stripMargin
+  }
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),

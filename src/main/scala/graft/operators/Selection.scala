@@ -201,16 +201,20 @@ object Selection {
     * hashed into that many buckets (the paper's hashed n-gram features —
     * fixed-size model regardless of vocabulary, the 100 TB shape) via the
     * fused `shingle_hashes_all` kernel (positional 1-gram ∪ 2-gram hashes,
-    * multiplicities kept, one codegen call per n); with `numBuckets = 0`
+    * multiplicities kept, one codegen call per n), or — with
+    * `hashFn = "md5"` — via an md5-prefix bucket over the n-gram string,
+    * the engine-replayable flavor the registry's hashed twins use so the
+    * DuckDB oracle can rebuild the same buckets; with `numBuckets = 0`
     * raw n-gram strings are kept, tokenized once to an attribute (bigram
     * strings contain a space so the families cannot collide) — the
-    * oracle-expressible exact variant the hashed one is test-pinned
+    * oracle-expressible exact variant the hashed ones are test-pinned
     * against.
     */
   private def docFeatures(df: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int, carry: Seq[String] = Nil): DataFrame = {
+      numBuckets: Int, carry: Seq[String] = Nil,
+      hashFn: String = "xxhash64"): DataFrame = {
     val keep = (idCol +: carry).map(F.col)
-    docFeatureRows(df, idCol, textCol, numBuckets, carry)
+    docFeatureRows(df, idCol, textCol, numBuckets, carry, hashFn)
       .groupBy(keep :+ F.col("feat"): _*).agg(F.count(F.lit(1)).as("n"))
   }
 
@@ -223,10 +227,27 @@ object Selection {
     */
   private[graft] def docFeatureRows(df: DataFrame, idCol: String,
       textCol: String, numBuckets: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, hashFn: String = "xxhash64"): DataFrame = {
+    require(hashFn == "xxhash64" || hashFn == "md5",
+      s"hashFn must be xxhash64 or md5, got $hashFn")
     val keep = (idCol +: carry).map(F.col)
+    // exact n-gram STRINGS — the oracle-expressible base both the
+    // numBuckets = 0 flavor and the md5 bucket flavor build on
+    def stringFeats: DataFrame = {
+      val ts = F.col("__ts")
+      val bigrams = F.when(F.size(ts) >= 2,
+        F.zip_with(
+          F.slice(ts, F.lit(1), F.size(ts) - 1),
+          F.slice(ts, F.lit(2), F.size(ts) - 1),
+          (a, b) => F.concat(a, F.lit(" "), b)))
+        .otherwise(F.array().cast("array<string>"))
+      df.select(keep :+ TextAnalysis.tokens(F.col(textCol)).as("__ts"): _*)
+        .select(keep :+
+          graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams))
+            .as("feat"): _*)
+    }
     val keyed =
-      if (numBuckets > 0) {
+      if (numBuckets > 0 && hashFn == "xxhash64") {
         // fused native path: the hashed unigram+bigram feature bag IS the
         // union of positional 1-gram and 2-gram shingle hashes — two
         // codegen'd kernel calls per row, multiplicities kept, no
@@ -240,19 +261,20 @@ object Selection {
             graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"): _*)
           .select(keep :+ // pmod can't wrap a generator directly
             F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"): _*)
-      } else {
-        val ts = F.col("__ts")
-        val bigrams = F.when(F.size(ts) >= 2,
-          F.zip_with(
-            F.slice(ts, F.lit(1), F.size(ts) - 1),
-            F.slice(ts, F.lit(2), F.size(ts) - 1),
-            (a, b) => F.concat(a, F.lit(" "), b)))
-          .otherwise(F.array().cast("array<string>"))
-        df.select(keep :+ TextAnalysis.tokens(F.col(textCol)).as("__ts"): _*)
-          .select(keep :+
-            graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams))
-              .as("feat"): _*)
-      }
+      } else if (numBuckets > 0) {
+        // md5 bucket flavor: same bounded model state as the kernel path
+        // (state caps at numBuckets rows either way), but the bucket is
+        // derived from the n-gram STRING's md5 prefix — any engine with
+        // md5 replays it, which is what lets the registry's hashed twins
+        // carry full DuckDB oracles. Slower per row than the fused kernel
+        // (an md5 per n-gram vs one kernel call per doc): the kernel stays
+        // the production default, this flavor is the verification face.
+        stringFeats.select(keep :+
+          F.pmod(
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10)
+              .cast("long"),
+            F.lit(numBuckets.toLong)).as("feat"): _*)
+      } else stringFeats
     keyed
       // vacuously-true null filter stated explicitly so the ratio join's
       // inferred isnotnull(feat) cannot split the shared feature stage
@@ -280,13 +302,14 @@ object Selection {
     */
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = 1 << 16,
-      smoothing: Double = 1.0): DataFrame = {
+      smoothing: Double = 1.0, hashFn: String = "xxhash64"): DataFrame = {
     require(smoothing > 0, s"smoothing must be positive, got $smoothing")
-    val rawFeats = docFeatures(raw, idCol, textCol, numBuckets)
+    val rawFeats = docFeatures(raw, idCol, textCol, numBuckets,
+      hashFn = hashFn)
     val cr = rawFeats.groupBy("feat")
       .agg(F.sum(F.when(F.col(idCol).isNotNull && F.col("n") >= 1, F.col("n")))
         .as("cr"))
-    val ct = docFeatures(target, idCol, textCol, numBuckets)
+    val ct = docFeatures(target, idCol, textCol, numBuckets, hashFn = hashFn)
       .groupBy("feat").agg(F.sum("n").as("ct"))
     val union = cr.join(ct, Seq("feat"), "full_outer")
       .select(F.col("feat"),
@@ -376,11 +399,12 @@ object Selection {
     */
   def nbClassifierScore(labeled: DataFrame, toScore: DataFrame,
       idCol: String, textCol: String, labelCol: String,
-      numBuckets: Int = 1 << 16, smoothing: Double = 1.0): DataFrame = {
+      numBuckets: Int = 1 << 16, smoothing: Double = 1.0,
+      hashFn: String = "xxhash64"): DataFrame = {
     val (llr, params) = nbFit(labeled, idCol, textCol, labelCol,
-      numBuckets, smoothing)
-    nbScoreJoin(docFeatures(toScore, idCol, textCol, numBuckets),
-      llr, params, idCol)
+      numBuckets, smoothing, hashFn)
+    nbScoreJoin(docFeatures(toScore, idCol, textCol, numBuckets,
+      hashFn = hashFn), llr, params, idCol)
   }
 
   /** Lazy model fit shared by [[nbClassifierScore]] and [[saveNbModel]]:
@@ -391,12 +415,12 @@ object Selection {
     */
   private def nbFit(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, numBuckets: Int,
-      smoothing: Double): (DataFrame, DataFrame) = {
+      smoothing: Double, hashFn: String = "xxhash64"): (DataFrame, DataFrame) = {
     require(smoothing > 0, s"smoothing must be positive, got $smoothing")
     val s = F.lit(smoothing)
     // per-feature class counts: one aggregate over one tokenizer pass
     val counts = docFeatures(labeled, idCol, textCol, numBuckets,
-        carry = Seq(labelCol))
+        carry = Seq(labelCol), hashFn = hashFn)
       .groupBy("feat").agg(
         F.sum(F.when(F.col(labelCol), F.col("n")).otherwise(0L)).as("cpos"),
         F.sum(F.when(!F.col(labelCol), F.col("n")).otherwise(0L)).as("cneg"))

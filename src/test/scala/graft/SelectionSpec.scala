@@ -374,6 +374,36 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("md5 bucket flavor == kernel flavor semantics (DSIR + NB)") {
+    // the md5 flavor exists so the registry's hashed twins replay in
+    // DuckDB; it must be a FLAVOR of the same operator, not a different
+    // one: at collision-free width both reproduce the exact-feature
+    // scores, differing only in which bucket a feature lands in
+    val exact = nbScores(numBuckets = 0)
+    val md5Scores = Selection.nbClassifierScore(
+        nbCorpus.filter(F.col("id") < 160),
+        nbCorpus.filter(F.col("id") >= 160),
+        "id", "text", "lab", numBuckets = 1 << 20, hashFn = "md5")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    md5Scores.keySet shouldBe exact.keySet
+    exact.foreach { case (id, (_, s)) => md5Scores(id) shouldBe s +- 1e-9 }
+    // DSIR: md5 flavor at collision-free width == exact weights
+    val target = docs.filter(F.col("lang") === "fr")
+    val exactW = Selection
+      .dsirLogWeights(docs, target, "doc_id", "text", numBuckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val md5W = Selection
+      .dsirLogWeights(docs, target, "doc_id", "text",
+        numBuckets = 1 << 26, hashFn = "md5")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    md5W.keySet shouldBe exactW.keySet
+    exactW.foreach { case (id, w) => md5W(id) shouldBe w +- 1e-6 }
+    // an unknown flavor errors instead of silently hashing differently
+    an[Exception] should be thrownBy
+      Selection.dsirLogWeights(docs, target, "doc_id", "text",
+        numBuckets = 4096, hashFn = "sha1")
+  }
+
   test("persisted NB model reproduces the in-plan classifier scores") {
     val expected = nbScores(numBuckets = 0)
     // exact flavor round-trip
