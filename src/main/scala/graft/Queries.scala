@@ -1898,7 +1898,82 @@ object Queries {
         |  sc.doc_id,
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin
-  )
+  ) ++ bpeOracle
+
+  /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
+    * once per sf dir ([[bpeVocabDirs]], the fit-once cache). `oracles` is
+    * a def and the driver dumps it AFTER running every query against one
+    * sf dir, so when exactly one trained table is cached it embeds as a
+    * VALUES list and the greedy lowest-rank merge loop replays as a
+    * DuckDB recursive CTE (see [[bpeCountSql]]). With zero or several
+    * cached tables (no q_bpe_count run, or multiple dirs in one session)
+    * the entry is omitted and the driver records its rows-only fallback.
+    */
+  private def bpeOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    bpeVocabDirs.values().asScala.toList match {
+      case merges :: Nil if merges.nonEmpty =>
+        Map("q_bpe_count" -> bpeCountSql(merges))
+      case _ => Map.empty
+    }
+  }
+
+  /** Replay of the native `bpe_count` kernel (`BpeKernel.segment`): per
+    * distinct word, start from characters and repeatedly fuse ALL
+    * left-to-right occurrences of the lowest-rank adjacent pair until no
+    * pair is in the table — a recursive CTE that carries each word's
+    * symbol list, picks the best pair with a LATERAL min-rank probe, and
+    * applies one fusion round as a `list_reduce` fold (the accumulator is
+    * a '|'-joined string: merging replaces its last symbol, which exactly
+    * reproduces the kernel's skip-after-merge scan; words are alnum-only
+    * so '|' cannot occur). Per-doc n_bpe then joins word multiplicities
+    * back, left-joined so token-less docs keep their 0 (the kernel's
+    * null/empty contract). Character indexing is by code point on both
+    * sides for this corpus (the kernel walks UTF-16 units — identical on
+    * BMP text, which the alnum tokenizer guarantees here).
+    */
+  private def bpeCountSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '${esc(a)}', '${esc(b)}')" }
+      .mkString(", ")
+    s"""WITH RECURSIVE merges(rk, a, b) AS (VALUES $vals),
+      |toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), wc AS (
+      |  SELECT doc_id, w, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2
+      |), words(w) AS (
+      |  SELECT DISTINCT w FROM wc
+      |), st(w, syms, done) AS (
+      |  SELECT w, [w[i] FOR i IN range(1, len(w) + 1)], len(w) <= 1 FROM words
+      |  UNION ALL
+      |  SELECT s.w,
+      |    CASE WHEN p.best IS NULL THEN s.syms
+      |         ELSE string_split(list_reduce(s.syms, (acc, x) ->
+      |           CASE WHEN split_part(acc, '|', -1) = p.ba AND x = p.bb
+      |             THEN substr(acc, 1, len(acc) - len(split_part(acc, '|', -1))) || p.ba || p.bb
+      |             ELSE acc || '|' || x END), '|')
+      |    END,
+      |    p.best IS NULL
+      |  FROM (SELECT * FROM st WHERE NOT done) s
+      |  LEFT JOIN LATERAL (
+      |    SELECT m.rk AS best, m.a AS ba, m.b AS bb
+      |    FROM merges m
+      |    WHERE list_contains(
+      |      [s.syms[i] || ' ' || s.syms[i+1] FOR i IN range(1, len(s.syms))],
+      |      m.a || ' ' || m.b)
+      |    ORDER BY m.rk LIMIT 1
+      |  ) p ON true
+      |), seg AS (
+      |  SELECT w, CAST(len(syms) AS BIGINT) AS ntok FROM st WHERE done
+      |), perdoc AS (
+      |  SELECT wc.doc_id, CAST(sum(wc.n * seg.ntok) AS BIGINT) AS n_bpe
+      |  FROM wc JOIN seg ON wc.w = seg.w GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(p.n_bpe, 0) AS n_bpe
+      |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of the MassiveText repetition battery: line/paragraph
     * splits with trailing empties, token n-grams with space-joined char
