@@ -1035,10 +1035,11 @@ object Queries {
     * production-tokenizer arithmetic for budget caps and packing. The
     * vocabulary is trained ONCE per scale-factor dir (driver-side on a
     * bounded hash sample, the fit-once contract); the count itself is one
-    * codegen'd kernel call per row. Rows-only: the greedy lowest-rank
-    * merge loop is not SQL-expressible (sequential replay diverges when a
-    * merge creates a lower-rank pair); segmentation semantics are pinned
-    * in PipelineSpec against hand-computed fixtures.
+    * codegen'd kernel call per row. Fully oracle-checked: the trained
+    * merge table embeds into the SQL and the greedy lowest-rank merge
+    * loop replays as a recursive CTE ([[bpeCountSql]]); segmentation
+    * semantics are additionally pinned in PipelineSpec against
+    * hand-computed fixtures.
     */
   private val bpeVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
