@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Agg, KFrame}
 import graft.extras.Relational
-import graft.operators.{Dedup, Multimodal, Selection, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Selection, Similarity, TextAnalysis, UrlOps}
 import graft.streaming.Streams
 
 /** The operator-coverage query registry (SURVEY.md §2 checklist + the M8
@@ -1084,6 +1084,68 @@ object Queries {
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         round(col("dup_frac"), 6).as("dup_frac"))
 
+  // ---- URL / domain curation -------------------------------------------
+
+  /** Documents with a deterministically STAMPED messy URL (the corpus has
+    * no URL column): uppercase schemes, www./blog. subdomains, .com and
+    * .co.uk registries, default and non-default ports, trailing slashes,
+    * tracking-polluted shuffled query params, fragments — one expression,
+    * replayed verbatim by the oracle CTE, exercising every
+    * [[UrlOps.canonicalizeUrl]] rule (the q_text_rep stamping precedent).
+    */
+  private def urlStamped(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val scheme = when(id % 5 === 0, "HTTPS://").otherwise("http://")
+    val sub = when(id % 3 === 0, "www.").when(id % 2 === 0, "blog.")
+      .otherwise("")
+    val tld = when(id % 4 === 0, ".co.uk").otherwise(".com")
+    val port = when(id % 7 === 0,
+        when(id % 5 === 0, ":443").otherwise(":80"))
+      .when(id % 11 === 0, ":8080").otherwise("")
+    val path = when(id % 9 === 0, lit("/"))
+      .otherwise(concat(lit("/p/"), ids,
+        when(id % 2 === 0, "/").otherwise("")))
+    val query = when(id % 2 === 0,
+        concat(lit("?utm_source=rss&b="), (id % 5).cast("string"), lit("&a=1")))
+      .when(id % 3 === 1, "?a=2&fbclid=xyz").otherwise("")
+    val frag = when(id % 3 === 0, "#top").otherwise("")
+    Tables.documents(s, d).select(id, col("text"),
+      concat(scheme, sub, col("source"), tld, port, path, query, frag)
+        .as("url"))
+  }
+
+  /** URL canonicalization + registered-domain derivation
+    * ([[UrlOps.canonicalizeUrl]]/[[UrlOps.urlDomain]]) over the stamped
+    * corpus — scheme/host lowercasing, www-strip, default-port drop,
+    * fragment drop, tracking-param strip + param sort, trailing-slash
+    * normalization, and the multi-part-suffix (co.uk) eTLD+1 rule, every
+    * rule replayed in the oracle.
+    */
+  def q_url_canon(s: SparkSession, d: String): DataFrame =
+    urlStamped(s, d).select(col("doc_id"),
+      UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+      UrlOps.urlDomain(col("url")).as("domain"))
+
+  /** Per-registered-domain corpus profile ([[UrlOps.domainStats]]): the
+    * doc/token mix report a curation run starts from.
+    */
+  def q_domain_stats(s: SparkSession, d: String): DataFrame =
+    UrlOps.domainStats(urlStamped(s, d), "url", "text")
+
+  /** Blocklist + anti-monopoly cap ([[UrlOps.dropBlockedDomains]] +
+    * [[UrlOps.capPerDomain]]): drop two blocklisted registered domains,
+    * then keep at most 15 docs per surviving domain in doc_id order —
+    * the WindowGroupLimit rank shape, so the shuffle carries at most
+    * cap rows per domain.
+    */
+  def q_domain_cap(s: SparkSession, d: String): DataFrame =
+    UrlOps.capPerDomain(
+        UrlOps.dropBlockedDomains(urlStamped(s, d), "url",
+          Seq("src1.com", "src3.co.uk")),
+        "url", "doc_id", cap = 15)
+      .select(col("doc_id"), col("url"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1101,6 +1163,60 @@ object Queries {
     * Jaccard at 0.8 (the brute-force ground truth the banded LSH path
     * equals at this threshold — recall pinned in PipelineSpec).
     */
+  /** Replay of [[urlStamped]] + [[UrlOps]] — the stamping expression,
+    * the part-extraction regexes, every canonicalization rule and the
+    * eTLD+1 suffix table, mirrored verbatim. Ends in
+    * `dom(doc_id, text, url, canon_url, domain)`.
+    */
+  private lazy val urlCtes: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, text,
+      |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 2 = 0 THEN 'blog.' ELSE '' END) ||
+      |    source || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END)
+      |          WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '/p/' || CAST(doc_id AS VARCHAR) ||
+      |          (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+      |          WHEN doc_id % 3 = 1 THEN '?a=2&fbclid=xyz' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, text, url,
+      |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host,
+      |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS INTEGER) AS port,
+      |    nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
+      |    nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      |  FROM u
+      |), plists AS (
+      |  SELECT *,
+      |    regexp_replace(host, '^www\\.', '') AS hostd,
+      |    list_filter(string_split(coalesce(query, ''), '&'), x -> x <> ''
+      |      AND NOT list_contains(['utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','ref'],
+      |        regexp_extract(x, '^([^=]*)', 1))) AS plist
+      |  FROM parts
+      |), dom AS (
+      |  SELECT doc_id, text, url,
+      |    CASE WHEN scheme IS NULL OR host IS NULL THEN NULL ELSE
+      |      scheme || '://' || hostd ||
+      |      (CASE WHEN port IS NOT NULL AND NOT (scheme = 'http' AND port = 80)
+      |            AND NOT (scheme = 'https' AND port = 443)
+      |            THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
+      |      (CASE WHEN coalesce(path, '') = '/' THEN ''
+      |            ELSE regexp_replace(coalesce(path, ''), '/$$', '') END) ||
+      |      (CASE WHEN len(plist) > 0 THEN '?' || array_to_string(list_sort(plist), '&') ELSE '' END)
+      |    END AS canon_url,
+      |    CASE WHEN hostd IS NULL THEN NULL
+      |         WHEN len(string_split(hostd, '.')) <= 2 THEN hostd
+      |         WHEN list_contains(['co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au','co.jp','or.jp','ne.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za','com.tr','com.ar'],
+      |              array_to_string(string_split(hostd, '.')[-2:], '.'))
+      |           THEN array_to_string(string_split(hostd, '.')[-3:], '.')
+      |         ELSE array_to_string(string_split(hostd, '.')[-2:], '.') END AS domain
+      |  FROM plists
+      |)""".stripMargin
+
   /** Whole-doc duplicated-passage profile (Lee 2021 window=8) — shared
     * verbatim by q_dup_passages and its hashed twin (row identity pinned
     * in PipelineSpec).
@@ -1898,7 +2014,20 @@ object Queries {
         |SELECT CAST(floor((1704067200 + sc.doc_id) / 3600) * 3600 AS BIGINT) AS ws,
         |  sc.doc_id,
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
-        |FROM scored sc, prior p""".stripMargin
+        |FROM scored sc, prior p""".stripMargin,
+    "q_url_canon" ->
+      s"""$urlCtes
+        |SELECT doc_id, canon_url, domain FROM dom""".stripMargin,
+    "q_domain_stats" ->
+      s"""$urlCtes
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(sum(len($DTok)) AS BIGINT) AS n_tokens
+        |FROM dom GROUP BY domain""".stripMargin,
+    "q_domain_cap" ->
+      s"""$urlCtes
+        |SELECT doc_id, url FROM dom
+        |WHERE domain IS NULL OR domain NOT IN ('src1.com', 'src3.co.uk')
+        |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 15""".stripMargin
   ) ++ bpeOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -2222,12 +2351,17 @@ object Queries {
     "q_dup_passages" -> (q_dup_passages _),
     "q_nb_quality" -> (q_nb_quality _),
     "q_nb_model" -> (q_nb_model _),
-    // rows-only 100 TB-shape twins of q_dsir / q_nb_quality /
-    // q_dup_passages (8-byte hashed keys in the shuffles); exact-variant
-    // oracles + row-identity/agreement tests pin their semantics
+    // bounded-model-state twins of q_dsir / q_nb_quality /
+    // q_dup_passages — md5-bucket / hashed-key flavors whose oracles
+    // replay the hashing (or, for dup_passages, the pinned-row-identical
+    // exact SQL) end-to-end
     "q_dsir_hashed" -> (q_dsir_hashed _),
     "q_nb_quality_hashed" -> (q_nb_quality_hashed _),
-    "q_dup_passages_hashed" -> (q_dup_passages_hashed _)
+    "q_dup_passages_hashed" -> (q_dup_passages_hashed _),
+    // URL / domain curation layer
+    "q_url_canon" -> (q_url_canon _),
+    "q_domain_stats" -> (q_domain_stats _),
+    "q_domain_cap" -> (q_domain_cap _)
   )
 
   /** The bench harness runs the FULL registry (each query twice; warm time

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** URL / domain operations — the web-corpus curation stage every
+  * C4/RefinedWeb-shaped pipeline runs before text filters ever see a
+  * document: canonicalize the URL, derive the registered domain, drop
+  * blocklisted domains, and cap how many documents any one domain may
+  * contribute (Raffel et al. 2020 §2.2's badwords/dedup-by-URL step;
+  * Penedo et al. 2023 §3.1's URL filtering).
+  *
+  * Everything here is a scan-side PROJECTION built from `functions._`
+  * string/array ops (regexp_extract, array_sort, array_join) — no UDF, no
+  * shuffle, whole-stage codegen — deliberately mirrorable in any SQL
+  * engine so every operator carries a full DuckDB oracle. The parser is a
+  * pragmatic RFC-3986-ish regex, not a validating parser: curation wants
+  * "same page ⇒ same key" normalization, and a malformed URL yields null
+  * parts rather than an error (one bad record must not kill a 100 TB
+  * scan).
+  *
+  * At 100 TB: canonicalization/domain are per-row projections (free in
+  * the scan); the blocklist filter is a scan-side `isin`/bloom for small
+  * lists or a broadcast anti-join for big ones; the per-domain cap is a
+  * WindowGroupLimit rank — the same map-side-pruned shape as
+  * `Dedup.exact`, so the shuffle carries at most `cap` rows per domain.
+  */
+object UrlOps {
+
+  /** `(scheme, host, port, path, query, fragment)` of a URL column, each
+    * null when absent. Host and scheme are lowercased (case-insensitive
+    * by RFC 3986); everything else keeps its case.
+    */
+  def urlParts(url: Column): Column = {
+    // scheme://host[:port][/path][?query][#fragment]
+    val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
+    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)).cast("int")
+    val path = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
+    val query = nullIfEmpty(F.regexp_extract(url, "\\?([^#]*)", 1))
+    val fragment = nullIfEmpty(F.regexp_extract(url, "#(.*)$", 1))
+    F.struct(scheme.as("scheme"), host.as("host"), port.as("port"),
+      path.as("path"), query.as("query"), fragment.as("fragment"))
+  }
+
+  private def nullIfEmpty(c: Column): Column =
+    F.when(c === "", F.lit(null).cast("string")).otherwise(c)
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
+    * standard analytics/click-id noise that makes one page look like
+    * many distinct URLs (the dedup-by-URL killer).
+    */
+  val TrackingParams: Seq[String] =
+    Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
+      "utm_content", "gclid", "fbclid", "ref")
+
+  /** Canonical form of a URL for dedup/grouping keys — "same page ⇒ same
+    * key" normalization, each rule engine-replayable:
+    *
+    *  1. scheme and host lowercase; a leading `www.` label drops;
+    *  2. default ports drop (`:80` for http, `:443` for https; other
+    *     ports stay);
+    *  3. the fragment drops (never sent to the server);
+    *  4. [[TrackingParams]] drop from the query; surviving params sort
+    *     byte-ascending (param order is server-insignificant noise);
+    *     an emptied query drops its `?`;
+    *  5. a trailing `/` drops from non-root paths; an absent path
+    *     normalizes to none (scheme://host).
+    *
+    * Null/unparseable (no scheme://host) input → null, so malformed URLs
+    * group under one observable key instead of poisoning domain stats.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val p = urlParts(url)
+    val host = F.regexp_replace(p.getField("host"), "^www\\.", "")
+    val scheme = p.getField("scheme")
+    val port = p.getField("port")
+    val keepPort =
+      port.isNotNull &&
+        !(scheme === "http" && port === 80) &&
+        !(scheme === "https" && port === 443)
+    val portStr = F.when(keepPort, F.concat(F.lit(":"), port.cast("string")))
+      .otherwise(F.lit(""))
+    val rawPath = F.coalesce(p.getField("path"), F.lit(""))
+    val path = F.when(rawPath === "/", F.lit(""))
+      .otherwise(F.regexp_replace(rawPath, "/$", ""))
+    val params = F.filter(
+      F.split(F.coalesce(p.getField("query"), F.lit("")), "&"),
+      kv => kv =!= "" &&
+        !F.regexp_extract(kv, "^([^=]*)", 1).isin(TrackingParams: _*))
+    val query = F.when(F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")))
+      .otherwise(F.lit(""))
+    F.when(scheme.isNull || p.getField("host").isNull,
+        F.lit(null).cast("string"))
+      .otherwise(F.concat(scheme, F.lit("://"), host, portStr, path, query))
+  }
+
+  /** Multi-label public suffixes the [[registeredDomain]] heuristic
+    * recognizes (the common ccTLD second-level registries). A production
+    * deployment swaps in the full Mozilla Public Suffix List — external
+    * data this library deliberately does not vendor; the derivation
+    * (labels right of the suffix boundary, plus one) is the same.
+    */
+  val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+      "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+      "co.kr", "co.za", "com.tr", "com.ar")
+
+  /** eTLD+1 of a host column: the last two labels, or the last three when
+    * the last two are a known multi-part suffix ([[MultiPartSuffixes]]).
+    * Single-label hosts (localhost, bare TLDs) pass through unchanged;
+    * null host → null.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = F.split(host, "\\.")
+    val n = F.size(labels)
+    val lastTwo = F.array_join(F.slice(labels, -2, 2), ".")
+    val lastThree = F.array_join(F.slice(labels, -3, 3), ".")
+    F.when(host.isNull, F.lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(lastTwo.isin(MultiPartSuffixes: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Registered domain straight from a URL column (parse + derive). */
+  def urlDomain(url: Column): Column =
+    registeredDomain(F.regexp_replace(
+      urlParts(url).getField("host"), "^www\\.", ""))
+
+  /** Drop rows whose registered domain is on `blocklist` (the C4
+    * badwords-domain filter shape). The list rides as a scan-side
+    * `isin` literal — right for the usual 10³-10⁵-entry curated lists
+    * (bounded driver memory, no join, no shuffle; pushdown-friendly).
+    * For a blocklist that is itself a corpus, join `urlDomain` against
+    * it with a broadcast anti-join instead.
+    */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist: nothing to drop")
+    val dom = urlDomain(F.col(urlCol))
+    df.filter(dom.isNull || !dom.isin(blocklist: _*))
+  }
+
+  /** Keep at most `cap` rows per registered domain, preferring lowest
+    * `orderCol` (a quality rank, a hash for an unbiased cap). The rank-1
+    * filter compiles to WindowGroupLimit: each map task prunes to `cap`
+    * rows per domain BEFORE the exchange, so the shuffle carries
+    * O(cap · domains), not the corpus — the anti-monopoly cap RefinedWeb
+    * applies so no single site dominates the training mix.
+    */
+  def capPerDomain(df: DataFrame, urlCol: String, orderCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__dom").orderBy(F.col(orderCol).asc)
+    df.withColumn("__dom", urlDomain(F.col(urlCol)))
+      .withColumn("__r", F.row_number().over(w))
+      .filter(F.col("__r") <= cap)
+      .drop("__dom", "__r")
+  }
+
+  /** Per-registered-domain corpus profile: document count and total
+    * token count (whitespace-family tokens via the shared tokenizer),
+    * the mix report a curation run starts from. One scan, one shuffle
+    * on the domain key.
+    */
+  def domainStats(df: DataFrame, urlCol: String,
+      textCol: String): DataFrame =
+    df.select(urlDomain(F.col(urlCol)).as("domain"),
+        F.size(TextAnalysis.tokens(F.col(textCol))).cast("long").as("__nt"))
+      .groupBy("domain")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("__nt").as("n_tokens"))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.UrlOps
+
+/** URL/domain curation operators (UrlOps.scala): part extraction,
+  * canonicalization rules one by one, the eTLD+1 heuristic, blocklist
+  * filtering, and the per-domain cap's map-side-pruned plan. The
+  * corpus-scale faces are additionally oracle-checked by the driver
+  * (q_url_canon / q_domain_stats / q_domain_cap).
+  */
+class UrlOpsSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  private def canon(url: String): Any = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(UrlOps.canonicalizeUrl(F.col("u"))).head().get(0)
+  }
+
+  private def dom(url: String): Any = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(UrlOps.urlDomain(F.col("u"))).head().get(0)
+  }
+
+  test("urlParts extracts each component; absences are null") {
+    import spark.implicits._
+    val p = Seq("HTTPS://www.Ex.COM:8443/a/b?x=1&y=2#frag").toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
+    p.getString(0) shouldBe "https"
+    p.getString(1) shouldBe "www.ex.com"
+    p.getInt(2) shouldBe 8443
+    p.getString(3) shouldBe "/a/b"
+    p.getString(4) shouldBe "x=1&y=2"
+    p.getString(5) shouldBe "frag"
+    val bare = Seq("http://host").toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
+    (2 to 5).foreach(i => bare.isNullAt(i) shouldBe true)
+  }
+
+  test("canonicalizeUrl: every rule, one at a time") {
+    // scheme+host lowercase, www-strip
+    canon("HTTP://WWW.Example.COM/a") shouldBe "http://example.com/a"
+    // default ports drop; non-default stays
+    canon("http://e.com:80/a") shouldBe "http://e.com/a"
+    canon("https://e.com:443/a") shouldBe "https://e.com/a"
+    canon("http://e.com:8080/a") shouldBe "http://e.com:8080/a"
+    canon("https://e.com:80/a") shouldBe "https://e.com:80/a" // not https default
+    // fragment drops
+    canon("http://e.com/a#sec") shouldBe "http://e.com/a"
+    // tracking params drop; survivors sort; emptied query drops its ?
+    canon("http://e.com/a?utm_source=x&b=2&a=1") shouldBe "http://e.com/a?a=1&b=2"
+    canon("http://e.com/a?fbclid=z&gclid=y") shouldBe "http://e.com/a"
+    // trailing slash drops off non-root; root path normalizes away
+    canon("http://e.com/a/") shouldBe "http://e.com/a"
+    canon("http://e.com/") shouldBe "http://e.com"
+    // unparseable -> null (one observable key, not garbage stats)
+    canon("not a url").asInstanceOf[AnyRef] shouldBe null
+    canon("mailto:x@y.z").asInstanceOf[AnyRef] shouldBe null
+    // same page, four surface forms, ONE canonical key
+    Seq("http://WWW.e.com/p/?utm_source=a", "http://e.com:80/p",
+      "http://e.com/p#x", "http://e.com/p/?fbclid=q")
+      .map(canon).distinct should have size 1
+  }
+
+  test("registeredDomain: eTLD+1 incl. multi-part suffixes") {
+    dom("http://a.b.example.com/x") shouldBe "example.com"
+    dom("http://www.example.com/x") shouldBe "example.com"
+    dom("http://news.bbc.co.uk/x") shouldBe "bbc.co.uk"
+    dom("http://sub.deep.shop.com.au/x") shouldBe "shop.com.au"
+    dom("http://localhost/x") shouldBe "localhost"
+    dom("not a url").asInstanceOf[AnyRef] shouldBe null
+  }
+
+  test("blocklist drops exactly the listed registered domains") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://a.bad.com/x"), (2L, "http://good.com/x"),
+      (3L, "http://www.bad.com/y"), (4L, "http://bad.co.uk/z"),
+      (5L, "garbage")).toDF("id", "url")
+    val kept = UrlOps.dropBlockedDomains(df, "url", Seq("bad.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 4L, 5L) // subdomain variants of bad.com die; null survives
+  }
+
+  test("capPerDomain keeps lowest-order rows; plan prunes map-side") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, s"http://s${i % 4}.example.com/p/$i")).toDF("id", "url")
+    val out = UrlOps.capPerDomain(df, "url", "id", cap = 3)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    // all 40 rows share registered domain example.com -> lowest 3 ids win
+    kept shouldBe Set(1L, 2L, 3L)
+    // the rank-limit must prune BEFORE the exchange (WindowGroupLimit),
+    // the shape that carries O(cap·domains) rows in the shuffle
+    out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
+  test("domainStats aggregates docs and tokens per registered domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://a.x.com/1", "one two three"),
+      (2L, "http://b.x.com/2", "four five"),
+      (3L, "http://y.co.uk/3", "six")).toDF("id", "url", "text")
+    val got = UrlOps.domainStats(df, "url", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe Map("x.com" -> ((2L, 5L)), "y.co.uk" -> ((1L, 1L)))
+  }
+}
