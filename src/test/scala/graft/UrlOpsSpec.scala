@@ -99,6 +99,29 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
+  test("canonicalization is a scan-side projection: no shuffle, streaming-safe") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"http://WWW.s$i.com/p/$i/?utm_source=x"))
+      .toDF("id", "url")
+    val proj = df.select(F.col("id"),
+      UrlOps.canonicalizeUrl(F.col("url")).as("c"),
+      UrlOps.urlDomain(F.col("url")).as("d"))
+    proj.queryExecution.executedPlan.toString should not include "Exchange"
+    // pure projection => trivially streaming-safe: the same expressions
+    // run inside a readStream micro-batch (no state, no watermark needed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-url").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+      .select(F.col("id"), UrlOps.canonicalizeUrl(F.col("url")).as("c"))
+    val q = stream.writeStream.format("memory").queryName("url_canon_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("url_canon_test").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = proj.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    streamed shouldBe batch
+  }
+
   test("domainStats aggregates docs and tokens per registered domain") {
     import spark.implicits._
     val df = Seq(
