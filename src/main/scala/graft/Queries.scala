@@ -330,12 +330,16 @@ object Queries {
       .select("doc_id")
   }
 
-  /** SimHash near-dup pairs — rows-only (the sketch is hash-specific, not
-    * SQL-replicable; correctness of the 25 engineered near-dup pairs is
-    * pinned by the ScalaTest suite against the Jaccard ground truth).
+  /** SimHash near-dup pairs at Hamming ≤ 3 — md5 sketch flavor
+    * ([[Dedup.simhashNearDupPairsMd5]]), so the DuckDB oracle rebuilds
+    * every sketch bit-for-bit (tf-weighted sign votes over per-token md5
+    * prefixes, two 32-bit halves) and replays the pigeonhole banding +
+    * within-block Hamming verify. The fused native kernel flavor
+    * (`simhash64` — the scan-side hot path) keeps its recall pin against
+    * the Jaccard ground truth in PipelineSpec.
     */
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.simhashNearDupPairsMd5(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
 
   /** Composed curation pipeline: quality gate → exact dedup → near-dup
@@ -1217,6 +1221,53 @@ object Queries {
       |  FROM plists
       |)""".stripMargin
 
+  /** Replay of [[Dedup.simhashNearDupPairsMd5]]: per-(doc, token) tf, the
+    * two md5-prefix 32-bit hash halves, 64 tf-weighted sign-vote sums
+    * (generated programmatically — one per bit), sketch assembly
+    * (bit b set iff its vote > 0), 4×16-bit pigeonhole bands, the banded
+    * self-join and the xor-popcount Hamming verify at ≤ 3.
+    */
+  private lazy val simhashMd5Sql: String = {
+    def voteSum(b: Int): String = {
+      val (half, off) = if (b < 32) ("lo", b) else ("hi", b - 32)
+      s"sum(CASE WHEN (($half >> $off) & 1) = 1 THEN n ELSE -n END) AS v$b"
+    }
+    def assemble(bits: Range, off: Int): String = bits
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << (b - off)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2
+      |), h AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+      |    ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+      |  FROM tf
+      |), votes AS (
+      |  SELECT doc_id, ${(0 until 64).map(voteSum).mkString(",\n    ")}
+      |  FROM h GROUP BY doc_id
+      |), sk AS (
+      |  SELECT doc_id,
+      |    ${assemble(32 until 64, 32)} AS hi,
+      |    ${assemble(0 until 32, 0)} AS lo
+      |  FROM votes
+      |), bands AS (
+      |  SELECT doc_id, hi, lo, b,
+      |    CASE WHEN b < 2 THEN (lo >> (b * 16)) & 65535
+      |         ELSE (hi >> ((b - 2) * 16)) & 65535 END AS bh
+      |  FROM sk, range(4) t(b)
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+      |    bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS hamming
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |)
+      |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming
+      |FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** Whole-doc duplicated-passage profile (Lee 2021 window=8) — shared
     * verbatim by q_dup_passages and its hashed twin (row identity pinned
     * in PipelineSpec).
@@ -2015,6 +2066,7 @@ object Queries {
         |  sc.doc_id,
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin,
+    "q_dedup_simhash" -> simhashMd5Sql,
     "q_url_canon" ->
       s"""$urlCtes
         |SELECT doc_id, canon_url, domain FROM dom""".stripMargin,

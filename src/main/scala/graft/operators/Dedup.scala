@@ -372,6 +372,91 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
   }
 
+  /** md5-derived SimHash sketch — the engine-replayable FLAVOR of
+    * [[simhash]] (the hashSplit/md5-bucket convention): the per-token
+    * 64-bit hash comes from the token's md5 prefix instead of the fused
+    * native kernel, so any engine with md5 rebuilds the identical sketch
+    * and the registry face carries a full DuckDB oracle. The sketch is
+    * kept as TWO 32-bit halves (`sk_hi` = md5 hex chars 1-8, `sk_lo` =
+    * chars 9-16; each half's bit b is the sign of the tf-weighted vote
+    * over tokens, ties → 0) because engines differ on 64-bit shift
+    * overflow; Hamming distance is just the sum of the halves' xor
+    * popcounts. Token-less docs produce NO sketch row (the kernel flavor
+    * sketches them as 0) — a curation gate drops empty docs first either
+    * way.
+    *
+    * Cost vs the kernel: one md5 per DISTINCT (doc, token) (a pre-group
+    * caps the md5 count and carries tf as the vote weight) and a 64-sum
+    * aggregate — 2 shuffles of small rows where the kernel is a pure
+    * scan-side projection. The kernel stays the hot-path default; this
+    * flavor is the verification face.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(F.col(idCol).as("id"),
+        graft.plans.Hygiene.explodeNonEmpty(
+          TextAnalysis.tokens(F.col(textCol))).as("__t"))
+      .groupBy("id", "__t").agg(F.count(F.lit(1)).as("__n"))
+    val hex = F.md5(F.col("__t"))
+    val hi = F.conv(F.substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = F.conv(F.substring(hex, 9, 8), 16, 10).cast("long")
+    val withBits = toks.select(F.col("id"), F.col("__n"),
+      hi.as("__hi"), lo.as("__lo"))
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) F.col("__lo") else F.col("__hi")
+      val bit = F.shiftright(half, b % 32).bitwiseAND(F.lit(1L))
+      F.sum(F.when(bit === 1L, F.col("__n")).otherwise(-F.col("__n")))
+        .as(s"__v$b")
+    }
+    val aggd = withBits.groupBy("id").agg(votes.head, votes.tail: _*)
+    def assemble(bits: Range, off: Int): Column = bits
+      .map(b => F.when(F.col(s"__v$b") > 0, F.lit(1L << (b - off)))
+        .otherwise(F.lit(0L)))
+      .reduce(_ + _)
+    aggd.select(F.col("id"),
+      assemble(32 until 64, 32).as("sk_hi"),
+      assemble(0 until 32, 0).as("sk_lo"))
+  }
+
+  /** [[simhashNearDupPairs]] over the md5 sketch flavor — same pigeonhole
+    * banding (`maxHamming + 1` prefix bands) and within-block Hamming
+    * verify, on the two-half sketch. `maxHamming` must keep the band
+    * width inside one 32-bit half (1, 3, 7, 15, 31 — the default 3 gives
+    * 4 bands of 16 bits). Returns (a_id, b_id, hamming), a_id < b_id.
+    */
+  def simhashNearDupPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0 && 32 % (64 / nBands) == 0,
+      s"maxHamming + 1 = $nBands bands must divide evenly into the " +
+        "32-bit sketch halves (maxHamming in 1/3/7/15/31)")
+    val width = 64 / nBands
+    // repartition(id) materialization point, as in the kernel flavor:
+    // both self-join sides reuse one exchange
+    val sk = simhashMd5(df, idCol, textCol).repartition(F.col("id"))
+    val banded = sk.select(F.col("id"), F.col("sk_hi"), F.col("sk_lo"),
+      F.explode(F.array((0 until nBands).map { b =>
+        val off = b * width
+        val half = if (off < 32) F.col("sk_lo") else F.col("sk_hi")
+        F.struct(F.lit(b).as("band"),
+          F.shiftright(half, off % 32)
+            .bitwiseAND(F.lit((1L << width) - 1)).as("bh"))
+      }: _*)).as("bk"))
+      .select(F.col("id"), F.col("sk_hi"), F.col("sk_lo"),
+        F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
+    val ham =
+      F.bit_count(F.col("x.sk_hi").bitwiseXOR(F.col("y.sk_hi"))) +
+        F.bit_count(F.col("x.sk_lo").bitwiseXOR(F.col("y.sk_lo")))
+    banded.as("x").join(banded.as("y"),
+        F.col("x.band") === F.col("y.band") &&
+        F.col("x.bh") === F.col("y.bh") &&
+        F.col("x.id") < F.col("y.id"))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"),
+        ham.as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
   // ---- inverted-index exact n-gram Jaccard --------------------------------
 
   /** EXACT n-gram Jaccard near-dup pairs via an inverted index — the

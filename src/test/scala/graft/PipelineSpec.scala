@@ -435,6 +435,37 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // no explosion of false positives relative to the 0.8-jaccard truth.
     truth.intersect(sim).size.toDouble should be >= truth.size * 0.6
     sim.size should be <= truth.size * 3
+    // the md5 sketch FLAVOR (the oracle-replayable registry face) is a
+    // different token hash, so pair sets differ at the margin — but it
+    // must hold the same recall bar against the same ground truth, and
+    // at maxHamming=0 identical texts must still collide (sanity)
+    val simMd5 = Dedup.simhashNearDupPairsMd5(docs, "doc_id", "text",
+        maxHamming = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.intersect(simMd5).size.toDouble should be >= truth.size * 0.6
+    simMd5.size should be <= truth.size * 3
+  }
+
+  test("md5 simhash flavor: deterministic sketches, tf-weighted, two halves") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here"), (4L, "Alpha  BETA gamma!"))
+      .toDF("id", "text")
+    val sk = Dedup.simhashMd5(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // identical (and case/punct-equivalent: shared tokenizer) texts ->
+    // identical sketches; both halves fit in 32 bits
+    sk(1L) shouldBe sk(2L)
+    sk(1L) shouldBe sk(4L)
+    sk.values.foreach { case (hi, lo) =>
+      hi should (be >= 0L and be < (1L << 32))
+      lo should (be >= 0L and be < (1L << 32))
+    }
+    sk(1L) should not be sk(3L)
+    // straddling band widths are rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDupPairsMd5(d, "id", "text", maxHamming = 2)
   }
 
   test("shingle_hashes is SQL-callable via GraftExtensions registration") {
