@@ -437,13 +437,20 @@ object Queries {
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Approximate ANN via SRP-LSH — rows-only (approximate by construction;
-    * recall vs the exact path is asserted in ScalaTest).
+  /** Approximate ANN via SRP-LSH — md5 plane flavor
+    * ([[Similarity.srpBucket]] `planesFn = "md5"`: sparse ±1 hyperplanes
+    * from the randomProject md5 matrix derivation), so the DuckDB oracle
+    * rebuilds every hash table's planes, the sign-bit buckets, the
+    * bucket-join candidate set, the cosine scores and the per-query
+    * top-k — the full approximate serving path, hash-verified. The
+    * Gaussian-plane flavor (the classic family) keeps its recall pin in
+    * PipelineSpec.
     */
   def q_knn_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", k = 10, dim = 64)
+        "vec_id", "embedding", k = 10, dim = 64, planesFn = "md5")
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
   /** PQ-compressed ANN with exact re-rank — rows-only (codebooks are
@@ -2067,6 +2074,44 @@ object Queries {
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin,
     "q_dedup_simhash" -> simhashMd5Sql,
+    // SRP-LSH, md5 plane flavor: planes, sign buckets, bucket-join
+    // candidates, cosine, per-query top-k — all replayed
+    "q_knn_lsh" ->
+      """WITH mat AS (
+        |  SELECT t, p, i,
+        |    CASE substr(md5('srp_' || CAST(42 + t AS VARCHAR) || '_'
+        |                    || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+        |      WHEN '0' THEN 1.0 WHEN '2' THEN 1.0
+        |      WHEN '1' THEN -1.0 WHEN '3' THEN -1.0
+        |      ELSE 0.0 END AS w
+        |  FROM range(8) tt(t), range(6) pp(p), range(64) ii(i)
+        |), e AS (
+        |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) ii(i)
+        |), dots AS (
+        |  SELECT e.vec_id, mat.t, mat.p, sum(e.x * mat.w) AS d
+        |  FROM e JOIN mat USING (i) GROUP BY 1, 2, 3
+        |), buckets AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum((CASE WHEN d >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT) AS b
+        |  FROM dots GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), pairsim AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |    sum(eq.x * ec.x) /
+        |      NULLIF(sqrt(sum(eq.x * eq.x)) * sqrt(sum(ec.x * ec.x)), 0) AS sim
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.query_id
+        |  JOIN e ec ON ec.vec_id = cand.cand_id AND ec.i = eq.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, cand_id, round(sim, 6) AS sim FROM pairsim
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 10""".stripMargin,
     "q_url_canon" ->
       s"""$urlCtes
         |SELECT doc_id, canon_url, domain FROM dom""".stripMargin,

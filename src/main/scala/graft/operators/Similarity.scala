@@ -149,13 +149,45 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** md5-derived SPARSE ±1 hyperplanes (Achlioptas s = 4 entries — the
+    * exact [[randomProject]] matrix derivation, salt `"srp_<seed>"`):
+    * sign-of-sparse-projection is a valid SRP family, and any engine with
+    * md5 rebuilds the identical planes — the flavor that gives the
+    * registry's q_knn_lsh a full DuckDB oracle. Scale is irrelevant to
+    * the SIGN, so entries stay bare ±1/0.
+    */
+  private def planesMd5(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val nib = (md.digest(s"srp_${seed}_${p}_${i}".getBytes("UTF-8"))(0) >> 4) & 0xf
+        nib match {
+          case 0 | 2 => 1.0
+          case 1 | 3 => -1.0
+          case _ => 0.0
+        }
+      }
+    }
+  }
+
   /** Sign-random-projection bucket key: bit i = sign of dot(vec, plane_i).
     * Vectors in the same bucket agree on all `nPlanes` signs — cosine-close
     * vectors collide with probability (1 - θ/π)^nPlanes.
+    *
+    * `planesFn = "gaussian"` (default) draws dense Gaussian planes from a
+    * seeded JVM RNG — the classic family, engine-private; `"md5"` draws
+    * the [[planesMd5]] sparse ±1 planes — same collision story, but
+    * engine-REPLAYABLE (the oracle convention every md5 flavor here
+    * follows).
     */
-  def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long,
+      planesFn: String = "gaussian"): Column = {
+    require(planesFn == "gaussian" || planesFn == "md5",
+      s"planesFn must be gaussian or md5, got $planesFn")
     val vd = vec.cast("array<double>")
-    val bits = planes(dim, nPlanes, seed).map { p =>
+    val ps = if (planesFn == "md5") planesMd5(dim, nPlanes, seed)
+      else planes(dim, nPlanes, seed)
+    val bits = ps.map { p =>
       val planeCol = F.array(p.map(F.lit): _*)
       F.when(dot(vd, planeCol) >= 0, F.lit(1L)).otherwise(F.lit(0L))
     }
@@ -169,10 +201,11 @@ object Similarity {
     * branch per side; this shape replaces 2·nTables scans with 2.
     */
   private def tableBuckets(df: DataFrame, id: String, vec: String, dim: Int,
-      nPlanes: Int, nTables: Int, seed: Long): DataFrame =
+      nPlanes: Int, nTables: Int, seed: Long,
+      planesFn: String = "gaussian"): DataFrame =
     df.select(F.col(id), F.explode(F.array((0 until nTables).map { t =>
         F.struct(F.lit(t).as("t"),
-          srpBucket(F.col(vec), dim, nPlanes, seed + t).as("b"))
+          srpBucket(F.col(vec), dim, nPlanes, seed + t, planesFn).as("b"))
       }: _*)).as("__tb"))
       .select(F.col(id), F.col("__tb.t").as("__t"), F.col("__tb.b").as("__b"))
 
@@ -196,7 +229,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      planesFn: String = "gaussian"): DataFrame = {
     // register into the session that OWNS this frame (the Column-builder
     // fallback uses SparkSession.active, wrong in multi-session apps)
     graft.plans.GraftExtensions.register(candidates.sparkSession)
@@ -204,8 +238,10 @@ object Similarity {
       .repartition(F.col("query_id"))
     val c = candidates.select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
       .repartition(F.col("cand_id"))
-    val qb = tableBuckets(q, "query_id", "__qv", dim, nPlanes, nTables, seed)
-    val cb = tableBuckets(c, "cand_id", "__cv", dim, nPlanes, nTables, seed)
+    val qb = tableBuckets(q, "query_id", "__qv", dim, nPlanes, nTables, seed,
+      planesFn)
+    val cb = tableBuckets(c, "cand_id", "__cv", dim, nPlanes, nTables, seed,
+      planesFn)
     val cands = qb.join(cb, Seq("__t", "__b")).select("query_id", "cand_id")
       .distinct()
     val scored = cands

@@ -751,6 +751,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // SRP-LSH on near-uniform random vectors is the hard case; require
     // non-trivial recall (the approximate contract), not equality.
     exact.intersect(approx).size.toDouble should be >= exact.size * 0.2
+    // the md5 sparse-plane FLAVOR (the oracle-replayable registry face)
+    // is a different plane family, so results differ at the margin — but
+    // it must hold the same recall bar, and be deterministic run-to-run
+    val md5a = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, dim = 64, planesFn = "md5")
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(md5a).size.toDouble should be >= exact.size * 0.2
+    val md5b = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, dim = 64, planesFn = "md5")
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    md5b shouldBe md5a
+    // unknown plane family errors instead of silently hashing differently
+    an[Exception] should be thrownBy
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 5, dim = 64, planesFn = "sha1")
   }
 
   test("PQ: codes are m bytes; encode is deterministic") {
