@@ -1199,7 +1199,7 @@ object Queries {
       |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host,
       |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS INTEGER) AS port,
       |    nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
-      |    nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      |    nullif(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '') AS query
       |  FROM u
       |), plists AS (
       |  SELECT *,

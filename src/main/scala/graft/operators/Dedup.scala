@@ -397,9 +397,8 @@ object Dedup {
         graft.plans.Hygiene.explodeNonEmpty(
           TextAnalysis.tokens(F.col(textCol))).as("__t"))
       .groupBy("id", "__t").agg(F.count(F.lit(1)).as("__n"))
-    val hex = F.md5(F.col("__t"))
-    val hi = F.conv(F.substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = F.conv(F.substring(hex, 9, 8), 16, 10).cast("long")
+    val hi = graft.plans.Hygiene.md5Prefix32(F.col("__t"))
+    val lo = graft.plans.Hygiene.md5Prefix32(F.col("__t"), offset = 9)
     val withBits = toks.select(F.col("id"), F.col("__n"),
       hi.as("__hi"), lo.as("__lo"))
     val votes = (0 until 64).map { b =>

@@ -210,13 +210,28 @@ object DecodeKernel {
     finally iis.close()
   }
 
+  /** The fake format's 4-byte magic, tested on RAW BYTES: decoding a
+    * multi-megabyte real-image payload to a UTF-8 String just to check a
+    * prefix would copy every payload through a char[] (plus
+    * replacement-char decoding of binary) on the hot path.
+    */
+  private def isFake(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 && bytes(0) == 'F' && bytes(1) == 'A' &&
+      bytes(2) == 'K' && bytes(3) == 'E'
+
+  private def fakeHeader(bytes: Array[Byte]): String =
+    new String(bytes, 0, 16, java.nio.charset.StandardCharsets.UTF_8)
+
   def decodeBatch(payloads: Array[Array[Byte]]): Array[Decoded] =
     payloads.map { bytes =>
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (s.startsWith("FAKE") && s.length >= 16)
+      // a null payload (missing media row) quarantines like corrupt bytes
+      // — never an NPE that kills the stage
+      if (bytes == null) Decoded("unknown", 0, 0, 0L)
+      else if (isFake(bytes)) {
+        val s = fakeHeader(bytes)
         Decoded("image/fake", s.substring(4, 10).toInt, s.substring(10, 16).toInt,
           bytes.length.toLong)
-      else {
+      } else {
         val d = try decodeOne(bytes) catch { case _: Exception => null }
         if (d != null) d else Decoded("unknown", 0, 0, bytes.length.toLong)
       }
@@ -229,9 +244,11 @@ object DecodeKernel {
   def resizeBatch(payloads: Array[Array[Byte]], w: Int,
       h: Int): Array[Array[Byte]] =
     payloads.map { bytes =>
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (s.startsWith("FAKE") && s.length >= 16) {
-        ("FAKE" + f"$w%06d" + f"$h%06d" + s.substring(16))
+      if (bytes == null) bytes // null payload passes through, like corrupt
+      else if (isFake(bytes)) {
+        val body = new String(bytes, 16, bytes.length - 16,
+          java.nio.charset.StandardCharsets.UTF_8)
+        ("FAKE" + f"$w%06d" + f"$h%06d" + body)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       } else {
         try {

@@ -270,9 +270,7 @@ object Selection {
         // (an md5 per n-gram vs one kernel call per doc): the kernel stays
         // the production default, this flavor is the verification face.
         stringFeats.select(keep :+
-          F.pmod(
-            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10)
-              .cast("long"),
+          F.pmod(graft.plans.Hygiene.md5Prefix32(F.col("feat")),
             F.lit(numBuckets.toLong)).as("feat"): _*)
       } else stringFeats
     keyed
@@ -352,9 +350,9 @@ object Selection {
       temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(temperature > 0, s"temperature must be positive, got $temperature")
-    val u = (F.conv(F.substring(F.md5(
-        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed"))),
-        1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val u = (graft.plans.Hygiene.md5Prefix32(
+        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed")))
+      .cast("double") + 0.5) / 4294967296.0
     val gumbel = -F.log(-F.log(u))
     dsirLogWeights(raw, target, idCol, textCol, numBuckets)
       .withColumn("score", F.col("logw") / temperature + gumbel)

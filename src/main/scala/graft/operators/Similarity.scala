@@ -156,18 +156,26 @@ object Similarity {
     * registry's q_knn_lsh a full DuckDB oracle. Scale is irrelevant to
     * the SIGN, so entries stay bare ±1/0.
     */
+  /** First md5 nibble of `key` mapped to the Achlioptas s = 4 sparse ±1
+    * entry ('0'/'2' → +1, '1'/'3' → −1, else 0) — the ONE driver-side
+    * derivation behind both md5 matrices ([[randomProject]]'s JL
+    * transform and [[planesMd5]]'s SRP planes), so the two flavors and
+    * their oracles share a single definition.
+    */
+  private def md5SignEntry(md: java.security.MessageDigest,
+      key: String): Double = {
+    val nib = (md.digest(key.getBytes("UTF-8"))(0) >> 4) & 0xf
+    nib match {
+      case 0 | 2 => 1.0
+      case 1 | 3 => -1.0
+      case _ => 0.0
+    }
+  }
+
   private def planesMd5(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Seq.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { i =>
-        val nib = (md.digest(s"srp_${seed}_${p}_${i}".getBytes("UTF-8"))(0) >> 4) & 0xf
-        nib match {
-          case 0 | 2 => 1.0
-          case 1 | 3 => -1.0
-          case _ => 0.0
-        }
-      }
-    }
+    Seq.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(i => md5SignEntry(md, s"srp_${seed}_${p}_${i}")))
   }
 
   /** Sign-random-projection bucket key: bit i = sign of dot(vec, plane_i).
@@ -911,15 +919,8 @@ object Similarity {
     require(outDim > 0, s"outDim must be positive, got $outDim")
     graft.plans.GraftExtensions.register(df.sparkSession)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def entry(i: Int, j: Int): Double = {
-      // first lowercase-hex char of the digest = high nibble of byte 0
-      val nib = (md.digest(s"${salt}_${i}_${j}".getBytes("UTF-8"))(0) >> 4) & 0xf
-      nib match {
-        case 0 | 2 => 1.0
-        case 1 | 3 => -1.0
-        case _ => 0.0
-      }
-    }
+    // first lowercase-hex char of the digest = high nibble of byte 0
+    def entry(i: Int, j: Int): Double = md5SignEntry(md, s"${salt}_${i}_${j}")
     val scale = math.sqrt(4.0 / outDim)
     val dots = (0 until outDim).map { j =>
       val w = Array.tabulate(inDim)(i => entry(i, j) * scale)

@@ -35,9 +35,14 @@ object UrlOps {
     // scheme://host[:port][/path][?query][#fragment]
     val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
     val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
-    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)).cast("int")
+    // try_cast: a digits-run port can still overflow int ("…:99999999999")
+    // and ANSI mode (Spark 4 default) makes a bare cast a scan-killer —
+    // the module contract is null parts for malformed URLs, never errors
+    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)).try_cast("int")
     val path = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
-    val query = nullIfEmpty(F.regexp_extract(url, "\\?([^#]*)", 1))
+    // the '?' must occur BEFORE any '#': an unanchored `\?` would match a
+    // question mark inside the fragment and resurrect it as a query
+    val query = nullIfEmpty(F.regexp_extract(url, "^[^?#]*\\?([^#]*)", 1))
     val fragment = nullIfEmpty(F.regexp_extract(url, "#(.*)$", 1))
     F.struct(scheme.as("scheme"), host.as("host"), port.as("port"),
       path.as("path"), query.as("query"), fragment.as("fragment"))

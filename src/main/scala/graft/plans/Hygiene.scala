@@ -29,6 +29,21 @@ object Hygiene {
   def explodeNonEmpty(a: Column): Column =
     F.explode(F.when(F.size(a) > 0, a))
 
+  /** 8 hex chars of `md5(c)` starting at 1-based `offset`, as an unsigned
+    * 32-bit value carried in a long — THE engine-replayable randomness
+    * primitive behind every md5 flavor (DSIR/NB feature buckets, Gumbel
+    * noise, SimHash sketch halves): any SQL engine reproduces it as
+    * `('0x' || substr(md5(x), offset, 8))::BIGINT`. One definition so a
+    * flavor and its oracle cannot desynchronize on the derivation.
+    * `offset` is 1 (default) or 9 — the two independent halves of one
+    * digest.
+    */
+  def md5Prefix32(c: Column, offset: Int = 1): Column = {
+    require(offset == 1 || offset == 9,
+      s"md5Prefix32: offset must be 1 or 9, got $offset")
+    F.conv(F.substring(F.md5(c), offset, 8), 16, 10).cast("long")
+  }
+
   /** Materialize an expensive expression as an attribute that FILTERS can
     * reference without re-evaluating it — the filter-side sibling of
     * [[explodeNonEmpty]].

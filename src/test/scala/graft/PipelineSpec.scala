@@ -1566,14 +1566,18 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // …and IF the file is nanos-encoded, an unscoped read of the same
     // parquet still gets the default-mode rejection (the scoped read
     // option must not leak session-wide). On a micros generation there is
-    // nothing to scope and the plain read just works.
-    try {
-      spark.read.parquet(s"$sf/events.parquet").schema
-      Tables.events(spark, sf).count() shouldBe
-        spark.read.parquet(s"$sf/events.parquet").count()
-    } catch {
-      case e: Exception =>
+    // nothing to scope and the plain read just works. Encoding detection
+    // is isolated in its own try so an assertion failure in the micros
+    // branch cannot be swallowed and re-asserted as a nanos message.
+    val rawErr =
+      try { spark.read.parquet(s"$sf/events.parquet").schema; None }
+      catch { case e: Exception => Some(e) }
+    rawErr match {
+      case Some(e) => // nanos generation: scoped option must not leak
         e.getMessage.toLowerCase should include("nanos")
+      case None => // micros generation: plain and scoped reads agree
+        Tables.events(spark, sf).count() shouldBe
+          spark.read.parquet(s"$sf/events.parquet").count()
     }
   }
 
@@ -1944,15 +1948,18 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val png = imageBytes(37, 21, "png")
     val jpg = imageBytes(64, 48, "jpeg")
     val corrupt = Array[Byte](1, 2, 3, 4, 5)
-    val df = Seq((1L, png), (2L, jpg), (3L, corrupt)).toDF("id", "payload")
+    val df = Seq((1L, png), (2L, jpg), (3L, corrupt),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
     val got = Multimodal.decodeBatched(df, "payload")
       .select("id", "mime", "width", "height", "n_bytes").collect()
       .map(r => r.getLong(0) ->
         ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
     got(1L) shouldBe (("image/png", 37, 21, png.length.toLong))
     got(2L) shouldBe (("image/jpeg", 64, 48, jpg.length.toLong))
-    // corrupt bytes quarantine as unknown — never an exception
+    // corrupt bytes and NULL payloads quarantine as unknown — never an
+    // exception/NPE that kills the stage
     got(3L) shouldBe (("unknown", 0, 0, 5L))
+    got(4L) shouldBe (("unknown", 0, 0, 0L))
     // resize: real images re-encode at the target dims (decode them back
     // to prove it), corrupt payloads pass through untouched
     val resized = Multimodal.resizeBatched(df, "payload", w = 10, h = 5)
@@ -1963,6 +1970,7 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     redec(1L) shouldBe (("image/png", 10, 5))
     redec(2L) shouldBe (("image/png", 10, 5)) // re-encoded as PNG
     redec(3L) shouldBe (("unknown", 0, 0))
+    redec(4L) shouldBe (("unknown", 0, 0)) // null passes through resize
     // fake payloads keep their deterministic header path through the SAME
     // kernels (mixed batches are the production case)
     val fake = Multimodal.withFakeMedia(docs.limit(3), "text")

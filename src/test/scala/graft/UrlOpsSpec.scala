@@ -39,6 +39,11 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     val bare = Seq("http://host").toDF("u")
       .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
     (2 to 5).foreach(i => bare.isNullAt(i) shouldBe true)
+    // an int-overflowing digits-run port nulls instead of crashing the
+    // scan under ANSI mode (the malformed-URL contract)
+    val big = Seq("http://e.com:99999999999/x").toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
+    big.isNullAt(2) shouldBe true
   }
 
   test("canonicalizeUrl: every rule, one at a time") {
@@ -57,6 +62,10 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     // trailing slash drops off non-root; root path normalizes away
     canon("http://e.com/a/") shouldBe "http://e.com/a"
     canon("http://e.com/") shouldBe "http://e.com"
+    // a '?' INSIDE the fragment is fragment content, not a query — both
+    // surface forms canonicalize to the same key (reviewer-found bug: an
+    // unanchored query regex resurrected fragment bytes as a query)
+    canon("http://e.com/a#sec?x=1") shouldBe "http://e.com/a"
     // unparseable -> null (one observable key, not garbage stats)
     canon("not a url").asInstanceOf[AnyRef] shouldBe null
     canon("mailto:x@y.z").asInstanceOf[AnyRef] shouldBe null
