@@ -412,20 +412,20 @@ object Queries {
       docs, "doc_id", "text", bench, "btext", n = 8)
   }
 
-  /** Scan-side Bloom decontamination twin of [[q_contamination]]: the
-    * benchmark's shingle set rides into the corpus scan as one bounded
-    * Bloom literal — no shuffle, no join (plan-pinned). Rows-only: the
-    * double-hashed filter probes are not SQL-replayable; the
-    * no-false-negative superset relation vs the exact path (excess
-    * bounded at FP-noise level) is pinned in PipelineSpec.
+  /** Bloom decontamination twin of [[q_contamination]] — md5-position
+    * flavor ([[graft.operators.Contamination.contaminationHitsBloomMd5]]),
+    * so the DuckDB oracle rebuilds the identical filter (every set bit,
+    * INCLUDING false positives) and replays the per-doc hit counts
+    * exactly. The kernel flavor (`bloom_count` — the zero-shuffle
+    * scan-side hot path) keeps its no-false-negative superset pin in
+    * PipelineSpec.
     */
   def q_contamination_bloom(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 50 === 0)
       .select(col("text").as("btext"))
-    val bloom = graft.operators.Contamination.benchBloom(bench, "btext", n = 8)
-    graft.operators.Contamination.contaminationHitsBloom(
-      docs, "doc_id", "text", bloom, n = 8)
+    graft.operators.Contamination.contaminationHitsBloomMd5(
+      docs, "doc_id", "text", bench, "btext", n = 8)
   }
 
   // ---- M8: similarity search ------------------------------------------
@@ -2074,6 +2074,31 @@ object Queries {
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin,
     "q_dedup_simhash" -> simhashMd5Sql,
+    // md5-position bloom: the filter's bits (and hence its false
+    // positives) rebuild exactly, so the hit counts replay verbatim
+    "q_contamination_bloom" ->
+      s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws)-6)]) AS gs
+        |  FROM toks WHERE len(ws) >= 8
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(gs) AS s FROM g WHERE doc_id % 50 = 0
+        |), bbits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(s || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 1048576 AS pos
+        |  FROM bsh, range(2) t(j)
+        |), dsh AS (
+        |  SELECT doc_id, unnest(gs) AS s FROM g
+        |), probe AS (
+        |  SELECT d.doc_id, d.s,
+        |    bool_and(
+        |      ('0x' || substr(md5(d.s || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % 1048576
+        |        IN (SELECT pos FROM bbits)) AS hit
+        |  FROM dsh d, range(2) j(j)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*) AS hits FROM probe WHERE hit GROUP BY doc_id""".stripMargin,
     // SRP-LSH, md5 plane flavor: planes, sign buckets, bucket-join
     // candidates, cosine, per-query top-k — all replayed
     "q_knn_lsh" ->

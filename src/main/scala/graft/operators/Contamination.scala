@@ -144,4 +144,85 @@ object Contamination {
         Dedup.hashedShingles(F.col(textCol), row.getAs[Int]("n")),
         F.lit(row.getAs[Array[Byte]]("bloom"))) < minHits)
   }
+
+  /** Word n-gram shingle STRINGS (distinct, space-joined) of a text
+    * column via composed `functions._` — the oracle-expressible sibling
+    * of [[Dedup.hashedShingles]] (same tokenizer, same n-gram windows;
+    * the hashes are just xxhash64 of exactly these strings). Used by the
+    * md5 bloom flavor, whose positions must be derivable from the STRING
+    * on any engine.
+    */
+  private[operators] def shingleStrings(text: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val ts = TextAnalysis.tokens(text)
+    F.when(F.size(ts) >= n,
+        F.array_distinct(F.transform(
+          F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+          i => F.array_join(F.slice(ts, i, F.lit(n)), " "))))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  /** md5-POSITION Bloom flavor of the scan-side decontamination gate —
+    * the engine-replayable verification face (the md5 convention:
+    * hashSplit / DSIR buckets / SimHash halves / SRP planes): shingle
+    * `s`'s bit positions are `int(md5(s ∥ "_" ∥ j)[0:8]) mod mBits` for
+    * j < kHashes, so any engine with md5 rebuilds the identical filter —
+    * INCLUDING its false positives, which is what lets the registry's
+    * q_contamination_bloom carry an exact oracle rather than a
+    * superset-only check. Same no-false-negative contract as
+    * [[contaminationHitsBloom]] (every benchmark shingle's bits are set
+    * by construction); same bounded driver build (the benchmark's
+    * distinct shingles only). Returns (idCol, hits), hits > 0 rows only.
+    *
+    * Cost vs the kernel flavor: kHashes md5 calls per distinct doc
+    * shingle and an explode + per-doc count (one shuffle) vs one fused
+    * projection — the [[contaminationHitsBloom]] kernel stays the
+    * 100 TB hot path.
+    */
+  def contaminationHitsBloomMd5(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String, n: Int = 8,
+      mBits: Int = 1 << 20, kHashes: Int = 2): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    // bounded driver build: the BENCHMARK's distinct shingle strings
+    // (the benchBloom contract — an eval suite, never the corpus)
+    val benchSh = bench
+      .select(graft.plans.Hygiene.explodeNonEmpty(
+        shingleStrings(F.col(benchTextCol), n)).as("__s"))
+      .distinct().collect().map(_.getString(0))
+    require(benchSh.nonEmpty,
+      "contaminationHitsBloomMd5: benchmark produced no shingles")
+    val words = new Array[Long](mBits / 64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    benchSh.foreach { s =>
+      var j = 0
+      while (j < kHashes) {
+        val d = md.digest(s"${s}_$j".getBytes("UTF-8"))
+        // first 8 hex chars = big-endian value of digest bytes 0-3,
+        // matching Hygiene.md5Prefix32 / '0x'||substr(md5(x),1,8)
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val pos = (v % mBits).toInt
+        words(pos >> 6) |= 1L << (pos & 63)
+        j += 1
+      }
+    }
+    val dsh = docs.select(F.col(idCol),
+      graft.plans.Hygiene.explodeNonEmpty(
+        shingleStrings(F.col(textCol), n)).as("__sh"))
+    val withPos = (0 until kHashes).foldLeft(
+        dsh.withColumn("__w", F.typedLit(words.toSeq))) { (df, j) =>
+      df.withColumn(s"__p$j", F.pmod(
+        graft.plans.Hygiene.md5Prefix32(
+          F.concat(F.col("__sh"), F.lit(s"_$j"))), F.lit(mBits.toLong)))
+    }
+    // shiftright with a COLUMN shift amount exists only on the SQL
+    // surface, hence F.expr over the named position columns
+    val hit = (0 until kHashes).map(j => F.expr(
+        s"(shiftright(element_at(__w, CAST(__p$j div 64 AS INT) + 1), " +
+          s"CAST(__p$j % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    withPos.filter(hit).groupBy(idCol).agg(F.count(F.lit(1)).as("hits"))
+  }
 }

@@ -346,6 +346,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     plan should include("bloom_count")
   }
 
+  test("md5 bloom flavor: no false negatives vs exact, deterministic") {
+    import graft.operators.Contamination
+    val bench = docs.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("text").as("btext"))
+    val exact = Contamination.contaminationHits(docs, "doc_id", "text",
+        bench, "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5Hits() = Contamination.contaminationHitsBloomMd5(docs, "doc_id",
+        "text", bench, "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = md5Hits()
+    // NO FALSE NEGATIVES: every benchmark shingle's bits are set by
+    // construction, so every exact hit is an md5-bloom hit, per doc
+    exact.foreach { case (id, h) =>
+      approx.getOrElse(id, 0L) should be >= h
+    }
+    // false positives stay at fpp-noise level (k=2 into 2^20 bits)
+    (approx.keySet -- exact.keySet).size should be <= 2
+    approx.foreach { case (id, h) =>
+      (h - exact.getOrElse(id, 0L)) should be <= 2L
+    }
+    // deterministic: the filter and probes are md5-derived, not seeded RNG
+    md5Hits() shouldBe approx
+  }
+
   test("bloom kernel: serialize round-trip, zero false negatives on fuzz keys") {
     import graft.functions.BloomKernel
     val rnd = new scala.util.Random(7)
