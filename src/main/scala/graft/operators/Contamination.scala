@@ -208,9 +208,21 @@ object Contamination {
         j += 1
       }
     }
-    val dsh = docs.select(F.col(idCol),
-      graft.plans.Hygiene.explodeNonEmpty(
-        shingleStrings(F.col(textCol), n)).as("__sh"))
+    // parallelization point: the shingle projection's transform/array_join
+    // lambdas evaluate interpreted, and a small-file scan arrives as ONE
+    // partition — without the repartition the whole corpus's lambdas run
+    // single-threaded (measured 8.4s vs ~1s at sf0.1/local[32]). The
+    // partition count is EXPLICIT because AQE would coalesce a
+    // few-megabyte shuffle right back to one partition, re-serializing
+    // the lambdas; the text shuffle itself is noise next to the
+    // per-shingle md5 probes, and the hot path (the kernel flavor) has no
+    // interpreted stage to parallelize.
+    val dsh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        F.col(idCol))
+      .select(F.col(idCol),
+        graft.plans.Hygiene.explodeNonEmpty(
+          shingleStrings(F.col(textCol), n)).as("__sh"))
     val withPos = (0 until kHashes).foldLeft(
         dsh.withColumn("__w", F.typedLit(words.toSeq))) { (df, j) =>
       df.withColumn(s"__p$j", F.pmod(
