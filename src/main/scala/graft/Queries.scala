@@ -316,17 +316,22 @@ object Queries {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
   }
 
-  /** Band-bloom near-dup gate survivors — rows-only (bloom probes are
-    * filter-layout-specific, not SQL-replicable; the superset-drop
-    * contract vs the exact banded path plus artifact and readStream
-    * parity are pinned in PipelineSpec).
+  /** Band-bloom near-dup gate survivors — md5 flavor
+    * ([[Dedup.BandBloomMd5]]): md5-prefix shingle hashes, embedded-literal
+    * minhash permutations over P = 2³¹−1, '|'-joined band-key strings and
+    * md5-position filter bits, so the DuckDB oracle rebuilds the ENTIRE
+    * gate — signatures, bands, filter, false positives — and replays the
+    * surviving doc set exactly. The fused-kernel flavor
+    * ([[Dedup.nearDupGateBloom]] — the zero-shuffle scan-side/streaming
+    * hot path) keeps its superset-drop, artifact and readStream parity
+    * pins in PipelineSpec.
     */
   def q_neardup_gate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val bloom = Dedup.corpusBandBloom(
-      docs.filter(col("doc_id") % 2 === 0), "text")
-    Dedup.nearDupGateBloom(docs.filter(col("doc_id") % 2 === 1), "text",
-        bloom)
+    val words = Dedup.BandBloomMd5.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    Dedup.BandBloomMd5.gate(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", words)
       .select("doc_id")
   }
 
@@ -1275,6 +1280,58 @@ object Queries {
       |FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
+  /** Replay of [[Dedup.BandBloomMd5]]: md5-prefix shingle hashes, the 64
+    * embedded permutation minima (generated — one `min` per hash), the 16
+    * '|'-joined band-key strings, the corpus side's md5-position bit set
+    * and the batch side's all-bits-present probe. Docs without shingles
+    * never enter the band CTE, so the final anti-join keeps them — the
+    * gate's always-pass contract.
+    */
+  private lazy val neardupGateMd5Sql: String = {
+    val pm = graft.operators.Dedup.BandBloomMd5.perms(64)
+    val prime = graft.operators.Dedup.BandBloomMd5.Prime
+    val mins = pm.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $prime) AS m$i" }
+      .mkString(",\n    ")
+    val bandKeys = (0 until 16).map { bIdx =>
+      s"'$bIdx|' || " + (bIdx * 4 until (bIdx + 1) * 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS gs
+      |  FROM toks WHERE len(ws) >= 3
+      |), sh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(gs) AS s FROM g)
+      |), sig AS (
+      |  SELECT doc_id, $mins
+      |  FROM sh GROUP BY doc_id
+      |), bk AS (
+      |  SELECT doc_id, unnest([
+      |      $bandKeys]) AS k
+      |  FROM sig
+      |), bbits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(k || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 1048576 AS pos
+      |  FROM bk, range(2) t(j) WHERE doc_id % 2 = 0
+      |), probe AS (
+      |  SELECT bk.doc_id, bk.k,
+      |    bool_and(
+      |      ('0x' || substr(md5(bk.k || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % 1048576
+      |        IN (SELECT pos FROM bbits)) AS hit
+      |  FROM bk, range(2) j(j) WHERE bk.doc_id % 2 = 1
+      |  GROUP BY 1, 2
+      |), hitdocs AS (
+      |  SELECT DISTINCT doc_id FROM probe WHERE hit
+      |)
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.doc_id % 2 = 1
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM hitdocs)""".stripMargin
+  }
+
   /** Whole-doc duplicated-passage profile (Lee 2021 window=8) — shared
     * verbatim by q_dup_passages and its hashed twin (row identity pinned
     * in PipelineSpec).
@@ -2074,6 +2131,9 @@ object Queries {
         |  round(sc.fs + ln((p.np + 1.0) / (p.nn + 1.0)), 6) AS nb_score
         |FROM scored sc, prior p""".stripMargin,
     "q_dedup_simhash" -> simhashMd5Sql,
+    // md5 band-bloom gate: signatures, bands, filter bits and FPs all
+    // rebuild, so the surviving doc set replays verbatim
+    "q_neardup_gate" -> neardupGateMd5Sql,
     // md5-position bloom: the filter's bits (and hence its false
     // positives) rebuild exactly, so the hit counts replay verbatim
     "q_contamination_bloom" ->

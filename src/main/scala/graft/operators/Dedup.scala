@@ -789,6 +789,126 @@ object Dedup {
       .drop("__sh")
   }
 
+  /** md5 flavor of the band-bloom near-dup gate — the engine-replayable
+    * verification face (the md5 convention): shingle hashes are md5
+    * prefixes of the shingle STRING, the `numHashes` minhash permutations
+    * `(aᵢ·h + bᵢ) mod P` use md5-derived constants with `P = 2³¹−1` and
+    * `aᵢ, bᵢ < 2³¹` (products stay under 2⁶³ — both JVM longs and SQL
+    * BIGINTs compute them exactly, no wraparound dependence), band keys
+    * are the '|'-joined signature-slice strings, and the filter is the
+    * md5-POSITION bit set (`Contamination.contaminationHitsBloomMd5`'s
+    * derivation). Any engine with md5 rebuilds the identical gate —
+    * including its false positives — so the registry's q_neardup_gate
+    * carries an exact oracle. The fused-kernel flavor
+    * ([[corpusBandBloom]]/[[nearDupGateBloom]] — scan-side, zero
+    * shuffle) stays the hot path.
+    */
+  object BandBloomMd5 {
+    /** P = 2³¹ − 1 (Mersenne prime): keeps every permuted value and every
+      * product representable exactly in 64-bit integer arithmetic on any
+      * engine.
+      */
+    val Prime: Long = (1L << 31) - 1
+
+    /** md5-derived permutation constants, aᵢ ∈ [1, P−1], bᵢ ∈ [0, P−1] —
+      * driver-computed once and EMBEDDED as literals in both the plan and
+      * the oracle SQL (the BPE-merge-table precedent).
+      */
+    def perms(numHashes: Int): Array[(Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def v32(key: String): Long = {
+        val d = md.digest(key.getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      Array.tabulate(numHashes)(i =>
+        (v32(s"mh_a_$i") % (Prime - 1) + 1, v32(s"mh_b_$i") % Prime))
+    }
+
+    /** Per-doc band-key STRINGS: explode the doc's distinct shingle
+      * strings, hash each to a 32-bit md5 prefix, take the `numHashes`
+      * permutation minima per doc (one codegen'd 64-min aggregate — the
+      * transform-per-permutation formulation would run interpreted
+      * lambdas numHashes × shingles times), then join each band's slice
+      * into `"b|s…|s…"`. Docs without shingles are absent. Explicit-count
+      * repartition for the same reason as the md5 bloom flavor: the
+      * interpreted shingle lambdas must not inherit a one-file scan's
+      * single partition.
+      */
+    private[Dedup] def bandKeys(df: DataFrame, idCol: String,
+        textCol: String, shingleN: Int, numHashes: Int,
+        bands: Int): DataFrame = {
+      require(numHashes % bands == 0, "numHashes must be divisible by bands")
+      val pm = perms(numHashes)
+      val sh = df
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+          F.col(idCol))
+        .select(F.col(idCol),
+          graft.plans.Hygiene.explodeNonEmpty(
+            Contamination.shingleStrings(F.col(textCol), shingleN)).as("__s"))
+        .withColumn("__h", graft.plans.Hygiene.md5Prefix32(F.col("__s")))
+      val mins = pm.zipWithIndex.map { case ((a, b), i) =>
+        F.min(F.pmod(F.col("__h") * a + b, F.lit(Prime))).as(s"__m$i")
+      }
+      val r = numHashes / bands
+      val keyCols = (0 until bands).map { bIdx =>
+        F.concat_ws("|",
+          F.lit(bIdx.toString) +:
+            (bIdx * r until (bIdx + 1) * r)
+              .map(i => F.col(s"__m$i").cast("string")): _*)
+      }
+      sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+        .select(F.col(idCol), F.array(keyCols: _*).as("__bk"))
+    }
+
+    /** Build the md5-position bit set of the corpus' band keys. The
+      * driver collect is the DISTINCT bit positions — bounded by `mBits`
+      * by construction, never by corpus size.
+      */
+    def build(corpus: DataFrame, idCol: String, textCol: String,
+        shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+        mBits: Int = 1 << 20, kHashes: Int = 2): Array[Long] = {
+      require(mBits > 0 && mBits % 64 == 0,
+        s"mBits must be a positive multiple of 64, got $mBits")
+      val positions = bandKeys(corpus, idCol, textCol, shingleN, numHashes,
+          bands)
+        .select(graft.plans.Hygiene.explodeNonEmpty(F.col("__bk")).as("__k"))
+        .select(F.explode(F.array((0 until kHashes).map(j =>
+          F.pmod(graft.plans.Hygiene.md5Prefix32(
+            F.concat(F.col("__k"), F.lit(s"_$j"))), F.lit(mBits.toLong))): _*))
+          .as("__p"))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](mBits / 64)
+      positions.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+      words
+    }
+
+    /** Gate `df` against a [[build]] bit set: keep docs whose band keys
+      * ALL miss the filter; docs without shingles always pass (never
+      * banding candidates), matching [[nearDupGateBloom]]'s contract.
+      */
+    def gate(df: DataFrame, idCol: String, textCol: String,
+        words: Array[Long], shingleN: Int = 3, numHashes: Int = 64,
+        bands: Int = 16, kHashes: Int = 2): DataFrame = {
+      val mBits = words.length * 64
+      val keyed = bandKeys(df, idCol, textCol, shingleN, numHashes, bands)
+        .select(F.col(idCol),
+          graft.plans.Hygiene.explodeNonEmpty(F.col("__bk")).as("__k"))
+      val withPos = (0 until kHashes).foldLeft(
+          keyed.withColumn("__w", F.typedLit(words.toSeq))) { (d, j) =>
+        d.withColumn(s"__p$j", F.pmod(
+          graft.plans.Hygiene.md5Prefix32(
+            F.concat(F.col("__k"), F.lit(s"_$j"))), F.lit(mBits.toLong)))
+      }
+      val hit = (0 until kHashes).map(j => F.expr(
+          s"(shiftright(element_at(__w, CAST(__p$j div 64 AS INT) + 1), " +
+            s"CAST(__p$j % 64 AS INT)) & 1) = 1"))
+        .reduce(_ && _)
+      val hitDocs = withPos.filter(hit).select(F.col(idCol)).distinct()
+      df.join(hitDocs, Seq(idCol), "left_anti")
+    }
+  }
+
   /** Persist a [[corpusBandBloom]] artifact: one parquet row carrying the
     * filter bytes AND the banding parameters — a gate must band incoming
     * docs under the parameters the filter was built with, so loaders read

@@ -2754,6 +2754,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       Dedup.nearDupPairsAgainstIndex(newBatch, "doc_id", "text", bogus)
   }
 
+  test("md5 band-bloom gate flavor: drops ⊇ exact hits, deterministic") {
+    val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    def keptMd5() = {
+      val words = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
+      Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", words)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val kept = keptMd5()
+    // same ground truth as the kernel flavor: every exact cross-corpus
+    // near-dup (Jaccard >= 0.8) must be dropped; survivors non-empty
+    val exactHits = Dedup.minhashNearDupAgainst(newBatch, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.8)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    exactHits should not be empty
+    kept.intersect(exactHits) shouldBe empty
+    kept should not be empty
+    // gate output schema is the input schema (no helper columns leak)
+    val words = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
+    Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", words)
+      .columns.toSeq shouldBe newBatch.columns.toSeq
+    // md5-derived end to end: a rebuilt filter + regated batch reproduce
+    // the identical survivor set
+    keptMd5() shouldBe kept
+  }
+
   test("band-bloom gate: drops ⊇ exact banded hits; artifact replays; streams") {
     val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
     val corpus = docs.filter(F.col("doc_id") % 2 === 0)
