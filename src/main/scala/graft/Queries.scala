@@ -328,10 +328,10 @@ object Queries {
     */
   def q_neardup_gate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val words = Dedup.BandBloomMd5.build(
+    val filter = Dedup.BandBloomMd5.build(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
     Dedup.BandBloomMd5.gate(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", words)
+        "doc_id", "text", filter)
       .select("doc_id")
   }
 

@@ -193,21 +193,7 @@ object Contamination {
       .distinct().collect().map(_.getString(0))
     require(benchSh.nonEmpty,
       "contaminationHitsBloomMd5: benchmark produced no shingles")
-    val words = new Array[Long](mBits / 64)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    benchSh.foreach { s =>
-      var j = 0
-      while (j < kHashes) {
-        val d = md.digest(s"${s}_$j".getBytes("UTF-8"))
-        // first 8 hex chars = big-endian value of digest bytes 0-3,
-        // matching Hygiene.md5Prefix32 / '0x'||substr(md5(x),1,8)
-        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        val pos = (v % mBits).toInt
-        words(pos >> 6) |= 1L << (pos & 63)
-        j += 1
-      }
-    }
+    val words = md5PositionWordsFromKeys(benchSh, mBits, kHashes)
     // parallelization point: the shingle projection's transform/array_join
     // lambdas evaluate interpreted, and a small-file scan arrives as ONE
     // partition — without the repartition the whole corpus's lambdas run
@@ -223,18 +209,67 @@ object Contamination {
       .select(F.col(idCol),
         graft.plans.Hygiene.explodeNonEmpty(
           shingleStrings(F.col(textCol), n)).as("__sh"))
+    md5PositionProbe(dsh, "__sh", words, kHashes)
+      .filter(F.col("__hit")).drop("__hit")
+      .groupBy(idCol).agg(F.count(F.lit(1)).as("hits"))
+  }
+
+  // ---- the md5-POSITION bit-set machinery ------------------------------
+  // THE one definition of "key string -> kHashes md5-derived bit
+  // positions" — shared by the md5 bloom decontamination flavor above and
+  // Dedup.BandBloomMd5's near-dup gate, and mirrored verbatim by both
+  // DuckDB oracles: ('0x' || substr(md5(key || '_' || j), 1, 8))::BIGINT
+  // % mBits. A drift between the two flavors (or between a flavor and
+  // its oracle) is a silent filter desynchronization; keep the
+  // derivation here only.
+
+  /** Word array (mBits/64 longs) with the positions of every
+    * (key, j < kHashes) pair set — the driver-side filter build.
+    */
+  private[operators] def md5PositionWordsFromKeys(keys: Iterable[String],
+      mBits: Int, kHashes: Int): Array[Long] = {
+    val positions =
+      for (s <- keys.iterator; j <- (0 until kHashes).iterator)
+        yield graft.plans.Hygiene.md5Prefix32Jvm(s"${s}_$j") % mBits
+    wordsFromPositions(positions, mBits)
+  }
+
+  /** Word array from raw bit positions (engine-collected or
+    * driver-derived).
+    */
+  private[operators] def wordsFromPositions(positions: Iterator[Long],
+      mBits: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    words
+  }
+
+  /** Engine-side position of one key column's j-th probe. */
+  private[operators] def md5Position(key: org.apache.spark.sql.Column,
+      j: Int, mBits: Int): org.apache.spark.sql.Column =
+    F.pmod(graft.plans.Hygiene.md5Prefix32(
+      F.concat(key, F.lit(s"_$j"))), F.lit(mBits.toLong))
+
+  /** Probe `keyCol` strings against a word array: the input rows plus a
+    * boolean `__hit` (all kHashes bits present). The bit test goes
+    * through `F.expr` because shiftright with a COLUMN shift amount
+    * exists only on the SQL surface.
+    */
+  private[operators] def md5PositionProbe(df: DataFrame, keyCol: String,
+      words: Array[Long], kHashes: Int): DataFrame = {
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    val mBits = words.length * 64
     val withPos = (0 until kHashes).foldLeft(
-        dsh.withColumn("__w", F.typedLit(words.toSeq))) { (df, j) =>
-      df.withColumn(s"__p$j", F.pmod(
-        graft.plans.Hygiene.md5Prefix32(
-          F.concat(F.col("__sh"), F.lit(s"_$j"))), F.lit(mBits.toLong)))
+        df.withColumn("__w", F.typedLit(words.toSeq))) { (d, j) =>
+      d.withColumn(s"__p$j", md5Position(F.col(keyCol), j, mBits))
     }
-    // shiftright with a COLUMN shift amount exists only on the SQL
-    // surface, hence F.expr over the named position columns
     val hit = (0 until kHashes).map(j => F.expr(
         s"(shiftright(element_at(__w, CAST(__p$j div 64 AS INT) + 1), " +
           s"CAST(__p$j % 64 AS INT)) & 1) = 1"))
       .reduce(_ && _)
-    withPos.filter(hit).groupBy(idCol).agg(F.count(F.lit(1)).as("hits"))
+    withPos.withColumn("__hit", hit)
+      .drop("__w" +: (0 until kHashes).map(i => s"__p$i"): _*)
   }
 }

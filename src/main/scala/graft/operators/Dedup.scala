@@ -815,15 +815,18 @@ object Dedup {
       * the oracle SQL (the BPE-merge-table precedent).
       */
     def perms(numHashes: Int): Array[(Long, Long)] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def v32(key: String): Long = {
-        val d = md.digest(key.getBytes("UTF-8"))
-        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      }
+      def v32(key: String): Long = graft.plans.Hygiene.md5Prefix32Jvm(key)
       Array.tabulate(numHashes)(i =>
         (v32(s"mh_a_$i") % (Prime - 1) + 1, v32(s"mh_b_$i") % Prime))
     }
+
+    /** A built filter WITH the parameters it was built under — the gate
+      * reads them from here, so a build/gate parameter mismatch is
+      * unrepresentable (the same coupling [[saveBandBloom]]'s parameter
+      * sidecar provides for the kernel flavor).
+      */
+    final case class Filter(words: Array[Long], shingleN: Int,
+        numHashes: Int, bands: Int, kHashes: Int)
 
     /** Per-doc band-key STRINGS: explode the doc's distinct shingle
       * strings, hash each to a 32-bit md5 prefix, take the `numHashes`
@@ -863,48 +866,38 @@ object Dedup {
 
     /** Build the md5-position bit set of the corpus' band keys. The
       * driver collect is the DISTINCT bit positions — bounded by `mBits`
-      * by construction, never by corpus size.
+      * by construction, never by corpus size. Returns a [[Filter]]
+      * carrying its own parameters.
       */
     def build(corpus: DataFrame, idCol: String, textCol: String,
         shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-        mBits: Int = 1 << 20, kHashes: Int = 2): Array[Long] = {
-      require(mBits > 0 && mBits % 64 == 0,
-        s"mBits must be a positive multiple of 64, got $mBits")
+        mBits: Int = 1 << 20, kHashes: Int = 2): Filter = {
       val positions = bandKeys(corpus, idCol, textCol, shingleN, numHashes,
           bands)
         .select(graft.plans.Hygiene.explodeNonEmpty(F.col("__bk")).as("__k"))
         .select(F.explode(F.array((0 until kHashes).map(j =>
-          F.pmod(graft.plans.Hygiene.md5Prefix32(
-            F.concat(F.col("__k"), F.lit(s"_$j"))), F.lit(mBits.toLong))): _*))
+          Contamination.md5Position(F.col("__k"), j, mBits)): _*))
           .as("__p"))
         .distinct().collect().map(_.getLong(0))
-      val words = new Array[Long](mBits / 64)
-      positions.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
-      words
+      Filter(Contamination.wordsFromPositions(positions.iterator, mBits),
+        shingleN, numHashes, bands, kHashes)
     }
 
-    /** Gate `df` against a [[build]] bit set: keep docs whose band keys
-      * ALL miss the filter; docs without shingles always pass (never
+    /** Gate `df` against a [[build]] [[Filter]]: keep docs whose band
+      * keys ALL miss the filter; docs without shingles always pass (never
       * banding candidates), matching [[nearDupGateBloom]]'s contract.
+      * Banding parameters come from the filter itself.
       */
     def gate(df: DataFrame, idCol: String, textCol: String,
-        words: Array[Long], shingleN: Int = 3, numHashes: Int = 64,
-        bands: Int = 16, kHashes: Int = 2): DataFrame = {
-      val mBits = words.length * 64
-      val keyed = bandKeys(df, idCol, textCol, shingleN, numHashes, bands)
+        filter: Filter): DataFrame = {
+      val keyed = bandKeys(df, idCol, textCol, filter.shingleN,
+          filter.numHashes, filter.bands)
         .select(F.col(idCol),
           graft.plans.Hygiene.explodeNonEmpty(F.col("__bk")).as("__k"))
-      val withPos = (0 until kHashes).foldLeft(
-          keyed.withColumn("__w", F.typedLit(words.toSeq))) { (d, j) =>
-        d.withColumn(s"__p$j", F.pmod(
-          graft.plans.Hygiene.md5Prefix32(
-            F.concat(F.col("__k"), F.lit(s"_$j"))), F.lit(mBits.toLong)))
-      }
-      val hit = (0 until kHashes).map(j => F.expr(
-          s"(shiftright(element_at(__w, CAST(__p$j div 64 AS INT) + 1), " +
-            s"CAST(__p$j % 64 AS INT)) & 1) = 1"))
-        .reduce(_ && _)
-      val hitDocs = withPos.filter(hit).select(F.col(idCol)).distinct()
+      val hitDocs = Contamination
+        .md5PositionProbe(keyed, "__k", filter.words, filter.kHashes)
+        .filter(F.col("__hit"))
+        .select(F.col(idCol)).distinct()
       df.join(hitDocs, Seq(idCol), "left_anti")
     }
   }

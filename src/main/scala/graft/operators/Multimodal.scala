@@ -227,13 +227,23 @@ object DecodeKernel {
       // a null payload (missing media row) quarantines like corrupt bytes
       // — never an NPE that kills the stage
       if (bytes == null) Decoded("unknown", 0, 0, 0L)
-      else if (isFake(bytes)) {
-        val s = fakeHeader(bytes)
-        Decoded("image/fake", s.substring(4, 10).toInt, s.substring(10, 16).toInt,
-          bytes.length.toLong)
-      } else {
-        val d = try decodeOne(bytes) catch { case _: Exception => null }
-        if (d != null) d else Decoded("unknown", 0, 0, bytes.length.toLong)
+      else {
+        // the fake parse itself is guarded: bytes that happen to start
+        // with the magic but carry a malformed header (non-digit or
+        // multi-byte UTF-8 where the dimensions belong) quarantine like
+        // any other corrupt payload instead of throwing
+        val fake =
+          if (!isFake(bytes)) null
+          else try {
+            val s = fakeHeader(bytes)
+            Decoded("image/fake", s.substring(4, 10).toInt,
+              s.substring(10, 16).toInt, bytes.length.toLong)
+          } catch { case _: Exception => null }
+        if (fake != null) fake
+        else {
+          val d = try decodeOne(bytes) catch { case _: Exception => null }
+          if (d != null) d else Decoded("unknown", 0, 0, bytes.length.toLong)
+        }
       }
     }
 
@@ -246,6 +256,9 @@ object DecodeKernel {
     payloads.map { bytes =>
       if (bytes == null) bytes // null payload passes through, like corrupt
       else if (isFake(bytes)) {
+        // header rewrite only re-encodes the body; unlike decode there is
+        // no digit parse to guard, and a fake-magic-but-binary payload
+        // just gets a rewritten header (it decodes as unknown either way)
         val body = new String(bytes, 16, bytes.length - 16,
           java.nio.charset.StandardCharsets.UTF_8)
         ("FAKE" + f"$w%06d" + f"$h%06d" + body)

@@ -149,13 +149,6 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** md5-derived SPARSE ±1 hyperplanes (Achlioptas s = 4 entries — the
-    * exact [[randomProject]] matrix derivation, salt `"srp_<seed>"`):
-    * sign-of-sparse-projection is a valid SRP family, and any engine with
-    * md5 rebuilds the identical planes — the flavor that gives the
-    * registry's q_knn_lsh a full DuckDB oracle. Scale is irrelevant to
-    * the SIGN, so entries stay bare ±1/0.
-    */
   /** First md5 nibble of `key` mapped to the Achlioptas s = 4 sparse ±1
     * entry ('0'/'2' → +1, '1'/'3' → −1, else 0) — the ONE driver-side
     * derivation behind both md5 matrices ([[randomProject]]'s JL
@@ -172,6 +165,13 @@ object Similarity {
     }
   }
 
+  /** md5-derived SPARSE ±1 hyperplanes (Achlioptas s = 4 entries — the
+    * exact [[randomProject]] matrix derivation, salt `"srp_<seed>"`):
+    * sign-of-sparse-projection is a valid SRP family, and any engine with
+    * md5 rebuilds the identical planes — the flavor that gives the
+    * registry's q_knn_lsh a full DuckDB oracle. Scale is irrelevant to
+    * the SIGN, so entries stay bare ±1/0.
+    */
   private def planesMd5(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(nPlanes)(p =>

@@ -44,6 +44,20 @@ object Hygiene {
     F.conv(F.substring(F.md5(c), offset, 8), 16, 10).cast("long")
   }
 
+  /** Driver-side twin of [[md5Prefix32]] (offset 1): the first 4 digest
+    * bytes packed big-endian as an unsigned 32-bit value in a long —
+    * byte-identical to the column form and to the oracle's
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`. Used wherever a filter /
+    * permutation constant is derived on the driver and probed on the
+    * engine (bloom position sets, minhash perm constants).
+    */
+  def md5Prefix32Jvm(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Materialize an expensive expression as an attribute that FILTERS can
     * reference without re-evaluating it — the filter-side sibling of
     * [[explodeNonEmpty]].

@@ -1973,8 +1973,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val png = imageBytes(37, 21, "png")
     val jpg = imageBytes(64, 48, "jpeg")
     val corrupt = Array[Byte](1, 2, 3, 4, 5)
+    // fake magic but a malformed header (non-digit / multi-byte bytes
+    // where the dimensions belong): must quarantine, never throw
+    val fakeCorrupt = "FAKE".getBytes("UTF-8") ++
+      Array.fill[Byte](12)(0xC3.toByte)
     val df = Seq((1L, png), (2L, jpg), (3L, corrupt),
-      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+      (4L, null.asInstanceOf[Array[Byte]]), (5L, fakeCorrupt))
+      .toDF("id", "payload")
     val got = Multimodal.decodeBatched(df, "payload")
       .select("id", "mime", "width", "height", "n_bytes").collect()
       .map(r => r.getLong(0) ->
@@ -1985,6 +1990,7 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // exception/NPE that kills the stage
     got(3L) shouldBe (("unknown", 0, 0, 5L))
     got(4L) shouldBe (("unknown", 0, 0, 0L))
+    got(5L) shouldBe (("unknown", 0, 0, 16L))
     // resize: real images re-encode at the target dims (decode them back
     // to prove it), corrupt payloads pass through untouched
     val resized = Multimodal.resizeBatched(df, "payload", w = 10, h = 5)
@@ -1996,6 +2002,9 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     redec(2L) shouldBe (("image/png", 10, 5)) // re-encoded as PNG
     redec(3L) shouldBe (("unknown", 0, 0))
     redec(4L) shouldBe (("unknown", 0, 0)) // null passes through resize
+    // resize rewrites a fake-magic header even over a garbled body (no
+    // digit parse on that path), so the result decodes at the new dims
+    redec(5L) shouldBe (("image/fake", 10, 5))
     // fake payloads keep their deterministic header path through the SAME
     // kernels (mixed batches are the production case)
     val fake = Multimodal.withFakeMedia(docs.limit(3), "text")
@@ -2758,8 +2767,8 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
     val corpus = docs.filter(F.col("doc_id") % 2 === 0)
     def keptMd5() = {
-      val words = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
-      Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", words)
+      val filter = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
+      Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", filter)
         .select("doc_id").collect().map(_.getLong(0)).toSet
     }
     val kept = keptMd5()
@@ -2771,9 +2780,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exactHits should not be empty
     kept.intersect(exactHits) shouldBe empty
     kept should not be empty
-    // gate output schema is the input schema (no helper columns leak)
-    val words = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
-    Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", words)
+    // gate output schema is the input schema (no helper columns leak);
+    // the filter carries its banding parameters, so a build/gate
+    // parameter mismatch is unrepresentable by construction
+    val filter = Dedup.BandBloomMd5.build(corpus, "doc_id", "text")
+    Dedup.BandBloomMd5.gate(newBatch, "doc_id", "text", filter)
       .columns.toSeq shouldBe newBatch.columns.toSeq
     // md5-derived end to end: a rebuilt filter + regated batch reproduce
     // the identical survivor set
