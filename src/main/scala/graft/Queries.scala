@@ -458,9 +458,16 @@ object Queries {
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** PQ-compressed ANN with exact re-rank — rows-only (codebooks are
-    * data-derived k-means centroids, not SQL-replicable; recall vs the
-    * exact path is pinned by the ScalaTest suite).
+  /** PQ-compressed ANN with exact re-rank — rows-only, DELIBERATELY.
+    * The trained codebooks could be embedded in the oracle SQL like the
+    * BPE merge table, but everything downstream of them — subspace
+    * argmin encoding, ADC sums, the shortlist cut — turns on FLOAT
+    * comparisons whose operand-accumulation order differs between
+    * engines: a near-tie at any boundary flips a code or a shortlist
+    * member on ULP reassociation alone, so a deterministic-given-data
+    * oracle here would be a legitimately flaky gate (unlike the md5
+    * flavors, whose branch points are all integer/hash-discrete). Recall
+    * vs the exact path is pinned by the ScalaTest suite instead.
     */
   def q_knn_pq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -474,9 +481,10 @@ object Queries {
     * is built ONCE per scale-factor dir into a cached temp location (the
     * build-once/probe-many contract; in the bench the warm second run
     * therefore times the probe alone), then probed with partition + column
-    * pruning (plan-pinned in PipelineSpec). Rows-only in the driver gate —
-    * centroids/codebooks are data-derived k-means, not SQL-replicable;
-    * recall vs the exact path is pinned in ScalaTest.
+    * pruning (plan-pinned in PipelineSpec). Rows-only in the driver
+    * gate — deliberately: see q_knn_pq's note (float argmin/ADC/shortlist
+    * boundaries make an embedded-centroid oracle ULP-flaky across
+    * engines); recall vs the exact path is pinned in ScalaTest.
     */
   private val ivfPqIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -987,9 +995,12 @@ object Queries {
 
   /** SemDeDup (Abbas et al. 2023) over the embeddings corpus plus 20
     * planted near-duplicates (additively perturbed copies, ids +10000) —
-    * exactly one member of each planted pair must survive. Rows-only for
-    * the driver (k-means centroids are not SQL-expressible); the keep
-    * policy and planted-pair semantics are pinned in PipelineSpec.
+    * exactly one member of each planted pair must survive. Rows-only,
+    * deliberately: see q_knn_pq's note — the cluster argmin and the
+    * cosine-vs-0.99 threshold are float boundaries where engine
+    * accumulation order can legitimately flip a membership, so an
+    * embedded-centroid oracle would be ULP-flaky. The keep policy and
+    * planted-pair semantics are pinned in PipelineSpec instead.
     */
   def q_semdedup(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
