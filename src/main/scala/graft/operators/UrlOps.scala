@@ -32,13 +32,17 @@ object UrlOps {
     * by RFC 3986); everything else keeps its case.
     */
   def urlParts(url: Column): Column = {
-    // scheme://host[:port][/path][?query][#fragment]
+    // scheme://[userinfo@]host[:port][/path][?query][#fragment] — the
+    // optional userinfo is recognized (non-capturing) so "user:pw@host"
+    // yields host, not user; it is not itself a returned part (crawl
+    // pipelines treat credentialed URLs as the same page). IPv6 bracket
+    // hosts are out of scope like the PSL (documented production caveat).
     val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
-    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
+    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)))
     // try_cast: a digits-run port can still overflow int ("…:99999999999")
     // and ANSI mode (Spark 4 default) makes a bare cast a scan-killer —
     // the module contract is null parts for malformed URLs, never errors
-    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)).try_cast("int")
+    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)", 1)).try_cast("int")
     val path = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
     // the '?' must occur BEFORE any '#': an unanchored `\?` would match a
     // question mark inside the fragment and resurrect it as a query

@@ -44,6 +44,16 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     val big = Seq("http://e.com:99999999999/x").toDF("u")
       .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
     big.isNullAt(2) shouldBe true
+    // userinfo is recognized, not mistaken for the host; '@' in a query
+    // never triggers the userinfo branch (the class excludes '?')
+    val ui = Seq("http://user:pw@Ex.COM:8080/a").toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
+    ui.getString(1) shouldBe "ex.com"
+    ui.getInt(2) shouldBe 8080
+    val atq = Seq("http://e.com/p?email=a@b.c").toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p")).select("p.*").head()
+    atq.getString(1) shouldBe "e.com"
+    atq.getString(4) shouldBe "email=a@b.c"
   }
 
   test("canonicalizeUrl: every rule, one at a time") {
