@@ -13,16 +13,19 @@ import java.nio.file.{Files, Paths}
   * to `bench_out.json` as a belt-and-braces channel in case stdout is
   * wrapped by a build tool.
   *
-  * The driver harvests the line from a bounded LOG TAIL, so the line is
-  * kept deliberately small: per-query seconds are rounded to 3 decimals
-  * (ms resolution — full doubles made the r6/r7 lines outgrow the tail
-  * window and truncate mid-JSON, `"parsed": null`). Two rounds running,
-  * the driver host was also contended enough to inflate shuffle-heavy
-  * queries 13-64× vs idle re-runs, so the line carries `"load"` (the
-  * 1-minute system load average at bench start, -1 where the JVM can't
-  * read it) and `bench_detail.json` records per-query {cold, warm} pairs —
-  * a contended run is then self-diagnosing instead of a phantom
-  * regression.
+  * The driver harvests the line from a bounded LOG TAIL. Three rounds of
+  * `"parsed": null` proved the per-query map doesn't fit: at 91+ queries
+  * even 3-decimal rounding overflows the tail window and the harvested
+  * text starts mid-key. So stdout now carries ONLY the compact totals
+  * line — `{"metric","value","unit","load","n_queries","sf"}` — printed
+  * TWICE (before and after the file writes, so it is the literal last
+  * line of output and survives any tail cut), while the full per-query
+  * map lives in `bench_out.json` and per-query {cold, warm} pairs in
+  * `bench_detail.json`. `"load"` is the 1-minute system load average at
+  * bench start (-1 where the JVM can't read it): two driver rounds ran
+  * contended enough to inflate shuffle-heavy queries 13-64× vs idle
+  * re-runs, and the load field + cold/warm detail makes such a run
+  * self-diagnosing instead of a phantom regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,16 +64,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // compact stdout line: NO per-query map (overflows the driver's log
+    // tail at 91+ queries — the "parsed": null failure mode); full map
+    // goes to bench_out.json
     val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"n_queries":${results.size},"sf":$sfNum}"""
+    val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"queries":$qs,"sf":$sfNum}"""
     println(line)
     try {
-      Files.writeString(Paths.get("bench_out.json"), line + "\n")
+      Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
       val detail = results
         .map { case (k, c, w) => "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}" }
         .mkString("{\"load\":" + r3(load) + ",\"queries\":{", ",", "}}")
       Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
     } catch { case _: Throwable => () }
+    // printed again as the LITERAL last line before shutdown: the tail
+    // harvest keeps the end of the log, so the final occurrence is the
+    // one that must parse
+    println(line)
     spark.stop()
   }
 }

@@ -64,12 +64,22 @@ object Tables {
           java.lang.Boolean.TRUE
       })
     if (!isNanos) {
-      // micros generations carry isAdjustedToUTC=false, which Spark reads
-      // as TIMESTAMP_NTZ; cast to TimestampType (session tz is UTC — the
-      // same instants) so the engine-facing schema is identical across
-      // testdata generations. No-op when the file is already UTC-adjusted.
-      s.read.parquet(path).withColumn("ts",
-        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      // micros generations carry isAdjustedToUTC=false, which Spark would
+      // read as TIMESTAMP_NTZ. The former NTZ→TIMESTAMP cast interpreted
+      // the wall clock in the SESSION timezone — correct only because
+      // every in-repo entry point pins UTC; a library caller on a
+      // non-UTC session got shifted instants. Instead: explicit LTZ
+      // schema + the per-read timestampNTZ.enabled=false option (the
+      // same task-side Configuration pathway as the nanos branch below),
+      // so the file's raw epoch micros land directly in TimestampType —
+      // no session-tz interpretation anywhere. No-op when the file is
+      // already UTC-adjusted. Timezone independence is test-pinned in
+      // EngineSpec.
+      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      s.read.schema(schema)
+        .option("spark.sql.parquet.timestampNTZ.enabled", "false")
+        .parquet(path)
     } else {
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"

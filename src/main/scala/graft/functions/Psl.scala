@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Public Suffix List table + eTLD+1 kernel.
+  *
+  * The registered domain ("eTLD+1") is the grouping key for every
+  * URL-curation decision — per-site caps, blocklists, domain mix reports
+  * (C4 §2.2, RefinedWeb §3.1) — and getting it wrong mis-groups exactly
+  * the hosts a crawl hits constantly: `co.uk`-style ccTLD registries and
+  * private-registry suffixes like `github.io`/`blogspot.com`, where the
+  * "+1" label is the real site. The authoritative answer is Mozilla's
+  * Public Suffix List (publicsuffix.org, MPL 2.0 — public data), vendored
+  * verbatim as the classpath resource `graft/public_suffix_list.dat`
+  * (9.5k rules incl. the PRIVATE section: a curation pipeline wants
+  * `foo.github.io` and `bar.github.io` treated as different sites).
+  *
+  * Lookup algorithm (publicsuffix.org/list/ semantics):
+  *   - a rule matches when its labels equal the right-most labels of the
+  *     host; `*.base` (wildcard) matches any single extra label; `!rule`
+  *     (exception) un-suffixes its match;
+  *   - prevailing rule: any matching exception, else the longest match,
+  *     else the implicit `*` (the bare TLD);
+  *   - public suffix = prevailing rule's labels (exception: minus its
+  *     leftmost); registered domain = public suffix + one label.
+  *
+  * Contract (matches the pre-PSL heuristic's): a host that IS a public
+  * suffix (or has fewer labels) passes through unchanged, null → null,
+  * never an error. Matching is byte-exact on the lowercase host
+  * [[graft.operators.UrlOps.urlParts]] produces; unicode rules also get
+  * their `java.net.IDN` ASCII (punycode) twins at parse time so
+  * `xn--…`-form crawl hosts group correctly.
+  *
+  * Scale shape: the table is a JVM-static immutable hash set loaded once
+  * per executor from the application jar — nothing rides the expression
+  * tree or the task binary (the [[NearestCentroids]] payload lesson), the
+  * kernel is a bounded walk of at most `maxRuleLabels` suffix probes per
+  * row inside whole-stage codegen, and the lookup stays a pure scan-side
+  * projection. If the resource is missing (a repackaged jar), the table
+  * falls back to [[graft.operators.UrlOps.MultiPartSuffixes]], which
+  * under the same algorithm reproduces the old heuristic exactly.
+  */
+object PslTable {
+
+  /** Parsed rule table. `exact` holds plain rules, `wild` holds wildcard
+    * BASES (`*.ck` → `ck`), `exc` holds exception rules without the `!`.
+    * `maxRuleLabels` bounds the per-host probe walk.
+    */
+  final case class Rules(exact: java.util.HashSet[String],
+      wild: java.util.HashSet[String], exc: java.util.HashSet[String],
+      maxRuleLabels: Int, fromResource: Boolean)
+
+  private def labelCount(s: String): Int = {
+    var n = 1; var i = 0
+    while (i < s.length) { if (s.charAt(i) == '.') n += 1; i += 1 }
+    n
+  }
+
+  /** The rule plus, when it is non-ASCII, its IDN ASCII (punycode) twin —
+    * the PSL ships unicode forms while crawl hosts are usually punycode.
+    */
+  private def withIdnTwin(rule: String): Seq[String] = {
+    val isAscii = rule.forall(_ < 128)
+    if (isAscii) Seq(rule)
+    else try {
+      val ascii = java.net.IDN.toASCII(rule).toLowerCase(java.util.Locale.ROOT)
+      if (ascii == rule) Seq(rule) else Seq(rule, ascii)
+    } catch { case _: Exception => Seq(rule) }
+  }
+
+  private[graft] def parse(lines: Iterator[String],
+      fromResource: Boolean): Rules = {
+    val exact = new java.util.HashSet[String]()
+    val wild = new java.util.HashSet[String]()
+    val exc = new java.util.HashSet[String]()
+    var maxL = 1
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .foreach { line =>
+        // the spec terminates a rule at the first whitespace
+        val rule = line.takeWhile(c => !Character.isWhitespace(c))
+        if (rule.startsWith("!")) {
+          withIdnTwin(rule.substring(1)).foreach { r =>
+            exc.add(r); maxL = math.max(maxL, labelCount(r))
+          }
+        } else if (rule.startsWith("*.")) {
+          withIdnTwin(rule.substring(2)).foreach { r =>
+            wild.add(r)
+            // the wildcard's own match depth is base + 1
+            maxL = math.max(maxL, labelCount(r) + 1)
+          }
+        } else {
+          withIdnTwin(rule).foreach { r =>
+            exact.add(r); maxL = math.max(maxL, labelCount(r))
+          }
+        }
+      }
+    Rules(exact, wild, exc, maxL, fromResource)
+  }
+
+  /** Loaded once per JVM (per executor). Resource first; heuristic
+    * fallback keeps the library functional in a jar repackaged without
+    * resources.
+    */
+  lazy val rules: Rules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in != null) {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try parse(src.getLines(), fromResource = true) finally src.close()
+    } else parse(
+      graft.operators.UrlOps.MultiPartSuffixes.iterator,
+      fromResource = false)
+  }
+
+  /** Public-suffix length of `host` in labels (≥ 1: the implicit `*`
+    * rule). Walks suffixes right-to-left, at most `maxRuleLabels` probes;
+    * allocation is one substring per probe.
+    */
+  def publicSuffixLabels(host: String): Int =
+    publicSuffixLabels(host, rules)
+
+  /** Rule-set-parameterized face — lets tests (and a caller with a
+    * custom/newer list) run the identical algorithm over other rules.
+    */
+  def publicSuffixLabels(host: String, r: Rules): Int = {
+    var best = 1
+    var excLen = -1
+    var k = 0
+    var idx = host.length
+    while (idx > 0 && k < r.maxRuleLabels) {
+      val dot = host.lastIndexOf('.', idx - 1)
+      val suf = host.substring(dot + 1)
+      k += 1
+      if (r.exc.contains(suf)) excLen = math.max(excLen, k - 1)
+      if (r.exact.contains(suf) && k > best) best = k
+      // `*.suf` matches one extra label — only when the host HAS one
+      if (dot >= 0 && r.wild.contains(suf) && k + 1 > best) best = k + 1
+      idx = dot // -1 ends the walk: suf was the whole host
+      if (dot < 0) idx = 0
+    }
+    if (excLen >= 0) excLen else best
+  }
+
+  /** eTLD+1 of `host`; the host itself when it is (or is shorter than) a
+    * public suffix; null in, null out.
+    */
+  def registeredDomain(host: String): String =
+    registeredDomain(host, rules)
+
+  /** Rule-set-parameterized face of [[registeredDomain]]. */
+  def registeredDomain(host: String, r: Rules): String = {
+    if (host == null) return null
+    val psLen = publicSuffixLabels(host, r)
+    // find the start of label psLen+1 from the right
+    var need = psLen + 1
+    var idx = host.length
+    var start = -1
+    while (need > 0 && idx > 0) {
+      val dot = host.lastIndexOf('.', idx - 1)
+      start = dot + 1
+      need -= 1
+      idx = dot
+      if (dot < 0) idx = 0
+    }
+    if (need > 0) host // host has ≤ psLen labels: it IS a suffix
+    else if (start == 0) host
+    else host.substring(start)
+  }
+
+  /** UTF8String face shared by the interpreted and codegen'd paths. */
+  def registeredDomainU(host: UTF8String): UTF8String =
+    if (host == null) null
+    else UTF8String.fromString(registeredDomain(host.toString))
+}
+
+/** Native `registered_domain(host)` expression: eTLD+1 under the vendored
+  * Public Suffix List ([[PslTable]]). Stateless and payload-free — the
+  * rule table is an executor-local static, so the generated code is one
+  * static call and the expression costs nothing to ship. Registered for
+  * SQL by [[graft.plans.GraftExtensions]].
+  */
+case class RegisteredDomain(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"registered_domain expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "registered_domain"
+
+  override protected def nullSafeEval(host: Any): Any =
+    PslTable.registeredDomainU(host.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.PslTable.registeredDomainU($h)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RegisteredDomain = copy(child = newChild)
+}

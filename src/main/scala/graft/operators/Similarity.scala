@@ -271,11 +271,25 @@ object Similarity {
     * [[trainPqCodebooks]]) so the sampling policy cannot drift per path.
     * Returns a single `__v: array<double>` column.
     */
+  /** Well-formedness screen shared by every TRAINING sample: null
+    * vectors, null elements and non-finite elements are excluded before
+    * the cap, so one garbage row can neither crash the driver-side Lloyd
+    * (`getSeq(0).toArray` NPE) nor become a centroid. The same rows'
+    * ASSIGNMENT-time fate (null kernel output, silently unexamined) is
+    * what [[malformedVectors]] makes observable; `dim > 0` additionally
+    * screens wrong-length vectors where the caller knows the
+    * dimensionality (PQ training slices fixed-width subspaces).
+    */
   private def hashSample(df: DataFrame, idCol: String, vecCol: String,
-      cap: Int, seed: Long): DataFrame =
-    df.select(F.col(vecCol).cast("array<double>").as("__v"),
-        F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
+      cap: Int, seed: Long, dim: Int = -1): DataFrame = {
+    val v = F.col(vecCol).cast("array<double>")
+    val wellFormed = v.isNotNull && !F.exists(v, x => x.isNull) &&
+      !F.exists(v, x => x.isNaN || x > Double.MaxValue || x < Double.MinValue) &&
+      (if (dim > 0) F.size(v) === dim else F.lit(true))
+    df.filter(wellFormed)
+      .select(v.as("__v"), F.xxhash64(F.col(idCol), F.lit(seed)).as("__h"))
       .orderBy("__h").limit(cap).drop("__h")
+  }
 
   /** The ONE nearest-centroid scoring definition: the `min(m, k)` nearest
     * centroids of `vec` as `(d, cid, csim)` structs sorted ascending by
@@ -342,7 +356,11 @@ object Similarity {
       sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
     if (iters <= 0) return init
     graft.plans.GraftExtensions.register(candidates.sparkSession)
-    val sample = hashSample(candidates, idCol, vecCol, sampleCap, seed)
+    // dim screen at the init centroids' width: a wrong-length survivor of
+    // the generic screen would null-assign under the kernel and NPE the
+    // refinement collect
+    val sample = hashSample(candidates, idCol, vecCol, sampleCap, seed,
+        dim = init.head._2.length)
       .localCheckpoint()
     var cents = init
     for (_ <- 1 to iters) {
@@ -409,11 +427,16 @@ object Similarity {
   private def trainCentroids(candidates: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int, sampleSeed: Long,
       refineIters: Int): Array[(Int, Array[Double])] = {
-    val sampled: Array[(Int, Array[Double])] =
-      hashSample(candidates, idCol, vecCol, nCentroids, sampleSeed)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    require(sampled.nonEmpty, "candidate set too small for IVF")
+    val raw = hashSample(candidates, idCol, vecCol, nCentroids, sampleSeed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(raw.nonEmpty, "candidate set too small for IVF")
+    // dim consistency: the screen can't know dim up front, so pin it to
+    // the first sampled row and drop disagreeing lengths (mixed-dim rows
+    // are caller garbage the malformedVectors audit reports; one must
+    // not crash training or seed a ragged centroid)
+    val d0 = raw.head.length
+    val sampled: Array[(Int, Array[Double])] = raw.filter(_.length == d0)
+      .zipWithIndex.map { case (v, i) => (i, v) }
     kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
       seed = sampleSeed)
   }
@@ -853,6 +876,57 @@ object Similarity {
     semDedupCore(df, idCol, vecCol, readCentroids(spark, path), threshold)
   }
 
+  /** [[semDedup]] with the malformed-vector audit attached: returns
+    * `(deduped, malformed)` where `malformed` is
+    * [[malformedVectors]] at the trained centroids' dimensionality —
+    * exactly the rows whose NULL kernel assignment the pair stage then
+    * silently skips (they survive dedup UNEXAMINED, the documented
+    * don't-crash contract). The pair makes that observable: production
+    * runs count or quarantine the second frame instead of trusting
+    * silence. One centroid training shared by both frames; the audit
+    * itself is one extra scan-side projection, no shuffle.
+    */
+  def semDedupAudited(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double = 0.95, refineIters: Int = 2,
+      sampleSeed: Long = 42L): (DataFrame, DataFrame) = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val cents = trainCentroids(df, idCol, vecCol, nClusters, sampleSeed,
+      refineIters)
+    (semDedupCore(df, idCol, vecCol, cents, threshold),
+      malformedVectors(df, idCol, vecCol, cents.head._2.length))
+  }
+
+  /** [[semDedupWithCentroids]] with the malformed-vector audit attached —
+    * same `(deduped, malformed)` contract as [[semDedupAudited]], at the
+    * persisted centroids' dimensionality.
+    */
+  def semDedupWithCentroidsAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): (DataFrame, DataFrame) = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val cents = readCentroids(spark, path)
+    (semDedupCore(df, idCol, vecCol, cents, threshold),
+      malformedVectors(df, idCol, vecCol, cents.head._2.length))
+  }
+
+  /** [[probeIvfPqIndex]] with the malformed-QUERY audit attached:
+    * `(results, malformed)`, where `malformed` rows are the queries the
+    * probe would bucket to NULL and drop from the result without a trace
+    * (a caller joining results back to its query set would otherwise
+    * read "no neighbors found" where the truth is "garbage vector").
+    * Dimensionality comes from the index's own centroid artifact.
+    */
+  def probeIvfPqIndexAudited(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, shortlist: Int = 100,
+      excludeSelf: Boolean = true): (DataFrame, DataFrame) = {
+    val dim = readCentroids(spark, path).head._2.length
+    (probeIvfPqIndex(spark, path, queries, idCol, vecCol, k, nProbe,
+        shortlist, excludeSelf),
+      malformedVectors(queries, idCol, vecCol, dim))
+  }
+
   /** Shared SemDeDup body: cluster-confined pair stage + component
     * collapse + keep-most-atypical rank-1 filter, against a FIXED centroid
     * set (trained per call by [[semDedup]], loaded from an artifact by
@@ -950,7 +1024,7 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val dsub = dim / m
     val sample: Array[Array[Double]] =
-      hashSample(candidates, idCol, vecCol, sampleCap, seed)
+      hashSample(candidates, idCol, vecCol, sampleCap, seed, dim)
         .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= ksub,
       s"need >= $ksub sample vectors to train, got ${sample.length}")

@@ -36,7 +36,10 @@ object UrlOps {
     // optional userinfo is recognized (non-capturing) so "user:pw@host"
     // yields host, not user; it is not itself a returned part (crawl
     // pipelines treat credentialed URLs as the same page). IPv6 bracket
-    // hosts are out of scope like the PSL (documented production caveat).
+    // hosts stay out of scope (the ':'-stopped host regex truncates
+    // them — behavior pinned in UrlOpsSpec's real-world fixtures);
+    // IDN hosts pass through in whatever form (unicode or punycode)
+    // the crawl recorded, and the PSL lookup recognizes both.
     val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
     val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)))
     // try_cast: a digits-run port can still overflow int ("…:99999999999")
@@ -105,23 +108,35 @@ object UrlOps {
       .otherwise(F.concat(scheme, F.lit("://"), host, portStr, path, query))
   }
 
-  /** Multi-label public suffixes the [[registeredDomain]] heuristic
-    * recognizes (the common ccTLD second-level registries). A production
-    * deployment swaps in the full Mozilla Public Suffix List — external
-    * data this library deliberately does not vendor; the derivation
-    * (labels right of the suffix boundary, plus one) is the same.
+  /** Multi-label public suffixes of the pre-PSL heuristic (the common
+    * ccTLD second-level registries) — retained as [[PslTable]]'s
+    * no-resource fallback rule set (a jar repackaged without resources
+    * degrades to the heuristic instead of breaking) and as the
+    * [[registeredDomainHeuristic]] comparison face.
     */
   val MultiPartSuffixes: Seq[String] =
     Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
       "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
       "co.kr", "co.za", "com.tr", "com.ar")
 
-  /** eTLD+1 of a host column: the last two labels, or the last three when
-    * the last two are a known multi-part suffix ([[MultiPartSuffixes]]).
-    * Single-label hosts (localhost, bare TLDs) pass through unchanged;
-    * null host → null.
+  /** eTLD+1 of a host column under the vendored Mozilla Public Suffix
+    * List — the native `registered_domain` kernel
+    * ([[graft.functions.PslTable]]: 9.5k rules incl. wildcards,
+    * exceptions and the PRIVATE section, so `a.github.io` and
+    * `b.blogspot.com` group as distinct sites). Hosts that are (or are
+    * shorter than) a public suffix pass through unchanged; null host →
+    * null. A pure scan-side projection: the rule table is an
+    * executor-local static, nothing rides the plan.
     */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(host: Column): Column =
+    graft.plans.GraftExtensions.callNative("registered_domain", host)
+
+  /** The pre-PSL two/three-label heuristic, kept for comparison and for
+    * engines replaying without the list: last two labels, or three when
+    * the last two are in [[MultiPartSuffixes]]. Equivalent to running
+    * [[registeredDomain]] with the fallback rule set.
+    */
+  def registeredDomainHeuristic(host: Column): Column = {
     val labels = F.split(host, "\\.")
     val n = F.size(labels)
     val lastTwo = F.array_join(F.slice(labels, -2, 2), ".")
@@ -132,10 +147,14 @@ object UrlOps {
       .otherwise(lastTwo)
   }
 
-  /** Registered domain straight from a URL column (parse + derive). */
+  /** Registered domain straight from a URL column (parse + derive). No
+    * www-strip here — the PSL derivation absorbs a leading `www.` label
+    * on ordinary domains by construction, and stripping it first is
+    * WRONG exactly where the list says so (`!www.ck`: `www.ck` is a
+    * registrable name whose strip would yield the bare TLD).
+    */
   def urlDomain(url: Column): Column =
-    registeredDomain(F.regexp_replace(
-      urlParts(url).getField("host"), "^www\\.", ""))
+    registeredDomain(urlParts(url).getField("host"))
 
   /** Drop rows whose registered domain is on `blocklist` (the C4
     * badwords-domain filter shape). The list rides as a scan-side
@@ -162,7 +181,23 @@ object UrlOps {
       cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__dom").orderBy(F.col(orderCol).asc)
+    // null-domain rows (unparseable URLs) are EXEMPT from the cap — the
+    // same rule as dropBlockedDomains: they are not one site, so capping
+    // them as one pseudo-domain would silently drop malformed-URL docs,
+    // and funnelling them into a single null window partition would
+    // build a shuffle hot-spot exactly where a dirty crawl has the most
+    // rows. The partition key therefore carries a null-rows-only salt —
+    // orderCol, which every intended caller passes as a unique id/hash —
+    // so each null row ranks 1 in its own partition (kept) and the rows
+    // spread evenly across the exchange. The filter stays DIRECTLY on
+    // row_number: that is the shape InferWindowGroupLimit rewrites to a
+    // map-side-pruned WindowGroupLimit (a `when`-wrapped rank would
+    // silently lose the prune). Caveat, enforced only by orderCol
+    // uniqueness: null-domain rows SHARING an orderCol value share a
+    // partition and can still be capped.
+    val salt = F.when(F.col("__dom").isNull, F.col(orderCol))
+    val w = Window.partitionBy(F.col("__dom"), salt)
+      .orderBy(F.col(orderCol).asc)
     df.withColumn("__dom", urlDomain(F.col(urlCol)))
       .withColumn("__r", F.row_number().over(w))
       .filter(F.col("__r") <= cap)

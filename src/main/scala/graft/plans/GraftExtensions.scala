@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RepStats, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -110,6 +110,14 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "normalize_text(text) takes 1 argument")
         NormalizeText(args.head)
+      }),
+    (FunctionIdentifier("registered_domain"),
+      new ExpressionInfo(classOf[RegisteredDomain].getName,
+        "registered_domain"),
+      { args =>
+        require(args.length == 1,
+          "registered_domain(host) takes 1 argument")
+        RegisteredDomain(args.head)
       })
   )
 

@@ -1088,6 +1088,44 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("semDedupAudited: dirty rows neither crash training nor vanish silently") {
+    import spark.implicits._
+    val dim = 8
+    // a near-dup pair + distinct rows, so the dedup has real work to do
+    val clean = (1 to 10).map { i =>
+      (i.toLong, Some(Seq.tabulate(dim)(j =>
+        Option(if (j == i % dim) 1.0 else 0.01 * i))))
+    }
+    val dup = Seq(
+      (21L, Some(Seq.tabulate(dim)(j => Option(if (j == 0) 1.0 else 0.001)))),
+      (22L, Some(Seq.tabulate(dim)(j => Option(if (j == 0) 1.0 else 0.0011)))))
+    val dirty = Seq[(Long, Option[Seq[Option[Double]]])](
+      (101L, None),                                   // null vector
+      (102L, Some(Seq(Option(1.0)))),                 // wrong length
+      (103L, Some(Seq.tabulate(dim)(j =>
+        Option(if (j == 0) Double.NaN else 1.0)))))   // NaN element
+    val df = (clean ++ dup ++ dirty).toDF("id", "vec")
+    // training must survive the dirty rows (the screen in hashSample),
+    // and the audit frame must name exactly them
+    val (kept, malformed) = Similarity.semDedupAudited(df, "id", "vec",
+      nClusters = 2, threshold = 0.999)
+    malformed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .keySet shouldBe Set(101L, 102L, 103L)
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    // the documented contract: malformed rows pass through UNEXAMINED
+    Set(101L, 102L, 103L).subsetOf(keptIds) shouldBe true
+    // the dup pair lost exactly one member; clean singletons survive
+    keptIds.intersect(Set(21L, 22L)).size shouldBe 1
+    (1 to 10).foreach(i => keptIds should contain(i.toLong))
+    // serving-face twin agrees on the audit set
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audit-cents").toString + "/c"
+    Similarity.saveSemDedupCentroids(df, "id", "vec", dir, nClusters = 2)
+    val (_, malformed2) = Similarity.semDedupWithCentroidsAudited(
+      spark, dir, df, "id", "vec", threshold = 0.999)
+    malformed2.collect().map(_.getLong(0)).toSet shouldBe Set(101L, 102L, 103L)
+  }
+
   test("pq_codes: null propagates; short vector is an error, not silence") {
     graft.plans.GraftExtensions.register(spark)
     spark.sql("SELECT pq_codes(CAST(NULL AS ARRAY<DOUBLE>), " +
@@ -1604,6 +1642,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         Tables.events(spark, sf).count() shouldBe
           spark.read.parquet(s"$sf/events.parquet").count()
     }
+  }
+
+  test("events read is session-timezone independent (micros/NTZ generation)") {
+    // a library caller need not run UTC sessions: the NTZ-encoded micros
+    // generation must decode to the SAME instants under any session tz
+    // (the former NTZ→TIMESTAMP cast shifted them by the session offset)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-events-tz").toString
+    spark.sql(
+      "SELECT CAST(1 AS BIGINT) event_id, " +
+        "TIMESTAMP_NTZ'2024-01-02 03:04:05.123456' ts, " +
+        "CAST(2 AS BIGINT) user_id, 'click' event_type, " +
+        "CAST(1.0 AS DOUBLE) value, '{}' props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = java.time.Instant
+      .parse("2024-01-02T03:04:05.123456Z").toEpochMilli * 1000L + 456L
+    def readMicros(): Long = Tables.events(spark, dir)
+      .select(F.unix_micros(F.col("ts"))).head().getLong(0)
+    val underUtc = readMicros()
+    underUtc shouldBe expected
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      readMicros() shouldBe underUtc // +9h shift would be 32400s of drift
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 
   test("mapGroupsWithState running totals match a plain aggregate (batch)") {

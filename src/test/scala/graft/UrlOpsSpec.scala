@@ -94,6 +94,100 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     dom("not a url").asInstanceOf[AnyRef] shouldBe null
   }
 
+  test("registeredDomain: full vendored PSL — private registries, wildcards, exceptions, IDN") {
+    import graft.functions.PslTable
+    // the real Mozilla list must be on the classpath, not the fallback
+    PslTable.rules.fromResource shouldBe true
+    PslTable.rules.exact.size should be > 9000
+    // PRIVATE-section registries: the "+1" label is the real site
+    dom("http://foo.github.io/repo") shouldBe "foo.github.io"
+    dom("http://a.b.blogspot.com/post") shouldBe "b.blogspot.com"
+    // wildcard *.ck: any single label under ck is a public suffix...
+    dom("http://shop.y.ck/x") shouldBe "shop.y.ck"
+    // ...EXCEPT the !www.ck exception, which is itself registrable
+    dom("http://x.www.ck/x") shouldBe "www.ck"
+    dom("http://www.ck/x") shouldBe "www.ck"
+    // exception under a wildcard: !city.kawasaki.jp
+    dom("http://x.city.kawasaki.jp/") shouldBe "city.kawasaki.jp"
+    // unicode rule 公司.cn, and its IDN/punycode twin xn--55qx5d.cn
+    dom("http://foo.公司.cn/x") shouldBe "foo.公司.cn"
+    dom("http://foo.xn--55qx5d.cn/x") shouldBe "foo.xn--55qx5d.cn"
+    // a host that IS a public suffix passes through unchanged
+    dom("http://co.uk/") shouldBe "co.uk"
+    dom("http://github.io/") shouldBe "github.io"
+  }
+
+  test("PslTable kernel edge shapes are deterministic, never error") {
+    import graft.functions.PslTable
+    PslTable.registeredDomain(null) shouldBe null
+    PslTable.registeredDomain("") shouldBe ""
+    PslTable.registeredDomain("com") shouldBe "com"
+    // degenerate label shapes: resolved naturally, pinned here so the
+    // SQL-oracle formulation (string_split based) stays byte-identical
+    PslTable.registeredDomain("a..b") shouldBe ".b"
+    PslTable.registeredDomain("example.com.") shouldBe "com."
+    PslTable.registeredDomain(".com") shouldBe ".com"
+  }
+
+  test("heuristic fallback rule set reproduces registeredDomainHeuristic") {
+    import graft.functions.PslTable
+    // the no-resource fallback: the SAME algorithm over the 18-suffix
+    // rule set must equal the old pure-Column heuristic on every shape
+    val fallback = PslTable.parse(UrlOps.MultiPartSuffixes.iterator,
+      fromResource = false)
+    import spark.implicits._
+    val hosts = Seq("a.b.example.com", "news.bbc.co.uk", "x.com.au",
+      "localhost", "deep.sub.co.jp", "plain.org")
+    val viaHeuristic = hosts.toDF("h")
+      .select(UrlOps.registeredDomainHeuristic(F.col("h")))
+      .collect().map(_.getString(0)).toSeq
+    hosts.map(h => PslTable.registeredDomain(h, fallback)) shouldBe viaHeuristic
+  }
+
+  test("real-world URL fixtures: IPv6/IDN/percent-encoding contract is pinned") {
+    // the parser's documented out-of-scope list (UrlOps.urlParts): these
+    // shapes must NEVER error and must keep producing exactly these
+    // values — a contract test, not an endorsement of the truncation
+    import spark.implicits._
+    def parts(url: String) = Seq(url).toDF("u")
+      .select(UrlOps.urlParts(F.col("u")).as("p"),
+        UrlOps.canonicalizeUrl(F.col("u")).as("c"),
+        UrlOps.urlDomain(F.col("u")).as("d"))
+      .select("p.host", "p.port", "p.path", "c", "d").head()
+    // IPv6 bracket host: the ':'-stopped host regex truncates at the
+    // first colon — host "[2001", port null (no digit run after a valid
+    // host), path survives
+    val v6 = parts("http://[2001:db8::1]:8080/p")
+    v6.getString(0) shouldBe "[2001"
+    v6.isNullAt(1) shouldBe true
+    v6.getString(2) shouldBe "/p"
+    v6.getString(3) shouldBe "http://[2001/p"
+    v6.getString(4) shouldBe "[2001"
+    // IDN host in unicode form: passes through, PSL groups under .de
+    val idn = parts("http://München.DE/straße")
+    idn.getString(0) shouldBe "münchen.de"
+    idn.getString(4) shouldBe "münchen.de"
+    // percent-encoding case is NOT normalized (%2F vs %2f stay distinct)
+    val pe1 = parts("http://e.com/a%2Fb?x=%2f")
+    val pe2 = parts("http://e.com/a%2fb?x=%2F")
+    pe1.getString(3) shouldBe "http://e.com/a%2Fb?x=%2f"
+    pe2.getString(3) shouldBe "http://e.com/a%2fb?x=%2F"
+    pe1.getString(3) should not be pe2.getString(3)
+  }
+
+  test("capPerDomain: null-domain rows are exempt and spread, not one hot partition") {
+    import spark.implicits._
+    val good = (1L to 10L).map(i => (i, s"http://cap.example.com/p/$i"))
+    val bad = (11L to 30L).map(i => (i, s"garbage url $i"))
+    val out = UrlOps.capPerDomain((good ++ bad).toDF("id", "url"),
+      "url", "id", cap = 2)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    // capped domain keeps its lowest 2 ids; ALL 20 malformed rows pass
+    kept shouldBe (Set(1L, 2L) ++ (11L to 30L))
+    // the map-side prune must survive the null-salt partition key
+    out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
   test("blocklist drops exactly the listed registered domains") {
     import spark.implicits._
     val df = Seq(
