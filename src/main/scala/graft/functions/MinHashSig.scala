@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -64,6 +64,72 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** [[MinHashSig]] generalized to CALLER-SUPPLIED permutation constants
+  * and modulus: `minhash_perms(hashes, as, bs, prime)` computes the
+  * per-permutation minima of `(asᵢ·h + bsᵢ) mod prime` in one fused
+  * pass. Exists for the md5 verification flavors
+  * ([[graft.operators.Dedup.BandBloomMd5]]), whose md5-derived constants
+  * and `P = 2³¹−1` are fixed by the oracle convention — the kernel only
+  * changes HOW Spark computes the identical mins: the former 64-column
+  * min AGGREGATE formulation compiled a giant generated update method
+  * whose cold first pass ran interpreted bytecode over every shingle row
+  * (the 11s-cold / 2s-warm q_neardup_gate gap in BENCH_r08), where this
+  * is one constant-size kernel call per row with no aggregate at all.
+  * `as`/`bs`/`prime` must be foldable: they resolve once on the driver
+  * and ship as codegen references. Callers guarantee
+  * `max(as)·max(h) + max(bs) < 2⁶³` (the md5 face: a < 2³¹, h < 2³²).
+  */
+case class MinHashPerms(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(first.dataType) &&
+        isLongArray(second.dataType) && second.foldable &&
+        isLongArray(third.dataType) && third.foldable &&
+        fourth.dataType == LongType && fourth.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "minhash_perms expects (array<bigint>, LITERAL array<bigint> as, " +
+        "LITERAL array<bigint> bs, LITERAL bigint prime), got " +
+        Seq(first, second, third, fourth)
+          .map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_perms"
+  override def nullable: Boolean = first.nullable
+
+  @transient private lazy val params: (Array[Long], Array[Long], Long) = {
+    def arr(e: Expression): Array[Long] =
+      e.eval().asInstanceOf[ArrayData].toLongArray()
+    val (as, bs) = (arr(second), arr(third))
+    require(as.length == bs.length,
+      s"minhash_perms: |as|=${as.length} != |bs|=${bs.length}")
+    (as, bs, fourth.eval().asInstanceOf[Long])
+  }
+
+  override protected def nullSafeEval(hashes: Any, as: Any, bs: Any,
+      prime: Any): Any =
+    MinHashSigKernel.signatureMod(hashes.asInstanceOf[ArrayData],
+      params._1, params._2, params._3)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhpAs", params._1, "long[]")
+    val bsRef = ctx.addReferenceObj("mhpBs", params._2, "long[]")
+    val p = params._3
+    defineCodeGen(ctx, ev, (h, _, _, _) =>
+      s"graft.functions.MinHashSigKernel.signatureMod($h, $asRef, $bsRef, ${p}L)")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): MinHashPerms =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object MinHashSigKernel {
   /** Prime modulus just above 2^32 for the universal-hash permutation
     * family. Hashes are masked to 32 bits and `a < 2^31`, so `a·h + b`
@@ -90,7 +156,16 @@ object MinHashSigKernel {
       (as, bs)
     })
 
-  def signature(hashes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+  def signature(hashes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData =
+    signatureMod(hashes, as, bs, Prime)
+
+  /** [[signature]] under a caller-supplied modulus (the [[MinHashPerms]]
+    * entry point). Hashes are masked to 32 bits — both the classic family
+    * here and the md5 flavors draw from 32-bit hash spaces, and the mask
+    * is what keeps `a·h + b` inside a signed long for any `a < 2³¹`.
+    */
+  def signatureMod(hashes: ArrayData, as: Array[Long], bs: Array[Long],
+      prime: Long): ArrayData = {
     val numHashes = as.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val m = hashes.numElements()
@@ -100,7 +175,7 @@ object MinHashSigKernel {
         val h = hashes.getLong(i) & 0xffffffffL
         var p = 0
         while (p < numHashes) {
-          val v = (as(p) * h + bs(p)) % Prime
+          val v = (as(p) * h + bs(p)) % prime
           if (v < mins(p)) mins(p) = v
           p += 1
         }

@@ -828,40 +828,59 @@ object Dedup {
     final case class Filter(words: Array[Long], shingleN: Int,
         numHashes: Int, bands: Int, kHashes: Int)
 
-    /** Per-doc band-key STRINGS: explode the doc's distinct shingle
-      * strings, hash each to a 32-bit md5 prefix, take the `numHashes`
-      * permutation minima per doc (one codegen'd 64-min aggregate — the
-      * transform-per-permutation formulation would run interpreted
-      * lambdas numHashes × shingles times), then join each band's slice
-      * into `"b|s…|s…"`. Docs without shingles are absent. Explicit-count
-      * repartition for the same reason as the md5 bloom flavor: the
-      * interpreted shingle lambdas must not inherit a one-file scan's
-      * single partition.
+    /** Per-doc band-key STRINGS: shingle the doc once, md5-hash each
+      * shingle to its 32-bit prefix inside one `transform`, collapse all
+      * `numHashes` permutation minima in ONE `minhash_perms` kernel call
+      * ([[graft.functions.MinHashPerms]] with the md5-derived constants
+      * and `P = 2³¹−1` as literals), then join each band's signature
+      * slice into `"b|s…|s…"`. A pure per-row PROJECTION — no explode,
+      * no aggregate, no exchange. The previous formulation (explode +
+      * groupBy + 64 separate min aggregates) computed the same mins but
+      * its generated 64-buffer update method ran interpreted bytecode
+      * for the whole cold first pass over every shingle row — BENCH_r08's
+      * 11s-cold / 2s-warm q_neardup_gate gap; this shape's cold cost is
+      * one small kernel compile. Docs without shingles are absent
+      * (never banding candidates). Explicit-count repartition stays: the
+      * interpreted md5 lambdas must not inherit a one-file scan's single
+      * partition.
       */
     private[Dedup] def bandKeys(df: DataFrame, idCol: String,
         textCol: String, shingleN: Int, numHashes: Int,
         bands: Int): DataFrame = {
       require(numHashes % bands == 0, "numHashes must be divisible by bands")
+      graft.plans.GraftExtensions.register(df.sparkSession)
       val pm = perms(numHashes)
-      val sh = df
+      // stage 1: shingle + md5 ONCE per row, materialized as an attribute
+      // (the size guard and the kernel both read it — a bare alias would
+      // be substituted through and re-shingle per consumer)
+      val hashed = df
         .repartition(df.sparkSession.sparkContext.defaultParallelism,
           F.col(idCol))
         .select(F.col(idCol),
-          graft.plans.Hygiene.explodeNonEmpty(
-            Contamination.shingleStrings(F.col(textCol), shingleN)).as("__s"))
-        .withColumn("__h", graft.plans.Hygiene.md5Prefix32(F.col("__s")))
-      val mins = pm.zipWithIndex.map { case ((a, b), i) =>
-        F.min(F.pmod(F.col("__h") * a + b, F.lit(Prime))).as(s"__m$i")
-      }
+          graft.plans.Hygiene.attributeBarrier(
+            F.transform(
+              Contamination.shingleStrings(F.col(textCol), shingleN),
+              s => graft.plans.Hygiene.md5Prefix32(s))).as("__hs"))
+      // stage 2: all numHashes permutation minima in ONE kernel call,
+      // itself an attribute before the band slices read it `bands` times
+      val keyed = hashed
+        .select(F.col(idCol),
+          graft.plans.Hygiene.attributeBarrier(
+            F.when(F.size(F.col("__hs")) > 0,
+              graft.plans.GraftExtensions.callNative("minhash_perms",
+                F.col("__hs"),
+                F.typedLit(pm.map(_._1).toSeq),
+                F.typedLit(pm.map(_._2).toSeq),
+                F.lit(Prime)))).as("__sig"))
+        .filter(F.col("__sig").isNotNull)
       val r = numHashes / bands
       val keyCols = (0 until bands).map { bIdx =>
         F.concat_ws("|",
           F.lit(bIdx.toString) +:
             (bIdx * r until (bIdx + 1) * r)
-              .map(i => F.col(s"__m$i").cast("string")): _*)
+              .map(i => F.element_at(F.col("__sig"), i + 1).cast("string")): _*)
       }
-      sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
-        .select(F.col(idCol), F.array(keyCols: _*).as("__bk"))
+      keyed.select(F.col(idCol), F.array(keyCols: _*).as("__bk"))
     }
 
     /** Build the md5-position bit set of the corpus' band keys. The

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -35,6 +35,13 @@ object GraftExtensions {
         require(args.length == 2,
           "shingle_hashes_all(text, n) takes 2 arguments")
         ShingleHashAll(args.head, args(1))
+      }),
+    (FunctionIdentifier("minhash_perms"),
+      new ExpressionInfo(classOf[MinHashPerms].getName, "minhash_perms"),
+      { args =>
+        require(args.length == 4,
+          "minhash_perms(hashes, as, bs, prime) takes 4 arguments")
+        MinHashPerms(args.head, args(1), args(2), args(3))
       }),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
