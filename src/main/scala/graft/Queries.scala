@@ -1174,6 +1174,16 @@ object Queries {
         "url", "doc_id", cap = 15)
       .select(col("doc_id"), col("url"))
 
+  /** URL-level dedup over the stamped corpus ([[UrlOps.dedupByUrl]]):
+    * one survivor (lowest doc_id) per canonical-URL key — the stamped
+    * root-path docs (`doc_id % 9 == 0`) collapse per (scheme, source,
+    * registry, query) combination; every rule of the canonicalization
+    * and the keep-first window replay in the oracle.
+    */
+  def q_dedup_by_url(s: SparkSession, d: String): DataFrame =
+    UrlOps.dedupByUrl(urlStamped(s, d), "url", "doc_id")
+      .select(col("doc_id"), col("url"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1231,8 +1241,8 @@ object Queries {
       |), parts AS (
       |  SELECT doc_id, text, url,
       |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1), '')) AS host,
-      |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)', 1), '') AS INTEGER) AS port,
+      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)', 1), '')) AS host,
+      |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)', 1), '') AS INTEGER) AS port,
       |    nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
       |    nullif(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '') AS query
       |  FROM u
@@ -2258,7 +2268,13 @@ object Queries {
         |WHERE domain IS NULL OR domain NOT IN ('src1.com', 'src3.co.uk')
         |QUALIFY row_number() OVER (
         |  PARTITION BY domain, CASE WHEN domain IS NULL THEN doc_id END
-        |  ORDER BY doc_id) <= 15""".stripMargin
+        |  ORDER BY doc_id) <= 15""".stripMargin,
+    "q_dedup_by_url" ->
+      s"""$urlCtes
+        |SELECT doc_id, url FROM dom
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY canon_url, CASE WHEN canon_url IS NULL THEN doc_id END
+        |  ORDER BY doc_id) <= 1""".stripMargin
   ) ++ bpeOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -2592,7 +2608,8 @@ object Queries {
     // URL / domain curation layer
     "q_url_canon" -> (q_url_canon _),
     "q_domain_stats" -> (q_domain_stats _),
-    "q_domain_cap" -> (q_domain_cap _)
+    "q_domain_cap" -> (q_domain_cap _),
+    "q_dedup_by_url" -> (q_dedup_by_url _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -36,16 +36,17 @@ object UrlOps {
     // optional userinfo is recognized (non-capturing) so "user:pw@host"
     // yields host, not user; it is not itself a returned part (crawl
     // pipelines treat credentialed URLs as the same page). IPv6 bracket
-    // hosts stay out of scope (the ':'-stopped host regex truncates
-    // them — behavior pinned in UrlOpsSpec's real-world fixtures);
-    // IDN hosts pass through in whatever form (unicode or punycode)
-    // the crawl recorded, and the PSL lookup recognizes both.
+    // hosts ARE recognized (`[2001:db8::1]` parses whole, brackets
+    // kept — a bracket host has no dots, so the PSL derivation passes
+    // it through unchanged, the right key for an IP-hosted page); IDN
+    // hosts pass through in whatever form (unicode or punycode) the
+    // crawl recorded, and the PSL lookup recognizes both.
     val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
-    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)))
+    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1)))
     // try_cast: a digits-run port can still overflow int ("…:99999999999")
     // and ANSI mode (Spark 4 default) makes a bare cast a scan-killer —
     // the module contract is null parts for malformed URLs, never errors
-    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)", 1)).try_cast("int")
+    val port = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)", 1)).try_cast("int")
     val path = nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
     // the '?' must occur BEFORE any '#': an unanchored `\?` would match a
     // question mark inside the fragment and resurrect it as a query
@@ -202,6 +203,31 @@ object UrlOps {
       .withColumn("__r", F.row_number().over(w))
       .filter(F.col("__r") <= cap)
       .drop("__dom", "__r")
+  }
+
+  /** URL-level dedup — the crawl-curation step that runs before any
+    * content hashing (C4 keeps one page per URL; RefinedWeb §3.1 dedups
+    * by URL across crawl snapshots, where the same page is fetched every
+    * snapshot): keep the FIRST (lowest `orderCol` — a crawl timestamp or
+    * doc id) row per [[canonicalizeUrl]] key, so trivially-different
+    * fetches of one page (tracking params, fragments, param order,
+    * www/port/slash noise) collapse to one document. Rows whose URL does
+    * not canonicalize (null key) all pass: they are not one page.
+    *
+    * Same plan shape as [[capPerDomain]] with cap = 1: rank-1 filter
+    * directly on row_number → WindowGroupLimit map-side prune (each map
+    * task forwards ONE row per URL key), null keys salt-spread by
+    * `orderCol`. The shuffle carries O(distinct URLs), not the corpus.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salt = F.when(F.col("__cu").isNull, F.col(orderCol))
+    val w = Window.partitionBy(F.col("__cu"), salt)
+      .orderBy(F.col(orderCol).asc)
+    df.withColumn("__cu", canonicalizeUrl(F.col(urlCol)))
+      .withColumn("__r", F.row_number().over(w))
+      .filter(F.col("__r") <= 1)
+      .drop("__cu", "__r")
   }
 
   /** Per-registered-domain corpus profile: document count and total

@@ -25,13 +25,28 @@ class RegistrySmokeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // the bench-only kernel twins must stay RUNNABLE too: a broken twin
+  // would poison BENCH_r{N} with -1s even though the correctness gate
+  // stays green
+  Queries.kernelTwins.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    test(s"$name (bench-only twin) executes and returns rows at sf0.001") {
+      val n = q(spark, sf).count()
+      withClue(s"$name returned no rows: ") { n should be > 0L }
+    }
+  }
+
   test("every registry query with an oracle is actually in the registry") {
     val dangling = Queries.oracles.keySet -- Queries.registry.keySet
     dangling shouldBe empty
   }
 
-  test("bench registry is a subset of the main registry") {
-    val dangling = Queries.benchRegistry.keySet -- Queries.registry.keySet
-    dangling shouldBe empty
+  test("bench registry = correctness registry + exactly the kernel twins") {
+    // every oracle-gated query is benched…
+    (Queries.registry.keySet -- Queries.benchRegistry.keySet) shouldBe empty
+    // …the only bench-only entries are the declared twins…
+    (Queries.benchRegistry.keySet -- Queries.registry.keySet) shouldBe
+      Queries.kernelTwins.keySet
+    // …and a twin name can never shadow a correctness entry
+    Queries.kernelTwins.keySet.intersect(Queries.registry.keySet) shouldBe empty
   }
 }

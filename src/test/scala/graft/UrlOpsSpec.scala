@@ -145,24 +145,26 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
   }
 
   test("real-world URL fixtures: IPv6/IDN/percent-encoding contract is pinned") {
-    // the parser's documented out-of-scope list (UrlOps.urlParts): these
-    // shapes must NEVER error and must keep producing exactly these
-    // values — a contract test, not an endorsement of the truncation
+    // real-world shapes must NEVER error and must keep producing exactly
+    // these values (the parser contract the oracle regexes mirror)
     import spark.implicits._
     def parts(url: String) = Seq(url).toDF("u")
       .select(UrlOps.urlParts(F.col("u")).as("p"),
         UrlOps.canonicalizeUrl(F.col("u")).as("c"),
         UrlOps.urlDomain(F.col("u")).as("d"))
       .select("p.host", "p.port", "p.path", "c", "d").head()
-    // IPv6 bracket host: the ':'-stopped host regex truncates at the
-    // first colon — host "[2001", port null (no digit run after a valid
-    // host), path survives
+    // IPv6 bracket host parses WHOLE (brackets kept); the non-default
+    // port survives; no dots → the PSL derivation passes the host
+    // through — one key per IP-hosted site
     val v6 = parts("http://[2001:db8::1]:8080/p")
-    v6.getString(0) shouldBe "[2001"
-    v6.isNullAt(1) shouldBe true
+    v6.getString(0) shouldBe "[2001:db8::1]"
+    v6.getInt(1) shouldBe 8080
     v6.getString(2) shouldBe "/p"
-    v6.getString(3) shouldBe "http://[2001/p"
-    v6.getString(4) shouldBe "[2001"
+    v6.getString(3) shouldBe "http://[2001:db8::1]:8080/p"
+    v6.getString(4) shouldBe "[2001:db8::1]"
+    // default-port IPv6 drops the port like any other host
+    parts("https://[2001:db8::1]:443/x").getString(3) shouldBe
+      "https://[2001:db8::1]/x"
     // IDN host in unicode form: passes through, PSL groups under .de
     val idn = parts("http://München.DE/straße")
     idn.getString(0) shouldBe "münchen.de"
@@ -233,6 +235,24 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val batch = proj.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     streamed shouldBe batch
+  }
+
+  test("dedupByUrl keeps first per canonical key; null-key rows all pass") {
+    import spark.implicits._
+    val df = Seq(
+      // four fetches of ONE page (tracking, fragment, order, www noise)
+      (1L, "http://www.e.com/p?utm_source=x&a=1"),
+      (2L, "http://e.com/p?a=1#frag"),
+      (3L, "http://e.com/p/?a=1"),
+      (4L, "HTTP://e.com:80/p?a=1"),
+      // a genuinely different page on the same host
+      (5L, "http://e.com/p?a=2"),
+      // two rows that do not canonicalize: both must survive
+      (6L, "no scheme here"), (7L, "also garbage")).toDF("id", "url")
+    val out = UrlOps.dedupByUrl(df, "url", "id")
+    out.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 5L, 6L, 7L)
+    // rank-1 directly on row_number → the map-side-pruned window shape
+    out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
   test("domainStats aggregates docs and tokens per registered domain") {
