@@ -385,13 +385,39 @@ object Dedup {
     * sketches them as 0) — a curation gate drops empty docs first either
     * way.
     *
-    * Cost vs the kernel: one md5 per DISTINCT (doc, token) (a pre-group
-    * caps the md5 count and carries tf as the vote weight) and a 64-sum
-    * aggregate — 2 shuffles of small rows where the kernel is a pure
-    * scan-side projection. The kernel stays the hot-path default; this
-    * flavor is the verification face.
+    * Computed by the fused `simhash_md5` kernel
+    * ([[graft.functions.SimHashMd5]]) — one scan-side pass per row, like
+    * the hot-path kernel; only the HASH differs (md5 for replayability).
+    * The former formulation (explode + tf groupBy + 64 separate sum
+    * aggregates) computed the identical sketch through 2 aggregate
+    * shuffles and a 64-buffer generated update method — the same
+    * cold-cliff class the md5 band-key aggregate had; tf-weighting falls
+    * out of voting ±1 per token OCCURRENCE, so no tf stage is needed.
+    * Bit identity with the composed formulation is pinned
+    * ([[simhashMd5Composed]]) and the DuckDB oracle replays the votes
+    * from the token strings unchanged.
     */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // the struct is read twice (hi + lo): attribute first, or the kernel
+    // runs once per field
+    df.select(F.col(idCol).as("id"),
+        graft.plans.Hygiene.attributeBarrier(
+          graft.plans.GraftExtensions.callNative("simhash_md5",
+            F.col(textCol))).as("__sk"))
+      .filter(F.col("__sk").isNotNull)
+      .select(F.col("id"),
+        F.col("__sk").getField("sk_hi").as("sk_hi"),
+        F.col("__sk").getField("sk_lo").as("sk_lo"))
+  }
+
+  /** The pre-kernel composed formulation of [[simhashMd5]] (explode + tf
+    * groupBy + 64 sum aggregates) — retained as the equivalence baseline:
+    * the kernel must reproduce it bit-for-bit (PipelineSpec pins this on
+    * corpus + fixtures).
+    */
+  private[graft] def simhashMd5Composed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = df
       .select(F.col(idCol).as("id"),
         graft.plans.Hygiene.explodeNonEmpty(

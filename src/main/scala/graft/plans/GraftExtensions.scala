@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -55,6 +55,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "simhash64(text) takes 1 argument")
         SimHash64(args.head)
+      }),
+    (FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      { args =>
+        require(args.length == 1, "simhash_md5(text) takes 1 argument")
+        SimHashMd5(args.head)
       }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -493,6 +493,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       Dedup.simhashNearDupPairsMd5(d, "id", "text", maxHamming = 2)
   }
 
+  test("simhash_md5 kernel == composed explode/tf/64-sum formulation, bit-for-bit") {
+    import spark.implicits._
+    // adversarial shapes: tf-weighting (repeats must flip votes exactly
+    // like the tf groupBy did), unicode + case folding, punctuation
+    // runs, single token, token-less rows (must be ABSENT, not zero)
+    val fixtures = Seq(
+      (100L, "alpha alpha alpha beta"), (101L, "beta alpha"),
+      (102L, "Ünïcode Tökens mixed with ASCII"), (103L, "x"),
+      (104L, "!!! ??? ..."), (105L, ""),
+      (106L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+      .toDF("id", "text")
+    val corpus = Tables.documents(spark, sf)
+      .select(F.col("doc_id").as("id"), F.col("text"))
+    for (df <- Seq(fixtures, corpus)) {
+      val kernel = Dedup.simhashMd5(df, "id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val composed = Dedup.simhashMd5Composed(df, "id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      kernel shouldBe composed
+    }
+    // the kernel face is a pure projection: no aggregate, no exchange
+    // before the sketch exists
+    Dedup.simhashMd5(fixtures, "id", "text")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("shingle_hashes is SQL-callable via GraftExtensions registration") {
     graft.plans.GraftExtensions.register(spark)
     val n = spark.sql(
