@@ -78,10 +78,77 @@ case class ShingleHashAll(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** md5 sibling of [[ShingleHashAll]] for the VERIFICATION flavors: all
+  * positional word n-gram hashes, document order, duplicates kept, where
+  * each hash is the 32-bit md5 PREFIX of the n-gram STRING (tokens
+  * lowercased via the exact `F.lower` path, joined with single spaces) —
+  * byte-identical to `pmod`-free `Hygiene.md5Prefix32(gram)` over the
+  * exploded string formulation, which is what lets the hashed DSIR/NB
+  * twins keep their full DuckDB oracles while computing the bag in ONE
+  * kernel call per row instead of interpreted tokenizer/zip/concat
+  * lambdas plus a per-element md5 expression under a Generate.
+  * Registered for SQL as `md5_gram_hashes(text, n)`.
+  */
+case class Md5GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_gram_hashes expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_gram_hashes"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHashKernel.md5GramHashes(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ShingleHashKernel.md5GramHashes($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5GramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Row kernel shared by the expression's interpreted and codegen'd paths:
   * tokenize once, 64-bit-hash each token, combine n-gram hashes, distinct.
   */
 object ShingleHashKernel {
+
+  private val TokenPattern =
+    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  /** [[Md5GramHashes]] kernel: md5-prefix32 of each positional n-gram
+    * string. Tokenization parity is with the COLUMN formulation
+    * (`F.lower` = `UTF8String.toLowerCase`, the shared split regex) —
+    * pinned against the exploded string path in SelectionSpec.
+    */
+  def md5GramHashes(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Long])
+    val toks = TokenPattern.split(text.toLowerCase.toString, -1)
+      .filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val gram =
+        if (n == 1) toks(i)
+        else {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.toString
+        }
+      out(i) = graft.plans.Hygiene.md5Prefix32Jvm(gram)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def hash(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(hashToArray(if (text == null) null else text.toString, n))

@@ -266,12 +266,21 @@ object Selection {
         // (state caps at numBuckets rows either way), but the bucket is
         // derived from the n-gram STRING's md5 prefix — any engine with
         // md5 replays it, which is what lets the registry's hashed twins
-        // carry full DuckDB oracles. Slower per row than the fused kernel
-        // (an md5 per n-gram vs one kernel call per doc): the kernel stays
-        // the production default, this flavor is the verification face.
-        stringFeats.select(keep :+
-          F.pmod(graft.plans.Hygiene.md5Prefix32(F.col("feat")),
-            F.lit(numBuckets.toLong)).as("feat"): _*)
+        // carry full DuckDB oracles. Computed by the fused
+        // `md5_gram_hashes` kernel — the same one-call-per-row shape as
+        // the xxhash branch, only the hash differs; byte-identity with
+        // the exploded string formulation is pinned in SelectionSpec.
+        // (The former string-side derivation ran interpreted
+        // tokenizer/zip/concat lambdas plus a per-element md5 under the
+        // Generate — ~2× the row cost for identical buckets.)
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        def grams(n: Int) = graft.plans.GraftExtensions
+          .callNative("md5_gram_hashes", F.col(textCol), F.lit(n))
+        df.select(keep :+ F.concat(grams(1), grams(2)).as("__fh"): _*)
+          .select(keep :+
+            graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"): _*)
+          .select(keep :+ // pmod can't wrap a generator directly
+            F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"): _*)
       } else stringFeats
     keyed
       // vacuously-true null filter stated explicitly so the ratio join's

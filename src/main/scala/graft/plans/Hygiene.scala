@@ -51,9 +51,18 @@ object Hygiene {
     * permutation constant is derived on the driver and probed on the
     * engine (bloom position sets, minhash perm constants).
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Prefix32Jvm(key: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
+    // thread-local digest: this helper sits in per-token kernel loops
+    // (md5 gram hashes, simhash md5), where a getInstance per call is
+    // measurable
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(key.getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }

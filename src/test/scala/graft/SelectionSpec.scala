@@ -404,6 +404,35 @@ class SelectionSpec extends AnyFunSuite with Matchers {
         numBuckets = 4096, hashFn = "sha1")
   }
 
+  test("md5_gram_hashes kernel == pmod(md5(gram string)) buckets, byte-identical") {
+    // the md5 buckets are what the DuckDB oracles rebuild from the gram
+    // STRINGS — the fused kernel must reproduce them exactly, per doc,
+    // multiplicities included (unicode, repeats, single-token and
+    // token-less rows covered)
+    import spark.implicits._
+    val b = 1 << 16
+    val df = Seq((1L, "alpha beta alpha beta gamma"),
+      (2L, "Ünïcode tökens überall"), (3L, "solo"), (4L, "!!!"),
+      (5L, "case CASE Case mixed"))
+      .toDF("id", "text")
+      .unionByName(Tables.documents(spark, sf)
+        .select(F.col("doc_id").as("id"), F.col("text")).limit(200))
+    val viaKernel = Selection.docFeatureRows(df, "id", "text",
+        numBuckets = b, hashFn = "md5")
+      .groupBy("id", "feat").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // replicate the oracle derivation: exact gram strings -> md5 prefix
+    // -> pmod, per occurrence
+    val viaStrings = Selection.docFeatureRows(df, "id", "text",
+        numBuckets = 0)
+      .collect()
+      .map(r => (r.getLong(0),
+        Math.floorMod(graft.plans.Hygiene.md5Prefix32Jvm(r.getString(1)),
+          b.toLong)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    viaKernel shouldBe viaStrings
+  }
+
   test("persisted NB model reproduces the in-plan classifier scores") {
     val expected = nbScores(numBuckets = 0)
     // exact flavor round-trip
