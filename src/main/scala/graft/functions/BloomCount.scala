@@ -166,3 +166,108 @@ object BloomKernel {
     Bloom(k, nBits, words)
   }
 }
+
+/** md5-POSITION flavor of [[BloomCount]] for the verification faces:
+  * `md5_bloom_hits(text, n, words, kHashes)` counts how many DISTINCT
+  * word n-grams of `text` have all `kHashes` md5-derived bit positions
+  * (`int(md5(gram ∥ "_" ∥ j)[0:8]) mod mBits`, the
+  * `Contamination.md5Position` derivation) set in the literal `words`
+  * bit array — the whole scan side of
+  * `Contamination.contaminationHitsBloomMd5` in ONE kernel call per row:
+  * no explode, no per-doc count aggregate, no interpreted
+  * tokenizer/array_join lambdas, zero shuffle (the same plan shape as
+  * the production `bloom_count` flavor; only the position derivation
+  * differs, for engine replayability). `n`, `words` and `kHashes` must
+  * be literals; mBits = 64·|words|. Byte-equivalence with the exploded
+  * string formulation is pinned in PipelineSpec.
+  */
+case class Md5BloomHits(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okWords = third.foldable && (third.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (first.dataType == StringType &&
+        second.dataType == IntegerType && second.foldable &&
+        okWords &&
+        fourth.dataType == IntegerType && fourth.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "md5_bloom_hits expects (string, LITERAL int n, LITERAL " +
+        "array<bigint> words, LITERAL int kHashes), got " +
+        Seq(first, second, third, fourth)
+          .map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_bloom_hits"
+
+  @transient private lazy val params: (Int, Array[Long], Int) = (
+    second.eval().asInstanceOf[Int],
+    third.eval().asInstanceOf[ArrayData].toLongArray(),
+    fourth.eval().asInstanceOf[Int])
+
+  override protected def nullSafeEval(text: Any, n: Any, words: Any,
+      k: Any): Any =
+    Md5BloomKernel.hits(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      params._1, params._2, params._3)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("md5BloomWords", params._2, "long[]")
+    val (n, k) = (params._1, params._3)
+    defineCodeGen(ctx, ev, (t, _, _, _) =>
+      s"graft.functions.Md5BloomKernel.hits($t, $n, $wordsRef, $k)")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Md5BloomHits =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Row kernel of [[Md5BloomHits]]. Tokenization parity is with the
+  * COLUMN formulation (`F.lower` = `UTF8String.toLowerCase`, the shared
+  * split regex, grams space-joined, DISTINCT per doc — the
+  * `Contamination.shingleStrings` semantics).
+  */
+object Md5BloomKernel {
+
+  private val TokenPattern =
+    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  def hits(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      words: Array[Long], kHashes: Int): Long = {
+    if (text == null) return 0L
+    val mBits = words.length.toLong * 64L
+    val toks = TokenPattern.split(text.toLowerCase.toString, -1)
+      .filter(_.nonEmpty)
+    if (toks.length < n) return 0L
+    val seen = new java.util.HashSet[String]()
+    var hits = 0L
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val gram = sb.toString
+      if (seen.add(gram)) {
+        var all = true
+        var h = 0
+        while (all && h < kHashes) {
+          val p = java.lang.Math.floorMod(
+            graft.plans.Hygiene.md5Prefix32Jvm(gram + "_" + h), mBits)
+          if (((words((p >> 6).toInt) >>> (p & 63L).toInt) & 1L) != 1L)
+            all = false
+          h += 1
+        }
+        if (all) hits += 1L
+      }
+      i += 1
+    }
+    hits
+  }
+}

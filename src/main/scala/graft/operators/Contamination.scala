@@ -174,35 +174,54 @@ object Contamination {
     * by construction); same bounded driver build (the benchmark's
     * distinct shingles only). Returns (idCol, hits), hits > 0 rows only.
     *
-    * Cost vs the kernel flavor: kHashes md5 calls per distinct doc
-    * shingle and an explode + per-doc count (one shuffle) vs one fused
-    * projection — the [[contaminationHitsBloom]] kernel stays the
-    * 100 TB hot path.
+    * Scan side is the fused `md5_bloom_hits` kernel
+    * ([[graft.functions.Md5BloomHits]]) — the SAME zero-shuffle plan
+    * shape as the [[contaminationHitsBloom]] hot path (no explode, no
+    * per-doc count aggregate; only the position derivation differs, for
+    * engine replayability). Byte-equivalence with the exploded string
+    * formulation ([[contaminationHitsBloomMd5Composed]]) is pinned in
+    * PipelineSpec.
     */
   def contaminationHitsBloomMd5(docs: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String, n: Int = 8,
       mBits: Int = 1 << 20, kHashes: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val words = md5BloomWords(bench, benchTextCol, n, mBits, kHashes)
+    docs.select(F.col(idCol),
+        graft.plans.GraftExtensions.callNative("md5_bloom_hits",
+          F.col(textCol), F.lit(n), F.typedLit(words.toSeq),
+          F.lit(kHashes)).as("hits"))
+      .filter(F.col("hits") > 0)
+  }
+
+  /** Shared md5-position filter build: the BENCHMARK's distinct shingle
+    * strings (the benchBloom contract — an eval suite, never the corpus),
+    * driver-collected and bit-packed.
+    */
+  private def md5BloomWords(bench: DataFrame, benchTextCol: String, n: Int,
+      mBits: Int, kHashes: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(kHashes > 0, s"kHashes must be positive, got $kHashes")
-    // bounded driver build: the BENCHMARK's distinct shingle strings
-    // (the benchBloom contract — an eval suite, never the corpus)
     val benchSh = bench
       .select(graft.plans.Hygiene.explodeNonEmpty(
         shingleStrings(F.col(benchTextCol), n)).as("__s"))
       .distinct().collect().map(_.getString(0))
     require(benchSh.nonEmpty,
       "contaminationHitsBloomMd5: benchmark produced no shingles")
-    val words = md5PositionWordsFromKeys(benchSh, mBits, kHashes)
-    // parallelization point: the shingle projection's transform/array_join
-    // lambdas evaluate interpreted, and a small-file scan arrives as ONE
-    // partition — without the repartition the whole corpus's lambdas run
-    // single-threaded (measured 8.4s vs ~1s at sf0.1/local[32]). The
-    // partition count is EXPLICIT because AQE would coalesce a
-    // few-megabyte shuffle right back to one partition, re-serializing
-    // the lambdas; the text shuffle itself is noise next to the
-    // per-shingle md5 probes, and the hot path (the kernel flavor) has no
-    // interpreted stage to parallelize.
+    md5PositionWordsFromKeys(benchSh, mBits, kHashes)
+  }
+
+  /** The pre-kernel composed formulation (explode + md5-position probe +
+    * per-doc count; explicit-count repartition because its shingle
+    * lambdas evaluate interpreted) — retained as the equivalence
+    * baseline the kernel is pinned against.
+    */
+  private[graft] def contaminationHitsBloomMd5Composed(docs: DataFrame,
+      idCol: String, textCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 8, mBits: Int = 1 << 20,
+      kHashes: Int = 2): DataFrame = {
+    val words = md5BloomWords(bench, benchTextCol, n, mBits, kHashes)
     val dsh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         F.col(idCol))

@@ -369,6 +369,16 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
     // deterministic: the filter and probes are md5-derived, not seeded RNG
     md5Hits() shouldBe approx
+    // the fused md5_bloom_hits kernel == the exploded string formulation,
+    // per doc, exactly (same filter words, same distinct-shingle count)
+    val composed = Contamination.contaminationHitsBloomMd5Composed(docs,
+        "doc_id", "text", bench, "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    approx shouldBe composed
+    // and the kernel face is zero-shuffle, like the production flavor
+    Contamination.contaminationHitsBloomMd5(docs, "doc_id", "text",
+        bench, "btext", n = 8)
+      .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
   test("bloom kernel: serialize round-trip, zero false negatives on fuzz keys") {
