@@ -115,10 +115,75 @@ case class Md5GramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** String sibling of [[ShingleHashAll]] for the EXACT verification
+  * faces: all positional word n-gram STRINGS (tokens lowercased via the
+  * `F.lower` path, space-joined), document order, duplicates kept —
+  * exactly the values the exact-face oracles join on, produced in ONE
+  * kernel call per row instead of an interpreted
+  * tokenize→sequence→slice→concat_ws chain under a Generate. Used by
+  * `TextAnalysis.duplicatedPassages` (exact flavor) and
+  * `Selection.docFeatureRows` (numBuckets = 0). Registered for SQL as
+  * `gram_strings(text, n)`.
+  */
+case class GramStrings(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_strings expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_strings"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHashKernel.gramStrings(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ShingleHashKernel.gramStrings($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramStrings =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Row kernel shared by the expression's interpreted and codegen'd paths:
   * tokenize once, 64-bit-hash each token, combine n-gram hashes, distinct.
   */
 object ShingleHashKernel {
+
+  /** [[GramStrings]] kernel: positional n-gram strings, duplicates
+    * kept. Tokenization parity with the column formulations is pinned in
+    * SelectionSpec/PipelineSpec.
+    */
+  def gramStrings(text: UTF8String, n: Int): ArrayData = {
+    if (text == null)
+      return new GenericArrayData(Array.empty[Any])
+    val toks = TokenPattern.split(text.toLowerCase.toString, -1)
+      .filter(_.nonEmpty)
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val gram =
+        if (n == 1) toks(i)
+        else {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.toString
+        }
+      out(i) = UTF8String.fromString(gram)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   private val TokenPattern =
     java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")

@@ -876,17 +876,18 @@ object Dedup {
       require(numHashes % bands == 0, "numHashes must be divisible by bands")
       graft.plans.GraftExtensions.register(df.sparkSession)
       val pm = perms(numHashes)
-      // stage 1: shingle + md5 ONCE per row, materialized as an attribute
-      // (the size guard and the kernel both read it — a bare alias would
-      // be substituted through and re-shingle per consumer)
+      // stage 1: the per-shingle md5 prefixes in ONE md5_gram_hashes
+      // kernel call (positional, duplicates kept — a duplicate shingle
+      // cannot change any permutation MINIMUM, so this equals the former
+      // distinct-shingle transform exactly), materialized as an
+      // attribute (the size guard and the signature kernel both read it)
       val hashed = df
         .repartition(df.sparkSession.sparkContext.defaultParallelism,
           F.col(idCol))
         .select(F.col(idCol),
           graft.plans.Hygiene.attributeBarrier(
-            F.transform(
-              Contamination.shingleStrings(F.col(textCol), shingleN),
-              s => graft.plans.Hygiene.md5Prefix32(s))).as("__hs"))
+            graft.plans.GraftExtensions.callNative("md5_gram_hashes",
+              F.col(textCol), F.lit(shingleN))).as("__hs"))
       // stage 2: all numHashes permutation minima in ONE kernel call,
       // itself an attribute before the band slices read it `bands` times
       val keyed = hashed

@@ -231,20 +231,18 @@ object Selection {
     require(hashFn == "xxhash64" || hashFn == "md5",
       s"hashFn must be xxhash64 or md5, got $hashFn")
     val keep = (idCol +: carry).map(F.col)
-    // exact n-gram STRINGS — the oracle-expressible base both the
-    // numBuckets = 0 flavor and the md5 bucket flavor build on
+    // exact n-gram STRINGS — the oracle-expressible base the
+    // numBuckets = 0 flavor joins on, via the gram_strings kernel
+    // (unigrams then bigrams, one call each per row; the former
+    // tokenize + zip_with/concat chain ran interpreted under the
+    // Generate — identical strings, pinned in SelectionSpec)
     def stringFeats: DataFrame = {
-      val ts = F.col("__ts")
-      val bigrams = F.when(F.size(ts) >= 2,
-        F.zip_with(
-          F.slice(ts, F.lit(1), F.size(ts) - 1),
-          F.slice(ts, F.lit(2), F.size(ts) - 1),
-          (a, b) => F.concat(a, F.lit(" "), b)))
-        .otherwise(F.array().cast("array<string>"))
-      df.select(keep :+ TextAnalysis.tokens(F.col(textCol)).as("__ts"): _*)
+      graft.plans.GraftExtensions.register(df.sparkSession)
+      def grams(n: Int) = graft.plans.GraftExtensions
+        .callNative("gram_strings", F.col(textCol), F.lit(n))
+      df.select(keep :+ F.concat(grams(1), grams(2)).as("__fs"): _*)
         .select(keep :+
-          graft.plans.Hygiene.explodeNonEmpty(F.concat(ts, bigrams))
-            .as("feat"): _*)
+          graft.plans.Hygiene.explodeNonEmpty(F.col("__fs")).as("feat"): _*)
     }
     val keyed =
       if (numBuckets > 0 && hashFn == "xxhash64") {

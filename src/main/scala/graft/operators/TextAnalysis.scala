@@ -688,21 +688,20 @@ object TextAnalysis {
               .as("n_windows"),
             graft.plans.Hygiene.explodeNonEmpty(F.col("__sh")).as("wkey"))
       } else {
-        val ts = F.col("__ts")
-        // the when-guard (not a row Filter!) makes short docs yield NO
-        // spans: a Filter on size(tokens(text)) would be pushed below the
-        // projection with the tokenizer substituted — two kernel
-        // evaluations per scan row (the Hygiene hazard); sequence() must
-        // also never see a stop < start (it would DESCEND, not empty)
-        val spans = F.when(F.size(ts) >= window,
-          F.transform(
-            F.sequence(F.lit(1), F.size(ts) - (window - 1)),
-            i => F.concat_ws(" ", F.slice(ts, i, F.lit(window)))))
-        df.select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+        // exact-string flavor: the positional window STRINGS in one
+        // gram_strings kernel call per row (the former
+        // tokenize→sequence→slice→concat_ws chain ran its per-window
+        // concat as an interpreted lambda under Generate). Short docs
+        // yield an EMPTY array → explodeNonEmpty drops them, same as the
+        // when-guard did; n_windows is the array's own length.
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val sp = graft.plans.GraftExtensions.callNative("gram_strings",
+          F.col(textCol), F.lit(window))
+        df.select(F.col(idCol), sp.as("__sp"))
           .select(F.col(idCol),
-            (graft.plans.Hygiene.sizeNonNull(ts) - (window - 1)).cast("long")
+            graft.plans.Hygiene.sizeNonNull(F.col("__sp")).cast("long")
               .as("n_windows"),
-            graft.plans.Hygiene.explodeNonEmpty(spans).as("wkey"))
+            graft.plans.Hygiene.explodeNonEmpty(F.col("__sp")).as("wkey"))
       }
     val wtf = spanRows
       // superset filter stated explicitly: keeps the shared stage canonical

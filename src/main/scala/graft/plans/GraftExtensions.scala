@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -35,6 +35,13 @@ object GraftExtensions {
         require(args.length == 2,
           "shingle_hashes_all(text, n) takes 2 arguments")
         ShingleHashAll(args.head, args(1))
+      }),
+    (FunctionIdentifier("gram_strings"),
+      new ExpressionInfo(classOf[GramStrings].getName, "gram_strings"),
+      { args =>
+        require(args.length == 2,
+          "gram_strings(text, n) takes 2 arguments")
+        GramStrings(args.head, args(1))
       }),
     (FunctionIdentifier("md5_bloom_hits"),
       new ExpressionInfo(classOf[Md5BloomHits].getName, "md5_bloom_hits"),

@@ -194,11 +194,14 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "shingle_hashes_all".r.findAllIn(dPlan).size shouldBe 4
     tok.r.findAllIn(dPlan).size shouldBe 0
     dPlan should not include "CartesianProduct"
-    // DSIR (exact): each corpus side tokenized exactly once
+    // DSIR (exact): since round 9 the string features also come from a
+    // fused kernel (gram_strings, 1-gram + 2-gram per corpus side) — no
+    // Spark-side tokenizer at all, like the hashed flavor
     val dePlan = finalPlan(Selection.dsirLogWeights(
       docs, docs.filter(F.col("lang") === "fr"), "doc_id", "text",
       numBuckets = 0))
-    tok.r.findAllIn(dePlan).size shouldBe 2
+    "gram_strings".r.findAllIn(dePlan).size shouldBe 4
+    tok.r.findAllIn(dePlan).size shouldBe 0
     dePlan should not include "CartesianProduct"
     // NB classifier (hashed): two fused kernel calls per feature side
     // (train + score = 4) — no Spark-side tokenizer; the 1-row stat/prior
@@ -213,7 +216,8 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     nhPlan should not include "CartesianProduct"
     // NB classifier (exact): train + score sides tokenized once each
     val nePlan = nbPlan(0)
-    tok.r.findAllIn(nePlan).size shouldBe 2
+    "gram_strings".r.findAllIn(nePlan).size shouldBe 4
+    tok.r.findAllIn(nePlan).size shouldBe 0
     nePlan should not include "CartesianProduct"
     // duplicated passages (hashed): one scan, ONE fused native kernel call
     // (tokenize+hash inside shingle_hashes_all; no Spark-side tokenizer)
@@ -222,10 +226,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "shingle_hashes_all".r.findAllIn(pPlan).size shouldBe 1
     tok.r.findAllIn(pPlan).size shouldBe 0
     "FileScan parquet".r.findAllIn(pPlan).size shouldBe 1
-    // exact-string variant keeps the tokenizer, still once
+    // exact-string variant: window strings from ONE gram_strings kernel
+    // call (round 9) — no Spark-side tokenizer either
     val pePlan = finalPlan(TextAnalysis.duplicatedPassages(
       docs, "doc_id", "text", window = 8, hashed = false))
-    tok.r.findAllIn(pePlan).size shouldBe 1
+    "gram_strings".r.findAllIn(pePlan).size shouldBe 1
+    tok.r.findAllIn(pePlan).size shouldBe 0
     "FileScan parquet".r.findAllIn(pePlan).size shouldBe 1
     // semDedup: the within-cluster pair stage must be an equi-join on the
     // cluster key, never an all-pairs product

@@ -404,6 +404,33 @@ class SelectionSpec extends AnyFunSuite with Matchers {
         numBuckets = 4096, hashFn = "sha1")
   }
 
+  test("gram_strings kernel == tokenize/zip/concat formulation, string-identical") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "Über ätze CASE case"),
+      (3L, "solo"), (4L, "..."), (5L, "a b a b a"))
+      .toDF("id", "text")
+      .unionByName(Tables.documents(spark, sf)
+        .select(F.col("doc_id").as("id"), F.col("text")).limit(100))
+    graft.plans.GraftExtensions.register(spark)
+    def kernelGrams(n: Int) = df.select(F.col("id"),
+        graft.plans.GraftExtensions.callNative("gram_strings",
+          F.col("text"), F.lit(n)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // composed references, per n
+    val ts = graft.operators.TextAnalysis.tokens(F.col("text"))
+    val composed1 = df.select(F.col("id"), ts.as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    kernelGrams(1) shouldBe composed1
+    val big = F.when(F.size(ts) >= 2,
+      F.zip_with(F.slice(ts, F.lit(1), F.size(ts) - 1),
+        F.slice(ts, F.lit(2), F.size(ts) - 1),
+        (a, b) => F.concat(a, F.lit(" "), b)))
+      .otherwise(F.array().cast("array<string>"))
+    val composed2 = df.select(F.col("id"), big.as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    kernelGrams(2) shouldBe composed2
+  }
+
   test("md5_gram_hashes kernel == pmod(md5(gram string)) buckets, byte-identical") {
     // the md5 buckets are what the DuckDB oracles rebuild from the gram
     // STRINGS — the fused kernel must reproduce them exactly, per doc,
