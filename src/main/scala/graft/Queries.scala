@@ -1174,6 +1174,17 @@ object Queries {
         "url", "doc_id", cap = 15)
       .select(col("doc_id"), col("url"))
 
+  /** Per-domain TOKEN budget cap over the stamped corpus
+    * ([[UrlOps.capTokensPerDomain]]): greedy prefix per registered
+    * domain in doc_id order until 500 tokens are spent (first doc
+    * always kept; ≤ 1-doc overshoot) — the running-sum window and the
+    * tokenizer both replay in the oracle.
+    */
+  def q_domain_token_cap(s: SparkSession, d: String): DataFrame =
+    UrlOps.capTokensPerDomain(urlStamped(s, d), "url", "text", "doc_id",
+        maxTokens = 500)
+      .select(col("doc_id"), col("url"))
+
   /** URL-level dedup over the stamped corpus ([[UrlOps.dedupByUrl]]):
     * one survivor (lowest doc_id) per canonical-URL key — the stamped
     * root-path docs (`doc_id % 9 == 0`) collapse per (scheme, source,
@@ -2274,7 +2285,17 @@ object Queries {
         |SELECT doc_id, url FROM dom
         |QUALIFY row_number() OVER (
         |  PARTITION BY canon_url, CASE WHEN canon_url IS NULL THEN doc_id END
-        |  ORDER BY doc_id) <= 1""".stripMargin
+        |  ORDER BY doc_id) <= 1""".stripMargin,
+    "q_domain_token_cap" ->
+      s"""$urlCtes
+        |SELECT doc_id, url FROM (
+        |  SELECT doc_id, url, domain,
+        |    coalesce(sum(len($DTok)) OVER (
+        |      PARTITION BY domain, CASE WHEN domain IS NULL THEN doc_id END
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM dom
+        |) WHERE prev < 500""".stripMargin
   ) ++ bpeOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -2609,6 +2630,7 @@ object Queries {
     "q_url_canon" -> (q_url_canon _),
     "q_domain_stats" -> (q_domain_stats _),
     "q_domain_cap" -> (q_domain_cap _),
+    "q_domain_token_cap" -> (q_domain_token_cap _),
     "q_dedup_by_url" -> (q_dedup_by_url _)
   )
 

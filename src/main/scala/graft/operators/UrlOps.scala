@@ -230,6 +230,37 @@ object UrlOps {
       .drop("__cu", "__r")
   }
 
+  /** Keep documents per registered domain until a TOKEN budget is spent —
+    * the volume-based anti-monopoly cap ([[capPerDomain]] bounds doc
+    * COUNT; a site with few huge pages needs the token form): rows are
+    * taken in `orderCol` order while the PRECEDING kept-token total is
+    * under `maxTokens`, so every domain keeps at least its first
+    * document and overshoots by at most one document (the same greedy
+    * budget-slop contract as `Packing.packChunks`). Null-domain rows are
+    * exempt and salt-spread, as in [[capPerDomain]].
+    *
+    * Plan shape: one running-sum window per domain — the shuffle carries
+    * each domain's rows once (no map-side prune is possible: the cut
+    * point needs the domain-global prefix sum), partitioned across the
+    * cluster by domain + null-salt. At 100 TB the token count rides the
+    * same projection as the domain key; nothing is collected.
+    */
+  def capTokensPerDomain(df: DataFrame, urlCol: String, textCol: String,
+      orderCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val salt = F.when(F.col("__dom").isNull, F.col(orderCol))
+    val w = Window.partitionBy(F.col("__dom"), salt)
+      .orderBy(F.col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__dom", urlDomain(F.col(urlCol)))
+      .withColumn("__nt",
+        F.size(TextAnalysis.tokens(F.col(textCol))).cast("long"))
+      .withColumn("__prev", F.coalesce(F.sum("__nt").over(w), F.lit(0L)))
+      .filter(F.col("__prev") < maxTokens)
+      .drop("__dom", "__nt", "__prev")
+  }
+
   /** Per-registered-domain corpus profile: document count and total
     * token count (whitespace-family tokens via the shared tokenizer),
     * the mix report a curation run starts from. One scan, one shuffle

@@ -255,6 +255,24 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
+  test("capTokensPerDomain: greedy prefix per domain, first doc always kept") {
+    import spark.implicits._
+    val df = Seq(
+      // domain cap.com: 3+4+5 tokens in id order, budget 6 → keep 1,2
+      // (prev 0, 3) and drop 3 (prev 7)
+      (1L, "http://a.cap.com/1", "one two three"),
+      (2L, "http://b.cap.com/2", "one two three four"),
+      (3L, "http://c.cap.com/3", "one two three four five"),
+      // a domain whose FIRST doc exceeds the budget still keeps it
+      (4L, "http://big.org/1", "1 2 3 4 5 6 7 8 9 10"),
+      (5L, "http://big.org/2", "x"),
+      // null-domain rows are exempt
+      (6L, "garbage", "a b c d e f g h i j k l")).toDF("id", "url", "text")
+    val kept = UrlOps.capTokensPerDomain(df, "url", "text", "id",
+      maxTokens = 6).collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 2L, 4L, 6L)
+  }
+
   test("domainStats aggregates docs and tokens per registered domain") {
     import spark.implicits._
     val df = Seq(
