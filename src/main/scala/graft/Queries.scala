@@ -1259,14 +1259,14 @@ object Queries {
       |), parts AS (
       |  SELECT doc_id, text, url,
       |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)', 1), '')) AS host,
+      |    lower(nullif(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)', 1), '\\.$$', ''), '')) AS host,
       |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)', 1), '') AS INTEGER) AS port,
       |    nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
       |    nullif(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '') AS query
       |  FROM u
       |), plists AS (
       |  SELECT *,
-      |    regexp_replace(host, '^www\\.', '') AS hostd,
+      |    regexp_replace(host, '^www\\.', '') AS hostd0,
       |    list_filter(string_split(coalesce(query, ''), '&'), x -> x <> ''
       |      AND NOT list_contains(['utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','ref'],
       |        regexp_extract(x, '^([^=]*)', 1))) AS plist
@@ -1277,10 +1277,16 @@ object Queries {
       |    len(string_split(host, '.')) AS n
       |  FROM plists
       |), pmatch AS (
+      |  -- right-anchored suffixes of the www-stripped host are exactly the
+      |  -- host's own suffixes with k <= n-1 labels, so ONE candidate scan
+      |  -- yields both the host's pslen and the stripped variant's pslen_d
       |  SELECT c.doc_id,
       |    max(CASE WHEN r.typ = 'x' THEN c.k - 1 END) AS exclen,
       |    max(CASE WHEN r.typ = 'e' THEN c.k
-      |             WHEN r.typ = 'w' AND c.n > c.k THEN c.k + 1 END) AS rulelen
+      |             WHEN r.typ = 'w' AND c.n > c.k THEN c.k + 1 END) AS rulelen,
+      |    max(CASE WHEN r.typ = 'x' AND c.k <= c.n - 1 THEN c.k - 1 END) AS exclen_d,
+      |    max(CASE WHEN r.typ = 'e' AND c.k <= c.n - 1 THEN c.k
+      |             WHEN r.typ = 'w' AND c.n - 1 > c.k THEN c.k + 1 END) AS rulelen_d
       |  FROM (
       |    SELECT doc_id, n, t.k, array_to_string(la[-(t.k):], '.') AS suf
       |    FROM labs, (SELECT unnest(range(1, ${graft.functions.PslTable.rules.maxRuleLabels + 1})) AS k) t(k)
@@ -1289,7 +1295,13 @@ object Queries {
       |  GROUP BY c.doc_id
       |), psl AS (
       |  SELECT labs.*,
-      |    coalesce(pm.exclen, greatest(coalesce(pm.rulelen, 1), 1)) AS pslen
+      |    coalesce(pm.exclen, greatest(coalesce(pm.rulelen, 1), 1)) AS pslen,
+      |    -- PSL-aware www-strip: strip only when the remainder keeps a
+      |    -- registrable domain (mirrors PslTable.stripWww / strip_www)
+      |    CASE WHEN host LIKE 'www.%' AND length(host) > 4
+      |              AND (n - 1) > coalesce(pm.exclen_d,
+      |                greatest(coalesce(pm.rulelen_d, 1), 1))
+      |         THEN hostd0 ELSE host END AS hostd
       |  FROM labs LEFT JOIN pmatch pm USING (doc_id)
       |), dom AS (
       |  SELECT doc_id, text, url,

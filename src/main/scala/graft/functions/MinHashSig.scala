@@ -39,6 +39,9 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  // null for inputs with no contributing element (empty array), not only
+  // for null inputs — see MinHashSigKernel.signatureMod
+  override def nullable: Boolean = true
 
   @transient private lazy val params: (Array[Long], Array[Long]) = {
     val n = second.eval().asInstanceOf[Int]
@@ -55,8 +58,9 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("mhAs", params._1, "long[]")
     val bsRef = ctx.addReferenceObj("mhBs", params._2, "long[]")
-    defineCodeGen(ctx, ev, (h, _, _) =>
-      s"graft.functions.MinHashSigKernel.signature($h, $asRef, $bsRef)")
+    nullSafeCodeGen(ctx, ev, (h, _, _) =>
+      s"""${ev.value} = graft.functions.MinHashSigKernel.signature($h, $asRef, $bsRef);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -101,7 +105,9 @@ case class MinHashPerms(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_perms"
-  override def nullable: Boolean = first.nullable
+  // null for inputs with no contributing element (empty array), not only
+  // for null inputs — see MinHashSigKernel.signatureMod
+  override def nullable: Boolean = true
 
   @transient private lazy val params: (Array[Long], Array[Long], Long) = {
     def arr(e: Expression): Array[Long] =
@@ -121,8 +127,9 @@ case class MinHashPerms(first: Expression, second: Expression,
     val asRef = ctx.addReferenceObj("mhpAs", params._1, "long[]")
     val bsRef = ctx.addReferenceObj("mhpBs", params._2, "long[]")
     val p = params._3
-    defineCodeGen(ctx, ev, (h, _, _, _) =>
-      s"graft.functions.MinHashSigKernel.signatureMod($h, $asRef, $bsRef, ${p}L)")
+    nullSafeCodeGen(ctx, ev, (h, _, _, _) =>
+      s"""${ev.value} = graft.functions.MinHashSigKernel.signatureMod($h, $asRef, $bsRef, ${p}L);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -163,6 +170,13 @@ object MinHashSigKernel {
     * entry point). Hashes are masked to 32 bits — both the classic family
     * here and the md5 flavors draw from 32-bit hash spaces, and the mask
     * is what keeps `a·h + b` inside a signed long for any `a < 2³¹`.
+    *
+    * An input with NO contributing element (empty array, or all-null
+    * slots) has no signature: returns null, matching the
+    * `when(size(hs) > 0)` guard internal callers wrap around the kernel —
+    * a direct SQL caller of `minhash_perms`/`minhash_signature` gets a
+    * null instead of an array of Long.MaxValue sentinels that would
+    * silently band every empty doc together.
     */
   def signatureMod(hashes: ArrayData, as: Array[Long], bs: Array[Long],
       prime: Long): ArrayData = {
@@ -170,8 +184,10 @@ object MinHashSigKernel {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val m = hashes.numElements()
     var i = 0
+    var any = false
     while (i < m) {
       if (!hashes.isNullAt(i)) { // tolerate array<bigint> with null slots
+        any = true
         val h = hashes.getLong(i) & 0xffffffffL
         var p = 0
         while (p < numHashes) {
@@ -182,6 +198,6 @@ object MinHashSigKernel {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!any) null else new GenericArrayData(mins)
   }
 }

@@ -174,6 +174,37 @@ object PslTable {
   def registeredDomainU(host: UTF8String): UTF8String =
     if (host == null) null
     else UTF8String.fromString(registeredDomain(host.toString))
+
+  /** PSL-aware `www.`-strip: drop a leading `www.` label ONLY when the
+    * remainder still has a registrable domain (more labels than its
+    * public-suffix length). The naive unconditional strip is WRONG
+    * exactly where the list says so — `!www.ck` makes `www.ck` itself a
+    * registrable site whose strip would yield the bare TLD, and
+    * `www.github.io` strips to the public suffix `github.io` — so the
+    * strip must consult the same rule table the eTLD+1 lookup reads.
+    * Null in, null out; hosts not starting with `www.` pass through.
+    */
+  def stripWww(host: String): String =
+    stripWww(host, rules)
+
+  /** Rule-set-parameterized face of [[stripWww]]. */
+  def stripWww(host: String, r: Rules): String = {
+    if (host == null) return null
+    if (!host.startsWith("www.") || host.length == 4) return host
+    val stripped = host.substring(4)
+    var n = 1
+    var i = 0
+    while (i < stripped.length) {
+      if (stripped.charAt(i) == '.') n += 1
+      i += 1
+    }
+    if (n > publicSuffixLabels(stripped, r)) stripped else host
+  }
+
+  /** UTF8String face shared by the interpreted and codegen'd paths. */
+  def stripWwwU(host: UTF8String): UTF8String =
+    if (host == null) null
+    else UTF8String.fromString(stripWww(host.toString))
 }
 
 /** Native `registered_domain(host)` expression: eTLD+1 under the vendored
@@ -201,4 +232,30 @@ case class RegisteredDomain(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): RegisteredDomain = copy(child = newChild)
+}
+
+/** Native `strip_www(host)` expression: [[PslTable.stripWww]] — the
+  * PSL-aware `www.`-label strip used by URL canonicalization. Same
+  * zero-payload shape as [[RegisteredDomain]] (executor-local static
+  * rule table, one static call in codegen).
+  */
+case class StripWww(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_www expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_www"
+
+  override protected def nullSafeEval(host: Any): Any =
+    PslTable.stripWwwU(host.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.PslTable.stripWwwU($h)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StripWww = copy(child = newChild)
 }

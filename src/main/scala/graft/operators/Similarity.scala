@@ -431,10 +431,16 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     require(raw.nonEmpty, "candidate set too small for IVF")
     // dim consistency: the screen can't know dim up front, so pin it to
-    // the first sampled row and drop disagreeing lengths (mixed-dim rows
-    // are caller garbage the malformedVectors audit reports; one must
-    // not crash training or seed a ragged centroid)
-    val d0 = raw.head.length
+    // the MODAL length across the sample and drop disagreeing lengths
+    // (mixed-dim rows are caller garbage the malformedVectors audit
+    // reports; one must not crash training or seed a ragged centroid).
+    // The majority vote — not the first row — decides: a single
+    // wrong-length garbage vector landing first in hash order would
+    // otherwise discard every correct vector, train centroids at the
+    // garbage dim, null-assign the whole corpus and silently dedup
+    // nothing
+    val d0 = raw.groupBy(_.length)
+      .maxBy { case (len, vs) => (vs.length, -len) }._1 // ties: smaller dim
     val sampled: Array[(Int, Array[Double])] = raw.filter(_.length == d0)
       .zipWithIndex.map { case (v, i) => (i, v) }
     kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,

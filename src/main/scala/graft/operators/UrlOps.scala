@@ -42,7 +42,12 @@ object UrlOps {
     // hosts pass through in whatever form (unicode or punycode) the
     // crawl recorded, and the PSL lookup recognizes both.
     val scheme = F.lower(nullIfEmpty(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
-    val host = F.lower(nullIfEmpty(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1)))
+    // a single trailing dot strips: 'evil.com.' is DNS-equivalent to
+    // 'evil.com', and leaving it would derive registered domain 'com.' —
+    // letting any URL bypass domain blocklists/caps by appending a dot
+    val host = F.lower(nullIfEmpty(F.regexp_replace(
+      F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1),
+      "\\.$", "")))
     // try_cast: a digits-run port can still overflow int ("…:99999999999")
     // and ANSI mode (Spark 4 default) makes a bare cast a scan-killer —
     // the module contract is null parts for malformed URLs, never errors
@@ -70,7 +75,9 @@ object UrlOps {
   /** Canonical form of a URL for dedup/grouping keys — "same page ⇒ same
     * key" normalization, each rule engine-replayable:
     *
-    *  1. scheme and host lowercase; a leading `www.` label drops;
+    *  1. scheme and host lowercase; a leading `www.` label drops when
+    *     the remainder keeps a registrable domain (PSL-aware — see
+    *     [[graft.functions.PslTable.stripWww]]);
     *  2. default ports drop (`:80` for http, `:443` for https; other
     *     ports stay);
     *  3. the fragment drops (never sent to the server);
@@ -85,7 +92,13 @@ object UrlOps {
     */
   def canonicalizeUrl(url: Column): Column = {
     val p = urlParts(url)
-    val host = F.regexp_replace(p.getField("host"), "^www\\.", "")
+    // PSL-aware www-strip (native strip_www kernel): drop the leading
+    // 'www.' label only when the remainder still has a registrable
+    // domain — '!www.ck' makes www.ck itself a site (strip would yield
+    // the bare TLD), and www.github.io strips to a public suffix, so
+    // those keep their label; ordinary www.example.com still strips
+    val host = graft.plans.GraftExtensions.callNative("strip_www",
+      p.getField("host"))
     val scheme = p.getField("scheme")
     val port = p.getField("port")
     val keepPort =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -152,6 +152,12 @@ object GraftExtensions {
         require(args.length == 1,
           "registered_domain(host) takes 1 argument")
         RegisteredDomain(args.head)
+      }),
+    (FunctionIdentifier("strip_www"),
+      new ExpressionInfo(classOf[StripWww].getName, "strip_www"),
+      { args =>
+        require(args.length == 1, "strip_www(host) takes 1 argument")
+        StripWww(args.head)
       })
   )
 

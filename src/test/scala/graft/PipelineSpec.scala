@@ -33,6 +33,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("minhash_signature / minhash_perms: empty input → null, not sentinel garbage") {
+    // both kernels are SQL-registered; a direct SQL caller handing an
+    // empty hash array must get null (the when(size>0) guard semantics
+    // internal callers use), never an array of Long.MaxValue sentinels
+    // that would silently band every empty doc together
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  minhash_signature(cast(array() AS array<bigint>), 4, 42) AS a,
+        |  minhash_perms(cast(array() AS array<bigint>),
+        |    array(3L, 5L), array(1L, 2L), 2147483647L) AS b""".stripMargin)
+      .head()
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+    // non-empty input still yields the full-width signature
+    val ok = spark.sql(
+      """SELECT minhash_signature(array(7L), 4, 42) AS a,
+        |  minhash_perms(array(7L), array(3L, 5L), array(1L, 2L),
+        |    2147483647L) AS b""".stripMargin).head()
+    ok.getSeq[Long](0).length shouldBe 4
+    ok.getSeq[Long](1) shouldBe Seq(22L, 37L) // (3·7+1, 5·7+2) mod P
+  }
+
   test("minhash LSH pairs == brute-force Jaccard ground truth") {
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -177,6 +177,44 @@ class UrlOpsSpec extends AnyFunSuite with Matchers {
     pe1.getString(3) should not be pe2.getString(3)
   }
 
+  test("trailing-dot FQDN hosts normalize — no blocklist/cap bypass by appending a dot") {
+    import spark.implicits._
+    // urlParts strips a single trailing dot from the host: 'evil.com.'
+    // is DNS-equivalent to 'evil.com', and leaving it derived registered
+    // domain 'com.' — bypassing every eTLD+1-keyed filter
+    dom("http://evil.com./x") shouldBe "evil.com"
+    canon("http://evil.com./x") shouldBe "http://evil.com/x"
+    val df = Seq((1L, "http://evil.com./x"), (2L, "http://a.evil.com./y"),
+      (3L, "http://ok.com/x")).toDF("id", "url")
+    UrlOps.dropBlockedDomains(df, "url", Seq("evil.com"))
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(3L)
+    // and the dotted/undotted surface forms share one canonical key
+    UrlOps.dedupByUrl(
+        Seq((1L, "http://e.com./p"), (2L, "http://e.com/p")).toDF("id", "url"),
+        "url", "id")
+      .count() shouldBe 1L
+  }
+
+  test("www-strip is PSL-aware: ordinary hosts strip, registrable www labels keep") {
+    // ordinary site: www is subdomain noise, strips as before
+    canon("http://www.example.com/a") shouldBe "http://example.com/a"
+    canon("http://WWW.news.bbc.co.uk/a") shouldBe "http://news.bbc.co.uk/a"
+    // !www.ck exception: www.ck IS the registrable site — strip would
+    // yield the bare TLD, so the label keeps
+    canon("http://www.ck/x") shouldBe "http://www.ck/x"
+    // www.github.io would strip to the public suffix github.io — keep
+    canon("http://www.github.io/x") shouldBe "http://www.github.io/x"
+    // exception under a wildcard: remainder city.kawasaki.jp is
+    // registrable (!city.kawasaki.jp), so the strip is safe
+    canon("http://www.city.kawasaki.jp/a") shouldBe "http://city.kawasaki.jp/a"
+    // dedupByUrl consequence: www.ck and ck are DIFFERENT pages now
+    import spark.implicits._
+    UrlOps.dedupByUrl(
+        Seq((1L, "http://www.ck/x"), (2L, "http://ck/x")).toDF("id", "url"),
+        "url", "id")
+      .count() shouldBe 2L
+  }
+
   test("capPerDomain: null-domain rows are exempt and spread, not one hot partition") {
     import spark.implicits._
     val good = (1L to 10L).map(i => (i, s"http://cap.example.com/p/$i"))
