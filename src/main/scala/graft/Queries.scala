@@ -474,7 +474,10 @@ object Queries {
     * member on ULP reassociation alone, so a deterministic-given-data
     * oracle here would be a legitimately flaky gate (unlike the md5
     * flavors, whose branch points are all integer/hash-discrete). Recall
-    * vs the exact path is pinned by the ScalaTest suite instead.
+    * vs the exact path is pinned by the ScalaTest suite instead — and
+    * [[q_knn_pq_fixed]] is the discrete twin that DOES carry a full
+    * oracle: same trained codebooks, quantized to int64, every branch
+    * integer.
     */
   def q_knn_pq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -482,6 +485,56 @@ object Queries {
       dim = 64, m = 16, ksub = 32)
     Similarity.pqTopKRerank(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10, cb, shortlist = 50)
+  }
+
+  /** Fixed-point PQ ANN — the md5-convention completion for the float
+    * quartet ([[Similarity.quantizeCodebooks]]/[[Similarity.pqTopKFixed]]):
+    * the trained codebooks quantize to scaled int64 ONCE per sf dir (the
+    * fit-once cache, like the BPE merge table) and embed as literals in
+    * both the plan and the oracle SQL, so subspace argmin encode, the
+    * integer ADC sums and the top-k cut are all discrete — the DuckDB
+    * oracle ([[pqFixedOracle]]) replays the ENTIRE approximate path
+    * hash-identically. q_knn_pq (float ADC + exact cosine re-rank) stays
+    * the serving face with its ScalaTest recall pin; this is its
+    * engine-replayable verification twin.
+    */
+  private val pqFixedCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Long]]]]()
+
+  def q_knn_pq_fixed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qcb = pqFixedCodebooks.computeIfAbsent(d, _ =>
+      Similarity.quantizeCodebooks(
+        Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          dim = 64, m = 16, ksub = 32)))
+    Similarity.pqTopKFixed(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10, qcb)
+  }
+
+  /** Fixed-point IVF-PQ — the discrete twin of the persisted-index probe
+    * ([[Similarity.ivfPqTopKFixed]]): quantized coarse-centroid table +
+    * quantized codebooks (both fit-once per sf dir, both embedded in the
+    * oracle), integer list assignment, nProbe integer-nearest lists,
+    * same-list ADC scoring only. The float q_knn_ivfpq keeps the
+    * partition-pruned serving artifact and its ScalaTest recall pin;
+    * this replays the two-stage branch structure hash-identically in
+    * DuckDB ([[ivfPqFixedSql]]).
+    */
+  private val ivfPqFixedArts = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Long]], Array[Array[Array[Long]]])]()
+
+  def q_knn_ivfpq_fixed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (qcents, qcb) = ivfPqFixedArts.computeIfAbsent(d, _ => {
+      val cents = Similarity.trainCoarseCentroids(emb, "vec_id",
+        "embedding", nCentroids = 16)
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 32)
+      (Similarity.quantizeCodebooks(Array(cents))(0),
+        Similarity.quantizeCodebooks(cb))
+    })
+    Similarity.ivfPqTopKFixed(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10, qcents, qcb, nProbe = 8)
   }
 
   /** Persisted IVF-PQ index probe — the serving-shape ANN path: the index
@@ -2315,7 +2368,7 @@ object Queries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |  FROM dom
         |) WHERE prev < 500""".stripMargin
-  ) ++ bpeOracle
+  ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
     * once per sf dir ([[bpeVocabDirs]], the fit-once cache). `oracles` is
@@ -2333,6 +2386,162 @@ object Queries {
         Map("q_bpe_count" -> bpeCountSql(merges))
       case _ => Map.empty
     }
+  }
+
+  /** q_knn_pq_fixed's oracle is DATA-dependent the same way
+    * [[bpeOracle]]'s is: the quantized codebook is trained once per sf
+    * dir ([[pqFixedCodebooks]]) and `oracles` is dumped AFTER the queries
+    * ran, so with exactly one cached codebook it embeds as a VALUES
+    * table and the whole fixed-point path — floor(v·2²⁰) quantization,
+    * integer subspace-L2 argmin encode (ties → lowest code), integer ADC
+    * pair sums, (dist, cand_id)-ordered top-k — replays in DuckDB
+    * ([[pqFixedSql]]). Zero or several cached codebooks → entry omitted,
+    * rows-only fallback.
+    */
+  private def pqFixedOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val pq = pqFixedCodebooks.values().asScala.toList match {
+      case qcb :: Nil => Map("q_knn_pq_fixed" -> pqFixedSql(qcb))
+      case _ => Map.empty[String, String]
+    }
+    val ivf = ivfPqFixedArts.values().asScala.toList match {
+      case (qcents, qcb) :: Nil =>
+        Map("q_knn_ivfpq_fixed" -> ivfPqFixedSql(qcents, qcb))
+      case _ => Map.empty[String, String]
+    }
+    pq ++ ivf
+  }
+
+  /** Replay of [[Similarity.pqTopKFixed]]: the quantized codebook as a
+    * (j, c, vals) VALUES table, candidate/query vectors quantized with
+    * the same exact floor(v·2^shift), ONE cdist relation carrying every
+    * (vector, subspace, centroid) integer L2 distance — the candidate
+    * argmin (row_number over (d, c)) AND the query ADC LUT both read it —
+    * then the pair distances as a (j, code) equi-join aggregate and the
+    * (dist, cand_id) top-k cut. All integer, no null fine print: both
+    * sides drop vectors whose length ≠ dim, mirroring pqEncodeFixed.
+    */
+  private def pqFixedSql(qcb: Array[Array[Array[Long]]],
+      shift: Int = 20, k: Int = 10): String = {
+    val m = qcb.length
+    val dsub = qcb(0)(0).length
+    val dim = m * dsub
+    val scale = (1L << shift).toDouble
+    val rows = (for {
+      j <- 0 until m
+      c <- qcb(j).indices
+    } yield s"($j,$c,[${qcb(j)(c).mkString(",")}]::BIGINT[])").mkString(",")
+    s"""WITH qcb(j, c, vals) AS (VALUES $rows
+      |), qv AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * $scale) AS BIGINT)) AS q
+      |  FROM embeddings
+      |  WHERE len(embedding) = $dim
+      |), cdist AS (
+      |  SELECT v.vec_id, cb.j, cb.c,
+      |    CAST(list_sum(list_transform(range(0, $dsub),
+      |      i -> (v.q[cb.j * $dsub + i + 1] - cb.vals[i + 1])
+      |         * (v.q[cb.j * $dsub + i + 1] - cb.vals[i + 1]))) AS BIGINT) AS d
+      |  FROM qv v, qcb cb
+      |), codes AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM cdist
+      |  ) WHERE rn = 1
+      |), pair AS (
+      |  SELECT qd.vec_id AS query_id, ck.vec_id AS cand_id,
+      |    CAST(sum(qd.d) AS BIGINT) AS dist
+      |  FROM codes ck
+      |  JOIN cdist qd ON qd.j = ck.j AND qd.c = ck.code
+      |  WHERE qd.vec_id < 5 AND qd.vec_id <> ck.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, cand_id, dist FROM (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist, cand_id) AS rn
+      |  FROM pair
+      |) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Replay of [[Similarity.ivfPqTopKFixed]]: [[pqFixedSql]]'s integer
+    * substrate plus the coarse stage — a quantized centroid VALUES
+    * table, whole-vector integer L2 per (vector, centroid), candidate
+    * list assignment by row_number over (d, centroid id), query probe
+    * lists at rn ≤ nProbe, and the pair join constrained to shared
+    * lists before the ADC aggregate.
+    */
+  private def ivfPqFixedSql(qcents: Array[Array[Long]],
+      qcb: Array[Array[Array[Long]]], shift: Int = 20, nProbe: Int = 8,
+      k: Int = 10): String = {
+    val m = qcb.length
+    val dsub = qcb(0)(0).length
+    val dim = m * dsub
+    val scale = (1L << shift).toDouble
+    val cbRows = (for {
+      j <- 0 until m
+      c <- qcb(j).indices
+    } yield s"($j,$c,[${qcb(j)(c).mkString(",")}]::BIGINT[])").mkString(",")
+    val centRows = qcents.zipWithIndex
+      .map { case (v, c) => s"($c,[${v.mkString(",")}]::BIGINT[])" }
+      .mkString(",")
+    s"""WITH qcb(j, c, vals) AS (VALUES $cbRows
+      |), qcc(cid, vals) AS (VALUES $centRows
+      |), qv AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * $scale) AS BIGINT)) AS q
+      |  FROM embeddings
+      |  WHERE len(embedding) = $dim
+      |), ccdist AS (
+      |  SELECT v.vec_id, cc.cid,
+      |    CAST(list_sum(list_transform(range(0, $dim),
+      |      i -> (v.q[i + 1] - cc.vals[i + 1])
+      |         * (v.q[i + 1] - cc.vals[i + 1]))) AS BIGINT) AS d
+      |  FROM qv v, qcc cc
+      |), assign AS (
+      |  SELECT vec_id, cid AS list FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM ccdist
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id, cid AS list FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM ccdist WHERE vec_id < 5
+      |  ) WHERE rn <= $nProbe
+      |), cdist AS (
+      |  SELECT v.vec_id, cb.j, cb.c,
+      |    CAST(list_sum(list_transform(range(0, $dsub),
+      |      i -> (v.q[cb.j * $dsub + i + 1] - cb.vals[i + 1])
+      |         * (v.q[cb.j * $dsub + i + 1] - cb.vals[i + 1]))) AS BIGINT) AS d
+      |  FROM qv v, qcb cb
+      |), codes AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM cdist
+      |  ) WHERE rn = 1
+      |), pair AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
+      |    CAST(sum(qd.d) AS BIGINT) AS dist
+      |  FROM probes p
+      |  JOIN assign a ON a.list = p.list
+      |  JOIN codes ck ON ck.vec_id = a.vec_id
+      |  JOIN cdist qd ON qd.vec_id = p.vec_id
+      |    AND qd.j = ck.j AND qd.c = ck.code
+      |  WHERE p.vec_id <> a.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, cand_id, dist FROM (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist, cand_id) AS rn
+      |  FROM pair
+      |) WHERE rn <= $k""".stripMargin
   }
 
   /** Replay of the native `bpe_count` kernel (`BpeKernel.segment`): per
@@ -2592,7 +2801,9 @@ object Queries {
     "q_knn" -> (q_knn _),
     "q_knn_lsh" -> (q_knn_lsh _),
     "q_knn_pq" -> (q_knn_pq _),
+    "q_knn_pq_fixed" -> (q_knn_pq_fixed _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
+    "q_knn_ivfpq_fixed" -> (q_knn_ivfpq_fixed _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_random_project" -> (q_random_project _),
     "q_langid_eval" -> (q_langid_eval _),

@@ -1223,6 +1223,199 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- fixed-point product quantization (the oracle-able flavor) -------
+
+  /** Quantize trained float codebooks to scaled int64: floor(x · 2^shift).
+    * Scaling by a power of two is EXACT in IEEE doubles (only the
+    * exponent changes — no mantissa rounding), and floor is unambiguous,
+    * so the quantized codebook and everything downstream of it — subspace
+    * L2 argmin encode, ADC lookup sums, the top-k cut — is integer
+    * arithmetic any engine replays bit-identically. This is the
+    * md5-convention completion for PQ (SURVEY §7.5's float-boundary
+    * rationale stops applying once distances are integers): the trained
+    * codebook is a bounded driver artifact embedded as literals in both
+    * the plan and the oracle SQL, the BPE-merge-table precedent.
+    *
+    * shift = 20 keeps every intermediate far inside int64 for unit-scale
+    * embeddings: |q| ≤ ~2²¹, squared diff ≤ 2⁴⁴, × dsub × m ≤ 2⁵².
+    */
+  def quantizeCodebooks(cb: Array[Array[Array[Double]]],
+      shift: Int = 20): Array[Array[Array[Long]]] = {
+    val scale = (1L << shift).toDouble
+    cb.map(_.map(_.map(x => math.floor(x * scale).toLong)))
+  }
+
+  /** The quantized-vector projection shared by the fixed encode and the
+    * fixed query LUT: floor(vᵢ · 2^shift) as bigint, elementwise.
+    */
+  private def quantizeVec(vec: Column, shift: Int): Column =
+    F.transform(vec.cast("array<double>"),
+      x => F.floor(x * F.lit((1L << shift).toDouble)))
+
+  /** The codebook literal shared by the fixed kernel calls. */
+  private def qcbLit(qcb: Array[Array[Array[Long]]]): Column =
+    F.typedLit(qcb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Fixed-point PQ encode: integer subspace-L2 argmin against a
+    * [[quantizeCodebooks]] table (ties → lowest code id). Rows whose
+    * vector is not exactly `m·dsub` long are DROPPED — malformed vectors
+    * are outside the fixed ANN universe (the [[malformedVectors]] audit
+    * reports them), which keeps every downstream expression null-free
+    * and therefore engine-replayable without null-ordering fine print.
+    * One fused native kernel call per row
+    * ([[graft.functions.PqCodesFixed]] — the composed struct/array_min
+    * formulation of the same integers, kept below as the pinned
+    * equivalence baseline, builds a ~6000-node expression that falls out
+    * of codegen and ships MB of literals per task; measured 20×+ slower
+    * end-to-end). Returns (idCol, codes array<int>); the byte-packed
+    * float face ([[pqEncode]]) stays the compression/serving hot path —
+    * this flavor is its discrete verification twin.
+    */
+  def pqEncodeFixed(df: DataFrame, idCol: String, vecCol: String,
+      qcb: Array[Array[Array[Long]]], shift: Int = 20): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(F.col(idCol),
+        graft.plans.GraftExtensions.callNative("pq_codes_fixed",
+          F.col(vecCol).cast("array<double>"), qcbLit(qcb),
+          F.lit(shift)).as("codes"))
+      .filter(F.col("codes").isNotNull)
+  }
+
+  /** Composed `functions._` formulation of [[pqEncodeFixed]], kept as the
+    * equivalence baseline for the native kernel (PipelineSpec pins them
+    * row-for-row equal — same integers, same tie rule).
+    */
+  private[graft] def pqEncodeFixedComposed(df: DataFrame, idCol: String,
+      vecCol: String, qcb: Array[Array[Array[Long]]],
+      shift: Int = 20): DataFrame = {
+    val m = qcb.length
+    val dsub = qcb(0)(0).length
+    val q = graft.plans.Hygiene.attributeBarrier(
+      quantizeVec(F.col(vecCol), shift)).as("__q")
+    val qc = F.col("__q")
+    val codes = F.array((0 until m).map { j =>
+      val scored = F.array(qcb(j).zipWithIndex.map { case (cv, c) =>
+        val d = (0 until dsub).map { i =>
+          val t = F.get(qc, F.lit(j * dsub + i)) - F.lit(cv(i))
+          t * t
+        }.reduce(_ + _)
+        F.struct(d.as("d"), F.lit(c).as("cid"))
+      }: _*)
+      F.array_min(scored).getField("cid")
+    }: _*)
+    df.select(F.col(idCol), q)
+      .filter(F.size(qc) === m * dsub)
+      .select(F.col(idCol), codes.as("codes"))
+  }
+
+  /** Fixed-point PQ top-k by integer ADC: each query precomputes the
+    * m×ksub table of integer subspace L2 distances to every centroid,
+    * then every (query, candidate) pair scores as m int64 adds — and
+    * because every branch (encode argmin, distance sum, rank cut, ties →
+    * lowest cand_id) is integer-discrete, a DuckDB oracle replays the
+    * ENTIRE approximate path hash-identically. Ranking is ascending ADC
+    * L2 distance (the FAISS IndexPQ metric), output
+    * (query_id, cand_id, dist bigint).
+    *
+    * Same broadcast-queries/stream-candidates shape as [[pqTopK]]; same
+    * malformed-vector drop contract as [[pqEncodeFixed]] on both sides.
+    */
+  def pqTopKFixed(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, qcb: Array[Array[Array[Long]]],
+      shift: Int = 20, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val enc = pqEncodeFixed(candidates, idCol, vecCol, qcb, shift)
+      .select(F.col(idCol).as("cand_id"), F.col("codes"))
+    val q = queries.select(F.col(idCol).as("query_id"),
+        graft.plans.GraftExtensions.callNative("pq_lut_fixed",
+          F.col(vecCol).cast("array<double>"), qcbLit(qcb),
+          F.lit(shift)).as("__lut"))
+      .filter(F.col("__lut").isNotNull)
+    val pairs = enc.crossJoin(F.broadcast(q))
+    val filtered =
+      if (excludeSelf) pairs.filter(F.col("query_id") =!= F.col("cand_id"))
+      else pairs
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("dist").asc, F.col("cand_id").asc)
+    filtered
+      .withColumn("dist", graft.plans.GraftExtensions.callNative(
+        "pq_adc_fixed", F.col("__lut"), F.col("codes")))
+      .withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .select("query_id", "cand_id", "dist")
+  }
+
+  /** The coarse quantizer as a plain vector table in centroid-id order —
+    * [[trainCentroids]] exposed for the fixed-point IVF flavor, whose
+    * quantized centroid table must embed in the oracle SQL.
+    */
+  def trainCoarseCentroids(candidates: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, sampleSeed: Long = 42L,
+      refineIters: Int = 0): Array[Array[Double]] =
+    trainCentroids(candidates, idCol, vecCol, nCentroids, sampleSeed,
+      refineIters).sortBy(_._1).map(_._2)
+
+  /** Fixed-point IVF-PQ top-k — the discrete twin of the
+    * [[buildIvfPqIndex]]/[[probeIvfPqIndex]] serving pair, on the same
+    * integer substrate as [[pqTopKFixed]] so a DuckDB oracle replays the
+    * WHOLE two-stage approximate path: coarse assignment is integer
+    * argmin-L2 against a quantized centroid table (literally
+    * `pq_codes_fixed` with ONE subspace whose "codebook" is the centroid
+    * set — the kernels compose), queries probe their `nProbe`
+    * integer-nearest lists (ties → lowest centroid id), and only
+    * same-list pairs ADC-score — an equi-join on the list id, the IVF
+    * pruning shape, no cartesian. Output (query_id, cand_id, dist
+    * bigint), ascending integer ADC L2, ties → lowest cand_id.
+    */
+  def ivfPqTopKFixed(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      qcents: Array[Array[Long]], qcb: Array[Array[Array[Long]]],
+      nProbe: Int = 4, shift: Int = 20,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val nCent = qcents.length
+    // one-subspace "codebook" whose ksub centroids are the coarse table
+    val centsLit = F.typedLit(Seq(qcents.map(_.toSeq).toSeq))
+    def vec = F.col(vecCol).cast("array<double>")
+    val cand = candidates.select(F.col(idCol).as("cand_id"),
+        graft.plans.GraftExtensions.callNative("pq_codes_fixed",
+          vec, centsLit, F.lit(shift)).as("__assign"),
+        graft.plans.GraftExtensions.callNative("pq_codes_fixed",
+          vec, qcbLit(qcb), F.lit(shift)).as("codes"))
+      .filter(F.col("__assign").isNotNull && F.col("codes").isNotNull)
+      .select(F.col("cand_id"), F.get(F.col("__assign"), F.lit(0)).as("__list"),
+        F.col("codes"))
+    // query side: nProbe integer-nearest lists + the ADC lut, one row per
+    // (query, probed list)
+    val centDists = F.get(graft.plans.GraftExtensions.callNative(
+      "pq_lut_fixed", vec, centsLit, F.lit(shift)), F.lit(0))
+    val scoredLists = F.transform(
+      F.sequence(F.lit(0), F.lit(nCent - 1)),
+      i => F.struct(F.get(centDists, i).as("d"), i.as("cid")))
+    val probes = F.transform(
+      F.slice(F.array_sort(scoredLists), 1, math.min(nProbe, nCent)),
+      s => s.getField("cid"))
+    val q = queries.select(F.col(idCol).as("query_id"),
+        graft.plans.GraftExtensions.callNative("pq_lut_fixed",
+          vec, qcbLit(qcb), F.lit(shift)).as("__lut"),
+        probes.as("__probes"))
+      .filter(F.col("__lut").isNotNull && F.col("__probes").isNotNull)
+      .select(F.col("query_id"), F.col("__lut"),
+        F.explode(F.col("__probes")).as("__list"))
+    val pairs = cand.join(F.broadcast(q), "__list")
+    val filtered =
+      if (excludeSelf) pairs.filter(F.col("query_id") =!= F.col("cand_id"))
+      else pairs
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("dist").asc, F.col("cand_id").asc)
+    filtered
+      .withColumn("dist", graft.plans.GraftExtensions.callNative(
+        "pq_adc_fixed", F.col("__lut"), F.col("codes")))
+      .withColumn("__rank", F.row_number().over(w))
+      .filter(F.col("__rank") <= k)
+      .select("query_id", "cand_id", "dist")
+  }
+
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqCodes, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -158,6 +158,27 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "strip_www(host) takes 1 argument")
         StripWww(args.head)
+      }),
+    (FunctionIdentifier("pq_codes_fixed"),
+      new ExpressionInfo(classOf[PqCodesFixed].getName, "pq_codes_fixed"),
+      { args =>
+        require(args.length == 3,
+          "pq_codes_fixed(vec, qcodebooks, shift) takes 3 arguments")
+        PqCodesFixed(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("pq_lut_fixed"),
+      new ExpressionInfo(classOf[PqLutFixed].getName, "pq_lut_fixed"),
+      { args =>
+        require(args.length == 3,
+          "pq_lut_fixed(vec, qcodebooks, shift) takes 3 arguments")
+        PqLutFixed(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("pq_adc_fixed"),
+      new ExpressionInfo(classOf[PqAdcFixed].getName, "pq_adc_fixed"),
+      { args =>
+        require(args.length == 2,
+          "pq_adc_fixed(lut, codes) takes 2 arguments")
+        PqAdcFixed(args.head, args(1))
       })
   )
 

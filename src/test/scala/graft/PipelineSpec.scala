@@ -940,6 +940,75 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(raw).size.toDouble should be >= exact.size * 0.3
   }
 
+  test("fixed-point PQ: kernel == composed integers; top-k tracks float ADC") {
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    val qcb = Similarity.quantizeCodebooks(cb)
+    // quantization is floor(x·2^20) — exact power-of-two scaling
+    qcb(0)(0)(0) shouldBe math.floor(cb(0)(0)(0) * (1L << 20).toDouble).toLong
+    // native kernel encode == composed struct/array_min formulation
+    val kcodes = Similarity.pqEncodeFixed(emb, "vec_id", "embedding", qcb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    kcodes.size shouldBe 500
+    val ccodes = Similarity.pqEncodeFixedComposed(emb, "vec_id", "embedding",
+        qcb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    ccodes shouldBe kcodes
+    // the int64 quantization at 2^20 is fine enough that fixed codes
+    // almost never disagree with the float argmin (boundary rows only)
+    val fcodes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).map(b => b.toInt & 0xFF))
+      .toMap
+    val agree = kcodes.count { case (id, ks) => fcodes(id) == ks }
+    agree.toDouble should be >= 0.99 * kcodes.size
+    // the discrete top-k is a faithful ADC ranking: ≥85% overlap with
+    // the exact cosine ground truth via shortlist-style containment
+    val queries = emb.filter(F.col("vec_id") < 50)
+    val fixed = Similarity.pqTopKFixed(queries, emb, "vec_id", "embedding",
+        k = 10, qcb)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 10, cb)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixed ADC ranks by L2 distance, float ADC by approx cosine — on
+    // unit-scale embeddings the two orderings agree on most of the set
+    fixed.intersect(raw).size.toDouble should be >= raw.size * 0.6
+    // malformed (wrong-length) vectors drop instead of erroring
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(64)(0.5)), (2L, Array.fill(7)(0.5)))
+      .toDF("vec_id", "embedding")
+    Similarity.pqEncodeFixed(bad, "vec_id", "embedding", qcb)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
+  test("fixed-point IVF-PQ: probing ALL lists == full fixed ADC; partial probe recalls") {
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    val qcb = Similarity.quantizeCodebooks(cb)
+    val cents = Similarity.trainCoarseCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    val qcents = Similarity.quantizeCodebooks(Array(cents))(0)
+    val queries = emb.filter(F.col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // discrete identity: probing every list scores every candidate, so
+    // the result must EQUAL the full fixed ADC scan — same integers,
+    // same ties
+    val all = rows(Similarity.ivfPqTopKFixed(queries, emb, "vec_id",
+      "embedding", k = 10, qcents, qcb, nProbe = 16))
+    val full = rows(Similarity.pqTopKFixed(queries, emb, "vec_id",
+      "embedding", k = 10, qcb))
+    all shouldBe full
+    // partial probe: half the lists still recover most of the full ADC
+    // top-k (the IVF recall/efficiency trade)
+    val half = rows(Similarity.ivfPqTopKFixed(queries, emb, "vec_id",
+      "embedding", k = 10, qcents, qcb, nProbe = 8))
+    half.intersect(full).size.toDouble should be >= full.size * 0.6
+  }
+
   test("nearest_centroids kernel == composed literal scoring, row for row") {
     // centroids from real embedding rows, cids deliberately NOT in index
     // order so tie-breaks/ordering are exercised on the id, not the slot
