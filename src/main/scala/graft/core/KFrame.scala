@@ -46,7 +46,17 @@ final class KFrame private[graft] (
       * (`monotonically_increasing_id` from [[KFrame.wrap]], or deferred
       * aggregate output ids), where the renderer enumerates instead.
       */
-    private[graft] val idsMeaningful: Boolean) {
+    private[graft] val idsMeaningful: Boolean,
+    /** The frame as it stood when `groupby` last recorded [[groups]] —
+      * the strict-parity substrate for the reference's stale-groups quirk
+      * (`Combinator.hs:215-222`): `aggregate(strictGroups = true)` folds
+      * the group membership OF GROUPBY TIME, including rows hidden since
+      * by filter/take/head-family ops, exactly as the reference's stored
+      * group indices do. None until a groupby fires; consulted only by
+      * the strict aggregate overload, so the default path never pays for
+      * it (it is one extra plan reference, no materialization).
+      */
+    private[graft] val groupSnapshot: Option[KFrame] = None) {
 
   import KFrame._
 
@@ -74,9 +84,10 @@ final class KFrame private[graft] (
       ordering: Seq[SortKey] = ordering,
       rowIdAsc: Boolean = rowIdAsc,
       idsArePositions: Boolean = idsArePositions,
-      idsMeaningful: Boolean = idsMeaningful): KFrame =
+      idsMeaningful: Boolean = idsMeaningful,
+      groupSnapshot: Option[KFrame] = groupSnapshot): KFrame =
     new KFrame(ds, groups, pivot, ordering, rowIdAsc, idsArePositions,
-      idsMeaningful)
+      idsMeaningful, groupSnapshot)
 
   /** The frame's total order as Spark sort columns. */
   private[graft] def orderCols: Seq[Column] = {
@@ -215,7 +226,8 @@ final class KFrame private[graft] (
     * (`Spec.lhs:64-65`). Sets groups, clears pivot.
     */
   def groupby(names: String*): KFrame =
-    copyWith(groups = names.filter(ds.columns.contains), pivot = None)
+    copyWith(groups = names.filter(ds.columns.contains), pivot = None,
+      groupSnapshot = Some(this))
 
   /** Collapse to one row per group, keeping the group-key columns plus the
     * aggregated column under its original name; all other columns dropped
@@ -233,10 +245,35 @@ final class KFrame private[graft] (
     * logical sort first bakes the frame order into the ids so values fold
     * in frame order within each group.
     */
-  def aggregate(agg: KAggregator, field: String): KFrame = {
+  def aggregate(agg: KAggregator, field: String): KFrame =
+    aggregate(agg, field, strictGroups = false)
+
+  /** [[aggregate]] with the reference-parity toggle for the stale-groups
+    * quirk (SURVEY §2.9; `Combinator.hs:215-222`): the reference's
+    * `aggregate` folds the STORED group indices regardless of current row
+    * visibility — rows hidden by a filter/take/head between `groupby` and
+    * `aggregate` still contribute to their group. `strictGroups = true`
+    * replays that: the fold runs over the [[groupSnapshot]] recorded at
+    * groupby time under the stored keys (so hidden rows are back in, and
+    * group keys dropped since still partition — both reference
+    * behaviors). The default `false` keeps the sane re-filtered
+    * semantics: only currently-visible rows aggregate. Falls back to the
+    * sane path when no groupby has fired, when groups were consumed, or
+    * when the aggregated field did not exist at groupby time (a rename
+    * in between — the snapshot cannot express it).
+    */
+  def aggregate(agg: KAggregator, field: String,
+      strictGroups: Boolean): KFrame = {
     if (!ds.columns.contains(field))
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
+    if (strictGroups && this.groups.nonEmpty)
+      groupSnapshot.filter(_.ds.columns.contains(field)) match {
+        case Some(snap) =>
+          return snap.copyWith(groups = this.groups)
+            .aggregate(agg, field, strictGroups = false)
+        case None => ()
+      }
     val groups = liveGroups
     val m =
       if (!agg.orderSensitive || idOrderIsFrameOrder) this

@@ -465,6 +465,37 @@ class ParitySpec extends AnyFunSuite with Matchers {
     col(out, "cost") shouldBe Seq(2.0, 1.0)
   }
 
+  /** The strict-parity flag (SURVEY §2.9's recommendation): with
+    * `strictGroups = true`, `aggregate` replays the reference's stored
+    * group indices (`Combinator.hs:215-222`) — rows hidden between
+    * groupby and aggregate still contribute to their group.
+    */
+  test("strictGroups: groupby -> take -> aggregate folds HIDDEN rows like the reference") {
+    val strict = df.groupby("gender").take(3)
+      .aggregate(Agg.count, "cost", strictGroups = true)
+    // stored groups span all 12 rows: 6 F, 6 M — the take(3) is ignored
+    col(strict, "gender") shouldBe Seq("F", "M")
+    col(strict, "cost") shouldBe Seq(6.0, 6.0)
+    // the same sequence under drop (the other keep-groups slicer)
+    val viaDrop = df.groupby("gender").drop(9)
+      .aggregate(Agg.sum, "cost", strictGroups = true)
+    col(viaDrop, "cost") shouldBe
+      col(df.groupby("gender").aggregate(Agg.sum, "cost"), "cost")
+    // filter RESETS groups (Combinator.hs:197, state matrix) — so after a
+    // filter there are no stored groups and strict mode has nothing to
+    // replay: the whole visible frame folds as one group, like sane mode
+    val viaFilter = df.groupby("gender").filterNumber("cost", _ > 400)
+      .aggregate(Agg.count, "cost", strictGroups = true)
+    col(viaFilter, "cost") shouldBe Seq(7.0)
+    // strictGroups without an intervening hide is identical to sane mode
+    col(df.groupby("gender").aggregate(Agg.sum, "cost", strictGroups = true),
+      "cost") shouldBe
+      col(df.groupby("gender").aggregate(Agg.sum, "cost"), "cost")
+    // no stored groups -> strict falls back to the visible-frame fold
+    col(df.take(3).aggregate(Agg.count, "cost", strictGroups = true),
+      "cost") shouldBe Seq(3.0)
+  }
+
   // ---- transform / sortByGroups (reference TODO 7/8, Spec.lhs:118-119) --
 
   test("transform keeps all rows and appends per-group aggregate") {
