@@ -178,6 +178,22 @@ object Queries {
       .select(col("l_returnflag"),
         round(col("F"), 2).as("F"), round(col("O"), 2).as("O"))
 
+  /** Two-column-field dcast (SURVEY §2.5's multi-level mapping): the pivot
+    * key is the `concat_ws("|", returnflag, linestatus)` tuple, so the wide
+    * headers are the flattened column-tree paths ("A|F" … "R|O") and the
+    * oracle enumerates them as static conditional aggregates (all six
+    * combos exist at every driver sf).
+    */
+  def q_cast_pivot2(s: SparkSession, d: String): DataFrame = {
+    val wide = KFrame.wrap(li(s, d))
+      .cast(Seq("l_linenumber"), Seq("l_returnflag", "l_linestatus"),
+        Agg.sum, "l_quantity")
+      .pivotedWide
+    wide.select(col("l_linenumber") +:
+      wide.columns.filter(_ != "l_linenumber").sorted
+        .map(c => round(col(s"`$c`"), 2).as(c)): _*)
+  }
+
   // ---- §2.7 append / zip ----------------------------------------------
 
   def q_append(s: SparkSession, d: String): DataFrame = {
@@ -1689,6 +1705,15 @@ object Queries {
         |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
         |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_cast_pivot2" ->
+      """SELECT l_linenumber,
+        |  round(sum(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN l_quantity END), 2) AS "A|F",
+        |  round(sum(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN l_quantity END), 2) AS "A|O",
+        |  round(sum(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN l_quantity END), 2) AS "N|F",
+        |  round(sum(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN l_quantity END), 2) AS "N|O",
+        |  round(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN l_quantity END), 2) AS "R|F",
+        |  round(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN l_quantity END), 2) AS "R|O"
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
     "q_append" -> "SELECT o_orderkey, o_orderpriority FROM orders",
     "q_zip" -> "SELECT o_orderkey, o_totalprice FROM orders",
     "q_join3" ->
@@ -2777,6 +2802,7 @@ object Queries {
     "q_head_last" -> (q_head_last _),
     "q_melt" -> (q_melt _),
     "q_cast_pivot" -> (q_cast_pivot _),
+    "q_cast_pivot2" -> (q_cast_pivot2 _),
     "q_append" -> (q_append _),
     "q_zip" -> (q_zip _),
     "q_join3" -> (q_join3 _),

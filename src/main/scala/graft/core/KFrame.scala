@@ -474,14 +474,32 @@ final class KFrame private[graft] (
   /** Realize the pivot as a flat wide table via Spark's native
     * `groupBy().pivot().agg(first)` — the scalable path for crosstab-shaped
     * results (the renderer uses driver-side trees only for display).
-    * Requires exactly one column field (multi-level column trees stay in
-    * render-land, as in the reference).
+    *
+    * One column field pivots on the raw value (header = the value itself,
+    * unchanged from before). Multiple column fields pivot on the
+    * `concat_ws(sep, ...)` tuple key (SURVEY §2.5's mapping): headers are
+    * `"v1<sep>v2<sep>..."` in the column-tree field order, splittable back
+    * into the tree with [[KFrame.splitWideHeader]]. Contract on `sep`
+    * (default `"|"`): it must not occur inside any column-field value, or
+    * the split is ambiguous — the wide VALUES are still correct, only the
+    * header decomposition degrades. A NULL in any column field makes
+    * `concat_ws` skip that slot, merging the header with the one-shorter
+    * tuple; pre-filter or `coalesce` nulls when they are live keys. The
+    * pivot's distinct-key scan sorts keys, so column order is
+    * deterministic (lexicographic on the joined string).
     */
-  def pivotedWide: DataFrame = pivot match {
+  def pivotedWide: DataFrame = pivotedWide(KFrame.WideHeaderSep)
+
+  /** [[pivotedWide]] with an explicit tuple-key separator. */
+  def pivotedWide(sep: String): DataFrame = pivot match {
     case Some(PivotSpec(rows, Seq(c), v)) =>
       ds.groupBy(rows.map(F.col): _*).pivot(c).agg(F.first(F.col(v)))
+    case Some(PivotSpec(rows, cols, v)) if cols.nonEmpty =>
+      ds.groupBy(rows.map(F.col): _*)
+        .pivot(F.concat_ws(sep, cols.map(c => F.col(c).cast("string")): _*))
+        .agg(F.first(F.col(v)))
     case Some(p) => throw new KevinException(
-      s"pivotedWide needs exactly one column field, got ${p.colFields}")
+      s"pivotedWide needs at least one column field, got ${p.colFields}")
     case None => throw new KevinException("dataframe is not pivoted")
   }
 
@@ -720,6 +738,20 @@ object KFrame {
   /** Fixed melt output column names (`Combinator.hs:116-117`). */
   val Variable = "variable"
   val Value = "value"
+  /** Default tuple-key separator for multi-column-field [[KFrame.pivotedWide]]
+    * headers.
+    */
+  val WideHeaderSep = "|"
+
+  /** Split a multi-column-field [[KFrame.pivotedWide]] header back into its
+    * column-tree path (one segment per column field, in field order) — the
+    * render-side inverse of the `concat_ws` tuple key. A header with fewer
+    * segments than expected means a NULL column-field value was skipped by
+    * `concat_ws` at pivot time (see [[KFrame.pivotedWide]]).
+    */
+  def splitWideHeader(header: String, sep: String = WideHeaderSep): Seq[String] =
+    header.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+
   /** Hidden scratch columns. */
   private[core] val MeltH = "__melt_h"
   private[core] val ZipL = "__zip_l"

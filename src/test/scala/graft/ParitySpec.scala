@@ -384,6 +384,27 @@ class ParitySpec extends AnyFunSuite with Matchers {
     rows(1).getAs[Double](c2012) shouldBe 8000.0
     rows(1).getAs[Double](c2013) shouldBe 11100.0
   }
+  test("pivotedWide multi column fields = single-field pivot on the concat key") {
+    import org.apache.spark.sql.{functions => F}
+    val wide = df.cast(Seq("gender"), Seq("year", "city"), Agg.sum, "sale")
+      .pivotedWide
+    // ground truth: pre-concat the tuple key and take the (unchanged)
+    // single-field path — identical keys, so identical sorted headers
+    // and identical cells
+    val keyed = df
+      .derive("yc", F.concat_ws(KFrame.WideHeaderSep,
+        F.col("year").cast("string"), F.col("city")))
+      .cast(Seq("gender"), Seq("yc"), Agg.sum, "sale").pivotedWide
+    wide.columns.toSeq shouldBe keyed.columns.toSeq
+    wide.orderBy("gender").collect().toSeq shouldBe
+      keyed.orderBy("gender").collect().toSeq
+    // headers split back into the 2-level column-tree path
+    wide.columns.filter(_ != "gender").foreach { h =>
+      val path = KFrame.splitWideHeader(h)
+      path.length shouldBe 2
+      path.head.toDouble should (be >= 2011.0 and be <= 2013.0)
+    }
+  }
   test("cast overlapping row/col fields -> error (Combinator.hs:271)") {
     intercept[KevinException](df.cast(Seq("city"), Seq("city"), Agg.sum, "sale"))
       .getMessage should include("overlapping")
