@@ -1119,6 +1119,40 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** Fixed-point SemDeDup — the discrete twin that completes the float
+    * quartet's oracle convention ([[Similarity.semDedupFixed]]): the
+    * trained coarse centroids quantize to scaled int64 ONCE per sf dir
+    * (the fit-once cache) and embed as literals in both the plan and the
+    * oracle SQL, so cluster assignment, the cross-multiplied cosine
+    * threshold, the component collapse and the quantized-atypicality keep
+    * rule are all integer-discrete — [[semDedupFixedSql]] replays the
+    * ENTIRE dedup hash-identically in DuckDB (HUGEINT for the 2^92-scale
+    * cross products, recursive CTE for the components). The corpus is the
+    * same planted-twin shape as [[q_semdedup]], but perturbed in DOUBLE
+    * (+1e-4 after an exact float→double widen) — a float32 `+` would ask
+    * the oracle to reproduce single-precision rounding, doubles make the
+    * perturbation arithmetic IEEE-identical in both engines by
+    * construction. q_semdedup/q_semdedup_model stay rows-only with their
+    * ScalaTest pins; this is their engine-replayable verification twin.
+    */
+  private val semDedupFixedCents = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Long]]]()
+
+  def q_semdedup_fixed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4)).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val qcents = semDedupFixedCents.computeIfAbsent(d, _ =>
+      Similarity.quantizeCodebooks(Array(Similarity.trainCoarseCentroids(
+        corpus, "vec_id", "embedding", nCentroids = 8)))(0))
+    Similarity.semDedupFixed(corpus, "vec_id", "embedding", qcents)
+      .select(col("vec_id"))
+  }
+
   /** Hashed-feature DSIR twin of [[q_dsir]] — the bounded-model-state
     * 100 TB shape (2^16 feature buckets), in the md5 bucket flavor so the
     * DuckDB oracle rebuilds the same buckets and replays the weights
@@ -2434,7 +2468,109 @@ object Queries {
         Map("q_knn_ivfpq_fixed" -> ivfPqFixedSql(qcents, qcb))
       case _ => Map.empty[String, String]
     }
-    pq ++ ivf
+    val sem = semDedupFixedCents.values().asScala.toList match {
+      case qcents :: Nil =>
+        Map("q_semdedup_fixed" -> semDedupFixedSql(qcents))
+      case _ => Map.empty[String, String]
+    }
+    pq ++ ivf ++ sem
+  }
+
+  /** Replay of [[Similarity.semDedupFixed]] on [[q_semdedup_fixed]]'s
+    * planted corpus: quantized centroid VALUES table, floor(v·2^shift)
+    * vector quantization, integer L2 argmin assignment (ties → lowest
+    * cid), the cluster-confined pair threshold as a HUGEINT
+    * cross-multiplication (`q²·dot² >= p²·na·nb`, dot > 0), min-label
+    * components as a recursive CTE (the q_dedup_clusters precedent), the
+    * quantized-atypicality keep rank (HUGEINT truncating `//` = the Spark
+    * side's exact remainder-subtraction floor — operands all positive),
+    * and the survivor anti-join. Every branch integer ⇒ hash-identical.
+    */
+  private def semDedupFixedSql(qcents: Array[Array[Long]],
+      thresholdNum: Int = 99, thresholdDen: Int = 100, shift: Int = 20,
+      atypShift: Int = 24): String = {
+    val dim = qcents(0).length
+    val scale = (1L << shift).toDouble
+    val p2 = thresholdNum.toLong * thresholdNum
+    val q2 = thresholdDen.toLong * thresholdDen
+    val atyp = 1L << atypShift
+    val centRows = qcents.zipWithIndex
+      .map { case (v, c) => s"($c,[${v.mkString(",")}]::BIGINT[])" }
+      .mkString(",")
+    s"""WITH RECURSIVE qcc(cid, vals) AS (VALUES $centRows
+      |), corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0001)
+      |  FROM embeddings WHERE vec_id < 20
+      |), qv AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(floor(x * $scale) AS BIGINT)) AS q
+      |  FROM corpus WHERE len(e) = $dim
+      |), ccdist AS (
+      |  SELECT v.vec_id, cc.cid,
+      |    CAST(list_sum(list_transform(range(0, $dim),
+      |      i -> (v.q[i + 1] - cc.vals[i + 1])
+      |         * (v.q[i + 1] - cc.vals[i + 1]))) AS BIGINT) AS d
+      |  FROM qv v, qcc cc
+      |), assign AS (
+      |  SELECT vec_id, cid AS list FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM ccdist
+      |  ) WHERE rn = 1
+      |), feat AS (
+      |  SELECT v.vec_id, a.list, v.q,
+      |    CAST(list_sum(list_transform(v.q, x -> x * x)) AS BIGINT) AS na,
+      |    CAST(list_sum(list_transform(range(0, $dim),
+      |      i -> v.q[i + 1] * cc.vals[i + 1])) AS BIGINT) AS dc,
+      |    CAST(list_sum(list_transform(cc.vals, x -> x * x)) AS BIGINT) AS cb
+      |  FROM qv v
+      |  JOIN assign a ON a.vec_id = v.vec_id
+      |  JOIN qcc cc ON cc.cid = a.list
+      |), pairs0 AS (
+      |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+      |    CAST(list_sum(list_transform(range(0, $dim),
+      |      i -> x.q[i + 1] * y.q[i + 1])) AS BIGINT) AS dot,
+      |    x.na AS na, y.na AS nb
+      |  FROM feat x JOIN feat y
+      |    ON x.list = y.list AND x.vec_id < y.vec_id
+      |), pairs AS (
+      |  SELECT a_id, b_id FROM pairs0
+      |  WHERE dot > 0
+      |    AND CAST(dot AS HUGEINT) * dot * $q2
+      |     >= CAST(na AS HUGEINT) * nb * $p2
+      |), edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pairs
+      |), reach AS (
+      |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+      |), clusters AS (
+      |  SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u
+      |), akey AS (
+      |  SELECT vec_id,
+      |    CASE WHEN na = 0 OR cb = 0 THEN CAST(0 AS HUGEINT)
+      |         WHEN dc >= 0 THEN
+      |           (CAST(dc AS HUGEINT) * dc * $atyp)
+      |             // (CAST(na AS HUGEINT) * cb)
+      |         ELSE
+      |           -((CAST(dc AS HUGEINT) * dc * $atyp)
+      |             // (CAST(na AS HUGEINT) * cb)) END AS ak
+      |  FROM feat
+      |), losers AS (
+      |  SELECT id FROM (
+      |    SELECT c.id,
+      |      row_number() OVER (PARTITION BY c.cluster
+      |        ORDER BY k.ak, c.id) AS rn
+      |    FROM clusters c JOIN akey k ON k.vec_id = c.id
+      |  ) WHERE rn > 1
+      |)
+      |SELECT vec_id FROM corpus
+      |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
   }
 
   /** Replay of [[Similarity.pqTopKFixed]]: the quantized codebook as a
@@ -2868,6 +3004,7 @@ object Queries {
     // round-6: the build-once serving faces + the resampler + the
     // streaming plan's batch face
     "q_semdedup_model" -> (q_semdedup_model _),
+    "q_semdedup_fixed" -> (q_semdedup_fixed _),
     "q_dsir_select" -> (q_dsir_select _),
     "q_nb_stream_batch" -> (q_nb_stream_batch _),
     "q_bpe_count" -> (q_bpe_count _),

@@ -1416,6 +1416,107 @@ object Similarity {
       .select("query_id", "cand_id", "dist")
   }
 
+  /** Integer dot product of two quantized (array<bigint>) vectors.
+    * Elements are bounded by 2^21 for unit-scale embeddings at shift=20,
+    * so each product is <= 2^42 and a 64-dim sum <= 2^48 — far inside
+    * int64, no ANSI overflow.
+    */
+  private def intDot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0L), (s, x) => s + x)
+
+  /** Fixed-point SemDeDup — the discrete twin of [[semDedup]] that closes
+    * the float quartet: with centroids quantized to scaled int64
+    * ([[quantizeCodebooks]] on [[trainCoarseCentroids]]'s output), EVERY
+    * branch of the dedup replays in integer arithmetic, so a DuckDB
+    * oracle can hash-verify the whole path (assignment, pair threshold,
+    * component collapse, keep policy) — which the float face deliberately
+    * cannot ([[Queries.q_semdedup]]'s ULP-boundary note).
+    *
+    * The discrete substrate, per branch:
+    *  - **assignment**: integer L2 argmin against the quantized centroid
+    *    table (the [[graft.functions.PqCodesFixed]] kernel with one
+    *    subspace whose "codebook" is the centroid set, exactly as
+    *    [[ivfPqTopKFixed]]'s coarse stage; ties → lowest cid);
+    *  - **pair threshold**: `cos(a,b) >= p/q` cross-multiplied to
+    *    `q²·dot² >= p²·‖a‖²·‖b‖²` over int64 dots, evaluated in
+    *    Decimal(38,0) — dot² <= 2^92 ≈ 5·10^27 and ×10^4 stays inside 38
+    *    digits, so Spark decimal arithmetic is exact and DuckDB replays
+    *    it in HUGEINT; `dot > 0` required (the threshold is positive);
+    *  - **keep policy**: the paper's most-atypical rule on a QUANTIZED
+    *    cosine: akey = sign(dot_c)·⌊2^24·dot_c²/(‖v‖²·‖c‖²)⌋ (exact
+    *    integer division via remainder subtraction — floor for the
+    *    all-positive operands, = DuckDB's truncating `//`), ascending,
+    *    ties → lowest id;
+    *  - **components**: [[Dedup.nearDupClusters]] min-label propagation,
+    *    already discrete (the q_dedup_clusters recursive-CTE precedent).
+    *
+    * Rows outside the fixed universe (vector length ≠ dim → NULL kernel
+    * assignment) take no pairs and survive unexamined — the same
+    * documented contract as the float face's null-cosine skip. The float
+    * [[semDedup]]/[[semDedupWithCentroids]] pair stays the serving path
+    * (its kernels score un-quantized vectors); this flavor is its
+    * engine-replayable verification twin.
+    */
+  def semDedupFixed(df: DataFrame, idCol: String, vecCol: String,
+      qcents: Array[Array[Long]], thresholdNum: Int = 99,
+      thresholdDen: Int = 100, shift: Int = 20,
+      atypShift: Int = 24): DataFrame = {
+    require(qcents.nonEmpty, "qcents must be non-empty")
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be in (0, 1]: $thresholdNum/$thresholdDen")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val dec = "decimal(38,0)"
+    val centsKernelLit = F.typedLit(Seq(qcents.map(_.toSeq).toSeq))
+    val cents2Lit = F.typedLit(qcents.map(_.toSeq).toSeq)
+    val cn2Lit = F.typedLit(qcents.map(_.map(x => x * x).sum).toSeq)
+    val q = F.col("__q")
+    val assigned = df
+      .select(F.col(idCol).as("id"),
+        quantizeVec(F.col(vecCol), shift).as("__q"),
+        graft.plans.GraftExtensions.callNative("pq_codes_fixed",
+          F.col(vecCol).cast("array<double>"), centsKernelLit,
+          F.lit(shift)).as("__assign"))
+      .filter(F.col("__assign").isNotNull)
+      .select(F.col("id"), q,
+        F.get(F.col("__assign"), F.lit(0)).as("__list"))
+      .withColumn("__na", intDot(q, q))
+      .withColumn("__dc",
+        intDot(q, F.element_at(cents2Lit, F.col("__list") + 1)))
+      .withColumn("__cb", F.element_at(cn2Lit, F.col("__list") + 1))
+      .repartition(F.col("__list")) // one materialization, both join sides
+    // pair stage: cluster-confined, integer threshold
+    val p2 = thresholdNum.toLong * thresholdNum
+    val q2 = thresholdDen.toLong * thresholdDen
+    val dot = intDot(F.col("x.__q"), F.col("y.__q"))
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        F.col("x.__list") === F.col("y.__list") &&
+          F.col("x.id") < F.col("y.id"))
+      .withColumn("__dot", dot)
+      .filter(F.col("__dot") > 0 &&
+        F.col("__dot").cast(dec) * F.col("__dot").cast(dec) *
+          F.lit(q2).cast(dec) >=
+        F.col("x.__na").cast(dec) * F.col("y.__na").cast(dec) *
+          F.lit(p2).cast(dec))
+      .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
+    val groups = Dedup.nearDupClusters(pairs) // (id, cluster), discrete
+    // quantized-atypicality key: exact integer floor-division via
+    // remainder subtraction (operands all >= 0), sign restored after
+    val num = F.col("__dc").cast(dec) * F.col("__dc").cast(dec) *
+      F.lit(1L << atypShift).cast(dec)
+    val den = F.col("__na").cast(dec) * F.col("__cb").cast(dec)
+    val mag = F.when(den === F.lit(0).cast(dec), F.lit(0L))
+      .otherwise(((num - num % den) / den).cast("long"))
+    val akey = F.when(F.col("__dc") < 0, -mag).otherwise(mag)
+    val members = groups.join(
+      assigned.select(F.col("id"), akey.as("__akey")), "id")
+    val keepRank = F.row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(F.col("__akey").asc, F.col("id").asc))
+    val losers = members.withColumn("__r", keepRank)
+      .filter(F.col("__r") > 1).select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: all (a, b) with cosine >= `threshold`,
     * candidates from SRP buckets (no all-pairs). The embedding-cosine
     * sibling of [[Dedup.minhashNearDupPairs]].

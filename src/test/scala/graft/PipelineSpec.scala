@@ -2011,6 +2011,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     auto.size shouldBe 500
   }
 
+  test("semDedupFixed: planted pairs collapse, out-of-universe rows survive, deterministic") {
+    import spark.implicits._
+    val emb2 = emb.select(F.col("vec_id"),
+      F.col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb2.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), x => x + F.lit(1e-4)).as("embedding"))
+    // a wrong-length vector is outside the fixed universe: NULL kernel
+    // assignment, no pairs, survives unexamined (the documented contract)
+    val malformed = Seq((99999L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val corpus = emb2.unionByName(planted).unionByName(malformed)
+    val qcents = Similarity.quantizeCodebooks(Array(
+      Similarity.trainCoarseCentroids(corpus, "vec_id", "embedding",
+        nCentroids = 8)))(0)
+    def run(): Set[Long] =
+      Similarity.semDedupFixed(corpus, "vec_id", "embedding", qcents)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = run()
+    kept.size shouldBe 501 // 500 + the unexamined malformed row
+    kept(99999L) shouldBe true
+    (0L until 20L).foreach { i => kept(i) ^ kept(i + 10000) shouldBe true }
+    run() shouldBe kept // every branch integer-discrete => repeatable
+  }
+
   test("scale smoke: semDedupAuto at >=64 derived clusters on full sf0.1") {
     // VERDICT r9 §5: execute the bucket-math that carries the 100 TB claim
     // at a realistic cluster count instead of the registry's nClusters=8 —
