@@ -1416,12 +1416,21 @@ object Similarity {
       .select("query_id", "cand_id", "dist")
   }
 
-  /** Integer dot product of two quantized (array<bigint>) vectors.
+  /** Integer dot product of two quantized (array<bigint>) vectors — the
+    * fused [[graft.functions.IntDot]] kernel (codegen'd, allocation-free;
+    * the pair stage evaluates one of these per candidate pair).
     * Elements are bounded by 2^21 for unit-scale embeddings at shift=20,
     * so each product is <= 2^42 and a 64-dim sum <= 2^48 — far inside
-    * int64, no ANSI overflow.
+    * int64; out-of-domain inputs throw (multiplyExact), matching the
+    * composed form's ANSI behavior.
     */
   private def intDot(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.callNative("int_dot", a, b)
+
+  /** Composed `functions._` formulation of [[intDot]], kept as the pinned
+    * equivalence baseline for the kernel (PipelineSpec).
+    */
+  private[graft] def intDotComposed(a: Column, b: Column): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => x * y), F.lit(0L), (s, x) => s + x)
 
   /** Fixed-point SemDeDup — the discrete twin of [[semDedup]] that closes

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, IntDot, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -172,6 +172,12 @@ object GraftExtensions {
         require(args.length == 3,
           "pq_lut_fixed(vec, qcodebooks, shift) takes 3 arguments")
         PqLutFixed(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      { args =>
+        require(args.length == 2, "int_dot(a, b) takes 2 arguments")
+        IntDot(args.head, args(1))
       }),
     (FunctionIdentifier("pq_adc_fixed"),
       new ExpressionInfo(classOf[PqAdcFixed].getName, "pq_adc_fixed"),

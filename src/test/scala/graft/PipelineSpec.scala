@@ -2035,6 +2035,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run() shouldBe kept // every branch integer-discrete => repeatable
   }
 
+  test("int_dot kernel == composed zip_with/aggregate form (incl. edges)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val q = F.transform(F.col("embedding").cast("array<double>"),
+      x => F.floor(x * F.lit(1048576.0)))
+    val pairs = emb.select(F.col("vec_id").as("a"), q.as("qa")).crossJoin(
+      emb.select(F.col("vec_id").as("b"), q.as("qb")).limit(5))
+    val both = pairs.select(
+      graft.plans.GraftExtensions.callNative("int_dot",
+        F.col("qa"), F.col("qb")).as("k"),
+      Similarity.intDotComposed(F.col("qa"), F.col("qb")).as("c"))
+    both.filter(F.col("k") =!= F.col("c") ||
+      (F.col("k").isNull !== F.col("c").isNull)).count() shouldBe 0L
+    // length mismatch and null element -> null, both forms
+    val edge = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L))
+    ).toDF("a", "b").select(
+      graft.plans.GraftExtensions.callNative("int_dot",
+        F.col("a"), F.col("b")).as("k"))
+    edge.collect().foreach(_.isNullAt(0) shouldBe true)
+  }
+
   test("scale smoke: semDedupAuto at >=64 derived clusters on full sf0.1") {
     // VERDICT r9 §5: execute the bucket-math that carries the 100 TB claim
     // at a realistic cluster count instead of the registry's nClusters=8 —
