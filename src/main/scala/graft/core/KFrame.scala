@@ -490,6 +490,42 @@ final class KFrame private[graft] (
     */
   def pivotedWide: DataFrame = pivotedWide(KFrame.WideHeaderSep)
 
+  /** [[pivotedWide]] with EXPLICIT pivot keys — the scale path. Without
+    * them, Spark's `pivot` runs a distinct+sort+collect job over the whole
+    * frame just to learn the output columns: one extra full pass at
+    * 100 TB, and an output schema that silently changes with the data.
+    * Passing the keys (one Seq per wide column: a 1-element path for a
+    * single column field, an N-element path for N) skips the scan and
+    * freezes the schema — keys absent from the data become all-null
+    * columns, keys present but unlisted are dropped. Wide columns come
+    * out in the GIVEN order. Multi-field paths are matched against the
+    * same `concat_ws` tuple key as the auto variant (elements joined by
+    * `sep` via `toString`; a null path element cannot be expressed — the
+    * tuple key skips null slots, see [[pivotedWide]]).
+    */
+  def pivotedWide(values: Seq[Seq[Any]]): DataFrame =
+    pivotedWide(values, KFrame.WideHeaderSep)
+
+  /** [[pivotedWide]] with explicit pivot keys and tuple-key separator. */
+  def pivotedWide(values: Seq[Seq[Any]], sep: String): DataFrame = pivot match {
+    case Some(PivotSpec(rows, Seq(c), v)) =>
+      values.find(_.length != 1).foreach(p => throw new KevinException(
+        s"pivot key path $p must have exactly 1 element for column field $c"))
+      ds.groupBy(rows.map(F.col): _*).pivot(c, values.map(_.head))
+        .agg(F.first(F.col(v)))
+    case Some(PivotSpec(rows, cols, v)) if cols.nonEmpty =>
+      values.find(_.length != cols.length).foreach(p =>
+        throw new KevinException(s"pivot key path $p must have " +
+          s"${cols.length} elements for column fields $cols"))
+      ds.groupBy(rows.map(F.col): _*)
+        .pivot(F.concat_ws(sep, cols.map(c => F.col(c).cast("string")): _*),
+          values.map(_.mkString(sep)))
+        .agg(F.first(F.col(v)))
+    case Some(p) => throw new KevinException(
+      s"pivotedWide needs at least one column field, got ${p.colFields}")
+    case None => throw new KevinException("dataframe is not pivoted")
+  }
+
   /** [[pivotedWide]] with an explicit tuple-key separator. */
   def pivotedWide(sep: String): DataFrame = pivot match {
     case Some(PivotSpec(rows, Seq(c), v)) =>

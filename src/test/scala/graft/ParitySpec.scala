@@ -405,6 +405,30 @@ class ParitySpec extends AnyFunSuite with Matchers {
       path.head.toDouble should (be >= 2011.0 and be <= 2013.0)
     }
   }
+  test("pivotedWide explicit keys: no distinct scan, frozen schema, given order") {
+    val c = df.cast(Seq("gender"), Seq("year", "city"), Agg.sum, "sale")
+    val auto = c.pivotedWide
+    // two real paths (listed in reversed order) + one absent path
+    val real = auto.columns.filter(_ != "gender").take(2)
+      .map(KFrame.splitWideHeader(_))
+    val wide = c.pivotedWide(
+      Seq(real(1), real(0), Seq("1999.0", "atlantis")))
+    wide.columns.toSeq shouldBe Seq("gender",
+      real(1).mkString("|"), real(0).mkString("|"), "1999.0|atlantis")
+    // listed-and-present columns carry the same cells as the auto variant
+    val byG = wide.orderBy("gender").collect()
+    val autoByG = auto.orderBy("gender").collect()
+    real.map(_.mkString("|")).foreach { h =>
+      byG.map(_.getAs[Any](h)).toSeq shouldBe
+        autoByG.map(_.getAs[Any](h)).toSeq
+    }
+    // the absent path is an all-null column, not an error
+    byG.foreach(r =>
+      r.isNullAt(r.fieldIndex("1999.0|atlantis")) shouldBe true)
+    // wrong-arity path -> error
+    intercept[KevinException](c.pivotedWide(Seq(Seq("2011.0"))))
+      .getMessage should include("must have 2 elements")
+  }
   test("cast overlapping row/col fields -> error (Combinator.hs:271)") {
     intercept[KevinException](df.cast(Seq("city"), Seq("city"), Agg.sum, "sale"))
       .getMessage should include("overlapping")
