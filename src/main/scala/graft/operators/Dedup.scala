@@ -283,6 +283,11 @@ object Dedup {
       // pointer jump: the current label's own label
       val viaLabel = labels.select(F.col("id").as("cluster"),
         F.col("cluster").as("__hop"))
+      // the convergence flag rides INSIDE the checkpointed frame (new
+      // label vs the old one it was derived from), so the exact fixpoint
+      // probe is a filter over already-materialized blocks — not a third
+      // equi-join re-shuffling both label frames per round, which was a
+      // measurable fixed cost across every cluster-collapsing operator
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .join(viaLabel, Seq("cluster"), "left")
@@ -290,14 +295,12 @@ object Dedup {
           F.least(F.col("cluster"),
             F.coalesce(F.col("__nbr"), F.col("cluster")),
             F.coalesce(F.col("__hop"), F.col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          F.col("cluster").as("__prev"))
         .localCheckpoint()
       // exact fixpoint: did ANY label change? (labels only decrease)
-      converged = next.join(
-          labels.select(F.col("id"), F.col("cluster").as("__prev")), "id")
-        .filter(F.col("cluster") =!= F.col("__prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(F.col("cluster") =!= F.col("__prev")).isEmpty
+      labels = next.select(F.col("id"), F.col("cluster"))
       i += 1
     }
     if (!converged)
