@@ -2035,6 +2035,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run() shouldBe kept // every branch integer-discrete => repeatable
   }
 
+  test("semDedupFixed is idempotent under fixed centroids") {
+    // survivors of one pass have no qualifying pair left inside any cell
+    // (such a pair would have been one component with one keeper), so a
+    // second pass under the SAME quantized centroids must be identity —
+    // the recurring-curation-cadence contract
+    val emb2 = emb.select(F.col("vec_id"),
+      F.col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb2.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.transform(F.col("embedding"), x => x + F.lit(1e-4)).as("embedding"))
+    val corpus = emb2.unionByName(planted)
+    val qcents = Similarity.quantizeCodebooks(Array(
+      Similarity.trainCoarseCentroids(corpus, "vec_id", "embedding",
+        nCentroids = 8)))(0)
+    val once = Similarity.semDedupFixed(corpus, "vec_id", "embedding", qcents)
+    val twice = Similarity.semDedupFixed(once, "vec_id", "embedding", qcents)
+    val a = once.select("vec_id").collect().map(_.getLong(0)).toSet
+    val b = twice.select("vec_id").collect().map(_.getLong(0)).toSet
+    b shouldBe a
+    a.size shouldBe 500
+  }
+
   test("int_dot kernel == composed zip_with/aggregate form (incl. edges)") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
