@@ -7,8 +7,10 @@ import java.nio.file.{Files, Paths}
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line to stdout:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query runs twice and the SECOND (warm) time is reported, so the
-  * gate measures the query plan, not JVM/session bring-up. A failing query
+  * Each query runs three times (one cold + two warm) and the MIN of the
+  * two warm reps is reported, so the gate measures the query plan — not
+  * JVM/session bring-up, and not a single warm sample's GC/scheduler
+  * noise (see BENCH_HISTORY's round-10 methodology note). A failing query
   * contributes `-1` (never a fake success time). The line is also written
   * to `bench_out.json` as a belt-and-braces channel in case stdout is
   * wrapped by a build tool.

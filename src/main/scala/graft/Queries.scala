@@ -544,10 +544,14 @@ object Queries {
     val (qcents, qcb) = ivfPqFixedArts.computeIfAbsent(d, _ => {
       val cents = Similarity.trainCoarseCentroids(emb, "vec_id",
         "embedding", nCentroids = 16)
-      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-        dim = 64, m = 16, ksub = 32)
-      (Similarity.quantizeCodebooks(Array(cents))(0),
-        Similarity.quantizeCodebooks(cb))
+      // the PQ codebooks are the SAME fit as q_knn_pq_fixed's (same
+      // data/params/seed, deterministic) — share its fit-once cache
+      // instead of re-running the sample + k-means per JVM
+      val qcb = pqFixedCodebooks.computeIfAbsent(d, _ =>
+        Similarity.quantizeCodebooks(
+          Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+            dim = 64, m = 16, ksub = 32)))
+      (Similarity.quantizeCodebooks(Array(cents))(0), qcb)
     })
     Similarity.ivfPqTopKFixed(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10, qcents, qcb, nProbe = 8)

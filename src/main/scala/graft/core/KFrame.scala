@@ -259,8 +259,11 @@ final class KFrame private[graft] (
     * behaviors). The default `false` keeps the sane re-filtered
     * semantics: only currently-visible rows aggregate. Falls back to the
     * sane path when no groupby has fired, when groups were consumed, or
-    * when the aggregated field did not exist at groupby time (a rename
-    * in between — the snapshot cannot express it).
+    * when the aggregated field OR any current group-key name did not
+    * exist at groupby time (a rename in between — the snapshot cannot
+    * express either; without the group-key check, a renamed key would
+    * silently vanish from the snapshot's liveGroups and collapse the
+    * strict fold to ONE global group).
     */
   def aggregate(agg: KAggregator, field: String,
       strictGroups: Boolean): KFrame = {
@@ -268,7 +271,8 @@ final class KFrame private[graft] (
       throw new KevinException(s"no such field: $field")
     requireFieldType(field, agg.numeric, err = "invalid type")
     if (strictGroups && this.groups.nonEmpty)
-      groupSnapshot.filter(_.ds.columns.contains(field)) match {
+      groupSnapshot.filter(snap => snap.ds.columns.contains(field) &&
+          this.groups.forall(snap.ds.columns.contains)) match {
         case Some(snap) =>
           return snap.copyWith(groups = this.groups)
             .aggregate(agg, field, strictGroups = false)
@@ -479,10 +483,14 @@ final class KFrame private[graft] (
     * unchanged from before). Multiple column fields pivot on the
     * `concat_ws(sep, ...)` tuple key (SURVEY §2.5's mapping): headers are
     * `"v1<sep>v2<sep>..."` in the column-tree field order, splittable back
-    * into the tree with [[KFrame.splitWideHeader]]. Contract on `sep`
-    * (default `"|"`): it must not occur inside any column-field value, or
-    * the split is ambiguous — the wide VALUES are still correct, only the
-    * header decomposition degrades. A NULL in any column field makes
+    * into the tree with [[KFrame.splitWideHeader]]. HARD contract on `sep`
+    * (default `"|"`): it must not occur inside any column-field value.
+    * A collision is not merely a header-split ambiguity — two distinct
+    * tuples like `("a|b","c")` and `("a","b|c")` concat to the SAME pivot
+    * key, so `first()` keeps one of their pre-aggregated cells and drops
+    * the other (silent data loss). Pick a `sep` outside the values'
+    * alphabet (e.g. `" "`) when values may contain the default.
+    * A NULL in any column field makes
     * `concat_ws` skip that slot, merging the header with the one-shorter
     * tuple; pre-filter or `coalesce` nulls when they are live keys. The
     * pivot's distinct-key scan sorts keys, so column order is

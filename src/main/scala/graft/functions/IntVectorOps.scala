@@ -21,11 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Overflow semantics: `Math.multiplyExact`/`addExact`, so an
   * out-of-domain input THROWS exactly like the composed form does under
-  * ANSI mode (both are JIT intrinsics — no measurable cost). In-domain
-  * inputs (quantized unit-scale vectors at shift ≤ 20: elements ≤ ~2²¹,
-  * 64-dim dots ≤ ~2⁴⁸) never approach the boundary, which also makes the
-  * internal `Long.MinValue` invalid-sentinel unreachable as a true
-  * result.
+  * ANSI mode (both are JIT intrinsics — no measurable cost). The kernel
+  * signals invalid input (length mismatch, null element) through a boxed
+  * null rather than a long sentinel: a sentinel value would shadow its
+  * own legitimate dot result (e.g. `[2^31]·[-2^32]` = Long.MinValue
+  * exactly, representable without overflow) and break kernel==composed
+  * parity on that input. One boxed Long per evaluation — noise next to
+  * the array allocation the composed form pays.
   *
   * Registered for SQL as `int_dot(a, b)` by
   * [[graft.plans.GraftExtensions]].
@@ -45,21 +47,19 @@ case class IntDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "int_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val r = IntVectorKernel.dot(
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntVectorKernel.dot(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (r == IntVectorKernel.Invalid) null else r
-  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("intDotRes")
       s"""
-         |long $r = graft.functions.IntVectorKernel.dot($a, $b);
-         |if ($r == ${IntVectorKernel.Invalid}L) {
+         |java.lang.Long $r = graft.functions.IntVectorKernel.dot($a, $b);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $r;
+         |  ${ev.value} = $r.longValue();
          |}
        """.stripMargin
     })
@@ -69,24 +69,23 @@ case class IntDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Row kernel shared by the interpreted and codegen'd paths.
-  * `Invalid` (= Long.MinValue) is the null sentinel — unreachable as a
-  * genuine result for in-domain inputs (see [[IntDot]]); out-of-domain
-  * arithmetic throws before it could be produced.
+/** Row kernel shared by the interpreted and codegen'd paths. Boxed null
+  * signals invalid input (length mismatch, null element) — every long is
+  * a legitimate dot result, so no in-band sentinel exists (see
+  * [[IntDot]]).
   */
 object IntVectorKernel {
-  val Invalid: Long = Long.MinValue
 
-  def dot(a: ArrayData, b: ArrayData): Long = {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
-    if (n != b.numElements()) return Invalid
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return Invalid
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }

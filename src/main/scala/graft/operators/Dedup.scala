@@ -156,7 +156,8 @@ object Dedup {
 
     // Fused native signature kernel over the hash-array attribute (the
     // kernel masks to the 32-bit domain internally; an empty hash array
-    // yields the neutral all-MaxValue signature, never banded).
+    // yields a NULL signature — the size>0 band guard below is therefore
+    // load-bearing for null-sig rows, not just a banding skip).
     val sig = sh.select(F.col("id"), F.col("sh"),
       minhashSignature(F.col("sh"), numHashes, seed).as("sig"))
 

@@ -1386,18 +1386,24 @@ object Similarity {
       .select(F.col("cand_id"), F.get(F.col("__assign"), F.lit(0)).as("__list"),
         F.col("codes"))
     // query side: nProbe integer-nearest lists + the ADC lut, one row per
-    // (query, probed list)
+    // (query, probed list). The coarse-distance kernel call materializes
+    // as an ATTRIBUTE before the probe lambdas read it — a HOF lambda
+    // re-evaluates any embedded subtree once per element (SPARK-35410,
+    // the Hygiene pattern), which would re-run the O(nCent·dim) kernel
+    // nCent times per query row
     val centDists = F.get(graft.plans.GraftExtensions.callNative(
       "pq_lut_fixed", vec, centsLit, F.lit(shift)), F.lit(0))
+    val q0 = queries.select(F.col(idCol).as("query_id"),
+        graft.plans.GraftExtensions.callNative("pq_lut_fixed",
+          vec, qcbLit(qcb), F.lit(shift)).as("__lut"),
+        graft.plans.Hygiene.attributeBarrier(centDists).as("__cd"))
     val scoredLists = F.transform(
       F.sequence(F.lit(0), F.lit(nCent - 1)),
-      i => F.struct(F.get(centDists, i).as("d"), i.as("cid")))
+      i => F.struct(F.get(F.col("__cd"), i).as("d"), i.as("cid")))
     val probes = F.transform(
       F.slice(F.array_sort(scoredLists), 1, math.min(nProbe, nCent)),
       s => s.getField("cid"))
-    val q = queries.select(F.col(idCol).as("query_id"),
-        graft.plans.GraftExtensions.callNative("pq_lut_fixed",
-          vec, qcbLit(qcb), F.lit(shift)).as("__lut"),
+    val q = q0.select(F.col("query_id"), F.col("__lut"),
         probes.as("__probes"))
       .filter(F.col("__lut").isNotNull && F.col("__probes").isNotNull)
       .select(F.col("query_id"), F.col("__lut"),

@@ -541,6 +541,19 @@ class ParitySpec extends AnyFunSuite with Matchers {
       "cost") shouldBe Seq(3.0)
   }
 
+  test("strictGroups: renamed group key falls back to sane per-key groups") {
+    // the snapshot stores pre-rename columns, so it cannot express the
+    // renamed key; strict must fall back to the sane visible-rows path,
+    // still partitioned per (renamed) key — NOT collapse to one global
+    // group because liveGroups-on-snapshot dropped the unknown name
+    val g = df.groupby("gender").rename("gender", "g").drop(3)
+    val strict = g.aggregate(Agg.count, "cost", strictGroups = true)
+    val sane = g.aggregate(Agg.count, "cost")
+    col(strict, "g") shouldBe col(sane, "g")
+    col(strict, "cost") shouldBe col(sane, "cost")
+    strict.height should be > 1L // per-key groups survived
+  }
+
   // ---- transform / sortByGroups (reference TODO 7/8, Spec.lhs:118-119) --
 
   test("transform keeps all rows and appends per-group aggregate") {
