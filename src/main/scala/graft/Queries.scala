@@ -1367,7 +1367,7 @@ object Queries {
       |  SELECT doc_id, text, url,
       |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
       |    lower(nullif(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)', 1), '\\.$$', ''), '')) AS host,
-      |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)', 1), '') AS INTEGER) AS port,
+      |    TRY_CAST(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)(?:[/?#]|$$)', 1), '') AS INTEGER) AS port,
       |    nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
       |    nullif(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '') AS query
       |  FROM u

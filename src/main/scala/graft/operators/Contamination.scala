@@ -107,9 +107,16 @@ object Contamination {
       minHits: Long = 1L, fpp: Double = 1e-6): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val bloom = benchBloom(bench, benchTextCol, n, fpp)
+    // coalesce(hits, 0): a null text yields a NULL shingle array through
+    // the kernel expression, so a bare `NULL < minHits` filter would
+    // silently DROP every failed-extraction doc — the exact path keeps
+    // them (its explode emits zero shingle rows), and the documented
+    // contract is over-dropping at the fpp rate only
     docs.filter(
-      graft.plans.GraftExtensions.callNative("bloom_count",
-        Dedup.hashedShingles(F.col(textCol), n), F.lit(bloom)) < minHits)
+      F.coalesce(
+        graft.plans.GraftExtensions.callNative("bloom_count",
+          Dedup.hashedShingles(F.col(textCol), n), F.lit(bloom)),
+        F.lit(0L)) < minHits)
   }
 
   /** Persist a [[benchBloom]] artifact (build once per benchmark-suite
@@ -139,10 +146,13 @@ object Contamination {
     val row = spark.read.parquet(path).head()
     require(row.getAs[String]("kind") == "shingle-bloom",
       s"$path is not a shingle-bloom artifact (kind=${row.getAs[String]("kind")})")
+    // same null-text keep contract as decontaminateBloom
     docs.filter(
-      graft.plans.GraftExtensions.callNative("bloom_count",
-        Dedup.hashedShingles(F.col(textCol), row.getAs[Int]("n")),
-        F.lit(row.getAs[Array[Byte]]("bloom"))) < minHits)
+      F.coalesce(
+        graft.plans.GraftExtensions.callNative("bloom_count",
+          Dedup.hashedShingles(F.col(textCol), row.getAs[Int]("n")),
+          F.lit(row.getAs[Array[Byte]]("bloom"))),
+        F.lit(0L)) < minHits)
   }
 
   /** Word n-gram shingle STRINGS (distinct, space-joined) of a text

@@ -16,6 +16,15 @@ object Sampling {
   /** The shared selection hash: uniform in [0, 2^31) per (key, salt).
     * Both samplers compare this ONE definition against their thresholds,
     * so they can never drift apart.
+    *
+    * NULL keys: xxhash64 skips null children, so every null-key row
+    * hashes to the SAME per-salt constant — they form one pseudo-stratum
+    * that any fraction keeps or drops ALL-or-nothing (and in
+    * mixture/temperatureMixture contributes all-or-none of a source's
+    * null-key rows, skewing realized weights). This is the only
+    * deterministic contract available (a per-row unique hash would make
+    * sampling non-reproducible); corpora with null sampling keys should
+    * filter or key-coalesce them upstream.
     */
   private def hashBucket(keyCol: String, salt: Long) =
     F.pmod(F.xxhash64(F.col(keyCol), F.lit(salt)), F.lit(Int.MaxValue.toLong))

@@ -234,10 +234,9 @@ object Streams {
     */
   def extractProps(events: DataFrame, propsCol: String,
       schemaDdl: String): DataFrame = {
-    val parsed = F.from_json(F.col(propsCol),
-      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    val fields = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-      .fieldNames.toSeq
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val parsed = F.from_json(F.col(propsCol), schema)
+    val fields = schema.fieldNames.toSeq
     events.withColumn("__p", parsed)
       .select(F.col("*") +: fields.map(f => F.col(s"__p.$f").as(f)): _*)
       .drop("__p")

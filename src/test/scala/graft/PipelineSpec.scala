@@ -375,6 +375,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     plan should include("bloom_count")
   }
 
+  test("bloom decontamination keeps null-text docs like the exact path") {
+    import spark.implicits._
+    import graft.operators.Contamination
+    // regression: NULL text -> NULL shingle array -> NULL bloom hits, and
+    // a bare `NULL < minHits` silently dropped every failed-extraction
+    // doc; the exact path keeps them (explode emits zero shingle rows)
+    val bench = docs.limit(3).select(F.col("text").as("btext"))
+    val corpus = docs.limit(20).select(F.col("doc_id"), F.col("text"))
+      .unionByName(Seq((99999L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val keptExact = Contamination.decontaminate(corpus, "doc_id", "text",
+      bench, "btext").select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBloom = Contamination.decontaminateBloom(corpus, "doc_id",
+      "text", bench, "btext").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    keptExact should contain(99999L)
+    keptBloom should contain(99999L)
+    // artifact face: same contract
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom-null").toString + "/bloom"
+    Contamination.saveBenchBloom(bench, "btext", dir)
+    Contamination.decontaminateFromArtifact(corpus, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet should
+      contain(99999L)
+  }
+
   test("md5 bloom flavor: no false negatives vs exact, deterministic") {
     import graft.operators.Contamination
     val bench = docs.filter(F.col("doc_id") % 50 === 0)
