@@ -31,16 +31,28 @@ object Dedup {
     */
   def normalizedHash(text: Column): Column = TextAnalysis.fingerprint(text)
 
-  /** Keep the first row (lowest `keyCol`) of every exact-duplicate class of
-    * `textCol`. One shuffle on the 32-byte hash; no text comparison, no
-    * driver-side state.
+  /** Keep the first row (lowest `keyCol`, which must uniquely identify
+    * rows) of every exact-duplicate class of `textCol`.
+    *
+    * SCALE SHAPE: losers are computed over a (hash, key) PROJECTION —
+    * the window exchange carries 32 bytes + the key per row, never the
+    * documents — and survivors are recovered with a left-anti join on
+    * the key. The loser side is only the duplicate rows (small in real
+    * corpora), so AQE broadcasts the anti join and the text column never
+    * leaves its scan partitions. The former formulation windowed the
+    * FULL frame directly: WindowExec materializes whole rows on the
+    * reducer, so every document body crossed the exchange — a
+    * corpus-sized text shuffle at 100 TB, contradicting this very
+    * contract.
     */
   def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val w = Window.partitionBy(contentHash(F.col(textCol)))
-      .orderBy(F.col(keyCol).asc)
-    df.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") === 1)
-      .drop("__rn")
+    val w = Window.partitionBy(F.col("__h")).orderBy(F.col(keyCol).asc)
+    val losers = df.select(contentHash(F.col(textCol)).as("__h"),
+        F.col(keyCol))
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") > 1)
+      .select(F.col(keyCol))
+    df.join(losers, Seq(keyCol), "left_anti")
   }
 
   // ---- MinHash + LSH near-dup --------------------------------------------
@@ -117,13 +129,24 @@ object Dedup {
       .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
       .distinct()
 
+    verifyPairs(candidates, sh, sh, threshold)
+  }
+
+  /** Shared candidate-verification tail: join each (a_id, b_id) candidate
+    * to both sides' shingle sets, compute the exact Jaccard, keep pairs
+    * at or above `threshold`. ONE definition for the self-join,
+    * cross-corpus and persisted-index faces, so the boundary semantics
+    * (>=, null handling) cannot drift between them. Inputs carry
+    * (id, sh) columns.
+    */
+  private def verifyPairs(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .join(shA.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(shB.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
       .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
       .filter(F.col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
-  }
 
   /** Shared MinHash plumbing: the repartition(id)-materialized shingle
     * table and its (id, band, band-hash) explosion.
@@ -203,12 +226,7 @@ object Dedup {
         F.col("x.bh") === F.col("y.bh"))
       .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
       .distinct()
-    candidates
-      .join(shA.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(shB.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
-      .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifyPairs(candidates, shA, shB, threshold)
   }
 
   /** Keep only the `df` docs with NO near-dup in `ref` (anti-join against
@@ -350,11 +368,17 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     // register into the session that OWNS this frame (the Column-builder
     // fallback uses SparkSession.active, wrong in multi-session apps)
     graft.plans.GraftExtensions.register(df.sparkSession)
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // JVM long shifts count mod 64: at maxHamming=0 the band IS the whole
+    // sketch and (1L << 64) - 1 would be 0 — every doc one bucket, the
+    // all-pairs join this operator exists to avoid
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     // repartition(id) materialization point: both self-join sides reuse one
     // exchange instead of re-scanning + re-sketching (see minhash above).
     val sk = df.select(F.col(idCol).as("id"), simhash(F.col(textCol)).as("sk"))
@@ -363,7 +387,7 @@ object Dedup {
       F.explode(F.array((0 until nBands).map { b =>
         F.struct(F.lit(b).as("band"),
           F.shiftrightunsigned(F.col("sk"), b * width)
-            .bitwiseAND(F.lit((1L << width) - 1)).as("bh"))
+            .bitwiseAND(F.lit(mask)).as("bh"))
       }: _*)).as("bk"))
       .select(F.col("id"), F.col("sk"), F.col("bk.band").as("band"), F.col("bk.bh").as("bh"))
     banded.as("x").join(banded.as("y"),
@@ -690,14 +714,7 @@ object Dedup {
         F.col("x.bh") === F.col("y.bh"))
       .select(F.col("x.id").as("a_id"), F.col("y.id").as("b_id"))
       .distinct()
-    candidates
-      .join(shNew.withColumnRenamed("id", "a_id")
-        .withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(idxSh.withColumnRenamed("id", "b_id")
-        .withColumnRenamed("sh", "b_sh"), "b_id")
-      .withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifyPairs(candidates, shNew, idxSh, threshold)
   }
 
   /** Keep only the new-batch docs with NO near-dup in the indexed corpus
@@ -768,10 +785,15 @@ object Dedup {
     */
   def corpusBandBloom(corpus: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L, fpp: Double = 1e-4): Array[Byte] = {
+      seed: Long = 42L, fpp: Double = 1e-4,
+      expectedDocs: Long = -1L): Array[Byte] = {
     import graft.functions.BloomKernel
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val nDocs = corpus.count()
+    // sizing needs a doc count; counting here re-evaluates the corpus's
+    // whole lineage once before the build scan — callers that know the
+    // size (artifact builds, metered ingests) pass `expectedDocs` and
+    // skip that pass entirely
+    val nDocs = if (expectedDocs > 0) expectedDocs else corpus.count()
     require(nDocs > 0, "corpusBandBloom: empty corpus")
     val expected = math.max(64L, nDocs * bands)
     val keys = corpus
@@ -929,6 +951,15 @@ object Dedup {
           Contamination.md5Position(F.col("__k"), j, mBits)): _*))
           .as("__p"))
         .distinct().collect().map(_.getLong(0))
+      // saturation guard: this flavor's bit count is a caller parameter
+      // (it must embed verbatim in the oracle SQL), so an undersized
+      // mBits on a big corpus would silently mass-drop every incoming
+      // doc as a "near-dup" — fail loudly instead. Size ~20-30 bits per
+      // expected band key (docs x bands).
+      require(positions.length.toLong * 2 < mBits,
+        s"BandBloomMd5: $mBits bits hold ${positions.length} set positions" +
+          " (>50% full) — the gate would drop nearly everything; raise" +
+          " mBits to ~20-30 bits per expected band key")
       Filter(Contamination.wordsFromPositions(positions.iterator, mBits),
         shingleN, numHashes, bands, kHashes)
     }

@@ -112,6 +112,12 @@ object Multimodal {
     */
   def decodeBatched(df: DataFrame, payloadCol: String,
       batchSize: Int = 64): DataFrame = {
+    val clash = df.schema.fieldNames.toSet
+      .intersect(MetaSchema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"decodeBatched appends ${MetaSchema.fieldNames.mkString("/")}, but " +
+        s"the input already has: ${clash.mkString(", ")} — rename or drop " +
+        "them first (a duplicate-name schema fails far from here)")
     val schema = StructType(df.schema.fields ++ MetaSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val encoder = org.apache.spark.sql.Encoders.row(schema)
@@ -270,8 +276,12 @@ object DecodeKernel {
             new java.io.ByteArrayInputStream(bytes))
           if (img == null) bytes
           else {
+            // ARGB, not RGB: the re-encode target is PNG (alpha-capable),
+            // and drawing a transparent PNG/GIF onto an RGB raster would
+            // composite its transparent regions onto uninitialized black —
+            // silently altering the corpus instead of faithfully resizing
             val out = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
             val g = out.createGraphics()
             try {
               g.setRenderingHint(

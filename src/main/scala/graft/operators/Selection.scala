@@ -48,7 +48,14 @@ object Selection {
         Some(acc.fold(F.when(cond, name))(_.when(cond, name)))
     }
     val splitCol = assigned.fold(F.lit(weights.head._1))(_.otherwise(weights.last._1))
-    df.withColumn("split", splitCol)
+    // NULL keys: concat/md5 of a null key is null, every threshold
+    // comparison is null, and the otherwise-branch would silently dump
+    // ALL null-key rows into the LAST split (a skewed, degenerate
+    // held-out set). They get split = NULL instead — observable, excluded
+    // from every named split, and the caller decides
+    df.withColumn("split",
+      F.when(F.col(keyCol).isNull, F.lit(null).cast("string"))
+        .otherwise(splitCol))
   }
 
   // ----------------------------------------------------------- token caps
@@ -245,35 +252,26 @@ object Selection {
           graft.plans.Hygiene.explodeNonEmpty(F.col("__fs")).as("feat"): _*)
     }
     val keyed =
-      if (numBuckets > 0 && hashFn == "xxhash64") {
-        // fused native path: the hashed unigram+bigram feature bag IS the
-        // union of positional 1-gram and 2-gram shingle hashes — two
+      if (numBuckets > 0) {
+        // fused native path, one body for both hash flavors (they differ
+        // ONLY in the kernel): the hashed unigram+bigram feature bag is
+        // the union of positional 1-gram and 2-gram hashes — two
         // codegen'd kernel calls per row, multiplicities kept, no
         // Spark-side tokenizer/zip/concat chain (which runs its
-        // per-element lambdas interpreted under Generate)
+        // per-element lambdas interpreted under Generate). xxhash64
+        // (`shingle_hashes_all`) is the hot path; md5
+        // (`md5_gram_hashes`) derives the bucket from the n-gram
+        // STRING's md5 prefix so any engine replays it — what lets the
+        // registry's hashed twins carry full DuckDB oracles (byte
+        // identity between flavors' formulations pinned in
+        // SelectionSpec). Bounded model state either way: numBuckets
+        // rows.
         graft.plans.GraftExtensions.register(df.sparkSession)
+        val kernel =
+          if (hashFn == "xxhash64") "shingle_hashes_all"
+          else "md5_gram_hashes"
         def grams(n: Int) = graft.plans.GraftExtensions
-          .callNative("shingle_hashes_all", F.col(textCol), F.lit(n))
-        df.select(keep :+ F.concat(grams(1), grams(2)).as("__fh"): _*)
-          .select(keep :+
-            graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"): _*)
-          .select(keep :+ // pmod can't wrap a generator directly
-            F.pmod(F.col("__h"), F.lit(numBuckets.toLong)).as("feat"): _*)
-      } else if (numBuckets > 0) {
-        // md5 bucket flavor: same bounded model state as the kernel path
-        // (state caps at numBuckets rows either way), but the bucket is
-        // derived from the n-gram STRING's md5 prefix — any engine with
-        // md5 replays it, which is what lets the registry's hashed twins
-        // carry full DuckDB oracles. Computed by the fused
-        // `md5_gram_hashes` kernel — the same one-call-per-row shape as
-        // the xxhash branch, only the hash differs; byte-identity with
-        // the exploded string formulation is pinned in SelectionSpec.
-        // (The former string-side derivation ran interpreted
-        // tokenizer/zip/concat lambdas plus a per-element md5 under the
-        // Generate — ~2× the row cost for identical buckets.)
-        graft.plans.GraftExtensions.register(df.sparkSession)
-        def grams(n: Int) = graft.plans.GraftExtensions
-          .callNative("md5_gram_hashes", F.col(textCol), F.lit(n))
+          .callNative(kernel, F.col(textCol), F.lit(n))
         df.select(keep :+ F.concat(grams(1), grams(2)).as("__fh"): _*)
           .select(keep :+
             graft.plans.Hygiene.explodeNonEmpty(F.col("__fh")).as("__h"): _*)

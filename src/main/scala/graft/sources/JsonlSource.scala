@@ -52,12 +52,20 @@ object JsonlSource {
       .option("mode", "FAILFAST")
       .json(path)
 
-  /** Clean rows only (malformed lines dropped, quarantine column removed). */
+  /** Clean rows only (malformed lines dropped) — DROPMALFORMED mode, not
+    * a filter over the [[readJsonl]] quarantine column: a corrupt-column
+    * filter poisons any downstream query that prunes to zero data
+    * columns (`count()`, `isEmpty`) with Spark's
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN error, because the scan's required
+    * schema reduces to the corrupt column alone. DROPMALFORMED keeps the
+    * same clean-row set with no corrupt column in the plan at all.
+    */
   def readJsonlClean(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    readJsonl(spark, path, schema)
-      .filter(F.col(CorruptCol).isNull)
-      .drop(CorruptCol)
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
 
   /** Write as JSONL (one JSON object per line, the interchange format the
     * readers above consume). Column types map to JSON natively; binary

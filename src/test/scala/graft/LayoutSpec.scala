@@ -103,6 +103,10 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       """{"doc_id": 4, "text": BROKEN}""")
     JsonlSource.readJsonlClean(spark, f.toString, schema)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+    // regression: the clean face used to be a corrupt-column filter, so a
+    // zero-data-column query (count) pruned the scan to the corrupt col
+    // alone and died with QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    JsonlSource.readJsonlClean(spark, f.toString, schema).count() shouldBe 2
     an[Exception] should be thrownBy
       JsonlSource.readJsonlStrict(spark, f.toString, schema).collect()
   }

@@ -33,6 +33,52 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("exact dedup never shuffles document text (losers-projection shape)") {
+    import spark.implicits._
+    val df = Seq((3L, "aa"), (1L, "aa"), (2L, "bb")).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id")
+    out.collect()
+    // the window runs over the (hash, key) projection; the only node
+    // carrying `text` downstream of an exchange must be the anti-join's
+    // streamed (scan) side, so no Exchange's input schema contains text
+    val plan = out.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      e.child.output.map(_.name) should not contain "text"
+    }
+    plan.toString should include("LeftAnti")
+  }
+
+  test("simhash pairs at maxHamming=0: full-sketch band, no degenerate bucket") {
+    import spark.implicits._
+    // regression: width=64 made the band mask (1L << 64) - 1 == 0 on the
+    // JVM, putting EVERY doc in one bucket (the all-pairs join the
+    // banding exists to avoid). With the mask fixed, the single band is
+    // the whole sketch: only identical-sketch pairs surface.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical -> same sketch
+      (3L, "totally different words entirely here"),
+      (4L, "yet another unrelated document body")).toDF("id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.toSet shouldBe Set((1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = -1)
+  }
+
+  test("BandBloomMd5.build fails loudly on a saturated bit budget") {
+    // an undersized mBits would set most bits and the gate would then
+    // silently drop nearly every incoming doc as a "near-dup"
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.BandBloomMd5.build(docs.limit(200), "doc_id", "text",
+        mBits = 64)
+    }
+    ex.getMessage should include("raise")
+  }
+
   test("minhash_signature / minhash_perms: empty input → null, not sentinel garbage") {
     // both kernels are SQL-registered; a direct SQL caller handing an
     // empty hash array must get null (the when(size>0) guard semantics
@@ -811,21 +857,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "FileScan parquet".r.findAllIn(finalPlan).size should be <= 2
   }
 
-  test("curateForTraining runs the five-stage chain on ONE corpus scan") {
-    // quality → exact dedup → near-dedup → redact → chunk: the composite's
-    // consumers all prune to (doc_id, text), so every branch reuses the
-    // dedup-window stage — the full training-prep chain reads the corpus
-    // exactly once at runtime.
+  test("curateForTraining: two corpus scans max, no text through exchanges") {
+    // quality → exact dedup → near-dedup → redact → chunk. The exact-dedup
+    // stage deliberately reads the corpus twice (losers projection + the
+    // anti-join's streamed side) so that NO exchange ever carries document
+    // text — the former one-scan shape pushed every text body through the
+    // dedup window's shuffle, the worse trade at corpus scale. Everything
+    // else still reuses stages (ReusedExchange present).
     import graft.operators.Pipelines
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val q = Pipelines.curateForTraining(docs, "doc_id", "text")
     q.collect()
-    val p = q.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-      case o => o.toString
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
     }
-    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    val p = plan.toString
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
     p should include("ReusedExchange")
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(_.child.output.map(_.name) should not contain "text")
   }
 
   test("approx sketches land within tolerance of exact answers") {
@@ -2361,6 +2413,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       }
   }
 
+  test("resize preserves transparency; decodeBatched rejects column clashes") {
+    import spark.implicits._
+    // a 4x4 PNG whose left half is transparent, right half opaque red
+    val src = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 2 until 4) src.setRGB(x, y, 0xFFFF0000)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", buf)
+    val df = Seq((1L, buf.toByteArray)).toDF("id", "payload")
+    val out = Multimodal.resizeBatched(df, "payload", w = 4, h = 4)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    // regression: an RGB raster composited transparent pixels onto
+    // uninitialized black; the ARGB raster keeps alpha = 0
+    ((back.getRGB(0, 0) >>> 24) & 0xFF) shouldBe 0
+    ((back.getRGB(3, 0) >>> 24) & 0xFF) shouldBe 255
+    // appending mime/width/height/n_bytes over a clashing input schema
+    // must fail fast, not produce duplicate-name columns
+    val clash = Seq((1L, Array[Byte](1), 9)).toDF("id", "payload", "width")
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBatched(clash, "payload")
+  }
+
   test("flatMapGroupsWithState emits running high-value alerts (batch + stream)") {
     val ev = Tables.events(spark, sf)
     val batchOut = Streams.highValueAlerts(ev, threshold = 0.9).collect()
@@ -2729,19 +2805,44 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     exact.intersect(probe).size.toDouble should be >= exact.size * 0.5
   }
 
-  test("Dedup.exact rank-1 filter compiles to WindowGroupLimit (map-side prune)") {
+  test("Dedup.exact window runs over the (hash, key) projection only") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val q = Dedup.exact(docs, "text", "doc_id")
+    // plant real duplicates: with zero losers AQE folds the empty
+    // broadcast anti-join away and the final plan would have no window
+    // to inspect at all
+    val dup = docs.select(F.col("doc_id"), F.col("text")).unionByName(
+      docs.select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text")))
+    val q = Dedup.exact(dup, "text", "doc_id")
     q.collect()
     val p = q.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-      case o => o.toString
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
     }
-    // SCALE.md's claim, pinned directly on exact(): the rank-1 filter is
-    // pushed to a per-partition group limit BEFORE the hash shuffle, so
-    // duplicate classes collapse map-side and heavy boilerplate can't
-    // funnel one reducer
-    p should include("WindowGroupLimit")
+    // SCALE.md's claim, pinned directly on exact(): the loser window
+    // consumes a two-column (hash, key) projection — document text never
+    // enters the window exchange (the corpus-sized-shuffle killer the
+    // former whole-row window shape had). AQE wraps materialized
+    // subtrees in QueryStageExec whose plan is NOT in `children`, so
+    // flatten through them explicitly.
+    def flatten(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (sp +: sp.children.flatMap(flatten)) ++ (sp match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(qs.plan)
+        case _ => Nil
+      })
+    val nodes = flatten(p)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows should not be empty
+    windows.foreach { w =>
+      w.child.output.map(_.name) should contain theSameElementsAs
+        Seq("__h", "doc_id")
+    }
+    nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(_.child.output.map(_.name) should not contain "text")
   }
 
   test("repetition battery: hand-computed fractions on crafted fixtures") {

@@ -67,6 +67,20 @@ class SelectionSpec extends AnyFunSuite with Matchers {
 
   // ---- token caps ------------------------------------------------------
 
+  test("hashSplit: null keys get split NULL, never the last split") {
+    import spark.implicits._
+    // regression: md5(null||salt) is null, every threshold comparison is
+    // null, and the otherwise-branch silently dumped all null-key rows
+    // into the LAST split
+    val df = Seq(Some(1L), Some(2L), None, None)
+      .toDF("id")
+    val out = Selection.hashSplit(df, "id", Seq("train" -> 0.9, "test" -> 0.1))
+      .select("id", "split").collect()
+    out.filter(_.isNullAt(0)).foreach(_.isNullAt(1) shouldBe true)
+    out.filterNot(_.isNullAt(0)).foreach(r =>
+      Set("train", "test") should contain(r.getString(1)))
+  }
+
   test("capTokensPerGroup cuts each group at the budget, in order") {
     import spark.implicits._
     val df = Seq(
