@@ -75,8 +75,13 @@ object Agg {
     * [[CustomFoldNumeric]] — bounded memory per group, no list.
     */
   final case class CustomNumeric(f: Seq[Double] => Double) extends KAggregator {
+    // struct only when the value is non-null: collect_list skips null
+    // entries, so nulls are excluded from the closure's list — matching
+    // every other aggregator (a null struct member would otherwise unbox
+    // to 0.0 inside the Seq[Double] UDF, silently corrupting the fold)
     private def collected(field: String, orderCol: Column): Column =
-      F.collect_list(F.struct(orderCol.as("o"), F.col(field).cast("double").as("v")))
+      F.collect_list(F.when(F.col(field).isNotNull,
+        F.struct(orderCol.as("o"), F.col(field).cast("double").as("v"))))
     private def finish(c: Column): Column =
       F.udf((xs: Seq[Double]) => f(xs)).apply(
         F.transform(F.array_sort(c), x => x.getField("v")))
@@ -87,8 +92,11 @@ object Agg {
   }
 
   final case class CustomString(f: Seq[String] => String) extends KAggregator {
+    // null values skipped, as in CustomNumeric (a null element would
+    // reach the user closure and invite an NPE)
     private def collected(field: String, orderCol: Column): Column =
-      F.collect_list(F.struct(orderCol.as("o"), F.col(field).as("v")))
+      F.collect_list(F.when(F.col(field).isNotNull,
+        F.struct(orderCol.as("o"), F.col(field).as("v"))))
     private def finish(c: Column): Column =
       F.udf((xs: Seq[String]) => f(xs)).apply(
         F.transform(F.array_sort(c), x => x.getField("v")))

@@ -172,7 +172,7 @@ final class KFrame private[graft] (
     * Resets groups, clears pivot (`Combinator.hs:195`).
     */
   def filter(cond: Column): KFrame =
-    copyWith(ds = ds.filter(cond), groups = Nil, pivot = None,
+    copyWith(ds = ds.filter(cond), groups = Nil, groupSnapshot = None, pivot = None,
       idsArePositions = false)
 
   /** Reference-parity typed predicate on a Text column; `Empty` (null) rows
@@ -216,7 +216,7 @@ final class KFrame private[graft] (
     requireFieldType(field, numeric)
     copyWith(
       ds = ds.filter(F.col(field).isNotNull && cond),
-      groups = Nil, pivot = None, idsArePositions = false)
+      groups = Nil, groupSnapshot = None, pivot = None, idsArePositions = false)
   }
 
   // ---- §2.4 grouping & aggregation -----------------------------------
@@ -226,8 +226,12 @@ final class KFrame private[graft] (
     * (`Spec.lhs:64-65`). Sets groups, clears pivot.
     */
   def groupby(names: String*): KFrame =
+    // snapshot a snapshot-FREE copy: chains of groupbys must not build a
+    // linked list of retained frames (each older snapshot is unreachable
+    // anyway — strict aggregate only ever consults the latest); group-
+    // resetting ops likewise clear groupSnapshot at their copyWith sites
     copyWith(groups = names.filter(ds.columns.contains), pivot = None,
-      groupSnapshot = Some(this))
+      groupSnapshot = Some(this.copyWith(groupSnapshot = None)))
 
   /** Collapse to one row per group, keeping the group-key columns plus the
     * aggregated column under its original name; all other columns dropped
@@ -285,7 +289,7 @@ final class KFrame private[graft] (
     val expr = agg.toColumn(field, F.col(RowId)).as(field)
     if (groups.isEmpty)
       copyWith(ds = m.ds.agg(expr).withColumn(RowId, F.lit(1L)),
-        groups = Nil, pivot = None, ordering = Nil,
+        groups = Nil, groupSnapshot = None, pivot = None, ordering = Nil,
         rowIdAsc = true, idsArePositions = true, idsMeaningful = true)
     else {
       // Key-ascending frame order stays LOGICAL (ordering spec over the
@@ -294,7 +298,7 @@ final class KFrame private[graft] (
       // 1..n ids materialize lazily only if a positional op needs them.
       val out = m.ds.groupBy(groups.map(F.col): _*).agg(expr)
         .withColumn(RowId, F.monotonically_increasing_id() + 1)
-      copyWith(ds = out, groups = Nil, pivot = None,
+      copyWith(ds = out, groups = Nil, groupSnapshot = None, pivot = None,
         ordering = groups.map(SortKey(_, ascending = true)),
         rowIdAsc = true, idsArePositions = false, idsMeaningful = false)
     }
@@ -332,9 +336,17 @@ final class KFrame private[graft] (
         val scalarDF = m.ds.agg(agg.toColumn(field, F.col(RowId)).as(as))
         m.ds.crossJoin(F.broadcast(scalarDF))
       } else if (agg.orderSensitive) {
+        // null-safe join keys: groupBy (and the window path below) treat
+        // a null group key as a REAL group, but a plain equi-join never
+        // matches null — null-key rows would get a null aggregate from
+        // this path and the true group aggregate from the other
         val grouped = m.ds.groupBy(groups.map(F.col): _*)
           .agg(agg.toColumn(field, F.col(RowId)).as(as))
-        m.ds.join(grouped, groups, "left")
+          .select(groups.map(n => F.col(n).as(s"__g_$n")) :+ F.col(as): _*)
+        val cond = groups.map(n => m.ds(n) <=> grouped(s"__g_$n"))
+          .reduce(_ && _)
+        groups.foldLeft(m.ds.join(grouped, cond, "left"))(
+          (d, n) => d.drop(F.col(s"__g_$n")))
       } else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(groups.map(F.col): _*)
@@ -394,7 +406,7 @@ final class KFrame private[graft] (
         .select(idCols.map(F.col) :+ F.lit("").as(Variable) :+
           F.lit(0.0).as(Value) :+ F.col(RowId): _*)
         .filter(F.lit(false))
-      return copyWith(ds = meltTraits(empty), groups = Nil, pivot = None,
+      return copyWith(ds = meltTraits(empty), groups = Nil, groupSnapshot = None, pivot = None,
         ordering = Nil, rowIdAsc = true, idsArePositions = true,
         idsMeaningful = true)
     }
@@ -412,7 +424,7 @@ final class KFrame private[graft] (
       .crossJoin(F.broadcast(hDF))
       .withColumn(RowId, (varIdx - 1) * F.col(MeltH) + F.col(RowId))
       .drop(MeltH)
-    copyWith(ds = meltTraits(out), groups = Nil, pivot = None,
+    copyWith(ds = meltTraits(out), groups = Nil, groupSnapshot = None, pivot = None,
       ordering = Nil, rowIdAsc = true, idsArePositions = m.idsArePositions,
       idsMeaningful = m.idsArePositions && m.idsMeaningful)
   }
@@ -705,7 +717,7 @@ final class KFrame private[graft] (
     val cols = (dataColumns :+ RowId).map(F.col)
     val positions = l.idsArePositions && r.idsArePositions
     copyWith(ds = l.ds.select(cols: _*).unionByName(shifted.select(cols: _*)),
-      groups = Nil, pivot = None, ordering = Nil, rowIdAsc = true,
+      groups = Nil, groupSnapshot = None, pivot = None, ordering = Nil, rowIdAsc = true,
       idsArePositions = positions,
       idsMeaningful = positions && l.idsMeaningful && r.idsMeaningful)
   }
@@ -731,7 +743,7 @@ final class KFrame private[graft] (
       F.raise_error(F.lit("Can't join dataframes with different heights")))
       .otherwise(F.lit(1))
     val out = joined.filter(guard === 1).drop(ZipL, ZipR)
-    copyWith(ds = out, groups = Nil, pivot = None, ordering = Nil,
+    copyWith(ds = out, groups = Nil, groupSnapshot = None, pivot = None, ordering = Nil,
       rowIdAsc = true, idsArePositions = true, idsMeaningful = true)
   }
 

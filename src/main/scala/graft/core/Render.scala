@@ -187,7 +187,9 @@ object Render {
     // rendered faithfully (missing cells would print as "empty",
     // indistinguishable from genuinely absent intersections), so the
     // over-budget case is an explicit error, never a silent truncation.
-    val budget = maxRows * 10
+    // long arithmetic: a huge maxRows would overflow Int to a NEGATIVE
+    // budget and surface as an unrelated Spark negative-limit error
+    val budget = math.min(maxRows.toLong * 10, Int.MaxValue - 1L).toInt
     val rows = kf.ds.select(sel: _*).take(budget + 1)
     if (rows.length > budget)
       throw new KevinException(

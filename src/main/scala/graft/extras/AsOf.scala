@@ -64,8 +64,14 @@ object AsOf {
         valueCols.map(F.col)): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight)
+    // final deterministic tie key: two RIGHT rows sharing (key, time)
+    // would otherwise order arbitrarily and the attached value could
+    // flip across runs/retries; hashing the value columns breaks the tie
+    // the same way on every execution (identical values may still tie —
+    // harmless, the attached value is then identical too)
     val base = Window.partitionBy(keyCol)
-      .orderBy(F.col(timeCol).asc, F.col(Side).asc)
+      .orderBy(F.col(timeCol).asc, F.col(Side).asc,
+        F.xxhash64(valueCols.map(F.col): _*).asc)
     val w =
       if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -22,28 +22,32 @@ object SetOps {
       throw new KevinException("Can't combine dataframes with different fields")
   }
 
+  // toDF, not toOrderedDF: result order is unspecified (class doc) and
+  // the set aggregates re-shuffle anyway, so the range-partitioned sort
+  // toOrderedDF pays on each input would be pure wasted work at scale.
+
   /** UNION (distinct rows of both sides). */
   def union(a: KFrame, b: KFrame): KFrame = {
     requireSameSig(a, b)
-    KFrame.wrap(a.toOrderedDF.unionByName(
-      b.toOrderedDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*))
+    KFrame.wrap(a.toDF.unionByName(
+      b.toDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*))
       .distinct())
   }
 
   /** INTERSECT (distinct rows present on both sides). */
   def intersect(a: KFrame, b: KFrame): KFrame = {
     requireSameSig(a, b)
-    KFrame.wrap(a.toOrderedDF.intersect(
-      b.toOrderedDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*)))
+    KFrame.wrap(a.toDF.intersect(
+      b.toDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*)))
   }
 
   /** EXCEPT (distinct left rows not present on the right). */
   def except(a: KFrame, b: KFrame): KFrame = {
     requireSameSig(a, b)
-    KFrame.wrap(a.toOrderedDF.except(
-      b.toOrderedDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*)))
+    KFrame.wrap(a.toDF.except(
+      b.toDF.select(a.dataColumns.map(org.apache.spark.sql.functions.col): _*)))
   }
 
   /** DISTINCT rows of one frame (order unspecified, see class doc). */
-  def distinct(a: KFrame): KFrame = KFrame.wrap(a.toOrderedDF.distinct())
+  def distinct(a: KFrame): KFrame = KFrame.wrap(a.toDF.distinct())
 }

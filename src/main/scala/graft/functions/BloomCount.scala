@@ -237,11 +237,14 @@ case class Md5BloomHits(first: Expression, second: Expression,
 object Md5BloomKernel {
 
   private val TokenPattern =
-    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+    Tok.Pattern
 
   def hits(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
       words: Array[Long], kHashes: Int): Long = {
     if (text == null) return 0L
+    // an empty filter literal means an empty reference set: zero hits —
+    // without this, mBits = 0 reaches floorMod and every row throws
+    if (words.length == 0) return 0L
     val mBits = words.length.toLong * 64L
     val toks = TokenPattern.split(text.toLowerCase.toString, -1)
       .filter(_.nonEmpty)

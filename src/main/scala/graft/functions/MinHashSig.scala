@@ -157,7 +157,15 @@ object MinHashSigKernel {
   def perms(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
     permCache.computeIfAbsent((numHashes, seed), { case (n, sd) =>
       val rnd = new java.util.Random(sd)
-      def next(bound: Long): Long = math.abs(rnd.nextLong()) % bound
+      // math.abs(Long.MinValue) is NEGATIVE — one such draw (seed-
+      // deterministic, so a bad seed is bad forever) would give a
+      // negative permutation constant and corrupt that permutation's
+      // minima corpus-wide. Map it to 0; every other draw is unchanged,
+      // so existing seeds keep their exact signatures.
+      def next(bound: Long): Long = {
+        val x = rnd.nextLong()
+        (if (x == Long.MinValue) 0L else math.abs(x)) % bound
+      }
       val as = Array.fill(n)(next(Int.MaxValue - 1L) + 1)
       val bs = Array.fill(n)(next(Prime))
       (as, bs)

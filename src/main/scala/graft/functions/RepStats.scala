@@ -125,8 +125,8 @@ object RepStatsKernel {
     val (o2, o3) = dupFracs(ph, pl)
     out(0) = o0; out(1) = o1; out(2) = o2; out(3) = o3
     // token stream (shared lowercase-alnum tokenizer)
-    val toks = s.toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val toks = Tok.Pattern
+      .split(s.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     val nt = toks.length
     if (nt == 0) return out
     val th = new Array[Long](nt)

@@ -186,7 +186,7 @@ object ShingleHashKernel {
   }
 
   private val TokenPattern =
-    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+    Tok.Pattern
 
   /** [[Md5GramHashes]] kernel: md5-prefix32 of each positional n-gram
     * string. Tokenization parity is with the COLUMN formulation

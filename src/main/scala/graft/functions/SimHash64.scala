@@ -54,8 +54,8 @@ object SimHashKernel {
 
   def simhashString(text: String): Long = {
     if (text == null) return 0L
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}\\p{N}]+")
+    val toks = Tok.Pattern
+      .split(text.toLowerCase(java.util.Locale.ROOT))
     val acc = new Array[Int](64)
     var k = 0
     while (k < toks.length) {
@@ -93,7 +93,7 @@ object SimHashKernel {
   // ---- md5 verification-flavor sketch ([[SimHashMd5]]) -----------------
 
   private val TokenPattern =
-    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+    Tok.Pattern
 
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {

@@ -260,6 +260,23 @@ class EngineSpec extends AnyFunSuite with Matchers {
     out("t4") shouldBe Some(50.0)  // B's quote at 9 >= 3
   }
 
+  test("asof join: duplicate (key, time) right rows attach deterministically") {
+    import spark.implicits._
+    import graft.extras.AsOf
+    // two quotes share (A, 5): the attached value must be the SAME on
+    // every run and under every partitioning (the orderBy carries a
+    // value-hash tiebreak), not whichever struct the shuffle emitted last
+    val trades = Seq(("A", 5L, "t1")).toDF("sym", "ts", "trade_id")
+    def run(parts: Int): Any = {
+      val quotes = Seq(("A", 5L, 105.0), ("A", 5L, 205.0))
+        .toDF("sym", "ts", "px").repartition(parts)
+      AsOf.asofJoin(trades, quotes, "sym", "ts", Seq("px"))
+        .head().getAs[Any]("px")
+    }
+    val first = run(1)
+    (2 to 6).foreach(p => run(p) shouldBe first)
+  }
+
   test("asof join rejects value-column collisions") {
     import spark.implicits._
     import graft.extras.AsOf

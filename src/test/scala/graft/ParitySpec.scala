@@ -556,6 +556,47 @@ class ParitySpec extends AnyFunSuite with Matchers {
 
   // ---- transform / sortByGroups (reference TODO 7/8, Spec.lhs:118-119) --
 
+  test("transform: null group keys aggregate as a real group on BOTH paths") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    // regression: the order-sensitive path joined the aggregates back
+    // with a plain equi-join, which never matches null keys — null-key
+    // rows got a null aggregate while the window path gave them the real
+    // group value
+    val kf = KFrame.wrap(Seq(
+      (Some("a"), 1.0, "x"), (Some("a"), 2.0, "y"),
+      (None, 3.0, "p"), (None, 4.0, "q"))
+      .toDF("k", "v", "s")).groupby("k")
+    val win = kf.transform(Agg.sum, "v", as = "t") // order-insensitive path
+    val join = kf.transform(Agg.concat, "s", as = "c") // order-sensitive path
+    val winRows = win.toDF.where(F.col("k").isNull).select("t").collect()
+    winRows.map(_.getDouble(0)).toSeq shouldBe Seq(7.0, 7.0)
+    val joinRows = join.toDF.where(F.col("k").isNull).select("c").collect()
+    joinRows.foreach(_.isNullAt(0) shouldBe false)
+    joinRows.map(_.getString(0)).toSet shouldBe Set("pq")
+  }
+
+  test("custom closure aggregators skip null values like the built-ins") {
+    import spark.implicits._
+    // regression: collect_list kept structs with null v; the Seq[Double]
+    // UDF then unboxed the null to 0.0 (CustomNumeric) or handed the
+    // closure a null element (CustomString NPE bait)
+    val kf = KFrame.wrap(Seq(
+      ("g", Some(1.0), Some("a")), ("g", None, None), ("g", Some(3.0), Some("b")))
+      .toDF("k", "v", "s")).groupby("k")
+    val mean = kf.aggregate(
+      Agg.CustomNumeric(xs => xs.sum / xs.length), "v")
+    col(mean, "v") shouldBe Seq(2.0) // (1+3)/2, null skipped — not (1+0+3)/3
+    val cat = kf.aggregate(Agg.CustomString(_.mkString("+")), "s")
+    col(cat, "s") shouldBe Seq("a+b")
+  }
+
+  test("render budget survives a huge maxRows (no Int overflow)") {
+    val c = df.cast(Seq("gender"), Seq("year"), Agg.sum, "sale")
+    // 300M * 10 overflowed Int to a negative take() limit before
+    noException should be thrownBy c.render(maxRows = 300000000)
+  }
+
   test("transform keeps all rows and appends per-group aggregate") {
     val out = df.groupby("gender").transform(Agg.sum, "cost", as = "grp_cost")
     out.height shouldBe 12

@@ -447,6 +447,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       contain(99999L)
   }
 
+  test("md5_bloom_hits with an empty filter literal returns 0, never / by zero") {
+    graft.plans.GraftExtensions.register(spark)
+    // an empty reference corpus serializes to an empty word array; hits
+    // must be 0 (nothing can be contaminated), not an ArithmeticException
+    // from floorMod(x, mBits = 0) deep inside a task
+    val r = spark.sql(
+      "SELECT md5_bloom_hits('some document text here', 2, " +
+        "CAST(array() AS ARRAY<BIGINT>), 4)").head()
+    r.getLong(0) shouldBe 0L
+  }
+
   test("md5 bloom flavor: no false negatives vs exact, deterministic") {
     import graft.operators.Contamination
     val bench = docs.filter(F.col("doc_id") % 50 === 0)
