@@ -38,6 +38,7 @@ case class PqCodes(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true // ragged vector -> NULL codes
   override def prettyName: String = "pq_codes"
 
   @transient private lazy val cb: PqCodesKernel.Codebook =
@@ -49,8 +50,21 @@ case class PqCodes(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCb", cb,
       classOf[PqCodesKernel.Codebook].getName)
-    defineCodeGen(ctx, ev, (v, _) =>
-      s"graft.functions.PqCodesKernel.encode($v, $cbRef)")
+    // nullSafeCodeGen, not defineCodeGen: the kernel returns null for a
+    // ragged vector (a data condition), which defineCodeGen's
+    // assume-non-null contract cannot represent
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val r = ctx.freshName("pqCodesRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.PqCodesKernel.encode($v, $cbRef);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -106,15 +120,16 @@ object PqCodesKernel {
   }
 
   /** Argmin-L2 code per subspace; ties break toward the lower code id
-    * (strict `<` on a left-to-right scan). Throws on any vector whose
-    * length differs from m·dsub — a caller error (mis-sized codebook),
-    * not a data condition; a longer vector silently encoding only its
-    * prefix would surface as mysteriously bad recall.
+    * (strict `<` on a left-to-right scan). A vector whose length differs
+    * from m·dsub returns NULL — a DATA condition (one ragged embedding
+    * row must not kill a 100 TB job; the module's malformedVectors audit
+    * reports such rows), matching pq_codes_fixed and nearest_centroids.
+    * The former `require` here was the one float-ANN site where a ragged
+    * row was fatal.
     */
   def encode(vec: ArrayData, cb: Codebook): ArrayData = {
     val dim = cb.m * cb.dsub
-    require(vec.numElements() == dim,
-      s"pq_codes: vector has ${vec.numElements()} dims, codebook expects $dim")
+    if (vec.numElements() != dim) return null
     val out = new Array[Byte](cb.m)
     var j = 0
     while (j < cb.m) {

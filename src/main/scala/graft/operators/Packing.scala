@@ -36,17 +36,31 @@ object Packing {
     * so raising nBuckets only splits work, never changes pack semantics.
     */
   def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
-      tokCol: String, budget: Int, nBuckets: Int): DataFrame = {
+      tokCol: String, budget: Int, nBuckets: Int,
+      extraPartitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
     // pack_id = bucket * 2^40 + ordinal must fit a long: buckets < 2^22
     // and <= 2^40 packs per bucket (~10^14 tokens/bucket at budget 256 —
     // far past any per-bucket share of a 100 TB corpus).
     require(nBuckets < (1 << 22), "nBuckets must fit the 2^40 pack-id split")
-    val w = Window.partitionBy("__bucket")
+    // numeric ids bucket by value (the oracle-replayable id-mod shape);
+    // string/binary ids hash first — pmod on a string id would either
+    // throw under ANSI or NULL-bucket the whole corpus into one window
+    val bucketOf = chunks.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        F.pmod(F.col(idCol), F.lit(nBuckets.toLong))
+      case _ => F.pmod(F.xxhash64(F.col(idCol)), F.lit(nBuckets.toLong))
+    }
+    // extraPartitionCols confine packs to finer partitions (e.g. a split
+    // label, so no pack straddles a train/val boundary); pack_id stays
+    // unique only within an extra-partition value — key on
+    // (extraPartitionCols..., pack_id) downstream
+    val parts = (F.col("__bucket") +: extraPartitionCols.map(F.col))
+    val w = Window.partitionBy(parts: _*)
       .orderBy(F.col(idCol), F.col(idxCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
-      .withColumn("__bucket", F.pmod(F.col(idCol), F.lit(nBuckets.toLong)))
+      .withColumn("__bucket", bucketOf)
       .withColumn("__end", F.sum(F.col(tokCol).cast("long")).over(w))
       .withColumn("pack_id",
         F.col("__bucket") * F.lit(1L << 40) +

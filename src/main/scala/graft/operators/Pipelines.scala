@@ -24,6 +24,8 @@ object Pipelines {
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, minMeanWordLen: Double = 2.0,
       maxMeanWordLen: Double = 12.0, nearDupThreshold: Double = 0.8): DataFrame = {
+    require(!df.columns.contains("__ts"),
+      "cleanCorpus uses __ts as a scratch column; rename the input's __ts")
     val t = F.col(textCol)
     val ts = F.col("__ts")
     val quality = df
@@ -52,14 +54,21 @@ object Pipelines {
     TextAnalysis.chunkDocuments(redacted, idCol, textCol, chunkSize, overlap)
   }
 
-  /** The LAST mile: curate → pack into token-budget sequences → assign
-    * deterministic train/val/test splits → write split-partitioned
-    * parquet, and return the frame read back from the written layout.
+  /** The LAST mile: curate → assign deterministic train/val/test splits →
+    * pack into token-budget sequences within each split → write
+    * split-partitioned parquet, and return the frame read back from the
+    * written layout.
     *
-    * Splits are assigned at PACK granularity ([[Selection.hashSplit]] on
-    * `pack_id`) so no training sequence ever straddles a split boundary —
-    * chunk- or doc-level splitting would leak val/test text into train
-    * via shared packs. The write is directory-per-split
+    * Splits are assigned at DOCUMENT granularity ([[Selection.hashSplit]]
+    * on the doc id) BEFORE packing, and packs are confined to one split
+    * (`split` rides in [[Packing.packChunks]]' window partition key).
+    * Both levels matter: adjacent chunks of one document share `overlap`
+    * tokens verbatim, so any split drawn below document granularity
+    * (the former pack-level draw included) routinely put the SAME token
+    * span on both sides of a train/val boundary — contaminated held-out
+    * loss; and packing within the split means no pack straddles a
+    * boundary either. `pack_id` is unique within a split — key on
+    * (split, pack_id). The write is directory-per-split
     * ([[graft.sources.Layout.writePartitioned]]): a reader filtering
     * `split = 'train'` scans only that directory (PartitionFilters —
     * plan-pinned in the test), which is the access pattern every epoch
@@ -73,10 +82,10 @@ object Pipelines {
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       chunkSize: Int = 100, overlap: Int = 50): DataFrame = {
     val chunks = curateForTraining(df, idCol, textCol, chunkSize, overlap)
-    val packed = Packing.packChunks(chunks, idCol, "chunk_idx", "n_tokens",
-      budget, nBuckets)
-    val split = Selection.hashSplit(packed, "pack_id", splits)
-    graft.sources.Layout.writePartitioned(split, path, Seq("split"))
+    val split = Selection.hashSplit(chunks, idCol, splits)
+    val packed = Packing.packChunks(split, idCol, "chunk_idx", "n_tokens",
+      budget, nBuckets, extraPartitionCols = Seq("split"))
+    graft.sources.Layout.writePartitioned(packed, path, Seq("split"))
     df.sparkSession.read.parquet(path)
   }
 }

@@ -192,6 +192,11 @@ object Similarity {
       planesFn: String = "gaussian"): Column = {
     require(planesFn == "gaussian" || planesFn == "md5",
       s"planesFn must be gaussian or md5, got $planesFn")
+    // 1L << i wraps at 64 (and flips sign at 63): beyond 63 planes the
+    // key stops uniquely encoding the sign pattern, silently degrading
+    // recall — fail loudly like packChunks' pack-id range guard
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63], got $nPlanes")
     val vd = vec.cast("array<double>")
     val ps = if (planesFn == "md5") planesMd5(dim, nPlanes, seed)
       else planes(dim, nPlanes, seed)
@@ -199,7 +204,15 @@ object Similarity {
       val planeCol = F.array(p.map(F.lit): _*)
       F.when(dot(vd, planeCol) >= 0, F.lit(1L)).otherwise(F.lit(0L))
     }
-    bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+    val key = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }
+      .reduce(_ + _)
+    // null/ragged vectors get a NULL key (dot is null for every plane),
+    // not bucket 0: a batch of garbage rows all colliding in bucket 0 of
+    // every table would generate |garbage|^2 candidate pairs per table
+    // before the null-sim filter dropped them; null keys never match the
+    // bucket equi-join, so such rows are simply never candidates (the
+    // same unexamined-survivor contract as the centroid assigners)
+    F.when(dot(vd, F.array(ps.head.map(F.lit): _*)).isNotNull, key)
   }
 
   /** One row per (id, table, bucket): every table's SRP bucket key computed
@@ -1084,10 +1097,15 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
+    // ragged vectors encode to NULL (the kernel's data-condition
+    // contract) and are dropped here, mirroring pqEncodeFixed — they are
+    // outside the ANN universe and the malformedVectors audit reports
+    // them
     df.select(F.col(idCol),
       graft.plans.GraftExtensions.callNative("pq_codes",
         F.col(vecCol).cast("array<double>"),
         F.typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
+      .filter(F.col("codes").isNotNull)
   }
 
   /** Composed `functions._` formulation of [[pqEncode]], kept as the

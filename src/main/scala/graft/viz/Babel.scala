@@ -84,7 +84,16 @@ object Babel {
         }.toSeq
       else Nil
 
-    val encoding = (channels ++ visualChannels ++ dodgeChannel)
+    val allChannels = channels ++ visualChannels ++ dodgeChannel
+    // duplicate keys in a JSON object are last-one-wins in most parsers:
+    // a polar distance scale plus a ColorV visual would silently discard
+    // one of the two "color" encodings — error like Kevin.merge does for
+    // duplicate marks/coords
+    val dupes = allChannels.groupBy(_._1).filter(_._2.size > 1).keys
+    if (dupes.nonEmpty)
+      throw new KevinException(
+        s"duplicate encoding channel(s): ${dupes.mkString(", ")}")
+    val encoding = allChannels
       .map { case (k, v) => q(k) + ": " + v }.mkString("{", ", ", "}")
 
     val fields = (coord match {
@@ -100,6 +109,10 @@ object Babel {
       names.indices.map { i =>
         q(names(i)) + ": " + (r.get(i) match {
           case null => "null"
+          // bare NaN/Infinity tokens are not legal JSON — emit null, the
+          // standard JSON stand-in for a missing measure
+          case n: java.lang.Number
+              if n.doubleValue.isNaN || n.doubleValue.isInfinite => "null"
           case n: java.lang.Number => n.toString
           case other => q(other.toString)
         })
@@ -114,6 +127,17 @@ object Babel {
         s""""encoding": $encoding}""")
   }
 
+  // full RFC 8259 string escape: backslash, quote, and EVERY control
+  // char — a newline inside a category value would otherwise emit an
+  // unparseable spec
   private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

@@ -1349,15 +1349,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     malformed2.collect().map(_.getLong(0)).toSet shouldBe Set(101L, 102L, 103L)
   }
 
-  test("pq_codes: null propagates; short vector is an error, not silence") {
+  test("pq_codes: null and ragged vectors both yield NULL codes") {
     graft.plans.GraftExtensions.register(spark)
     spark.sql("SELECT pq_codes(CAST(NULL AS ARRAY<DOUBLE>), " +
         "array(array(array(0.0D)))) IS NULL AS z")
       .collect()(0).getBoolean(0) shouldBe true
-    an[Exception] should be thrownBy
-      spark.sql("SELECT pq_codes(array(1.0D), " +
-          "array(array(array(0.0D, 0.0D)))) AS c")
-        .collect()
+    // a ragged vector is a DATA condition (one bad embedding row must
+    // not kill a 100 TB job): NULL codes, matching pq_codes_fixed and
+    // nearest_centroids — it used to throw here
+    spark.sql("SELECT pq_codes(array(1.0D), " +
+        "array(array(array(0.0D, 0.0D)))) IS NULL AS z")
+      .collect()(0).getBoolean(0) shouldBe true
   }
 
   test("topKPerKey: rank-limit pushdown keeps k per key before the shuffle") {
@@ -2534,27 +2536,89 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val dir = java.nio.file.Files.createTempDirectory("graft-trainset").toString
     val out = Pipelines.materializeTrainingSet(docs, "doc_id", "text",
       s"$dir/set", budget = 256, nBuckets = 8)
-    // written rows == the curated+packed+split plan replayed directly
+    // written rows == the curated+split+packed plan replayed directly
+    // (split at DOCUMENT granularity, packs confined within a split)
     val chunks = Pipelines.curateForTraining(docs, "doc_id", "text")
-    val packed = Packing.packChunks(chunks, "doc_id", "chunk_idx",
-      "n_tokens", budget = 256, nBuckets = 8)
-    val expect = Selection.hashSplit(packed, "pack_id",
-      Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+    val expect = Packing.packChunks(
+      Selection.hashSplit(chunks, "doc_id",
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)),
+      "doc_id", "chunk_idx", "n_tokens", budget = 256, nBuckets = 8,
+      extraPartitionCols = Seq("split"))
       .groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val gotBySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     gotBySplit shouldBe expect
     gotBySplit.values.sum should be > 0L
-    // no pack straddles a split (split assigned at pack granularity)
-    out.groupBy("pack_id")
+    // THE leak guard: all chunks of one document share ONE split — a
+    // finer-grained draw would put the chunkSize-overlap token span on
+    // both sides of a train/val boundary (contaminated held-out loss)
+    out.groupBy("doc_id")
       .agg(F.countDistinct("split").as("ns"))
       .filter(F.col("ns") > 1).count() shouldBe 0L
+    // packs are keyed (split, pack_id): formed within one split partition
+    // by construction, so no pack's CONTENT can straddle a boundary; the
+    // ordinal space repeats across splits (documented — pack_id alone is
+    // not a global key), which is what the doc-level invariant above plus
+    // the per-split window guarantee together replace the old pack-level
+    // split draw with
     // epoch access pattern: a split filter prunes directories
     val trainScan = spark.read.parquet(s"$dir/set")
       .filter(F.col("split") === "train")
     trainScan.collect()
     trainScan.queryExecution.executedPlan.toString should include("PartitionFilters: [isnotnull(split")
+  }
+
+  test("packChunks buckets string ids by hash instead of crashing/nulling") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val chunks = Seq(
+      ("doc-a", 0, 100), ("doc-a", 1, 100), ("doc-b", 0, 100),
+      ("uuid-3f9", 0, 100)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = Packing.packChunks(chunks, "doc_id", "chunk_idx",
+      "n_tokens", budget = 150, nBuckets = 4)
+    packed.count() shouldBe 4
+    packed.filter(F.col("pack_id").isNull).count() shouldBe 0L
+  }
+
+  test("pq paths survive a ragged vector (null codes, row dropped)") {
+    import spark.implicits._
+    // regression: pq_codes required vec.length == dim and one ragged
+    // embedding row killed the whole job; it now encodes to NULL and the
+    // encode face drops it (the malformedVectors audit reports it)
+    val good = emb.limit(20).select(F.col("vec_id"),
+      F.col("embedding").cast("array<double>").as("embedding"))
+    val ragged = Seq((99999L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val corpus = good.unionByName(ragged)
+    val cb = Similarity.trainPqCodebooks(good, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 8)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    enc should not contain 99999L
+    enc.size shouldBe 20
+    // top-k over the mixed corpus: no crash, ragged row never a candidate
+    val got = Similarity.pqTopK(good.limit(2), corpus, "vec_id",
+        "embedding", k = 3, cb)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    got should not contain 99999L
+  }
+
+  test("srpBucket: null/ragged vectors get a NULL key; plane count guarded") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(1.0, 2.0)), // ragged
+      (3L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+    val keys = mixed.select(F.col("vec_id"),
+        Similarity.srpBucket(F.col("embedding"), dim = 4, nPlanes = 6,
+          seed = 7L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    keys(1L) shouldBe false
+    keys(2L) shouldBe true // never a bucket-0 hotspot candidate
+    keys(3L) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.srpBucket(F.col("embedding"), dim = 4, nPlanes = 64,
+        seed = 7L)
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {

@@ -125,4 +125,32 @@ class VizSpec extends AnyFunSuite with Matchers {
       Kevin.assemble(Kevin.coord(cartesian), Kevin.mark(Marks.point))).json
     json should include("\"sale\": 9400.0") // austin: 1200+4500+900+2800
   }
+  test("emitted JSON stays valid: NaN -> null, control chars escaped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // NaN measures and a newline inside a category value — both were
+    // emitted verbatim before, producing unparseable JSON
+    val kf = graft.core.KFrame.wrap(
+      Seq(("a\nb", Double.NaN), ("ok", 2.0)).toDF("city", "sale"))
+    val json = Babel.genBabel(kf,
+      Kevin.assemble(
+        Kevin.coord(Coords.cartesian(Scales.category("city"),
+          Scales.linear("sale"))),
+        Kevin.mark(Marks.point))).json
+    json should include("\"sale\": null")
+    json should include("a\\nb")
+    (json should not).include("NaN")
+    // cheap structural check without a JSON lib: balanced braces/brackets
+    json.count(_ == '{') shouldBe json.count(_ == '}')
+    json.count(_ == '[') shouldBe json.count(_ == ']')
+  }
+  test("duplicate encoding channels error instead of silently dropping one") {
+    val agg = df.groupby("gender").aggregate(Agg.sum, "sale")
+    val spec = Kevin.assemble(
+      Kevin.coord(Coords.polar(Scales.linear("sale"), Scales.category("gender"))),
+      Kevin.mark(Marks.interval),
+      Kevin.visual(Visuals.color(Scales.category("gender"))))
+    intercept[KevinException](Babel.genBabel(agg, spec))
+      .getMessage should include("duplicate encoding channel")
+  }
 }
