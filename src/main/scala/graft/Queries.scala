@@ -1653,7 +1653,7 @@ object Queries {
       |    CASE WHEN len(ws) = 0 THEN 0.0
       |         ELSE list_sum(list_transform(ws, t -> length(t)))::DOUBLE / len(ws) END AS mwl,
       |    CASE WHEN len(ws) = 0 THEN 0.0
-      |         ELSE len(list_intersect(ws, ['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','that','this']))::DOUBLE / len(list_distinct(ws)) END AS swr
+      |         ELSE len(list_filter(ws, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','that','this'], t)))::DOUBLE / len(ws) END AS swr
       |  FROM toks),
       |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM sc),
       |sig AS (

@@ -57,6 +57,7 @@ object Relational {
   def saltedJoin(left: KFrame, right: KFrame, keys: Seq[String],
       saltFactor: Int = 8): KFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    validateJoin(left, right, keys) // same errors as every keyed join here
     val salt = "__salt"
     // Salt = pmod(hash(keys..., row id), f): the id goes INSIDE the hash —
     // adding it outside could overflow a Long, which ANSI mode (Spark 4
@@ -69,11 +70,25 @@ object Relational {
         F.lit(saltFactor)).cast("int"))
     val r = right.toDF.withColumn(salt,
       F.explode(F.array((0 until saltFactor).map(F.lit): _*)))
+    KFrame.wrap(l.join(r, keys :+ salt, "inner").drop(salt))
+  }
+
+  /** Shared join validation: key existence on both sides (the library's
+    * KevinException, not a raw Spark resolution error) + non-key column
+    * overlap — ONE definition for keyed/broadcast/semi/anti/salted joins.
+    */
+  private def validateJoin(left: KFrame, right: KFrame,
+      keys: Seq[String]): Unit = {
+    keys.foreach { k =>
+      if (!left.toDF.columns.contains(k))
+        throw new KevinException(s"no such field in left frame: $k")
+      if (!right.toDF.columns.contains(k))
+        throw new KevinException(s"no such field in right frame: $k")
+    }
     val overlap = (left.dataColumns.toSet intersect right.dataColumns.toSet) -- keys.toSet
     if (overlap.nonEmpty)
       throw new KevinException(
         s"ambiguous non-key columns on both sides: ${overlap.toSeq.sorted.mkString(", ")}")
-    KFrame.wrap(l.join(r, keys :+ salt, "inner").drop(salt))
   }
 
   /** Per-key top-k by score: for every distinct `keys` combination keep
@@ -100,16 +115,7 @@ object Relational {
 
   private def keyedJoin(left: KFrame, right: KFrame, keys: Seq[String],
       how: String, broadcastRight: Boolean): KFrame = {
-    keys.foreach { k =>
-      if (!left.toDF.columns.contains(k))
-        throw new KevinException(s"no such field in left frame: $k")
-      if (!right.toDF.columns.contains(k))
-        throw new KevinException(s"no such field in right frame: $k")
-    }
-    val overlap = (left.dataColumns.toSet intersect right.dataColumns.toSet) -- keys.toSet
-    if (overlap.nonEmpty)
-      throw new KevinException(
-        s"ambiguous non-key columns on both sides: ${overlap.toSeq.sorted.mkString(", ")}")
+    validateJoin(left, right, keys)
     val rdf0 = right.toDF
     val rdf = if (broadcastRight) F.broadcast(rdf0) else rdf0
     KFrame.wrap(left.toDF.join(rdf, keys, how))

@@ -64,9 +64,12 @@ object RepStatsKernel {
     new GenericArrayData(statsArray(if (text == null) null else text.toString))
 
   private def h64(s: String, from: Int, until: Int): Long = {
-    var h = 1125899906842597L
+    // FNV-1a (poly-31 admits short-segment collisions, which would
+    // merge distinct line/paragraph classes and inflate dup fractions
+    // against the string-replaying oracle)
+    var h = -3750763034362895579L
     var i = from
-    while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+    while (i < until) { h ^= s.charAt(i); h *= 1099511628211L; i += 1 }
     h
   }
 

@@ -247,10 +247,20 @@ object ShingleHashKernel {
     out
   }
 
+  /** Per-token 64-bit hash — FNV-1a, NOT poly-31: the multiply-by-31
+    * chain admits trivial short-token collisions ("an" and "c0" collide:
+    * 97·31+110 = 99·31+48), and a token-level collision survives every
+    * downstream avalanche — identical n-gram keys, corrupted shingle
+    * sets. FNV-1a's xor-then-multiply keeps accidental collisions at the
+    * ~2^-64 scale the shingle-set equivalence contract claims.
+    */
   private def h64(s: String): Long = {
-    var h = 1125899906842597L
+    var h = -3750763034362895579L // FNV-1a 64: basis 0xcbf29ce484222325
     var i = 0
-    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      h ^= s.charAt(i); h *= 1099511628211L // prime 0x100000001b3
+      i += 1
+    }
     h
   }
 }

@@ -81,9 +81,11 @@ object SimHashKernel {
     * which SimHash reads individually).
     */
   private def hash64(s: String): Long = {
-    var h = 1125899906842597L
+    // FNV-1a accumulation (poly-31 admits short-token collisions — see
+    // ShingleHashKernel.h64), then the murmur finalizer for bit balance
+    var h = -3750763034362895579L
     var i = 0
-    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    while (i < s.length) { h ^= s.charAt(i); h *= 1099511628211L; i += 1 }
     h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL
     h ^= (h >>> 33); h *= 0xC4CEB9FE1A85EC53L
     h ^= (h >>> 33)

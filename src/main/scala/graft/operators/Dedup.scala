@@ -66,7 +66,8 @@ object Dedup {
 
   /** HASHED word n-gram shingle set: each n-gram hashed directly from its
     * n token arguments, never materialized as a string. Set-equivalent to
-    * [[shingles]] up to 64-bit hash collisions (~1e-9 at 10^5 distinct
+    * [[shingles]] up to 64-bit hash collisions (FNV-1a token hashes +
+    * avalanched n-gram chaining; ~1e-9 at 10^5 distinct
     * shingles) — the memory/CPU-frugal form every downstream set operation
     * (MinHash, Jaccard) actually needs. At 100 TB this is the difference
     * between shuffling 6 KB and 2.4 KB per doc.

@@ -41,7 +41,11 @@ object Selection {
     val prefix = F.substring(
       F.md5(F.concat(F.col(keyCol).cast("string"), F.lit(salt))), 1, 8)
     // thresholds BETWEEN splits: floor(cumFrac * 2^32) as 8-char hex
-    val bounds = cum.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    // clamp to 2^32 - 1: a cumulative fraction that rounds to 1.0 in
+    // double would floor to 2^32, render as NINE hex chars and break the
+    // fixed-8-char lexicographic comparison (misrouting ~15/16 of rows)
+    val bounds = cum.init.map(c => f"${
+      math.min(math.floor(c * 4294967296.0).toLong, 4294967295L)}%08x")
     val assigned = bounds.zip(weights.map(_._1)).foldLeft(Option.empty[Column]) {
       case (acc, (hex, name)) =>
         val cond = prefix < F.lit(hex)

@@ -196,11 +196,18 @@ object TextAnalysis {
 
   def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
-  /** [[stopwordRatio]] over a materialized token-array attribute. */
+  /** [[stopwordRatio]] over a materialized token-array attribute.
+    * TOKEN-frequency ratio: stopword occurrences / all tokens — the
+    * conventional C4/Gopher-style signal. (The former distinct-types
+    * formulation capped the numerator at the stopword-list size, so a
+    * long document could never exceed ~18/|vocab| and any conventional
+    * 0.1-0.3 threshold classified all long prose as stopword-free.)
+    */
   def stopwordRatioOf(ts: Column): Column = {
     val stops = F.array(Stopwords.map(F.lit): _*)
     F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
-      F.size(F.array_intersect(ts, stops)).cast("double") / F.size(F.array_distinct(ts)))
+      F.size(F.filter(ts, t => F.array_position(stops, t) > 0))
+        .cast("double") / F.size(ts))
   }
 
   /** Fraction of characters that are punctuation/symbols. */
@@ -658,10 +665,12 @@ object TextAnalysis {
     * reports its duplicated-window fraction. Docs shorter than `window`
     * have no spans and drop.
     *
-    * With `hashed = true` (the 100 TB default) span keys are 64-bit
-    * xxhash64 — the span STRINGS never enter a shuffle, only 8-byte keys
-    * do; `hashed = false` keeps raw strings for oracle replay (same
-    * result modulo astronomically-unlikely hash collisions). One corpus
+    * With `hashed = true` (the 100 TB default) span keys are the 64-bit
+    * fused shingle hashes (per-token FNV-1a, golden-ratio chaining,
+    * avalanche finalizer — `ShingleHashKernel`) — the span STRINGS never
+    * enter a shuffle, only 8-byte keys do; `hashed = false` keeps raw
+    * strings for oracle replay (same result modulo ~2^-64-scale hash
+    * collisions). One corpus
     * scan and one tokenizer pass (shared-stage topology with the explicit
     * superset null filter — see [[bigramLogLoss]]); the span-count
     * aggregate is partial+final on the key, AQE-skew-splittable (heavy

@@ -202,6 +202,42 @@ class EngineSpec extends AnyFunSuite with Matchers {
     q.traits("score").dataType shouldBe KDataType.KNumber
   }
 
+  test("dotted CSV headers load (no nested-field misparse)") {
+    // regression: F.col("sepal.length") parsed the dot as struct access
+    // on a flat schema and load crashed with UNRESOLVED_COLUMN
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val f = java.nio.file.Paths.get(dir, "iris.csv")
+    java.nio.file.Files.writeString(f,
+      "sepal.length,species\n5.1,setosa\n4.9,setosa\n")
+    val kf = KFrame.fromCsvFile(spark, f.toString)
+    kf.height shouldBe 2
+    kf.traits("sepal.length").dataType shouldBe KDataType.KNumber
+    kf.toOrderedDF.select("`sepal.length`").collect()
+      .map(_.getDouble(0)).toSeq shouldBe Seq(5.1, 4.9)
+  }
+
+  test("multiLine option parses quoted embedded newlines (RFC 4180)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvml").toString
+    val f = java.nio.file.Paths.get(dir, "ml.csv")
+    java.nio.file.Files.writeString(f,
+      "id,note\n1,\"line1\nline2\"\n2,plain\n")
+    // default line-splittable mode garbles the quoted newline; the
+    // documented multiLine switch parses it whole
+    val kf = CsvSource.load(spark, f.toString, strict = true,
+      multiLine = true)
+    kf.height shouldBe 2
+    kf.toOrderedDF.select("note").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("line1\nline2", "plain")
+  }
+
+  test("saltedJoin validates keys like every other keyed join") {
+    import graft.extras.Relational
+    intercept[KevinException](
+      Relational.saltedJoin(df.select("city"), df.select("city"),
+        Seq("no_such_key")))
+      .getMessage should include("no such field in left frame")
+  }
+
   // ---- set ops (extras; absent in reference, SURVEY §2.7) -------------
 
   test("set ops: union/intersect/except/distinct") {

@@ -2274,6 +2274,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     r.getAs[String]("lang") shouldBe "en"
   }
 
+  test("stopwordRatio is the token-frequency ratio, not distinct types") {
+    import spark.implicits._
+    // "the" appears twice among 9 tokens -> 2/9; the former distinct
+    // formulation gave 1/|distinct| and capped the numerator at the
+    // stopword-list size, flooring long prose at ~0
+    val d = Seq("The quick brown fox, jumps over the lazy dog!").toDF("text")
+    d.select(TextAnalysis.stopwordRatio(F.col("text"))).head()
+      .getDouble(0) shouldBe (2.0 / 9.0) +- 1e-12
+  }
+
+  test("shingle token hashes have no trivial short-token collisions") {
+    graft.plans.GraftExtensions.register(spark)
+    // poly-31 collided "an" with "c0" (97*31+110 = 99*31+48), so two
+    // docs differing only in those tokens shared every window key; the
+    // FNV-1a token hash separates them
+    val r = spark.sql(
+      "SELECT shingle_hashes('alpha an omega', 3)[0] AS a, " +
+        "shingle_hashes('alpha c0 omega', 3)[0] AS b").head()
+    r.getLong(0) should not be r.getLong(1)
+  }
+
   test("langId picks marker languages and falls back to und") {
     import spark.implicits._
     val d = Seq(

@@ -67,6 +67,19 @@ class SelectionSpec extends AnyFunSuite with Matchers {
 
   // ---- token caps ------------------------------------------------------
 
+  test("hashSplit: a cumulative bound rounding to 1.0 stays 8-hex-wide") {
+    import spark.implicits._
+    // regression: floor(1.0 * 2^32) rendered as NINE hex chars and the
+    // fixed-width lexicographic compare misrouted ~15/16 of rows into
+    // the ~zero-weight trailing split
+    val df = (1L to 400L).toDF("id")
+    val out = Selection.hashSplit(df, "id",
+        Seq("train" -> 1.0, "tiny" -> 1e-12))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.getOrElse("train", 0L) shouldBe 400L
+  }
+
   test("hashSplit: null keys get split NULL, never the last split") {
     import spark.implicits._
     // regression: md5(null||salt) is null, every threshold comparison is
