@@ -7,10 +7,13 @@ import java.nio.file.{Files, Paths}
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line to stdout:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query runs three times (one cold + two warm) and the MIN of the
-  * two warm reps is reported, so the gate measures the query plan — not
-  * JVM/session bring-up, and not a single warm sample's GC/scheduler
-  * noise (see BENCH_HISTORY's round-10 methodology note). A failing query
+  * Each query runs four times (one cold + three warm) and the MEDIAN of
+  * the three warm reps is reported, so the gate measures the query plan —
+  * not JVM/session bring-up, not a single warm sample's GC/scheduler
+  * noise, and (unlike a min) not only the best case, which would mask a
+  * persistent-but-intermittent regression (see BENCH_HISTORY's round-11
+  * methodology note; per-rep wmin/wmax spread lands in
+  * bench_detail.json). A failing query
   * contributes `-1` (never a fake success time). The line is also written
   * to `bench_out.json` as a belt-and-braces channel in case stdout is
   * wrapped by a build tool.
@@ -49,32 +52,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // (name, cold, warm) where warm = min of TWO warm reps: single warm
-    // samples on sub-second queries have a noise band wider than the
-    // >1.3× regression threshold (BENCH_HISTORY's round-10-item-2
+    // (name, cold, warm reps) where warm = MEDIAN of THREE warm reps:
+    // single warm samples on sub-second queries have a noise band wider
+    // than the >1.3× regression threshold (BENCH_HISTORY's round-10-item-2
     // re-bench: q_append 0.34–0.87 across reps on untouched code), so a
-    // one-sample warm keeps raising phantom runbook flags. The min of
-    // two is the stable statistic for "what the plan costs without a GC
-    // pause / scheduler collision" — still a real end-to-end execution,
-    // never a fabricated time. A failure is (-1, -1).
-    val results: Seq[(String, Double, Double)] = Queries.benchRegistry.toSeq.map {
-      case (name, fn) =>
+    // one-sample warm keeps raising phantom runbook flags — but the min
+    // of N systematically reports the best case and can mask a
+    // persistent-but-noisy regression (added GC pressure that hits most
+    // reps). The median absorbs one outlier in either direction while
+    // still moving when the typical rep moves; the per-rep spread
+    // (wmin/wmax) lands in bench_detail.json so a wide band is visible
+    // when triaging a flag. Still real end-to-end executions, never a
+    // fabricated time. A failure is (-1, all -1).
+    val results: Seq[(String, Double, Seq[Double])] =
+      Queries.benchRegistry.toSeq.map { case (name, fn) =>
         try {
           val c = timeOnce(fn)
-          val w = math.min(timeOnce(fn), timeOnce(fn))
-          (name, c, w)
+          val ws = Seq.fill(3)(timeOnce(fn))
+          (name, c, ws)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            (name, -1.0, -1.0)
+            (name, -1.0, Seq(-1.0))
         }
-    }
+      }
+    def median(ws: Seq[Double]): Double = ws.sorted.apply(ws.size / 2)
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
-      .map { case (k, _, w) => "\"" + k + "\":" + r3(w) }
+      .map { case (k, _, ws) => "\"" + k + "\":" + r3(median(ws)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._3).filter(_ >= 0).sum
+    val total = results.map(r => median(r._3)).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // compact stdout line: NO per-query map (overflows the driver's log
     // tail at 91+ queries — the "parsed": null failure mode); full map
@@ -87,7 +95,11 @@ object Bench {
     try {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
       val detail = results
-        .map { case (k, c, w) => "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}" }
+        .map { case (k, c, ws) =>
+          "\"" + k + "\":{\"cold\":" + r3(c) +
+            ",\"warm\":" + r3(median(ws)) +
+            ",\"wmin\":" + r3(ws.min) + ",\"wmax\":" + r3(ws.max) + "}"
+        }
         .mkString("{\"load\":" + r3(load) + ",\"queries\":{", ",", "}}")
       Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
     } catch { case _: Throwable => () }

@@ -499,9 +499,12 @@ final class KFrame private[graft] (
     * (default `"|"`): it must not occur inside any column-field value.
     * A collision is not merely a header-split ambiguity — two distinct
     * tuples like `("a|b","c")` and `("a","b|c")` concat to the SAME pivot
-    * key, so `first()` keeps one of their pre-aggregated cells and drops
-    * the other (silent data loss). Pick a `sep` outside the values'
-    * alphabet (e.g. `" "`) when values may contain the default.
+    * key, so `first()` would keep one of their pre-aggregated cells and
+    * drop the other. ENFORCED at runtime: a value containing `sep` raises
+    * (codegen'd row check inline in the pivot scan, see
+    * `guardedTupleKey`) instead of losing data silently. Pick a `sep`
+    * outside the values' alphabet (e.g. `"\u0000"`) when values may
+    * contain the default.
     * A NULL in any column field makes
     * `concat_ws` skip that slot, merging the header with the one-shorter
     * tuple; pre-filter or `coalesce` nulls when they are live keys. The
@@ -538,8 +541,7 @@ final class KFrame private[graft] (
         throw new KevinException(s"pivot key path $p must have " +
           s"${cols.length} elements for column fields $cols"))
       ds.groupBy(rows.map(F.col): _*)
-        .pivot(F.concat_ws(sep, cols.map(c => F.col(c).cast("string")): _*),
-          values.map(_.mkString(sep)))
+        .pivot(guardedTupleKey(cols, sep), values.map(_.mkString(sep)))
         .agg(F.first(F.col(v)))
     case Some(p) => throw new KevinException(
       s"pivotedWide needs at least one column field, got ${p.colFields}")
@@ -552,12 +554,31 @@ final class KFrame private[graft] (
       ds.groupBy(rows.map(F.col): _*).pivot(c).agg(F.first(F.col(v)))
     case Some(PivotSpec(rows, cols, v)) if cols.nonEmpty =>
       ds.groupBy(rows.map(F.col): _*)
-        .pivot(F.concat_ws(sep, cols.map(c => F.col(c).cast("string")): _*))
+        .pivot(guardedTupleKey(cols, sep))
         .agg(F.first(F.col(v)))
     case Some(p) => throw new KevinException(
       s"pivotedWide needs at least one column field, got ${p.colFields}")
     case None => throw new KevinException("dataframe is not pivoted")
   }
+
+  /** The multi-column-field tuple key, with the `sep` contract ENFORCED
+    * per row: a column-field value containing `sep` merges distinct
+    * tuples into one pivot key and `first()` silently drops all but one
+    * of their pre-aggregated cells — so it raises instead. The check is a
+    * codegen'd string `contains` inline in the same scan the concat
+    * already pays (no extra pass, no driver round-trip); NULL values skip
+    * the check and keep `concat_ws`'s documented skip-the-slot behavior.
+    */
+  private def guardedTupleKey(cols: Seq[String], sep: String): Column =
+    F.concat_ws(sep, cols.map { c =>
+      val s = F.col(c).cast("string")
+      F.when(s.contains(sep), F.raise_error(F.concat(
+        F.lit(s"pivotedWide: separator '$sep' occurs in column field " +
+          s"'$c' value '"), s,
+        F.lit("' — distinct tuples would merge and lose cells silently; " +
+          "pass a sep outside the values' alphabet"))).cast("string"))
+        .otherwise(s)
+    }: _*)
 
   // ---- §2.6 sorts / limits / positional ------------------------------
 

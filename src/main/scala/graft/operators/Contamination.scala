@@ -130,7 +130,8 @@ object Contamination {
     val bloom = benchBloom(bench, benchTextCol, n, fpp)
     val spark = bench.sparkSession
     import spark.implicits._
-    Seq(("shingle-bloom", n, bloom)).toDF("kind", "n", "bloom")
+    Seq(("shingle-bloom", n, graft.functions.Tok.HashFamily, bloom))
+      .toDF("kind", "n", "hashFamily", "bloom")
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
@@ -146,6 +147,7 @@ object Contamination {
     val row = spark.read.parquet(path).head()
     require(row.getAs[String]("kind") == "shingle-bloom",
       s"$path is not a shingle-bloom artifact (kind=${row.getAs[String]("kind")})")
+    graft.functions.Tok.checkHashFamily(row, path)
     // same null-text keep contract as decontaminateBloom
     docs.filter(
       F.coalesce(

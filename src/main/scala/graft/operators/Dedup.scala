@@ -651,10 +651,13 @@ object Dedup {
     *    exact-Jaccard verify side;
     *  - `path/_bands`: (id, band, bh) — banded signature keys, the
     *    candidate-join side;
-    *  - `path/_params`: one row (shingleN, numHashes, bands, seed) — a
-    *    probe must band the new batch under IDENTICAL parameters for
-    *    signatures to be comparable, so probes read and apply these and
-    *    [[appendToBandIndex]] fails fast if the artifact is missing them.
+    *  - `path/_params`: one row (shingleN, numHashes, bands, seed,
+    *    hashFamily) — a probe must band the new batch under IDENTICAL
+    *    parameters AND the identical token-hash family for signatures to
+    *    be comparable, so probes read and apply these and every loader
+    *    fails fast if the artifact is missing them or was built under a
+    *    different `Tok.HashFamily` (a foreign-family probe would silently
+    *    match nothing — all near-dups kept).
     */
   def saveBandIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -667,8 +670,8 @@ object Dedup {
     sh.write.mode("overwrite").parquet(path)
     banded.write.mode("overwrite").parquet(s"$path/_bands")
     import spark.implicits._
-    Seq((shingleN, numHashes, bands, seed))
-      .toDF("shingleN", "numHashes", "bands", "seed")
+    Seq((shingleN, numHashes, bands, seed, graft.functions.Tok.HashFamily))
+      .toDF("shingleN", "numHashes", "bands", "seed", "hashFamily")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/_params")
   }
@@ -683,6 +686,7 @@ object Dedup {
             s"$path is not a band index (no readable _params sidecar): " +
               e.getMessage)
       }
+    graft.functions.Tok.checkHashFamily(row, path)
     (row.getAs[Int]("shingleN"), row.getAs[Int]("numHashes"),
       row.getAs[Int]("bands"), row.getAs[Long]("seed"))
   }
@@ -998,8 +1002,10 @@ object Dedup {
       seed, fpp)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(("band-bloom", shingleN, numHashes, bands, seed, bloom))
-      .toDF("kind", "shingleN", "numHashes", "bands", "seed", "bloom")
+    Seq(("band-bloom", shingleN, numHashes, bands, seed,
+        graft.functions.Tok.HashFamily, bloom))
+      .toDF("kind", "shingleN", "numHashes", "bands", "seed", "hashFamily",
+        "bloom")
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
@@ -1017,6 +1023,7 @@ object Dedup {
     val row = spark.read.parquet(path).head()
     require(row.getAs[String]("kind") == "band-bloom",
       s"$path is not a band-bloom artifact (kind=${row.getAs[String]("kind")})")
+    graft.functions.Tok.checkHashFamily(row, path)
     nearDupGateBloom(df, textCol, row.getAs[Array[Byte]]("bloom"),
       row.getAs[Int]("shingleN"), row.getAs[Int]("numHashes"),
       row.getAs[Int]("bands"), row.getAs[Long]("seed"))

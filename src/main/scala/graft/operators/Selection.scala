@@ -447,6 +447,11 @@ object Selection {
     val params = stats.crossJoin(prior)
       .withColumn("__s", s)
       .withColumn("__numBuckets", F.lit(numBuckets))
+      // tokenizer+hash family stamp: a persisted model's feature keys
+      // (exact tokens OR hashed buckets) both derive from the Tok family,
+      // so loaders can fail fast instead of scoring against keys that
+      // silently match nothing (see Tok.HashFamily)
+      .withColumn("hashFamily", F.lit(graft.functions.Tok.HashFamily))
     // llr consumes the SAME 1-row params frame every other consumer
     // broadcasts — one canonical broadcast exchange, so AQE reuses it
     // instead of recomputing the stats subtree per consumer (a separate
@@ -510,7 +515,9 @@ object Selection {
       path: String, toScore: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val params = spark.read.parquet(s"$path/_params")
-    val numBuckets = params.select("__numBuckets").head().getInt(0)
+    val row = params.head()
+    graft.functions.Tok.checkHashFamily(row, path)
+    val numBuckets = row.getAs[Int]("__numBuckets")
     nbScoreJoin(docFeatures(toScore, idCol, textCol, numBuckets),
       spark.read.parquet(s"$path/llr"), params, idCol)
   }
@@ -529,7 +536,9 @@ object Selection {
       tsCol: String, width: String = "1 hour",
       lateness: String = "1 hour"): DataFrame = {
     val params = spark.read.parquet(s"$path/_params")
-    val numBuckets = params.select("__numBuckets").head().getInt(0)
+    val paramsRow = params.head()
+    graft.functions.Tok.checkHashFamily(paramsRow, path)
+    val numBuckets = paramsRow.getAs[Int]("__numBuckets")
     val s = F.col("__s")
     val unseen =
       F.log(F.col("__tn") + s * F.col("__v")) -

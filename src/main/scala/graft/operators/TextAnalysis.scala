@@ -745,11 +745,12 @@ object TextAnalysis {
     * Per doc: xent2 = −Σ tf·ln p / (dl−1) over its dl−1 bigram positions.
     * Docs with fewer than 2 tokens drop.
     *
-    * SCALE: partial+final aggregates throughout; the marginals and the
-    * 1-row total follow [[unigramLogLoss]]'s topology (guards keep every
-    * consumer on the shared tf stage; the bigram vocabulary is never
-    * broadcast or collected); the btf→c12→cl/cr joins shuffle on term
-    * keys and are AQE-skew-splittable.
+    * SCALE: partial+final aggregates throughout; the corpus-sized btf
+    * stage has exactly two consumers (c12 and the per-doc probe), the
+    * marginals are window sums over the vocabulary-sized c12 and ride the
+    * SAME (w1,w2) join as c12 itself, and the 1-row total sums c12 —
+    * the bigram vocabulary is never broadcast or collected; the one
+    * btf→c12e join shuffles on term keys and is AQE-skew-splittable.
     */
   def bigramLogLoss(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.9): DataFrame = {
@@ -777,23 +778,33 @@ object TextAnalysis {
       .filter(F.col("w1").isNotNull && F.col("w2").isNotNull)
       .groupBy(F.col(idCol), F.col("dl"), F.col("w1"), F.col("w2"))
       .agg(F.count(F.lit(1)).as("tf2"))
-    // corpus counts — every consumer reads ONE hop from btf (bm25's
-    // shared-tf-stage shape; marginals over btf equal marginals over c12
-    // by associativity of sum), and each guard references every upstream
-    // column so pruning cannot specialize its copy off the shared stage
+    // corpus counts — btf has exactly TWO consumers (the c12 aggregate
+    // and the final per-doc join probe), and everything else derives from
+    // c12: cl/cr are window sums over it (marginals over btf equal
+    // marginals over c12 by associativity of sum — the DuckDB oracle
+    // derives them the same way) and the 1-row total is a sum over it.
+    // This folds what used to be three extra btf-sized aggregation passes
+    // plus two corpus-sized marginal joins into two vocabulary-sized
+    // window passes and ONE (w1,w2) join carrying c12+cl+cr together —
+    // the probe side crosses an exchange once instead of three times.
+    // The guards reference every upstream column so column pruning cannot
+    // specialize one consumer's copy of the shared stage (bm25's
+    // shared-tf-stage shape: identical subtrees ⇒ one exchange, reused).
     def guarded: Column = F.when(
       F.col("tf2") >= 1 && F.col(idCol).isNotNull && F.col("dl") >= 2,
       F.col("tf2"))
     val c12 = btf.groupBy("w1", "w2").agg(F.sum(guarded).as("c12"))
-    val cl = btf.groupBy("w1").agg(F.sum(guarded).as("cl"))
-    val cr = btf.groupBy("w2").agg(F.sum(guarded).as("cr"))
-    val total = btf.agg(
-      F.sum(F.when(F.col("w1").isNotNull && F.col("w2").isNotNull, guarded))
-        .cast("double").as("__t"))
+    def guardedC12: Column = F.when(
+      F.col("w1").isNotNull && F.col("w2").isNotNull, F.col("c12"))
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("w2")
+    val c12e = c12
+      .withColumn("cl", F.sum(guardedC12).over(wl))
+      .withColumn("cr", F.sum(guardedC12).over(wr))
+    val total = c12.agg(F.sum(guardedC12).cast("double").as("__t"))
     val lam = F.lit(lambda)
     val oneMinus = F.lit(1.0) - lam
-    btf.join(c12, Seq("w1", "w2"))
-      .join(cl, "w1").join(cr, "w2")
+    btf.join(c12e, Seq("w1", "w2"))
       .crossJoin(F.broadcast(total))
       .withColumn("__p",
         lam * (F.col("c12") / F.col("cl")) + oneMinus * (F.col("cr") / F.col("__t")))

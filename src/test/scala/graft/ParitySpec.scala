@@ -429,6 +429,22 @@ class ParitySpec extends AnyFunSuite with Matchers {
     intercept[KevinException](c.pivotedWide(Seq(Seq("2011.0"))))
       .getMessage should include("must have 2 elements")
   }
+  test("pivotedWide raises when a column-field value contains the separator") {
+    import org.apache.spark.sql.{functions => F}
+    // "bos|ton" under the default "|" sep would concat-merge with a
+    // distinct ("2011.0|bos", "ton") tuple — the guard raises instead
+    // of letting first() drop a cell silently
+    val poisoned = df.derive("cityx",
+      F.when(F.col("city") === "boston", F.lit("bos|ton"))
+        .otherwise(F.col("city")))
+    val c = poisoned.cast(Seq("gender"), Seq("year", "cityx"), Agg.sum,
+      "sale")
+    val e = intercept[Exception](c.pivotedWide.collect())
+    e.getMessage should include("separator")
+    // a sep outside the values' alphabet passes and keeps every tuple
+    val wide = c.pivotedWide(sep = "\u0000")
+    wide.columns.count(_.contains("bos|ton")) should be >= 1
+  }
   test("cast overlapping row/col fields -> error (Combinator.hs:271)") {
     intercept[KevinException](df.cast(Seq("city"), Seq("city"), Agg.sum, "sale"))
       .getMessage should include("overlapping")

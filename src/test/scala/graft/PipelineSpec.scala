@@ -248,6 +248,16 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       TextAnalysis.bigramLogLoss(docs, "doc_id", "text"))
     tok.r.findAllIn(biPlan).size shouldBe 1
     "FileScan parquet".r.findAllIn(biPlan).size shouldBe 1
+    // ...and the sharing is pinned as REUSE COUNTS, not just scan counts:
+    // the corpus-sized btf exchange feeds its second consumer (the c12
+    // aggregate) via ReusedExchange, and the vocabulary-sized c12
+    // exchange feeds the 1-row total the same way. The hand-maintained
+    // exchange canonicalization (explicit superset filters + full-width
+    // guards) is one refactor away from silently recomputing the corpus
+    // tf per consumer — a split shows up here as a changed count.
+    "ReusedExchange".r.findAllIn(biPlan).size shouldBe 2
+    // marginals are the two window sums over c12 — never a btf re-scan
+    "Window ".r.findAllIn(biPlan).size shouldBe 2
     // gopher battery: a pure scan-side projection — one scan, and since
     // round 6 NO tokenizer/HOF at all (whole-text regexp_count/rlike
     // formulation; the no-lambdafunction pin lives in SelectionSpec)
@@ -3405,6 +3415,72 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       bandDir)
     an[IllegalArgumentException] should be thrownBy
       Contamination.decontaminateFromArtifact(docs, "text", bandDir)
+  }
+
+  test("hash-family stamp: stale or pre-stamp artifacts fail fast on load") {
+    import graft.functions.Tok
+    // overwrite an artifact's parameter sidecar with a modified copy
+    // (collect first: Spark refuses to overwrite a path it is reading)
+    def rewrite(paramsPath: String)(
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val src = spark.read.parquet(paramsPath)
+      val cur = spark.createDataFrame(
+        java.util.Arrays.asList(src.collect(): _*), src.schema)
+      f(cur).repartition(1).write.mode("overwrite").parquet(paramsPath)
+    }
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    val batch = docs.filter(F.col("doc_id") % 2 === 1).limit(20)
+
+    // band index: foreign family and missing stamp both refuse to probe
+    val idx = java.nio.file.Files.createTempDirectory("graft-hf-idx")
+      .toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx).count()
+    rewrite(s"$idx/_params")(
+      _.withColumn("hashFamily", F.lit("poly31-v1")))
+    (the[IllegalArgumentException] thrownBy
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+    ).getMessage should include(Tok.HashFamily)
+    rewrite(s"$idx/_params")(_.drop("hashFamily"))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.appendToBandIndex(batch, "doc_id", "text", idx)
+
+    // band bloom
+    val bb = java.nio.file.Files.createTempDirectory("graft-hf-bb")
+      .toString + "/bb"
+    Dedup.saveBandBloom(corpus, "text", bb)
+    Dedup.nearDupGateFromArtifact(batch, "text", bb).count()
+    rewrite(bb)(_.withColumn("hashFamily", F.lit("poly31-v1")))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.nearDupGateFromArtifact(batch, "text", bb)
+
+    // shingle bloom
+    val sb = java.nio.file.Files.createTempDirectory("graft-hf-sb")
+      .toString + "/sb"
+    graft.operators.Contamination.saveBenchBloom(
+      corpus.select(F.col("text").as("btext")), "btext", sb)
+    graft.operators.Contamination.decontaminateFromArtifact(batch, "text",
+      sb).count()
+    rewrite(sb)(_.withColumn("hashFamily", F.lit("poly31-v1")))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Contamination.decontaminateFromArtifact(batch,
+        "text", sb)
+
+    // NB model (tokenizer family covers exact features too)
+    val nb = java.nio.file.Files.createTempDirectory("graft-hf-nb")
+      .toString + "/nb"
+    val labeled = docs.limit(60)
+      .withColumn("lab", F.col("doc_id") % 2 === 0)
+    graft.operators.Selection.saveNbModel(labeled, "doc_id", "text",
+      "lab", nb)
+    graft.operators.Selection.scoreWithNbModel(spark, nb, batch, "doc_id",
+      "text").count()
+    rewrite(s"$nb/_params")(
+      _.withColumn("hashFamily", F.lit("poly31-v1")))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Selection.scoreWithNbModel(spark, nb, batch,
+        "doc_id", "text")
   }
 
   test("q_knn_ivfpq (registry): persisted-index probe recall vs exact path") {
