@@ -194,6 +194,55 @@ object Queries {
         .map(c => round(col(s"`$c`"), 2).as(c)): _*)
   }
 
+  // ---- §2 operator-chain fuzz faces ------------------------------------
+  //
+  // Driver-checked siblings of FuzzChainSpec: the spec fuzzes 220 random
+  // §2 chains against a driver-side model of the reference semantics;
+  // these four FIXED chains put the same interaction classes (positional
+  // slice × filter × carried groups; the desc-reverses-ties quirk feeding
+  // an order-sensitive aggregate; melt × filter × unknown-name drops;
+  // append reindex × aggregate) under the DuckDB oracle, so chain
+  // composition — not just each operator alone — is cross-engine checked
+  // every round. Chains start from a sort on a UNIQUE key: KFrame.wrap's
+  // ingest order is parquet-split order, which no other engine replays.
+
+  def q_fuzz_slice_agg(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d)).sort("o_orderkey")
+      .drop(7).take(500)
+      .filterText("o_orderpriority", _.startsWith("1"))
+      .groupby("o_orderstatus")
+      .aggregate(Agg.Sum, "o_totalprice")
+      .toDF.select(col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  def q_fuzz_desc_concat(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d)).sort("o_orderkey")
+      // desc reverses the ENTIRE previous order among ties
+      // (Combinator.hs:229-230): equal-status rows come out keyed DESC
+      .sort("o_orderstatus", ascending = false)
+      .take(40)
+      .groupby("o_orderpriority")
+      .aggregate(Agg.Concat, "o_orderstatus")
+      .toDF
+
+  def q_fuzz_melt_mean(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(Tables.customer(s, d))
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "hehehe")
+      .melt(Seq("c_mktsegment"), Seq("c_acctbal", "c_custkey"))
+      .filterNumber("value", _ > 1000)
+      .groupby("c_mktsegment", "variable", "hehehe")
+      .aggregate(Agg.Mean, "value")
+      .toDF.select(col("c_mktsegment"), col("variable"),
+        round(col("value"), 6).as("value"))
+
+  def q_fuzz_append_count(s: SparkSession, d: String): DataFrame = {
+    val sorted = KFrame.wrap(ord(s, d)).sort("o_orderkey")
+    sorted.take(8).append(sorted.drop(100).take(5))
+      .groupby("o_orderstatus")
+      .aggregate(Agg.Count, "o_totalprice")
+      .toDF
+  }
+
   // ---- §2.7 append / zip ----------------------------------------------
 
   def q_append(s: SparkSession, d: String): DataFrame = {
@@ -2430,7 +2479,42 @@ object Queries {
         |      ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |  FROM dom
-        |) WHERE prev < 500""".stripMargin
+        |) WHERE prev < 500""".stripMargin,
+    // ---- §2 operator-chain fuzz faces: the chain REPLAYED as SQL over
+    // the same deterministic sort anchors (frame order after the unique-
+    // key sort is engine-independent; the desc quirk maps to the
+    // reversed compound key; concat order rides string_agg's ORDER BY)
+    "q_fuzz_slice_agg" ->
+      """WITH sliced AS (
+        |  SELECT * FROM orders ORDER BY o_orderkey LIMIT 500 OFFSET 7)
+        |SELECT o_orderstatus, round(sum(o_totalprice), 2) AS o_totalprice
+        |FROM sliced WHERE o_orderpriority LIKE '1%'
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_fuzz_desc_concat" ->
+      """WITH sliced AS (
+        |  SELECT * FROM orders
+        |  ORDER BY o_orderstatus DESC, o_orderkey DESC LIMIT 40)
+        |SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ''
+        |    ORDER BY o_orderstatus DESC, o_orderkey DESC) AS o_orderstatus
+        |FROM sliced GROUP BY o_orderpriority""".stripMargin,
+    "q_fuzz_melt_mean" ->
+      """WITH melted AS (
+        |  SELECT c_mktsegment, 'c_acctbal' AS variable,
+        |    CAST(c_acctbal AS DOUBLE) AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'c_custkey',
+        |    CAST(c_custkey AS DOUBLE) FROM customer)
+        |SELECT c_mktsegment, variable, round(avg(value), 6) AS value
+        |FROM melted WHERE value > 1000
+        |GROUP BY c_mktsegment, variable""".stripMargin,
+    "q_fuzz_append_count" ->
+      """WITH a AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 8),
+        |b AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 100),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT o_orderstatus,
+        |  CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice
+        |FROM u GROUP BY o_orderstatus""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3028,7 +3112,13 @@ object Queries {
     "q_domain_stats" -> (q_domain_stats _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_domain_token_cap" -> (q_domain_token_cap _),
-    "q_dedup_by_url" -> (q_dedup_by_url _)
+    "q_dedup_by_url" -> (q_dedup_by_url _),
+    // round-11: fixed §2 operator-chain fuzz faces (FuzzChainSpec's
+    // interaction classes under the DuckDB oracle)
+    "q_fuzz_slice_agg" -> (q_fuzz_slice_agg _),
+    "q_fuzz_desc_concat" -> (q_fuzz_desc_concat _),
+    "q_fuzz_melt_mean" -> (q_fuzz_melt_mean _),
+    "q_fuzz_append_count" -> (q_fuzz_append_count _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -229,8 +229,13 @@ final class KFrame private[graft] (
     // snapshot a snapshot-FREE copy: chains of groupbys must not build a
     // linked list of retained frames (each older snapshot is unreachable
     // anyway — strict aggregate only ever consults the latest); group-
-    // resetting ops likewise clear groupSnapshot at their copyWith sites
-    copyWith(groups = names.filter(ds.columns.contains), pivot = None,
+    // resetting ops likewise clear groupSnapshot at their copyWith sites.
+    // Repeated names dedup to their first occurrence: a duplicate stored
+    // key would make aggregate emit a duplicate-named key column, the
+    // undefined duplicate-field hazard of the reference's TODO:4 (every
+    // later reference to it is ambiguous — found by FuzzChainSpec).
+    copyWith(groups = names.distinct.filter(ds.columns.contains),
+      pivot = None,
       groupSnapshot = Some(this.copyWith(groupSnapshot = None)))
 
   /** Collapse to one row per group, keeping the group-key columns plus the
@@ -283,6 +288,15 @@ final class KFrame private[graft] (
         case None => ()
       }
     val groups = liveGroups
+    // Aggregating one of the live group keys would emit TWO columns named
+    // `field` (the key column + the aggregate, which keeps the field's
+    // name) — the reference's undefined duplicate-field hazard (TODO:4);
+    // every later reference to the name is ambiguous. Fail fast (found by
+    // FuzzChainSpec chain composition). `transform` is immune: it writes
+    // under a caller-supplied fresh name.
+    if (groups.contains(field))
+      throw new KevinException(
+        s"cannot aggregate a group key (duplicate output column): $field")
     val m =
       if (!agg.orderSensitive || idOrderIsFrameOrder) this
       else materializePositions
@@ -395,6 +409,14 @@ final class KFrame private[graft] (
   def melt(ids: Seq[String], vars: Seq[String]): KFrame = {
     val idCols = ids.filter(ds.columns.contains)
     val varCols = vars.filter(ds.columns.contains)
+    // An id column named like melt's fixed output columns would emit a
+    // duplicate-name frame (double-melt with `variable` as an id) — the
+    // duplicate-field hazard the reference's TODO:4 acknowledges but
+    // never defines. Fail as an engine error, not a downstream
+    // AnalysisException (found by FuzzChainSpec chain composition).
+    Seq(Variable, Value).filter(idCols.contains).foreach(c =>
+      throw new KevinException(
+        s"melt id column collides with the fixed output column: $c"))
     varCols.foreach(requireFieldType(_, numeric = true, err = "invalid data"))
     // Var-major id arithmetic `(varIdx-1)*h + oldId` needs only an upper
     // bound h >= every id — max(id) works for non-contiguous order-carrying
