@@ -48,11 +48,25 @@ object Relational {
     * once per salt value. The hot key's rows then spread across
     * `saltFactor` shuffle partitions instead of hammering one reducer.
     *
-    * AQE's skew-join splitting (on by default) handles most skew at
-    * runtime; explicit salting remains the tool for extreme single-key
-    * skew or for forcing stable behavior in un-adaptive contexts. The salt
-    * is `pmod(xxhash64(left row id), saltFactor)` — deterministic per row,
-    * uniform across rows.
+    * WHEN TO REACH FOR THIS (measured, graft.tools.SkewProbe: 4M rows,
+    * 90% on one key, 8 threads, idle — SkewJoinSpec pins the plan
+    * structure): AQE's skew-join split (on by default) is the first
+    * tool and usually the fastest — plain join 1.4-1.5s with skew
+    * handling off vs 0.6-0.9s with it on; salting alone lands between
+    * (1.0-1.3s) and under AQE adds overhead for no gain (the salted
+    * exchange is no longer skewed, so the split never fires —
+    * SkewJoinSpec asserts exactly that). Salt explicitly when AQE
+    * CANNOT re-plan: stream-stream/stream-static joins, a sink that
+    * requires a fixed output partitioning, single-key skew so extreme
+    * that even split sub-partitions overwhelm a reducer's SORT, or
+    * non-adaptive engines replaying this plan. SIZE THE FACTOR to
+    * several buckets per reducer (≥ 8× is safe): the hot key's salt
+    * buckets land on reducers by hash, and with only 1-2 buckets per
+    * reducer that assignment can itself be 2× unbalanced — SkewJoinSpec
+    * demonstrates both the failure (16 buckets / 8 reducers re-flagged
+    * as skew) and the fix (64 buckets). The salt is
+    * `pmod(xxhash64(keys…, row id), saltFactor)` — deterministic per
+    * row, uniform across rows.
     */
   def saltedJoin(left: KFrame, right: KFrame, keys: Seq[String],
       saltFactor: Int = 8): KFrame = {

@@ -74,12 +74,16 @@ object Multimodal {
       F.octet_length(payload).cast("long").as("n_bytes"))
   }
 
-  /** STUB feature extraction: a fixed-length feature vector per payload.
-    * Real pipelines run a vision encoder here via per-partition batched
-    * inference; the stub derives a deterministic 8-dim vector from content
-    * hashes so downstream similarity plumbing can be tested. Shape contract
-    * (array<float> per row, computed in a projection, batched per
-    * partition) is the real one.
+  /** STUB feature extraction — FAKE-FORMAT ONLY since round 11: real
+    * decodable images get REAL pixel-derived features from
+    * [[featuresBatched]] (grid mean-luma, see
+    * [[DecodeKernel.featuresBatch]]); this stub remains only as the
+    * vision-encoder stand-in for fake plumbing payloads (a learned
+    * encoder genuinely can't run in a bare JDK). It derives a
+    * deterministic vector from content hashes so downstream similarity
+    * plumbing stays testable on fake data. Shape contract (array<float>
+    * per row, computed in a projection, batched per partition) is the
+    * real one.
     */
   def featuresStub(payload: Column, dim: Int = 8): Column =
     F.array((0 until dim).map { i =>
@@ -128,6 +132,38 @@ object Multimodal {
         batch.iterator.zip(decoded.iterator).map { case (r, d) =>
           org.apache.spark.sql.Row.fromSeq(
             r.toSeq ++ Seq(d.mime, d.width, d.height, d.nBytes))
+        }
+      }
+    }(encoder)
+  }
+
+  /** REAL batched feature extraction for decodable images: appends a
+    * `features` array<float> column (grid² mean-luma cells in [0,1] —
+    * [[DecodeKernel.featuresBatch]]) through the same
+    * mapPartitions-batched shape as [[decodeBatched]] (a codec or a
+    * model wants payload BATCHES, not single rows). Fake-format and
+    * undecodable payloads get NULL features — observable and
+    * quarantinable, never silently fabricated. The output column feeds
+    * the ANN operators directly (e.g. `Similarity.bruteForceTopK` /
+    * `buildIvfIndex` on `features`), making payload → pixels → features
+    * → nearest-neighbors a fully real path end-to-end.
+    */
+  def featuresBatched(df: DataFrame, payloadCol: String, grid: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    require(!df.schema.fieldNames.contains("features"),
+      "featuresBatched appends `features`, but the input already has it")
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = DecodeKernel.featuresBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray, grid)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ (if (f == null) null else f.toSeq))
         }
       }
     }(encoder)
@@ -249,6 +285,64 @@ object DecodeKernel {
         else {
           val d = try decodeOne(bytes) catch { case _: Exception => null }
           if (d != null) d else Decoded("unknown", 0, 0, bytes.length.toLong)
+        }
+      }
+    }
+
+  /** REAL classical feature extraction: the grid×grid mean-luma
+    * thumbnail (grid² floats in [0,1], row-major) — the aHash-family
+    * perceptual descriptor. Each decodable payload's pixels are read
+    * through the SAME ImageIO path as [[decodeBatch]], scaled to
+    * grid×grid with area-averaging awt scaling, and each cell's RGB goes
+    * through the Rec.601 luma weights. Deterministic, model-free, and a
+    * REAL function of the pixels — two images that look alike land close
+    * in L2, so the vectors flow into the existing ANN operators
+    * (bruteForceTopK / IVF / PQ) as first-class embeddings. Fake-format
+    * and undecodable payloads return null (callers quarantine them;
+    * the fake format keeps its deterministic [[Multimodal.featuresStub]]
+    * PROJECTION for plumbing tests — a vision-encoder stand-in, now
+    * explicitly fake-only).
+    */
+  def featuresBatch(payloads: Array[Array[Byte]],
+      grid: Int): Array[Array[Float]] =
+    payloads.map { bytes =>
+      if (bytes == null || isFake(bytes)) null
+      else {
+        val img =
+          try {
+            headless
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+        if (img == null) null
+        else {
+          val thumb = new java.awt.image.BufferedImage(grid, grid,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          try {
+            // area-averaging via SCALE_AREA_AVERAGING-equivalent hints:
+            // bilinear on the Graphics2D draw is stable across JDKs and
+            // headless-safe
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, grid, grid, null)
+          } finally g.dispose()
+          val out = new Array[Float](grid * grid)
+          var y = 0
+          while (y < grid) {
+            var x = 0
+            while (x < grid) {
+              val rgb = thumb.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val gg = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              out(y * grid + x) =
+                ((0.299f * r + 0.587f * gg + 0.114f * b) / 255.0f)
+              x += 1
+            }
+            y += 1
+          }
+          out
         }
       }
     }

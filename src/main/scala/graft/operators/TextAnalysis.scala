@@ -713,16 +713,19 @@ object TextAnalysis {
             graft.plans.Hygiene.explodeNonEmpty(F.col("__sp")).as("wkey"))
       }
     val wtf = spanRows
-      // superset filter stated explicitly: keeps the shared stage canonical
-      // under each consumer's inferred isnotnull (see bigramLogLoss)
+      // explicit superset filter keeps the stage canonical under
+      // inferred isnotnull (see bigramLogLoss)
       .filter(F.col("wkey").isNotNull && F.col(idCol).isNotNull)
       .groupBy(F.col(idCol), F.col("n_windows"), F.col("wkey"))
-      .agg(F.count(F.lit(1)).as("c")) // per-doc span tf — BOTH consumers read this
-    val gcount = wtf.groupBy("wkey")
-      .agg(F.sum(F.when(
-        F.col(idCol).isNotNull && F.col("n_windows") >= 1 && F.col("c") >= 1,
-        F.col("c"))).as("gc"))
-    wtf.join(gcount, "wkey")
+      .agg(F.count(F.lit(1)).as("c")) // per-doc span tf
+    // corpus tf per window as a window sum over wtf — ONE wkey shuffle,
+    // no self-join: the former groupBy(wkey)+join-back shape pushed the
+    // window keys (8-gram STRINGS in the exact flavor) through an extra
+    // aggregate exchange AND both join exchanges. At corpus scale the
+    // wkey shuffle is the wide one; crossing it once is the contract.
+    val gc = F.sum(F.col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("wkey"))
+    wtf.withColumn("gc", gc)
       .groupBy(F.col(idCol), F.col("n_windows"))
       .agg(F.sum(F.when(F.col("gc") > 1, F.col("c")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac", F.col("n_dup") / F.col("n_windows"))

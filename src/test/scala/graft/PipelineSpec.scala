@@ -2457,6 +2457,54 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       }
   }
 
+  test("featuresBatched: REAL pixel luma features; ANN finds the planted " +
+    "visually-nearest image; fake/corrupt payloads get null features") {
+    import spark.implicits._
+    def png(paint: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = math.max(0, math.min(255, paint(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val base = png((x, _) => x * 8) // left-dark -> right-bright ramp
+    val twin = png((x, _) => x * 8 + 12) // same ramp, slightly brighter
+    val inverted = png((x, _) => 248 - x * 8)
+    val checker = png((x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val solid = png((_, _) => 40)
+    val fake = ("FAKE" + "000032" + "000032" + "not pixels").getBytes("UTF-8")
+    val corrupt = Array[Byte](9, 9, 9)
+    val df = Seq(0L -> base, 1L -> twin, 2L -> inverted, 3L -> checker,
+      4L -> solid, 5L -> fake, 6L -> corrupt).toDF("vec_id", "payload")
+    val feat = Multimodal.featuresBatched(df, "payload")
+    val rows = feat.select("vec_id", "features").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Float](1))).toMap
+    // REALNESS: the base image's feature vector reflects its pixels —
+    // row-major 8x8 mean-luma rises monotonically left to right
+    val f0 = rows(0L).get
+    f0.size shouldBe 64
+    (0 until 7).foreach(i => f0(i) should be < f0(i + 1))
+    f0.foreach(v => (v >= 0.0f && v <= 1.0f) shouldBe true)
+    // fake and corrupt payloads are observable nulls, never fabricated
+    rows(5L) shouldBe None
+    rows(6L) shouldBe None
+    // the features feed the existing ANN path unchanged: querying with
+    // the base image returns the planted brighter twin as nearest
+    val corpus = feat.filter(F.col("features").isNotNull)
+    val top = Similarity.bruteForceTopK(
+      corpus.filter(F.col("vec_id") === 0L), corpus, "vec_id", "features",
+      k = 1)
+    top.select("cand_id").head().getLong(0) shouldBe 1L
+    // and the stub remains fake-only: featuresStub is a projection for
+    // fake plumbing payloads, not the real-image path
+    val stubbed = df.withColumn("sf", Multimodal.featuresStub(F.col("payload")))
+    stubbed.select("sf").head().getSeq[Float](0).size shouldBe 8
+  }
+
   test("resize preserves transparency; decodeBatched rejects column clashes") {
     import spark.implicits._
     // a 4x4 PNG whose left half is transparent, right half opaque red
