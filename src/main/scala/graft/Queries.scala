@@ -243,6 +243,22 @@ object Queries {
       .toDF
   }
 
+  /** The stale-groups quirk under the DuckDB oracle: rows hidden by a
+    * take() BETWEEN groupby and aggregate still fold into their group in
+    * strict mode (`Combinator.hs:215-222` — the reference aggregates the
+    * STORED group indices regardless of current visibility), so the
+    * oracle aggregates the FULL pre-take frame. The non-strict sane twin
+    * of this exact chain is the visible-rows-only aggregate (ParitySpec
+    * pins both modes side by side on the fixture).
+    */
+  def q_fuzz_strict_agg(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d)).sort("o_orderkey")
+      .groupby("o_orderpriority")
+      .take(50) // hides everything past the first 50 — strict ignores it
+      .aggregate(Agg.Sum, "o_totalprice", strictGroups = true)
+      .toDF.select(col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+
   // ---- §2.7 append / zip ----------------------------------------------
 
   def q_append(s: SparkSession, d: String): DataFrame = {
@@ -2514,7 +2530,14 @@ object Queries {
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
         |SELECT o_orderstatus,
         |  CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice
-        |FROM u GROUP BY o_orderstatus""".stripMargin
+        |FROM u GROUP BY o_orderstatus""".stripMargin,
+    // strict mode folds the groupby-TIME frame: the take(50) between
+    // groupby and aggregate hides nothing from the stored groups, so the
+    // oracle aggregates the WHOLE table (the sane twin would aggregate
+    // only the first 50 sorted rows)
+    "q_fuzz_strict_agg" ->
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS o_totalprice
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3118,7 +3141,8 @@ object Queries {
     "q_fuzz_slice_agg" -> (q_fuzz_slice_agg _),
     "q_fuzz_desc_concat" -> (q_fuzz_desc_concat _),
     "q_fuzz_melt_mean" -> (q_fuzz_melt_mean _),
-    "q_fuzz_append_count" -> (q_fuzz_append_count _)
+    "q_fuzz_append_count" -> (q_fuzz_append_count _),
+    "q_fuzz_strict_agg" -> (q_fuzz_strict_agg _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -18,6 +18,17 @@ sealed trait KAggregator {
     * carries the frame's row order (used only by order-sensitive aggs).
     */
   def toColumn(field: String, orderCol: Column): Column
+  /** The same aggregate as a WINDOW column (KFrame.transform's grouped
+    * order-insensitive path). Default `toColumn(...).over(w)` is correct
+    * whenever toColumn's top node IS the aggregate; an aggregator that
+    * wraps its aggregate in a scalar expression must override — `.over`
+    * binds to the TOP expression, and Spark then extracts the inner
+    * aggregate into a group-by-less Aggregate node (MISSING_GROUP_BY;
+    * found by FuzzChainSpec composing transform(count) into chains).
+    */
+  def toWindowColumn(field: String, orderCol: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    toColumn(field, orderCol).over(w)
   /** true if the aggregator consumes numeric input (else string). */
   def numeric: Boolean
   /** true if the result depends on the order of values within a group
@@ -41,6 +52,11 @@ object Agg {
   case object Count extends KAggregator {
     def toColumn(field: String, orderCol: Column): Column =
       F.count(F.col(field)).cast("double")
+    // the double cast must wrap the WINDOW, not sit between the window
+    // and the aggregate (see KAggregator.toWindowColumn)
+    override def toWindowColumn(field: String, orderCol: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      F.count(F.col(field)).over(w).cast("double")
     val numeric = true
   }
   case object Variance extends KAggregator {

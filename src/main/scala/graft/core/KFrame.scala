@@ -364,7 +364,7 @@ final class KFrame private[graft] (
       } else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(groups.map(F.col): _*)
-        m.ds.withColumn(as, agg.toColumn(field, F.col(RowId)).over(w))
+        m.ds.withColumn(as, agg.toWindowColumn(field, F.col(RowId), w))
       }
     m.copyWith(ds = out, pivot = None)
   }
