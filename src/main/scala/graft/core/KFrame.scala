@@ -777,6 +777,14 @@ final class KFrame private[graft] (
     * also fires lazily, when the frame is forced). No driver-side counts.
     */
   def zipColumns(other: KFrame): KFrame = {
+    // same-name columns on both sides would emit a duplicate-name frame
+    // (the reference's undefined TODO:4 hazard; every later reference to
+    // the name is ambiguous) — same fail-fast contract as the keyed
+    // joins' non-key-overlap check (found by FuzzChainSpec composition)
+    val overlap = dataColumns.toSet intersect other.dataColumns.toSet
+    if (overlap.nonEmpty)
+      throw new KevinException(
+        s"ambiguous columns on both zip sides: ${overlap.toSeq.sorted.mkString(", ")}")
     val l = materializePositions
     val r = other.materializePositions
     val lm = l.ds.withColumn(ZipL, F.lit(1))
