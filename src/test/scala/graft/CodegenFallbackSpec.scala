@@ -76,7 +76,11 @@ class CodegenFallbackSpec extends AnyFunSuite with Matchers {
   test("no registry query hits codegen fallback: compile failures throw, " +
     "graft kernels stay codegen'd, built-ins match the vetted allowlist") {
     val offenders = collection.mutable.ListBuffer[String]()
-    Queries.registry.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    // the bench-only kernel twins are audited too: they ARE the fused
+    // production flavors, exactly where a silent interpreted fallback
+    // costs 10x at scale while the oracle faces stay green
+    (Queries.registry ++ Queries.kernelTwins).toSeq.sortBy(_._1)
+      .foreach { case (name, q) =>
       val fb =
         try FallbackAudit.fallbackClasses(q(spark, sf))
         catch {
