@@ -259,6 +259,71 @@ object Queries {
       .toDF.select(col("o_orderpriority"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
 
+  /** Orders with deterministic nulls, the registry face of the
+    * lenient-mode (Empty-bearing) frames FuzzChainSpec fuzzes (round-12
+    * verdict #1): `price_n` is Empty on every 7th key, `prio_s` on every
+    * 5th — the oracle derives the identical frame with CASE WHEN, so the
+    * engine's documented null contract (typed filters drop Empty rows per
+    * `Combinator.hs:132,164,182`; sort is asc-nulls-first; aggregates
+    * skip nulls, all-null groups sum to null) is cross-engine checked,
+    * not just model-checked.
+    */
+  private def nulledOrd(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("price_n"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio_s"))
+
+  /** Typed filter DROPS Empty rows (reference parity), then a grouped sum
+    * over the survivors.
+    */
+  def q_fuzz_null_filter(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(nulledOrd(s, d))
+      .filterNumber("price_n", _ > 150000)
+      .groupby("o_orderstatus")
+      .aggregate(Agg.Sum, "price_n")
+      .toDF.select(col("o_orderstatus"),
+        round(col("price_n"), 2).as("price_n"))
+
+  /** Nulls sort FIRST ascending (the engine's documented deviation from
+    * the reference's Empty-compare error), feeding a positional take —
+    * the slice boundary is order-determined, so a null-ordering bug moves
+    * rows across it. Count then skips null measures.
+    */
+  def q_fuzz_null_sort(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(nulledOrd(s, d)).sort("o_orderkey").sort("prio_s")
+      .take(120)
+      .groupby("o_orderstatus")
+      .aggregate(Agg.Count, "price_n")
+      .toDF
+
+  /** Null group KEYS are their own (first-ordered) group; the
+    * '1-URGENT' rows carry an all-null measure, so that group's sum is
+    * NULL — both sides must agree on null-key grouping AND null-sum.
+    */
+  def q_fuzz_null_agg(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(ord(s, d).select(
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio_n"),
+        when(col("o_orderpriority") === "1-URGENT",
+            lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price_n2")))
+      .groupby("prio_n")
+      .aggregate(Agg.Sum, "price_n2")
+      .toDF.select(col("prio_n"), round(col("price_n2"), 2).as("price_n2"))
+
+  /** Order-sensitive concat SKIPS Empty values (array_join's null rule ==
+    * string_agg's): every status group in the first 200 keys has non-null
+    * priorities, so the skip — not the all-null edge — is what's compared.
+    */
+  def q_fuzz_null_concat(s: SparkSession, d: String): DataFrame =
+    KFrame.wrap(nulledOrd(s, d)).sort("o_orderkey").take(200)
+      .groupby("o_orderstatus")
+      .aggregate(Agg.Concat, "prio_s")
+      .toDF
+
   // ---- §2.7 append / zip ----------------------------------------------
 
   def q_append(s: SparkSession, d: String): DataFrame = {
@@ -2537,7 +2602,53 @@ object Queries {
     // only the first 50 sorted rows)
     "q_fuzz_strict_agg" ->
       """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS o_totalprice
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // round-12 null-semantics chains: the oracle derives the identical
+    // Empty-bearing frame with CASE WHEN and replays the engine's
+    // documented null contract in ANSI SQL
+    "q_fuzz_null_filter" ->
+      """WITH n AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price_n
+        |  FROM orders)
+        |SELECT o_orderstatus, round(sum(price_n), 2) AS price_n
+        |FROM n WHERE price_n IS NOT NULL AND price_n > 150000
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_fuzz_null_sort" ->
+      """WITH n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price_n,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS prio_s
+        |  FROM orders),
+        |sliced AS (
+        |  SELECT * FROM n
+        |  ORDER BY prio_s ASC NULLS FIRST, o_orderkey ASC LIMIT 120)
+        |SELECT o_orderstatus, CAST(count(price_n) AS DOUBLE) AS price_n
+        |FROM sliced GROUP BY o_orderstatus""".stripMargin,
+    "q_fuzz_null_agg" ->
+      """WITH n AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS prio_n,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |         ELSE o_totalprice END AS price_n2
+        |  FROM orders)
+        |SELECT prio_n, round(sum(price_n2), 2) AS price_n2
+        |FROM n GROUP BY prio_n""".stripMargin,
+    "q_fuzz_null_concat" ->
+      """WITH n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS prio_s
+        |  FROM orders),
+        |sliced AS (
+        |  SELECT * FROM n ORDER BY o_orderkey LIMIT 200)
+        |SELECT o_orderstatus,
+        |  string_agg(prio_s, '' ORDER BY o_orderkey) AS prio_s
+        |FROM sliced GROUP BY o_orderstatus""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3142,7 +3253,13 @@ object Queries {
     "q_fuzz_desc_concat" -> (q_fuzz_desc_concat _),
     "q_fuzz_melt_mean" -> (q_fuzz_melt_mean _),
     "q_fuzz_append_count" -> (q_fuzz_append_count _),
-    "q_fuzz_strict_agg" -> (q_fuzz_strict_agg _)
+    "q_fuzz_strict_agg" -> (q_fuzz_strict_agg _),
+    // round-12: null-semantics chains (the lenient-mode Empty contract
+    // under the DuckDB oracle, siblings of FuzzChainSpec's fuzznull frame)
+    "q_fuzz_null_filter" -> (q_fuzz_null_filter _),
+    "q_fuzz_null_sort" -> (q_fuzz_null_sort _),
+    "q_fuzz_null_agg" -> (q_fuzz_null_agg _),
+    "q_fuzz_null_concat" -> (q_fuzz_null_concat _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------
