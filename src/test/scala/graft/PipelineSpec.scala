@@ -3543,4 +3543,44 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     got.groupBy(_._1).values.foreach(_.size should be <= 10)
     exact.intersect(got).size.toDouble should be >= exact.size * 0.3
   }
+
+  /** Shuffle-write ceilings for the heaviest registry queries (round-12
+    * verdict #3): the currency of 100 TB is bytes crossing exchanges,
+    * and wall-time noise (±30%) masks a widened shuffle until it is
+    * huge. Bytes move only with the PLAN (a lost projection, a lost
+    * partial-agg, a broadcast degrading to shuffle — all ≥2× jumps,
+    * usually 5-100×) plus a few percent of compression/AQE wobble, so a
+    * 2× ceiling pin turns any structural shuffle regression into a test
+    * failure the way CodegenFallbackSpec already does for codegen loss.
+    * Measured at sf0.01 under this suite's session (local[4], 4 shuffle
+    * partitions, 2026-08-14 idle); each query runs once un-measured
+    * first so persisted-artifact builds (IVF-PQ index, gate blooms,
+    * NB models — cached per sf dir) don't ride the measured run.
+    */
+  test("shuffle-write byte ceilings: 10 heaviest registry queries at sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val ceilings = Seq( // ~2x the calibrated per-query bytes
+      "q_dup_passages" -> 3700000L,
+      "q_dup_passages_hashed" -> 1800000L,
+      "q_bigram_ll" -> 1300000L,
+      "q_dedup_jaccard" -> 900000L,
+      "q_curate" -> 800000L,
+      "q_dedup_clusters" -> 500000L,
+      "q_semdedup_model" -> 500000L,
+      "q_dedup_near" -> 500000L,
+      "q_bm25" -> 450000L,
+      "q_semdedup_fixed" -> 450000L)
+    ceilings.foreach { case (name, cap) =>
+      val fn = Queries.registry(name)
+      def run(): Unit =
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+      run() // artifact-cache warmup, un-measured
+      val (_, bytes) = graft.tools.ShuffleMeter.measure(spark)(run())
+      info(f"$name%-24s ${bytes / 1e6}%.2f MB (cap ${cap / 1e6}%.2f)")
+      withClue(s"$name total shuffle write $bytes B exceeds the " +
+        s"$cap B ceiling — a plan regression widened an exchange: ") {
+        bytes should be <= cap
+      }
+    }
+  }
 }

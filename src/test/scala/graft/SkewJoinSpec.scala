@@ -4,7 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.core.KFrame
@@ -16,15 +19,24 @@ import graft.extras.Relational
   *  1. Spark's OptimizeSkewedJoin actually engages on the plain join —
   *     the RUNTIME plan (captured from the executed QueryExecution via a
   *     listener; the pre-execution plan never shows runtime re-plans)
-  *     carries `SortMergeJoin(skew=true)` + an `AQEShuffleRead …skewed`
-  *     on the fact side;
+  *     carries a SortMergeJoinExec with `isSkewJoin` and an
+  *     AQEShuffleReadExec holding PartialReducerPartitionSpec splits on
+  *     the fact side;
   *  2. `Relational.saltedJoin` REMOVES the skew at the data level: the
-  *     shuffle keys carry `__salt`, and with identical thresholds the
-  *     runtime plan has NO skew marker — the hot key's rows were spread
-  *     below the skew threshold before the exchange, which is exactly
-  *     what the operator must do in contexts where AQE cannot re-plan
-  *     (streaming joins, sinks requiring a fixed partitioning);
+  *     exchange keys carry the salt column, and with identical
+  *     thresholds the runtime plan has NO skew-join node — the hot
+  *     key's rows were spread below the skew threshold before the
+  *     exchange, which is exactly what the operator must do in contexts
+  *     where AQE cannot re-plan (streaming joins, sinks requiring a
+  *     fixed partitioning);
   *  3. both strategies return identical results.
+  *
+  * Assertions walk the executed plan TREE (node types + fields —
+  * `isSkewJoin`, partition-spec classes, attribute names), not rendered
+  * plan strings, so a Spark version bump that reshuffles toString
+  * formatting cannot fail the suite without a real plan change
+  * (round-11 ADVICE). The node types are `sql.execution` developer API
+  * tied to the repo's pinned Spark (4.1.x jars in /opt/spark/jars).
   *
   * Measured wall-clock at 4M rows / 8 threads (graft.tools.SkewProbe,
   * idle): plain no-skew-handling 1.4-1.5s, salted(8) 1.0-1.3s, plain
@@ -35,7 +47,7 @@ import graft.extras.Relational
   */
 class SkewJoinSpec extends AnyFunSuite with Matchers {
 
-  @volatile private var lastPlan: String = ""
+  @volatile private var lastQE: QueryExecution = null
 
   lazy val spark = {
     val s = TestSpark.spark.newSession()
@@ -53,7 +65,7 @@ class SkewJoinSpec extends AnyFunSuite with Matchers {
     s.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = {
-        lastPlan = graft.tools.SkewProbe.finalPlanOf(qe)
+        lastQE = qe
       }
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = ()
@@ -67,32 +79,51 @@ class SkewJoinSpec extends AnyFunSuite with Matchers {
   private def dim = spark.range(997).select(F.col("id").as("key"),
     F.concat(F.lit("attr-"), F.col("id")).as("attr"))
 
-  /** Execute via noop write and return the RUNTIME-optimized plan. */
-  private def runtimePlan(df: org.apache.spark.sql.DataFrame): String = {
-    lastPlan = ""
+  /** Every node of the runtime-final plan, recursing through the AQE
+    * wrappers (query stages hold their subtree as a field, not a child,
+    * so plain `collect` would stop at the stage boundary).
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  /** Execute via noop write and return the RUNTIME-optimized plan nodes. */
+  private def runtimeNodes(
+      df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    lastQE = null
     df.write.format("noop").mode("overwrite").save()
     val deadline = System.nanoTime() + 30e9.toLong
-    while (lastPlan.isEmpty && System.nanoTime() < deadline)
+    while (lastQE == null && System.nanoTime() < deadline)
       Thread.sleep(20)
-    lastPlan should not be empty
-    lastPlan
+    lastQE should not be null
+    flatten(lastQE.executedPlan)
   }
 
   test("hot-key join: AQE skew-split engages on the plain join; " +
     "saltedJoin removes the skew below threshold; results identical") {
-    // 1. plain join: OptimizeSkewedJoin fires at runtime
-    val plainPlan = runtimePlan(fact.join(dim, Seq("key")))
-    plainPlan should include("SortMergeJoin(skew=true)")
-    plainPlan should include("skewed")
+    // 1. plain join: OptimizeSkewedJoin fires at runtime — the SMJ node
+    // carries isSkewJoin and an AQE shuffle read splits the hot
+    // partition into PartialReducerPartitionSpec slices
+    val plainNodes = runtimeNodes(fact.join(dim, Seq("key")))
+    plainNodes.collect { case j: SortMergeJoinExec => j.isSkewJoin }
+      .exists(identity) shouldBe true
+    plainNodes.collect { case r: AQEShuffleReadExec => r }
+      .exists(_.partitionSpecs.exists(
+        _.isInstanceOf[PartialReducerPartitionSpec])) shouldBe true
 
-    // 2. salted join under the SAME thresholds: shuffle keys carry the
-    // salt and no partition is skewed anymore — the hot key's rows
-    // spread across saltFactor reducer keys BEFORE the exchange
+    // 2. salted join under the SAME thresholds: some exchange partitions
+    // on the salt column and no join node is skewed anymore — the hot
+    // key's rows spread across saltFactor reducer keys BEFORE the
+    // exchange
     val salted = Relational.saltedJoin(
       KFrame.wrap(fact), KFrame.wrap(dim), Seq("key"), saltFactor = 64)
-    val saltedPlan = runtimePlan(salted.toDF)
-    saltedPlan should include("__salt")
-    (saltedPlan should not).include("skew=true")
+    val saltedNodes = runtimeNodes(salted.toDF)
+    saltedNodes.collect { case e: ShuffleExchangeLike => e }
+      .exists(_.child.output.exists(_.name == "__salt")) shouldBe true
+    saltedNodes.collect { case j: SortMergeJoinExec => j.isSkewJoin }
+      .exists(identity) shouldBe false
 
     // 3. identical results: same row multiset under either strategy
     val plainAgg = fact.join(dim, Seq("key"))
