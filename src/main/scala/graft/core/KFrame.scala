@@ -562,8 +562,14 @@ final class KFrame private[graft] (
       values.find(_.length != cols.length).foreach(p =>
         throw new KevinException(s"pivot key path $p must have " +
           s"${cols.length} elements for column fields $cols"))
+      // scope the collision raise to rows whose MERGED key is one of the
+      // requested keys: a colliding row outside the requested list is
+      // dropped by the explicit-keys pivot anyway (no cell can be lost),
+      // and raising on it would abort previously-working pipelines
+      // (round-11 ADVICE)
+      val keys = values.map(_.mkString(sep))
       ds.groupBy(rows.map(F.col): _*)
-        .pivot(guardedTupleKey(cols, sep), values.map(_.mkString(sep)))
+        .pivot(guardedTupleKey(cols, sep, onlyKeys = Some(keys)), keys)
         .agg(F.first(F.col(v)))
     case Some(p) => throw new KevinException(
       s"pivotedWide needs at least one column field, got ${p.colFields}")
@@ -590,17 +596,32 @@ final class KFrame private[graft] (
     * codegen'd string `contains` inline in the same scan the concat
     * already pays (no extra pass, no driver round-trip); NULL values skip
     * the check and keep `concat_ws`'s documented skip-the-slot behavior.
+    *
+    * `onlyKeys` scopes the raise for the explicit-keys overload: only a
+    * colliding row whose MERGED key lands on a requested key can
+    * actually steal/lose a cell — any other colliding row is dropped by
+    * the explicit-keys pivot exactly as it was before the guard existed.
+    * In the auto overload every colliding row feeds the distinct-key
+    * scan, so there the raise stays unscoped (`None`).
     */
-  private def guardedTupleKey(cols: Seq[String], sep: String): Column =
-    F.concat_ws(sep, cols.map { c =>
-      val s = F.col(c).cast("string")
-      F.when(s.contains(sep), F.raise_error(F.concat(
-        F.lit(s"pivotedWide: separator '$sep' occurs in column field " +
-          s"'$c' value '"), s,
-        F.lit("' — distinct tuples would merge and lose cells silently; " +
-          "pass a sep outside the values' alphabet"))).cast("string"))
-        .otherwise(s)
-    }: _*)
+  private def guardedTupleKey(cols: Seq[String], sep: String,
+      onlyKeys: Option[Seq[String]] = None): Column = {
+    val raw = F.concat_ws(sep, cols.map(F.col(_).cast("string")): _*)
+    // contains on NULL yields NULL: coalesce keeps the slot-skip contract
+    val collides = F.coalesce(
+      cols.map(c => F.col(c).cast("string").contains(sep))
+        .reduce(_ || _), F.lit(false))
+    val scoped = onlyKeys match {
+      case Some(ks) => collides && raw.isin(ks: _*)
+      case None => collides
+    }
+    F.when(scoped, F.raise_error(F.concat(
+      F.lit(s"pivotedWide: separator '$sep' occurs in a column-field " +
+        "value of merged pivot key '"), raw,
+      F.lit("' — distinct tuples would merge and lose cells silently; " +
+        "pass a sep outside the values' alphabet"))).cast("string"))
+      .otherwise(raw)
+  }
 
   // ---- §2.6 sorts / limits / positional ------------------------------
 

@@ -29,19 +29,56 @@ object Tok {
 
   /** Fail fast unless `row` (an artifact's parameter row) carries the
     * current [[HashFamily]]. A missing column means a pre-stamping
-    * artifact whose hash family is unknowable — also a rebuild.
+    * artifact whose hash family is UNKNOWABLE to the engine — rebuild,
+    * or, when the operator knows the artifact was built by an engine
+    * whose token hashes already were the current family (the
+    * stamping-feature rollout case: the stamp landed after the hash
+    * change, so immediately-prior artifacts are compatible but
+    * unstamped), restamp it once with [[restampArtifact]].
     */
   def checkHashFamily(row: org.apache.spark.sql.Row, path: String): Unit = {
     if (row.schema == null || !row.schema.fieldNames.contains("hashFamily"))
       throw new IllegalArgumentException(
         s"$path predates hash-family stamping (expected hashFamily=" +
           s"$HashFamily); its token hashes are unknowable — rebuild the " +
-          "artifact with the current engine")
+          "artifact with the current engine, or (if it was built by an " +
+          "engine already on this hash family) restamp it once with " +
+          "Tok.restampArtifact")
     val got = row.getAs[String]("hashFamily")
     if (got != HashFamily)
       throw new IllegalArgumentException(
         s"$path was built with hash family $got but this engine uses " +
           s"$HashFamily; band/bloom/feature keys are incompatible — " +
           "rebuild the artifact")
+  }
+
+  /** One-time migration for an artifact that predates hash-family
+    * stamping but whose token hashes the OPERATOR knows are the current
+    * family — adds `hashFamily = ` [[HashFamily]] to the `_params`
+    * sidecar in place, without the full rebuild `checkHashFamily` would
+    * otherwise force (round-11 ADVICE: the stamp landed after the hash
+    * change, so every immediately-prior artifact is a compatible false
+    * positive). Idempotent on already-current artifacts. REFUSES an
+    * artifact stamped with a DIFFERENT family: its keys really are
+    * incompatible and no restamp can fix that — only a rebuild.
+    */
+  def restampArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val params = spark.read.parquet(s"$path/_params")
+    if (params.columns.contains("hashFamily")) {
+      val got = params.head().getAs[String]("hashFamily")
+      if (got == HashFamily) return // already current
+      throw new IllegalArgumentException(
+        s"$path is stamped with hash family $got — its keys are truly " +
+          s"incompatible with $HashFamily; restamping would corrupt " +
+          "matching silently. Rebuild the artifact")
+    }
+    val stamped = params.withColumn("hashFamily", F.lit(HashFamily))
+    // materialize before overwriting the path being read (1-row sidecar)
+    val rows = stamped.collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stamped.schema)
+      .write.mode("overwrite").parquet(s"$path/_params")
   }
 }

@@ -444,6 +444,17 @@ class ParitySpec extends AnyFunSuite with Matchers {
     // a sep outside the values' alphabet passes and keeps every tuple
     val wide = c.pivotedWide(sep = "\u0000")
     wide.columns.count(_.contains("bos|ton")) should be >= 1
+    // explicit-keys overload: a colliding row whose merged key is NOT
+    // among the requested keys is dropped exactly as before the guard
+    // existed -- no abort (round-11 ADVICE scoped the raise)
+    val okWide = c.pivotedWide(Seq(Seq("2011.0", "austin")))
+    okWide.columns should contain("2011.0|austin")
+    okWide.collect()
+    // ...but a requested key that a colliding row MERGES onto would
+    // steal/lose a cell -- that still raises
+    val e2 = intercept[Exception](
+      c.pivotedWide(Seq(Seq("2012.0|bos", "ton"))).collect())
+    e2.getMessage should include("separator")
   }
   test("cast overlapping row/col fields -> error (Combinator.hs:271)") {
     intercept[KevinException](df.cast(Seq("city"), Seq("city"), Agg.sum, "sale"))

@@ -3493,6 +3493,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     rewrite(s"$idx/_params")(_.drop("hashFamily"))
     an[IllegalArgumentException] should be thrownBy
       Dedup.appendToBandIndex(batch, "doc_id", "text", idx)
+    // the restamp path (round-11 ADVICE): an unstamped artifact the
+    // operator KNOWS is hash-compatible gets the stamp added in place —
+    // no forced rebuild — and probes again; idempotent once current
+    Tok.restampArtifact(spark, idx)
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx).count()
+    Tok.restampArtifact(spark, idx)
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx).count()
+    // ...but an artifact stamped with a truly DIFFERENT family refuses
+    // to restamp: its keys are incompatible, only a rebuild helps
+    rewrite(s"$idx/_params")(
+      _.withColumn("hashFamily", F.lit("poly31-v1")))
+    (the[IllegalArgumentException] thrownBy
+      Tok.restampArtifact(spark, idx)
+    ).getMessage should include("Rebuild")
 
     // band bloom
     val bb = java.nio.file.Files.createTempDirectory("graft-hf-bb")

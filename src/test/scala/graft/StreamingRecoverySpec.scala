@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.StreamingQueryException
 
 import graft.streaming.Streams
 
@@ -21,58 +22,72 @@ import graft.streaming.Streams
   *    BEFORE the stop arrives again AFTER the restart and is still
   *    dropped — dropDuplicatesWithinWatermark's store recovered from the
   *    checkpoint, not rebuilt empty.
+  *
+  * Two kill shapes (the second is the round-11 ADVICE item): a graceful
+  * stop between batches, and a mid-batch CRASH injected after the sink
+  * write but before the checkpoint commit — the restarted query then
+  * really does execute the same batchId a second time (observed by the
+  * sink-call log), and only the per-batchId overwrite keeps the output
+  * duplicate-free. A plain append sink provably fails that run.
   */
 class StreamingRecoverySpec extends AnyFunSuite with Matchers {
 
   lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def ref = {
+    import spark.implicits._
+    Seq(("this is the known curated reference document that " +
+      "we already have stored with many plain words inside")).toDF("text")
+  }
+  private def doc(id: Long, text: String, minute: Int) =
+    (id, text, f"2024-01-01 10:$minute%02d:00")
+  private val goodA = "this is a perfectly reasonable document with plenty " +
+    "of normal words and a decent length for the quality gate to accept"
+  private val goodB = "another entirely different piece of writing whose " +
+    "vocabulary and sentence shape pass every quality threshold easily"
+  private val goodC = "a third unique article containing sufficiently many " +
+    "ordinary terms to clear the gate without any trouble at all"
+
+  /** The file source watches a FLAT dir: write to a scratch dir and move
+    * the single part file in as fN.parquet.
+    */
+  private def writeFile(inDir: String, n: Int,
+      docs: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    val scratch = java.nio.file.Files
+      .createTempDirectory(s"graft-rec-scratch$n").toString
+    docs.toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+  }
+
+  private def inputSchema = {
+    import spark.implicits._
+    Seq((1L, "x", "2024-01-01 10:00:00"))
+      .toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
 
   test("curateStream + idempotent foreachBatch sink: kill/restart across " +
     "micro-batches loses nothing, duplicates nothing, keeps dedup state") {
-    import spark.implicits._
-    val ref = Seq(("this is the known curated reference document that " +
-      "we already have stored with many plain words inside"))
-      .toDF("text")
-    def doc(id: Long, text: String, minute: Int) =
-      (id, text, f"2024-01-01 10:$minute%02d:00")
-    val goodA = "this is a perfectly reasonable document with plenty of " +
-      "normal words and a decent length for the quality gate to accept"
-    val goodB = "another entirely different piece of writing whose " +
-      "vocabulary and sentence shape pass every quality threshold easily"
-    val goodC = "a third unique article containing sufficiently many " +
-      "ordinary terms to clear the gate without any trouble at all"
-
-    val inDir = java.nio.file.Files.createTempDirectory("graft-rec-in")
-      .toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft-rec-out")
-      .toString
-    val ckDir = java.nio.file.Files.createTempDirectory("graft-rec-ck")
-      .toString
-
-    def writeFile(n: Int, docs: Seq[(Long, String, String)]): Unit = {
-      // the file source watches a FLAT dir: write to a scratch dir and
-      // move the single part file in as fN.parquet
-      val scratch = java.nio.file.Files
-        .createTempDirectory(s"graft-rec-scratch$n").toString
-      docs.toDF("doc_id", "text", "ts_s")
-        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
-        .coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(inDir, s"f$n.parquet"))
-    }
-
-    val schema = Seq((1L, "x", "2024-01-01 10:00:00"))
-      .toDF("doc_id", "text", "ts_s")
-      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+    val inDir = tmp("graft-rec-in")
+    val outDir = tmp("graft-rec-out")
+    val ckDir = tmp("graft-rec-ck")
 
     def startQuery() = {
-      val stream = Streams.readEventStream(spark, inDir, schema)
+      val stream = Streams.readEventStream(spark, inDir, inputSchema)
       Streams.curateStream(stream, "text", "ts", ref, "text")
         .writeStream
         .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-            batchId: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // idempotent sink: a replayed batchId OVERWRITES its own
           // directory instead of appending a duplicate copy
           batch.write.mode("overwrite")
@@ -83,15 +98,15 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
 
     // phase 1: two input files -> d1 survives, d2 fails quality,
     // d3 survives, d4 is a within-stream dup of d1
-    writeFile(1, Seq(doc(1L, goodA, 0), doc(2L, "x@#", 1)))
-    writeFile(2, Seq(doc(3L, goodB, 2), doc(4L, goodA + "!", 3)))
+    writeFile(inDir, 1, Seq(doc(1L, goodA, 0), doc(2L, "x@#", 1)))
+    writeFile(inDir, 2, Seq(doc(3L, goodB, 2), doc(4L, goodA + "!", 3)))
     val q1 = startQuery()
     try q1.processAllAvailable() finally q1.stop() // graceful "kill"
 
     // phase 2 (AFTER the stop): d5 duplicates d1 across the restart —
     // only recovered checkpoint state can catch it; d6 survives; d7 is
     // the static-reference doc re-cased -> gated
-    writeFile(3, Seq(doc(5L, goodA.toUpperCase, 4), doc(6L, goodC, 5),
+    writeFile(inDir, 3, Seq(doc(5L, goodA.toUpperCase, 4), doc(6L, goodC, 5),
       doc(7L, "This is the KNOWN curated reference document that we " +
         "already have stored; with many plain words inside", 6)))
     val q2 = startQuery()
@@ -112,5 +127,65 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
     (out should not).contain(2L)
     (out should not).contain(7L)
     out.size shouldBe 3
+  }
+
+  test("mid-batch crash AFTER the sink write: the restart re-executes the " +
+    "same batchId (sink called twice) and per-batchId overwrite is what " +
+    "keeps the output duplicate-free") {
+    val inDir = tmp("graft-crash-in")
+    val outDir = tmp("graft-crash-out")
+    val ckDir = tmp("graft-crash-ck")
+
+    // driver-side sink-call log + one-shot crash latch: foreachBatch
+    // closures run on the driver, so plain JVM state observes them
+    val sinkCalls =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+    def startQuery(injectCrash: Boolean) = {
+      val stream = Streams.readEventStream(spark, inDir, inputSchema)
+      Streams.curateStream(stream, "text", "ts", ref, "text")
+        .writeStream
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+          sinkCalls.add(batchId)
+          // crash AFTER the write, BEFORE the commit: the sink dir now
+          // holds batch 0's files but the checkpoint never records it —
+          // the uncommitted-batch replay path the graceful-stop variant
+          // cannot reach
+          if (injectCrash && crashArmed.getAndSet(false))
+            throw new RuntimeException("injected mid-batch crash")
+        }
+        .start()
+    }
+
+    writeFile(inDir, 1, Seq(doc(1L, goodA, 0), doc(2L, goodB, 1)))
+    val q1 = startQuery(injectCrash = true)
+    val e = intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    e.getMessage should include("injected mid-batch crash")
+    // the batch DID reach the sink before the crash
+    sinkCalls.size shouldBe 1
+    val crashedBatch = sinkCalls.peek()
+
+    // restart from the same checkpoint, plus one more input file
+    writeFile(inDir, 2, Seq(doc(3L, goodC, 2)))
+    val q2 = startQuery(injectCrash = false)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the uncommitted batchId really executed TWICE — this is the replay
+    // the idempotent sink exists for (an append sink would now hold two
+    // copies of d1/d2)
+    import scala.jdk.CollectionConverters._
+    sinkCalls.asScala.toSeq.count(_ == crashedBatch) shouldBe 2
+    val out = spark.read.option("basePath", outDir)
+      .parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    out.distinct.size shouldBe out.size // overwrite ate the replay
+    out.sorted shouldBe Seq(1L, 2L, 3L) // and nothing was lost
   }
 }
