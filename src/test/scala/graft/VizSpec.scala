@@ -144,6 +144,79 @@ class VizSpec extends AnyFunSuite with Matchers {
     json.count(_ == '{') shouldBe json.count(_ == '}')
     json.count(_ == '[') shouldBe json.count(_ == ']')
   }
+  test("every emitter output shape validates against the vendored " +
+    "Vega-Lite v5 subset schema (round-12 verdict #7)") {
+    val schema = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/test/resources/vega-lite-v5-subset.schema.json")), "UTF-8")
+    import spark.implicits._
+    val agg = df.groupby("city").aggregate(Agg.sum, "sale")
+    val agg2 = df.groupby("city", "gender").aggregate(Agg.sum, "sale")
+    val gagg = df.groupby("gender").aggregate(Agg.sum, "sale")
+    val nanKf = graft.core.KFrame.wrap(
+      Seq(("a\nb", Double.NaN), ("ok", 2.0)).toDF("city", "sale"))
+    // one emission per distinct output shape the emitter can produce
+    val emissions = Seq(
+      "bar" -> Babel.genBabel(agg, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.interval))),
+      "point" -> Babel.genBabel(agg, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.point))),
+      "line" -> Babel.genBabel(agg, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.line))),
+      "area" -> Babel.genBabel(agg, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.area))),
+      "jittered point (mark-def object)" -> Babel.genBabel(agg,
+        Kevin.assemble(Kevin.coord(cartesian),
+          Kevin.mark(Marks.point.jitter))),
+      "explicit sort order" -> Babel.genBabel(agg, Kevin.assemble(
+        Kevin.coord(Coords.cartesian(
+          Scales.category("city", Seq("denver", "austin", "boston")),
+          Scales.linear("sale"))),
+        Kevin.mark(Marks.interval))),
+      "stacked + color" -> Babel.genBabel(agg2, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.interval.stack),
+        Kevin.visual(Visuals.color(Scales.category("gender"))))),
+      "dodged (xOffset channel)" -> Babel.genBabel(agg2, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.interval.dodge),
+        Kevin.visual(Visuals.color(Scales.category("gender"))))),
+      "color scheme scale" -> Babel.genBabel(agg2, Kevin.assemble(
+        Kevin.coord(cartesian), Kevin.mark(Marks.point),
+        Kevin.visual(ColorV(Scales.category("gender"),
+          Some(Visuals.colorScheme1))))),
+      "size + shape + label visuals" -> Babel.genBabel(agg2,
+        Kevin.assemble(Kevin.coord(cartesian), Kevin.mark(Marks.point),
+          Kevin.visual(Visuals.size(Scales.linear("sale"))),
+          Kevin.visual(Visuals.shape(Scales.category("gender"))),
+          Kevin.visual(Visuals.label(Scales.category("city"))))),
+      "polar arc" -> Babel.genBabel(gagg, Kevin.assemble(
+        Kevin.coord(Coords.polar(Scales.linear("sale"),
+          Scales.category("gender"))),
+        Kevin.mark(Marks.interval))),
+      "NaN/control-char data" -> Babel.genBabel(nanKf, Kevin.assemble(
+        Kevin.coord(Coords.cartesian(Scales.category("city"),
+          Scales.linear("sale"))),
+        Kevin.mark(Marks.point))))
+    emissions.foreach { case (label, babel) =>
+      val errs = JsonSchema.validate(schema, babel.json)
+      withClue(s"$label: ${babel.json}\nviolations: ") {
+        errs shouldBe empty
+      }
+    }
+    // the validator itself rejects: wrong channel type, unknown channel,
+    // bare NaN (unparseable) — guards against a vacuous schema
+    JsonSchema.validate(schema,
+      """{"$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        | "data": {"values": []}, "mark": "bar",
+        | "encoding": {"x": {"field": "a", "type": "banana"}}}"""
+        .stripMargin) should not be empty
+    JsonSchema.validate(schema,
+      """{"$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        | "data": {"values": []}, "mark": "bar",
+        | "encoding": {"zaxis": {"field": "a", "type": "nominal"}}}"""
+        .stripMargin) should not be empty
+    an[Exception] should be thrownBy JsonSchema.parse("""{"a": NaN}""")
+  }
+
   test("duplicate encoding channels error instead of silently dropping one") {
     val agg = df.groupby("gender").aggregate(Agg.sum, "sale")
     val spec = Kevin.assemble(
