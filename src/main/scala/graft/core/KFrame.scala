@@ -310,8 +310,25 @@ final class KFrame private[graft] (
       // unique group keys) — no output sort, no RDD renumber, the hash
       // aggregate stays inside one codegen'd, AQE-planned lineage. Fresh
       // 1..n ids materialize lazily only if a positional op needs them.
+      //
+      // The row id must be DETERMINISTIC, not monotonically_increasing_id:
+      // a downstream drop/init anti-joins the frame against a limit of
+      // itself, so the aggregate subtree appears twice in ONE plan, and
+      // AQE may lay the two instances' post-shuffle partitions out
+      // differently — monotonic ids then differ per instance and the
+      // anti-join removes the wrong rows (found by FuzzChainSpec fuzznull
+      // chain #139: aggregate → drop(8) dropped 8 rows, but not the first
+      // 8). xxhash64 over the (unique) group keys is identical in every
+      // instance. Each key column is prefixed by its null flag: Spark's
+      // hash SKIPS null inputs, so without the flag (null, x) and
+      // (x, null) would systematically collide. Residual 64-bit collisions
+      // only matter if a colliding pair straddles a later drop(n≤2^22)
+      // boundary — n·groups/2^64, negligible even at 100 TB group counts
+      // (and the n>2^22 path slices by single-instance positions, id-free).
+      val idExpr = F.xxhash64(groups.flatMap(g =>
+        Seq(F.col(g).isNull.cast("long"), F.col(g))): _*)
       val out = m.ds.groupBy(groups.map(F.col): _*).agg(expr)
-        .withColumn(RowId, F.monotonically_increasing_id() + 1)
+        .withColumn(RowId, idExpr)
       copyWith(ds = out, groups = Nil, groupSnapshot = None, pivot = None,
         ordering = groups.map(SortKey(_, ascending = true)),
         rowIdAsc = true, idsArePositions = false, idsMeaningful = false)
@@ -684,6 +701,14 @@ final class KFrame private[graft] (
     * the mid tier anti-joins against the first-n row ids with no broadcast
     * hint — AQE picks broadcast when the limit side is small and degrades to
     * a shuffle join otherwise (never a driver OOM).
+    *
+    * The mid tier evaluates the frame subtree TWICE in one plan (left side
+    * + the limit), so it is sound only because every row-id assignment in
+    * the engine is deterministic per plan instance: scan-level monotonic
+    * ids ([[KFrame.wrap]]) and key-hash ids ([[aggregate]]) are pure
+    * functions of stable inputs. A post-shuffle monotonically_increasing_id
+    * here would differ between the two instances under AQE and drop the
+    * wrong rows (FuzzChainSpec fuzznull chain #139).
     */
   def drop(n: Int): KFrame =
     if (n <= 0) copyWith(pivot = None)
@@ -908,6 +933,13 @@ object KFrame {
     * predicate pushdown, column pruning and whole-stage codegen. Ids
     * increase with (partition, offset) = source order. Positional reshapes
     * renumber lazily if and when they need exact positions.
+    *
+    * Id stability contract (see [[KFrame.drop]]): monotonic ids directly
+    * over a SCAN are deterministic per plan instance (file splits are
+    * planned, not AQE-adjusted). Wrapping a DataFrame that already
+    * contains a shuffle would break that — ids could differ between two
+    * instances of the subtree in one plan; use [[fromDataFrame]]
+    * (renumbering) for such inputs.
     */
   def wrap(df: DataFrame): KFrame =
     new KFrame(df.withColumn(RowId, F.monotonically_increasing_id() + 1),

@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
-    val names = args(0).split(",").toSeq
+    // "all" = the whole bench registry in sorted order (the
+    // SHUFFLE_LEDGER.md sweep)
+    val names =
+      if (args(0) == "all") graft.Queries.benchRegistry.keys.toSeq.sorted
+      else args(0).split(",").toSeq
     val sfDirs = (if (args.length > 1) args(1) else
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").toSeq
