@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Agg, KFrame}
 import graft.extras.Relational
-import graft.operators.{Dedup, Multimodal, Selection, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, Multimodal, Selection, Similarity, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.Streams
 
 /** The operator-coverage query registry (SURVEY.md §2 checklist + the M8
@@ -1439,6 +1439,55 @@ object Queries {
     UrlOps.dedupByUrl(urlStamped(s, d), "url", "doc_id")
       .select(col("doc_id"), col("url"))
 
+  // ---- deterministic sketches (round 12) --------------------------------
+
+  /** KMV approximate count-distinct ([[Sketches.kmvDistinct]]): distinct
+    * users per event type through a k=64 minimum-values sketch — the
+    * bounded-shuffle alternative to exact count-distinct (≤ k longs per
+    * group cross the exchange, not every distinct value). The md5 hash
+    * domain and the single-division ratio estimator replay literally in
+    * the oracle; the exact count rides along so the sketch error is
+    * visible in the result (sf0.001's 15 users/type exercises the
+    * under-k exact branch, sf0.01+ the estimator branch).
+    */
+  def q_kmv_distinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val est = Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        col("est_distinct").as("est_users"))
+  }
+
+  /** Count-min point estimates ([[Sketches.cmsSketch]]/[[cmsEstimate]]):
+    * a 4×2048 cell grid over the document token stream (vocabulary-
+    * independent shuffle: partial agg collapses each task to ≤ d·w
+    * cells), probed for a literal candidate list — frequent corpus terms
+    * plus two absent ones, where `est_n ≥ n_exact` (the CMS upper bound)
+    * is visible in the rows. Buckets are md5-derived, so grid AND probes
+    * replay in the oracle.
+    */
+  def q_cms_probe(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 2048)
+    val est = Sketches.cmsEstimate(sketch, cmsCandidates, depth = 4,
+      width = 2048)
+    val exact = toks.filter(col("tok").isin(cmsCandidates: _*))
+      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), col("est_n"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
+  /** q_cms_probe's candidate tokens: frequent corpus terms + two that
+    * never occur (their exact count is 0; their estimate is whatever
+    * mass collides into their buckets — the overestimate on display).
+    */
+  private val cmsCandidates = Seq("join", "hash", "scan", "vector", "data",
+    "customer", "order", "quantile", "zzzunseen", "qqabsent")
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -2648,7 +2697,57 @@ object Queries {
         |  SELECT * FROM n ORDER BY o_orderkey LIMIT 200)
         |SELECT o_orderstatus,
         |  string_agg(prio_s, '' ORDER BY o_orderkey) AS prio_s
-        |FROM sliced GROUP BY o_orderstatus""".stripMargin
+        |FROM sliced GROUP BY o_orderstatus""".stripMargin,
+    // round-12: deterministic sketches. The KMV replay ranks DISTINCT
+    // md5 hashes per group; under k the estimate is the sketch size,
+    // at saturation it is the single correctly-rounded division the
+    // Spark side computes over the same integers (then round 4, like
+    // every float-valued oracle column).
+    "q_kmv_distinct" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |est AS (
+        |  SELECT event_type,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_users
+        |  FROM r GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, exact_users, est_users FROM ex JOIN est USING (event_type)""".stripMargin,
+    "q_cms_probe" ->
+      s"""WITH toks AS (SELECT unnest($DTok) AS tok FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    (('0x' || substr(md5(tok || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket,
+        |    count(*) AS n
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |cand AS (SELECT unnest(['join', 'hash', 'scan', 'vector', 'data',
+        |                        'customer', 'order', 'quantile', 'zzzunseen',
+        |                        'qqabsent']) AS token),
+        |probe AS (
+        |  SELECT token, j,
+        |    (('0x' || substr(md5(token || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket
+        |  FROM cand CROSS JOIN js),
+        |est AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est_n
+        |  FROM probe LEFT JOIN cells USING (j, bucket) GROUP BY token),
+        |ex AS (
+        |  SELECT tok AS token, count(*) AS n_exact FROM toks
+        |  WHERE tok IN (SELECT token FROM cand) GROUP BY 1)
+        |SELECT token, est_n, coalesce(n_exact, 0) AS n_exact
+        |FROM est LEFT JOIN ex USING (token)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3259,7 +3358,11 @@ object Queries {
     "q_fuzz_null_filter" -> (q_fuzz_null_filter _),
     "q_fuzz_null_sort" -> (q_fuzz_null_sort _),
     "q_fuzz_null_agg" -> (q_fuzz_null_agg _),
-    "q_fuzz_null_concat" -> (q_fuzz_null_concat _)
+    "q_fuzz_null_concat" -> (q_fuzz_null_concat _),
+    // round-12: deterministic sketches (bounded-shuffle distinct /
+    // vocabulary-independent frequency grid, md5-replayable)
+    "q_kmv_distinct" -> (q_kmv_distinct _),
+    "q_cms_probe" -> (q_cms_probe _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

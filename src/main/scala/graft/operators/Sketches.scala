@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+
+import graft.plans.Hygiene
+
+/** Deterministic, engine-replayable sketches — the oracle-checkable
+  * complement to [[graft.extras.Approx]]'s Spark-native ones (HLL++ /
+  * Greenwald-Khanna / freqItems), whose sketch internals no other engine
+  * reproduces and which therefore live outside the DuckDB registry.
+  * Everything here derives its randomness from the md5 convention
+  * (SURVEY §7.5: `Hygiene.md5Prefix32`, replayable as
+  * `('0x' || substr(md5(x), 1, 8))::BIGINT` in any SQL engine) or from
+  * xxhash64 for the hot flavor, so the full sketch state — not just the
+  * estimate — hash-verifies against an independent replay.
+  *
+  * Scale design (the reason these exist at 100 TB):
+  *  - KMV distinct: the exact `count(distinct v)` shuffles every distinct
+  *    value per group; the KMV aggregate carries AT MOST k longs per
+  *    group through partial (map-side) and final aggregation — a fixed
+  *    ~k·8-byte ceiling per group per partition crossing the exchange,
+  *    independent of the value cardinality.
+  *  - Count-min: the exact per-token count table shuffles the VOCABULARY
+  *    (billions of rows at web scale); the CMS build aggregates to a
+  *    fixed depth×width cell grid (partial agg collapses each map task
+  *    to ≤ d·w cells before the exchange), and point estimates probe the
+  *    grid with a candidate-bounded join.
+  */
+object Sketches {
+
+  // ---- KMV distinct ----------------------------------------------------
+
+  /** Bounded-memory k-minimum-values aggregate: the k smallest DISTINCT
+    * hash values per group, as an ascending `array<bigint>`. A commutative
+    * monoid (sorted-merge + trim), so Spark runs it as a partial+final
+    * ObjectHashAggregate — the buffer never exceeds k longs
+    * ([[graft.core.Agg.CustomFoldNumeric]]'s memory model, and the same
+    * vetted ScalaAggregator class in the codegen-fallback allowlist).
+    * step/merge are PURE (fresh arrays), per the shared-zero contract.
+    */
+  private final class KmvAgg(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], v: java.lang.Long): Array[Long] = {
+      if (v == null) return buf
+      val h = v.longValue
+      val n = buf.length
+      // saturated and not smaller than the current kth min: no change
+      if (n == k && h >= buf(n - 1)) return buf
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) return buf // already present (distinct semantics)
+      val ins = -pos - 1
+      val outLen = math.min(k, n + 1)
+      val out = new Array[Long](outLen)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(buf, ins, out, ins + 1,
+        math.min(n, outLen - 1) - ins)
+      out
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        // skip the duplicate when both sides hold the same hash
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.kryo(classOf[Array[Long]])
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The md5-flavor hash domain: `md5Prefix32 + 1` ∈ [1, 2^32] — shifted
+    * off zero so the KMV ratio estimator never divides by zero, and kept
+    * 32-bit so `(k-1)·2^32` stays exact in an IEEE double (the estimate
+    * is then ONE correctly-rounded division — bit-identical in any
+    * engine; the oracle replays it literally).
+    */
+  def md5Hash32(value: Column): Column =
+    Hygiene.md5Prefix32(value.cast("string")) + F.lit(1L)
+
+  /** Hot-flavor 64-bit hash, folded to the same [1, 2^32] domain (top 32
+    * bits of xxhash64, plus one) so both flavors share the estimator and
+    * its exactness argument.
+    */
+  def xx64Hash32(value: Column): Column =
+    F.shiftrightunsigned(F.xxhash64(value.cast("string")), 32) + F.lit(1L)
+
+  /** KMV sketch per group: `(groupCols..., kmin array<bigint>)` via the
+    * bounded aggregate. `hash` must map values into [1, 2^32]
+    * ([[md5Hash32]] / [[xx64Hash32]]). Nulls in `valueCol` are skipped
+    * (hash of null is null, and the aggregate skips nulls) — the
+    * count-distinct convention.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, hash: Column => Column = md5Hash32): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val agg = F.udaf(new KmvAgg(k), Encoders.LONG)
+      .apply(hash(F.col(valueCol))).as("kmin")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(F.col): _*).agg(agg)
+  }
+
+  /** Built-in-composed equivalence baseline for [[kmvSketch]]: distinct
+    * hashes → per-group ascending rank ≤ k → sorted collect. The SAME
+    * k-min set by construction, at the exact-distinct shuffle width (every
+    * distinct hash crosses the exchange) — retained as the pinned
+    * baseline the kernel must equal (the `int_dot` convention), not a
+    * scale path.
+    */
+  def kmvSketchComposed(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int,
+      hash: Column => Column = md5Hash32): DataFrame = {
+    val g = groupCols.map(F.col)
+    val hashed = df.filter(F.col(valueCol).isNotNull)
+      .select(g :+ hash(F.col(valueCol)).as("__h"): _*).distinct()
+    val w = if (groupCols.isEmpty) Window.orderBy(F.col("__h"))
+      else Window.partitionBy(g: _*).orderBy(F.col("__h"))
+    val ranked = hashed.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+    val grouped = if (groupCols.isEmpty) ranked.groupBy()
+      else ranked.groupBy(g: _*)
+    grouped.agg(F.sort_array(F.collect_list(F.col("__h"))).as("kmin"))
+  }
+
+  /** KMV distinct estimate from a sketch frame: exact sketch size below
+    * saturation, else the ratio estimator `(k-1)·2^32 / kth_min` — the
+    * numerator is an exact double (k ≤ 2^20 keeps it under 2^53), the
+    * division is one correctly-rounded IEEE op, and the result is rounded
+    * to 4 decimals, so the oracle's literal replay cannot drift.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.withColumn("est_distinct",
+      F.when(F.size(F.col("kmin")) < k,
+          F.size(F.col("kmin")).cast("double"))
+        .otherwise(F.round(
+          F.lit((k - 1).toDouble * 4294967296.0) /
+            F.element_at(F.col("kmin"), k).cast("double"), 4)))
+      .drop("kmin")
+
+  /** Per-group approximate distinct count: sketch + estimate in one call.
+    * Relative error concentrates around 1/sqrt(k-2) (k=64 → ~13%).
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, hash: Column => Column = md5Hash32): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, valueCol, k, hash), k)
+
+  // ---- Count-min sketch ------------------------------------------------
+
+  /** Count-min bucket id for row `j`: `hash32(token ∥ "_" ∥ j) mod width`
+    * — the [[graft.operators.Contamination]] md5-position derivation
+    * shape, replayable literally in the oracle.
+    */
+  private def cmsBucket(tok: Column, j: Column, width: Int,
+      hash: Column => Column): Column =
+    F.pmod(hash(F.concat(tok, F.lit("_"), j.cast("string"))), F.lit(width.toLong))
+
+  /** Build a count-min sketch over a token column: the `(j, bucket, n)`
+    * cell grid, at most depth·width rows REGARDLESS of vocabulary size.
+    * Each token occurrence feeds `depth` cells (one per row j); the
+    * map-side partial aggregate collapses every task to ≤ d·w cells
+    * before the single exchange.
+    */
+  def cmsSketch(toks: DataFrame, tokenCol: String, depth: Int, width: Int,
+      hash: Column => Column = md5Hash32): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"cmsSketch: need depth >= 1, width >= 2, got ($depth, $width)")
+    toks.select(F.col(tokenCol).as("__tok"),
+        F.explode(F.array((0 until depth).map(F.lit): _*)).as("j"))
+      .select(F.col("j"),
+        cmsBucket(F.col("__tok"), F.col("j"), width, hash).as("bucket"))
+      .groupBy(F.col("j"), F.col("bucket"))
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** Point-estimate candidate tokens against a sketch:
+    * `est_n = min_j cells(j, bucket_j(tok))` — the classic CMS upper
+    * bound (never below the true count; equal when no candidate shares
+    * all its buckets with other mass). Both sides are bounded: the
+    * candidate side is a literal local relation, the grid side ≤ d·w
+    * rows — the grid is broadcast (a left join builds on the right, so
+    * the probe side keeps its order-free left role). An absent cell
+    * means zero occurrences hashed there — `coalesce 0`.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: Seq[String], depth: Int,
+      width: Int, hash: Column => Column = md5Hash32): DataFrame = {
+    require(candidates.nonEmpty, "cmsEstimate: empty candidate list")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = candidates.toDF("token")
+      .select(F.col("token"),
+        F.explode(F.array((0 until depth).map(F.lit): _*)).as("j"))
+      .select(F.col("token"), F.col("j"),
+        cmsBucket(F.col("token"), F.col("j"), width, hash).as("bucket"))
+    probes.join(F.broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(F.col("token"))
+      .agg(F.min(F.coalesce(F.col("n"), F.lit(0L))).as("est_n"))
+  }
+}
