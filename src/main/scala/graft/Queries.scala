@@ -1488,6 +1488,44 @@ object Queries {
   private val cmsCandidates = Seq("join", "hash", "scan", "vector", "data",
     "customer", "order", "quantile", "zzzunseen", "qqabsent")
 
+  /** EXACT heavy hitters ([[Sketches.heavyHitters]]): every token in
+    * ≥ 3% of the document token stream, with exact counts, via the
+    * Misra-Gries two-pass — a k=34-counter candidate sketch (provable
+    * superset of the answer; ≤ k counters per task cross the exchange,
+    * not the vocabulary) then an exact recount of the candidates behind
+    * a broadcast join. The sketch is order-dependent but the recounted
+    * face is deterministic, so the oracle is plain GROUP BY + HAVING.
+    */
+  def q_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    Sketches.heavyHitters(toks, "tok", minFrac = 0.03)
+  }
+
+  /** KMV sketch-merge identity ([[Sketches.kmvMergeSketches]]): shard
+    * events 4 ways on an md5-replayable key, sketch each shard, fold
+    * the shard sketches per event type, and estimate — next to the
+    * direct whole-group estimate. The columns are EQUAL by the k-min
+    * merge identity (the union's k smallest hashes each sit inside
+    * their own shard's k smallest), and the oracle replays BOTH paths
+    * independently — this is the sketch-per-batch/fold-summaries
+    * operating mode that avoids corpus rescans at 100 TB.
+    */
+  def q_kmv_merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("shard",
+        pmod(Sketches.md5Hash32(col("event_id")), lit(4L)))
+    val parts = Sketches.kmvSketch(ev, Seq("event_type", "shard"),
+      "user_id", k = 64)
+    val merged = Sketches.kmvEstimate(
+        Sketches.kmvMergeSketches(parts, Seq("event_type"), k = 64), k = 64)
+      .withColumnRenamed("est_distinct", "est_merged")
+    val direct = Sketches.kmvEstimate(
+        Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k = 64), k = 64)
+      .withColumnRenamed("est_distinct", "est_direct")
+    merged.join(direct, Seq("event_type"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -2747,7 +2785,58 @@ object Queries {
         |  SELECT tok AS token, count(*) AS n_exact FROM toks
         |  WHERE tok IN (SELECT token FROM cand) GROUP BY 1)
         |SELECT token, est_n, coalesce(n_exact, 0) AS n_exact
-        |FROM est LEFT JOIN ex USING (token)""".stripMargin
+        |FROM est LEFT JOIN ex USING (token)""".stripMargin,
+    // Misra-Gries heavy hitters recount to an EXACT, order-independent
+    // answer, so the oracle is the definition itself: group, count,
+    // threshold at ceil(minFrac * N) — no sketch replay needed.
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($DTok) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT tok AS token, count(*) AS n
+        |FROM toks, tot GROUP BY tok, n_total
+        |HAVING count(*) >= CAST(ceil(CAST(0.03 AS DOUBLE) * n_total) AS BIGINT)""".stripMargin,
+    // The KMV merge oracle replays BOTH paths: per-shard k-min sets
+    // folded to a group k-min (merged), and the direct group k-min —
+    // the engine must reproduce the merge identity, not just one side.
+    "q_kmv_merge" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT + 1) % 4 AS shard
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT DISTINCT event_type, shard,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+        |  FROM ev),
+        |pr AS (
+        |  SELECT event_type, shard, hv,
+        |    row_number() OVER (PARTITION BY event_type, shard ORDER BY hv) AS rn
+        |  FROM h),
+        |mu AS (SELECT DISTINCT event_type, hv FROM pr WHERE rn <= 64),
+        |mr AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM mu),
+        |mest AS (
+        |  SELECT event_type,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_merged
+        |  FROM (SELECT * FROM mr WHERE rn <= 64) GROUP BY event_type),
+        |du AS (SELECT DISTINCT event_type, hv FROM h),
+        |dr AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM du),
+        |dest AS (
+        |  SELECT event_type,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_direct
+        |  FROM dr GROUP BY event_type)
+        |SELECT event_type, est_merged, est_direct
+        |FROM mest JOIN dest USING (event_type)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3360,9 +3449,12 @@ object Queries {
     "q_fuzz_null_agg" -> (q_fuzz_null_agg _),
     "q_fuzz_null_concat" -> (q_fuzz_null_concat _),
     // round-12: deterministic sketches (bounded-shuffle distinct /
-    // vocabulary-independent frequency grid, md5-replayable)
+    // vocabulary-independent frequency grid, md5-replayable) + the
+    // Misra-Gries exact-heavy-hitters reduction and the KMV merge fold
     "q_kmv_distinct" -> (q_kmv_distinct _),
-    "q_cms_probe" -> (q_cms_probe _)
+    "q_cms_probe" -> (q_cms_probe _),
+    "q_heavy_hitters" -> (q_heavy_hitters _),
+    "q_kmv_merge" -> (q_kmv_merge _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -159,6 +159,34 @@ object Sketches {
       k: Int, hash: Column => Column = md5Hash32): DataFrame =
     kmvEstimate(kmvSketch(df, groupCols, valueCol, k, hash), k)
 
+  /** Merge per-part KMV sketches up to coarser groups (fewer columns of
+    * the sketch frame's keys, or `Nil` for a global sketch) — EXACTLY
+    * the sketch a direct pass over the union would build: every one of
+    * the union's k smallest distinct hashes is among its own part's k
+    * smallest (fewer than k hashes in that part are below it), so
+    * k-min(union of part k-min sets) = k-min(union). This identity is
+    * the 100 TB operating mode: sketch each ingest batch / partition
+    * once, fold the ≤ k·8-byte summaries — never rescan the corpus for
+    * a distinct count over a new grouping or a longer window.
+    */
+  def kmvMergeSketches(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val merged = F.slice(F.array_sort(F.array_distinct(
+      F.flatten(F.collect_list(F.col("kmin"))))), 1, k).as("kmin")
+    if (groupCols.isEmpty) sketches.agg(merged)
+    else sketches.groupBy(groupCols.map(F.col): _*).agg(merged)
+  }
+
+  /** Merge count-min grids built with the SAME (depth, width, hash):
+    * cell-wise sum — CMS is a linear sketch, so the merged grid is
+    * bit-identical to one built over the concatenated token streams.
+    * Per-batch grids + this fold = frequency stats over any batch range
+    * without re-reading tokens.
+    */
+  def cmsMergeSketches(grids: DataFrame): DataFrame =
+    grids.groupBy(F.col("j"), F.col("bucket"))
+      .agg(F.sum(F.col("n")).as("n"))
+
   // ---- Count-min sketch ------------------------------------------------
 
   /** Count-min bucket id for row `j`: `hash32(token ∥ "_" ∥ j) mod width`
@@ -209,5 +237,126 @@ object Sketches {
     probes.join(F.broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(F.col("token"))
       .agg(F.min(F.coalesce(F.col("n"), F.lit(0L))).as("est_n"))
+  }
+
+  // ---- Misra-Gries heavy hitters ----------------------------------------
+
+  /** Bounded-memory Misra-Gries summary: at most k (value, count)
+    * counters. reduce is the classic decrement-all step (Misra & Gries
+    * 1982); merge is the mergeable-summaries form (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): sum counters, then subtract the
+    * (k+1)-th largest count from all and keep positives. Both preserve
+    * the global undercount bound ≤ N/(k+1), so the candidate set is a
+    * SUPERSET of every value with true count > N/(k+1) no matter how
+    * Spark partitions the data or orders the merges. The candidate SET
+    * itself is order-dependent (any MG is) — only [[heavyHitters]]'s
+    * recounted, thresholded face is deterministic, which is why the
+    * sketch face never enters the oracle registry.
+    *
+    * Buffers mutate in place (a per-group live object under
+    * ObjectHashAggregate; serialized only across the exchange) EXCEPT
+    * the shared `zero` instance, which is copy-on-first-touch — the
+    * shared-zero contract ([[graft.core.Agg.CustomFoldNumeric]]).
+    */
+  private final class MgAgg(k: Int) extends Aggregator[String,
+      scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+    private val zeroBuf = new scala.collection.mutable.HashMap[String, Long]()
+    def zero: scala.collection.mutable.HashMap[String, Long] = zeroBuf
+
+    private def fresh(b: scala.collection.mutable.HashMap[String, Long]) =
+      if (b eq zeroBuf) new scala.collection.mutable.HashMap[String, Long]()
+      else b
+
+    def reduce(buf: scala.collection.mutable.HashMap[String, Long],
+        v: String): scala.collection.mutable.HashMap[String, Long] = {
+      if (v == null) return buf
+      val m = fresh(buf)
+      m.get(v) match {
+        case Some(c) => m.update(v, c + 1L)
+        case None if m.size < k => m.update(v, 1L)
+        case None =>
+          // decrement-all: each such event retires k+1 occurrences (k
+          // stored + this arrival), so there are ≤ N/(k+1) of them —
+          // the undercount bound
+          val dead = List.newBuilder[String]
+          m.foreachEntry { (key, c) =>
+            if (c == 1L) dead += key else m.update(key, c - 1L)
+          }
+          dead.result().foreach(m.remove)
+      }
+      m
+    }
+
+    def merge(a: scala.collection.mutable.HashMap[String, Long],
+        b: scala.collection.mutable.HashMap[String, Long])
+        : scala.collection.mutable.HashMap[String, Long] = {
+      if (b.isEmpty) return a
+      if (a.isEmpty) return b
+      val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+      val m = fresh(into)
+      from.foreachEntry { (key, c) => m.update(key, m.getOrElse(key, 0L) + c) }
+      if (m.size > k) {
+        // subtract the (k+1)-th largest count; at most k counts exceed it
+        val cs = m.values.toArray
+        java.util.Arrays.sort(cs)
+        val cut = cs(cs.length - (k + 1))
+        val dead = List.newBuilder[String]
+        m.foreachEntry { (key, c) =>
+          if (c <= cut) dead += key else m.update(key, c - cut)
+        }
+        dead.result().foreach(m.remove)
+      }
+      m
+    }
+
+    def finish(m: scala.collection.mutable.HashMap[String, Long])
+        : Map[String, Long] = m.toMap
+    def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
+      Encoders.kryo(classOf[scala.collection.mutable.HashMap[String, Long]])
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Misra-Gries candidate pass: ONE row `(mg map<string,bigint>,
+    * n_total bigint)` — every value with true count > n_total/(k+1) is
+    * a key of `mg` (superset guarantee; see [[MgAgg]]). ≤ k counters
+    * per task cross the exchange regardless of cardinality.
+    */
+  def mgSummary(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"mgSummary: k must be >= 2, got $k")
+    df.agg(F.udaf(new MgAgg(k), Encoders.STRING)
+        .apply(F.col(valueCol)).as("mg"),
+      F.count(F.col(valueCol)).as("n_total"))
+  }
+
+  /** EXACT heavy hitters — every value occurring in at least
+    * `minFrac` of the (non-null) rows, with its exact count — in two
+    * bounded passes: a [[mgSummary]] candidate pass with
+    * k = ⌈1/minFrac⌉ (so k+1 > 1/minFrac and the MG undercount
+    * N/(k+1) < minFrac·N ≤ any heavy hitter's count — no heavy hitter
+    * can be evicted), then an exact recount of the ≤ k candidates via a
+    * broadcast join (the recount exchange carries ≤ k counters per
+    * task, not the vocabulary). The exact `groupBy(value).count()`
+    * alternative shuffles every distinct value — at web scale that is
+    * the vocabulary, billions of rows; this is the classic
+    * sketch-then-verify reduction to a fixed-size shuffle. Result is
+    * deterministic and plain-SQL-replayable (GROUP BY + HAVING) even
+    * though the intermediate candidate set is not.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"heavyHitters: minFrac must be in (0, 1], got $minFrac")
+    val k = math.max(2, math.ceil(1.0 / minFrac).toInt)
+    val cand = mgSummary(df, valueCol, k)
+      .select(F.explode(F.map_keys(F.col("mg"))).as("token"),
+        F.col("n_total"))
+    df.join(F.broadcast(cand), F.col(valueCol) === F.col("token"))
+      .groupBy(F.col("token"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.first(F.col("n_total")).as("n_total"))
+      .filter(F.col("n") >=
+        F.ceil(F.lit(minFrac) * F.col("n_total")).cast("long"))
+      .select(F.col("token"), F.col("n"))
   }
 }

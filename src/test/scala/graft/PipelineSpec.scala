@@ -3583,7 +3583,14 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       "q_semdedup_model" -> 500000L,
       "q_dedup_near" -> 500000L,
       "q_bm25" -> 450000L,
-      "q_semdedup_fixed" -> 450000L)
+      "q_semdedup_fixed" -> 450000L,
+      // not heavy — the OPPOSITE pin: these two are the bounded-shuffle
+      // sketch reductions (MG recount behind a broadcast join; KMV
+      // ≤ k longs per group), so their exchanges must stay ~zero. A
+      // broadcast degrading to a vocabulary-wide shuffle jumps them
+      // 10-100× past this cap. Observed < 15 KB each at sf0.01.
+      "q_heavy_hitters" -> 100000L,
+      "q_kmv_merge" -> 100000L)
     ceilings.foreach { case (name, cap) =>
       val fn = Queries.registry(name)
       def run(): Unit =

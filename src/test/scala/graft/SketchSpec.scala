@@ -104,6 +104,92 @@ class SketchSpec extends AnyFunSuite with Matchers {
     solo shouldBe exact("join")
   }
 
+  test("KMV merge fold == direct sketch (the k-min merge identity)") {
+    // shard 7 ways (not the registry's 4) and merge per event type;
+    // the merged k-min SET must equal the direct one — under AND over
+    // saturation (k=8 saturates at 15 users/type; k=1024 never does)
+    val ev7 = events.withColumn("shard",
+      F.pmod(Sketches.md5Hash32(F.col("event_id")), F.lit(7L)))
+    for (k <- Seq(8, 1024)) {
+      val parts = Sketches.kmvSketch(ev7, Seq("event_type", "shard"),
+        "user_id", k)
+      val merged = Sketches.kmvMergeSketches(parts, Seq("event_type"), k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val direct = Sketches.kmvSketch(events, Seq("event_type"), "user_id", k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      merged shouldBe direct
+    }
+    // global fold (groupCols = Nil) over the per-type sketches
+    val perType = Sketches.kmvSketch(events, Seq("event_type"), "user_id", 16)
+    val global = Sketches.kmvMergeSketches(perType, Nil, 16)
+      .head().getSeq[Long](0)
+    val directG = Sketches.kmvSketch(events, Nil, "user_id", 16)
+      .head().getSeq[Long](0)
+    global shouldBe directG
+  }
+
+  test("CMS merge fold == grid over the concatenated stream (linearity)") {
+    val toks = Tables.documents(spark, sf)
+      .select(F.col("doc_id"),
+        F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .as("tok"))
+    val d = 4; val w = 256
+    val odd = Sketches.cmsSketch(toks.filter(F.col("doc_id") % 2 === 1),
+      "tok", d, w)
+    val even = Sketches.cmsSketch(toks.filter(F.col("doc_id") % 2 === 0),
+      "tok", d, w)
+    val merged = Sketches.cmsMergeSketches(odd.union(even))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsSketch(toks, "tok", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    merged shouldBe whole
+  }
+
+  test("MG heavy hitters are EXACT regardless of partitioning and order") {
+    val toks = Tables.documents(spark, sf)
+      .select(F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
+        .as("tok"))
+    for (minFrac <- Seq(0.01, 0.03, 0.2)) {
+      val n = toks.count()
+      val thresh = math.ceil(minFrac * n).toLong
+      val exact = toks.groupBy(F.col("tok").as("token"))
+        .agg(F.count(F.lit(1)).as("n")).filter(F.col("n") >= thresh)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // several physical layouts: MG candidate sets differ, the
+      // recounted face must not (adversarial: heavy tokens first/last)
+      val layouts = Seq(
+        toks,
+        toks.repartition(1),
+        toks.repartition(32),
+        toks.orderBy(F.col("tok").asc),
+        toks.orderBy(F.col("tok").desc))
+      for (t <- layouts) {
+        val hh = Sketches.heavyHitters(t, "tok", minFrac)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        hh shouldBe exact
+      }
+    }
+  }
+
+  test("MG summary: ≤ k counters, superset of true heavy hitters, " +
+    "null-skipping") {
+    val vals = Tables.events(spark, sf).select(F.col("event_type").as("v"))
+      .withColumn("v",
+        F.when(F.col("v") === "click", F.lit(null)).otherwise(F.col("v")))
+    val k = 3
+    val row = Sketches.mgSummary(vals, "v", k).head()
+    val mg = row.getMap[String, Long](0)
+    val nTotal = row.getLong(1)
+    mg.size should be <= k
+    mg.keySet should not contain "click" // nulls skipped
+    nTotal shouldBe vals.filter(F.col("v").isNotNull).count()
+    // superset guarantee: every value with count > n/(k+1) is present
+    val heavy = vals.filter(F.col("v").isNotNull).groupBy("v").count()
+      .filter(F.col("count") > nTotal / (k + 1.0))
+      .collect().map(_.getString(0)).toSet
+    heavy.subsetOf(mg.keySet.toSet) shouldBe true
+  }
+
   test("CMS grid is bounded by depth*width and partitioning-invariant") {
     val toks = Tables.documents(spark, sf)
       .select(F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
