@@ -1526,6 +1526,41 @@ object Queries {
     merged.join(direct, Seq("event_type"))
   }
 
+  /** KMV set-overlap estimates ([[Sketches.kmvOverlapColumns]]): pairwise
+    * distinct-customer overlap between order-status groups from k=64
+    * sketches alone — est_union (KMV over the union sketch) and
+    * est_jaccard (the Beyer et al. 2007 k-sample estimator), next to the
+    * exact Jaccard rider so the sketch error is visible (the status
+    * groups share ~92% of customers — a non-degenerate overlap). The
+    * pair join is sketch-frame × sketch-frame: 3 rows a side, broadcast;
+    * the corpora are never joined.
+    */
+  def q_kmv_overlap(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val sk = Sketches.kmvSketch(o, Seq("o_orderstatus"), "o_custkey", k = 64)
+    val pairs = sk.select(col("o_orderstatus").as("status_a"),
+        col("kmin").as("kmin_a"))
+      .join(broadcast(sk.select(col("o_orderstatus").as("status_b"),
+        col("kmin").as("kmin_b"))), col("status_a") < col("status_b"))
+    val est = Sketches.kmvOverlapColumns(pairs, k = 64)
+      .drop("kmin_a", "kmin_b")
+    val dd = o.select(col("o_orderstatus").as("st"), col("o_custkey").as("c"))
+      .distinct()
+    val nd = dd.groupBy(col("st")).agg(count(lit(1)).as("nd"))
+    val exact = dd.as("x")
+      .join(dd.as("y"), col("x.c") === col("y.c") && col("x.st") < col("y.st"))
+      .groupBy(col("x.st").as("status_a"), col("y.st").as("status_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(nd.select(col("st").as("status_a"), col("nd").as("nd_a")), "status_a")
+      .join(nd.select(col("st").as("status_b"), col("nd").as("nd_b")), "status_b")
+      .withColumn("exact_jaccard",
+        round(col("common").cast("double") /
+          (col("nd_a") + col("nd_b") - col("common")).cast("double"), 4))
+    est.join(exact, Seq("status_a", "status_b"))
+      .select(col("status_a"), col("status_b"), col("est_union"),
+        col("est_jaccard"), col("exact_jaccard"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -2836,7 +2871,63 @@ object Queries {
         |    END AS est_direct
         |  FROM dr GROUP BY event_type)
         |SELECT event_type, est_merged, est_direct
-        |FROM mest JOIN dest USING (event_type)""".stripMargin
+        |FROM mest JOIN dest USING (event_type)""".stripMargin,
+    // KMV overlap: replay the per-status sketches (rn <= 64 over
+    // DISTINCT md5 hashes), the pairwise union sketch, the Beyer-style
+    // |K ∩ A ∩ B| / |K| estimator, and the exact-Jaccard rider.
+    "q_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderstatus AS st,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+        |  FROM orders),
+        |r AS (
+        |  SELECT st, hv, row_number() OVER (PARTITION BY st ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (SELECT st, hv FROM r WHERE rn <= 64),
+        |p AS (
+        |  SELECT a.st AS sa, b.st AS sb
+        |  FROM (SELECT DISTINCT st FROM sk) a
+        |  JOIN (SELECT DISTINCT st FROM sk) b ON a.st < b.st),
+        |uni AS (
+        |  SELECT p.sa, p.sb, s.hv FROM p JOIN sk s ON s.st = p.sa
+        |  UNION
+        |  SELECT p.sa, p.sb, s.hv FROM p JOIN sk s ON s.st = p.sb),
+        |ur AS (
+        |  SELECT sa, sb, hv,
+        |    row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY sa, sb) AS nu
+        |  FROM uni),
+        |ku AS (SELECT sa, sb, hv, rn, nu FROM ur WHERE rn <= 64),
+        |com AS (
+        |  SELECT k.sa, k.sb, count(*) AS c
+        |  FROM ku k
+        |  JOIN sk x ON x.st = k.sa AND x.hv = k.hv
+        |  JOIN sk y ON y.st = k.sb AND y.hv = k.hv
+        |  GROUP BY 1, 2),
+        |kstat AS (
+        |  SELECT sa, sb, count(*) AS sz, max(nu) AS nu,
+        |    max(CASE WHEN rn = 64 THEN hv END) AS hv64
+        |  FROM ku GROUP BY 1, 2),
+        |est AS (
+        |  SELECT sa, sb,
+        |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |         ELSE round(270582939648.0 / hv64, 4) END AS est_union,
+        |    round(CAST(coalesce(c, 0) AS DOUBLE) / CAST(sz AS DOUBLE), 4)
+        |      AS est_jaccard
+        |  FROM kstat LEFT JOIN com USING (sa, sb)),
+        |dd AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders),
+        |nd AS (SELECT st, count(*) AS n FROM dd GROUP BY 1),
+        |exc AS (
+        |  SELECT x.st AS sa, y.st AS sb, count(*) AS cm
+        |  FROM dd x JOIN dd y ON x.c = y.c AND x.st < y.st GROUP BY 1, 2),
+        |exj AS (
+        |  SELECT sa, sb,
+        |    round(CAST(cm AS DOUBLE) / CAST(na.n + nb.n - cm AS DOUBLE), 4)
+        |      AS exact_jaccard
+        |  FROM exc JOIN nd na ON na.st = exc.sa JOIN nd nb ON nb.st = exc.sb)
+        |SELECT sa AS status_a, sb AS status_b, est_union, est_jaccard,
+        |  exact_jaccard
+        |FROM est JOIN exj USING (sa, sb)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3454,7 +3545,8 @@ object Queries {
     "q_kmv_distinct" -> (q_kmv_distinct _),
     "q_cms_probe" -> (q_cms_probe _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
-    "q_kmv_merge" -> (q_kmv_merge _)
+    "q_kmv_merge" -> (q_kmv_merge _),
+    "q_kmv_overlap" -> (q_kmv_overlap _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

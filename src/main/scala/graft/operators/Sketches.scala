@@ -177,6 +177,53 @@ object Sketches {
     else sketches.groupBy(groupCols.map(F.col): _*).agg(merged)
   }
 
+  /** Distinct-set overlap estimates from a pair of KMV sketch columns
+    * (`kmin_a`, `kmin_b`, same k and hash): appends
+    *  - `est_union`    — the KMV estimate over the union sketch (the
+    *    k smallest of `kmin_a ∪ kmin_b`, which IS the union's sketch
+    *    by the merge identity), and
+    *  - `est_jaccard`  — |K ∩ A ∩ B| / |K| with K the union sketch
+    *    (Beyer et al., "On synopses for distinct-value estimation
+    *    under multiset operations", SIGMOD 2007): K is a uniform
+    *    k-sample of the union's distinct values, so the fraction
+    *    present in both sides is an unbiased Jaccard estimator.
+    * Everything is integer set algebra plus the same two rounded
+    * double ops as [[kmvEstimate]] — fully oracle-replayable.
+    */
+  def kmvOverlapColumns(df: DataFrame, k: Int): DataFrame = {
+    val u = F.slice(F.array_sort(F.array_distinct(
+      F.concat(F.col("kmin_a"), F.col("kmin_b")))), 1, k)
+    df.withColumn("__u", u)
+      .withColumn("__common", F.size(F.array_intersect(
+        F.array_intersect(F.col("__u"), F.col("kmin_a")), F.col("kmin_b"))))
+      .withColumn("est_union",
+        F.when(F.size(F.col("__u")) < k, F.size(F.col("__u")).cast("double"))
+          .otherwise(F.round(
+            F.lit((k - 1).toDouble * 4294967296.0) /
+              F.element_at(F.col("__u"), k).cast("double"), 4)))
+      .withColumn("est_jaccard",
+        F.round(F.col("__common").cast("double") /
+          F.size(F.col("__u")).cast("double"), 4))
+      .drop("__u", "__common")
+  }
+
+  /** Corpus-overlap face: compare two sketch frames key-by-key (e.g.
+    * per-domain sketches of crawl A vs crawl B) — how much does B
+    * overlap what A already has, per key, WITHOUT joining the corpora
+    * (the sketches are ≤ k longs per key; the exact answer is a
+    * distinct-join over both corpora). `joinCols` empty compares two
+    * global sketches (1×1, broadcast).
+    */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame, joinCols: Seq[String],
+      k: Int): DataFrame = {
+    val aa = a.withColumnRenamed("kmin", "kmin_a")
+    val bb = b.withColumnRenamed("kmin", "kmin_b")
+    val joined =
+      if (joinCols.isEmpty) aa.crossJoin(F.broadcast(bb))
+      else aa.join(bb, joinCols)
+    kmvOverlapColumns(joined, k).drop("kmin_a", "kmin_b")
+  }
+
   /** Merge count-min grids built with the SAME (depth, width, hash):
     * cell-wise sum — CMS is a linear sketch, so the merged grid is
     * bit-identical to one built over the concatenated token streams.

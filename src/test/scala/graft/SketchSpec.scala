@@ -128,6 +128,29 @@ class SketchSpec extends AnyFunSuite with Matchers {
     global shouldBe directG
   }
 
+  test("KMV overlap: identical sets → 1.0, disjoint → 0.0, partial " +
+    "within estimator tolerance") {
+    val skA = Sketches.kmvSketch(events, Nil, "user_id", 64)
+    val same = Sketches.kmvSetEstimates(skA, skA, Nil, 64).head()
+    same.getAs[Double]("est_jaccard") shouldBe 1.0
+    // disjoint value domain: prefix shifts every hash
+    val shifted = events.withColumn("u2",
+      F.concat(F.lit("zz_"), F.col("user_id").cast("string")))
+    val skB = Sketches.kmvSketch(shifted, Nil, "u2", 64)
+    Sketches.kmvSetEstimates(skA, skB, Nil, 64).head()
+      .getAs[Double]("est_jaccard") shouldBe 0.0
+    // partial overlap (orders custkey sets per status): est vs exact
+    // within the k=64 sampling band, on every pair
+    val rows = Queries.q_kmv_overlap(spark, sf).collect()
+    rows.length shouldBe 3 // F/O/P pairs
+    for (r <- rows) {
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      math.abs(est - exact) should be < 0.3
+      est should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("CMS merge fold == grid over the concatenated stream (linearity)") {
     val toks = Tables.documents(spark, sf)
       .select(F.col("doc_id"),
