@@ -1561,6 +1561,37 @@ object Queries {
         col("est_jaccard"), col("exact_jaccard"))
   }
 
+  private val kmvStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted KMV sketch store, served ([[Sketches.kmvDistinctFromStore]]):
+    * built lazily once per sf dir from the even-orderkey half of orders,
+    * then the odd half APPENDED as a second batch (the incremental-ingest
+    * cadence — the first batch is never rescanned); the serving face
+    * folds the part sketches and estimates, next to the direct one-pass
+    * estimate. Equal by the merge identity, and the oracle replays the
+    * two-batch fold AND the direct path independently — a stale or
+    * foreign-flavor store hash-mismatches.
+    */
+  def q_kmv_store(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val path = kmvStoreDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-kmvstore-reg").toString + "/store"
+      Sketches.buildKmvStore(o.filter(pmod(col("o_orderkey"), lit(2L)) === 0),
+        Seq("o_orderstatus"), "o_custkey", k = 64, dir)
+      Sketches.appendToKmvStore(
+        o.filter(pmod(col("o_orderkey"), lit(2L)) === 1), dir)
+      dir
+    })
+    val store = Sketches.kmvDistinctFromStore(s, path)
+      .withColumnRenamed("est_distinct", "est_store")
+    val direct = Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey",
+        k = 64)
+      .withColumnRenamed("est_distinct", "est_direct")
+    store.join(direct, Seq("o_orderstatus"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -2927,7 +2958,50 @@ object Queries {
         |  FROM exc JOIN nd na ON na.st = exc.sa JOIN nd nb ON nb.st = exc.sb)
         |SELECT sa AS status_a, sb AS status_b, est_union, est_jaccard,
         |  exact_jaccard
-        |FROM est JOIN exj USING (sa, sb)""".stripMargin
+        |FROM est JOIN exj USING (sa, sb)""".stripMargin,
+    // The store oracle replays the TWO-BATCH fold (per-batch k-min sets
+    // over the even/odd orderkey split, folded per status) and the
+    // direct one-pass path — the engine's persisted parts must
+    // reproduce both.
+    "q_kmv_store" ->
+      """WITH ev AS (
+        |  SELECT o_orderstatus AS st, o_custkey AS c,
+        |    o_orderkey % 2 AS batch
+        |  FROM orders),
+        |h AS (
+        |  SELECT DISTINCT st, batch,
+        |    ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+        |  FROM ev),
+        |pr AS (
+        |  SELECT st, batch, hv,
+        |    row_number() OVER (PARTITION BY st, batch ORDER BY hv) AS rn
+        |  FROM h),
+        |mu AS (SELECT DISTINCT st, hv FROM pr WHERE rn <= 64),
+        |mr AS (
+        |  SELECT st, hv,
+        |    row_number() OVER (PARTITION BY st ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY st) AS nd
+        |  FROM mu),
+        |mest AS (
+        |  SELECT st,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_store
+        |  FROM (SELECT * FROM mr WHERE rn <= 64) GROUP BY st),
+        |du AS (SELECT DISTINCT st, hv FROM h),
+        |dr AS (
+        |  SELECT st, hv,
+        |    row_number() OVER (PARTITION BY st ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY st) AS nd
+        |  FROM du),
+        |dest AS (
+        |  SELECT st,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_direct
+        |  FROM dr GROUP BY st)
+        |SELECT st AS o_orderstatus, est_store, est_direct
+        |FROM mest JOIN dest USING (st)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3546,7 +3620,8 @@ object Queries {
     "q_cms_probe" -> (q_cms_probe _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_kmv_merge" -> (q_kmv_merge _),
-    "q_kmv_overlap" -> (q_kmv_overlap _)
+    "q_kmv_overlap" -> (q_kmv_overlap _),
+    "q_kmv_store" -> (q_kmv_store _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -234,6 +234,88 @@ object Sketches {
     grids.groupBy(F.col("j"), F.col("bucket"))
       .agg(F.sum(F.col("n")).as("n"))
 
+  // ---- persisted KMV sketch store ---------------------------------------
+
+  /** Named value-hash flavors a store can be built under. Versioned like
+    * [[graft.functions.Tok.HashFamily]]: part sketches are only foldable
+    * when every batch hashed values IDENTICALLY, and a derivation change
+    * (offset, fold, domain) under the same name would silently skew
+    * every estimate — bump the version suffix instead.
+    */
+  private val Flavors: Map[String, Column => Column] = Map(
+    "md5-32-v1" -> (md5Hash32 _),
+    "xx64-32-v1" -> (xx64Hash32 _))
+
+  /** Build a persisted sketch-per-batch store: the main table holds one
+    * part sketch per (group, appended batch) — `(groupCols..., kmin)` —
+    * and `_params` pins the fold contract (k, hashFlavor, groupCols,
+    * valueCol). Serving folds parts per group at read time
+    * ([[kmvMergeSketches]] — EXACT by the merge identity, so any number
+    * of appended batches estimates identically to one pass over the
+    * union), which keeps appends pure `mode("append")` writes: no
+    * read-modify-overwrite, batches land concurrently, and the store
+    * row count is batches × groups with ≤ k longs per row.
+    */
+  def buildKmvStore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, path: String, flavor: String = "md5-32-v1"): Unit = {
+    require(Flavors.contains(flavor),
+      s"buildKmvStore: unknown value-hash flavor $flavor " +
+        s"(have ${Flavors.keys.mkString(", ")})")
+    val spark = df.sparkSession
+    kmvSketch(df, groupCols, valueCol, k, Flavors(flavor))
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq((k, flavor, groupCols.mkString(","), valueCol))
+      .toDF("k", "hashFlavor", "groupCols", "valueCol")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  /** Read + verify a store's fold contract; fails fast on a missing
+    * sidecar or a flavor this engine doesn't produce (folding
+    * foreign-flavor parts would silently skew every estimate — the
+    * [[graft.functions.Tok.checkHashFamily]] failure class).
+    */
+  private def readKmvParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, String, Seq[String], String) = {
+    val row =
+      try spark.read.parquet(s"$path/_params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path is not a KMV sketch store (no readable _params " +
+              s"sidecar): ${e.getMessage}")
+      }
+    val flavor = row.getAs[String]("hashFlavor")
+    if (!Flavors.contains(flavor))
+      throw new IllegalArgumentException(
+        s"$path was built with value-hash flavor $flavor, which this " +
+          "engine does not produce; part sketches are not foldable — " +
+          "rebuild the store")
+    (row.getAs[Int]("k"), flavor,
+      row.getAs[String]("groupCols").split(',').toSeq.filter(_.nonEmpty),
+      row.getAs[String]("valueCol"))
+  }
+
+  /** Sketch a new batch UNDER THE STORE'S contract and append its part
+    * sketches — the batch is scanned once and never again; old batches
+    * are not read at all.
+    */
+  def appendToKmvStore(batch: DataFrame, path: String): Unit = {
+    val (k, flavor, groupCols, valueCol) =
+      readKmvParams(batch.sparkSession, path)
+    kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Serving face: fold the stored part sketches per group and estimate
+    * — reads batches × groups rows of ≤ k longs, never any corpus.
+    */
+  def kmvDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (k, _, groupCols, _) = readKmvParams(spark, path)
+    kmvEstimate(kmvMergeSketches(spark.read.parquet(path), groupCols, k), k)
+  }
+
   // ---- Count-min sketch ------------------------------------------------
 
   /** Count-min bucket id for row `j`: `hash32(token ∥ "_" ∥ j) mod width`

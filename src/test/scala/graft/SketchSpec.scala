@@ -83,6 +83,51 @@ class SketchSpec extends AnyFunSuite with Matchers {
     global.head.getDouble(0) shouldBe exact.toDouble
   }
 
+  test("KMV store: build/append/serve round-trip == direct; refusals " +
+    "fail fast") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmvstore-spec").toString + "/store"
+    // three appended batches (not the registry's two)
+    Sketches.buildKmvStore(o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === 0),
+      Seq("o_orderstatus"), "o_custkey", k = 16, dir)
+    Sketches.appendToKmvStore(
+      o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === 1), dir)
+    Sketches.appendToKmvStore(
+      o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === 2), dir)
+    val served = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey",
+        k = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    served shouldBe direct
+    // the store holds one part sketch per (group, batch), <= k longs each
+    val parts = spark.read.parquet(dir)
+    parts.count() shouldBe 9 // 3 statuses x 3 batches
+    parts.collect().foreach(r => r.getSeq[Long](1).size should be <= 16)
+    // xx64 flavor round-trips through its own stamp
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-kmvstore-spec2").toString + "/store"
+    Sketches.buildKmvStore(o, Seq("o_orderstatus"), "o_custkey", 16, dir2,
+      flavor = "xx64-32-v1")
+    Sketches.kmvDistinctFromStore(spark, dir2).count() shouldBe 3
+    // refusals: no sidecar; foreign flavor
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-kmvstore-bare").toString + "/store"
+    o.limit(1).select(F.col("o_orderstatus"), F.array().cast("array<bigint>")
+      .as("kmin")).write.parquet(bare)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.kmvDistinctFromStore(spark, bare)
+    import spark.implicits._
+    Seq((16, "sha1-32-v9", "o_orderstatus", "o_custkey"))
+      .toDF("k", "hashFlavor", "groupCols", "valueCol")
+      .write.mode("overwrite").parquet(s"$bare/_params")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendToKmvStore(o, bare)
+    }
+    e.getMessage should include("sha1-32-v9")
+  }
+
   test("CMS estimates are an upper bound on exact counts, exact when alone") {
     val toks = Tables.documents(spark, sf)
       .select(F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
