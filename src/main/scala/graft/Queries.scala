@@ -1592,6 +1592,39 @@ object Queries {
     store.join(direct, Seq("o_orderstatus"))
   }
 
+  private val cmsStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted CMS grid store, served ([[Sketches.cmsEstimateFromStore]]):
+    * built lazily once per sf dir from the odd-doc token stream, the
+    * even-doc stream APPENDED as a second batch, then candidate point
+    * estimates probed from the summed store next to the direct
+    * whole-stream probe — equal because CMS is linear, and the oracle
+    * replays the per-batch grids + cell-wise sum AND the direct grid
+    * independently, so a stale or foreign store hash-mismatches.
+    */
+  def q_cms_store(s: SparkSession, d: String): DataFrame = {
+    def toks(parity: Int) = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(2L)) === parity)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val path = cmsStoreDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cmsstore-reg").toString + "/store"
+      Sketches.buildCmsStore(toks(1), "tok", depth = 4, width = 2048, dir)
+      Sketches.appendToCmsStore(toks(0), dir)
+      dir
+    })
+    val store = Sketches.cmsEstimateFromStore(s, path, cmsCandidates)
+      .withColumnRenamed("est_n", "est_store")
+    val all = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val direct = Sketches.cmsEstimate(
+        Sketches.cmsSketch(all, "tok", depth = 4, width = 2048),
+        cmsCandidates, depth = 4, width = 2048)
+      .withColumnRenamed("est_n", "est_direct")
+    store.join(direct, Seq("token"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -3001,7 +3034,41 @@ object Queries {
         |    END AS est_direct
         |  FROM dr GROUP BY st)
         |SELECT st AS o_orderstatus, est_store, est_direct
-        |FROM mest JOIN dest USING (st)""".stripMargin
+        |FROM mest JOIN dest USING (st)""".stripMargin,
+    // The CMS store oracle replays per-batch grids (doc parity) summed
+    // cell-wise AND the direct whole-stream grid; both probe the same
+    // candidate buckets.
+    "q_cms_store" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id % 2 AS batch, unnest($DTok) AS tok FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |bcells AS (
+        |  SELECT batch, j,
+        |    (('0x' || substr(md5(tok || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket,
+        |    count(*) AS n
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2, 3),
+        |scells AS (
+        |  SELECT j, bucket, CAST(sum(n) AS BIGINT) AS n
+        |  FROM bcells GROUP BY 1, 2),
+        |dcells AS (
+        |  SELECT j,
+        |    (('0x' || substr(md5(tok || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket,
+        |    count(*) AS n
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |cand AS (SELECT unnest(['join', 'hash', 'scan', 'vector', 'data',
+        |                        'customer', 'order', 'quantile', 'zzzunseen',
+        |                        'qqabsent']) AS token),
+        |probe AS (
+        |  SELECT token, j,
+        |    (('0x' || substr(md5(token || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket
+        |  FROM cand CROSS JOIN js),
+        |se AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est_store
+        |  FROM probe LEFT JOIN scells USING (j, bucket) GROUP BY token),
+        |de AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est_direct
+        |  FROM probe LEFT JOIN dcells USING (j, bucket) GROUP BY token)
+        |SELECT token, est_store, est_direct FROM se JOIN de USING (token)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3621,7 +3688,8 @@ object Queries {
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_kmv_merge" -> (q_kmv_merge _),
     "q_kmv_overlap" -> (q_kmv_overlap _),
-    "q_kmv_store" -> (q_kmv_store _)
+    "q_kmv_store" -> (q_kmv_store _),
+    "q_cms_store" -> (q_cms_store _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -368,6 +368,66 @@ object Sketches {
       .agg(F.min(F.coalesce(F.col("n"), F.lit(0L))).as("est_n"))
   }
 
+  // ---- persisted CMS grid store -----------------------------------------
+
+  /** [[buildKmvStore]]'s count-min sibling: per-batch cell grids land as
+    * pure appends (≤ d·w rows per batch regardless of vocabulary), the
+    * `_params` sidecar pins (depth, width, hashFlavor, tokenCol), and
+    * serving sums cells at read time — exact because CMS is linear.
+    * Point estimates over any accumulated range never re-read tokens.
+    */
+  def buildCmsStore(toks: DataFrame, tokenCol: String, depth: Int,
+      width: Int, path: String, flavor: String = "md5-32-v1"): Unit = {
+    require(Flavors.contains(flavor),
+      s"buildCmsStore: unknown value-hash flavor $flavor " +
+        s"(have ${Flavors.keys.mkString(", ")})")
+    val spark = toks.sparkSession
+    cmsSketch(toks, tokenCol, depth, width, Flavors(flavor))
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq((depth, width, flavor, tokenCol))
+      .toDF("depth", "width", "hashFlavor", "tokenCol")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readCmsParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, String, String) = {
+    val row =
+      try spark.read.parquet(s"$path/_params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path is not a CMS grid store (no readable _params " +
+              s"sidecar): ${e.getMessage}")
+      }
+    val flavor = row.getAs[String]("hashFlavor")
+    if (!Flavors.contains(flavor))
+      throw new IllegalArgumentException(
+        s"$path was built with value-hash flavor $flavor, which this " +
+          "engine does not produce; grid cells are not summable — " +
+          "rebuild the store")
+    (row.getAs[Int]("depth"), row.getAs[Int]("width"), flavor,
+      row.getAs[String]("tokenCol"))
+  }
+
+  /** Grid a new batch under the store's contract; pure append. */
+  def appendToCmsStore(batch: DataFrame, path: String): Unit = {
+    val (depth, width, flavor, tokenCol) =
+      readCmsParams(batch.sparkSession, path)
+    cmsSketch(batch, tokenCol, depth, width, Flavors(flavor))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Serving face: sum the stored batch grids cell-wise and point-probe
+    * candidates — reads ≤ batches·d·w cell rows, never any tokens.
+    */
+  def cmsEstimateFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, candidates: Seq[String]): DataFrame = {
+    val (depth, width, flavor, _) = readCmsParams(spark, path)
+    cmsEstimate(cmsMergeSketches(spark.read.parquet(path)), candidates,
+      depth, width, Flavors(flavor))
+  }
+
   // ---- Misra-Gries heavy hitters ----------------------------------------
 
   /** Bounded-memory Misra-Gries summary: at most k (value, count)

@@ -128,6 +128,40 @@ class SketchSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("sha1-32-v9")
   }
 
+  test("CMS store: build/append/serve == direct probe; refusals fail fast") {
+    val toks = Tables.documents(spark, sf)
+      .select(F.col("doc_id"),
+        F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .as("tok"))
+    val d4 = 4; val w = 512
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cmsstore-spec").toString + "/store"
+    // three appended batches by doc_id mod 3
+    Sketches.buildCmsStore(toks.filter(F.col("doc_id") % 3 === 0)
+      .select(F.col("tok")), "tok", d4, w, dir)
+    Sketches.appendToCmsStore(toks.filter(F.col("doc_id") % 3 === 1)
+      .select(F.col("tok")), dir)
+    Sketches.appendToCmsStore(toks.filter(F.col("doc_id") % 3 === 2)
+      .select(F.col("tok")), dir)
+    val cands = Seq("join", "hash", "zzzunseen")
+    val served = Sketches.cmsEstimateFromStore(spark, dir, cands)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.cmsEstimate(
+        Sketches.cmsSketch(toks.select(F.col("tok")), "tok", d4, w),
+        cands, d4, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    served shouldBe direct // linearity through persistence
+    // refusal: foreign flavor stamp
+    import spark.implicits._
+    Seq((d4, w, "crc-32-v0", "tok"))
+      .toDF("depth", "width", "hashFlavor", "tokenCol")
+      .write.mode("overwrite").parquet(s"$dir/_params")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendToCmsStore(toks.select(F.col("tok")), dir)
+    }
+    e.getMessage should include("crc-32-v0")
+  }
+
   test("CMS estimates are an upper bound on exact counts, exact when alone") {
     val toks = Tables.documents(spark, sf)
       .select(F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
