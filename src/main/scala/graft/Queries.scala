@@ -1625,6 +1625,110 @@ object Queries {
     store.join(direct, Seq("token"))
   }
 
+  /** HLL approximate count-distinct ([[Sketches.hllDistinct]]): distinct
+    * users per event type AND global distinct event ids through the
+    * m=1024 register sketch — ≤ m register rows per group cross the
+    * exchange regardless of cardinality (vs KMV's k-array; vs exact
+    * count-distinct's every-value shuffle). Both estimator regimes the
+    * data reaches are on display: per-type user counts (150 at sf0.01)
+    * sit in the linear-counting branch, the global event_id cardinality
+    * (10k at sf0.01, vs m=1024) in the raw harmonic-mean branch; exact
+    * counts ride along so the ~3.3% register error is visible. The
+    * oracle replays hash → bucket/rho split → register max → the
+    * scaled-integer harmonic sum → the single-division estimate, branch
+    * by branch ([[hllRegsSql]]/[[hllEstSql]]).
+    */
+  def q_hll_distinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val eu = ev.filter(col("user_id").isNotNull)
+    val users = Sketches.hllDistinct(eu, Seq("event_type"), "user_id")
+    val exactU = eu.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_n"))
+    val perType = users.join(exactU, Seq("event_type"))
+      .select(col("event_type").as("scope"), col("exact_n"),
+        col("est_distinct"))
+    // global-scope rider: 1-row × 1-row cross join (bounded by
+    // construction — both sides are single-row aggregates)
+    val ids = Sketches.hllDistinct(ev, Nil, "event_id")
+    val exactI = ev.agg(count_distinct(col("event_id")).as("exact_n"))
+    val global = ids.crossJoin(exactI)
+      .select(lit("__all_event_ids").as("scope"), col("exact_n"),
+        col("est_distinct"))
+    perType.union(global)
+  }
+
+  /** HLL sketch-merge identity ([[Sketches.hllMergeSketches]]): shard
+    * events 4 ways on an md5-replayable key, build register sketches per
+    * shard, max-fold the shard registers per event type, and estimate —
+    * next to the direct whole-group estimate. EQUAL because per-bucket
+    * max is associative/commutative/idempotent (the registers themselves
+    * are identical, not just the estimates), and the oracle replays both
+    * paths independently — the sketch-per-batch/fold-at-read operating
+    * mode that never rescans earlier batches at 100 TB.
+    */
+  def q_hll_merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("shard",
+        pmod(Sketches.md5Hash32(col("event_id")), lit(4L)))
+    val parts = Sketches.hllSketch(ev, Seq("event_type", "shard"), "user_id")
+    val merged = Sketches.hllEstimate(
+        Sketches.hllMergeSketches(parts, Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("est_distinct", "est_merged")
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+      .withColumnRenamed("est_distinct", "est_direct")
+    merged.join(direct, Seq("event_type"))
+  }
+
+  private val hllStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted HLL register store, served
+    * ([[Sketches.hllDistinctFromStore]]): built lazily once per sf dir
+    * from the even-orderkey half of orders, the odd half APPENDED as a
+    * second batch (pure parquet append — the first batch is never
+    * rescanned), then the serving face max-folds the stored registers
+    * and estimates, next to the direct one-pass estimate. Equal by the
+    * register-merge identity; the oracle replays the two-batch fold AND
+    * the direct path independently, so a stale or foreign-flavor store
+    * hash-mismatches.
+    */
+  def q_hll_store(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val path = hllStoreDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hllstore-reg").toString + "/store"
+      Sketches.buildHllStore(o.filter(pmod(col("o_orderkey"), lit(2L)) === 0),
+        Seq("o_orderstatus"), "o_custkey", dir)
+      Sketches.appendToHllStore(
+        o.filter(pmod(col("o_orderkey"), lit(2L)) === 1), dir)
+      dir
+    })
+    val store = Sketches.hllDistinctFromStore(s, path)
+      .withColumnRenamed("est_distinct", "est_store")
+    val direct = Sketches.hllDistinct(o, Seq("o_orderstatus"), "o_custkey")
+      .withColumnRenamed("est_distinct", "est_direct")
+    store.join(direct, Seq("o_orderstatus"))
+  }
+
+  /** Per-language token-count quantiles through the binary-grid
+    * histogram ([[Sketches.logHistQuantiles]]): p50/p90/p99 of
+    * tokens-per-document, read from a ≤ (subBits+1)-buckets-per-octave
+    * histogram instead of a sort — the cumulative window runs over the
+    * few-hundred-row HISTOGRAM, never the corpus, so the quantile never
+    * pays a corpus-wide global sort at scale. Every bucket boundary is
+    * integer-exact (binary grid, not log-gamma), so the histogram AND
+    * the ⌈q·N⌉ rank pick replay literally in the oracle; the estimate
+    * under-reads the true quantile by < 2^-3 = 12.5% relative error.
+    */
+  def q_hist_quantiles(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    Sketches.logHistQuantiles(tc, Seq("lang"), "ntok",
+      qs = Seq(0.5, 0.9, 0.99), subBits = 3)
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1632,6 +1736,54 @@ object Queries {
     */
   private val DTok =
     """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"""
+
+  /** HLL register replay shared by the HLL oracles: md5 prefix →
+    * bucket/rho split → per-bucket max, over any FROM-able `src`
+    * yielding `groupCols` plus the value expression. `bin` renders
+    * minimal-width in DuckDB exactly as in Spark, so
+    * `23 - length(bin(hv >> 10))` IS the leading-zero rank in both
+    * engines ([[Sketches.hllSketch]]).
+    */
+  private def hllRegsSql(src: String, groupCols: Seq[String],
+      valExpr: String): String = {
+    val gsel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gby = (groupCols :+ "bucket").mkString(", ")
+    s"""SELECT ${gsel}hv % 1024 AS bucket,
+       |    max(CASE WHEN (hv >> 10) = 0 THEN 23
+       |             ELSE 23 - length(bin(hv >> 10)) END) AS r
+       |  FROM (SELECT ${gsel}('0x' || substr(md5(CAST($valExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |        FROM $src)
+       |  GROUP BY $gby""".stripMargin
+  }
+
+  /** The three-regime HLL estimator replay ([[Sketches.hllEstimate]])
+    * over a register CTE `(groupCols..., bucket, r)`: the scaled
+    * harmonic denominator is an exact integer, the numerator and
+    * large-range cut are the engine's own shortest-round-trip literals
+    * ([[Sketches.hllNumeratorLiteral]]), so the raw estimate is ONE
+    * correctly-rounded division and every branch condition compares
+    * bit-identical rounded values; the linear-counting branch is
+    * enumeration-verified over all 1024 possible inputs (SketchSpec).
+    */
+  private def hllEstSql(regCte: String, groupCols: Seq[String],
+      alias: String): String = {
+    val gsel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gby = if (groupCols.isEmpty) ""
+      else " GROUP BY " + groupCols.mkString(", ")
+    s"""SELECT ${gsel}CASE
+       |    WHEN raw <= 2560.0 AND v > 0
+       |      THEN round(1024.0 * ln(1024.0 / v), 4)
+       |    WHEN raw > CAST('${Sketches.hllLargeCutLiteral}' AS DOUBLE)
+       |      THEN round(-4294967296.0 * ln(1.0 - raw / 4294967296.0), 4)
+       |    ELSE raw END AS $alias
+       |  FROM (
+       |    SELECT ${gsel}round(CAST('${Sketches.hllNumeratorLiteral}' AS DOUBLE) /
+       |        CAST(s + v * 8388608 AS DOUBLE), 4) AS raw, v
+       |    FROM (
+       |      SELECT ${gsel}CAST(sum(1::BIGINT << (23 - r)) AS BIGINT) AS s,
+       |        1024 - count(*) AS v
+       |      FROM $regCte$gby))""".stripMargin
+  }
 
   /** Brute-force exact-Jaccard pair SQL shared by the two exact-pair-set
     * oracles: q_dedup_near pins LSH recall against it; q_dedup_jaccard
@@ -3068,7 +3220,96 @@ object Queries {
         |de AS (
         |  SELECT token, min(coalesce(n, 0)) AS est_direct
         |  FROM probe LEFT JOIN dcells USING (j, bucket) GROUP BY token)
-        |SELECT token, est_store, est_direct FROM se JOIN de USING (token)""".stripMargin
+        |SELECT token, est_store, est_direct FROM se JOIN de USING (token)""".stripMargin,
+    // HLL: registers and estimator replayed per scope — per-type user
+    // sketches (linear-counting branch) plus the global event_id sketch
+    // (raw branch); exact count-distinct riders on both.
+    "q_hll_distinct" ->
+      s"""WITH eu AS (
+        |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        |uregs AS (
+        |  ${hllRegsSql("eu", Seq("event_type"), "user_id")}),
+        |uest AS (
+        |  ${hllEstSql("uregs", Seq("event_type"), "est_distinct")}),
+        |uex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_n
+        |  FROM eu GROUP BY 1),
+        |iregs AS (
+        |  ${hllRegsSql(
+             "(SELECT event_id FROM events WHERE event_id IS NOT NULL) ie",
+             Nil, "event_id")}),
+        |iest AS (
+        |  ${hllEstSql("iregs", Nil, "est_distinct")}),
+        |iex AS (
+        |  SELECT count(DISTINCT event_id) AS exact_n FROM events)
+        |SELECT event_type AS scope, exact_n, est_distinct
+        |FROM uex JOIN uest USING (event_type)
+        |UNION ALL
+        |SELECT '__all_event_ids' AS scope, exact_n, est_distinct
+        |FROM iex CROSS JOIN iest""".stripMargin,
+    // The HLL merge oracle replays BOTH paths: per-shard registers
+    // max-folded per type, and the direct per-type registers — the
+    // engine must reproduce the register-merge identity.
+    "q_hll_merge" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT + 1) % 4 AS shard
+        |  FROM events WHERE user_id IS NOT NULL),
+        |sregs AS (
+        |  ${hllRegsSql("ev", Seq("event_type", "shard"), "user_id")}),
+        |mregs AS (
+        |  SELECT event_type, bucket, max(r) AS r
+        |  FROM sregs GROUP BY 1, 2),
+        |mest AS (
+        |  ${hllEstSql("mregs", Seq("event_type"), "est_merged")}),
+        |dregs AS (
+        |  ${hllRegsSql("ev", Seq("event_type"), "user_id")}),
+        |dest AS (
+        |  ${hllEstSql("dregs", Seq("event_type"), "est_direct")})
+        |SELECT event_type, est_merged, est_direct
+        |FROM mest JOIN dest USING (event_type)""".stripMargin,
+    // The HLL store oracle replays the two-batch register fold (orderkey
+    // parity) AND the direct whole-corpus registers.
+    "q_hll_store" ->
+      s"""WITH ev AS (
+        |  SELECT o_orderstatus AS st, o_custkey AS c,
+        |    o_orderkey % 2 AS batch
+        |  FROM orders),
+        |bregs AS (
+        |  ${hllRegsSql("ev", Seq("st", "batch"), "c")}),
+        |fregs AS (
+        |  SELECT st, bucket, max(r) AS r FROM bregs GROUP BY 1, 2),
+        |sest AS (
+        |  ${hllEstSql("fregs", Seq("st"), "est_store")}),
+        |dregs AS (
+        |  ${hllRegsSql("ev", Seq("st"), "c")}),
+        |dest AS (
+        |  ${hllEstSql("dregs", Seq("st"), "est_direct")})
+        |SELECT st AS o_orderstatus, est_store, est_direct
+        |FROM sest JOIN dest USING (st)""".stripMargin,
+    // Binary-grid histogram quantiles: bucket_lo clears all but the top
+    // subBits+1 significant bits (integer shifts, exact in any engine);
+    // the rank pick ceil(q·N) is one double multiply of identical
+    // operands — q is forced to DOUBLE because DuckDB parses 0.9 as
+    // DECIMAL (exact) while Spark multiplies doubles.
+    "q_hist_quantiles" ->
+      s"""WITH tc AS (
+        |  SELECT lang, CAST(len($DTok) AS BIGINT) AS v FROM documents),
+        |h AS (
+        |  SELECT lang, (v >> g) << g AS bucket_lo, count(*) AS n
+        |  FROM (SELECT lang, v,
+        |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, bucket_lo, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM h),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT lang, q, bucket_lo AS est_value, CAST(tot AS BIGINT) AS n_total
+        |FROM c JOIN qs
+        |  ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
+        | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3689,7 +3930,14 @@ object Queries {
     "q_kmv_merge" -> (q_kmv_merge _),
     "q_kmv_overlap" -> (q_kmv_overlap _),
     "q_kmv_store" -> (q_kmv_store _),
-    "q_cms_store" -> (q_cms_store _)
+    "q_cms_store" -> (q_cms_store _),
+    // round-12: HLL register sketches (cardinality at a fixed ≤ m-row
+    // register grid per group) + binary-grid histogram quantiles (rank
+    // reads over the histogram, never a corpus sort)
+    "q_hll_distinct" -> (q_hll_distinct _),
+    "q_hll_merge" -> (q_hll_merge _),
+    "q_hll_store" -> (q_hll_store _),
+    "q_hist_quantiles" -> (q_hist_quantiles _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------

@@ -100,6 +100,16 @@ object Sketches {
   def xx64Hash32(value: Column): Column =
     F.shiftrightunsigned(F.xxhash64(value.cast("string")), 32) + F.lit(1L)
 
+  /** The KMV aggregate as a bare aggregation Column — `kmin` over the
+    * hashed value — for callers composing it alongside OTHER aggregates
+    * in one pass ([[Profile.profile]]'s per-column sketches).
+    */
+  def kmvAggColumn(value: Column, k: Int,
+      hash: Column => Column = md5Hash32): Column = {
+    require(k >= 2, s"kmvAggColumn: k must be >= 2, got $k")
+    F.udaf(new KmvAgg(k), Encoders.LONG).apply(hash(value))
+  }
+
   /** KMV sketch per group: `(groupCols..., kmin array<bigint>)` via the
     * bounded aggregate. `hash` must map values into [1, 2^32]
     * ([[md5Hash32]] / [[xx64Hash32]]). Nulls in `valueCol` are skipped
@@ -108,9 +118,7 @@ object Sketches {
     */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int, hash: Column => Column = md5Hash32): DataFrame = {
-    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
-    val agg = F.udaf(new KmvAgg(k), Encoders.LONG)
-      .apply(hash(F.col(valueCol))).as("kmin")
+    val agg = kmvAggColumn(F.col(valueCol), k, hash).as("kmin")
     if (groupCols.isEmpty) df.agg(agg)
     else df.groupBy(groupCols.map(F.col): _*).agg(agg)
   }
@@ -137,19 +145,23 @@ object Sketches {
     grouped.agg(F.sort_array(F.collect_list(F.col("__h"))).as("kmin"))
   }
 
-  /** KMV distinct estimate from a sketch frame: exact sketch size below
-    * saturation, else the ratio estimator `(k-1)·2^32 / kth_min` — the
-    * numerator is an exact double (k ≤ 2^20 keeps it under 2^53), the
-    * division is one correctly-rounded IEEE op, and the result is rounded
-    * to 4 decimals, so the oracle's literal replay cannot drift.
+  /** The KMV ratio estimator over a `kmin` array Column: exact sketch
+    * size below saturation, else `(k-1)·2^32 / kth_min` — the numerator
+    * is an exact double (k ≤ 2^20 keeps it under 2^53), the division is
+    * one correctly-rounded IEEE op, and the result is rounded to 4
+    * decimals, so the oracle's literal replay cannot drift.
+    */
+  def kmvEstimateCol(kmin: Column, k: Int): Column =
+    F.when(F.size(kmin) < k, F.size(kmin).cast("double"))
+      .otherwise(F.round(
+        F.lit((k - 1).toDouble * 4294967296.0) /
+          F.element_at(kmin, k).cast("double"), 4))
+
+  /** KMV distinct estimate from a sketch frame ([[kmvEstimateCol]] over
+    * its `kmin` column).
     */
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
-    sketch.withColumn("est_distinct",
-      F.when(F.size(F.col("kmin")) < k,
-          F.size(F.col("kmin")).cast("double"))
-        .otherwise(F.round(
-          F.lit((k - 1).toDouble * 4294967296.0) /
-            F.element_at(F.col("kmin"), k).cast("double"), 4)))
+    sketch.withColumn("est_distinct", kmvEstimateCol(F.col("kmin"), k))
       .drop("kmin")
 
   /** Per-group approximate distinct count: sketch + estimate in one call.
@@ -548,4 +560,289 @@ object Sketches {
         F.ceil(F.lit(minFrac) * F.col("n_total")).cast("long"))
       .select(F.col("token"), F.col("n"))
   }
+
+  // ---- HyperLogLog -------------------------------------------------------
+
+  /** HLL register count m = 2^10. The precision is FIXED, not a
+    * parameter: the estimator's linear-counting branch is transcendental
+    * (m·ln(m/V)), and its cross-engine determinism is proven by
+    * ENUMERATION — all 1024 possible values of
+    * round(1024·ln(1024/V), 4), V ∈ [1, 1024], were verified bit-equal
+    * between the JVM (Math.log + HALF_UP) and DuckDB (ln + round). That
+    * proof only exists because V ranges over a finite domain fixed by m;
+    * a different precision would need its own enumeration pass.
+    */
+  val HllM = 1024
+  /** 32-bit hash, 10 bucket bits → 22 rho bits; max rho = 22 + 1. */
+  private val HllMaxRho = 23
+  private val HllScale = 8388608L // 2^23: every 2^-rho term scaled exact
+
+  /** alpha_m · m² · 2²³ for m = 1024 (alpha = 0.7213/(1 + 1.079/m),
+    * Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+    * cardinality estimation algorithm", AofA 2007, §4). Computed once in
+    * double and embedded in the oracle SQL as the shortest-round-trip
+    * literal ([[hllNumeratorLiteral]]), so the raw estimate is ONE
+    * correctly-rounded division in either engine. The scaled harmonic
+    * denominator is an exact integer (≤ 2^33 < 2^53): each register
+    * contributes 2^(23-r), each empty bucket 2^23.
+    */
+  private val HllNumerator =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 8388608.0
+  /** The same constants as round-trip decimal strings, for oracle SQL. */
+  def hllNumeratorLiteral: String = HllNumerator.toString
+  private val HllLargeCut = 4294967296.0 / 30.0 // 2^32/30, AofA 2007 fig. 3
+  def hllLargeCutLiteral: String = HllLargeCut.toString
+
+  /** md5-flavor HLL hash: the raw 32-bit digest prefix in [0, 2^32)
+    * (UNLIKE [[md5Hash32]], no +1 — the bucket/rho split needs the
+    * unshifted bit pattern).
+    */
+  def hllMd5Hash(value: Column): Column =
+    Hygiene.md5Prefix32(value.cast("string"))
+
+  /** xxhash64-flavor HLL hash: top 32 bits, in [0, 2^32). */
+  def hllXxHash(value: Column): Column =
+    F.shiftrightunsigned(F.xxhash64(value.cast("string")), 32)
+
+  /** rho of the 22-bit suffix w: leading zeros + 1 = 23 - bitlength(w),
+    * with the all-zero suffix pinned to 23. `bin` renders without
+    * leading zeros in Spark AND DuckDB, so `length(bin(w))` IS the bit
+    * length in both engines — integer-exact replay.
+    */
+  private def hllRho(w: Column): Column =
+    F.when(w === 0, F.lit(HllMaxRho))
+      .otherwise(F.lit(HllMaxRho) - F.length(F.bin(w)))
+
+  /** HLL register sketch per group: `(groupCols..., bucket, r)` — at
+    * most m = 1024 rows per group REGARDLESS of cardinality; the
+    * map-side partial max collapses every task to ≤ m registers per
+    * group before the exchange (vs the exact count-distinct shuffle,
+    * which carries every distinct value). Nulls are skipped.
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      hash: Column => Column = hllMd5Hash): DataFrame = {
+    val h = hash(F.col(valueCol))
+    df.filter(F.col(valueCol).isNotNull)
+      .select(groupCols.map(F.col)
+        :+ F.pmod(h, F.lit(HllM.toLong)).as("bucket")
+        :+ hllRho(F.shiftrightunsigned(h, 10)).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(F.col): _*)
+      .agg(F.max(F.col("rho")).as("r"))
+  }
+
+  /** Merge register sketches up to coarser groups: per-bucket MAX — the
+    * merged registers are IDENTICAL to one pass over the union (max is
+    * associative/commutative/idempotent), so sketch-per-batch + fold
+    * never rescans the corpus. The HLL sibling of
+    * [[kmvMergeSketches]]'s identity.
+    */
+  def hllMergeSketches(sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "bucket").map(F.col): _*)
+      .agg(F.max(F.col("r")).as("r"))
+
+  /** Cardinality estimate from a register sketch frame, per the standard
+    * three-regime estimator (AofA 2007 fig. 3) made oracle-replayable:
+    *  - raw: alpha·m²/Σ2^(-r) — computed as ONE division of the
+    *    [[HllNumerator]] literal by the EXACT scaled integer denominator
+    *    (empty buckets contribute 2^23), rounded to 4 decimals;
+    *  - small range (raw ≤ 2.5m, V empty buckets > 0): linear counting
+    *    m·ln(m/V) — deterministic by the [[HllM]] enumeration proof;
+    *  - large range (raw > 2^32/30): -2^32·ln(1 - raw/2^32).
+    * Branch conditions compare the ROUNDED raw estimate (bit-identical
+    * in any engine) against literals, so both engines always take the
+    * same branch.
+    */
+  /** The linear-counting column m·ln(m/V) rounded to 4 decimals —
+    * factored out so the enumeration spec (SketchSpec) exercises the
+    * EXACT expression [[hllEstimate]] evaluates against DuckDB's
+    * replay of all 1024 possible V values.
+    */
+  private[graft] def hllLinearCol(v: Column): Column =
+    F.round(F.lit(HllM.toDouble) *
+      F.log(F.lit(HllM.toDouble) / v.cast("double")), 4)
+
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sums = Seq(
+      F.sum(F.expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRho - r)"))
+        .as("__s"),
+      F.count(F.lit(1)).as("__nb"))
+    val g = if (groupCols.isEmpty) sketch.groupBy()
+      else sketch.groupBy(groupCols.map(F.col): _*)
+    g.agg(sums.head, sums.tail: _*)
+      .withColumn("__v", F.lit(HllM.toLong) - F.col("__nb"))
+      // empty global sketch: sum is NULL, every bucket empty — coalesce
+      // so the estimate degrades to linear counting's m·ln(m/m) = 0.0
+      .withColumn("__raw", F.round(F.lit(HllNumerator) /
+        (F.coalesce(F.col("__s"), F.lit(0L)) +
+          F.col("__v") * F.lit(HllScale)).cast("double"), 4))
+      .withColumn("est_distinct",
+        F.when(F.col("__raw") <= F.lit(2.5 * HllM) && F.col("__v") > 0,
+            hllLinearCol(F.col("__v")))
+          .when(F.col("__raw") > F.lit(HllLargeCut),
+            F.round(F.lit(-4294967296.0) *
+              F.log(F.lit(1.0) - F.col("__raw") / F.lit(4294967296.0)), 4))
+          .otherwise(F.col("__raw")))
+      .drop("__s", "__nb", "__v", "__raw")
+  }
+
+  /** Per-group approximate distinct count via HLL: sketch + estimate.
+    * Standard error ≈ 1.04/√m ≈ 3.3% — tighter than KMV at k=64, at a
+    * register grid (≤ m rows/group) instead of a k-array; prefer KMV
+    * when set algebra (union/Jaccard, [[kmvOverlapColumns]]) is needed,
+    * HLL for pure cardinality.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, hash: Column => Column = hllMd5Hash): DataFrame =
+    hllEstimate(hllSketch(df, groupCols, valueCol, hash), groupCols)
+
+  // ---- persisted HLL register store --------------------------------------
+
+  private val HllFlavors: Map[String, Column => Column] = Map(
+    "md5-hll-v1" -> (hllMd5Hash _),
+    "xx64-hll-v1" -> (hllXxHash _))
+
+  /** [[buildKmvStore]]'s HLL sibling: per-batch register grids land as
+    * pure appends (≤ groups·m rows per batch), `_params` pins
+    * (p, hashFlavor, groupCols, valueCol), and serving max-folds
+    * registers at read time — exact by the merge identity.
+    */
+  def buildHllStore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      path: String, flavor: String = "md5-hll-v1"): Unit = {
+    require(HllFlavors.contains(flavor),
+      s"buildHllStore: unknown value-hash flavor $flavor " +
+        s"(have ${HllFlavors.keys.mkString(", ")})")
+    val spark = df.sparkSession
+    hllSketch(df, groupCols, valueCol, HllFlavors(flavor))
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq((10, flavor, groupCols.mkString(","), valueCol))
+      .toDF("p", "hashFlavor", "groupCols", "valueCol")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readHllParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, Seq[String], String) = {
+    val row =
+      try spark.read.parquet(s"$path/_params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path is not an HLL register store (no readable _params " +
+              s"sidecar): ${e.getMessage}")
+      }
+    val flavor = row.getAs[String]("hashFlavor")
+    if (!HllFlavors.contains(flavor))
+      throw new IllegalArgumentException(
+        s"$path was built with value-hash flavor $flavor, which this " +
+          "engine does not produce; registers are not foldable — " +
+          "rebuild the store")
+    val p = row.getAs[Int]("p")
+    if (p != 10)
+      throw new IllegalArgumentException(
+        s"$path was built at precision p=$p; this engine's estimator is " +
+          "enumeration-verified at p=10 only — rebuild the store")
+    (flavor,
+      row.getAs[String]("groupCols").split(',').toSeq.filter(_.nonEmpty),
+      row.getAs[String]("valueCol"))
+  }
+
+  /** Sketch a new batch under the store's contract; pure append. */
+  def appendToHllStore(batch: DataFrame, path: String): Unit = {
+    val (flavor, groupCols, valueCol) =
+      readHllParams(batch.sparkSession, path)
+    hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Serving face: max-fold the stored registers per group and estimate
+    * — reads ≤ batches·groups·m register rows, never any corpus.
+    */
+  def hllDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (_, groupCols, _) = readHllParams(spark, path)
+    hllEstimate(hllMergeSketches(spark.read.parquet(path), groupCols),
+      groupCols)
+  }
+
+  // ---- log2 histogram quantiles ------------------------------------------
+
+  /** DDSketch-flavored deterministic histogram over NON-NEGATIVE integer
+    * values (cf. Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+    * quantile sketch with relative-error guarantees", VLDB 2019 — theirs
+    * buckets by ⌈log_γ v⌉, which is transcendental; this one buckets on
+    * the BINARY grid so every boundary is integer-exact in any engine):
+    * bucket_lo(v) clears all but the top subBits+1 significant bits of v
+    * — i.e. rounds v down to a multiple of 2^(bitlen(v)-1-subBits). Any
+    * value in [bucket_lo, bucket_lo + grid) shares the bucket, and
+    * grid/bucket_lo ≤ 2^-subBits, so quantiles read from bucket lower
+    * bounds underestimate by < 2^-subBits RELATIVE error at any scale.
+    * The histogram is ≤ 2^subBits buckets per octave per group (≤ ~512
+    * rows at the default subBits=3 over the full long range) — and
+    * merges by plain count
+    * addition ([[histMergeHistograms]]). Values 0 ≤ v ≤ 2^subBits are
+    * exact (grid = 1). Negative values raise (the binary grid has no
+    * sign); nulls are skipped.
+    */
+  def log2Histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      subBits: Int = 3): DataFrame = {
+    require(subBits >= 0 && subBits <= 20,
+      s"log2Histogram: subBits must be in [0, 20], got $subBits")
+    val v = s"CAST(`$valueCol` AS BIGINT)"
+    val gb = s"greatest(length(bin($v)) - 1 - $subBits, 0)"
+    val lo = F.expr(
+      s"""CASE WHEN $v < 0 THEN CAST(raise_error(
+         |  'log2Histogram: negative value in $valueCol') AS BIGINT)
+         |ELSE shiftleft(shiftright($v, $gb), $gb) END""".stripMargin)
+    df.filter(F.col(valueCol).isNotNull)
+      .select(groupCols.map(F.col) :+ lo.as("bucket_lo"): _*)
+      .groupBy((groupCols :+ "bucket_lo").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** Merge histograms built at the SAME subBits: per-bucket count sum —
+    * identical to one histogram over the concatenated data (counting is
+    * linear), the [[cmsMergeSketches]] shape.
+    */
+  def histMergeHistograms(hists: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    hists.groupBy((groupCols :+ "bucket_lo").map(F.col): _*)
+      .agg(F.sum(F.col("n")).as("n"))
+
+  /** Quantile estimates from a histogram frame: for each q, the
+    * bucket_lo of the bucket holding the ⌈q·N⌉-th smallest value —
+    * `(groupCols..., q, est_value, n_total)`. The true q-quantile lies
+    * in [est_value, est_value·(1 + 2^-subBits)). Everything is integer
+    * except ⌈q·N⌉, which is one correctly-rounded multiply + ceil of
+    * identical doubles in any engine. The cumulative window runs over
+    * the HISTOGRAM (≤ a few hundred rows per group), not the data, so
+    * the unpartitioned global-group window is not a scale concern.
+    */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"histQuantiles: quantiles must be in (0, 1], got $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(F.col)
+    val wCum =
+      if (groupCols.isEmpty) Window.orderBy(F.col("bucket_lo"))
+      else Window.partitionBy(g: _*).orderBy(F.col("bucket_lo"))
+    val wTot =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(g: _*)
+    val cum = hist.withColumn("__cum", F.sum(F.col("n")).over(wCum))
+      .withColumn("__tot", F.sum(F.col("n")).over(wTot))
+    val rank = F.ceil(F.col("q") * F.col("__tot")).cast("long")
+    cum.join(F.broadcast(qs.toDF("q")),
+        F.col("__cum") >= rank && F.col("__cum") - F.col("n") < rank)
+      .select(g :+ F.col("q") :+ F.col("bucket_lo").as("est_value")
+        :+ F.col("__tot").as("n_total"): _*)
+  }
+
+  /** Histogram + quantiles in one call. */
+  def logHistQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double], subBits: Int = 3): DataFrame =
+    histQuantiles(log2Histogram(df, groupCols, valueCol, subBits),
+      groupCols, qs)
 }

@@ -311,4 +311,200 @@ class SketchSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     rep shouldBe base
   }
+
+  // ---- HyperLogLog -------------------------------------------------------
+
+  test("HLL linear-counting enumeration: all 1024 possible V values are " +
+    "bit-equal to DuckDB's ln + round (the oracle-safety proof)") {
+    // hll_linear_duckdb.csv was generated by DuckDB itself:
+    //   SELECT v, round(1024 * ln(1024.0 / v), 4) FROM range(1, 1025)
+    // The estimator's linear branch is transcendental; its cross-engine
+    // determinism rests ENTIRELY on this finite enumeration.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/hll_linear_duckdb.csv"))
+    val duck = try src.getLines().drop(1).map { l =>
+        val Array(v, est) = l.split(",")
+        v.toInt -> est.toDouble
+      }.toMap finally src.close()
+    duck.size shouldBe 1024
+    import spark.implicits._
+    val jvm = (1 to 1024).toDF("v")
+      .select(F.col("v"), Sketches.hllLinearCol(F.col("v")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (v <- 1 to 1024)
+      assert(jvm(v) == duck(v), s"V=$v: jvm=${jvm(v)} duckdb=${duck(v)}")
+  }
+
+  test("HLL register sketch: ≤ m rows per group, partitioning-invariant, " +
+    "null-skipping; shard + max-fold == direct (merge identity)") {
+    val ev = events
+    val regs = Sketches.hllSketch(ev, Seq("event_type"), "user_id")
+    val perGroup = regs.groupBy("event_type").count()
+      .collect().map(_.getLong(1))
+    all(perGroup) should be <= 1024L
+    val base = regs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val rep = Sketches.hllSketch(ev.repartition(13), Seq("event_type"),
+        "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    rep shouldBe base
+    // nulls skipped: a frame with user_id nulled for one type has no
+    // registers for it
+    val nulled = ev.withColumn("user_id",
+      F.when(F.col("event_type") === "click", F.lit(null))
+        .otherwise(F.col("user_id")))
+    Sketches.hllSketch(nulled, Seq("event_type"), "user_id")
+      .filter(F.col("event_type") === "click").count() shouldBe 0L
+    // merge identity on REGISTERS, not just estimates
+    val sharded = ev.withColumn("shard",
+      F.pmod(Sketches.md5Hash32(F.col("event_id")), F.lit(4L)))
+    val folded = Sketches.hllMergeSketches(
+        Sketches.hllSketch(sharded, Seq("event_type", "shard"), "user_id"),
+        Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    folded shouldBe base
+  }
+
+  test("HLL estimate: ~3.3% expected error at both regimes; empty input " +
+    "estimates 0.0; merge and store faces agree with direct") {
+    import spark.implicits._
+    // raw-branch regime: 50k distinct over m=1024 registers
+    val big = spark.range(50000).select(F.col("id"))
+    val bigEst = Sketches.hllDistinct(big, Nil, "id")
+      .head().getDouble(0)
+    math.abs(bigEst - 50000.0) / 50000.0 should be < 0.15
+    // linear-counting regime: per-type user cardinality (~15 at sf0.001)
+    val est = Sketches.hllDistinct(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(F.count_distinct(F.col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.keySet shouldBe est.keySet
+    for ((g, n) <- exact)
+      math.abs(est(g) - n) / n.toDouble should be < 0.25
+    // empty input, global scope: linear counting with V = m → 0.0
+    val none = events.filter(F.lit(false))
+    Sketches.hllDistinct(none, Nil, "user_id")
+      .head().getDouble(0) shouldBe 0.0
+  }
+
+  test("HLL store: build/append/serve == direct; refusals fail fast") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hllstore-spec").toString + "/store"
+    Sketches.buildHllStore(
+      o.filter(F.pmod(F.col("o_orderkey"), F.lit(2L)) === 0),
+      Seq("o_orderstatus"), "o_custkey", dir)
+    Sketches.appendToHllStore(
+      o.filter(F.pmod(F.col("o_orderkey"), F.lit(2L)) === 1), dir)
+    val served = Sketches.hllDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Sketches.hllDistinct(o, Seq("o_orderstatus"), "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    served shouldBe direct
+    // unknown flavor refused at build time
+    intercept[IllegalArgumentException] {
+      Sketches.buildHllStore(o, Seq("o_orderstatus"), "o_custkey",
+        dir + "2", flavor = "crc32-hll-v0")
+    }.getMessage should include("unknown value-hash flavor")
+    // a bare parquet dir (no _params sidecar) is not servable
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-hllstore-bare").toString + "/store"
+    o.limit(5).write.parquet(bare)
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinctFromStore(spark, bare)
+    }.getMessage should include("not an HLL register store")
+    // a foreign-precision store is refused (registers not foldable)
+    import spark.implicits._
+    Seq((14, "md5-hll-v1", "o_orderstatus", "o_custkey"))
+      .toDF("p", "hashFlavor", "groupCols", "valueCol")
+      .write.mode("overwrite").parquet(s"$bare/_params")
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinctFromStore(spark, bare)
+    }.getMessage should include("p=14")
+  }
+
+  // ---- log2 histogram quantiles -------------------------------------------
+
+  test("log2 histogram: grid-exact buckets, small values exact, merge " +
+    "identity, partitioning invariance, negative refusal") {
+    import spark.implicits._
+    // wide-octave data: id² spans ~34 octaves at 100k rows
+    val wide = spark.range(100000)
+      .select((F.col("id") * F.col("id")).as("v"), F.lit("g").as("grp"))
+    val subBits = 3
+    val hist = Sketches.log2Histogram(wide, Seq("grp"), "v", subBits)
+    val rows = hist.collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // every bucket_lo is a fixed point of the grid rounding, and the
+    // histogram is tiny relative to the data
+    for ((lo, _) <- rows) {
+      val g = math.max(64 - java.lang.Long.numberOfLeadingZeros(lo) -
+        1 - subBits, 0)
+      (lo >> g) << g shouldBe lo
+    }
+    rows.values.sum shouldBe 100000L
+    assert(rows.size.toLong <= (1L << subBits) * 35,
+      s"histogram has ${rows.size} buckets")
+    // values ≤ 2^subBits land in their own exact buckets
+    val small = spark.range(0, 9).select(F.col("id").as("v"))
+    Sketches.log2Histogram(small, Nil, "v", subBits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (0L to 8L).map(_ -> 1L).toMap
+    // merge identity: parity-split histograms sum to the direct one
+    val parts = Sketches.log2Histogram(
+      wide.withColumn("grp",
+        F.concat(F.lit("p"), F.pmod(F.col("v"), F.lit(2L)))),
+      Seq("grp"), "v", subBits)
+    val folded = Sketches.histMergeHistograms(
+        parts.withColumn("grp", F.lit("g")), Seq("grp"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    folded shouldBe rows
+    // partitioning invariance
+    val rep = Sketches.log2Histogram(wide.repartition(17), Seq("grp"), "v",
+        subBits).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    rep shouldBe rows
+    // negatives refused (the binary grid has no sign)
+    val neg = Seq(-1L).toDF("v")
+    val e = intercept[Exception] {
+      Sketches.log2Histogram(neg, Nil, "v", subBits).collect()
+    }
+    // the raise may surface wrapped in a task-failure SparkException
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    msgs should include("negative value")
+  }
+
+  test("histQuantiles: est ≤ true < est + grid at every q, exact in the " +
+    "unit-grid range; bad q refused") {
+    import spark.implicits._
+    val subBits = 3
+    val qs = Seq(0.5, 0.9, 0.99, 1.0)
+    val data = spark.range(100000)
+      .select((F.col("id") * F.col("id") % 1234567).as("v"),
+        F.pmod(F.col("id"), F.lit(3L)).cast("string").as("grp"))
+    val est = Sketches.logHistQuantiles(data, Seq("grp"), "v", qs, subBits)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val byGroup = data.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    for ((g, vals) <- byGroup; q <- qs) {
+      val (lo, nTotal) = est((g, q))
+      nTotal shouldBe vals.length.toLong
+      val rank = math.ceil(q * vals.length).toLong
+      val truth = vals(rank.toInt - 1)
+      val gb = math.max(64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(lo, 1L)) - 1 - subBits, 0)
+      assert(lo <= truth && truth < lo + (1L << gb),
+        s"grp=$g q=$q est=$lo true=$truth grid=${1L << gb}")
+      if (truth < (1L << (subBits + 1))) truth shouldBe lo
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.logHistQuantiles(data, Nil, "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.logHistQuantiles(data, Nil, "v", Seq(1.2))
+    }
+  }
 }
