@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Agg, KFrame}
 import graft.extras.Relational
-import graft.operators.{Dedup, Multimodal, Selection, Similarity, Sketches, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, Multimodal, Profile, Selection, Similarity, Sketches, TextAnalysis, UrlOps}
 import graft.streaming.Streams
 
 /** The operator-coverage query registry (SURVEY.md §2 checklist + the M8
@@ -1729,6 +1729,21 @@ object Queries {
       qs = Seq(0.5, 0.9, 0.99), subBits = 3)
   }
 
+  /** One-pass table profile ([[Profile.profile]]): row/null counts, KMV
+    * distinct estimates, and typed min/max per column of the events
+    * table — ALL columns in one aggregation over one scan (pinned in
+    * ProfileSpec), the "what did I just ingest" gate of a pipeline run.
+    * The profiled set sticks to integer/string columns: the stats are
+    * then integer-exact or single-division KMV estimates, and the typed
+    * extremes render identically in any engine (double/timestamp
+    * rendering differs between engines, so those columns profile fine
+    * but have no hash-stable oracle — the determinism contract on
+    * [[Profile]]).
+    */
+  def q_profile(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.events(s, d),
+      Seq("event_id", "user_id", "event_type", "props"), k = 64)
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB tokenizer fragment (must mirror TextAnalysis.tokens:
@@ -1736,6 +1751,28 @@ object Queries {
     */
   private val DTok =
     """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"""
+
+  /** One profiled column of the q_profile oracle: exact row/null counts,
+    * the KMV k=64 replay (distinct md5-domain hashes, rank window, ratio
+    * estimate — [[Sketches.kmvEstimateCol]]'s literal twin), and typed
+    * min/max cast to VARCHAR after the extreme (all-null safe via
+    * coalesce on the sketch size).
+    */
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  (SELECT count(*) FROM events) AS n_rows,
+       |  (SELECT count(*) - count($c) FROM events) AS n_nulls,
+       |  (SELECT CASE WHEN coalesce(max(nd), 0) < 64
+       |            THEN CAST(coalesce(max(nd), 0) AS DOUBLE)
+       |          ELSE round(270582939648.0 /
+       |            max(CASE WHEN rn = 64 THEN hv END), 4) END
+       |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+       |                count(*) OVER () AS nd
+       |         FROM (SELECT DISTINCT
+       |                 ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+       |               FROM events WHERE $c IS NOT NULL))) AS est_distinct,
+       |  (SELECT CAST(min($c) AS VARCHAR) FROM events) AS min_value,
+       |  (SELECT CAST(max($c) AS VARCHAR) FROM events) AS max_value""".stripMargin
 
   /** HLL register replay shared by the HLL oracles: md5 prefix →
     * bucket/rho split → per-bucket max, over any FROM-able `src`
@@ -3309,7 +3346,12 @@ object Queries {
         |SELECT lang, q, bucket_lo AS est_value, CAST(tot AS BIGINT) AS n_total
         |FROM c JOIN qs
         |  ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
-        | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin
+        | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin,
+    // The profile oracle replays each column independently (the engine
+    // fuses them into one pass; the oracle only needs equal VALUES).
+    "q_profile" ->
+      Seq("event_id", "user_id", "event_type", "props")
+        .map(profileColSql).mkString("\nUNION ALL\n")
   ) ++ bpeOracle ++ pqFixedOracle
 
   /** q_bpe_count's oracle is DATA-dependent: the merge table is trained
@@ -3937,7 +3979,8 @@ object Queries {
     "q_hll_distinct" -> (q_hll_distinct _),
     "q_hll_merge" -> (q_hll_merge _),
     "q_hll_store" -> (q_hll_store _),
-    "q_hist_quantiles" -> (q_hist_quantiles _)
+    "q_hist_quantiles" -> (q_hist_quantiles _),
+    "q_profile" -> (q_profile _)
   )
 
   // ---- bench-only kernel twins ----------------------------------------
