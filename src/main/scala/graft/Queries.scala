@@ -1729,6 +1729,57 @@ object Queries {
       qs = Seq(0.5, 0.9, 0.99), subBits = 3)
   }
 
+  /** The streaming state face's batch twin
+    * ([[Streams.runningApproxDistinct]]): per-type approximate distinct
+    * users through `mapGroupsWithState` + JVM-folded HLL registers —
+    * 1 KB of state per key, bounded at any cardinality. The JVM fold
+    * reads the SAME md5 prefix as the column sketch, so this face's
+    * estimates equal [[Sketches.hllDistinct]]'s bit-for-bit and the HLL
+    * oracle replays them — a STATEFUL streaming operator under a full
+    * DuckDB oracle.
+    */
+  def q_hll_running(s: SparkSession, d: String): DataFrame =
+    Streams.runningApproxDistinct(
+      Tables.events(s, d).filter(col("user_id").isNotNull),
+      "event_type", "user_id")
+
+  private val histStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted histogram store, served
+    * ([[Sketches.histQuantilesFromStore]]): per-lang token-count
+    * histograms built from the even-doc half, the odd half APPENDED as
+    * a second batch (pure parquet append), then quantiles read from the
+    * sum-folded store next to the direct one-pass quantiles — equal
+    * because counting is linear, and the oracle replays the two-batch
+    * fold AND the direct histogram independently, so a stale or
+    * foreign-grid store hash-mismatches.
+    */
+  def q_hist_store(s: SparkSession, d: String): DataFrame = {
+    def tc(parity: Int) = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(2L)) === parity)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val path = histStoreDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-histstore-reg").toString + "/store"
+      Sketches.buildHistStore(tc(0), Seq("lang"), "ntok", dir, subBits = 3)
+      Sketches.appendToHistStore(tc(1), dir)
+      dir
+    })
+    val qs = Seq(0.5, 0.9, 0.99)
+    val store = Sketches.histQuantilesFromStore(s, path, qs)
+      .withColumnRenamed("est_value", "est_store")
+      .withColumnRenamed("n_total", "n_store")
+    val all = Tables.documents(s, d)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val direct = Sketches.logHistQuantiles(all, Seq("lang"), "ntok", qs, 3)
+      .withColumnRenamed("est_value", "est_direct")
+      .withColumnRenamed("n_total", "n_direct")
+    store.join(direct, Seq("lang", "q"))
+  }
+
   /** One-pass table profile ([[Profile.profile]]): row/null counts, KMV
     * distinct estimates, and typed min/max per column of the events
     * table — ALL columns in one aggregation over one scan (pinned in
@@ -3347,6 +3398,58 @@ object Queries {
         |FROM c JOIN qs
         |  ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
         | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin,
+    // The stateful streaming face folds the same registers as the
+    // column sketch, so its oracle IS the register replay.
+    "q_hll_running" ->
+      s"""WITH eu AS (
+        |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        |uregs AS (
+        |  ${hllRegsSql("eu", Seq("event_type"), "user_id")})
+        |${hllEstSql("uregs", Seq("event_type"), "est_distinct")}""".stripMargin,
+    // The histogram store oracle replays per-batch (doc-parity) grids
+    // summed per bucket AND the direct whole-corpus grid; both feed the
+    // same rank pick, and by linearity the quantiles must be EQUAL.
+    "q_hist_store" ->
+      s"""WITH tc AS (
+        |  SELECT doc_id % 2 AS batch, lang,
+        |    CAST(len($DTok) AS BIGINT) AS v
+        |  FROM documents),
+        |bh AS (
+        |  SELECT batch, lang, (v >> g) << g AS bucket_lo, count(*) AS n
+        |  FROM (SELECT batch, lang, v,
+        |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
+        |  GROUP BY 1, 2, 3),
+        |sh AS (
+        |  SELECT lang, bucket_lo, CAST(sum(n) AS BIGINT) AS n
+        |  FROM bh GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, bucket_lo, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM sh),
+        |dh AS (
+        |  SELECT lang, (v >> g) << g AS bucket_lo, count(*) AS n
+        |  FROM (SELECT lang, v,
+        |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
+        |  GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT lang, bucket_lo, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM dh),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |se AS (
+        |  SELECT lang, q, bucket_lo AS est_store, CAST(tot AS BIGINT) AS n_store
+        |  FROM sc JOIN qs
+        |    ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
+        |   AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)),
+        |de AS (
+        |  SELECT lang, q, bucket_lo AS est_direct, CAST(tot AS BIGINT) AS n_direct
+        |  FROM dc JOIN qs
+        |    ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
+        |   AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT))
+        |SELECT lang, q, est_store, n_store, est_direct, n_direct
+        |FROM se JOIN de USING (lang, q)""".stripMargin,
     // The profile oracle replays each column independently (the engine
     // fuses them into one pass; the oracle only needs equal VALUES).
     "q_profile" ->
@@ -3980,6 +4083,8 @@ object Queries {
     "q_hll_merge" -> (q_hll_merge _),
     "q_hll_store" -> (q_hll_store _),
     "q_hist_quantiles" -> (q_hist_quantiles _),
+    "q_hist_store" -> (q_hist_store _),
+    "q_hll_running" -> (q_hll_running _),
     "q_profile" -> (q_profile _)
   )
 

@@ -696,6 +696,51 @@ object Sketches {
       valueCol: String, hash: Column => Column = hllMd5Hash): DataFrame =
     hllEstimate(hllSketch(df, groupCols, valueCol, hash), groupCols)
 
+  /** JVM twin of [[hllMd5Hash]] + the bucket/rho split: fold one value
+    * into a 1024-byte register array in place. Byte-identical registers
+    * to [[hllSketch]] because both sides read the same md5 prefix
+    * ([[Hygiene.md5Prefix32Jvm]]) — the basis of the streaming state
+    * face ([[graft.streaming.Streams.runningApproxDistinct]]), whose
+    * per-key state is one such array (1 KB/key, bounded forever).
+    */
+  def hllUpdateJvm(regs: Array[Byte], value: String): Unit = {
+    require(regs.length == HllM, s"hllUpdateJvm: want $HllM registers")
+    val hv = Hygiene.md5Prefix32Jvm(value)
+    val bucket = (hv % HllM).toInt
+    val w = hv >>> 10
+    val rho = if (w == 0L) HllMaxRho
+      else HllMaxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** JVM twin of [[hllEstimate]] over a register array — the SAME
+    * rounding Spark's `round` applies to doubles
+    * (`BigDecimal.valueOf` + HALF_UP), so engine face and state face
+    * emit bit-equal estimates (pinned in PipelineSpec).
+    */
+  def hllEstimateJvm(regs: Array[Byte]): Double = {
+    require(regs.length == HllM, s"hllEstimateJvm: want $HllM registers")
+    var s = 0L
+    var occupied = 0
+    var i = 0
+    while (i < HllM) {
+      val r = regs(i)
+      if (r > 0) { occupied += 1; s += 1L << (HllMaxRho - r) }
+      i += 1
+    }
+    val v = HllM - occupied
+    val raw = round4(HllNumerator / (s + v.toLong * HllScale).toDouble)
+    if (raw <= 2.5 * HllM && v > 0)
+      round4(HllM.toDouble * math.log(HllM.toDouble / v))
+    else if (raw > HllLargeCut)
+      round4(-4294967296.0 * math.log(1.0 - raw / 4294967296.0))
+    else raw
+  }
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   // ---- persisted HLL register store --------------------------------------
 
   private val HllFlavors: Map[String, Column => Column] = Map(
@@ -845,4 +890,60 @@ object Sketches {
       valueCol: String, qs: Seq[Double], subBits: Int = 3): DataFrame =
     histQuantiles(log2Histogram(df, groupCols, valueCol, subBits),
       groupCols, qs)
+
+  // ---- persisted histogram store -------------------------------------------
+
+  /** [[buildKmvStore]]'s histogram sibling: per-batch binary-grid
+    * histograms land as pure appends (≤ 2^subBits buckets per octave per
+    * group per batch), `_params` pins (subBits, groupCols, valueCol),
+    * and serving sums counts per bucket at read time — exact by
+    * linearity ([[histMergeHistograms]]), so quantiles over any
+    * accumulated range never rescan a batch. subBits is pinned because
+    * grids at different subBits do NOT nest onto each other's buckets.
+    */
+  def buildHistStore(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, path: String, subBits: Int = 3): Unit = {
+    val spark = df.sparkSession
+    log2Histogram(df, groupCols, valueCol, subBits)
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq((subBits, groupCols.mkString(","), valueCol))
+      .toDF("subBits", "groupCols", "valueCol")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
+
+  private def readHistParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Seq[String], String) = {
+    val row =
+      try spark.read.parquet(s"$path/_params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$path is not a histogram store (no readable _params " +
+              s"sidecar): ${e.getMessage}")
+      }
+    (row.getAs[Int]("subBits"),
+      row.getAs[String]("groupCols").split(',').toSeq.filter(_.nonEmpty),
+      row.getAs[String]("valueCol"))
+  }
+
+  /** Histogram a new batch under the store's contract; pure append. */
+  def appendToHistStore(batch: DataFrame, path: String): Unit = {
+    val (subBits, groupCols, valueCol) =
+      readHistParams(batch.sparkSession, path)
+    log2Histogram(batch, groupCols, valueCol, subBits)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Serving face: sum-fold the stored per-batch histograms and read
+    * quantiles — touches ≤ batches·buckets histogram rows, never a
+    * corpus.
+    */
+  def histQuantilesFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, qs: Seq[Double]): DataFrame = {
+    val (_, groupCols, _) = readHistParams(spark, path)
+    histQuantiles(
+      histMergeHistograms(spark.read.parquet(path), groupCols),
+      groupCols, qs)
+  }
 }

@@ -309,4 +309,39 @@ object Streams {
       }
       .toDF("user_id", "n_events", "sum_value")
   }
+
+  /** Running approximate count-distinct per key via `mapGroupsWithState`
+    * + HLL registers ([[graft.operators.Sketches.hllUpdateJvm]]): emits
+    * the current estimate for each key touched by a micro-batch. State
+    * is ONE 1024-byte register array per key — bounded forever, at any
+    * cardinality; an exact streaming distinct would hold every seen
+    * value. The state face folds the SAME md5 hash domain as the batch
+    * sketch, so after any prefix of the stream its registers (and
+    * therefore its estimate) are byte-equal to
+    * [[graft.operators.Sketches.hllDistinct]] over the same rows —
+    * pinned in PipelineSpec, and the batch face carries a full DuckDB
+    * oracle (q_hll_running). Works identically over a batch frame.
+    */
+  def runningApproxDistinct(events: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val regs = state.getOption
+            .getOrElse(new Array[Byte](graft.operators.Sketches.HllM))
+          rows.foreach { case (_, v) =>
+            if (v != null) graft.operators.Sketches.hllUpdateJvm(regs, v)
+          }
+          state.update(regs)
+          (key, graft.operators.Sketches.hllEstimateJvm(regs))
+      }
+      .toDF(keyCol, "est_distinct")
+  }
 }

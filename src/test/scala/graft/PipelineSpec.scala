@@ -1936,6 +1936,45 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     lastPerUser shouldBe want
   }
 
+  test("stateful HLL face == column sketch estimates bit-for-bit (batch)") {
+    val ev = Tables.events(spark, sf).filter(F.col("user_id").isNotNull)
+    val got = graft.streaming.Streams
+      .runningApproxDistinct(ev, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = graft.operators.Sketches
+      .hllDistinct(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got shouldBe want
+  }
+
+  test("stateful HLL face accumulates registers across micro-batches") {
+    val ev = Tables.events(spark, sf).filter(F.col("user_id").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllstate")
+      .toString
+    val split = ev.randomSplit(Array(0.5, 0.5), seed = 11)
+    split(0).write.mode("overwrite").parquet(dir)
+    split(1).write.mode("append").parquet(dir)
+    val stream = graft.streaming.Streams
+      .readEventStream(spark, dir, ev.schema)
+    val q = graft.streaming.Streams
+      .runningApproxDistinct(stream, "event_type", "user_id")
+      .writeStream.format("memory").queryName("hll_state_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // after the final batch the per-key estimate equals the batch face
+    // over ALL rows — max-fold state is order-insensitive
+    val want = graft.operators.Sketches
+      .hllDistinct(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = spark.table("hll_state_test").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    // the memory sink appends one row per (key, batch) in batch order;
+    // the LAST row per key is the final accumulated estimate
+    val lastPerKey = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    lastPerKey shouldBe want
+  }
+
   test("cosineNearDupPairs finds planted near-identical embedding pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -476,6 +476,38 @@ class SketchSpec extends AnyFunSuite with Matchers {
     msgs should include("negative value")
   }
 
+  test("histogram store: build/append/serve quantiles == direct; " +
+    "no-sidecar refusal") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(F.col("doc_id"), F.col("lang"),
+        F.size(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .cast("long").as("ntok"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-histstore-spec").toString + "/store"
+    Sketches.buildHistStore(
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3L)) === 0),
+      Seq("lang"), "ntok", dir, subBits = 4)
+    Sketches.appendToHistStore(
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3L)) === 1), dir)
+    Sketches.appendToHistStore(
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3L)) === 2), dir)
+    val qs = Seq(0.25, 0.5, 0.99)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3))
+    val served = Sketches.histQuantilesFromStore(spark, dir, qs)
+      .collect().map(key).toMap
+    val direct = Sketches.logHistQuantiles(docs, Seq("lang"), "ntok", qs,
+      subBits = 4).collect().map(key).toMap
+    served shouldBe direct
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-histstore-bare").toString + "/store"
+    docs.limit(3).write.parquet(bare)
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantilesFromStore(spark, bare, qs)
+    }.getMessage should include("not a histogram store")
+  }
+
   test("histQuantiles: est ≤ true < est + grid at every q, exact in the " +
     "unit-grid range; bad q refused") {
     import spark.implicits._
