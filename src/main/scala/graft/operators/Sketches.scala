@@ -713,6 +713,19 @@ object Sketches {
     if (rho > regs(bucket)) regs(bucket) = rho.toByte
   }
 
+  /** Per-bucket max of `part` into `acc` in place — the register merge
+    * identity, JVM side.
+    */
+  def hllMergeJvm(acc: Array[Byte], part: Array[Byte]): Unit = {
+    require(acc.length == HllM && part.length == HllM,
+      s"hllMergeJvm: want $HllM registers")
+    var i = 0
+    while (i < HllM) {
+      if (part(i) > acc(i)) acc(i) = part(i)
+      i += 1
+    }
+  }
+
   /** JVM twin of [[hllEstimate]] over a register array — the SAME
     * rounding Spark's `round` applies to doubles
     * (`BigDecimal.valueOf` + HALF_UP), so engine face and state face
