@@ -1729,6 +1729,19 @@ object Queries {
       qs = Seq(0.5, 0.9, 0.99), subBits = 3)
   }
 
+  /** The streaming quantile face's batch twin
+    * ([[Streams.runningQuantiles]]): per-lang token-count p50/p90/p99
+    * through `flatMapGroupsWithState` holding one bucket→count map per
+    * key — the live-monitoring shape. JVM bucketing and the rank pick
+    * are integer-identical to [[Sketches.histQuantiles]], so this face
+    * reuses q_hist_quantiles' oracle replay verbatim.
+    */
+  def q_hist_running(s: SparkSession, d: String): DataFrame =
+    Streams.runningQuantiles(
+      Tables.documents(s, d).select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok")),
+      "lang", "ntok", qs = Seq(0.5, 0.9, 0.99), subBits = 3)
+
   /** The streaming state face's batch twin
     * ([[Streams.runningApproxDistinct]]): per-type approximate distinct
     * users through `mapGroupsWithState` + JVM-folded HLL registers —
@@ -1824,6 +1837,28 @@ object Queries {
        |               FROM events WHERE $c IS NOT NULL))) AS est_distinct,
        |  (SELECT CAST(min($c) AS VARCHAR) FROM events) AS min_value,
        |  (SELECT CAST(max($c) AS VARCHAR) FROM events) AS max_value""".stripMargin
+
+  /** The binary-grid token-count quantile replay, shared verbatim by
+    * q_hist_quantiles (column face) and q_hist_running (stateful face).
+    */
+  private lazy val histQuantilesSql: String =
+    s"""WITH tc AS (
+      |  SELECT lang, CAST(len($DTok) AS BIGINT) AS v FROM documents),
+      |h AS (
+      |  SELECT lang, (v >> g) << g AS bucket_lo, count(*) AS n
+      |  FROM (SELECT lang, v,
+      |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, bucket_lo, n,
+      |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+      |    sum(n) OVER (PARTITION BY lang) AS tot
+      |  FROM h),
+      |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+      |SELECT lang, q, bucket_lo AS est_value, CAST(tot AS BIGINT) AS n_total
+      |FROM c JOIN qs
+      |  ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
+      | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin
 
   /** HLL register replay shared by the HLL oracles: md5 prefix →
     * bucket/rho split → per-bucket max, over any FROM-able `src`
@@ -3379,25 +3414,11 @@ object Queries {
     // subBits+1 significant bits (integer shifts, exact in any engine);
     // the rank pick ceil(q·N) is one double multiply of identical
     // operands — q is forced to DOUBLE because DuckDB parses 0.9 as
-    // DECIMAL (exact) while Spark multiplies doubles.
-    "q_hist_quantiles" ->
-      s"""WITH tc AS (
-        |  SELECT lang, CAST(len($DTok) AS BIGINT) AS v FROM documents),
-        |h AS (
-        |  SELECT lang, (v >> g) << g AS bucket_lo, count(*) AS n
-        |  FROM (SELECT lang, v,
-        |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
-        |  GROUP BY 1, 2),
-        |c AS (
-        |  SELECT lang, bucket_lo, n,
-        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
-        |    sum(n) OVER (PARTITION BY lang) AS tot
-        |  FROM h),
-        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
-        |SELECT lang, q, bucket_lo AS est_value, CAST(tot AS BIGINT) AS n_total
-        |FROM c JOIN qs
-        |  ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
-        | AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin,
+    // DECIMAL (exact) while Spark multiplies doubles. The stateful
+    // streaming face (q_hist_running) buckets and rank-picks
+    // integer-identically, so BOTH entries replay with this SQL.
+    "q_hist_quantiles" -> histQuantilesSql,
+    "q_hist_running" -> histQuantilesSql,
     // The stateful streaming face folds the same registers as the
     // column sketch, so its oracle IS the register replay.
     "q_hll_running" ->
@@ -4084,6 +4105,7 @@ object Queries {
     "q_hll_store" -> (q_hll_store _),
     "q_hist_quantiles" -> (q_hist_quantiles _),
     "q_hist_store" -> (q_hist_store _),
+    "q_hist_running" -> (q_hist_running _),
     "q_hll_running" -> (q_hll_running _),
     "q_profile" -> (q_profile _)
   )

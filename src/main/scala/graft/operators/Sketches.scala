@@ -904,6 +904,45 @@ object Sketches {
     histQuantiles(log2Histogram(df, groupCols, valueCol, subBits),
       groupCols, qs)
 
+  /** JVM twin of [[log2Histogram]]'s bucket_lo: round v down to a
+    * multiple of 2^(bitlen(v)-1-subBits). `bitlen` mirrors
+    * `length(bin(v))` — bin(0) renders "0" (length 1), so v=0 keeps
+    * bucket 0. The streaming quantile face
+    * ([[graft.streaming.Streams.runningQuantiles]]) buckets with this,
+    * so its histograms are integer-identical to the column form's.
+    */
+  def histBucketLoJvm(v: Long, subBits: Int): Long = {
+    require(v >= 0, s"log2Histogram: negative value $v")
+    val bitlen = math.max(64 - java.lang.Long.numberOfLeadingZeros(v), 1)
+    val gb = math.max(bitlen - 1 - subBits, 0)
+    (v >> gb) << gb
+  }
+
+  /** JVM twin of [[histQuantiles]] over one group's histogram: for each
+    * q, `(q, bucket_lo holding the ⌈q·N⌉-th value, N)` — the rank is the
+    * same single double multiply + ceil the column form evaluates, so
+    * the faces emit identical rows.
+    */
+  def histQuantilesJvm(hist: Map[Long, Long],
+      qs: Seq[Double]): Seq[(Double, Long, Long)] = {
+    require(hist.nonEmpty, "histQuantilesJvm: empty histogram")
+    val buckets = hist.toSeq.sortBy(_._1)
+    val tot = buckets.iterator.map(_._2).sum
+    qs.map { q =>
+      val rank = math.ceil(q * tot).toLong
+      var cum = 0L
+      var ans = buckets.head._1
+      val it = buckets.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (lo, n) = it.next()
+        cum += n
+        if (cum >= rank && cum - n < rank) { ans = lo; found = true }
+      }
+      (q, ans, tot)
+    }
+  }
+
   // ---- persisted histogram store -------------------------------------------
 
   /** [[buildKmvStore]]'s histogram sibling: per-batch binary-grid

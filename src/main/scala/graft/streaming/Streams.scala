@@ -357,4 +357,66 @@ object Streams {
       }
       .toDF(keyCol, "est_distinct")
   }
+
+  /** Running quantiles per key via `flatMapGroupsWithState` + the
+    * binary-grid histogram ([[graft.operators.Sketches.histBucketLoJvm]]):
+    * emits `(key, q, est_value, n_total)` rows with the CURRENT
+    * quantile estimates for each key a micro-batch touches — the live
+    * p50/p99 monitoring shape. State is one bucket→count map per key
+    * (≤ 2^subBits buckets per octave — a few hundred entries at any
+    * data volume); map-side partial histograms collapse each task
+    * before the exchange, the same reshape as
+    * [[runningApproxDistinct]]. Buckets and the ⌈q·N⌉ rank pick are
+    * integer-identical to [[graft.operators.Sketches.histQuantiles]],
+    * so after any stream prefix the emitted rows equal the batch face
+    * over the same rows (pinned in PipelineSpec); the batch face
+    * carries the full DuckDB oracle (q_hist_running). Works identically
+    * over a batch frame. Negative values raise (the grid has no sign).
+    */
+  def runningQuantiles(events: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double], subBits: Int = 3): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"runningQuantiles: quantiles must be in (0, 1], got $qs")
+    require(subBits >= 0 && subBits <= 20,
+      s"runningQuantiles: subBits must be in [0, 20], got $subBits")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Sketches
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("long"))
+      .as[(String, java.lang.Long)]
+      .mapPartitions { it =>
+        val acc = collection.mutable.HashMap
+          .empty[String, collection.mutable.HashMap[Long, Long]]
+        it.foreach { case (k, v) =>
+          if (v != null) {
+            val lo = Sketches.histBucketLoJvm(v.longValue, subBits)
+            val h = acc.getOrElseUpdate(k,
+              collection.mutable.HashMap.empty[Long, Long])
+            h(lo) = h.getOrElse(lo, 0L) + 1L
+          }
+        }
+        acc.iterator.map { case (k, h) => (k, h.toMap) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long],
+        (String, Double, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, parts, state) =>
+          val merged = collection.mutable.HashMap.empty[Long, Long]
+          merged ++= state.getOption.getOrElse(Map.empty[Long, Long])
+          parts.foreach { case (_, h) =>
+            h.foreach { case (lo, n) =>
+              merged(lo) = merged.getOrElse(lo, 0L) + n
+            }
+          }
+          val snap = merged.toMap
+          state.update(snap)
+          Sketches.histQuantilesJvm(snap, qs).iterator.map {
+            case (q, lo, tot) => (key, q, lo, tot)
+          }
+      }
+      .toDF(keyCol, "q", "est_value", "n_total")
+  }
 }

@@ -1975,6 +1975,66 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     lastPerKey shouldBe want
   }
 
+  test("stateful quantile face == column histogram quantiles (batch); " +
+    "negative and bad-q refusals") {
+    val docs = Tables.documents(spark, sf)
+      .select(F.col("lang"),
+        F.size(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .cast("long").as("ntok"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3))
+    val got = graft.streaming.Streams
+      .runningQuantiles(docs, "lang", "ntok", qs)
+      .collect().map(key).toMap
+    val want = graft.operators.Sketches
+      .logHistQuantiles(docs, Seq("lang"), "ntok", qs)
+      .collect().map(key).toMap
+    got shouldBe want
+    an[IllegalArgumentException] should be thrownBy
+      graft.streaming.Streams.runningQuantiles(docs, "lang", "ntok",
+        Seq(0.0))
+    import spark.implicits._
+    val neg = Seq(("a", -3L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      graft.streaming.Streams.runningQuantiles(neg, "k", "v", qs).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ") should
+      include("negative value")
+  }
+
+  test("stateful quantile face accumulates histograms across " +
+    "micro-batches") {
+    val ev = Tables.events(spark, sf).filter(F.col("user_id").isNotNull)
+      .select(F.col("event_type"), F.col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-histstate")
+      .toString
+    val split = ev.randomSplit(Array(0.5, 0.5), seed = 13)
+    split(0).write.mode("overwrite").parquet(dir)
+    split(1).write.mode("append").parquet(dir)
+    val stream = graft.streaming.Streams
+      .readEventStream(spark, dir, ev.schema)
+    val qs = Seq(0.5, 0.99)
+    val q = graft.streaming.Streams
+      .runningQuantiles(stream, "event_type", "user_id", qs)
+      .writeStream.format("memory").queryName("hist_state_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.operators.Sketches
+      .logHistQuantiles(ev, Seq("event_type"), "user_id", qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // rows arrive in batch order; the LAST row per (key, q) is final
+    val rows = spark.table("hist_state_test").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3)))
+    val lastPerKey = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    lastPerKey shouldBe want
+  }
+
   test("cosineNearDupPairs finds planted near-identical embedding pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
