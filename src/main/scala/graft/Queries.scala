@@ -1881,12 +1881,18 @@ object Queries {
 
   /** The three-regime HLL estimator replay ([[Sketches.hllEstimate]])
     * over a register CTE `(groupCols..., bucket, r)`: the scaled
-    * harmonic denominator is an exact integer, the numerator and
-    * large-range cut are the engine's own shortest-round-trip literals
-    * ([[Sketches.hllNumeratorLiteral]]), so the raw estimate is ONE
-    * correctly-rounded division and every branch condition compares
-    * bit-identical rounded values; the linear-counting branch is
-    * enumeration-verified over all 1024 possible inputs (SketchSpec).
+    * harmonic denominator is an exact integer (coalesced to 0 on the
+    * empty GLOBAL sketch, mirroring the engine's empty→0.0 contract),
+    * the numerator and large-range cut are the engine's own
+    * shortest-round-trip literals ([[Sketches.hllNumeratorLiteral]]),
+    * so the raw estimate is ONE correctly-rounded division and every
+    * branch condition compares bit-identical rounded values; the
+    * linear-counting branch is enumeration-verified over all 1024
+    * possible inputs (SketchSpec). The large-range branch (> ~1.4·10⁸
+    * distinct — unreachable by the test corpora, and past the 32-bit
+    * hash's accuracy envelope) is a 1-ulp best-effort ln replay, not
+    * bit-proven — see the determinism-scope note on
+    * [[Sketches.hllEstimate]].
     */
   private def hllEstSql(regCte: String, groupCols: Seq[String],
       alias: String): String = {
@@ -1901,7 +1907,7 @@ object Queries {
        |    ELSE raw END AS $alias
        |  FROM (
        |    SELECT ${gsel}round(CAST('${Sketches.hllNumeratorLiteral}' AS DOUBLE) /
-       |        CAST(s + v * 8388608 AS DOUBLE), 4) AS raw, v
+       |        CAST(coalesce(s, 0) + v * 8388608 AS DOUBLE), 4) AS raw, v
        |    FROM (
        |      SELECT ${gsel}CAST(sum(1::BIGINT << (23 - r)) AS BIGINT) AS s,
        |        1024 - count(*) AS v

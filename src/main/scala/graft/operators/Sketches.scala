@@ -641,6 +641,15 @@ object Sketches {
     sketches.groupBy((groupCols :+ "bucket").map(F.col): _*)
       .agg(F.max(F.col("r")).as("r"))
 
+  /** The linear-counting column m·ln(m/V) rounded to 4 decimals —
+    * factored out so the enumeration spec (SketchSpec) exercises the
+    * EXACT expression [[hllEstimate]] evaluates against DuckDB's
+    * replay of all 1024 possible V values.
+    */
+  private[graft] def hllLinearCol(v: Column): Column =
+    F.round(F.lit(HllM.toDouble) *
+      F.log(F.lit(HllM.toDouble) / v.cast("double")), 4)
+
   /** Cardinality estimate from a register sketch frame, per the standard
     * three-regime estimator (AofA 2007 fig. 3) made oracle-replayable:
     *  - raw: alpha·m²/Σ2^(-r) — computed as ONE division of the
@@ -652,16 +661,16 @@ object Sketches {
     * Branch conditions compare the ROUNDED raw estimate (bit-identical
     * in any engine) against literals, so both engines always take the
     * same branch.
+    *
+    * Determinism scope: the raw branch is ONE correctly-rounded IEEE
+    * division (bit-exact anywhere) and the linear branch is
+    * enumeration-proven; the LARGE-RANGE branch's ln has an unbounded
+    * input domain, so its replay is 1-ulp best-effort, NOT bit-proven.
+    * It only fires above ~1.4·10⁸ distinct values — past the accuracy
+    * envelope of a 32-bit-hash HLL anyway (hash collisions dominate);
+    * prefer [[kmvDistinct]] or exact counting if cardinalities that
+    * large must be measured precisely.
     */
-  /** The linear-counting column m·ln(m/V) rounded to 4 decimals —
-    * factored out so the enumeration spec (SketchSpec) exercises the
-    * EXACT expression [[hllEstimate]] evaluates against DuckDB's
-    * replay of all 1024 possible V values.
-    */
-  private[graft] def hllLinearCol(v: Column): Column =
-    F.round(F.lit(HllM.toDouble) *
-      F.log(F.lit(HllM.toDouble) / v.cast("double")), 4)
-
   def hllEstimate(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
     val sums = Seq(
       F.sum(F.expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRho - r)"))
@@ -846,13 +855,18 @@ object Sketches {
       subBits: Int = 3): DataFrame = {
     require(subBits >= 0 && subBits <= 20,
       s"log2Histogram: subBits must be in [0, 20], got $subBits")
-    val v = s"CAST(`$valueCol` AS BIGINT)"
+    // the user column is bound ONCE via F.col (arbitrary names are
+    // fine) and the grid expression references only the fixed internal
+    // alias — no caller-controlled text reaches the SQL parser
+    val v = "`__graft_hist_v`"
     val gb = s"greatest(length(bin($v)) - 1 - $subBits, 0)"
     val lo = F.expr(
       s"""CASE WHEN $v < 0 THEN CAST(raise_error(
-         |  'log2Histogram: negative value in $valueCol') AS BIGINT)
+         |  'log2Histogram: negative value in the bucketed column') AS BIGINT)
          |ELSE shiftleft(shiftright($v, $gb), $gb) END""".stripMargin)
     df.filter(F.col(valueCol).isNotNull)
+      .select(groupCols.map(F.col)
+        :+ F.col(valueCol).cast("long").as("__graft_hist_v"): _*)
       .select(groupCols.map(F.col) :+ lo.as("bucket_lo"): _*)
       .groupBy((groupCols :+ "bucket_lo").map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n"))

@@ -322,28 +322,43 @@ object Streams {
     * pinned in PipelineSpec, and the batch face carries a full DuckDB
     * oracle (q_hll_running). Works identically over a batch frame.
     */
+  /** Rows per map-side partial chunk in the stateful sketch faces: the
+    * per-task accumulator is rebuilt per chunk, so task memory is
+    * bounded by ≤ PartialChunkRows keys × one partial each — REGARDLESS
+    * of key cardinality (a hand-rolled HashMap has no Catalyst
+    * spill/fallback path, so the bound must come from the chunking).
+    * Multiple partials per key per task are fine: the state merge is
+    * associative and idempotent-safe.
+    */
+  private val PartialChunkRows = 1 << 16
+
   def runningApproxDistinct(events: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import graft.operators.Sketches
     val spark = events.sparkSession
     import spark.implicits._
+    val keyType = events.schema(keyCol).dataType
     events
       .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("string"))
       .as[(String, String)]
       // map-side partial registers: each task collapses its rows to ONE
-      // register array per key BEFORE the exchange (the same partial-agg
-      // trick the column sketch gets from Catalyst), so the shuffle
-      // carries ≤ tasks·keys·1 KB — measured flat across a ×100 decade,
-      // where shipping raw rows to the key owner grew linearly
+      // register array per key per chunk BEFORE the exchange (the same
+      // partial-agg trick the column sketch gets from Catalyst), so the
+      // shuffle carries ≤ tasks·chunks·keys·1 KB — measured flat across
+      // a ×100 decade, where shipping raw rows to the key owner grew
+      // linearly. `grouped` keeps the accumulator bounded
+      // ([[PartialChunkRows]]).
       .mapPartitions { it =>
-        val acc = collection.mutable.HashMap.empty[String, Array[Byte]]
-        it.foreach { case (k, v) =>
-          if (v != null)
-            Sketches.hllUpdateJvm(
-              acc.getOrElseUpdate(k, new Array[Byte](Sketches.HllM)), v)
+        it.grouped(PartialChunkRows).flatMap { chunk =>
+          val acc = collection.mutable.HashMap.empty[String, Array[Byte]]
+          chunk.foreach { case (k, v) =>
+            if (v != null)
+              Sketches.hllUpdateJvm(
+                acc.getOrElseUpdate(k, new Array[Byte](Sketches.HllM)), v)
+          }
+          acc.iterator
         }
-        acc.iterator
       }
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Byte], (String, Double)](
@@ -356,6 +371,9 @@ object Streams {
           (key, Sketches.hllEstimateJvm(regs))
       }
       .toDF(keyCol, "est_distinct")
+      // the key rode through the state machine as a string; restore the
+      // caller's type so both faces stay schema-compatible
+      .withColumn(keyCol, F.col(keyCol).cast(keyType))
   }
 
   /** Running quantiles per key via `flatMapGroupsWithState` + the
@@ -383,21 +401,26 @@ object Streams {
     import graft.operators.Sketches
     val spark = events.sparkSession
     import spark.implicits._
+    val keyType = events.schema(keyCol).dataType
     events
       .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("long"))
       .as[(String, java.lang.Long)]
+      // bounded map-side partial histograms, the
+      // [[runningApproxDistinct]] reshape ([[PartialChunkRows]])
       .mapPartitions { it =>
-        val acc = collection.mutable.HashMap
-          .empty[String, collection.mutable.HashMap[Long, Long]]
-        it.foreach { case (k, v) =>
-          if (v != null) {
-            val lo = Sketches.histBucketLoJvm(v.longValue, subBits)
-            val h = acc.getOrElseUpdate(k,
-              collection.mutable.HashMap.empty[Long, Long])
-            h(lo) = h.getOrElse(lo, 0L) + 1L
+        it.grouped(PartialChunkRows).flatMap { chunk =>
+          val acc = collection.mutable.HashMap
+            .empty[String, collection.mutable.HashMap[Long, Long]]
+          chunk.foreach { case (k, v) =>
+            if (v != null) {
+              val lo = Sketches.histBucketLoJvm(v.longValue, subBits)
+              val h = acc.getOrElseUpdate(k,
+                collection.mutable.HashMap.empty[Long, Long])
+              h(lo) = h.getOrElse(lo, 0L) + 1L
+            }
           }
+          acc.iterator.map { case (k, h) => (k, h.toMap) }
         }
-        acc.iterator.map { case (k, h) => (k, h.toMap) }
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState[Map[Long, Long],
@@ -418,5 +441,7 @@ object Streams {
           }
       }
       .toDF(keyCol, "q", "est_value", "n_total")
+      // restore the caller's key type (see runningApproxDistinct)
+      .withColumn(keyCol, F.col(keyCol).cast(keyType))
   }
 }
