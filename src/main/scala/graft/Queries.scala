@@ -1471,14 +1471,24 @@ object Queries {
   def q_cms_probe(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 2048)
-    val est = Sketches.cmsEstimate(sketch, cmsCandidates, depth = 4,
-      width = 2048)
-    val exact = toks.filter(col("tok").isin(cmsCandidates: _*))
-      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("n_exact"))
-    est.join(exact, Seq("token"), "left")
+    // ONE tokenize scan feeds BOTH faces: the fused grid aggregate and
+    // the candidates' exact recounts ride the same aggregate (the
+    // original two-pass shape re-tokenized the corpus for the exact
+    // side — at 100 TB the scan is the cost, so halving scans halves
+    // the query); probes then read the grid array plan-side
+    // (cmsEstimateFromGrid), no cell explode / re-group / join.
+    val one = toks.agg(
+      Sketches.cmsGridAggColumn(col("tok"), depth = 4, width = 2048)
+        .as("__grid"),
+      map_from_arrays(
+        array(cmsCandidates.map(lit): _*),
+        array(cmsCandidates.map(c =>
+          sum(when(col("tok") === c, 1L).otherwise(0L))): _*)).as("__exact"))
+    Sketches.cmsEstimateFromGrid(one, "__grid", cmsCandidates,
+        depth = 4, width = 2048)
       .select(col("token"), col("est_n"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        coalesce(element_at(col("__exact"), col("token")), lit(0L))
+          .as("n_exact"))
   }
 
   /** q_cms_probe's candidate tokens: frequent corpus terms + two that

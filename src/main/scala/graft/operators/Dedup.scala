@@ -751,6 +751,24 @@ object Dedup {
     banded.write.mode("append").parquet(s"$path/_bands")
   }
 
+  /** Consolidate a band index's appended batch files — after thousands of
+    * [[appendToBandIndex]] calls both tables are a sprawl of small parts
+    * and every probe pays the per-file open cost (the
+    * [[graft.operators.Sketches.compactReplace]] read-amplification
+    * story; here the rows are per-doc, nothing folds — compaction is a
+    * pure file-count rewrite, row content identical). `numFiles` sizes
+    * the rewritten tables (≥ corpus_bytes / 128 MB at scale; the default
+    * suits test corpora). Crash-safe per [[Sketches.compactReplace]]'s
+    * tmp+manifest protocol; `_params` (and the family stamp it carries)
+    * is untouched, so probe refusals survive compaction.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 1): Unit = {
+    readBandParams(spark, path) // fail fast on a non-index / foreign family
+    Sketches.compactReplace(spark, path, numFiles)(identity)
+    Sketches.compactReplace(spark, s"$path/_bands", numFiles)(identity)
+  }
+
   // ---- band-key Bloom gate (scan-side / streaming near-dup check) ----------
 
   /** All `bands` LSH band keys of a text as ONE array<long> column — the

@@ -100,6 +100,51 @@ object Sketches {
   def xx64Hash32(value: Column): Column =
     F.shiftrightunsigned(F.xxhash64(value.cast("string")), 32) + F.lit(1L)
 
+  /** JVM twin of [[md5Hash32]] over a string — byte-identical because
+    * both read the same first-4-digest-bytes window
+    * ([[graft.plans.Hygiene.md5Prefix32Jvm]]). Basis of the fused CMS
+    * kernel ([[cmsSketch]]); pinned against the column form in
+    * SketchSpec.
+    */
+  def md5Hash32Jvm(value: String): Long =
+    Hygiene.md5Prefix32Jvm(value) + 1L
+
+  /** JVM twin of [[xx64Hash32]]: Spark's `xxhash64` on a string input is
+    * XXH64 with seed 42 over the UTF-8 bytes
+    * (`catalyst.expressions.XxHash64`), replayed here via the same
+    * catalyst [[org.apache.spark.sql.catalyst.expressions.XXH64]]
+    * static kernel — the engine's own implementation, so the twin
+    * cannot drift from the column form.
+    */
+  def xx64Hash32Jvm(value: String): Long = {
+    val b = value.getBytes("UTF-8")
+    (org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      b.length, 42L) >>> 32) + 1L
+  }
+
+  /** The JVM hash twins by flavor name, in `(tokenUtf8, suffixUtf8)`
+    * form so depth-loop kernels encode the token once: the hash of the
+    * CONCATENATED bytes equals the string twin on `token + suffix`
+    * (UTF-8 concatenation is byte concatenation).
+    */
+  private def jvmFlavor(flavor: String): (Array[Byte], Array[Byte]) => Long =
+    flavor match {
+      case "md5-32-v1" =>
+        (p, s) => Hygiene.md5Prefix32Jvm(p, s) + 1L
+      case "xx64-32-v1" =>
+        (p, s) => {
+          val b = new Array[Byte](p.length + s.length)
+          System.arraycopy(p, 0, b, 0, p.length)
+          System.arraycopy(s, 0, b, p.length, s.length)
+          (org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L) >>> 32) + 1L
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown value-hash flavor $other")
+    }
+
   /** The KMV aggregate as a bare aggregation Column — `kmin` over the
     * hashed value — for callers composing it alongside OTHER aggregates
     * in one pass ([[Profile.profile]]'s per-column sketches).
@@ -338,17 +383,139 @@ object Sketches {
       hash: Column => Column): Column =
     F.pmod(hash(F.concat(tok, F.lit("_"), j.cast("string"))), F.lit(width.toLong))
 
-  /** Build a count-min sketch over a token column: the `(j, bucket, n)`
-    * cell grid, at most depth·width rows REGARDLESS of vocabulary size.
-    * Each token occurrence feeds `depth` cells (one per row j); the
-    * map-side partial aggregate collapses every task to ≤ d·w cells
-    * before the single exchange.
+  /** Bounded-memory fused CMS grid aggregate: ONE buffer of depth·width
+    * counts per task (64 KB at the registry's 4×2048), each input token
+    * incrementing its `depth` cells in place — the [[KmvAgg]] /
+    * [[MgAgg]] ScalaAggregator shape. Replaces the original
+    * explode(0..depth)+groupBy build ([[cmsSketchComposed]], retained
+    * as the pinned baseline): that plan amplified the token stream ×d
+    * through a Generate before the partial aggregate collapsed it, and
+    * hashed via interpreted string ops (`conv(substr(md5hex)...)`); the
+    * kernel hashes the token's UTF-8 bytes once per row j with the
+    * byte-level md5/xxh64 twins ([[jvmFlavor]]) and never widens the
+    * row stream. Exchange width is unchanged — ≤ d·w cells per task —
+    * and the emitted grid is bit-identical (SketchSpec pins
+    * kernel == composed on hostile tokens, both flavors).
+    *
+    * Buffers mutate in place EXCEPT the shared `zero` instance
+    * (copy-on-first-touch — the shared-zero contract,
+    * [[graft.core.Agg.CustomFoldNumeric]]).
     */
+  private final class CmsAgg(depth: Int, width: Int, flavor: String)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    private val cells = depth * width
+    def zero: Array[Long] = Array.emptyLongArray
+    private def fresh(b: Array[Long]): Array[Long] =
+      if (b.length == 0) new Array[Long](cells) else b
+
+    @transient private lazy val hash = jvmFlavor(flavor)
+    @transient private lazy val suffixes: Array[Array[Byte]] =
+      Array.tabulate(depth)(j => s"_$j".getBytes("UTF-8"))
+
+    def reduce(buf: Array[Long], tok: String): Array[Long] = {
+      if (tok == null) return buf
+      val g = fresh(buf)
+      val tb = tok.getBytes("UTF-8")
+      var j = 0
+      while (j < depth) {
+        g(j * width + (hash(tb, suffixes(j)) % width).toInt) += 1L
+        j += 1
+      }
+      g
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      var i = 0
+      while (i < cells) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.kryo(classOf[Array[Long]])
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build a count-min sketch over a token column: the `(j, bucket, n)`
+    * cell grid, at most depth·width rows REGARDLESS of vocabulary size,
+    * via the fused [[CmsAgg]] kernel (one 64 KB grid per task crosses
+    * the exchange; the grid unpacks to rows plan-side). `flavor` names
+    * the value-hash derivation (the [[Flavors]] keys) — a string, not a
+    * Column function, because the kernel needs the JVM byte-level twin
+    * and a mismatched pair would silently skew every estimate. Null
+    * tokens are skipped (the count-distinct convention; both faces).
+    */
+  /** The fused CMS grid as a bare aggregation Column (flat
+    * `array<bigint>` of depth·width cells, row-major by j) — the
+    * [[kmvAggColumn]] convention, for callers composing the grid
+    * alongside OTHER aggregates in the same single pass (q_cms_probe
+    * rides its exact candidate recounts in the same scan).
+    */
+  def cmsGridAggColumn(value: Column, depth: Int, width: Int,
+      flavor: String = "md5-32-v1"): Column = {
+    require(depth >= 1 && width >= 2,
+      s"cmsGridAggColumn: need depth >= 1, width >= 2, got ($depth, $width)")
+    jvmFlavor(flavor) // fail fast on an unknown flavor
+    F.udaf(new CmsAgg(depth, width, flavor), Encoders.STRING)
+      .apply(value.cast("string"))
+  }
+
   def cmsSketch(toks: DataFrame, tokenCol: String, depth: Int, width: Int,
+      flavor: String = "md5-32-v1"): DataFrame =
+    toks
+      .agg(cmsGridAggColumn(F.col(tokenCol), depth, width, flavor)
+        .as("__grid"))
+      .select(F.posexplode(F.col("__grid")).as(Seq("__pos", "n")))
+      .filter(F.col("n") > 0)
+      .select(F.expr(s"CAST(__pos DIV $width AS INT)").as("j"),
+        F.expr(s"CAST(__pos % $width AS BIGINT)").as("bucket"),
+        F.col("n"))
+
+  /** Point-estimate candidates directly from a GRID-ARRAY column (one
+    * row holding the [[cmsGridAggColumn]] array): cross the 1-row frame
+    * with the broadcast candidate literals and take
+    * `min_j grid[j·width + bucket_j(tok)]` via 0-based `get` (an empty
+    * grid — empty input — reads null, coalesced to 0). Same answer as
+    * [[cmsEstimate]] over the unpacked rows (pinned in SketchSpec), one
+    * plan stage shorter: no grid explode, no grid re-group, no
+    * broadcast-join of cells. All non-grid columns of the input are
+    * carried through (ride-along aggregates from the same scan).
+    */
+  def cmsEstimateFromGrid(withGrid: DataFrame, gridCol: String,
+      candidates: Seq[String], depth: Int, width: Int,
+      hash: Column => Column = md5Hash32): DataFrame = {
+    require(candidates.nonEmpty, "cmsEstimateFromGrid: empty candidate list")
+    val spark = withGrid.sparkSession
+    import spark.implicits._
+    val est = F.least((0 until depth).map { j =>
+      val bucket = F.pmod(hash(F.concat(F.col("token"), F.lit(s"_$j"))),
+        F.lit(width.toLong))
+      F.coalesce(
+        F.get(F.col(gridCol), (F.lit(j * width) + bucket).cast("int")),
+        F.lit(0L))
+    }: _*)
+    val carried = withGrid.columns.filterNot(_ == gridCol).map(F.col)
+    withGrid.crossJoin(F.broadcast(candidates.toDF("token")))
+      .select(F.col("token") +: est.as("est_n") +: carried.toIndexedSeq: _*)
+  }
+
+  /** Built-in-composed equivalence baseline for [[cmsSketch]] (the
+    * [[kmvSketchComposed]] convention): explode each token across the
+    * `depth` rows, hash with the COLUMN-form derivation, group to
+    * cells. Bit-identical grid by construction — retained as the pinned
+    * baseline the kernel must equal, not a scale path (the Generate
+    * widens the scan output ×d before the partial agg collapses it).
+    */
+  private[graft] def cmsSketchComposed(toks: DataFrame, tokenCol: String,
+      depth: Int, width: Int,
       hash: Column => Column = md5Hash32): DataFrame = {
     require(depth >= 1 && width >= 2,
-      s"cmsSketch: need depth >= 1, width >= 2, got ($depth, $width)")
-    toks.select(F.col(tokenCol).as("__tok"),
+      s"cmsSketchComposed: need depth >= 1, width >= 2, got ($depth, $width)")
+    toks.filter(F.col(tokenCol).isNotNull)
+      .select(F.col(tokenCol).cast("string").as("__tok"),
         F.explode(F.array((0 until depth).map(F.lit): _*)).as("j"))
       .select(F.col("j"),
         cmsBucket(F.col("__tok"), F.col("j"), width, hash).as("bucket"))
@@ -394,7 +561,7 @@ object Sketches {
       s"buildCmsStore: unknown value-hash flavor $flavor " +
         s"(have ${Flavors.keys.mkString(", ")})")
     val spark = toks.sparkSession
-    cmsSketch(toks, tokenCol, depth, width, Flavors(flavor))
+    cmsSketch(toks, tokenCol, depth, width, flavor)
       .write.mode("overwrite").parquet(path)
     import spark.implicits._
     Seq((depth, width, flavor, tokenCol))
@@ -426,7 +593,7 @@ object Sketches {
   def appendToCmsStore(batch: DataFrame, path: String): Unit = {
     val (depth, width, flavor, tokenCol) =
       readCmsParams(batch.sparkSession, path)
-    cmsSketch(batch, tokenCol, depth, width, Flavors(flavor))
+    cmsSketch(batch, tokenCol, depth, width, flavor)
       .write.mode("append").parquet(path)
   }
 
@@ -1011,5 +1178,118 @@ object Sketches {
     histQuantiles(
       histMergeHistograms(spark.read.parquet(path), groupCols),
       groupCols, qs)
+  }
+
+  // ---- store compaction ---------------------------------------------------
+
+  /** Replace a store directory's data files with `fold` of their union —
+    * the read-amplification answer for every append-only store here:
+    * serving folds batches × groups rows at read time, so after
+    * thousands of appended batches a store pays thousands of part reads
+    * for an answer its merge identity can hold in ONE part. Folding
+    * parts into one part changes NOTHING the serving face computes
+    * (k-min / cell-sum / register-max / count-sum are exactly the folds
+    * serving already applies — the identities each `xxxMergeSketches`
+    * documents), so compaction is a pure read-path optimization, safe to
+    * run at any cadence. `_params` (and any other `_`-prefixed sidecar)
+    * is never touched — stamp refusals survive compaction.
+    *
+    * Crash safety on a plain filesystem (no transactional table format),
+    * single concurrent writer assumed:
+    *  1. fold → write to `path/_compact_tmp/data` (underscore prefix:
+    *     invisible to store readers);
+    *  2. write `path/_compact_tmp/manifest` naming the pre-fold data
+    *     files — the COMMIT POINT (one file create);
+    *  3. delete manifest-named files, move the folded parts in, drop
+    *     the tmp dir — each step idempotent.
+    * On entry: tmp WITH a manifest = a committed swap was interrupted —
+    * finish step 3 and return; tmp WITHOUT one = an uncommitted fold —
+    * the data files are intact, discard tmp and compact fresh. A crash
+    * at any point therefore loses nothing and double-counts nothing
+    * (the linear stores' cells are summed from each source exactly
+    * once: old parts are deleted before any folded part lands).
+    * Readers racing a compaction can see a partially-swapped directory
+    * — pause serving during the swap, or put the store on a
+    * transactional format at production scale.
+    */
+  private[graft] def compactReplace(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int = 1)(fold: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p, "_compact_tmp")
+    val manifest = new Path(tmp, "manifest")
+    def dataFiles(): Seq[String] =
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    def finishSwap(): Unit = {
+      val doomed = {
+        val in = fs.open(manifest)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').toSeq.filter(_.nonEmpty)
+      }
+      doomed.foreach { name =>
+        val f = new Path(p, name)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      val tmpData = new Path(tmp, "data")
+      if (fs.exists(tmpData))
+        fs.listStatus(tmpData).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .foreach(f => fs.rename(f, new Path(p, "compact-" + f.getName)))
+      fs.delete(tmp, true)
+    }
+    if (fs.exists(tmp)) {
+      if (fs.exists(manifest)) { finishSwap(); return } // resume + done
+      fs.delete(tmp, true) // uncommitted fold; data files intact
+    }
+    val before = dataFiles()
+    if (before.isEmpty) return
+    fold(spark.read.parquet(path)).coalesce(math.max(1, numFiles))
+      .write.parquet(new Path(tmp, "data").toString)
+    val out = fs.create(manifest, false)
+    try out.write((before.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    finishSwap()
+  }
+
+  /** Fold a KMV store's appended part sketches into one part per the
+    * k-min merge identity ([[kmvMergeSketches]]) — serving reads one
+    * part instead of one per appended batch, estimates unchanged.
+    */
+  def compactKmvStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (k, _, groupCols, _) = readKmvParams(spark, path)
+    compactReplace(spark, path)(kmvMergeSketches(_, groupCols, k))
+  }
+
+  /** Fold a CMS store's per-batch grids into one grid (cell-wise sum —
+    * CMS linearity, [[cmsMergeSketches]]).
+    */
+  def compactCmsStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    readCmsParams(spark, path) // fail fast on a non-store / foreign store
+    compactReplace(spark, path)(cmsMergeSketches)
+  }
+
+  /** Fold an HLL store's register grids into one (per-bucket max,
+    * [[hllMergeSketches]]).
+    */
+  def compactHllStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (_, groupCols, _) = readHllParams(spark, path)
+    compactReplace(spark, path)(hllMergeSketches(_, groupCols))
+  }
+
+  /** Fold a histogram store's per-batch histograms into one (per-bucket
+    * count sum, [[histMergeHistograms]]).
+    */
+  def compactHistStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (_, groupCols, _) = readHistParams(spark, path)
+    compactReplace(spark, path)(histMergeHistograms(_, groupCols))
   }
 }

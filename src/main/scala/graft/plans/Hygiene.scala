@@ -67,6 +67,23 @@ object Hygiene {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** [[md5Prefix32Jvm]] over `prefix ++ suffix` WITHOUT building the
+    * concatenated string: UTF-8 concatenation is byte concatenation, so
+    * streaming both arrays through the digest equals
+    * `md5Prefix32Jvm(prefixStr + suffixStr)` exactly. For kernels that
+    * hash one token under several small derivation suffixes per row
+    * (the CMS depth loop): encode the token once, reuse per suffix.
+    */
+  def md5Prefix32Jvm(prefix: Array[Byte], suffix: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(prefix)
+    md.update(suffix)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Materialize an expensive expression as an attribute that FILTERS can
     * reference without re-evaluating it — the filter-side sibling of
     * [[explodeNonEmpty]].

@@ -312,6 +312,53 @@ class SketchSpec extends AnyFunSuite with Matchers {
     rep shouldBe base
   }
 
+  test("CMS fused kernel == composed explode+groupBy baseline on hostile " +
+    "tokens, both hash flavors") {
+    import spark.implicits._
+    // hostile values: CJK, empty string, whitespace, long token, '_'-
+    // bearing tokens (the derivation suffix separator), high repetition
+    val hostile = Seq("日本語のトークン", "", " ", "a" * 500, "tok_0", "tok", "_",
+      "naïve", "a", "a", "a", "💡emoji", "tab\there") ++
+      (0 until 200).map(i => s"w${i % 37}")
+    val toks = hostile.toDF("tok").repartition(7)
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    for ((flavor, hashCol) <- Seq(
+        "md5-32-v1" -> (Sketches.md5Hash32 _),
+        "xx64-32-v1" -> (Sketches.xx64Hash32 _))) {
+      val fused = grid(Sketches.cmsSketch(toks, "tok", 4, 32, flavor))
+      val composed = grid(
+        Sketches.cmsSketchComposed(toks, "tok", 4, 32, hashCol))
+      withClue(s"flavor $flavor: ") { fused shouldBe composed }
+    }
+    // null tokens are skipped identically by both faces
+    val withNulls = (hostile.map(Option(_)) ++ Seq(None, None))
+      .toDF("tok").repartition(5)
+    grid(Sketches.cmsSketch(withNulls, "tok", 2, 16)) shouldBe
+      grid(Sketches.cmsSketchComposed(withNulls, "tok", 2, 16))
+    // and the scalar JVM twins equal the column hashes literally
+    val cols = hostile.toDF("v").select(F.col("v"),
+      Sketches.md5Hash32(F.col("v")).as("hm"),
+      Sketches.xx64Hash32(F.col("v")).as("hx")).collect()
+    cols.foreach { r =>
+      r.getLong(1) shouldBe Sketches.md5Hash32Jvm(r.getString(0))
+      r.getLong(2) shouldBe Sketches.xx64Hash32Jvm(r.getString(0))
+    }
+    // the grid-ARRAY probe (cmsEstimateFromGrid, q_cms_probe's one-scan
+    // path) == the unpacked-rows probe (cmsEstimate) — present, absent
+    // and hostile candidates alike
+    val cands = Seq("tok", "日本語のトークン", "w3", "neverseen", "", "_")
+    val fromGrid = Sketches.cmsEstimateFromGrid(
+        toks.agg(Sketches.cmsGridAggColumn(F.col("tok"), 4, 32)
+          .as("__g")), "__g", cands, 4, 32)
+      .select("token", "est_n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromRows = Sketches.cmsEstimate(
+        Sketches.cmsSketch(toks, "tok", 4, 32), cands, 4, 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    fromGrid shouldBe fromRows
+  }
+
   // ---- HyperLogLog -------------------------------------------------------
 
   test("HLL linear-counting enumeration: all 1024 possible V values are " +
