@@ -128,6 +128,161 @@ class SketchSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("sha1-32-v9")
   }
 
+  // files a store reader would scan (non-underscore, non-hidden)
+  private def storeDataFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith(".crc"))
+
+  test("store compaction: every store serves identically from one folded " +
+    "part; params survive; appends keep working") {
+    val o = Tables.orders(spark, sf)
+    val ev = events
+    def batches(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+      (0L to 2L).map(i => df.filter(F.pmod(F.col(keyCol), F.lit(3L)) === i))
+
+    // KMV
+    val kd = java.nio.file.Files
+      .createTempDirectory("graft-compact-kmv").toString + "/store"
+    val kb = batches(o, "o_orderkey")
+    Sketches.buildKmvStore(kb(0), Seq("o_orderstatus"), "o_custkey", 16, kd)
+    Sketches.appendToKmvStore(kb(1), kd)
+    Sketches.appendToKmvStore(kb(2), kd)
+    def serveKmv() = Sketches.kmvDistinctFromStore(spark, kd)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kBefore = serveKmv()
+    storeDataFiles(kd).size should be > 1
+    Sketches.compactKmvStore(spark, kd)
+    storeDataFiles(kd).size shouldBe 1
+    serveKmv() shouldBe kBefore
+    // append after compaction, recompact, still == direct over the union
+    Sketches.appendToKmvStore(kb(1), kd) // re-appending is a no-op for k-min
+    Sketches.compactKmvStore(spark, kd)
+    serveKmv() shouldBe kBefore
+    // params intact: foreign-flavor refusal still fires on a bare store
+    spark.read.parquet(s"$kd/_params").head().getAs[Int]("k") shouldBe 16
+
+    // CMS (linear: double-append must NOT double after compaction cycles)
+    val cd = java.nio.file.Files
+      .createTempDirectory("graft-compact-cms").toString + "/store"
+    val docs = Tables.documents(spark, sf)
+      .select(F.col("doc_id"),
+        F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .as("tok"))
+    val cb = batches(docs, "doc_id").map(_.select("tok"))
+    Sketches.buildCmsStore(cb(0), "tok", 4, 256, cd)
+    Sketches.appendToCmsStore(cb(1), cd)
+    Sketches.appendToCmsStore(cb(2), cd)
+    val cands = Seq("join", "data", "neverseen")
+    def serveCms() = Sketches.cmsEstimateFromStore(spark, cd, cands)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cBefore = serveCms()
+    Sketches.compactCmsStore(spark, cd)
+    storeDataFiles(cd).size shouldBe 1
+    serveCms() shouldBe cBefore
+
+    // HLL (idempotent max-merge)
+    val hd = java.nio.file.Files
+      .createTempDirectory("graft-compact-hll").toString + "/store"
+    val hb = batches(ev, "event_id")
+    Sketches.buildHllStore(hb(0), Seq("event_type"), "user_id", hd)
+    Sketches.appendToHllStore(hb(1), hd)
+    Sketches.appendToHllStore(hb(2), hd)
+    def serveHll() = Sketches.hllDistinctFromStore(spark, hd)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hBefore = serveHll()
+    Sketches.compactHllStore(spark, hd)
+    storeDataFiles(hd).size shouldBe 1
+    serveHll() shouldBe hBefore
+
+    // histogram (linear count-sum)
+    val gd = java.nio.file.Files
+      .createTempDirectory("graft-compact-hist").toString + "/store"
+    Sketches.buildHistStore(hb(0), Seq("event_type"), "event_id", gd)
+    Sketches.appendToHistStore(hb(1), gd)
+    Sketches.appendToHistStore(hb(2), gd)
+    def serveHist() = Sketches
+      .histQuantilesFromStore(spark, gd, Seq(0.5, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val gBefore = serveHist()
+    Sketches.compactHistStore(spark, gd)
+    storeDataFiles(gd).size shouldBe 1
+    serveHist() shouldBe gBefore
+  }
+
+  test("store compaction is crash-safe: a committed-but-interrupted swap " +
+    "resumes; an uncommitted fold attempt is discarded") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-crash").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 2 === 1), dir)
+    val before = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // simulate a crash AFTER the commit point (folded data + manifest
+    // written) but BEFORE the swap: the next compaction must finish the
+    // swap, not re-fold, and serve identically
+    Sketches.kmvMergeSketches(spark.read.parquet(dir),
+        Seq("o_orderstatus"), 16)
+      .coalesce(1).write.parquet(s"$dir/_compact_tmp/data")
+    val names = storeDataFiles(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_tmp", "manifest"),
+      (names.mkString("\n") + "\n").getBytes("UTF-8"))
+    Sketches.compactKmvStore(spark, dir)
+    storeDataFiles(dir).size shouldBe 1
+    Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap shouldBe before
+
+    // simulate a crash BEFORE the commit point (tmp exists, no
+    // manifest): data files are intact; compaction discards the stale
+    // attempt and compacts fresh
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_compact_tmp", "data"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_tmp", "data", "junk"),
+      "partial".getBytes("UTF-8"))
+    Sketches.compactKmvStore(spark, dir)
+    storeDataFiles(dir).size shouldBe 1
+    new java.io.File(s"$dir/_compact_tmp").exists() shouldBe false
+    Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap shouldBe before
+  }
+
+  test("band index compaction: file-count rewrite, probes identical, " +
+    "family stamp preserved") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    val batch = docs.filter(F.col("doc_id") % 2 === 1).limit(30)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-compact-idx").toString + "/idx"
+    Dedup.saveBandIndex(corpus.filter(F.col("doc_id") % 4 === 0),
+      "doc_id", "text", idx)
+    Dedup.appendToBandIndex(corpus.filter(F.col("doc_id") % 4 === 2),
+      "doc_id", "text", idx)
+    def probe() = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = probe()
+    (storeDataFiles(idx).size + storeDataFiles(s"$idx/_bands").size) should
+      be > 2
+    Dedup.compactBandIndex(spark, idx)
+    storeDataFiles(idx).size shouldBe 1
+    storeDataFiles(s"$idx/_bands").size shouldBe 1
+    probe() shouldBe before
+    // appends still land under the preserved params, and probing after
+    // an append + recompaction still matches a fresh full index
+    Dedup.appendToBandIndex(corpus.filter(F.col("doc_id") % 4 === 2),
+      "doc_id", "text", idx) // idempotent content for the probe verdict
+    Dedup.compactBandIndex(spark, idx)
+    probe() shouldBe before
+  }
+
   test("CMS store: build/append/serve == direct probe; refusals fail fast") {
     val toks = Tables.documents(spark, sf)
       .select(F.col("doc_id"),
