@@ -310,6 +310,139 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  // ---- idle-key eviction (TTL) -------------------------------------------
+  //
+  // The base stateful faces above and below run GroupStateTimeout.NoTimeout:
+  // per-KEY state is bounded (a counter, 1 KB of HLL registers, a bucket
+  // map), but keys × time is not — an unbounded-key stream grows the state
+  // store forever. The ...Ttl variants below close that: each key's state
+  // carries an EVENT-TIME timeout `idleHorizon` past the key's LAST event
+  // (clamped above the current watermark), re-armed on every update; when
+  // the watermark passes it (the key saw no data for ≥ idleHorizon of
+  // event time) Spark invokes the function one
+  // last time with `hasTimedOut`, the face emits a FINAL flush row
+  // (`is_final = true` — the key's last word, so downstream sinks still get
+  // a complete record) and removes the state. Active keys are untouched.
+  // Event-time (not processing-time) timeout keeps eviction deterministic
+  // and replay-safe: a checkpoint restart re-derives the same evictions
+  // from the same input, and a stalled stream evicts nothing spuriously.
+  // Requires `withWatermark` upstream — these variants apply it from
+  // (`tsCol`, `lateness`). In BATCH execution timeouts never fire (Spark
+  // runs each group once, watermark-less): the variants emit exactly the
+  // base face's rows plus `is_final = false`, so the oracle story of the
+  // base faces carries over unchanged.
+
+  /** Parse a duration string ("30 minutes", "2 hours") to millis —
+    * driver-side, once, so state closures capture a plain long.
+    */
+  private def durationMs(d: String): Long = {
+    val ms = scala.concurrent.duration.Duration(d).toMillis
+    require(ms > 0, s"idle horizon must be positive, got '$d'")
+    ms
+  }
+
+  /** Arm/re-arm a key's idle eviction at `lastEventTsMs + horizonMs`
+    * (event time — the key is "idle" once the watermark passes horizon
+    * beyond its LAST event), clamped one past the current watermark
+    * (Spark rejects a timeout at/below it — a key whose whole horizon
+    * is already behind the watermark evicts at the next watermark
+    * advance). No-op in batch execution: `getCurrentWatermarkMs` throws
+    * there (no watermark exists, and batch state dies with the query).
+    */
+  private def armIdleTimeout(
+      state: org.apache.spark.sql.streaming.GroupState[_],
+      lastEventTsMs: Long, horizonMs: Long): Unit =
+    try {
+      val wm = state.getCurrentWatermarkMs
+      state.setTimeoutTimestamp(math.max(lastEventTsMs + horizonMs, wm + 1L))
+    } catch { case _: UnsupportedOperationException => () }
+
+  /** [[runningUserTotals]] with idle-key eviction: totals flow with
+    * `is_final = false`; a key idle ≥ `idleHorizon` (event time past its
+    * last event) flushes its last totals with `is_final = true` and
+    * frees its state. A later arrival of the same key starts FRESH
+    * totals — the horizon is the caller's declaration that the key's
+    * session is over.
+    */
+  def runningUserTotalsTtl(events: DataFrame, lateness: String = "1 hour",
+      idleHorizon: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = durationMs(idleHorizon)
+    events
+      // the WATERMARKED ts attribute itself must reach the stateful
+      // operator (its event-time metadata tag is what the EventTime-
+      // Timeout check looks for; a derived unix_millis(ts) column loses
+      // the tag) — keep it and read .getTime in the state function
+      .withWatermark("ts", lateness)
+      .selectExpr("user_id", "value", "ts")
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double, Boolean)](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, sum) = state.get
+            state.remove()
+            (user, n, math.rint(sum * 100) / 100, true)
+          } else {
+            val (prevN, prevSum) = state.getOption.getOrElse((0L, 0.0))
+            var n = prevN
+            var sum = prevSum
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, v, t) =>
+              n += 1; sum += v; if (t.getTime > maxTs) maxTs = t.getTime
+            }
+            state.update((n, sum))
+            armIdleTimeout(state, maxTs, horizonMs)
+            (user, n, math.rint(sum * 100) / 100, false)
+          }
+      }
+      .toDF("user_id", "n_events", "sum_value", "is_final")
+  }
+
+  /** [[highValueAlerts]] with idle-key eviction: alert rows are emitted
+    * as before; an idle key's counter state is silently dropped after
+    * `idleHorizon` (alerts are already-delivered facts — there is no
+    * meaningful flush row, so eviction emits nothing).
+    */
+  def highValueAlertsTtl(events: DataFrame, threshold: Double = 0.9,
+      lateness: String = "1 hour",
+      idleHorizon: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = durationMs(idleHorizon)
+    events
+      // keep the watermarked ts attribute (see runningUserTotalsTtl)
+      .withWatermark("ts", lateness)
+      .selectExpr("user_id", "event_id", "value", "ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Double, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            val seq = rows.toSeq
+            val out = seq.filter(_._3 > threshold).sortBy(_._2).map {
+              case (_, eventId, v, _) =>
+                n += 1
+                (user, eventId, v, n)
+            }
+            state.update(n)
+            armIdleTimeout(state, seq.iterator.map(_._4.getTime).max,
+              horizonMs)
+            out.iterator
+          }
+      }
+      .toDF("user_id", "event_id", "value", "running_high_count")
+  }
+
   /** Running approximate count-distinct per key via `mapGroupsWithState`
     * + HLL registers ([[graft.operators.Sketches.hllUpdateJvm]]): emits
     * the current estimate for each key touched by a micro-batch. State
@@ -373,6 +506,79 @@ object Streams {
       .toDF(keyCol, "est_distinct")
       // the key rode through the state machine as a string; restore the
       // caller's type so both faces stay schema-compatible
+      .withColumn(keyCol, F.col(keyCol).cast(keyType))
+  }
+
+  /** [[runningApproxDistinct]] with idle-key eviction (the TTL
+    * contract of [[runningUserTotalsTtl]]): registers older than
+    * `idleHorizon` of key inactivity flush one last
+    * `(key, est_distinct, is_final = true)` row and free their 1 KB.
+    * The map-side partial-register fold is unchanged — the watermark
+    * column is consumed by the plan's watermark node below it.
+    */
+  def runningApproxDistinctTtl(events: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, lateness: String = "1 hour",
+      idleHorizon: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.operators.Sketches
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyType = events.schema(keyCol).dataType
+    val horizonMs = durationMs(idleHorizon)
+    events
+      .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("string"),
+        F.unix_millis(F.col(tsCol)))
+      .as[(String, String, Long)]
+      // map-side partial registers (see runningApproxDistinct) — each
+      // partial additionally carries the chunk's max event time per key,
+      // the TTL clock
+      .mapPartitions { it =>
+        it.grouped(PartialChunkRows).flatMap { chunk =>
+          val acc =
+            collection.mutable.HashMap.empty[String, (Array[Byte], Long)]
+          chunk.foreach { case (k, v, t) =>
+            if (v != null) {
+              val (regs, maxTs) = acc.getOrElseUpdate(k,
+                (new Array[Byte](Sketches.HllM), Long.MinValue))
+              Sketches.hllUpdateJvm(regs, v)
+              if (t > maxTs) acc(k) = (regs, t)
+            }
+          }
+          acc.iterator.map { case (k, (regs, maxTs)) => (k, regs, maxTs) }
+        }
+      }
+      // the watermark is declared AFTER the partial fold: the fold is a
+      // typed op whose output attributes carry no event-time tag, and
+      // the EventTimeTimeout check needs the tagged attribute at the
+      // stateful operator. Declaring it here is equivalent — the fold
+      // preserves each key's max event time, so the observed max (which
+      // is all a watermark is) is unchanged
+      .toDF("__k", "__part", "__tsm")
+      .withColumn("__ts", F.timestamp_millis(F.col("__tsm")))
+      .withWatermark("__ts", lateness)
+      .as[(String, Array[Byte], Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Double, Boolean)](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (key, parts, state) =>
+          if (state.hasTimedOut) {
+            val est = Sketches.hllEstimateJvm(state.get)
+            state.remove()
+            (key, est, true)
+          } else {
+            val regs = state.getOption
+              .getOrElse(new Array[Byte](Sketches.HllM))
+            var maxTs = Long.MinValue
+            parts.foreach { case (_, p, t, _) =>
+              Sketches.hllMergeJvm(regs, p)
+              if (t > maxTs) maxTs = t
+            }
+            state.update(regs)
+            armIdleTimeout(state, maxTs, horizonMs)
+            (key, Sketches.hllEstimateJvm(regs), false)
+          }
+      }
+      .toDF(keyCol, "est_distinct", "is_final")
       .withColumn(keyCol, F.col(keyCol).cast(keyType))
   }
 
@@ -442,6 +648,85 @@ object Streams {
       }
       .toDF(keyCol, "q", "est_value", "n_total")
       // restore the caller's key type (see runningApproxDistinct)
+      .withColumn(keyCol, F.col(keyCol).cast(keyType))
+  }
+
+  /** [[runningQuantiles]] with idle-key eviction: live rows carry
+    * `is_final = false`; a key idle ≥ `idleHorizon` flushes its final
+    * quantile rows (`is_final = true`) and frees its bucket map.
+    */
+  def runningQuantilesTtl(events: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, qs: Seq[Double],
+      lateness: String = "1 hour", idleHorizon: String = "2 hours",
+      subBits: Int = 3): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"runningQuantilesTtl: quantiles must be in (0, 1], got $qs")
+    require(subBits >= 0 && subBits <= 20,
+      s"runningQuantilesTtl: subBits must be in [0, 20], got $subBits")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Sketches
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyType = events.schema(keyCol).dataType
+    val horizonMs = durationMs(idleHorizon)
+    events
+      .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("long"),
+        F.unix_millis(F.col(tsCol)))
+      .as[(String, java.lang.Long, Long)]
+      // bounded map-side partial histograms + per-key max event time
+      // (see runningApproxDistinctTtl)
+      .mapPartitions { it =>
+        it.grouped(PartialChunkRows).flatMap { chunk =>
+          val acc = collection.mutable.HashMap
+            .empty[String, (collection.mutable.HashMap[Long, Long], Long)]
+          chunk.foreach { case (k, v, t) =>
+            if (v != null) {
+              val (h, maxTs) = acc.getOrElseUpdate(k,
+                (collection.mutable.HashMap.empty[Long, Long],
+                  Long.MinValue))
+              val lo = Sketches.histBucketLoJvm(v.longValue, subBits)
+              h(lo) = h.getOrElse(lo, 0L) + 1L
+              if (t > maxTs) acc(k) = (h, t)
+            }
+          }
+          acc.iterator.map { case (k, (h, maxTs)) => (k, h.toMap, maxTs) }
+        }
+      }
+      // watermark declared post-fold (see runningApproxDistinctTtl)
+      .toDF("__k", "__part", "__tsm")
+      .withColumn("__ts", F.timestamp_millis(F.col("__tsm")))
+      .withWatermark("__ts", lateness)
+      .as[(String, Map[Long, Long], Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long],
+        (String, Double, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (key, parts, state) =>
+          if (state.hasTimedOut) {
+            val snap = state.get
+            state.remove()
+            Sketches.histQuantilesJvm(snap, qs).iterator.map {
+              case (q, lo, tot) => (key, q, lo, tot, true)
+            }
+          } else {
+            val merged = collection.mutable.HashMap.empty[Long, Long]
+            merged ++= state.getOption.getOrElse(Map.empty[Long, Long])
+            var maxTs = Long.MinValue
+            parts.foreach { case (_, h, t, _) =>
+              h.foreach { case (lo, n) =>
+                merged(lo) = merged.getOrElse(lo, 0L) + n
+              }
+              if (t > maxTs) maxTs = t
+            }
+            val snap = merged.toMap
+            state.update(snap)
+            armIdleTimeout(state, maxTs, horizonMs)
+            Sketches.histQuantilesJvm(snap, qs).iterator.map {
+              case (q, lo, tot) => (key, q, lo, tot, false)
+            }
+          }
+      }
+      .toDF(keyCol, "q", "est_value", "n_total", "is_final")
       .withColumn(keyCol, F.col(keyCol).cast(keyType))
   }
 }

@@ -129,6 +129,98 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
     out.size shouldBe 3
   }
 
+  test("runningApproxDistinct + runningQuantiles: kill/restart recovers " +
+    "the register/histogram STATE from the checkpoint — estimates after " +
+    "the restart equal the batch face over ALL input") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val inDir = tmp("graft-skrec-in")
+    val ckA = tmp("graft-skrec-cka")
+    val ckQ = tmp("graft-skrec-ckq")
+
+    def eventSchema = Seq((1L, 1.0, "2024-01-01 10:00:00"))
+      .toDF("user_id", "value", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+    def writeEvents(n: Int, rows: Seq[(Long, Double, String)]): Unit = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-skrec-scratch$n").toString
+      rows.toDF("user_id", "value", "ts_s")
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+    }
+
+    // latest row per key (approx-distinct) / per (key, q) (quantiles):
+    // foreachBatch closures run on the driver
+    val latestA = new java.util.concurrent.ConcurrentHashMap[Long, Double]
+    val latestQ =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Double), (Long, Long)]
+    def startA() = {
+      val s = Streams.readEventStream(spark, inDir, eventSchema)
+      Streams.runningApproxDistinct(s, "user_id", "value")
+        .writeStream.option("checkpointLocation", ckA)
+        .outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            latestA.put(r.getLong(0), r.getDouble(1))); ()
+        }
+        .start()
+    }
+    def startQ() = {
+      val s = Streams.readEventStream(spark, inDir, eventSchema)
+      Streams.runningQuantiles(s, "user_id", "value", Seq(0.5, 1.0))
+        .writeStream.option("checkpointLocation", ckQ)
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => latestQ.put(
+            (r.getLong(0), r.getDouble(1)),
+            (r.getLong(2), r.getLong(3)))); ()
+        }
+        .start()
+    }
+
+    // phase 1: user 1 sees {10, 20, 30}, user 2 sees {10}
+    writeEvents(1, Seq((1L, 10.0, "2024-01-01 10:00:00"),
+      (1L, 20.0, "2024-01-01 10:01:00"), (1L, 30.0, "2024-01-01 10:02:00"),
+      (2L, 10.0, "2024-01-01 10:00:30")))
+    val a1 = startA(); try a1.processAllAvailable() finally a1.stop()
+    val q1 = startQ(); try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 (AFTER the kill): user 1 re-sends 10 and adds 40 — with a
+    // fresh empty state its estimate would be 2, only RECOVERED
+    // registers give 4; user 2 adds 20
+    writeEvents(2, Seq((1L, 10.0, "2024-01-01 10:10:00"),
+      (1L, 40.0, "2024-01-01 10:11:00"), (2L, 20.0, "2024-01-01 10:10:30")))
+    val a2 = startA(); try a2.processAllAvailable() finally a2.stop()
+    val q2 = startQ(); try q2.processAllAvailable() finally q2.stop()
+
+    // the batch face over ALL input is the ground truth both faces must
+    // land on after the restart
+    val all = spark.read.schema(eventSchema).parquet(inDir)
+    val wantA = Sketches.hllDistinct(all, Seq("user_id"), "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import scala.jdk.CollectionConverters._
+    latestA.asScala.toMap shouldBe wantA
+    // user 1's estimate specifically reflects 4 distinct values (not
+    // the 2 a fresh state would see)
+    latestA.get(1L) shouldBe Sketches.hllDistinct(
+        Seq(10.0, 20.0, 30.0, 40.0).toDF("value")
+          .withColumn("k", F.lit(1)), Seq("k"), "value")
+      .collect().head.getDouble(1)
+
+    val wantQ = Sketches.logHistQuantiles(
+        all.select(F.col("user_id"), F.col("value").cast("long")
+          .as("value")), Seq("user_id"), "value", Seq(0.5, 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    latestQ.asScala.toMap shouldBe wantQ
+    // n_total = 5 for user 1 proves phase-1 counts survived the restart
+    latestQ.get((1L, 1.0))._2 shouldBe 5L
+  }
+
   test("mid-batch crash AFTER the sink write: the restart re-executes the " +
     "same batchId (sink called twice) and per-batchId overwrite is what " +
     "keeps the output duplicate-free") {
