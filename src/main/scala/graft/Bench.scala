@@ -52,35 +52,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // (name, cold, warm reps) where warm = MEDIAN of THREE warm reps:
-    // single warm samples on sub-second queries have a noise band wider
-    // than the >1.3× regression threshold (BENCH_HISTORY's round-10-item-2
-    // re-bench: q_append 0.34–0.87 across reps on untouched code), so a
-    // one-sample warm keeps raising phantom runbook flags — but the min
-    // of N systematically reports the best case and can mask a
-    // persistent-but-noisy regression (added GC pressure that hits most
-    // reps). The median absorbs one outlier in either direction while
-    // still moving when the typical rep moves; the per-rep spread
+    // (name, cold, warm reps, per-query load) where warm = MEDIAN of the
+    // warm reps: single warm samples on sub-second queries have a noise
+    // band wider than the >1.3× regression threshold (BENCH_HISTORY's
+    // round-10-item-2 re-bench: q_append 0.34–0.87 across reps on
+    // untouched code), so a one-sample warm keeps raising phantom runbook
+    // flags — but the min of N systematically reports the best case and
+    // can mask a persistent-but-noisy regression (added GC pressure that
+    // hits most reps). The median absorbs one outlier in either direction
+    // while still moving when the typical rep moves; the per-rep spread
     // (wmin/wmax) lands in bench_detail.json so a wide band is visible
-    // when triaging a flag. Still real end-to-end executions, never a
-    // fabricated time. A failure is (-1, all -1).
-    val results: Seq[(String, Double, Seq[Double])] =
+    // when triaging a flag. Two adjudication aids (round-12 verdict #5 —
+    // the r12 driver artifact ran at load 4 and only the TOTAL line
+    // carried it): the 1-min load is stamped per query at its own start,
+    // and a rep set whose wmax/wmin spread exceeds 3× (the contended-
+    // scheduler signature) earns TWO extra warm reps so the reported
+    // median rests on five samples where it is least trustworthy. Still
+    // real end-to-end executions, never a fabricated time. A failure is
+    // (-1, all -1).
+    def loadNow(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val results: Seq[(String, Double, Seq[Double], Double)] =
       Queries.benchRegistry.toSeq.map { case (name, fn) =>
+        val qLoad = loadNow()
         try {
           val c = timeOnce(fn)
-          val ws = Seq.fill(3)(timeOnce(fn))
-          (name, c, ws)
+          val ws3 = Seq.fill(3)(timeOnce(fn))
+          val ws =
+            if (ws3.max / math.max(ws3.min, 1e-9) > 3.0)
+              ws3 ++ Seq.fill(2)(timeOnce(fn))
+            else ws3
+          (name, c, ws, qLoad)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            (name, -1.0, Seq(-1.0))
+            (name, -1.0, Seq(-1.0), qLoad)
         }
       }
     def median(ws: Seq[Double]): Double = ws.sorted.apply(ws.size / 2)
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
-      .map { case (k, _, ws) => "\"" + k + "\":" + r3(median(ws)) }
+      .map { case (k, _, ws, _) => "\"" + k + "\":" + r3(median(ws)) }
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._3)).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
@@ -95,10 +108,11 @@ object Bench {
     try {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
       val detail = results
-        .map { case (k, c, ws) =>
+        .map { case (k, c, ws, qLoad) =>
           "\"" + k + "\":{\"cold\":" + r3(c) +
             ",\"warm\":" + r3(median(ws)) +
-            ",\"wmin\":" + r3(ws.min) + ",\"wmax\":" + r3(ws.max) + "}"
+            ",\"wmin\":" + r3(ws.min) + ",\"wmax\":" + r3(ws.max) +
+            ",\"load\":" + r3(qLoad) + ",\"reps\":" + ws.size + "}"
         }
         .mkString("{\"load\":" + r3(load) + ",\"queries\":{", ",", "}}")
       Files.writeString(Paths.get("bench_detail.json"), detail + "\n")

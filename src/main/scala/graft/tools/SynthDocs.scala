@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Seeded synthetic document/embedding corpus in the driver-testdata
+  * schema (round-12 verdict "next round #4"): the driver floors
+  * `documents`/`embeddings` at 500 rows below sf0.1, so its dirs give
+  * the document family only ONE real ×10 decade (sf0.01 → sf0.1). This
+  * tool generates statistically-matched corpora at ANY size so
+  * ScalingProbe can measure a second real decade (5k → 50k docs) —
+  * SCALING.md holds the committed table.
+  *
+  * Matched to the driver corpus at sf0.1 (measured): the same 31-word
+  * vocabulary, 10–100 words/doc uniform, lang mix en 41% / others
+  * ~15%, 20 sources, ~0.1% exact-duplicate and ~4.4% near-duplicate
+  * docs (the rates that drive q_dedup_near candidate counts), and
+  * unit-norm 64-dim embeddings in 10 centroid clusters (what semdedup
+  * and the ANN recall pins consume).
+  *
+  * Every row is a PURE function of (seed, id): roles come from id
+  * arithmetic (ids with id mod 1000 ≥ 955 duplicate an earlier
+  * unique-role id), texts from a per-id rng, so generation is
+  * embarrassingly parallel — no shuffle, no cross-row state, identical
+  * output at any partitioning or cluster size. Usage:
+  *   SynthDocs <outDir> <nDocs> <nVecs> [seed]
+  */
+object SynthDocs {
+
+  /** The driver corpus's exact vocabulary (sf0.1, 31 distinct tokens). */
+  private val Vocab = Array("a", "agg", "batch", "big", "column",
+    "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "the", "value",
+    "vector", "window")
+  private val Langs = Array("en", "zh", "fr", "es", "de")
+  private val LangCum = Array(0.41, 0.56, 0.71, 0.86, 1.0)
+
+  private def rngFor(seed: Long, id: Long): scala.util.Random =
+    new scala.util.Random(seed * 0x9E3779B97F4A7C15L + id * 0xC2B2AE3D27D4EB4FL)
+
+  // ids with (id mod 1000) < UniquePerK generate fresh text; the rest
+  // copy an earlier unique-role id (exact for the last slot, mutated
+  // otherwise) — 44/1000 near dups, 1/1000 exact dups
+  private val UniquePerK = 955
+
+  /** The k-th unique-role id (k ≥ 0). */
+  private def uniqueId(k: Long): Long =
+    (k / UniquePerK) * 1000L + (k % UniquePerK)
+
+  private def uniqueWords(seed: Long, id: Long): Array[String] = {
+    val rng = rngFor(seed, id)
+    Array.fill(10 + rng.nextInt(91))(Vocab(rng.nextInt(Vocab.length)))
+  }
+
+  /** (text, lang, source) for doc `id` — pure in (seed, id). */
+  def doc(seed: Long, id: Long): (String, String, String) = {
+    val rng = rngFor(seed, ~id) // distinct stream from uniqueWords(id)
+    val slot = id % 1000L
+    val words =
+      if (slot < UniquePerK || id < 1000L) uniqueWords(seed, id)
+      else {
+        // duplicate an earlier unique-role doc: uniform over the ~95.5%
+        // unique ids below this one
+        val nUnique = (id / 1000L) * UniquePerK
+        val base = uniqueWords(seed, uniqueId(math.abs(rng.nextLong()) % nUnique))
+        if (slot == 999L) base // exact duplicate
+        // near duplicate: ~3% word substitutions — at ~55 words that is
+        // 1-2 changed words, i.e. shingle-Jaccard straddling the 0.8
+        // near-dup threshold the way the driver corpus's prefix-sharing
+        // near-dups do (10% mutation put every pair far below it)
+        else base.map(w =>
+          if (rng.nextDouble() < 0.03) Vocab(rng.nextInt(Vocab.length)) else w)
+      }
+    val lr = rng.nextDouble()
+    val lang = Langs(LangCum.indexWhere(lr <= _))
+    (words.mkString(" "), lang, s"src${rng.nextInt(20)}")
+  }
+
+  /** Unit-norm 64-dim embedding for vec `id` in one of 10 clusters —
+    * centroid (a pure function of seed and label) + gaussian noise,
+    * L2-normalized, like the driver's.
+    */
+  def vec(seed: Long, id: Long): (Int, Array[Float]) = {
+    val label = (id % 10L).toInt
+    val cRng = rngFor(seed * 31L + 7L, label.toLong)
+    val rng = rngFor(seed, id + (1L << 40))
+    val raw = Array.fill(64)(cRng.nextGaussian() + 0.45 * rng.nextGaussian())
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    (label, raw.map(x => (x / norm).toFloat))
+  }
+
+  def generate(spark: SparkSession, outDir: String, nDocs: Long,
+      nVecs: Long, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    spark.range(nDocs)
+      .map { id =>
+        val (text, lang, source) = doc(seed, id)
+        (id, text, lang, source, text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.range(nVecs)
+      .map { id =>
+        val (label, embedding) = vec(seed, id)
+        (id, embedding, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val nDocs = args(1).toLong
+    val nVecs = args(2).toLong
+    val seed = if (args.length > 3) args(3).toLong else 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, outDir, nDocs, nVecs, seed)
+    println(s"[synthdocs] wrote $nDocs docs + $nVecs vecs to $outDir (seed $seed)")
+    spark.stop()
+  }
+}

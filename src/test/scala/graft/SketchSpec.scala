@@ -128,6 +128,84 @@ class SketchSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("sha1-32-v9")
   }
 
+  test("sketch merge algebra under hostile values: fold == direct on the " +
+    "RAW STATE (k-min array / CMS grid / HLL registers / histogram " +
+    "buckets) across seeded random partitionings and merge orders") {
+    import spark.implicits._
+    // hostile string pool: nulls, empties, whitespace, CJK, emoji, long
+    // runs, '_' (the CMS suffix separator), extreme longs as text,
+    // high-dup tokens
+    val pool: Seq[Option[String]] = Seq(None, Some(""), Some(" "),
+      Some("日本語"), Some("中文文本"), Some("💡"), Some("a" * 1000),
+      Some("_"), Some("tok_1"), Some(Long.MaxValue.toString),
+      Some(Long.MinValue.toString), Some("naïve"), Some("tab\there"),
+      Some("line\nbreak")) ++ (0 until 40).map(i => Some(s"w${i % 7}"))
+    // hostile longs for the histogram: 0, 1, powers of two and their
+    // neighbors (bucket boundaries), Long.MaxValue
+    val longPool: Seq[Long] = Seq(0L, 1L, 2L, 3L, 7L, 8L, 9L, 255L, 256L,
+      257L, (1L << 40) - 1, 1L << 40, Long.MaxValue) ++
+      (0 until 30).map(i => (i * 37L) % 1000L)
+
+    for (seed <- 0 until 6) {
+      val rng = new scala.util.Random(1000 + seed)
+      val values = Seq.fill(200 + rng.nextInt(200))(
+        pool(rng.nextInt(pool.size)))
+      val longs = Seq.fill(200 + rng.nextInt(200))(
+        longPool(rng.nextInt(longPool.size)))
+      val nParts = 2 + rng.nextInt(4)
+      // random part assignment, then a SHUFFLED union order and random
+      // repartitioning per part — the fold must not care
+      val parts = values.groupBy(_ => rng.nextInt(nParts)).values.toSeq
+      val ordered = rng.shuffle(parts)
+        .map(p => p.toDF("v").repartition(1 + rng.nextInt(5)))
+      val all = values.toDF("v").repartition(1 + rng.nextInt(7))
+      val clue = s"seed $seed (${ordered.size} parts): "
+
+      // KMV: fold of part k-min sets == direct k-min set, exactly
+      val kParts = ordered.map(p => Sketches.kmvSketch(p, Nil, "v", 16))
+        .reduce(_ unionAll _)
+      val kFold = Sketches.kmvMergeSketches(kParts, Nil, 16)
+        .collect().head.getSeq[Long](0)
+      val kDirect = Sketches.kmvSketch(all, Nil, "v", 16)
+        .collect().head.getSeq[Long](0)
+      withClue(clue + "KMV ") { kFold shouldBe kDirect }
+
+      // CMS: cell-sum of part grids == direct grid (linearity)
+      def gridOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cParts = ordered.map(p => Sketches.cmsSketch(p, "v", 3, 32))
+        .reduce(_ unionAll _)
+      withClue(clue + "CMS ") {
+        gridOf(Sketches.cmsMergeSketches(cParts)) shouldBe
+          gridOf(Sketches.cmsSketch(all, "v", 3, 32))
+      }
+
+      // HLL: per-bucket max of part registers == direct registers
+      def regsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val hParts = ordered.map(p => Sketches.hllSketch(p, Nil, "v"))
+        .reduce(_ unionAll _)
+      withClue(clue + "HLL ") {
+        regsOf(Sketches.hllMergeSketches(hParts, Nil)) shouldBe
+          regsOf(Sketches.hllSketch(all, Nil, "v"))
+      }
+
+      // histogram: per-bucket count sum == direct histogram
+      val gParts = rng.shuffle(longs.groupBy(_ => rng.nextInt(nParts))
+          .values.toSeq)
+        .map(p => Sketches.log2Histogram(
+          p.toDF("v").repartition(1 + rng.nextInt(5)), Nil, "v"))
+        .reduce(_ unionAll _)
+      def histOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(clue + "hist ") {
+        histOf(Sketches.histMergeHistograms(gParts, Nil)) shouldBe
+          histOf(Sketches.log2Histogram(
+            longs.toDF("v").repartition(1 + rng.nextInt(7)), Nil, "v"))
+      }
+    }
+  }
+
   // files a store reader would scan (non-underscore, non-hidden)
   private def storeDataFiles(dir: String): Seq[String] =
     new java.io.File(dir).listFiles().toSeq.map(_.getName)
