@@ -1592,6 +1592,10 @@ object Queries {
         Seq("o_orderstatus"), "o_custkey", k = 64, dir)
       Sketches.appendToKmvStore(
         o.filter(pmod(col("o_orderkey"), lit(2L)) === 1), dir)
+      // compact the appended parts into one (answer-preserving by the
+      // k-min merge identity) so the driver gate serves — and oracle-
+      // checks — the POST-COMPACTION store every round
+      Sketches.compactKmvStore(s, dir)
       dir
     })
     val store = Sketches.kmvDistinctFromStore(s, path)
@@ -1622,6 +1626,8 @@ object Queries {
         .createTempDirectory("graft-cmsstore-reg").toString + "/store"
       Sketches.buildCmsStore(toks(1), "tok", depth = 4, width = 2048, dir)
       Sketches.appendToCmsStore(toks(0), dir)
+      // compact (cell-sum linearity) — the gate serves the compacted grid
+      Sketches.compactCmsStore(s, dir)
       dir
     })
     val store = Sketches.cmsEstimateFromStore(s, path, cmsCandidates)
@@ -1712,6 +1718,8 @@ object Queries {
         Seq("o_orderstatus"), "o_custkey", dir)
       Sketches.appendToHllStore(
         o.filter(pmod(col("o_orderkey"), lit(2L)) === 1), dir)
+      // compact (register max-merge identity) — gate serves the folded part
+      Sketches.compactHllStore(s, dir)
       dir
     })
     val store = Sketches.hllDistinctFromStore(s, path)
@@ -1788,6 +1796,8 @@ object Queries {
         .createTempDirectory("graft-histstore-reg").toString + "/store"
       Sketches.buildHistStore(tc(0), Seq("lang"), "ntok", dir, subBits = 3)
       Sketches.appendToHistStore(tc(1), dir)
+      // compact (count-sum linearity) — gate serves the folded histogram
+      Sketches.compactHistStore(s, dir)
       dir
     })
     val qs = Seq(0.5, 0.9, 0.99)
