@@ -1253,6 +1253,27 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** The SCALE-SAFE SemDeDup face ([[Similarity.semDedupAuto]]): k is
+    * derived from the corpus (⌈n / maxRowsPerCluster⌉, floored at the
+    * session parallelism) instead of pinned, so the per-cluster pair
+    * stage stays bounded as n grows — the deployment rule the round-13
+    * scaling decade measured (fixed k=8 is n²/k; k ∝ n holds the wall,
+    * 23.4 s → 6.7 s at 20k vecs, tools/SemDedupKProbe). Benched so its
+    * wall and shuffle are tracked per round next to the fixed-k oracle
+    * face. Rows-only like [[q_semdedup]] (float boundaries); the keep
+    * policy and planted-pair identity are pinned in PipelineSpec.
+    */
+  def q_semdedup_auto(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
+        col("label"))
+    Similarity.semDedupAuto(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99)
+      .select(col("vec_id"))
+  }
+
   /** Fixed-point SemDeDup — the discrete twin that completes the float
     * quartet's oracle convention ([[Similarity.semDedupFixed]]): the
     * trained coarse centroids quantize to scaled int64 ONCE per sf dir
@@ -4080,6 +4101,8 @@ object Queries {
     // streaming plan's batch face
     "q_semdedup_model" -> (q_semdedup_model _),
     "q_semdedup_fixed" -> (q_semdedup_fixed _),
+    // round-14: the scale-safe k ∝ n face, benched per round (rows-only)
+    "q_semdedup_auto" -> (q_semdedup_auto _),
     "q_dsir_select" -> (q_dsir_select _),
     "q_nb_stream_batch" -> (q_nb_stream_batch _),
     "q_bpe_count" -> (q_bpe_count _),

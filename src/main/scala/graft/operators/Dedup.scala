@@ -669,6 +669,8 @@ object Dedup {
       numHashes, bands, seed)
     sh.write.mode("overwrite").parquet(path)
     banded.write.mode("overwrite").parquet(s"$path/_bands")
+    StoreLayout.initManifest(spark, path)
+    StoreLayout.initManifest(spark, s"$path/_bands")
     import spark.implicits._
     Seq((shingleN, numHashes, bands, seed, graft.functions.Tok.HashFamily))
       .toDF("shingleN", "numHashes", "bands", "seed", "hashFamily")
@@ -712,8 +714,10 @@ object Dedup {
     val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
     val (shNew, bandedNew) = shingleBandTables(newBatch, idCol, textCol,
       shingleN, numHashes, bands, seed)
-    val idxBands = spark.read.parquet(s"$path/_bands")
-    val idxSh = spark.read.parquet(path)
+    // manifest-pinned reads ([[StoreLayout.readStore]]): isolated from
+    // a racing compactBandIndex swap
+    val idxBands = StoreLayout.readStore(spark, s"$path/_bands")
+    val idxSh = StoreLayout.readStore(spark, path)
     val candidates = idxBands.as("y").join(bandedNew.as("x"),
         F.col("x.band") === F.col("y.band") &&
         F.col("x.bh") === F.col("y.bh"))
@@ -741,14 +745,23 @@ object Dedup {
     * probe a batch ([[dedupAgainstIndex]]), append the survivors.
     */
   def appendToBandIndex(newBatch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, autoCompactParts: Int = 0): Unit = {
     val spark = newBatch.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
     val (sh, banded) = shingleBandTables(newBatch, idCol, textCol, shingleN,
       numHashes, bands, seed)
-    sh.write.mode("append").parquet(path)
-    banded.write.mode("append").parquet(s"$path/_bands")
+    StoreLayout.appendRecorded(spark, path) {
+      sh.write.mode("append").parquet(path)
+    }
+    StoreLayout.appendRecorded(spark, s"$path/_bands") {
+      banded.write.mode("append").parquet(s"$path/_bands")
+    }
+    // parts-threshold valve (see Sketches.appendToKmvStore): both
+    // tables grow one part set per append, so one check covers both
+    if (autoCompactParts > 0 &&
+      Sketches.servedFiles(spark, path).size > autoCompactParts)
+      compactBandIndex(spark, path)
   }
 
   /** Consolidate a band index's appended batch files — after thousands of

@@ -321,6 +321,7 @@ object Sketches {
     val spark = df.sparkSession
     kmvSketch(df, groupCols, valueCol, k, Flavors(flavor))
       .write.mode("overwrite").parquet(path)
+    StoreLayout.initManifest(spark, path)
     import spark.implicits._
     Seq((k, flavor, groupCols.mkString(","), valueCol))
       .toDF("k", "hashFlavor", "groupCols", "valueCol")
@@ -355,22 +356,35 @@ object Sketches {
 
   /** Sketch a new batch UNDER THE STORE'S contract and append its part
     * sketches — the batch is scanned once and never again; old batches
-    * are not read at all.
+    * are not read at all. `autoCompactParts > 0` folds the store
+    * ([[compactKmvStore]]) whenever the append leaves it serving more
+    * than that many parts — the read-amplification valve for an
+    * append-forever cadence (default off: compaction cadence is the
+    * caller's policy).
     */
-  def appendToKmvStore(batch: DataFrame, path: String): Unit = {
-    val (k, flavor, groupCols, valueCol) =
-      readKmvParams(batch.sparkSession, path)
-    kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
-      .write.mode("append").parquet(path)
+  def appendToKmvStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val (k, flavor, groupCols, valueCol) = readKmvParams(spark, path)
+    StoreLayout.appendRecorded(spark, path) {
+      kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
+        .write.mode("append").parquet(path)
+    }
+    if (autoCompactParts > 0 &&
+      servedFiles(spark, path).size > autoCompactParts)
+      compactKmvStore(spark, path)
   }
 
   /** Serving face: fold the stored part sketches per group and estimate
     * — reads batches × groups rows of ≤ k longs, never any corpus.
+    * Manifest-pinned ([[StoreLayout.readStore]]): isolated from a
+    * racing compaction swap.
     */
   def kmvDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val (k, _, groupCols, _) = readKmvParams(spark, path)
-    kmvEstimate(kmvMergeSketches(spark.read.parquet(path), groupCols, k), k)
+    kmvEstimate(
+      kmvMergeSketches(StoreLayout.readStore(spark, path), groupCols, k), k)
   }
 
   // ---- Count-min sketch ------------------------------------------------
@@ -483,11 +497,19 @@ object Sketches {
     * plan stage shorter: no grid explode, no grid re-group, no
     * broadcast-join of cells. All non-grid columns of the input are
     * carried through (ride-along aggregates from the same scan).
+    * `flavor` is the SAME flavor string the grid was built under
+    * ([[cmsGridAggColumn]]) — a string, not a Column function, so a
+    * build/probe hash mismatch (which would silently skew every
+    * estimate) is unconstructible across the boundary.
     */
   def cmsEstimateFromGrid(withGrid: DataFrame, gridCol: String,
       candidates: Seq[String], depth: Int, width: Int,
-      hash: Column => Column = md5Hash32): DataFrame = {
+      flavor: String = "md5-32-v1"): DataFrame = {
     require(candidates.nonEmpty, "cmsEstimateFromGrid: empty candidate list")
+    require(Flavors.contains(flavor),
+      s"cmsEstimateFromGrid: unknown value-hash flavor $flavor " +
+        s"(have ${Flavors.keys.mkString(", ")})")
+    val hash = Flavors(flavor)
     val spark = withGrid.sparkSession
     import spark.implicits._
     val est = F.least((0 until depth).map { j =>
@@ -563,6 +585,7 @@ object Sketches {
     val spark = toks.sparkSession
     cmsSketch(toks, tokenCol, depth, width, flavor)
       .write.mode("overwrite").parquet(path)
+    StoreLayout.initManifest(spark, path)
     import spark.implicits._
     Seq((depth, width, flavor, tokenCol))
       .toDF("depth", "width", "hashFlavor", "tokenCol")
@@ -589,22 +612,31 @@ object Sketches {
       row.getAs[String]("tokenCol"))
   }
 
-  /** Grid a new batch under the store's contract; pure append. */
-  def appendToCmsStore(batch: DataFrame, path: String): Unit = {
-    val (depth, width, flavor, tokenCol) =
-      readCmsParams(batch.sparkSession, path)
-    cmsSketch(batch, tokenCol, depth, width, flavor)
-      .write.mode("append").parquet(path)
+  /** Grid a new batch under the store's contract; pure append.
+    * `autoCompactParts` per [[appendToKmvStore]].
+    */
+  def appendToCmsStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val (depth, width, flavor, tokenCol) = readCmsParams(spark, path)
+    StoreLayout.appendRecorded(spark, path) {
+      cmsSketch(batch, tokenCol, depth, width, flavor)
+        .write.mode("append").parquet(path)
+    }
+    if (autoCompactParts > 0 &&
+      servedFiles(spark, path).size > autoCompactParts)
+      compactCmsStore(spark, path)
   }
 
   /** Serving face: sum the stored batch grids cell-wise and point-probe
     * candidates — reads ≤ batches·d·w cell rows, never any tokens.
+    * Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def cmsEstimateFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, candidates: Seq[String]): DataFrame = {
     val (depth, width, flavor, _) = readCmsParams(spark, path)
-    cmsEstimate(cmsMergeSketches(spark.read.parquet(path)), candidates,
-      depth, width, Flavors(flavor))
+    cmsEstimate(cmsMergeSketches(StoreLayout.readStore(spark, path)),
+      candidates, depth, width, Flavors(flavor))
   }
 
   // ---- Misra-Gries heavy hitters ----------------------------------------
@@ -949,6 +981,7 @@ object Sketches {
     val spark = df.sparkSession
     hllSketch(df, groupCols, valueCol, HllFlavors(flavor))
       .write.mode("overwrite").parquet(path)
+    StoreLayout.initManifest(spark, path)
     import spark.implicits._
     Seq((10, flavor, groupCols.mkString(","), valueCol))
       .toDF("p", "hashFlavor", "groupCols", "valueCol")
@@ -981,21 +1014,31 @@ object Sketches {
       row.getAs[String]("valueCol"))
   }
 
-  /** Sketch a new batch under the store's contract; pure append. */
-  def appendToHllStore(batch: DataFrame, path: String): Unit = {
-    val (flavor, groupCols, valueCol) =
-      readHllParams(batch.sparkSession, path)
-    hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
-      .write.mode("append").parquet(path)
+  /** Sketch a new batch under the store's contract; pure append.
+    * `autoCompactParts` per [[appendToKmvStore]].
+    */
+  def appendToHllStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val (flavor, groupCols, valueCol) = readHllParams(spark, path)
+    StoreLayout.appendRecorded(spark, path) {
+      hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
+        .write.mode("append").parquet(path)
+    }
+    if (autoCompactParts > 0 &&
+      servedFiles(spark, path).size > autoCompactParts)
+      compactHllStore(spark, path)
   }
 
   /** Serving face: max-fold the stored registers per group and estimate
     * — reads ≤ batches·groups·m register rows, never any corpus.
+    * Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def hllDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val (_, groupCols, _) = readHllParams(spark, path)
-    hllEstimate(hllMergeSketches(spark.read.parquet(path), groupCols),
+    hllEstimate(
+      hllMergeSketches(StoreLayout.readStore(spark, path), groupCols),
       groupCols)
   }
 
@@ -1139,6 +1182,7 @@ object Sketches {
     val spark = df.sparkSession
     log2Histogram(df, groupCols, valueCol, subBits)
       .write.mode("overwrite").parquet(path)
+    StoreLayout.initManifest(spark, path)
     import spark.implicits._
     Seq((subBits, groupCols.mkString(","), valueCol))
       .toDF("subBits", "groupCols", "valueCol")
@@ -1160,23 +1204,31 @@ object Sketches {
       row.getAs[String]("valueCol"))
   }
 
-  /** Histogram a new batch under the store's contract; pure append. */
-  def appendToHistStore(batch: DataFrame, path: String): Unit = {
-    val (subBits, groupCols, valueCol) =
-      readHistParams(batch.sparkSession, path)
-    log2Histogram(batch, groupCols, valueCol, subBits)
-      .write.mode("append").parquet(path)
+  /** Histogram a new batch under the store's contract; pure append.
+    * `autoCompactParts` per [[appendToKmvStore]].
+    */
+  def appendToHistStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val (subBits, groupCols, valueCol) = readHistParams(spark, path)
+    StoreLayout.appendRecorded(spark, path) {
+      log2Histogram(batch, groupCols, valueCol, subBits)
+        .write.mode("append").parquet(path)
+    }
+    if (autoCompactParts > 0 &&
+      servedFiles(spark, path).size > autoCompactParts)
+      compactHistStore(spark, path)
   }
 
   /** Serving face: sum-fold the stored per-batch histograms and read
     * quantiles — touches ≤ batches·buckets histogram rows, never a
-    * corpus.
+    * corpus. Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def histQuantilesFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, qs: Seq[Double]): DataFrame = {
     val (_, groupCols, _) = readHistParams(spark, path)
     histQuantiles(
-      histMergeHistograms(spark.read.parquet(path), groupCols),
+      histMergeHistograms(StoreLayout.readStore(spark, path), groupCols),
       groupCols, qs)
   }
 
@@ -1194,66 +1246,102 @@ object Sketches {
     * run at any cadence. `_params` (and any other `_`-prefixed sidecar)
     * is never touched — stamp refusals survive compaction.
     *
-    * Crash safety on a plain filesystem (no transactional table format),
-    * single concurrent writer assumed:
-    *  1. fold → write to `path/_compact_tmp/data` (underscore prefix:
-    *     invisible to store readers);
-    *  2. write `path/_compact_tmp/manifest` naming the pre-fold data
-    *     files — the COMMIT POINT (one file create);
-    *  3. delete manifest-named files, move the folded parts in, drop
-    *     the tmp dir — each step idempotent.
-    * On entry: tmp WITH a manifest = a committed swap was interrupted —
-    * finish step 3 and return; tmp WITHOUT one = an uncommitted fold —
-    * the data files are intact, discard tmp and compact fresh. A crash
-    * at any point therefore loses nothing and double-counts nothing
-    * (the linear stores' cells are summed from each source exactly
-    * once: old parts are deleted before any folded part lands).
-    * Readers racing a compaction can see a partially-swapped directory
-    * — pause serving during the swap, or put the store on a
-    * transactional format at production scale.
+    * Readers are ISOLATED from the swap by the [[StoreLayout]] manifest:
+    * serving resolves the store's current `_manifest-*` version and
+    * reads exactly its files, and this method makes the folded part
+    * visible with ONE atomic manifest commit — before it, readers serve
+    * the old parts (still on disk); after it, the folded part. The old
+    * parts become unreferenced garbage swept at the START of the NEXT
+    * compaction (deferred GC), so a reader mid-scan across one swap
+    * never loses a file; only a scan still running when a SECOND
+    * compaction begins can (the snapshot-vs-vacuum trade every
+    * transactional table format makes, bounded here by compaction
+    * cadence). A legacy manifest-less store is bootstrapped onto a
+    * manifest by its first compaction.
+    *
+    * Crash safety on a plain filesystem, single concurrent COMPACTOR
+    * assumed (concurrent appends are fine — their manifest commits
+    * retry):
+    *  1. sweep debris: files unreferenced by the current manifest
+    *     (replaced parts from the previous compaction, leftovers of a
+    *     crashed attempt) and any stale `_compact_tmp`;
+    *  2. fold the current manifest's files → `path/_compact_tmp/data`
+    *     (underscore prefix: invisible to readers);
+    *  3. rename the folded parts into the store under version-stamped
+    *     names (`compact-v%08d-p%05d.parquet`) — not yet referenced by
+    *     any manifest, so still invisible; a FAILED rename (quota,
+    *     collision, FS quirk — HDFS reports it as `false`, not an
+    *     exception) THROWS with tmp intact, before anything was
+    *     destroyed, and the next call resumes from step 1;
+    *  4. commit the next manifest naming only the folded parts — the
+    *     single commit point for readers and crashes alike.
+    * A crash at any point loses nothing and double-counts nothing: every
+    * pre-commit artifact is unreferenced (swept later), and the old
+    * parts are never touched until a LATER compaction's step 1.
     */
   private[graft] def compactReplace(
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 1)(fold: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, p) = StoreLayout.fsFor(spark, path)
     val tmp = new Path(p, "_compact_tmp")
-    val manifest = new Path(tmp, "manifest")
-    def dataFiles(): Seq[String] =
-      fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-    def finishSwap(): Unit = {
-      val doomed = {
-        val in = fs.open(manifest)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        txt.split('\n').toSeq.filter(_.nonEmpty)
-      }
-      doomed.foreach { name =>
-        val f = new Path(p, name)
-        if (fs.exists(f)) fs.delete(f, false)
-      }
-      val tmpData = new Path(tmp, "data")
-      if (fs.exists(tmpData))
-        fs.listStatus(tmpData).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("part-"))
-          .foreach(f => fs.rename(f, new Path(p, "compact-" + f.getName)))
-      fs.delete(tmp, true)
-    }
-    if (fs.exists(tmp)) {
-      if (fs.exists(manifest)) { finishSwap(); return } // resume + done
-      fs.delete(tmp, true) // uncommitted fold; data files intact
-    }
-    val before = dataFiles()
+    // legacy store: pin the raw listing as manifest v1 first, so every
+    // later step (and every racing reader) works off manifests
+    if (StoreLayout.currentManifest(fs, p).isEmpty)
+      StoreLayout.initManifest(spark, path)
+    val (curVer, before) = StoreLayout.currentManifest(fs, p).get
+    val nextVer = curVer + 1
+    val nextPrefix = f"compact-v$nextVer%08d-"
+    // step 1: sweep unreferenced data files (deferred GC of the parts a
+    // previous compaction replaced + debris of any crashed attempt) and
+    // stale scratch. Files already wearing THIS version's compact-v
+    // prefix are only swept when `_compact_tmp` exists (the marker that
+    // they are a crashed attempt's own debris): a foreign file squatting
+    // on a target name with no attempt in flight is NOT silently
+    // destroyed — the rename below fails loudly instead, and the retry
+    // (tmp now present) sweeps it
+    val attemptInFlight = fs.exists(tmp)
+    (StoreLayout.rawDataFiles(fs, p).toSet -- before.toSet)
+      .filter(n => !n.startsWith(nextPrefix) || attemptInFlight)
+      .foreach(n => fs.delete(new Path(p, n), true))
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".manifest-inprogress-"))
+      .foreach(n => fs.delete(new Path(p, n), false))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
-    fold(spark.read.parquet(path)).coalesce(math.max(1, numFiles))
+    // step 2: fold exactly the manifest's files
+    fold(spark.read.parquet(before.map(n => new Path(p, n).toString): _*))
+      .coalesce(math.max(1, numFiles))
       .write.parquet(new Path(tmp, "data").toString)
-    val out = fs.create(manifest, false)
-    try out.write((before.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    finishSwap()
+    // step 3: move the folded parts in (invisible until the commit)
+    val parts = fs.listStatus(new Path(tmp, "data")).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
+    val newNames = parts.indices.map(i => f"${nextPrefix}p$i%05d.parquet")
+    parts.zip(newNames).foreach { case (src, name) =>
+      val dst = new Path(p, name)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"compactReplace: rename $src -> $dst failed (returned false); " +
+            "nothing was destroyed — the store still serves the current " +
+            "manifest, and the next compaction call sweeps this attempt's " +
+            "debris and retries the swap")
+    }
+    // step 4: COMMIT — one atomic manifest create flips readers over
+    if (!StoreLayout.tryCommitManifest(fs, p, nextVer, newNames))
+      throw new java.io.IOException(
+        s"compactReplace: manifest version $nextVer for $path already " +
+          "exists — a concurrent compactor? Compaction is single-writer.")
+    fs.delete(tmp, true)
+  }
+
+  /** Files the store would serve right now (manifest-pinned when the
+    * store has one) — the observability face of [[StoreLayout]], used
+    * by tests and the read-amplification probe.
+    */
+  private[graft] def servedFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.servingFiles(fs, p)
   }
 
   /** Fold a KMV store's appended part sketches into one part per the

@@ -325,7 +325,20 @@ object Streams {
   // a complete record) and removes the state. Active keys are untouched.
   // Event-time (not processing-time) timeout keeps eviction deterministic
   // and replay-safe: a checkpoint restart re-derives the same evictions
-  // from the same input, and a stalled stream evicts nothing spuriously.
+  // from the same input — including a restart that straddles an ARMED
+  // timeout (the timestamp lives in the state store, the watermark in
+  // the commit log; StreamingRecoverySpec kills a query mid-horizon and
+  // proves the eviction still fires once, at the same horizon) — and a
+  // stalled stream evicts nothing spuriously.
+  //
+  // Production state backend: these faces run on whatever
+  // `spark.sql.streaming.stateStore.providerClass` names. The default
+  // HDFS-backed provider keeps every key's state on the executor HEAP —
+  // at 100 TB key counts set it to
+  // `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  // (ships with Spark) so state lives off-heap/on-disk with incremental
+  // checkpointing; the faces are provider-agnostic and the TTL × restart
+  // contract is tested under BOTH providers (StreamingRecoverySpec).
   // Requires `withWatermark` upstream — these variants apply it from
   // (`tsCol`, `lateness`). In BATCH execution timeouts never fire (Spark
   // runs each group once, watermark-less): the variants emit exactly the
@@ -371,6 +384,10 @@ object Streams {
     import spark.implicits._
     val horizonMs = durationMs(idleHorizon)
     events
+      // a row with no event time has no place on an event-time-evicted
+      // face (and would NPE the typed decode below); the base face never
+      // reads ts and keeps such rows — the one documented divergence
+      .filter(F.col("ts").isNotNull)
       // the WATERMARKED ts attribute itself must reach the stateful
       // operator (its event-time metadata tag is what the EventTime-
       // Timeout check looks for; a derived unix_millis(ts) column loses
@@ -415,6 +432,8 @@ object Streams {
     import spark.implicits._
     val horizonMs = durationMs(idleHorizon)
     events
+      // null event times are dropped (see runningUserTotalsTtl)
+      .filter(F.col("ts").isNotNull)
       // keep the watermarked ts attribute (see runningUserTotalsTtl)
       .withWatermark("ts", lateness)
       .selectExpr("user_id", "event_id", "value", "ts")
@@ -526,6 +545,10 @@ object Streams {
     val keyType = events.schema(keyCol).dataType
     val horizonMs = durationMs(idleHorizon)
     events
+      // a null event time would crash the primitive-Long decode below
+      // ('null value in non-nullable field'); such a row has no place on
+      // an event-time-evicted face — dropped, like null values
+      .filter(F.col(tsCol).isNotNull)
       .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("string"),
         F.unix_millis(F.col(tsCol)))
       .as[(String, String, Long)]
@@ -670,6 +693,8 @@ object Streams {
     val keyType = events.schema(keyCol).dataType
     val horizonMs = durationMs(idleHorizon)
     events
+      // null event times are dropped (see runningApproxDistinctTtl)
+      .filter(F.col(tsCol).isNotNull)
       .select(F.col(keyCol).cast("string"), F.col(valueCol).cast("long"),
         F.unix_millis(F.col(tsCol)))
       .as[(String, java.lang.Long, Long)]

@@ -22,7 +22,17 @@ import org.apache.spark.sql.SparkSession
   * unique-role id), texts from a per-id rng, so generation is
   * embarrassingly parallel — no shuffle, no cross-row state, identical
   * output at any partitioning or cluster size. Usage:
-  *   SynthDocs <outDir> <nDocs> <nVecs> [seed]
+  *   SynthDocs <outDir> <nDocs> <nVecs> [seed] [uniform|zipf]
+  *
+  * `zipf` mode (round-13 verdict "next round #6") replaces the benign
+  * uniform 20-source mix with a Zipf(s = 1.2) draw over 1000 sources —
+  * the hot-domain / hot-user key distribution real crawls have (the
+  * head source carries ~18% of all docs, the top 10 ~45%) — so the
+  * skew decade in SCALING.md can measure the per-domain operators
+  * (domain caps, dup profiles, heavy hitters, salted joins) under the
+  * 100 TB failure mode the uniform corpora cannot produce. Everything
+  * else (vocabulary, dup rates, langs, embeddings) is unchanged, so a
+  * zipf corpus differs from its uniform sibling ONLY in key heat.
   */
 object SynthDocs {
 
@@ -34,6 +44,31 @@ object SynthDocs {
     "vector", "window")
   private val Langs = Array("en", "zh", "fr", "es", "de")
   private val LangCum = Array(0.41, 0.56, 0.71, 0.86, 1.0)
+
+  /** Zipf(s) cumulative distribution over `n` ranked sources — a pure
+    * function of (n, s), computed once per executor and closed over by
+    * the row generator, so rows stay pure in (seed, id).
+    */
+  private lazy val ZipfCum: Array[Double] = {
+    val n = 1000
+    val s = 1.2
+    val w = Array.tabulate(n)(i => 1.0 / math.pow(i + 1.0, s))
+    val tot = w.sum
+    val cum = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(i) / tot; cum(i) = acc; i += 1 }
+    cum(n - 1) = 1.0
+    cum
+  }
+
+  private def zipfSource(u: Double): String = {
+    val idx = java.util.Arrays.binarySearch(ZipfCum, u) match {
+      case found if found >= 0 => found
+      case ins => -(ins + 1)
+    }
+    s"src${math.min(idx, ZipfCum.length - 1)}"
+  }
 
   private def rngFor(seed: Long, id: Long): scala.util.Random =
     new scala.util.Random(seed * 0x9E3779B97F4A7C15L + id * 0xC2B2AE3D27D4EB4FL)
@@ -52,8 +87,8 @@ object SynthDocs {
     Array.fill(10 + rng.nextInt(91))(Vocab(rng.nextInt(Vocab.length)))
   }
 
-  /** (text, lang, source) for doc `id` — pure in (seed, id). */
-  def doc(seed: Long, id: Long): (String, String, String) = {
+  /** (text, lang, source) for doc `id` — pure in (seed, id, zipf). */
+  def doc(seed: Long, id: Long, zipf: Boolean = false): (String, String, String) = {
     val rng = rngFor(seed, ~id) // distinct stream from uniqueWords(id)
     val slot = id % 1000L
     val words =
@@ -62,7 +97,10 @@ object SynthDocs {
         // duplicate an earlier unique-role doc: uniform over the ~95.5%
         // unique ids below this one
         val nUnique = (id / 1000L) * UniquePerK
-        val base = uniqueWords(seed, uniqueId(math.abs(rng.nextLong()) % nUnique))
+        // floorMod: abs(Long.MinValue) is still negative, which would
+        // make this id negative — not a copy of ANY earlier doc
+        val base = uniqueWords(seed,
+          uniqueId(java.lang.Math.floorMod(rng.nextLong(), nUnique)))
         if (slot == 999L) base // exact duplicate
         // near duplicate: ~3% word substitutions — at ~55 words that is
         // 1-2 changed words, i.e. shingle-Jaccard straddling the 0.8
@@ -73,7 +111,9 @@ object SynthDocs {
       }
     val lr = rng.nextDouble()
     val lang = Langs(LangCum.indexWhere(lr <= _))
-    (words.mkString(" "), lang, s"src${rng.nextInt(20)}")
+    val source =
+      if (zipf) zipfSource(rng.nextDouble()) else s"src${rng.nextInt(20)}"
+    (words.mkString(" "), lang, source)
   }
 
   /** Unit-norm 64-dim embedding for vec `id` in one of 10 clusters —
@@ -90,11 +130,11 @@ object SynthDocs {
   }
 
   def generate(spark: SparkSession, outDir: String, nDocs: Long,
-      nVecs: Long, seed: Long = 42L): Unit = {
+      nVecs: Long, seed: Long = 42L, zipf: Boolean = false): Unit = {
     import spark.implicits._
     spark.range(nDocs)
       .map { id =>
-        val (text, lang, source) = doc(seed, id)
+        val (text, lang, source) = doc(seed, id, zipf)
         (id, text, lang, source, text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -113,6 +153,7 @@ object SynthDocs {
     val nDocs = args(1).toLong
     val nVecs = args(2).toLong
     val seed = if (args.length > 3) args(3).toLong else 42L
+    val zipf = args.length > 4 && args(4) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -121,8 +162,9 @@ object SynthDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, nDocs, nVecs, seed)
-    println(s"[synthdocs] wrote $nDocs docs + $nVecs vecs to $outDir (seed $seed)")
+    generate(spark, outDir, nDocs, nVecs, seed, zipf)
+    println(s"[synthdocs] wrote $nDocs docs + $nVecs vecs to $outDir " +
+      s"(seed $seed, sources ${if (zipf) "zipf" else "uniform"})")
     spark.stop()
   }
 }

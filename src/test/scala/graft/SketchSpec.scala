@@ -206,11 +206,16 @@ class SketchSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  // files a store reader would scan (non-underscore, non-hidden)
-  private def storeDataFiles(dir: String): Seq[String] =
+  // files physically in the store dir (non-underscore, non-hidden) —
+  // with deferred GC this can exceed what the store SERVES
+  private def rawStoreFiles(dir: String): Seq[String] =
     new java.io.File(dir).listFiles().toSeq.map(_.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
         !n.endsWith(".crc"))
+
+  // files a store reader actually scans (manifest-pinned)
+  private def storeDataFiles(dir: String): Seq[String] =
+    Sketches.servedFiles(spark, dir)
 
   test("store compaction: every store serves identically from one folded " +
     "part; params survive; appends keep working") {
@@ -289,47 +294,128 @@ class SketchSpec extends AnyFunSuite with Matchers {
     serveHist() shouldBe gBefore
   }
 
-  test("store compaction is crash-safe: a committed-but-interrupted swap " +
-    "resumes; an uncommitted fold attempt is discarded") {
+  test("store compaction is crash-safe and rename-checked: a crashed " +
+    "attempt's debris is swept and retried; a failed rename throws " +
+    "BEFORE anything is destroyed and the retry succeeds") {
+    import graft.operators.StoreLayout
     val o = Tables.orders(spark, sf)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-compact-crash").toString + "/store"
     Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 2 === 0),
       Seq("o_orderstatus"), "o_custkey", 16, dir)
     Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 2 === 1), dir)
-    val before = Sketches.kmvDistinctFromStore(spark, dir)
+    def serve() = Sketches.kmvDistinctFromStore(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val before = serve()
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    def nextVer = StoreLayout.currentManifest(fs, p).get._1 + 1
 
-    // simulate a crash AFTER the commit point (folded data + manifest
-    // written) but BEFORE the swap: the next compaction must finish the
-    // swap, not re-fold, and serve identically
-    Sketches.kmvMergeSketches(spark.read.parquet(dir),
-        Seq("o_orderstatus"), 16)
-      .coalesce(1).write.parquet(s"$dir/_compact_tmp/data")
-    val names = storeDataFiles(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compact_tmp", "manifest"),
-      (names.mkString("\n") + "\n").getBytes("UTF-8"))
-    Sketches.compactKmvStore(spark, dir)
-    storeDataFiles(dir).size shouldBe 1
-    Sketches.kmvDistinctFromStore(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1))
-      .toMap shouldBe before
-
-    // simulate a crash BEFORE the commit point (tmp exists, no
-    // manifest): data files are intact; compaction discards the stale
-    // attempt and compacts fresh
+    // crash BEFORE the commit point: tmp junk + an already-renamed-in
+    // part of the crashed attempt (never referenced by any manifest).
+    // The next compaction sweeps both and compacts fresh.
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(dir, "_compact_tmp", "data"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_compact_tmp", "data", "junk"),
       "partial".getBytes("UTF-8"))
+    val debris = f"compact-v$nextVer%08d-p99999.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, debris),
+      "not parquet".getBytes("UTF-8"))
+    serve() shouldBe before // debris invisible to manifest-pinned reads
     Sketches.compactKmvStore(spark, dir)
     storeDataFiles(dir).size shouldBe 1
     new java.io.File(s"$dir/_compact_tmp").exists() shouldBe false
+    new java.io.File(s"$dir/$debris").exists() shouldBe false
+    serve() shouldBe before
+
+    // fault injection (round-13 verdict #1): a file squatting on the
+    // rename target (an HDFS-style rename reports failure as FALSE, not
+    // an exception) must THROW with nothing destroyed — the store still
+    // serves the current manifest — and the RETRY (which may sweep the
+    // squatter as attempt debris, tmp now being present) must succeed
+    val blocker = f"compact-v$nextVer%08d-p00000.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, blocker),
+      "squatter".getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      Sketches.compactKmvStore(spark, dir)
+    }
+    e.getMessage should include("rename")
+    serve() shouldBe before // nothing destroyed, old manifest intact
+    new java.io.File(s"$dir/_compact_tmp").exists() shouldBe true
+    Sketches.compactKmvStore(spark, dir) // resumes: sweeps + re-folds
+    storeDataFiles(dir).size shouldBe 1
+    serve() shouldBe before
+
+    // deferred GC: the parts each compaction replaced stay on disk
+    // (reader isolation across ONE swap) until the NEXT compaction
+    rawStoreFiles(dir).size should be > 1
+    Sketches.compactKmvStore(spark, dir)
+    serve() shouldBe before
+  }
+
+  test("store compaction is reader-isolated: serves racing compaction " +
+    "swaps always see a complete store (manifest-pinned snapshot)") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-race").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    // k-min re-appends are idempotent: the expected answer is CONSTANT
+    // while appends + compactions churn the file layout underneath
+    val reBatch = o.filter(F.col("o_orderkey") % 2 === 1)
+    Sketches.appendToKmvStore(reBatch, dir)
+    val expected = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = Sketches.kmvDistinctFromStore(spark, dir)
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          if (got != expected)
+            failures.add(s"stale/torn serve: $got")
+        } catch {
+          case t: Throwable => failures.add(s"serve threw: ${t.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { _ =>
+        Sketches.appendToKmvStore(reBatch, dir)
+        Sketches.compactKmvStore(spark, dir)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    import scala.jdk.CollectionConverters._
+    failures.asScala.toSeq shouldBe Seq.empty
     Sketches.kmvDistinctFromStore(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(1))
-      .toMap shouldBe before
+      .toMap shouldBe expected
+  }
+
+  test("auto-compaction: appendTo*Store(autoCompactParts = N) folds the " +
+    "store once it serves more than N parts; answers unchanged") {
+    val ev = events
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-autocompact").toString + "/store"
+    Sketches.buildHllStore(ev.filter(F.col("event_id") % 8 === 0),
+      Seq("event_type"), "user_id", dir)
+    (1L to 7L).foreach { i =>
+      Sketches.appendToHllStore(ev.filter(F.col("event_id") % 8 === i),
+        dir, autoCompactParts = 3)
+      // the valve holds the SERVED part count at ≤ threshold + 1
+      // (compaction folds to 1 right after the threshold is crossed)
+      storeDataFiles(dir).size should be <= 4
+    }
+    Sketches.hllDistinctFromStore(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
   test("band index compaction: file-count rewrite, probes identical, " +
@@ -590,6 +676,21 @@ class SketchSpec extends AnyFunSuite with Matchers {
         Sketches.cmsSketch(toks, "tok", 4, 32), cands, 4, 32)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     fromGrid shouldBe fromRows
+    // build/probe flavor agreement is now enforced by the shared flavor
+    // STRING (round-13 ADVICE): an xx64-built grid probed at xx64
+    // equals the xx64 row probe, and an unknown flavor refuses
+    val gridXx = toks.agg(
+      Sketches.cmsGridAggColumn(F.col("tok"), 4, 32, "xx64-32-v1").as("__g"))
+    Sketches.cmsEstimateFromGrid(gridXx, "__g", cands, 4, 32, "xx64-32-v1")
+        .select("token", "est_n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+      Sketches.cmsEstimate(
+          Sketches.cmsSketchComposed(toks, "tok", 4, 32, Sketches.xx64Hash32),
+          cands, 4, 32, Sketches.xx64Hash32)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimateFromGrid(gridXx, "__g", cands, 4, 32, "nope-v9")
+    }
   }
 
   // ---- HyperLogLog -------------------------------------------------------

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.{Row, functions => F}
 import org.apache.spark.sql.streaming.StreamingQueryException
 
 import graft.streaming.Streams
@@ -279,5 +279,162 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     out.distinct.size shouldBe out.size // overwrite ate the replay
     out.sorted shouldBe Seq(1L, 2L, 3L) // and nothing was lost
+  }
+
+  // ---- TTL × restart (round-13 verdict "next round #2") --------------------
+  //
+  // StreamingTtlSpec proves eviction; the tests above prove recovery;
+  // these prove their INTERACTION: a kill that lands while a key's
+  // idle-timeout is ARMED but not yet fired. The timeout timestamp
+  // lives in the state store and the watermark in the commit log, so
+  // the restarted query must re-derive the SAME eviction at the SAME
+  // event-time horizon (t_lastEvent + idleHorizon), flush exactly once,
+  // with post-restart estimates equal to the batch face — the spot
+  // where deterministic-eviction claims go to die if timeout state were
+  // rebuilt empty or re-armed off the restart clock.
+
+  /** The shared script: phase 1 (query run 1) arms key 1's eviction at
+    * t2 + 30m = t32 and is KILLED before any watermark reaches it;
+    * phase 2 (run 2, restarted from the checkpoint) advances the
+    * watermark past t32 with key-2 traffic only, so the pending
+    * eviction can only fire from RECOVERED timeout state; phase 3
+    * (same run) returns key 1, which must start fresh.
+    */
+  private def ttlRestartRows(face: DataFrame => DataFrame, mode: String,
+      tag: String): Seq[(Int, Long, Row)] = {
+    import spark.implicits._
+    val inDir = tmp(s"graft-ttlrec-$tag-in")
+    val ck = tmp(s"graft-ttlrec-$tag-ck")
+    def eventSchema = Seq((1L, 1.0, "2024-01-01 10:00:00"))
+      .toDF("user_id", "value", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+    def writeEvents(n: Int, rows: Seq[(Long, Double, String)]): Unit = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-ttlrec-$tag-scratch$n").toString
+      rows.toDF("user_id", "value", "ts_s")
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+    }
+    val cap =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Row)]
+    def start(run: Int) = {
+      val s = Streams.readEventStream(spark, inDir, eventSchema)
+      face(s).writeStream.option("checkpointLocation", ck)
+        .outputMode(mode)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.collect().foreach(r => cap.add((run, id, r))); ()
+        }
+        .start()
+    }
+    // phase 1: key 1 sees {10,20,30} up to t2 (timeout arms at t32);
+    // key 2 sees 10 @ t0. Watermark after this run ≈ t2 - 10m — far
+    // below the horizon. Then KILL.
+    writeEvents(1, Seq((1L, 10.0, "2024-01-01 10:00:00"),
+      (1L, 20.0, "2024-01-01 10:01:00"), (1L, 30.0, "2024-01-01 10:02:00"),
+      (2L, 10.0, "2024-01-01 10:00:30")))
+    val q1 = start(1)
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2 (after the kill): key 2 @ t50 pushes the watermark to
+    // t40 > t32 — the recovered timeout must fire now; phase 3: key 1
+    // returns @ t55 and must be FRESH
+    writeEvents(2, Seq((2L, 20.0, "2024-01-01 10:50:00")))
+    val q2 = start(2)
+    try {
+      q2.processAllAvailable()
+      writeEvents(3, Seq((1L, 10.0, "2024-01-01 10:55:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    cap.asScala.toSeq
+  }
+
+  /** Asserts the distinct-face contract over [[ttlRestartRows]] output
+    * (columns: user_id, est_distinct, is_final) — shared by the default
+    * and RocksDB provider runs.
+    */
+  private def assertTtlDistinctRestart(tag: String): Unit = {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val rows = ttlRestartRows(
+      Streams.runningApproxDistinctTtl(_, "user_id", "value", "ts",
+        lateness = "10 minutes", idleHorizon = "30 minutes"),
+      mode = "update", tag = tag)
+    def est(vs: Double*) = Sketches.hllDistinct(
+        vs.toDF("value").withColumn("k", F.lit(1)), Seq("k"), "value")
+      .collect().head.getDouble(1)
+    // run 1 fired nothing: the kill landed with the timeout ARMED
+    rows.filter(_._1 == 1).foreach(t => t._3.getBoolean(2) shouldBe false)
+    // the pending eviction fired AFTER the restart, exactly once, with
+    // the PRE-KILL registers (est over {10,20,30} — a rebuilt-empty
+    // state or a re-armed horizon would emit nothing or a wrong est)
+    val finals = rows.filter(_._3.getBoolean(2))
+    finals.map(t => (t._1, t._3.getLong(0))) shouldBe Seq((2, 1L))
+    finals.head._3.getDouble(1) shouldBe est(10.0, 20.0, 30.0)
+    // key 1's return (phase 3, strictly after the flush batch) is FRESH
+    val k1Live = rows.filter(t =>
+      t._1 == 2 && t._3.getLong(0) == 1L && !t._3.getBoolean(2))
+    k1Live should have size 1
+    k1Live.head._2 should be > finals.head._2
+    k1Live.head._3.getDouble(1) shouldBe est(10.0)
+    // key 2 never evicted; post-restart estimate == batch face over ALL
+    // of its input ({10 @ t0} before the kill + {20 @ t50} after)
+    val k2 = rows.filter(t => t._3.getLong(0) == 2L)
+    k2.foreach(t => t._3.getBoolean(2) shouldBe false)
+    k2.filter(_._1 == 2).last._3.getDouble(1) shouldBe est(10.0, 20.0)
+  }
+
+  test("TTL × restart: an ARMED idle-timeout survives a kill — the " +
+    "restarted query fires the same event-time eviction from recovered " +
+    "state, flushes exactly once, estimates match the batch face") {
+    assertTtlDistinctRestart("dflt")
+  }
+
+  test("TTL × restart for runningQuantilesTtl: recovered bucket maps " +
+    "flush once at the recovered horizon; the returned key is fresh") {
+    import graft.operators.Sketches
+    val rows = ttlRestartRows(
+      Streams.runningQuantilesTtl(_, "user_id", "value", "ts",
+        qs = Seq(0.5, 1.0), lateness = "10 minutes",
+        idleHorizon = "30 minutes"),
+      mode = "append", tag = "qtl")
+    // columns: user_id, q, est_value, n_total, is_final
+    rows.filter(_._1 == 1).foreach(t => t._3.getBoolean(4) shouldBe false)
+    val finals = rows.filter(_._3.getBoolean(4))
+    // exactly one flush per quantile, in run 2, totals = the 3 pre-kill
+    // values, bucket values equal the batch face over {10,20,30}
+    finals.map(t => (t._1, t._3.getLong(0), t._3.getLong(3))) shouldBe
+      Seq((2, 1L, 3L), (2, 1L, 3L))
+    val batchQ = {
+      import spark.implicits._
+      Sketches.logHistQuantiles(
+          Seq(10L, 20L, 30L).toDF("value").withColumn("k", F.lit(1)),
+          Seq("k"), "value", Seq(0.5, 1.0))
+        .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    }
+    finals.map(t => t._3.getDouble(1) -> t._3.getLong(2)).toMap shouldBe
+      batchQ
+    // the returned key is fresh: n_total restarts at 1
+    val k1Live = rows.filter(t => t._1 == 2 && t._3.getLong(0) == 1L &&
+      !t._3.getBoolean(4))
+    k1Live.map(_._3.getLong(3)).distinct shouldBe Seq(1L)
+    k1Live.foreach(t => t._2 should be > finals.head._2)
+  }
+
+  test("TTL × restart under the RocksDB state store provider — the " +
+    "production state backend for 100 TB key counts (config: " +
+    "spark.sql.streaming.stateStore.providerClass)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try assertTtlDistinctRestart("rocks")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -214,6 +214,18 @@ class StreamingTtlSpec extends AnyFunSuite with Matchers {
     val aTtl = Streams.highValueAlertsTtl(aBatch, threshold = 15.0)
     canon(aTtl, 4) shouldBe
       canon(Streams.highValueAlerts(aBatch, threshold = 15.0), 4)
+
+    // a null event time must not crash the TTL decode (the primitive
+    // unix_millis(ts) path) — the row is dropped: it has no place on an
+    // event-time clock. (The base faces never read ts and keep it.)
+    val withNull = batch.union(
+      Seq((7L, 1.0, null: java.sql.Timestamp)).toDF("user_id", "value", "ts"))
+    Streams.runningApproxDistinctTtl(withNull, "user_id", "value", "ts")
+      .filter(F.col("user_id") === 7L).count() shouldBe 0
+    Streams.runningQuantilesTtl(withNull, "user_id", "value", "ts", Seq(0.5))
+      .filter(F.col("user_id") === 7L).count() shouldBe 0
+    Streams.runningUserTotalsTtl(withNull)
+      .filter(F.col("user_id") === 7L).count() shouldBe 0
   }
 }
 
