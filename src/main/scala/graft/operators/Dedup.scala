@@ -751,11 +751,11 @@ object Dedup {
     val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
     val (sh, banded) = shingleBandTables(newBatch, idCol, textCol, shingleN,
       numHashes, bands, seed)
-    StoreLayout.appendRecorded(spark, path) {
-      sh.write.mode("append").parquet(path)
+    StoreLayout.appendRecorded(spark, path) { scratch =>
+      sh.write.parquet(scratch)
     }
-    StoreLayout.appendRecorded(spark, s"$path/_bands") {
-      banded.write.mode("append").parquet(s"$path/_bands")
+    StoreLayout.appendRecorded(spark, s"$path/_bands") { scratch =>
+      banded.write.parquet(scratch)
     }
     // parts-threshold valve (see Sketches.appendToKmvStore): both
     // tables grow one part set per append, so one check covers both

@@ -366,9 +366,9 @@ object Sketches {
       autoCompactParts: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (k, flavor, groupCols, valueCol) = readKmvParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) {
+    StoreLayout.appendRecorded(spark, path) { scratch =>
       kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
-        .write.mode("append").parquet(path)
+        .write.parquet(scratch)
     }
     if (autoCompactParts > 0 &&
       servedFiles(spark, path).size > autoCompactParts)
@@ -619,9 +619,9 @@ object Sketches {
       autoCompactParts: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (depth, width, flavor, tokenCol) = readCmsParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) {
+    StoreLayout.appendRecorded(spark, path) { scratch =>
       cmsSketch(batch, tokenCol, depth, width, flavor)
-        .write.mode("append").parquet(path)
+        .write.parquet(scratch)
     }
     if (autoCompactParts > 0 &&
       servedFiles(spark, path).size > autoCompactParts)
@@ -1021,9 +1021,9 @@ object Sketches {
       autoCompactParts: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (flavor, groupCols, valueCol) = readHllParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) {
+    StoreLayout.appendRecorded(spark, path) { scratch =>
       hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
-        .write.mode("append").parquet(path)
+        .write.parquet(scratch)
     }
     if (autoCompactParts > 0 &&
       servedFiles(spark, path).size > autoCompactParts)
@@ -1211,9 +1211,9 @@ object Sketches {
       autoCompactParts: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (subBits, groupCols, valueCol) = readHistParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) {
+    StoreLayout.appendRecorded(spark, path) { scratch =>
       log2Histogram(batch, groupCols, valueCol, subBits)
-        .write.mode("append").parquet(path)
+        .write.parquet(scratch)
     }
     if (autoCompactParts > 0 &&
       servedFiles(spark, path).size > autoCompactParts)
@@ -1307,6 +1307,9 @@ object Sketches {
     fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(".manifest-inprogress-"))
       .foreach(n => fs.delete(new Path(p, n), false))
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_append_tmp-")) // crashed appends' scratch
+      .foreach(n => fs.delete(new Path(p, n), true))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files

@@ -116,36 +116,55 @@ private[graft] object StoreLayout {
     else { fs.delete(staged, false); false }
   }
 
-  /** Run an append-mode `write` into `path` and, if the store is
-    * manifested, extend the manifest with the files the write added
-    * (before/after listing diff — exact for this writer's own files;
-    * retried commit under racing appends). A legacy (manifest-less)
-    * store is left legacy: the raw listing already serves the new files.
-    * A crash between the data write and the manifest commit leaves the
-    * new parts unreferenced — never served, swept by the next
-    * compaction — so the caller's retry story is simply "re-append on
-    * failure", with no double-count.
+  /** Append a batch's parts to `path`: `write` lands them in a PRIVATE
+    * underscore-hidden scratch directory (so concurrent appends never
+    * share a Hadoop committer `_temporary` — same-directory concurrent
+    * `mode("append")` writes clobber each other's staging under
+    * committer v1, which is exactly what a test of the naive form
+    * caught), then the parts are renamed into the store under
+    * append-unique names (boolean checked — a failed rename throws with
+    * the scratch intact) and, if the store is manifested, the manifest
+    * is extended with exactly those names (create-exclusive commit,
+    * retried under racing appends — each committed version is a
+    * superset of its writer's files). Legacy stores serve the renamed
+    * parts from the raw listing as before.
+    *
+    * Crash windows: before the renames — only hidden scratch remains
+    * (never served; swept by the next compaction); between rename and
+    * manifest commit on a MANIFESTED store — the parts are unreferenced
+    * (never served, swept later), so the caller's retry cannot
+    * double-count. On a legacy store the rename itself is the (per-file)
+    * commit, as it always was for a raw append.
     */
   def appendRecorded(spark: SparkSession, path: String)(
-      write: => Unit): Unit = {
+      write: String => Unit): Unit = {
     val (fs, p) = fsFor(spark, path)
-    val manifested = fs.exists(p) && currentManifest(fs, p).isDefined
-    val before = if (manifested) rawDataFiles(fs, p).toSet else Set.empty[String]
-    write
-    if (manifested) {
-      val added = (rawDataFiles(fs, p).toSet -- before).toSeq.sorted
-      if (added.nonEmpty) {
-        var committed = false
-        var attempts = 0
-        while (!committed) {
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"appendRecorded: could not commit a manifest for $path " +
-                "after 50 attempts (manifest versions kept advancing)")
-          val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
-          committed = tryCommitManifest(fs, p, ver + 1, cur ++ added)
-        }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = new Path(p, s"_append_tmp-$nonce")
+    write(scratch.toString)
+    val parts = fs.listStatus(scratch).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
+    val names = parts.indices.map(i => f"append-$nonce-p$i%05d.parquet")
+    parts.zip(names).foreach { case (src, name) =>
+      val dst = new Path(p, name)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"appendRecorded: rename $src -> $dst failed (returned false); " +
+            "the batch is intact in the scratch dir and nothing is " +
+            "served — re-append to retry")
+    }
+    fs.delete(scratch, true)
+    if (currentManifest(fs, p).isDefined && names.nonEmpty) {
+      var committed = false
+      var attempts = 0
+      while (!committed) {
+        attempts += 1
+        if (attempts > 50)
+          throw new java.io.IOException(
+            s"appendRecorded: could not commit a manifest for $path " +
+              "after 50 attempts (manifest versions kept advancing)")
+        val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
+        committed = tryCommitManifest(fs, p, ver + 1, cur ++ names)
       }
     }
   }

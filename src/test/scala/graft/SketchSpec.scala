@@ -398,6 +398,69 @@ class SketchSpec extends AnyFunSuite with Matchers {
       .toMap shouldBe expected
   }
 
+  test("a crashed append (parts on disk, manifest never committed) is " +
+    "never served and never double-counted: the orphan is swept and the " +
+    "retry counts ONCE") {
+    import graft.operators.StoreLayout
+    val toks = Tables.documents(spark, sf)
+      .select(F.col("doc_id"),
+        F.explode(graft.operators.TextAnalysis.tokens(F.col("text")))
+          .as("tok"))
+    val b = (0L to 2L).map(i =>
+      toks.filter(F.pmod(F.col("doc_id"), F.lit(3L)) === i).select("tok"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crashappend").toString + "/store"
+    Sketches.buildCmsStore(b(0), "tok", 4, 256, dir)
+    Sketches.appendToCmsStore(b(1), dir)
+    val cands = Seq("join", "data", "neverseen")
+    def serve() = Sketches.cmsEstimateFromStore(spark, dir, cands)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e01 = serve()
+    // simulate the crash window of StoreLayout.appendRecorded: batch 2's
+    // parts land (the data write committed) but the manifest commit never
+    // ran — the raw write below is exactly appendRecorded's inner write
+    Sketches.cmsSketch(b(2), "tok", 4, 256).write.mode("append").parquet(dir)
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    StoreLayout.rawDataFiles(fs, p).size should be >
+      StoreLayout.servingFiles(fs, p).size
+    serve() shouldBe e01 // the orphaned batch is invisible — CMS is
+    // linear, so serving it would inflate every estimate
+    // the next compaction sweeps the orphan (it is unreferenced debris)
+    Sketches.compactCmsStore(spark, dir)
+    serve() shouldBe e01
+    // the caller's retry appends batch 2 for real — counted exactly once
+    Sketches.appendToCmsStore(b(2), dir)
+    serve() shouldBe Sketches.cmsEstimate(
+        Sketches.cmsSketch(toks.select("tok"), "tok", 4, 256), cands, 4, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("concurrent appends to a manifested store: optimistic manifest " +
+    "retry loses no batch") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-concappend").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 5 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1L to 4L).map { i =>
+      new Thread(() =>
+        try Sketches.appendToKmvStore(
+          o.filter(F.col("o_orderkey") % 5 === i), dir)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    errs.asScala.toSeq shouldBe Seq.empty
+    // every batch's parts made a manifest: the fold over the union is
+    // exact, so the served estimates equal the direct whole-table sketch
+    Sketches.kmvDistinctFromStore(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey", 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
   test("auto-compaction: appendTo*Store(autoCompactParts = N) folds the " +
     "store once it serves more than N parts; answers unchanged") {
     val ev = events
