@@ -1260,11 +1260,17 @@ object Sketches {
     * manifest by its first compaction.
     *
     * Crash safety on a plain filesystem, single concurrent COMPACTOR
-    * assumed (concurrent appends are fine — their manifest commits
-    * retry):
-    *  1. sweep debris: files unreferenced by the current manifest
-    *     (replaced parts from the previous compaction, leftovers of a
-    *     crashed attempt) and any stale `_compact_tmp`;
+    * assumed — concurrent APPENDS are fully safe: they write through
+    * their own scratch dirs (no shared committer staging), their
+    * manifest commits retry on version collisions, the compactor's
+    * commit CARRIES FORWARD any batch appended while the fold ran, and
+    * its GC gives unreferenced files one full cycle of suspect grace
+    * before sweeping (an in-flight append's just-renamed parts are
+    * indistinguishable from a crashed one's without a clock):
+    *  1. GC (three evidence classes — see the step-1 comment in the
+    *     body): superseded parts now, this attempt's own crash debris
+    *     when `_compact_tmp` marks one, unreferenced-by-any-manifest
+    *     files only after one cycle in `_gc_suspects`;
     *  2. fold the current manifest's files → `path/_compact_tmp/data`
     *     (underscore prefix: invisible to readers);
     *  3. rename the folded parts into the store under version-stamped
@@ -1273,8 +1279,10 @@ object Sketches {
     *     collision, FS quirk — HDFS reports it as `false`, not an
     *     exception) THROWS with tmp intact, before anything was
     *     destroyed, and the next call resumes from step 1;
-    *  4. commit the next manifest naming only the folded parts — the
-    *     single commit point for readers and crashes alike.
+    *  4. commit the next manifest naming the folded parts PLUS any
+    *     batches appended since the fold began — the single commit
+    *     point for readers and crashes alike (retried past racing
+    *     appends' commits).
     * A crash at any point loses nothing and double-counts nothing: every
     * pre-commit artifact is unreferenced (swept later), and the old
     * parts are never touched until a LATER compaction's step 1.
@@ -1292,24 +1300,52 @@ object Sketches {
     val (curVer, before) = StoreLayout.currentManifest(fs, p).get
     val nextVer = curVer + 1
     val nextPrefix = f"compact-v$nextVer%08d-"
-    // step 1: sweep unreferenced data files (deferred GC of the parts a
-    // previous compaction replaced + debris of any crashed attempt) and
-    // stale scratch. Files already wearing THIS version's compact-v
-    // prefix are only swept when `_compact_tmp` exists (the marker that
-    // they are a crashed attempt's own debris): a foreign file squatting
-    // on a target name with no attempt in flight is NOT silently
-    // destroyed — the rename below fails loudly instead, and the retry
-    // (tmp now present) sweeps it
+    // step 1: garbage collection. Three evidence classes, because a
+    // file on disk that the CURRENT manifest doesn't name is not
+    // necessarily garbage — it may be an IN-FLIGHT append's just-renamed
+    // parts, indistinguishable from a crashed append's without a clock:
+    //  (a) SUPERSEDED — referenced by some older manifest but not the
+    //      current one (a part an earlier compaction replaced): definite
+    //      garbage, swept now. This is the deferred GC that gives
+    //      readers one full cycle of snapshot isolation.
+    //  (b) THIS attempt's own debris — files wearing this version's
+    //      compact-v prefix, swept only when `_compact_tmp` exists (the
+    //      marker of a crashed/failed attempt). A foreign file squatting
+    //      on a target name with no attempt in flight is NOT silently
+    //      destroyed: the rename below fails loudly and the retry (tmp
+    //      now present) sweeps it.
+    //  (c) UNREFERENCED-BY-ANY-MANIFEST — crashed append leftovers OR a
+    //      live append that has renamed its parts in but not yet
+    //      committed its manifest. These get ONE compaction cycle of
+    //      grace: recorded in `_gc_suspects` now, swept at the NEXT
+    //      compaction only if still unreferenced then (a live append's
+    //      parts enter a manifest within moments; a crashed one's never
+    //      do). The same grace covers `_append_tmp-*` scratch dirs,
+    //      which a live append deletes itself.
     val attemptInFlight = fs.exists(tmp)
-    (StoreLayout.rawDataFiles(fs, p).toSet -- before.toSet)
-      .filter(n => !n.startsWith(nextPrefix) || attemptInFlight)
+    val curSet = before.toSet
+    val everRef = StoreLayout.referencedEver(fs, p)
+    val raw = StoreLayout.rawDataFiles(fs, p)
+    raw.filter(n => everRef(n) && !curSet(n))             // (a)
+      .foreach(n => fs.delete(new Path(p, n), true))
+    if (attemptInFlight)                                   // (b)
+      raw.filter(_.startsWith(nextPrefix))
+        .foreach(n => fs.delete(new Path(p, n), true))
+    val prevSuspects = StoreLayout.readSuspects(fs, p)
+    val unref = raw.filterNot(n => everRef(n) ||
+      (attemptInFlight && n.startsWith(nextPrefix)))
+    unref.filter(prevSuspects).foreach(n =>               // (c) stale
+      fs.delete(new Path(p, n), true))
+    val scratchDirs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_append_tmp-"))
+    scratchDirs.filter(prevSuspects)
       .foreach(n => fs.delete(new Path(p, n), true))
     fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(".manifest-inprogress-"))
       .foreach(n => fs.delete(new Path(p, n), false))
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_append_tmp-")) // crashed appends' scratch
-      .foreach(n => fs.delete(new Path(p, n), true))
+    StoreLayout.writeSuspects(fs, p,
+      unref.filterNot(prevSuspects) ++
+        scratchDirs.filterNot(prevSuspects))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files
@@ -1329,12 +1365,30 @@ object Sketches {
             "manifest, and the next compaction call sweeps this attempt's " +
             "debris and retries the swap")
     }
-    // step 4: COMMIT — one atomic manifest create flips readers over
-    if (!StoreLayout.tryCommitManifest(fs, p, nextVer, newNames))
-      throw new java.io.IOException(
-        s"compactReplace: manifest version $nextVer for $path already " +
-          "exists — a concurrent compactor? Compaction is single-writer.")
+    // step 4: COMMIT — one atomic manifest create flips readers over.
+    // CARRY-FORWARD MERGE: files the current manifest names that were
+    // NOT part of the fold input are batches appended while the fold
+    // ran — they ride into the new manifest untouched, so a racing
+    // append can never be un-published by the compaction's commit. A
+    // version collision means an append just committed: re-read and
+    // retry (single-COMPACTOR is still assumed; appends are free).
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      if (attempts > 50)
+        throw new java.io.IOException(
+          s"compactReplace: could not commit a manifest for $path after " +
+            "50 attempts (manifest versions kept advancing)")
+      val (v2, cur2) = StoreLayout.currentManifest(fs, p).get
+      committed = StoreLayout.tryCommitManifest(fs, p, v2 + 1,
+        newNames ++ cur2.filterNot(curSet))
+    }
     fs.delete(tmp, true)
+    // bound manifest-file growth (one per append): keep the newest 8;
+    // refs that existed only in pruned manifests fall back to the
+    // suspect grace path — sound, one cycle slower
+    StoreLayout.pruneManifests(fs, p, keep = 8)
   }
 
   /** Files the store would serve right now (manifest-pinned when the

@@ -61,20 +61,76 @@ private[graft] object StoreLayout {
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
 
-  /** The newest committed manifest, if the store has one. */
-  def currentManifest(fs: FileSystem, dir: Path): Option[(Long, Seq[String])] = {
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+  private def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
+    val in = fs.open(new Path(dir, f"$ManifestPrefix$v%08d"))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  private def manifestVersions(fs: FileSystem, dir: Path): Seq[Long] =
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(ManifestPrefix))
       .flatMap(n => n.stripPrefix(ManifestPrefix).toLongOption)
+
+  /** The newest committed manifest, if the store has one. */
+  def currentManifest(fs: FileSystem, dir: Path): Option[(Long, Seq[String])] = {
+    val versions = manifestVersions(fs, dir)
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      val in = fs.open(new Path(dir, f"$ManifestPrefix$v%08d"))
+      Some((v, readManifest(fs, dir, v)))
+    }
+  }
+
+  /** Every file name referenced by ANY present manifest version — the
+    * compactor's "was ever committed" set. A data file present on disk
+    * but in NO manifest is either superseded garbage whose manifests
+    * were pruned, a crashed writer's leftovers, or an IN-FLIGHT
+    * append's just-renamed parts — indistinguishable without a clock,
+    * which is why the compactor gives such files one full compaction
+    * cycle of grace (the `_gc_suspects` mechanism) instead of sweeping
+    * them on sight.
+    */
+  def referencedEver(fs: FileSystem, dir: Path): Set[String] =
+    manifestVersions(fs, dir).flatMap(readManifest(fs, dir, _)).toSet
+
+  /** Drop all but the newest `keep` manifest versions (bounds the
+    * directory's metadata growth at one manifest per append). A file
+    * referenced only by a pruned manifest and absent from the current
+    * one re-enters the world as "unreferenced" and is collected through
+    * the suspect grace path — still sound, just one cycle slower.
+    */
+  def pruneManifests(fs: FileSystem, dir: Path, keep: Int): Unit =
+    manifestVersions(fs, dir).sorted.dropRight(keep)
+      .foreach(v => fs.delete(new Path(dir, f"$ManifestPrefix$v%08d"), false))
+
+  private val SuspectsName = "_gc_suspects"
+
+  /** Names the previous compaction recorded as unreferenced-by-any-
+    * manifest (data files and `_append_tmp-*` scratch dirs). Compactor-
+    * private, single-compactor assumed.
+    */
+  def readSuspects(fs: FileSystem, dir: Path): Set[String] = {
+    val f = new Path(dir, SuspectsName)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some((v, txt.split('\n').toSeq.filter(_.nonEmpty)))
+      txt.split('\n').toSet.filter(_.nonEmpty)
     }
+  }
+
+  def writeSuspects(fs: FileSystem, dir: Path, names: Seq[String]): Unit = {
+    val f = new Path(dir, SuspectsName)
+    if (fs.exists(f)) fs.delete(f, false)
+    val out = fs.create(f, true)
+    try out.write((names.distinct.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** File names a reader should scan right now: the current manifest's
@@ -126,19 +182,27 @@ private[graft] object StoreLayout {
     * the scratch intact) and, if the store is manifested, the manifest
     * is extended with exactly those names (create-exclusive commit,
     * retried under racing appends — each committed version is a
-    * superset of its writer's files). Legacy stores serve the renamed
-    * parts from the raw listing as before.
+    * superset of its writer's files). A legacy (manifest-less) store is
+    * bootstrapped onto a manifest before the write, so EVERY appended
+    * batch is all-or-nothing behind a manifest commit.
     *
     * Crash windows: before the renames — only hidden scratch remains
-    * (never served; swept by the next compaction); between rename and
-    * manifest commit on a MANIFESTED store — the parts are unreferenced
-    * (never served, swept later), so the caller's retry cannot
-    * double-count. On a legacy store the rename itself is the (per-file)
-    * commit, as it always was for a raw append.
+    * (never served; swept by compaction's suspect grace); between
+    * rename and manifest commit — the parts are unreferenced (never
+    * served, swept later), so the caller's retry cannot double-count.
     */
   def appendRecorded(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val (fs, p) = fsFor(spark, path)
+    // bootstrap a legacy (manifest-less) store onto a manifest FIRST:
+    // without one, a crash mid-rename below would leave a PARTIAL batch
+    // visible to the raw listing — strictly worse than the committer's
+    // all-or-nothing job commit the old mode("append") write had. A
+    // bare tryCommit (not initManifest, whose stale-cleanup could race
+    // a concurrent bootstrapper's fresh v1) — the loser of a racing
+    // bootstrap just reads the winner's
+    if (currentManifest(fs, p).isEmpty)
+      tryCommitManifest(fs, p, 1L, rawDataFiles(fs, p))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val scratch = new Path(p, s"_append_tmp-$nonce")
     write(scratch.toString)

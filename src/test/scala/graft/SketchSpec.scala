@@ -461,6 +461,74 @@ class SketchSpec extends AnyFunSuite with Matchers {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
+  test("appends racing a compaction lose nothing: the compactor's commit " +
+    "carries forward batches appended mid-fold") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-racecompact").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 6 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() =>
+      try (1L to 5L).foreach { i =>
+        Sketches.appendToKmvStore(
+          o.filter(F.col("o_orderkey") % 6 === i), dir)
+      } catch { case t: Throwable => errs.add(t) })
+    val compactor = new Thread(() =>
+      try (1 to 4).foreach { _ => Sketches.compactKmvStore(spark, dir) }
+      catch { case t: Throwable => errs.add(t) })
+    appender.start(); compactor.start()
+    appender.join(240000); compactor.join(240000)
+    import scala.jdk.CollectionConverters._
+    errs.asScala.toSeq shouldBe Seq.empty
+    // one more compaction after the dust settles folds everything that
+    // must be there; a lost batch would surface as an underestimate
+    Sketches.compactKmvStore(spark, dir)
+    Sketches.kmvDistinctFromStore(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey", 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("GC suspect grace: unreferenced files and scratch dirs survive ONE " +
+    "compaction (a live append may own them) and are swept by the next") {
+    import graft.operators.StoreLayout
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-suspects").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    def serve() = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = serve()
+    // plant what a crashed append leaves behind: unreferenced renamed-in
+    // parts + an abandoned scratch dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "append-deadbeef-p00000.parquet"),
+      "orphan".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_append_tmp-deadbeef"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_append_tmp-deadbeef", "part-x"),
+      "half".getBytes("UTF-8"))
+    Sketches.compactKmvStore(spark, dir)
+    // cycle 1: suspected, NOT swept (could be a live append's window)
+    new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
+      .exists() shouldBe true
+    new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe true
+    serve() shouldBe want // and never served either way
+    Sketches.compactKmvStore(spark, dir)
+    // cycle 2: still unreferenced -> swept
+    new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
+      .exists() shouldBe false
+    new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe false
+    serve() shouldBe want
+    // manifest files are pruned to a bounded set
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    fs.listStatus(p).count(_.getPath.getName.startsWith("_manifest-")) should
+      be <= 8
+  }
+
   test("auto-compaction: appendTo*Store(autoCompactParts = N) folds the " +
     "store once it serves more than N parts; answers unchanged") {
     val ev = events
