@@ -759,9 +759,9 @@ object Dedup {
     }
     // parts-threshold valve (see Sketches.appendToKmvStore): both
     // tables grow one part set per append, so one check covers both
-    if (autoCompactParts > 0 &&
-      Sketches.servedFiles(spark, path).size > autoCompactParts)
+    Sketches.maybeAutoCompact(spark, path, autoCompactParts) {
       compactBandIndex(spark, path)
+    }
   }
 
   /** Consolidate a band index's appended batch files — after thousands of

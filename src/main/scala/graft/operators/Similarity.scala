@@ -523,6 +523,15 @@ object Similarity {
     * refreshing them means a rebuild. If the corpus drifts far from the
     * training distribution, lists skew and probe recall decays — rebuild
     * on drift, append between rebuilds (the standard serving cadence).
+    *
+    * ONE appender at a time: concurrent same-path Spark writes share the
+    * Hadoop committer's `_temporary` staging and clobber each other (the
+    * hazard the [[graft.operators.StoreLayout]] scratch-rename protocol
+    * closes for the flat sketch stores/band index). This index is
+    * hive-PARTITIONED — probes depend on `__list=` directory pruning, so
+    * the flat manifest layer doesn't apply — and its cadence is
+    * occasional accepted-batch ingestion, so appends are serialized by
+    * contract here rather than re-architected.
     */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
@@ -563,7 +572,7 @@ object Similarity {
   /** [[appendToIvfIndex]] for an IVF-PQ index ([[buildIvfPqIndex]]): the
     * stored codebooks encode the new rows (ONE projection: id, vector,
     * codes, list), so appended rows are immediately ADC-scorable. Same
-    * frozen-quantizer contract as the IVF append.
+    * frozen-quantizer and single-appender contracts as the IVF append.
     */
   def appendToIvfPqIndex(newDocs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {

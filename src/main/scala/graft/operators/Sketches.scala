@@ -370,9 +370,9 @@ object Sketches {
       kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
         .write.parquet(scratch)
     }
-    if (autoCompactParts > 0 &&
-      servedFiles(spark, path).size > autoCompactParts)
+    maybeAutoCompact(spark, path, autoCompactParts) {
       compactKmvStore(spark, path)
+    }
   }
 
   /** Serving face: fold the stored part sketches per group and estimate
@@ -623,9 +623,9 @@ object Sketches {
       cmsSketch(batch, tokenCol, depth, width, flavor)
         .write.parquet(scratch)
     }
-    if (autoCompactParts > 0 &&
-      servedFiles(spark, path).size > autoCompactParts)
+    maybeAutoCompact(spark, path, autoCompactParts) {
       compactCmsStore(spark, path)
+    }
   }
 
   /** Serving face: sum the stored batch grids cell-wise and point-probe
@@ -1025,9 +1025,9 @@ object Sketches {
       hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
         .write.parquet(scratch)
     }
-    if (autoCompactParts > 0 &&
-      servedFiles(spark, path).size > autoCompactParts)
+    maybeAutoCompact(spark, path, autoCompactParts) {
       compactHllStore(spark, path)
+    }
   }
 
   /** Serving face: max-fold the stored registers per group and estimate
@@ -1215,9 +1215,9 @@ object Sketches {
       log2Histogram(batch, groupCols, valueCol, subBits)
         .write.parquet(scratch)
     }
-    if (autoCompactParts > 0 &&
-      servedFiles(spark, path).size > autoCompactParts)
+    maybeAutoCompact(spark, path, autoCompactParts) {
       compactHistStore(spark, path)
+    }
   }
 
   /** Serving face: sum-fold the stored per-batch histograms and read
@@ -1400,6 +1400,27 @@ object Sketches {
     val (fs, p) = StoreLayout.fsFor(spark, path)
     StoreLayout.servingFiles(fs, p)
   }
+
+  private val autoCompactors = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  /** The autoCompactParts trigger shared by every append face: compact
+    * when the store serves more than `threshold` parts — UNLESS another
+    * thread in this JVM is already compacting this path, in which case
+    * skip (compaction is single-compactor; concurrent appends with the
+    * valve on would otherwise start two, and the threshold simply
+    * re-fires on a later append). Cross-JVM single-compactor remains the
+    * caller's contract, as for any direct compactXxxStore call.
+    */
+  private[graft] def maybeAutoCompact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Int)(compact: => Unit): Unit =
+    if (threshold > 0 && servedFiles(spark, path).size > threshold) {
+      val flag = autoCompactors.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+      if (flag.compareAndSet(false, true))
+        try compact finally flag.set(false)
+    }
 
   /** Fold a KMV store's appended part sketches into one part per the
     * k-min merge identity ([[kmvMergeSketches]]) — serving reads one

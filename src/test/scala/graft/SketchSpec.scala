@@ -490,6 +490,30 @@ class SketchSpec extends AnyFunSuite with Matchers {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
+  test("concurrent appends WITH the auto-compact valve on: the same-JVM " +
+    "guard keeps compaction single-writer; nothing is lost") {
+    val ev = events
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-concauto").toString + "/store"
+    Sketches.buildHllStore(ev.filter(F.col("event_id") % 7 === 0),
+      Seq("event_type"), "user_id", dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1L to 6L).map { i =>
+      new Thread(() =>
+        try Sketches.appendToHllStore(
+          ev.filter(F.col("event_id") % 7 === i), dir, autoCompactParts = 2)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(240000))
+    import scala.jdk.CollectionConverters._
+    errs.asScala.toSeq shouldBe Seq.empty
+    Sketches.hllDistinctFromStore(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
   test("GC suspect grace: unreferenced files and scratch dirs survive ONE " +
     "compaction (a live append may own them) and are swept by the next") {
     import graft.operators.StoreLayout
