@@ -1336,16 +1336,17 @@ object Sketches {
       (attemptInFlight && n.startsWith(nextPrefix)))
     unref.filter(prevSuspects).foreach(n =>               // (c) stale
       fs.delete(new Path(p, n), true))
-    val scratchDirs = fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_append_tmp-"))
-    scratchDirs.filter(prevSuspects)
+    // scratch dirs and staged manifest files get the same grace: a LIVE
+    // append owns them for moments (sweeping a racing committer's staged
+    // manifest mid-rename was observed as an FNF in its commit)
+    val transient = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_append_tmp-") ||
+        n.startsWith(".manifest-inprogress-"))
+    transient.filter(prevSuspects)
       .foreach(n => fs.delete(new Path(p, n), true))
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(".manifest-inprogress-"))
-      .foreach(n => fs.delete(new Path(p, n), false))
     StoreLayout.writeSuspects(fs, p,
       unref.filterNot(prevSuspects) ++
-        scratchDirs.filterNot(prevSuspects))
+        transient.filterNot(prevSuspects))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files

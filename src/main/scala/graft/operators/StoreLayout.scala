@@ -152,24 +152,52 @@ private[graft] object StoreLayout {
       files.map(n => new Path(p, n).toString): _*)
   }
 
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Commit manifest version `ver` naming `files`. Atomic for readers:
     * content is fully written to a dot-hidden scratch file first, then
     * renamed into the versioned name — rename-to-fresh-target is atomic
     * on local filesystems and HDFS. Returns false (committing nothing)
     * if `ver` already exists — the optimistic-concurrency signal for
     * racing appends.
+    *
+    * Same-JVM commits to one store are SERIALIZED here, because the
+    * local filesystem's rename is NOT atomic against an existing
+    * target: the checksum/proxy local FS layers do a racy
+    * check-then-act over a POSIX `rename(2)` that silently OVERWRITES,
+    * so two unsynchronized committers can both "win" one version and
+    * lose an update (observed: a 4-writer stress lost a commit in ~60%
+    * of trials; sequentially the same rename correctly returns false).
+    * HDFS refuses rename-onto-existing under its namespace lock —
+    * atomic — so CROSS-JVM optimistic commits are sound there; a
+    * plain-local-FS store assumes its writers share a JVM (always true
+    * under local[*]). Object stores without atomic rename (classic
+    * S3A) need an external lock or a real table format — the standard
+    * caveat for any manifest scheme without conditional writes.
     */
   def tryCommitManifest(fs: FileSystem, dir: Path, ver: Long,
       files: Seq[String]): Boolean = {
-    val target = new Path(dir, f"$ManifestPrefix$ver%08d")
-    if (fs.exists(target)) return false
-    val staged = new Path(dir,
-      s".manifest-inprogress-$ver-${java.util.UUID.randomUUID()}")
-    val out = fs.create(staged, false)
-    try out.write((files.distinct.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.rename(staged, target)) true
-    else { fs.delete(staged, false); false }
+    val lock = commitLocks.computeIfAbsent(dir.toString, _ => new Object)
+    lock.synchronized {
+      val target = new Path(dir, f"$ManifestPrefix$ver%08d")
+      if (fs.exists(target)) return false
+      val staged = new Path(dir,
+        s".manifest-inprogress-$ver-${java.util.UUID.randomUUID()}")
+      val out = fs.create(staged, false)
+      try out.write((files.distinct.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      // a racing compactor's GC may sweep the staged file between the
+      // write and this rename (stale-inprogress cleanup); a vanished
+      // source is exactly "this commit did not land" — report false and
+      // let the caller's loop retry, same as losing the version race
+      try {
+        if (fs.rename(staged, target)) true
+        else { fs.delete(staged, false); false }
+      } catch {
+        case _: java.io.FileNotFoundException => false
+      }
+    }
   }
 
   /** Append a batch's parts to `path`: `write` lands them in a PRIVATE
