@@ -1212,16 +1212,26 @@ object Queries {
     * embedded-centroid oracle would be ULP-flaky. The keep policy and
     * planted-pair semantics are pinned in PipelineSpec instead.
     */
-  def q_semdedup(s: SparkSession, d: String): DataFrame = {
+  /** The planted near-duplicate embedding corpus shared by the float
+    * semdedup faces (q_semdedup / q_semdedup_model / q_semdedup_auto):
+    * vecs 0-19 duplicated at ids +10000 with a +1e-4f perturbation —
+    * ONE definition so the planted-pair convention PipelineSpec pins
+    * cannot drift between the faces. (q_semdedup_fixed keeps its own
+    * DOUBLE-typed variant: its oracle replays the perturbation in
+    * IEEE-identical double arithmetic.)
+    */
+  private def plantedEmbCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val planted = emb.filter(col("vec_id") < 20)
+    emb.unionByName(emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 10000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
-        col("label"))
-    Similarity.semDedup(emb.unionByName(planted), "vec_id", "embedding",
+        col("label")))
+  }
+
+  def q_semdedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(plantedEmbCorpus(s, d), "vec_id", "embedding",
         nClusters = 8, threshold = 0.99)
       .select(col("vec_id"))
-  }
 
   /** Serving face of [[q_semdedup]]: centroids trained ONCE per
     * scale-factor dir into a persisted artifact
@@ -1235,12 +1245,7 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def q_semdedup_model(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val planted = emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 10000L).as("vec_id"),
-        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
-        col("label"))
-    val corpus = emb.unionByName(planted)
+    val corpus = plantedEmbCorpus(s, d)
     val path = semDedupCentroidDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-semdedup-reg").toString + "/centroids"
@@ -1263,16 +1268,10 @@ object Queries {
     * face. Rows-only like [[q_semdedup]] (float boundaries); the keep
     * policy and planted-pair identity are pinned in PipelineSpec.
     */
-  def q_semdedup_auto(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val planted = emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 10000L).as("vec_id"),
-        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
-        col("label"))
-    Similarity.semDedupAuto(emb.unionByName(planted), "vec_id", "embedding",
+  def q_semdedup_auto(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupAuto(plantedEmbCorpus(s, d), "vec_id", "embedding",
         threshold = 0.99)
       .select(col("vec_id"))
-  }
 
   /** Fixed-point SemDeDup — the discrete twin that completes the float
     * quartet's oracle convention ([[Similarity.semDedupFixed]]): the

@@ -1324,29 +1324,46 @@ object Sketches {
     //      which a live append deletes itself.
     val attemptInFlight = fs.exists(tmp)
     val curSet = before.toSet
-    val everRef = StoreLayout.referencedEver(fs, p)
+    // (a)'s evidence is CAPPED at this snapshot's version: a file
+    // referenced only by a NEWER manifest is a racing append's
+    // just-published batch — uncapped, it would read as "referenced but
+    // superseded" and be deleted while the current manifest names it
+    val everRef = StoreLayout.referencedEver(fs, p, curVer)
     val raw = StoreLayout.rawDataFiles(fs, p)
     raw.filter(n => everRef(n) && !curSet(n))             // (a)
       .foreach(n => fs.delete(new Path(p, n), true))
     if (attemptInFlight)                                   // (b)
       raw.filter(_.startsWith(nextPrefix))
         .foreach(n => fs.delete(new Path(p, n), true))
+    // (c): suspects are swept only when BOTH a full compaction cycle
+    // has passed (they were recorded last time) AND their mtime is
+    // older than the grace window — cycle count alone is not enough
+    // once the auto-compact valve can run two compactions inside one
+    // long append's write (sweeping its live scratch mid-job), and
+    // mtime alone would sweep a crashed append's debris too eagerly.
+    // A scratch dir's mtime refreshes as its write lands task files,
+    // so a LIVE append looks young by construction.
     val prevSuspects = StoreLayout.readSuspects(fs, p)
+    def oldEnough(n: String): Boolean =
+      try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(new Path(p, n)).getModificationTime >
+          SuspectGraceMs
+      } catch { case _: java.io.FileNotFoundException => false }
     val unref = raw.filterNot(n => everRef(n) ||
       (attemptInFlight && n.startsWith(nextPrefix)))
-    unref.filter(prevSuspects).foreach(n =>               // (c) stale
-      fs.delete(new Path(p, n), true))
-    // scratch dirs and staged manifest files get the same grace: a LIVE
-    // append owns them for moments (sweeping a racing committer's staged
-    // manifest mid-rename was observed as an FNF in its commit)
+    val sweptUnref = unref.filter(n => prevSuspects(n) && oldEnough(n))
+    sweptUnref.foreach(n => fs.delete(new Path(p, n), true))
     val transient = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("_append_tmp-") ||
         n.startsWith(".manifest-inprogress-"))
-    transient.filter(prevSuspects)
-      .foreach(n => fs.delete(new Path(p, n), true))
+    val sweptTransient =
+      transient.filter(n => prevSuspects(n) && oldEnough(n))
+    sweptTransient.foreach(n => fs.delete(new Path(p, n), true))
+    // re-record EVERY unreferenced survivor (young suspects included —
+    // dropping them would reset their cycle count forever)
     StoreLayout.writeSuspects(fs, p,
-      unref.filterNot(prevSuspects) ++
-        transient.filterNot(prevSuspects))
+      (unref diff sweptUnref) ++ (transient diff sweptTransient))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files
@@ -1402,25 +1419,46 @@ object Sketches {
     StoreLayout.servingFiles(fs, p)
   }
 
-  private val autoCompactors = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicBoolean]()
+  /** Minimum age before a GC suspect may be swept — generous on purpose:
+    * any single sketch-store append write outlasting this is
+    * pathological, and a crashed append's debris waiting an extra hour
+    * costs only disk.
+    */
+  private[graft] val SuspectGraceMs: Long = 60L * 60 * 1000
+
+  // fixed stripes (see StoreLayout.CommitLockStripes): bounded memory;
+  // a cross-store false "busy" only delays a compaction the threshold
+  // re-fires anyway
+  private val AutoCompactStripes =
+    Array.fill(64)(new java.util.concurrent.atomic.AtomicBoolean(false))
 
   /** The autoCompactParts trigger shared by every append face: compact
     * when the store serves more than `threshold` parts — UNLESS another
-    * thread in this JVM is already compacting this path, in which case
-    * skip (compaction is single-compactor; concurrent appends with the
-    * valve on would otherwise start two, and the threshold simply
-    * re-fires on a later append). Cross-JVM single-compactor remains the
-    * caller's contract, as for any direct compactXxxStore call.
+    * thread in this JVM is already compacting (skip: compaction is
+    * single-compactor; concurrent appends with the valve on would
+    * otherwise start two, and the threshold simply re-fires on a later
+    * append). Cross-JVM single-compactor remains the caller's contract,
+    * as for any direct compactXxxStore call. A compaction FAILURE is
+    * logged and swallowed: by this point the append itself has durably
+    * committed, and letting the advisory compaction's exception escape
+    * would make the caller retry — double-counting the batch in the
+    * linear stores.
     */
   private[graft] def maybeAutoCompact(
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Int)(compact: => Unit): Unit =
     if (threshold > 0 && servedFiles(spark, path).size > threshold) {
-      val flag = autoCompactors.computeIfAbsent(path,
-        _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+      val flag =
+        AutoCompactStripes(math.floorMod(path.hashCode, 64))
       if (flag.compareAndSet(false, true))
-        try compact finally flag.set(false)
+        try compact
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"auto-compaction of $path failed (append already " +
+                s"committed; threshold re-fires on a later append): $e")
+        }
+        finally flag.set(false)
     }
 
   /** Fold a KMV store's appended part sketches into one part per the

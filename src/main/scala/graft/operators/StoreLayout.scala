@@ -84,17 +84,23 @@ private[graft] object StoreLayout {
     }
   }
 
-  /** Every file name referenced by ANY present manifest version — the
-    * compactor's "was ever committed" set. A data file present on disk
-    * but in NO manifest is either superseded garbage whose manifests
-    * were pruned, a crashed writer's leftovers, or an IN-FLIGHT
-    * append's just-renamed parts — indistinguishable without a clock,
-    * which is why the compactor gives such files one full compaction
-    * cycle of grace (the `_gc_suspects` mechanism) instead of sweeping
-    * them on sight.
+  /** Every file name referenced by a manifest version ≤ `maxVer` — the
+    * compactor's "was committed no later than my snapshot" set. The cap
+    * matters: a file referenced ONLY by a version NEWER than the
+    * compactor's snapshot is a batch a racing append committed mid-fold
+    * — treating it as "referenced but superseded" would DELETE a
+    * just-published batch (the stale-snapshot race a review caught);
+    * capped, it classifies as unreferenced and gets suspect grace
+    * instead, then is spared next cycle when the fresher manifest is
+    * inside the new snapshot. A data file present on disk but in NO
+    * manifest ≤ maxVer is superseded garbage whose manifests were
+    * pruned, a crashed writer's leftovers, or an in-flight append's
+    * just-renamed parts — indistinguishable on sight, hence the
+    * `_gc_suspects` grace.
     */
-  def referencedEver(fs: FileSystem, dir: Path): Set[String] =
-    manifestVersions(fs, dir).flatMap(readManifest(fs, dir, _)).toSet
+  def referencedEver(fs: FileSystem, dir: Path, maxVer: Long): Set[String] =
+    manifestVersions(fs, dir).filter(_ <= maxVer)
+      .flatMap(readManifest(fs, dir, _)).toSet
 
   /** Drop all but the newest `keep` manifest versions (bounds the
     * directory's metadata growth at one manifest per append). A file
@@ -152,8 +158,13 @@ private[graft] object StoreLayout {
       files.map(n => new Path(p, n).toString): _*)
   }
 
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // fixed stripes rather than a per-path map: a map entry per store
+  // path would leak for the JVM's lifetime under churning temp stores;
+  // 64 monitors give the same mutual exclusion with bounded memory
+  // (false sharing between stores only serializes millisecond commits)
+  private val CommitLockStripes = Array.fill(64)(new Object)
+  private def commitLock(dir: Path): Object =
+    CommitLockStripes(math.floorMod(dir.toString.hashCode, 64))
 
   /** Commit manifest version `ver` naming `files`. Atomic for readers:
     * content is fully written to a dot-hidden scratch file first, then
@@ -178,8 +189,7 @@ private[graft] object StoreLayout {
     */
   def tryCommitManifest(fs: FileSystem, dir: Path, ver: Long,
       files: Seq[String]): Boolean = {
-    val lock = commitLocks.computeIfAbsent(dir.toString, _ => new Object)
-    lock.synchronized {
+    commitLock(dir).synchronized {
       val target = new Path(dir, f"$ManifestPrefix$ver%08d")
       if (fs.exists(target)) return false
       val staged = new Path(dir,
@@ -258,6 +268,13 @@ private[graft] object StoreLayout {
         val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
         committed = tryCommitManifest(fs, p, ver + 1, cur ++ names)
       }
+      // amortized manifest-file GC on the append path too: an
+      // append-forever store with the compaction valve off would
+      // otherwise accumulate one cumulative manifest per append —
+      // O(n²) manifest bytes and an ever-longer listing. Refs that
+      // existed only in pruned versions degrade to the compactor's
+      // suspect grace, which is sound.
+      if (manifestVersions(fs, p).size > 32) pruneManifests(fs, p, keep = 8)
     }
   }
 

@@ -552,8 +552,9 @@ class SketchSpec extends AnyFunSuite with Matchers {
     cur.toSet shouldBe want
   }
 
-  test("GC suspect grace: unreferenced files and scratch dirs survive ONE " +
-    "compaction (a live append may own them) and are swept by the next") {
+  test("GC suspect grace: unreferenced files and scratch dirs are swept " +
+    "only after a full cycle AND the age window (a live append may own " +
+    "them — the valve can run two compactions inside one long write)") {
     import graft.operators.StoreLayout
     val o = Tables.orders(spark, sf)
     val dir = java.nio.file.Files
@@ -563,27 +564,43 @@ class SketchSpec extends AnyFunSuite with Matchers {
     def serve() = Sketches.kmvDistinctFromStore(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val want = serve()
-    // plant what a crashed append leaves behind: unreferenced renamed-in
-    // parts + an abandoned scratch dir
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "append-deadbeef-p00000.parquet"),
-      "orphan".getBytes("UTF-8"))
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dir, "_append_tmp-deadbeef"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_append_tmp-deadbeef", "part-x"),
-      "half".getBytes("UTF-8"))
+    // plant what a crashed append leaves behind — unreferenced
+    // renamed-in parts + an abandoned scratch dir — ALREADY OLD (a real
+    // crash's debris ages; the test back-dates past the grace window),
+    // plus one FRESH orphan that must survive even two cycles (it could
+    // be a live append mid-flight)
+    def plant(parts: String*): java.nio.file.Path = {
+      val path = java.nio.file.Paths.get(dir, parts: _*)
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, "x".getBytes("UTF-8"))
+      path
+    }
+    def backdate(parts: String*): Unit = {
+      val path = java.nio.file.Paths.get(dir, parts: _*)
+      java.nio.file.Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - Sketches.SuspectGraceMs - 3600000L))
+    }
+    plant("append-deadbeef-p00000.parquet")
+    backdate("append-deadbeef-p00000.parquet")
+    plant("_append_tmp-deadbeef", "part-x")
+    backdate("_append_tmp-deadbeef", "part-x")
+    backdate("_append_tmp-deadbeef")
+    plant("append-fresh000-p00000.parquet") // mtime = now: "live"
     Sketches.compactKmvStore(spark, dir)
-    // cycle 1: suspected, NOT swept (could be a live append's window)
+    // cycle 1: suspected, NOT swept (one full cycle of grace)
     new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
       .exists() shouldBe true
     new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe true
     serve() shouldBe want // and never served either way
     Sketches.compactKmvStore(spark, dir)
-    // cycle 2: still unreferenced -> swept
+    // cycle 2: old debris swept; the fresh orphan is still inside the
+    // age window and survives
     new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
       .exists() shouldBe false
     new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe false
+    new java.io.File(s"$dir/append-fresh000-p00000.parquet")
+      .exists() shouldBe true
     serve() shouldBe want
     // manifest files are pruned to a bounded set
     val (fs, p) = StoreLayout.fsFor(spark, dir)
