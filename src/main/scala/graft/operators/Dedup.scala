@@ -743,18 +743,42 @@ object Dedup {
     * parameters and appended to both tables (append-mode writes — existing
     * files untouched, later probes see the union). The standard cadence:
     * probe a batch ([[dedupAgainstIndex]]), append the survivors.
+    *
+    * The batch spans TWO tables but commits as two independent manifest
+    * commits, so the composite is made all-or-nothing UNDER RETRY by a
+    * shared batch-nonce idempotence contract (r14 verdict #1): pass a
+    * stable `batchId` and each table's [[StoreLayout.appendRecorded]]
+    * skips the batch if that table already committed it — a crash
+    * BETWEEN the two commits (shingles landed, `_bands` didn't: the
+    * batch invisible to candidate generation) is healed by re-calling
+    * with the same id, which lands exactly the missing table and never
+    * duplicates the one that committed. Commit order is shingles first
+    * on purpose: a band key whose shingle row is missing would silently
+    * DROP verified pairs, whereas a shingle row without band keys is
+    * merely not yet discoverable — the transient state must be the
+    * harmless one. Without a `batchId` a failed call must NOT be
+    * retried (the non-idempotent legacy contract). Retries must come
+    * within [[Sketches.SuspectGraceMs]] (the marker-ledger retention).
     */
+  /** Fault-injection seam for the kill-between-commits test ONLY: fires
+    * after the shingle table's manifest commit, before `_bands`'s. A
+    * throw here is exactly the crash window the batchId contract heals.
+    */
+  private[graft] var bandAppendFault: () => Unit = () => ()
+
   def appendToBandIndex(newBatch: DataFrame, idCol: String, textCol: String,
-      path: String, autoCompactParts: Int = 0): Unit = {
+      path: String, autoCompactParts: Int = 0,
+      batchId: Option[String] = None): Unit = {
     val spark = newBatch.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
     val (sh, banded) = shingleBandTables(newBatch, idCol, textCol, shingleN,
       numHashes, bands, seed)
-    StoreLayout.appendRecorded(spark, path) { scratch =>
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
       sh.write.parquet(scratch)
     }
-    StoreLayout.appendRecorded(spark, s"$path/_bands") { scratch =>
+    bandAppendFault() // test seam: "crash" between the two table commits
+    StoreLayout.appendRecorded(spark, s"$path/_bands", batchId) { scratch =>
       banded.write.parquet(scratch)
     }
     // parts-threshold valve (see Sketches.appendToKmvStore): both

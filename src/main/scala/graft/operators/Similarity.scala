@@ -524,25 +524,96 @@ object Similarity {
     * training distribution, lists skew and probe recall decays — rebuild
     * on drift, append between rebuilds (the standard serving cadence).
     *
-    * ONE appender at a time: concurrent same-path Spark writes share the
-    * Hadoop committer's `_temporary` staging and clobber each other (the
-    * hazard the [[graft.operators.StoreLayout]] scratch-rename protocol
-    * closes for the flat sketch stores/band index). This index is
-    * hive-PARTITIONED — probes depend on `__list=` directory pruning, so
-    * the flat manifest layer doesn't apply — and its cadence is
-    * occasional accepted-batch ingestion, so appends are serialized by
-    * contract here rather than re-architected.
+    * Crash story (r14 verdict #4): the write lands in a PRIVATE
+    * underscore-hidden scratch directory inside the index (partitioned by
+    * `__list` there too), then each partition's parts are renamed into
+    * their live `__list=` directories under batch-unique names — never
+    * through a shared Hadoop committer staging, so concurrent appends of
+    * DISTINCT batches no longer clobber each other (the r14 single-
+    * appender contract is retired). Pass a stable `batchId` for an
+    * exactly-once retry contract: part names become deterministic in the
+    * id and a committed batch is recorded in `_appends/<id>` (written
+    * AFTER the last rename — the commit point), so a re-append of the
+    * same id is a no-op, and a retry after a crash mid-rename first
+    * sweeps the crashed attempt's leftovers and lands the batch once.
+    * Because probes read the hive layout directly (no manifest — `__list=`
+    * partition pruning is the probe's whole point), a crash BETWEEN
+    * renames leaves a PARTIAL batch visible until the retry completes it
+    * — transiently fewer/more candidates, never duplicates. Markers older
+    * than [[Sketches.SuspectGraceMs]] are pruned on later appends, so
+    * retries must come within the window. Concurrent appends of the SAME
+    * batchId are a caller error.
     */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     requireIndexKind(spark, path, wantCodes = false)
     val cents = readCentroids(spark, path)
-    newDocs
-      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
-      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
-      .write.partitionBy("__list").mode("append").parquet(path)
+    appendPartitionedIdempotent(spark, path, batchId,
+      newDocs
+        .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
+        .withColumn("__list",
+          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)))
+  }
+
+  /** The scratch-rename-marker protocol behind both index appends: write
+    * partitioned into `_append_tmp-<nonce>`, rename every partition's
+    * parts into the live `__list=` dirs as `append-<nonce>-p%05d.parquet`,
+    * then (with a batchId) commit the `_appends/<id>` marker.
+    */
+  private def appendPartitionedIdempotent(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Option[String], assigned: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    batchId.foreach(id =>
+      require(id.nonEmpty && id.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_' || c == '.'),
+        s"batchId must be filename-safe ([A-Za-z0-9._-]+): '$id'"))
+    if (batchId.exists(StoreLayout.hasBatchMarker(fs, p, _)))
+      return // batch already committed
+    def listDirs(): Seq[Path] = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .map(_.getPath)
+    // a crashed prior attempt's renamed-but-unmarked leftovers would
+    // collide with this attempt's deterministic names: sweep them (no
+    // marker exists, so the batch never committed; a partial batch was
+    // transiently visible and now converges to exactly one full copy)
+    batchId.foreach { id =>
+      listDirs().foreach { d =>
+        fs.listStatus(d).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(s"append-$id-"))
+          .foreach(fs.delete(_, false))
+      }
+    }
+    val nonce = batchId.getOrElse(
+      java.util.UUID.randomUUID().toString.take(8))
+    val scratch = new Path(p, s"_append_tmp-$nonce")
+    if (fs.exists(scratch)) fs.delete(scratch, true)
+    assigned.write.partitionBy("__list").parquet(scratch.toString)
+    fs.listStatus(scratch).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .foreach { srcDir =>
+        val dstDir = new Path(p, srcDir.getPath.getName)
+        fs.mkdirs(dstDir)
+        val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
+        parts.zipWithIndex.foreach { case (src, i) =>
+          val dst = new Path(dstDir, f"append-$nonce-p$i%05d.parquet")
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"appendToIvf*Index: rename $src -> $dst failed (returned " +
+                "false); re-append the same batchId to converge on " +
+                "exactly one copy")
+        }
+      }
+    fs.delete(scratch, true)
+    batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _)) // commit point
+    // bound the marker ledger at append-rate x grace window (same
+    // retention contract as the flat stores' compaction-time pruning —
+    // this index has no compaction, so prune here)
+    StoreLayout.pruneBatchMarkers(fs, p, Sketches.SuspectGraceMs)
   }
 
   /** Fail fast when an append targets the wrong index flavor: appending
@@ -572,22 +643,24 @@ object Similarity {
   /** [[appendToIvfIndex]] for an IVF-PQ index ([[buildIvfPqIndex]]): the
     * stored codebooks encode the new rows (ONE projection: id, vector,
     * codes, list), so appended rows are immediately ADC-scorable. Same
-    * frozen-quantizer and single-appender contracts as the IVF append.
+    * frozen-quantizer contract and the same scratch-rename-marker crash
+    * story / batchId retry contract as the IVF append.
     */
   def appendToIvfPqIndex(newDocs: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     requireIndexKind(spark, path, wantCodes = true)
     val cents = readCentroids(spark, path)
     val cbs = readCodebooks(spark, path)
-    newDocs
-      .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"),
-        graft.plans.GraftExtensions.callNative("pq_codes",
-          F.col(vecCol).cast("array<double>"),
-          F.typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
-      .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
-      .write.partitionBy("__list").mode("append").parquet(path)
+    appendPartitionedIdempotent(spark, path, batchId,
+      newDocs
+        .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"),
+          graft.plans.GraftExtensions.callNative("pq_codes",
+            F.col(vecCol).cast("array<double>"),
+            F.typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
+        .withColumn("__list",
+          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)))
   }
 
   /** The assignment metric this version writes and reads. Persisted

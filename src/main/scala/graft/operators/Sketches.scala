@@ -1251,13 +1251,14 @@ object Sketches {
     * reads exactly its files, and this method makes the folded part
     * visible with ONE atomic manifest commit — before it, readers serve
     * the old parts (still on disk); after it, the folded part. The old
-    * parts become unreferenced garbage swept at the START of the NEXT
-    * compaction (deferred GC), so a reader mid-scan across one swap
-    * never loses a file; only a scan still running when a SECOND
-    * compaction begins can (the snapshot-vs-vacuum trade every
-    * transactional table format makes, bounded here by compaction
-    * cadence). A legacy manifest-less store is bootstrapped onto a
-    * manifest by its first compaction.
+    * parts become superseded garbage swept by a LATER compaction only
+    * once they have been superseded for at least [[SuspectGraceMs]] of
+    * wall clock (deferred, AGE-GATED GC), so a reader's resolved
+    * snapshot survives any number of rapid valve-triggered compactions
+    * for at least the grace window — the snapshot-vs-vacuum trade every
+    * transactional table format makes, bounded here by a retention
+    * clock, not by compaction cadence. A legacy manifest-less store is
+    * bootstrapped onto a manifest by its first compaction.
     *
     * Crash safety on a plain filesystem, single concurrent COMPACTOR
     * assumed — concurrent APPENDS are fully safe: they write through
@@ -1268,9 +1269,10 @@ object Sketches {
     * before sweeping (an in-flight append's just-renamed parts are
     * indistinguishable from a crashed one's without a clock):
     *  1. GC (three evidence classes — see the step-1 comment in the
-    *     body): superseded parts now, this attempt's own crash debris
-    *     when `_compact_tmp` marks one, unreferenced-by-any-manifest
-    *     files only after one cycle in `_gc_suspects`;
+    *     body): superseded parts once superseded longer than the grace
+    *     window, this attempt's own crash debris when `_compact_tmp`
+    *     marks one, unreferenced-by-any-manifest files once recorded in
+    *     `_gc_suspects` longer than the grace AND mtime-old;
     *  2. fold the current manifest's files → `path/_compact_tmp/data`
     *     (underscore prefix: invisible to readers);
     *  3. rename the folded parts into the store under version-stamped
@@ -1293,6 +1295,7 @@ object Sketches {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
     val tmp = new Path(p, "_compact_tmp")
+    StoreLayout.acquireWriterLease(fs, p)
     // legacy store: pin the raw listing as manifest v1 first, so every
     // later step (and every racing reader) works off manifests
     if (StoreLayout.currentManifest(fs, p).isEmpty)
@@ -1306,8 +1309,15 @@ object Sketches {
     // parts, indistinguishable from a crashed append's without a clock:
     //  (a) SUPERSEDED — referenced by some older manifest but not the
     //      current one (a part an earlier compaction replaced): definite
-    //      garbage, swept now. This is the deferred GC that gives
-    //      readers one full cycle of snapshot isolation.
+    //      garbage, but NOT swept on sight — recorded in `_gc_suspects`
+    //      with a timestamp and deleted only once superseded for at
+    //      least SuspectGraceMs of WALL CLOCK. A cycle count alone was
+    //      the r14 gap: the auto-compact valve can run two compactions
+    //      seconds apart, vacuuming a slow reader's pinned snapshot
+    //      mid-scan; the clock bounds reader isolation at the grace
+    //      window regardless of compaction cadence. (The file's own
+    //      mtime is its APPEND time — useless here, it can predate the
+    //      supersession by hours.)
     //  (b) THIS attempt's own debris — files wearing this version's
     //      compact-v prefix, swept only when `_compact_tmp` exists (the
     //      marker of a crashed/failed attempt). A foreign file squatting
@@ -1316,12 +1326,13 @@ object Sketches {
     //      now present) sweeps it.
     //  (c) UNREFERENCED-BY-ANY-MANIFEST — crashed append leftovers OR a
     //      live append that has renamed its parts in but not yet
-    //      committed its manifest. These get ONE compaction cycle of
-    //      grace: recorded in `_gc_suspects` now, swept at the NEXT
-    //      compaction only if still unreferenced then (a live append's
-    //      parts enter a manifest within moments; a crashed one's never
-    //      do). The same grace covers `_append_tmp-*` scratch dirs,
-    //      which a live append deletes itself.
+    //      committed its manifest. Swept only when recorded at least a
+    //      full grace window ago AND the file's mtime is older than the
+    //      grace too (a scratch dir's mtime refreshes as its write lands
+    //      task files, so a LIVE append looks young by construction;
+    //      recording time alone would sweep a long write's live scratch).
+    //      The same rule covers `_append_tmp-*` scratch dirs, which a
+    //      live append deletes itself.
     val attemptInFlight = fs.exists(tmp)
     val curSet = before.toSet
     // (a)'s evidence is CAPPED at this snapshot's version: a file
@@ -1330,40 +1341,42 @@ object Sketches {
     // superseded" and be deleted while the current manifest names it
     val everRef = StoreLayout.referencedEver(fs, p, curVer)
     val raw = StoreLayout.rawDataFiles(fs, p)
-    raw.filter(n => everRef(n) && !curSet(n))             // (a)
-      .foreach(n => fs.delete(new Path(p, n), true))
-    if (attemptInFlight)                                   // (b)
+    val now = System.currentTimeMillis()
+    val prevSuspects = StoreLayout.readSuspects(fs, p)
+    def recordedOldEnough(n: String): Boolean =
+      prevSuspects.get(n).exists(now - _ > SuspectGraceMs)
+    def mtimeOldEnough(n: String): Boolean =
+      try now - fs.getFileStatus(new Path(p, n)).getModificationTime >
+        SuspectGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    val superseded = raw.filter(n => everRef(n) && !curSet(n))  // (a)
+    val sweptSuperseded = superseded.filter(recordedOldEnough)
+    sweptSuperseded.foreach(n => fs.delete(new Path(p, n), true))
+    if (attemptInFlight)                                         // (b)
       raw.filter(_.startsWith(nextPrefix))
         .foreach(n => fs.delete(new Path(p, n), true))
-    // (c): suspects are swept only when BOTH a full compaction cycle
-    // has passed (they were recorded last time) AND their mtime is
-    // older than the grace window — cycle count alone is not enough
-    // once the auto-compact valve can run two compactions inside one
-    // long append's write (sweeping its live scratch mid-job), and
-    // mtime alone would sweep a crashed append's debris too eagerly.
-    // A scratch dir's mtime refreshes as its write lands task files,
-    // so a LIVE append looks young by construction.
-    val prevSuspects = StoreLayout.readSuspects(fs, p)
-    def oldEnough(n: String): Boolean =
-      try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(new Path(p, n)).getModificationTime >
-          SuspectGraceMs
-      } catch { case _: java.io.FileNotFoundException => false }
-    val unref = raw.filterNot(n => everRef(n) ||
+    val unref = raw.filterNot(n => everRef(n) ||                 // (c)
       (attemptInFlight && n.startsWith(nextPrefix)))
-    val sweptUnref = unref.filter(n => prevSuspects(n) && oldEnough(n))
+    val sweptUnref = unref.filter(n =>
+      recordedOldEnough(n) && mtimeOldEnough(n))
     sweptUnref.foreach(n => fs.delete(new Path(p, n), true))
     val transient = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("_append_tmp-") ||
         n.startsWith(".manifest-inprogress-"))
-    val sweptTransient =
-      transient.filter(n => prevSuspects(n) && oldEnough(n))
+    val sweptTransient = transient.filter(n =>
+      recordedOldEnough(n) && mtimeOldEnough(n))
     sweptTransient.foreach(n => fs.delete(new Path(p, n), true))
-    // re-record EVERY unreferenced survivor (young suspects included —
-    // dropping them would reset their cycle count forever)
+    // re-record every surviving candidate, KEEPING its first-recorded
+    // timestamp (re-stamping would reset the age clock forever under a
+    // fast compaction cadence)
+    val survivors = (superseded diff sweptSuperseded) ++
+      (unref diff sweptUnref) ++ (transient diff sweptTransient)
     StoreLayout.writeSuspects(fs, p,
-      (unref diff sweptUnref) ++ (transient diff sweptTransient))
+      survivors.map(n => n -> prevSuspects.getOrElse(n, now)).toMap)
+    // the idempotence ledger stays bounded the same way: markers for
+    // batches older than the grace are dropped (retries must come
+    // within the window — StoreLayout.appendRecorded's contract)
+    StoreLayout.pruneBatchMarkers(fs, p, SuspectGraceMs)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files
@@ -1383,6 +1396,12 @@ object Sketches {
             "manifest, and the next compaction call sweeps this attempt's " +
             "debris and retries the swap")
     }
+    // before the commit erases their names from the manifest, make sure
+    // every append batch being folded carries its committed-batch marker
+    // (a batch whose manifest commit landed but whose marker-create
+    // crashed would otherwise lose both idempotence trails here, and a
+    // late same-batchId retry would double-append it)
+    StoreLayout.markBatchesIn(fs, p, before)
     // step 4: COMMIT — one atomic manifest create flips readers over.
     // CARRY-FORWARD MERGE: files the current manifest names that were
     // NOT part of the fold input are batches appended while the fold

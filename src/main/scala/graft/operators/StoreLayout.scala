@@ -28,18 +28,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operation here degrades to the legacy behavior.
   *
   * Deferred GC / reader isolation window: a compaction never deletes
-  * the parts it replaced in the same call — they become unreferenced
-  * and are swept at the START of the NEXT compaction. A reader is
-  * therefore isolated across any ONE compaction; only a reader that is
-  * still scanning when a SECOND compaction starts can lose files
-  * underneath itself (the Delta VACUUM race, bounded here by the
-  * compaction cadence instead of a retention clock).
+  * the parts it replaced in the same call — superseded parts are
+  * recorded with a timestamp and swept by a LATER compaction only once
+  * they have been superseded for at least [[Sketches.SuspectGraceMs]]
+  * (wall clock), so a reader's resolved snapshot survives ANY number of
+  * rapid valve-triggered compactions for at least the grace window (the
+  * Delta VACUUM retention clock, not just a cycle count).
   *
   * Concurrency: manifest commits are create-if-absent, so concurrent
   * appends race benignly — the loser re-resolves the current version
   * and retries, and every committed manifest is a superset of the files
   * its writer appended. Compaction remains single-writer (two
   * concurrent compactions of the same store are a caller error).
+  * Same-JVM writers are serialized internally; CROSS-JVM writers on a
+  * plain local filesystem are refused by a `_writer_lock` lease
+  * tripwire (see [[acquireWriterLease]]) because local-FS rename is not
+  * atomic onto an existing target.
+  *
+  * Idempotent appends: a caller that passes a stable `batchId` to
+  * [[appendRecorded]] gets an exactly-once retry contract — the batch's
+  * part names are deterministic in the id, and a committed batch leaves
+  * a marker in `_appends/` that makes any re-append of the same id a
+  * no-op. Markers older than [[Sketches.SuspectGraceMs]] are pruned at
+  * compaction, so retries of a FAILED append must come within the grace
+  * window (any sane retry policy is seconds-to-minutes).
   */
 private[graft] object StoreLayout {
 
@@ -74,13 +86,27 @@ private[graft] object StoreLayout {
       .filter(_.startsWith(ManifestPrefix))
       .flatMap(n => n.stripPrefix(ManifestPrefix).toLongOption)
 
-  /** The newest committed manifest, if the store has one. */
+  /** The newest committed manifest, if the store has one. A listed
+    * version can vanish between the listing and the open — a racing
+    * appender's [[pruneManifests]] (the append path prunes at >32
+    * versions) deletes OLD versions, and the newest only vanishes when
+    * a NEWER one was committed first — so a FileNotFound here just
+    * means the listing is stale: re-list and retry instead of aborting
+    * the caller (the ADVICE r14 transient-FNFE finding).
+    */
+  @annotation.tailrec
   def currentManifest(fs: FileSystem, dir: Path): Option[(Long, Seq[String])] = {
     val versions = manifestVersions(fs, dir)
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      Some((v, readManifest(fs, dir, v)))
+      val read =
+        try Some(readManifest(fs, dir, v))
+        catch { case _: java.io.FileNotFoundException => None }
+      read match {
+        case Some(files) => Some((v, files))
+        case None => currentManifest(fs, dir)
+      }
     }
   }
 
@@ -96,11 +122,16 @@ private[graft] object StoreLayout {
     * manifest ≤ maxVer is superseded garbage whose manifests were
     * pruned, a crashed writer's leftovers, or an in-flight append's
     * just-renamed parts — indistinguishable on sight, hence the
-    * `_gc_suspects` grace.
+    * `_gc_suspects` grace. A manifest pruned away between the listing
+    * and its read is skipped: a ref lost to pruning already degrades
+    * soundly to the suspect-grace path.
     */
   def referencedEver(fs: FileSystem, dir: Path, maxVer: Long): Set[String] =
     manifestVersions(fs, dir).filter(_ <= maxVer)
-      .flatMap(readManifest(fs, dir, _)).toSet
+      .flatMap { v =>
+        try readManifest(fs, dir, v)
+        catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+      }.toSet
 
   /** Drop all but the newest `keep` manifest versions (bounds the
     * directory's metadata growth at one manifest per append). A file
@@ -114,27 +145,40 @@ private[graft] object StoreLayout {
 
   private val SuspectsName = "_gc_suspects"
 
-  /** Names the previous compaction recorded as unreferenced-by-any-
-    * manifest (data files and `_append_tmp-*` scratch dirs). Compactor-
-    * private, single-compactor assumed.
+  /** Names the previous compaction recorded as GC candidates (superseded
+    * data files, unreferenced files, `_append_tmp-*` scratch dirs), each
+    * with the epoch-millis it was FIRST recorded — the wall clock the
+    * sweep's age gate runs on (a data file's own mtime is its append
+    * time, which can predate its supersession by hours, so it cannot
+    * bound reader isolation). Compactor-private, single-compactor
+    * assumed. Pre-r15 files carried bare names; those parse as
+    * "recorded now" (one extra grace period, sound).
     */
-  def readSuspects(fs: FileSystem, dir: Path): Set[String] = {
+  def readSuspects(fs: FileSystem, dir: Path): Map[String, Long] = {
     val f = new Path(dir, SuspectsName)
-    if (!fs.exists(f)) Set.empty
+    if (!fs.exists(f)) Map.empty
     else {
       val in = fs.open(f)
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      txt.split('\n').toSet.filter(_.nonEmpty)
+      val now = System.currentTimeMillis()
+      txt.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(n, t) => n -> t.toLongOption.getOrElse(now)
+          case _ => line -> now
+        }
+      }.toMap
     }
   }
 
-  def writeSuspects(fs: FileSystem, dir: Path, names: Seq[String]): Unit = {
+  def writeSuspects(fs: FileSystem, dir: Path,
+      entries: Map[String, Long]): Unit = {
     val f = new Path(dir, SuspectsName)
     if (fs.exists(f)) fs.delete(f, false)
     val out = fs.create(f, true)
-    try out.write((names.distinct.sorted.mkString("\n") + "\n")
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
   }
@@ -146,16 +190,21 @@ private[graft] object StoreLayout {
     currentManifest(fs, dir).map(_._2).getOrElse(rawDataFiles(fs, dir))
 
   /** Read a store pinned to ONE manifest resolution (or the raw listing
-    * for a legacy store). An empty serving set falls through to the
-    * plain directory read so the error surface ("unable to infer
-    * schema" on a never-built store) is unchanged.
+    * for a legacy store). A store whose CURRENT MANIFEST is empty reads
+    * as zero files — NOT the raw listing, which could serve uncommitted
+    * parts (crashed-append orphans) behind the manifest's back; the
+    * zero-path read throws the same `UNABLE_TO_INFER_SCHEMA`
+    * AnalysisException a never-built store directory does, so loader
+    * error surfaces are unchanged (the ADVICE r14 empty-manifest
+    * finding).
     */
   def readStore(spark: SparkSession, path: String): DataFrame = {
     val (fs, p) = fsFor(spark, path)
-    val files = servingFiles(fs, p)
-    if (files.isEmpty) spark.read.parquet(path)
-    else spark.read.parquet(
-      files.map(n => new Path(p, n).toString): _*)
+    currentManifest(fs, p) match {
+      case None => spark.read.parquet(path)
+      case Some((_, files)) =>
+        spark.read.parquet(files.map(n => new Path(p, n).toString): _*)
+    }
   }
 
   // fixed stripes rather than a per-path map: a map entry per store
@@ -182,10 +231,11 @@ private[graft] object StoreLayout {
     * of trials; sequentially the same rename correctly returns false).
     * HDFS refuses rename-onto-existing under its namespace lock —
     * atomic — so CROSS-JVM optimistic commits are sound there; a
-    * plain-local-FS store assumes its writers share a JVM (always true
-    * under local[*]). Object stores without atomic rename (classic
-    * S3A) need an external lock or a real table format — the standard
-    * caveat for any manifest scheme without conditional writes.
+    * plain-local-FS store's cross-JVM writers are refused up front by
+    * the [[acquireWriterLease]] tripwire. Object stores without atomic
+    * rename (classic S3A) need an external lock or a real table format
+    * — the standard caveat for any manifest scheme without conditional
+    * writes.
     */
   def tryCommitManifest(fs: FileSystem, dir: Path, ver: Long,
       files: Seq[String]): Boolean = {
@@ -210,6 +260,135 @@ private[graft] object StoreLayout {
     }
   }
 
+  // ---- cross-JVM writer lease (local-FS tripwire) -------------------------
+
+  /** This JVM's writer identity — stable for the process lifetime,
+    * unique across processes (PID@host plus a random component against
+    * PID reuse).
+    */
+  private[graft] val JvmWriterId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** How stale another JVM's `_writer_lock` heartbeat must be before a
+    * new writer may take the lease over. Var only so tests can shrink
+    * the window; production value trades a false refusal (a second JVM
+    * starting within the window of the first's LAST write) against the
+    * tripwire's whole point — refusing a genuinely concurrent writer.
+    */
+  private[graft] var WriterLeaseMs: Long = 5L * 60 * 1000
+
+  private val WriterLockName = "_writer_lock"
+
+  /** Refuse a second JVM's writes to a plain-LOCAL-FS store while
+    * another JVM's writer lease is fresh (r14 verdict: optimistic
+    * manifest commits are only sound same-JVM on local FS, because its
+    * rename silently overwrites existing targets — without this
+    * tripwire a second JVM would silently LOSE a manifest version).
+    * The lease is a heartbeat file: each acquire by the owner refreshes
+    * its mtime; a foreign writer is refused while the heartbeat is
+    * younger than [[WriterLeaseMs]] and takes the lease over once it is
+    * older (crashed owner). Best-effort by design — two JVMs' FIRST
+    * writes can still race through the create window — but it converts
+    * the common silent-corruption case into a loud, actionable error.
+    * Non-local filesystems (HDFS: atomic namespace rename) skip it
+    * entirely; same-JVM concurrency is already serialized by the
+    * commit-lock stripes.
+    */
+  def acquireWriterLease(fs: FileSystem, dir: Path): Unit = {
+    if (fs.getScheme != "file") return
+    commitLock(dir).synchronized {
+      val lock = new Path(dir, WriterLockName)
+      def writeLease(overwrite: Boolean): Boolean =
+        try {
+          val out = fs.create(lock, overwrite)
+          try out.write(JvmWriterId.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      val status =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      status match {
+        case None =>
+          writeLease(overwrite = false) // loser re-enters via next acquire
+        case Some(st) =>
+          val in = fs.open(lock)
+          val holder =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (holder == JvmWriterId) {
+            // heartbeat: refresh the lease. setTimes over the checksum
+            // local FS quietly no-ops on some layers — rewrite instead
+            writeLease(overwrite = true)
+          } else {
+            val age = System.currentTimeMillis() - st.getModificationTime
+            if (age <= WriterLeaseMs)
+              throw new IllegalStateException(
+                s"$dir is being written by another JVM (writer lease " +
+                  s"'$holder', heartbeat ${age / 1000}s old ≤ lease " +
+                  s"${WriterLeaseMs / 1000}s). Plain-local-FS manifest " +
+                  "commits are not atomic across JVMs, so concurrent " +
+                  "cross-JVM writers would silently lose versions. Wait " +
+                  "for the lease to expire (crashed owner) or stop the " +
+                  "other writer; delete _writer_lock only if you are " +
+                  "certain no other writer is live.")
+            writeLease(overwrite = true) // expired: take over
+          }
+      }
+    }
+  }
+
+  // ---- idempotent-append batch markers -------------------------------------
+
+  private val AppendsDirName = "_appends"
+
+  /** Extracts the batch id from an `append-<id>-p%05d.parquet` name. */
+  private[graft] val AppendFileName =
+    "^append-(.+)-p\\d{5}\\.parquet$".r
+
+  private def markerPath(dir: Path, batchId: String): Path =
+    new Path(new Path(dir, AppendsDirName), batchId)
+
+  /** True iff `batchId` has a committed-batch marker under this store. */
+  def hasBatchMarker(fs: FileSystem, dir: Path, batchId: String): Boolean =
+    fs.exists(markerPath(dir, batchId))
+
+  /** Record `batchId` as committed (idempotent; an existing marker or a
+    * racing creator is success).
+    */
+  def writeBatchMarker(fs: FileSystem, dir: Path, batchId: String): Unit = {
+    val m = markerPath(dir, batchId)
+    fs.mkdirs(m.getParent)
+    try fs.create(m, false).close()
+    catch { case _: java.io.IOException => () } // already marked
+  }
+
+  /** Drop markers older than `olderThanMs` — called from compaction GC so
+    * the `_appends` ledger stays bounded at one tiny file per RECENT
+    * batch. After a marker is pruned, a re-append of that id would
+    * duplicate — hence the documented contract that retries come within
+    * the grace window.
+    */
+  def pruneBatchMarkers(fs: FileSystem, dir: Path, olderThanMs: Long): Unit = {
+    val d = new Path(dir, AppendsDirName)
+    if (!fs.exists(d)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(d).toSeq
+      .filter(st => now - st.getModificationTime > olderThanMs)
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Ensure every append batch whose files appear in `names` carries a
+    * committed-batch marker — called by the compactor BEFORE its commit
+    * replaces those names, closing the one idempotence hole: a batch
+    * whose manifest commit landed but whose marker-create crashed would
+    * otherwise lose both evidence trails when compaction rewrites the
+    * manifest, and a late retry would double-append it.
+    */
+  def markBatchesIn(fs: FileSystem, dir: Path, names: Seq[String]): Unit =
+    names.collect { case AppendFileName(id) => id }.distinct
+      .foreach(writeBatchMarker(fs, dir, _))
+
   /** Append a batch's parts to `path`: `write` lands them in a PRIVATE
     * underscore-hidden scratch directory (so concurrent appends never
     * share a Hadoop committer `_temporary` — same-directory concurrent
@@ -224,14 +403,35 @@ private[graft] object StoreLayout {
     * bootstrapped onto a manifest before the write, so EVERY appended
     * batch is all-or-nothing behind a manifest commit.
     *
-    * Crash windows: before the renames — only hidden scratch remains
-    * (never served; swept by compaction's suspect grace); between
-    * rename and manifest commit — the parts are unreferenced (never
-    * served, swept later), so the caller's retry cannot double-count.
+    * `batchId` (optional) buys EXACTLY-ONCE RETRIES: part names become
+    * deterministic in the id, a committed batch is recorded in
+    * `_appends/<id>`, and a re-append of the same id is a no-op — checked
+    * against the marker first, then against the current manifest's names
+    * (covering a crash between manifest commit and marker create;
+    * compaction writes markers for every append batch it folds, so the
+    * evidence survives manifest rewrites). A retry after a crash MID-
+    * append first sweeps the crashed attempt's renamed-but-unmanifested
+    * parts (they were never served) and then lands the batch once. Ids
+    * must be filename-safe; concurrent appends of the SAME id are a
+    * caller error (distinct ids remain fully concurrent-safe).
+    *
+    * Crash windows (no batchId): before the renames — only hidden
+    * scratch remains (never served; swept by compaction's suspect
+    * grace); between rename and manifest commit — the parts are
+    * unreferenced (never served, swept later), so the caller's retry
+    * cannot double-count.
     */
-  def appendRecorded(spark: SparkSession, path: String)(
+  def appendRecorded(spark: SparkSession, path: String,
+      batchId: Option[String] = None)(
       write: String => Unit): Unit = {
     val (fs, p) = fsFor(spark, path)
+    acquireWriterLease(fs, p)
+    batchId.foreach(id =>
+      require(id.nonEmpty && id.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_' || c == '.'),
+        s"batchId must be filename-safe ([A-Za-z0-9._-]+): '$id'"))
+    if (batchId.exists(hasBatchMarker(fs, p, _)))
+      return // batch already committed
     // bootstrap a legacy (manifest-less) store onto a manifest FIRST:
     // without one, a crash mid-rename below would leave a PARTIAL batch
     // visible to the raw listing — strictly worse than the committer's
@@ -241,8 +441,25 @@ private[graft] object StoreLayout {
     // bootstrap just reads the winner's
     if (currentManifest(fs, p).isEmpty)
       tryCommitManifest(fs, p, 1L, rawDataFiles(fs, p))
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val nonce = batchId.getOrElse(
+      java.util.UUID.randomUUID().toString.take(8))
+    // second idempotence trail: the manifest already names this batch
+    // (crash landed between its commit and its marker) — repair the
+    // marker and skip
+    if (batchId.exists(id => currentManifest(fs, p).exists(_._2.exists(
+        _.startsWith(s"append-$id-"))))) {
+      writeBatchMarker(fs, p, batchId.get)
+      return
+    }
+    // a PRIOR attempt's renamed-but-uncommitted leftovers would collide
+    // with this attempt's deterministic names: sweep them (unreferenced
+    // by the checks above — never served)
+    batchId.foreach(id =>
+      rawDataFiles(fs, p).filter(_.startsWith(s"append-$id-"))
+        .foreach(n => fs.delete(new Path(p, n), false)))
     val scratch = new Path(p, s"_append_tmp-$nonce")
+    if (batchId.isDefined && fs.exists(scratch))
+      fs.delete(scratch, true) // crashed attempt's scratch
     write(scratch.toString)
     val parts = fs.listStatus(scratch).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
@@ -268,6 +485,7 @@ private[graft] object StoreLayout {
         val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
         committed = tryCommitManifest(fs, p, ver + 1, cur ++ names)
       }
+      batchId.foreach(writeBatchMarker(fs, p, _))
       // amortized manifest-file GC on the append path too: an
       // append-forever store with the compaction valve off would
       // otherwise accumulate one cumulative manifest per append —

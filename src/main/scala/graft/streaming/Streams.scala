@@ -129,6 +129,37 @@ object Streams {
     graft.operators.Dedup.nearDupGateFromArtifact(stream, textCol,
       bloomArtifactPath)
 
+  /** Continuous corpus ingestion into a persisted band index
+    * ([[graft.operators.Dedup.saveBandIndex]]): every micro-batch is
+    * appended to BOTH index tables through
+    * [[graft.operators.Dedup.appendToBandIndex]] with the streaming
+    * batchId as the append's idempotence nonce — foreachBatch's
+    * at-least-once replay contract (a batch whose checkpoint commit
+    * never landed re-executes with the SAME id after a restart) becomes
+    * exactly-once, because a replayed id skips any table that already
+    * committed it. A crash anywhere — before either table's commit,
+    * between the two (the composite-append window), or after both but
+    * before the checkpoint commit — converges to exactly one copy of the
+    * batch on replay. `autoCompactParts` passes through to the append's
+    * read-amplification valve (safe under this cadence: compaction
+    * preserves the batch markers it folds away). The standard pipeline:
+    * gate the stream ([[curateStream]] / [[nearDupStreamGate]]) upstream,
+    * ingest the survivors here, and the serving index grows continuously
+    * without a rebuild.
+    */
+  def ingestToBandIndexStream(stream: DataFrame, idCol: String,
+      textCol: String, indexPath: String, checkpointDir: String,
+      autoCompactParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol,
+          indexPath, autoCompactParts, batchId = Some(f"stream-$id%020d"))
+        ()
+      }
+      .start()
+
   /** The full streaming ingestion gate, composed: quality filter
     * (`qualityScore >= minQuality`, the banded 0-1 signal — a LIGHTER
     * gate than the batch `Pipelines.cleanCorpus` recipe, which hard-

@@ -27,7 +27,8 @@ import org.apache.spark.sql.SparkSession
   * `zipf` mode (round-13 verdict "next round #6") replaces the benign
   * uniform 20-source mix with a Zipf(s = 1.2) draw over 1000 sources —
   * the hot-domain / hot-user key distribution real crawls have (the
-  * head source carries ~18% of all docs, the top 10 ~45%) — so the
+  * head source carries ~23% of all docs, the top 10 ~55% — the measured
+  * mass of Zipf(1.2) truncated at 1000 sources, see SCALING.md) — so the
   * skew decade in SCALING.md can measure the per-domain operators
   * (domain caps, dup profiles, heavy hitters, salted joins) under the
   * 100 TB failure mode the uniform corpora cannot produce. Everything

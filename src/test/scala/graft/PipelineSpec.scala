@@ -1527,6 +1527,64 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dir)
   }
 
+  test("index append crash story: a batchId retry converges a partially " +
+    "landed batch to exactly one copy (no duplicates, recall exact); " +
+    "re-appends of a committed id are no-ops") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val evens = emb.filter(F.col("vec_id") % 2 === 0)
+    val odds = emb.filter(F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-crash").toString
+    Similarity.buildIvfIndex(evens, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    val nEven = evens.count()
+    val nAll = emb.count()
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    spark.read.parquet(dir).count() shouldBe nAll
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    // reconstruct the crash-mid-rename state: SOME of the batch's parts
+    // renamed in, the commit marker never written
+    fs.delete(new Path(p, "_appends/b1"), false) shouldBe true
+    val landed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath))
+      .filter(_.getName.startsWith("append-b1-"))
+    landed should not be empty
+    fs.delete(landed.head, false)
+    val partial = spark.read.parquet(dir).count()
+    partial should be < nAll // the documented transient: partial batch
+    partial should be >= nEven // visible until the retry converges it
+    // retry with the SAME id: sweeps the leftovers, lands the batch once
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    spark.read.parquet(dir).count() shouldBe nAll
+    spark.read.parquet(dir).select("cand_id").distinct()
+      .count() shouldBe nAll // duplicate-free
+    // probes are exact again (exhaustive probe == brute force)
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a committed id re-appended is a full no-op
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    spark.read.parquet(dir).count() shouldBe nAll
+    // same protocol on the PQ flavor: duplicate-free retry
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-crash").toString
+    Similarity.buildIvfPqIndex(evens, "vec_id", "embedding", dirPq,
+      dim = 64, nCentroids = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dirPq,
+      batchId = Some("pq1"))
+    Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dirPq,
+      batchId = Some("pq1"))
+    spark.read.parquet(dirPq).count() shouldBe nAll
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))

@@ -553,8 +553,9 @@ class SketchSpec extends AnyFunSuite with Matchers {
   }
 
   test("GC suspect grace: unreferenced files and scratch dirs are swept " +
-    "only after a full cycle AND the age window (a live append may own " +
-    "them — the valve can run two compactions inside one long write)") {
+    "only after being RECORDED for the grace window AND being mtime-old " +
+    "(a live append may own them — the valve can run two compactions " +
+    "inside one long write)") {
     import graft.operators.StoreLayout
     val o = Tables.orders(spark, sf)
     val dir = java.nio.file.Files
@@ -588,14 +589,29 @@ class SketchSpec extends AnyFunSuite with Matchers {
     backdate("_append_tmp-deadbeef")
     plant("append-fresh000-p00000.parquet") // mtime = now: "live"
     Sketches.compactKmvStore(spark, dir)
-    // cycle 1: suspected, NOT swept (one full cycle of grace)
+    // cycle 1: suspected, NOT swept (just recorded — the grace clock
+    // starts at the RECORDING, not the file's mtime, so even hours-old
+    // debris survives its first sighting)
     new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
       .exists() shouldBe true
     new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe true
     serve() shouldBe want // and never served either way
     Sketches.compactKmvStore(spark, dir)
-    // cycle 2: old debris swept; the fresh orphan is still inside the
-    // age window and survives
+    // still recorded only seconds ago: ANY number of rapid compactions
+    // leaves it alone (the r14 cycle-count gap — the valve could run
+    // two cycles in seconds and vacuum a slow reader's snapshot)
+    new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
+      .exists() shouldBe true
+    // now age the LEDGER entries past the grace (what a real hour does)
+    val (fsS, pS) = graft.operators.StoreLayout.fsFor(spark, dir)
+    graft.operators.StoreLayout.writeSuspects(fsS, pS,
+      graft.operators.StoreLayout.readSuspects(fsS, pS).map { case (n, _) =>
+        n -> (System.currentTimeMillis() - Sketches.SuspectGraceMs - 3600000L)
+      })
+    Sketches.compactKmvStore(spark, dir)
+    // recorded-old AND mtime-old debris swept; the fresh orphan's mtime
+    // is young (it could be a live append mid-flight) so it survives
+    // even with an aged ledger entry
     new java.io.File(s"$dir/append-deadbeef-p00000.parquet")
       .exists() shouldBe false
     new java.io.File(s"$dir/_append_tmp-deadbeef").exists() shouldBe false
@@ -1129,5 +1145,139 @@ class SketchSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       Sketches.logHistQuantiles(data, Nil, "v", Seq(1.2))
     }
+  }
+
+  test("band-index append is all-or-nothing across BOTH tables under " +
+    "retry: a crash between the shingle and _bands manifest commits is " +
+    "healed by re-appending the same batchId — exactly one copy serves " +
+    "in each table, probe recall intact, further retries are no-ops " +
+    "even across a compaction") {
+    import graft.operators.{Dedup, StoreLayout}
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(F.col("doc_id") % 2 === 0)
+    // deterministic 20-doc batch (no limit(): plan-order-dependent)
+    val batch = docs.filter(F.col("doc_id") % 2 === 1 &&
+      F.col("doc_id") < 40)
+    val nBatch = batch.count()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bandatomic").toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+    def shRows() = StoreLayout.readStore(spark, idx).count()
+    def bandRows() = StoreLayout.readStore(spark, s"$idx/_bands").count()
+    def unindexed() = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+      .count()
+    val (sh0, band0) = (shRows(), bandRows())
+
+    // kill between the two manifest commits (the r14 verdict's exact
+    // window): shingles land, _bands never does
+    val boom = new RuntimeException("injected crash between table commits")
+    Dedup.bandAppendFault = () => throw boom
+    try {
+      intercept[RuntimeException] {
+        Dedup.appendToBandIndex(batch, "doc_id", "text", idx,
+          batchId = Some("b42"))
+      } shouldBe boom
+    } finally Dedup.bandAppendFault = () => ()
+    shRows() shouldBe sh0 + nBatch // verify side committed
+    bandRows() shouldBe band0 // candidate side did not: batch
+    // invisible to candidate generation (the documented harmless
+    // transient — shingle-without-bands, never bands-without-shingles)
+
+    // retry with the SAME batchId: lands ONLY the missing table
+    Dedup.appendToBandIndex(batch, "doc_id", "text", idx,
+      batchId = Some("b42"))
+    shRows() shouldBe sh0 + nBatch // not duplicated
+    val band1 = bandRows()
+    band1 should be > band0 // _bands landed
+    // recall is whole again: every batch doc now near-dups its indexed
+    // self, so the incremental-ingest gate drops all of them
+    unindexed() shouldBe 0L
+
+    // a THIRD call with the same id is a full no-op (both markers)
+    Dedup.appendToBandIndex(batch, "doc_id", "text", idx,
+      batchId = Some("b42"))
+    shRows() shouldBe sh0 + nBatch
+    bandRows() shouldBe band1
+
+    // compaction rewrites both manifests (append-file names vanish) but
+    // the idempotence evidence survives it: a late same-id retry is
+    // still a no-op
+    Dedup.compactBandIndex(spark, idx)
+    Dedup.appendToBandIndex(batch, "doc_id", "text", idx,
+      batchId = Some("b42"))
+    shRows() shouldBe sh0 + nBatch
+    bandRows() shouldBe band1
+    unindexed() shouldBe 0L
+  }
+
+  test("superseded parts are age-gated: a reader's pinned snapshot " +
+    "survives many rapid valve-triggered compactions (wall-clock " +
+    "isolation, not cycle-count — the r14 cycle-GC would vacuum it on " +
+    "the second cycle)") {
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-agegate").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 7 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 7 === 1), dir)
+    Sketches.compactKmvStore(spark, dir)
+    // pin a snapshot exactly the way a reader does (manifest resolution)
+    val snapshot = storeDataFiles(dir)
+    val pinned = spark.read.parquet(snapshot.map(n => s"$dir/$n"): _*)
+      .count()
+    // churn: the valve fires a compaction on EVERY append (threshold 1),
+    // so the snapshot is superseded many cycles over in seconds
+    (2L to 6L).foreach { i =>
+      Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 7 === i),
+        dir, autoCompactParts = 1)
+    }
+    storeDataFiles(dir) should not be snapshot // really superseded
+    // the slow reader's files are all still on disk and readable: sweep
+    // requires the ledger entry to be older than SuspectGraceMs
+    snapshot.foreach(n =>
+      assert(new java.io.File(s"$dir/$n").exists(),
+        s"snapshot file $n vacuumed within the grace window"))
+    spark.read.parquet(snapshot.map(n => s"$dir/$n"): _*)
+      .count() shouldBe pinned
+  }
+
+  test("cross-JVM writer guard on local FS: a foreign JVM's fresh " +
+    "_writer_lock heartbeat refuses this JVM's append AND compaction " +
+    "loudly; an expired lease is taken over cleanly") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString + "/store"
+    Sketches.buildKmvStore(o.filter(F.col("o_orderkey") % 4 === 0),
+      Seq("o_orderstatus"), "o_custkey", 16, dir)
+    Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 4 === 1), dir)
+    def serve() = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val afterTwo = serve()
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val lock = new Path(p, "_writer_lock")
+    // forge another JVM's live heartbeat (via the Hadoop FS so the
+    // checksum sidecar stays consistent)
+    val out = fs.create(lock, true)
+    out.write("99999@otherhost/feedface".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 4 === 2), dir)
+    }
+    e.getMessage should include("another JVM")
+    intercept[IllegalStateException] { Sketches.compactKmvStore(spark, dir) }
+    serve() shouldBe afterTwo // the refusals changed nothing
+    // the owner crashed: its heartbeat goes stale past the lease window
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_writer_lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - StoreLayout.WriterLeaseMs - 60000L))
+    // takeover: the append succeeds and the lease is ours afterwards
+    Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 4 === 2), dir)
+    Sketches.appendToKmvStore(o.filter(F.col("o_orderkey") % 4 === 3), dir)
+    Sketches.compactKmvStore(spark, dir)
+    serve() shouldBe
+      Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey", 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 }

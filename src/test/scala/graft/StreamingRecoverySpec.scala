@@ -281,6 +281,75 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
     out.sorted shouldBe Seq(1L, 2L, 3L) // and nothing was lost
   }
 
+  test("band-index streaming ingestion is exactly-once across a crash " +
+    "BETWEEN the two table commits: the restart replays the batchId, " +
+    "skips the committed table, lands the missing one, and probes are " +
+    "whole — no lost batch, no duplicated batch") {
+    import graft.operators.{Dedup, StoreLayout}
+    val idx = tmp("graft-bandstream") + "/idx"
+    val inDir = tmp("graft-bandstream-in")
+    val ck = tmp("graft-bandstream-ck")
+    // seed corpus: two curated docs the index starts from
+    val seed = {
+      import spark.implicits._
+      Seq((1L, goodA), (2L, goodB)).toDF("doc_id", "text")
+    }
+    Dedup.saveBandIndex(seed, "doc_id", "text", idx)
+    def shingleIds() = StoreLayout.readStore(spark, idx)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def bandIds() = StoreLayout.readStore(spark, s"$idx/_bands")
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    def bandRows() = StoreLayout.readStore(spark, s"$idx/_bands").count()
+
+    def startQuery() = Streams.ingestToBandIndexStream(
+      Streams.readEventStream(spark, inDir, inputSchema)
+        .select("doc_id", "text"),
+      "doc_id", "text", idx, ck, autoCompactParts = 6)
+
+    // run 1: kill in the nastiest window — after the shingle table's
+    // manifest commit, before _bands's (the composite-append crash the
+    // r14 verdict flagged; the streaming batchId is the healing nonce)
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Dedup.bandAppendFault = () =>
+      if (crashArmed.getAndSet(false))
+        throw new RuntimeException("injected crash between table commits")
+    writeFile(inDir, 1, Seq(doc(10L, goodA + " ten", 0),
+      doc(11L, goodB + " eleven", 1)))
+    try {
+      val q1 = startQuery()
+      val e = intercept[StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination()
+      }
+      e.getMessage should include("injected crash between table commits")
+    } finally Dedup.bandAppendFault = () => ()
+    // the crash window is visible: shingles committed, bands not
+    shingleIds() shouldBe Seq(1L, 2L, 10L, 11L)
+    bandIds() shouldBe Seq(1L, 2L)
+
+    // run 2 from the same checkpoint: batch 0 replays under the SAME id
+    // (its checkpoint commit never landed) and a new file arrives
+    writeFile(inDir, 2, Seq(doc(12L, goodC + " twelve", 2)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // exactly one copy of every doc in BOTH tables (a non-idempotent
+    // replay would duplicate 10/11 in the shingle table)
+    shingleIds() shouldBe Seq(1L, 2L, 10L, 11L, 12L)
+    bandIds() shouldBe Seq(1L, 2L, 10L, 11L, 12L)
+    val perDoc = bandRows() / 5
+    bandRows() shouldBe perDoc * 5 // uniform bands per doc: no partials
+    // probe wholeness: every ingested doc now near-dups its indexed
+    // self, so the incremental-ingest gate drops the whole replayed set
+    val reprobe = {
+      import spark.implicits._
+      Seq((90L, goodA + " ten"), (91L, goodB + " eleven"),
+        (92L, goodC + " twelve")).toDF("doc_id", "text")
+    }
+    Dedup.dedupAgainstIndex(reprobe, "doc_id", "text", idx)
+      .count() shouldBe 0L
+  }
+
   // ---- TTL × restart (round-13 verdict "next round #2") --------------------
   //
   // StreamingTtlSpec proves eviction; the tests above prove recovery;

@@ -78,8 +78,38 @@ class StreamingTtlSpec extends AnyFunSuite with Matchers {
     Seq(Sev(99L, 1.0, ts(60))),
     Seq(Sev(1L, 10.0, ts(55))))
 
-  test("runningApproxDistinctTtl: idle key flushes a final estimate and " +
-    "restarts fresh; active keys keep their registers") {
+  /** Every eviction scenario runs under BOTH state-store providers (r14
+    * verdict #5): the in-memory default and RocksDB, the production
+    * backend for 100 TB key counts — the TTL contract (arm / evict /
+    * flush-once / fresh-restart) must not depend on provider-specific
+    * state encoding or timeout bookkeeping. Suites in this project run
+    * sequentially in the forked JVM, so flipping the session conf
+    * around a scenario is safe.
+    */
+  private val RocksProvider = "org.apache.spark.sql.execution.streaming" +
+    ".state.RocksDBStateStoreProvider"
+
+  private def withProvider(provider: Option[String])(body: => Unit): Unit =
+    provider match {
+      case None => body
+      case Some(cls) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, cls)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+
+  private val Providers =
+    Seq("default provider" -> None, "RocksDB provider" -> Some(RocksProvider))
+
+  for ((provTag, prov) <- Providers)
+  test(s"runningApproxDistinctTtl [$provTag]: idle key flushes a final " +
+    "estimate and restarts fresh; active keys keep their registers") {
+    withProvider(prov) {
     import spark.implicits._
     val out = runBatches(evictionScript)(
       Streams.runningApproxDistinctTtl(_, "user_id", "value", "ts",
@@ -116,10 +146,13 @@ class StreamingTtlSpec extends AnyFunSuite with Matchers {
         Seq("k"), "value")
       .collect().head.getDouble(1)
     rows(r => r.getLong(0) == 2L).last._2.getDouble(1) shouldBe batchEst2
+    }
   }
 
-  test("runningQuantilesTtl: idle key flushes final quantile rows and " +
-    "restarts with a fresh histogram") {
+  for ((provTag, prov) <- Providers)
+  test(s"runningQuantilesTtl [$provTag]: idle key flushes final quantile " +
+    "rows and restarts with a fresh histogram") {
+    withProvider(prov) {
     import spark.implicits._
     val out = runBatches(evictionScript, mode = "append")(
       Streams.runningQuantilesTtl(_, "user_id", "value", "ts",
@@ -145,10 +178,13 @@ class StreamingTtlSpec extends AnyFunSuite with Matchers {
     val k1After = all.filter(t => t._2.getLong(0) == 1L &&
       !t._2.getBoolean(4) && t._1 > finals.head._1)
     k1After.map(_._2.getLong(3)).distinct shouldBe Seq(1L)
+    }
   }
 
-  test("runningUserTotalsTtl + highValueAlertsTtl: idle counters evict " +
-    "(flush row / silent drop) and restart fresh") {
+  for ((provTag, prov) <- Providers)
+  test(s"runningUserTotalsTtl + highValueAlertsTtl [$provTag]: idle " +
+    "counters evict (flush row / silent drop) and restart fresh") {
+    withProvider(prov) {
     import spark.implicits._
     val totals = runBatches(evictionScript)(
       Streams.runningUserTotalsTtl(_, lateness = "10 minutes",
@@ -180,6 +216,7 @@ class StreamingTtlSpec extends AnyFunSuite with Matchers {
     // restarts at 1 — the state really died
     aAll.map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))) should
       contain allOf ((1L, 20.0, 1L), (1L, 30.0, 2L), (1L, 25.0, 1L))
+    }
   }
 
   test("batch execution: TTL faces == base faces + is_final=false " +

@@ -10,6 +10,14 @@ close note hand-picked 5 of 11 flags; this makes the enumeration
 mechanical so only the adjudication stays human.
 
 Usage: bench_flags.py [bench_detail.json] [BENCH_HISTORY.md] [threshold]
+                      [column]
+`column` names the history column to diff against (substring match on
+the header, e.g. "r14"); without it the LAST header column is used.
+Either way the tool PRINTS which column it compared against — running
+it after the new round's column was appended would otherwise silently
+diff the bench against itself (the r14 ADVICE finding), and a row
+whose newest cell is blank would silently compare against an older
+round.
 Exit code is always 0 (flags are inputs to adjudication, not failures).
 """
 import json
@@ -17,17 +25,34 @@ import re
 import sys
 
 
-def history_last_column(path):
-    """query -> last numeric value in the MAIN table (the first table in
-    the file; frozen note tables further down must not be touched --
-    BENCH_HISTORY's round-13 repair note)."""
+def history_column(path, column=None):
+    """(column_header, {query: value}) from the MAIN table (the first
+    table in the file; frozen note tables further down must not be
+    touched -- BENCH_HISTORY's round-13 repair note). `column` selects
+    a header by substring; default is the last header column. Rows
+    whose cell in that column is blank/non-numeric are reported as
+    absent rather than silently falling back to an older round.
+    """
     out = {}
     in_main = False
+    col_idx = None
+    col_name = None
     with open(path, encoding="utf-8") as f:
         for line in f:
             if line.startswith("| query |"):
-                if out:  # a later table: main one already harvested
+                if col_idx is not None:  # a later table: main harvested
                     break
+                headers = [c.strip() for c in
+                           line.strip().strip("|").split("|")][1:]
+                if column is None:
+                    col_idx, col_name = len(headers) - 1, headers[-1]
+                else:
+                    hits = [(i, h) for i, h in enumerate(headers)
+                            if column in h]
+                    if not hits:
+                        sys.exit(f"no history column matching '{column}' "
+                                 f"(headers: {headers})")
+                    col_idx, col_name = hits[-1]
                 in_main = True
                 continue
             if not in_main:
@@ -40,19 +65,21 @@ def history_last_column(path):
             if not cells or cells[0].startswith("---") or not cells[0]:
                 continue
             name = cells[0]
-            vals = [c for c in cells[1:] if re.fullmatch(r"[0-9.]+", c)]
-            if vals:
-                out[name] = float(vals[-1])
-    return out
+            vals = cells[1:]
+            if col_idx < len(vals) and re.fullmatch(r"[0-9.]+",
+                                                    vals[col_idx]):
+                out[name] = float(vals[col_idx])
+    return col_name, out
 
 
 def main():
     detail_path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
     hist_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_HISTORY.md"
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    column = sys.argv[4] if len(sys.argv) > 4 else None
     detail = json.load(open(detail_path, encoding="utf-8"))
     queries = detail["queries"]
-    prev = history_last_column(hist_path)
+    col_name, prev = history_column(hist_path, column)
 
     flags, missing = [], []
     for name, d in sorted(queries.items()):
@@ -68,7 +95,7 @@ def main():
             flags.append((ratio, name, prev[name], warm, d.get("load", -1),
                           d.get("reps", 0), spread))
 
-    print(f"# bench flags >{threshold}x vs previous column "
+    print(f"# bench flags >{threshold}x vs history column '{col_name}' "
           f"({len(flags)} of {len(queries)} queries; "
           f"{len(missing)} new/unhistoried)")
     print("| query | prev | now | ratio | load | reps | wmax/wmin |")
@@ -77,7 +104,8 @@ def main():
         print(f"| {name} | {p:.2f} | {w:.2f} | {ratio:.2f}x | "
               f"{load:.2f} | {reps} | {spread:.2f}x |")
     if missing:
-        print(f"\nnew queries (no previous column): {', '.join(sorted(missing))}")
+        print(f"\nqueries with no numeric '{col_name}' cell: "
+              f"{', '.join(sorted(missing))}")
 
 
 if __name__ == "__main__":
