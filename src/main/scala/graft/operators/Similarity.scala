@@ -511,6 +511,7 @@ object Similarity {
       .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
       .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
     graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
+    initIndexManifest(candidates.sparkSession, path)
     writeCentroids(candidates.sparkSession, path, cents)
   }
 
@@ -530,19 +531,23 @@ object Similarity {
     * their live `__list=` directories under batch-unique names — never
     * through a shared Hadoop committer staging, so concurrent appends of
     * DISTINCT batches no longer clobber each other (the r14 single-
-    * appender contract is retired). Pass a stable `batchId` for an
-    * exactly-once retry contract: part names become deterministic in the
-    * id and a committed batch is recorded in `_appends/<id>` (written
-    * AFTER the last rename — the commit point), so a re-append of the
-    * same id is a no-op, and a retry after a crash mid-rename first
-    * sweeps the crashed attempt's leftovers and lands the batch once.
-    * Because probes read the hive layout directly (no manifest — `__list=`
-    * partition pruning is the probe's whole point), a crash BETWEEN
-    * renames leaves a PARTIAL batch visible until the retry completes it
-    * — transiently fewer/more candidates, never duplicates. Markers older
-    * than [[Sketches.SuspectGraceMs]] are pruned on later appends, so
-    * retries must come within the window. Concurrent appends of the SAME
-    * batchId are a caller error.
+    * appender contract is retired) — and ONE manifest extension naming
+    * the batch's relative paths makes it visible: probes are
+    * manifest-pinned (explicit file list + `basePath`, so `__list=`
+    * partition pruning survives — see [[readIndex]]), which means a
+    * crash anywhere before the manifest commit leaves the parts
+    * UNREFERENCED and invisible — all-or-nothing, same as the flat
+    * stores. Pass a stable `batchId` for an exactly-once retry contract:
+    * part names become deterministic in the id, a committed batch is
+    * recorded in `_appends/<id>`, and a re-append of the same id is a
+    * no-op (marker first, manifest names second); a retry after a crash
+    * mid-rename sweeps the unreferenced leftovers and lands the batch
+    * once. Markers older than [[Sketches.SuspectGraceMs]] are pruned on
+    * later appends, so retries must come within the window. Concurrent
+    * appends of the SAME batchId are a caller error. Indexes built by
+    * pre-manifest versions are bootstrapped onto a manifest at their
+    * first append; until then they serve from partition discovery
+    * unchanged.
     */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[String] = None): Unit = {
@@ -557,10 +562,58 @@ object Similarity {
           nearestCentroids(cents, F.col("__cv"), 1).getItem(0)))
   }
 
-  /** The scratch-rename-marker protocol behind both index appends: write
-    * partitioned into `_append_tmp-<nonce>`, rename every partition's
-    * parts into the live `__list=` dirs as `append-<nonce>-p%05d.parquet`,
-    * then (with a batchId) commit the `_appends/<id>` marker.
+  /** Relative data-file paths (`__list=N/<file>`) a partitioned index
+    * directory holds right now — the manifest bootstrap/init listing.
+    */
+  private def listIndexFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => d.getPath.getName + "/" + s.getPath.getName)
+      }
+
+  /** Manifest-pinned read of a partitioned ANN index: resolve the
+    * newest `_manifest-*` version and read exactly its files through
+    * `basePath`, so the `__list` partition column (and its pruning)
+    * survives the explicit listing while uncommitted append parts stay
+    * invisible — the same snapshot isolation the flat stores get from
+    * [[StoreLayout.readStore]], adapted to the hive layout. A legacy
+    * (manifest-less) index serves from partition discovery as before.
+    */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.currentManifest(fs, p) match {
+      case None => spark.read.parquet(path)
+      case Some((_, files)) =>
+        spark.read.option("basePath", path)
+          .parquet(files.map(n =>
+            new org.apache.hadoop.fs.Path(p, n).toString): _*)
+    }
+  }
+
+  /** Stamp a freshly built index with manifest v1 naming exactly the
+    * files the build wrote — from here on probes are manifest-pinned
+    * and appends commit behind manifest extensions.
+    */
+  private def initIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.initManifestNaming(fs, p, listIndexFiles(fs, p))
+  }
+
+  /** The scratch-rename-manifest-marker protocol behind both index
+    * appends: write partitioned into `_append_tmp-<nonce>`, rename every
+    * partition's parts into the live `__list=` dirs as
+    * `append-<nonce>-p%05d.parquet`, extend the manifest with exactly
+    * those relative names (the visibility point — a crash anywhere
+    * before it leaves the parts UNREFERENCED and invisible to
+    * manifest-pinned probes), then (with a batchId) commit the
+    * `_appends/<id>` marker.
     */
   private def appendPartitionedIdempotent(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -573,25 +626,35 @@ object Similarity {
         s"batchId must be filename-safe ([A-Za-z0-9._-]+): '$id'"))
     if (batchId.exists(StoreLayout.hasBatchMarker(fs, p, _)))
       return // batch already committed
-    def listDirs(): Seq[Path] = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
-      .map(_.getPath)
-    // a crashed prior attempt's renamed-but-unmarked leftovers would
-    // collide with this attempt's deterministic names: sweep them (no
-    // marker exists, so the batch never committed; a partial batch was
-    // transiently visible and now converges to exactly one full copy)
+    // bootstrap a legacy (pre-manifest) index BEFORE any rename, so this
+    // batch's visibility point is its manifest commit, not disk arrival
+    if (StoreLayout.currentManifest(fs, p).isEmpty)
+      initIndexManifest(spark, path)
+    // second idempotence trail: the current manifest already names this
+    // batch (crash landed between its commit and its marker)
+    if (batchId.exists(id => StoreLayout.currentManifest(fs, p).exists(
+        _._2.exists(_.split('/').last.startsWith(s"append-$id-"))))) {
+      StoreLayout.writeBatchMarker(fs, p, batchId.get)
+      return
+    }
+    // a crashed prior attempt's renamed-but-uncommitted leftovers would
+    // collide with this attempt's deterministic names: sweep them
+    // (unreferenced by the checks above — never served)
     batchId.foreach { id =>
-      listDirs().foreach { d =>
-        fs.listStatus(d).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith(s"append-$id-"))
-          .foreach(fs.delete(_, false))
-      }
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+        .foreach { d =>
+          fs.listStatus(d.getPath).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith(s"append-$id-"))
+            .foreach(fs.delete(_, false))
+        }
     }
     val nonce = batchId.getOrElse(
       java.util.UUID.randomUUID().toString.take(8))
     val scratch = new Path(p, s"_append_tmp-$nonce")
     if (fs.exists(scratch)) fs.delete(scratch, true)
     assigned.write.partitionBy("__list").parquet(scratch.toString)
+    val relNames = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(scratch).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
       .foreach { srcDir =>
@@ -600,16 +663,21 @@ object Similarity {
         val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
           .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
         parts.zipWithIndex.foreach { case (src, i) =>
-          val dst = new Path(dstDir, f"append-$nonce-p$i%05d.parquet")
+          val name = f"append-$nonce-p$i%05d.parquet"
+          val dst = new Path(dstDir, name)
           if (!fs.rename(src, dst))
             throw new java.io.IOException(
               s"appendToIvf*Index: rename $src -> $dst failed (returned " +
-                "false); re-append the same batchId to converge on " +
-                "exactly one copy")
+                "false); nothing is served (the parts are unreferenced) " +
+                "— re-append the same batchId to converge on exactly " +
+                "one copy")
+          relNames += srcDir.getPath.getName + "/" + name
         }
       }
     fs.delete(scratch, true)
-    batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _)) // commit point
+    // visibility point: one manifest extension publishes the whole batch
+    if (relNames.nonEmpty) StoreLayout.extendManifest(fs, p, relNames.toSeq)
+    batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _))
     // bound the marker ledger at append-rate x grace window (same
     // retention contract as the flat stores' compaction-time pruning —
     // this index has no compaction, so prune here)
@@ -751,7 +819,7 @@ object Similarity {
       .localCheckpoint()
     // distinct probed lists: bounded by nCentroids, never by |queries|
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(path)
+    val c = readIndex(spark, path)
       .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
     probeJoin(q, c, k, excludeSelf)
   }
@@ -785,6 +853,7 @@ object Similarity {
       .withColumn("__list", nearestCentroids(cents, F.col("__cv"), 1).getItem(0))
     graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
     val spark = candidates.sparkSession
+    initIndexManifest(spark, path)
     writeCentroids(spark, path, cents)
     import spark.implicits._
     // m·ksub rows — bounded side table, one read at probe time
@@ -821,7 +890,7 @@ object Similarity {
           math.min(nProbe, cents.length))))
       .localCheckpoint()
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(path)
+    val idx = readIndex(spark, path)
       .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
     // ADC shortlist: codes-only scan (no __cv in this subtree's schema)
     val pairs = q.select("query_id", "__lut", "__qn", "__list")

@@ -474,17 +474,7 @@ private[graft] object StoreLayout {
     }
     fs.delete(scratch, true)
     if (currentManifest(fs, p).isDefined && names.nonEmpty) {
-      var committed = false
-      var attempts = 0
-      while (!committed) {
-        attempts += 1
-        if (attempts > 50)
-          throw new java.io.IOException(
-            s"appendRecorded: could not commit a manifest for $path " +
-              "after 50 attempts (manifest versions kept advancing)")
-        val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
-        committed = tryCommitManifest(fs, p, ver + 1, cur ++ names)
-      }
+      extendManifest(fs, p, names)
       batchId.foreach(writeBatchMarker(fs, p, _))
       // amortized manifest-file GC on the append path too: an
       // append-forever store with the compaction valve off would
@@ -496,17 +486,46 @@ private[graft] object StoreLayout {
     }
   }
 
+  /** Extend the current manifest with `names` — the optimistic
+    * create-exclusive commit loop shared by every append path: a
+    * version collision means another writer just committed, so re-read
+    * and retry; every committed version is a superset of this writer's
+    * names.
+    */
+  def extendManifest(fs: FileSystem, p: Path, names: Seq[String]): Unit = {
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      if (attempts > 50)
+        throw new java.io.IOException(
+          s"extendManifest: could not commit a manifest for $p after " +
+            "50 attempts (manifest versions kept advancing)")
+      val (ver, cur) = currentManifest(fs, p).getOrElse((0L, Seq.empty))
+      committed = tryCommitManifest(fs, p, ver + 1, cur ++ names)
+    }
+  }
+
   /** Bootstrap a manifest over a fresh/overwritten store directory
     * (called by the build faces right after their overwrite write):
     * version 1 names exactly the files just written.
     */
   def initManifest(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsFor(spark, path)
+    initManifestNaming(fs, p, rawDataFiles(fs, p))
+  }
+
+  /** [[initManifest]] with an explicit file list — for layouts whose
+    * data files are not flat root files (the hive-partitioned ANN
+    * indexes name `__list=N/<file>` relative paths).
+    */
+  def initManifestNaming(fs: FileSystem, p: Path,
+      files: Seq[String]): Unit = {
     // an overwrite may leave stale manifests from a previous build at
     // this path — remove them so v1 is the store's first version again
     fs.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(ManifestPrefix))
       .foreach(fs.delete(_, false))
-    tryCommitManifest(fs, p, 1L, rawDataFiles(fs, p))
+    tryCommitManifest(fs, p, 1L, files)
   }
 }

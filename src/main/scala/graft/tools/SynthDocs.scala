@@ -23,6 +23,7 @@ import org.apache.spark.sql.SparkSession
   * embarrassingly parallel — no shuffle, no cross-row state, identical
   * output at any partitioning or cluster size. Usage:
   *   SynthDocs <outDir> <nDocs> <nVecs> [seed] [uniform|zipf]
+  *             [uniformvec|zipfvec]
   *
   * `zipf` mode (round-13 verdict "next round #6") replaces the benign
   * uniform 20-source mix with a Zipf(s = 1.2) draw over 1000 sources —
@@ -46,13 +47,11 @@ object SynthDocs {
   private val Langs = Array("en", "zh", "fr", "es", "de")
   private val LangCum = Array(0.41, 0.56, 0.71, 0.86, 1.0)
 
-  /** Zipf(s) cumulative distribution over `n` ranked sources — a pure
+  /** Zipf(s) cumulative distribution over `n` ranked items — a pure
     * function of (n, s), computed once per executor and closed over by
     * the row generator, so rows stay pure in (seed, id).
     */
-  private lazy val ZipfCum: Array[Double] = {
-    val n = 1000
-    val s = 1.2
+  private def zipfCumulative(n: Int, s: Double): Array[Double] = {
     val w = Array.tabulate(n)(i => 1.0 / math.pow(i + 1.0, s))
     val tot = w.sum
     val cum = new Array[Double](n)
@@ -63,13 +62,23 @@ object SynthDocs {
     cum
   }
 
-  private def zipfSource(u: Double): String = {
-    val idx = java.util.Arrays.binarySearch(ZipfCum, u) match {
+  private lazy val ZipfCum: Array[Double] = zipfCumulative(1000, 1.2)
+
+  /** Zipf(1.2) over the 10 TRUE embedding clusters (round-14 verdict
+    * #6): cluster-MASS skew, the semdedup/IVF analogue of hot keys —
+    * the head cluster carries ~40% of all vectors, the top 3 ~72%.
+    */
+  private lazy val ZipfVecCum: Array[Double] = zipfCumulative(10, 1.2)
+
+  private def zipfIndex(cum: Array[Double], u: Double): Int = {
+    val idx = java.util.Arrays.binarySearch(cum, u) match {
       case found if found >= 0 => found
       case ins => -(ins + 1)
     }
-    s"src${math.min(idx, ZipfCum.length - 1)}"
+    math.min(idx, cum.length - 1)
   }
+
+  private def zipfSource(u: Double): String = s"src${zipfIndex(ZipfCum, u)}"
 
   private def rngFor(seed: Long, id: Long): scala.util.Random =
     new scala.util.Random(seed * 0x9E3779B97F4A7C15L + id * 0xC2B2AE3D27D4EB4FL)
@@ -119,19 +128,28 @@ object SynthDocs {
 
   /** Unit-norm 64-dim embedding for vec `id` in one of 10 clusters —
     * centroid (a pure function of seed and label) + gaussian noise,
-    * L2-normalized, like the driver's.
+    * L2-normalized, like the driver's. `zipfMass` draws the cluster
+    * LABEL from Zipf(1.2) instead of uniformly (`id mod 10`) — cluster-
+    * mass skew with identical geometry, so any semdedup/IVF delta vs
+    * the uniform sibling is mass concentration alone. Uniform mode's
+    * output is bit-identical to pre-round-15 corpora (the extra label
+    * draw is only consumed in zipfMass mode).
     */
-  def vec(seed: Long, id: Long): (Int, Array[Float]) = {
-    val label = (id % 10L).toInt
-    val cRng = rngFor(seed * 31L + 7L, label.toLong)
+  def vec(seed: Long, id: Long,
+      zipfMass: Boolean = false): (Int, Array[Float]) = {
     val rng = rngFor(seed, id + (1L << 40))
+    val label =
+      if (zipfMass) zipfIndex(ZipfVecCum, rng.nextDouble())
+      else (id % 10L).toInt
+    val cRng = rngFor(seed * 31L + 7L, label.toLong)
     val raw = Array.fill(64)(cRng.nextGaussian() + 0.45 * rng.nextGaussian())
     val norm = math.sqrt(raw.map(x => x * x).sum)
     (label, raw.map(x => (x / norm).toFloat))
   }
 
   def generate(spark: SparkSession, outDir: String, nDocs: Long,
-      nVecs: Long, seed: Long = 42L, zipf: Boolean = false): Unit = {
+      nVecs: Long, seed: Long = 42L, zipf: Boolean = false,
+      zipfVecMass: Boolean = false): Unit = {
     import spark.implicits._
     spark.range(nDocs)
       .map { id =>
@@ -142,7 +160,7 @@ object SynthDocs {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.range(nVecs)
       .map { id =>
-        val (label, embedding) = vec(seed, id)
+        val (label, embedding) = vec(seed, id, zipfVecMass)
         (id, embedding, label)
       }
       .toDF("vec_id", "embedding", "label")
@@ -155,6 +173,7 @@ object SynthDocs {
     val nVecs = args(2).toLong
     val seed = if (args.length > 3) args(3).toLong else 42L
     val zipf = args.length > 4 && args(4) == "zipf"
+    val zipfVecMass = args.length > 5 && args(5) == "zipfvec"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -163,9 +182,10 @@ object SynthDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, nDocs, nVecs, seed, zipf)
+    generate(spark, outDir, nDocs, nVecs, seed, zipf, zipfVecMass)
     println(s"[synthdocs] wrote $nDocs docs + $nVecs vecs to $outDir " +
-      s"(seed $seed, sources ${if (zipf) "zipf" else "uniform"})")
+      s"(seed $seed, sources ${if (zipf) "zipf" else "uniform"}, " +
+      s"cluster mass ${if (zipfVecMass) "zipfvec" else "uniform"})")
     spark.stop()
   }
 }

@@ -1544,19 +1544,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
       batchId = Some("b1"))
     spark.read.parquet(dir).count() shouldBe nAll
+    def probe() = Similarity.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def brute(cands: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(queries, cands, "vec_id", "embedding",
+          k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probe() shouldBe brute(emb)
     val (fs, p) = StoreLayout.fsFor(spark, dir)
     // reconstruct the crash-mid-rename state: SOME of the batch's parts
-    // renamed in, the commit marker never written
+    // renamed in, neither the manifest extension nor the marker written
     fs.delete(new Path(p, "_appends/b1"), false) shouldBe true
+    val vers = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_manifest-")).sorted
+    vers should have size 2 // v1 = build, v2 = the append
+    fs.delete(new Path(p, vers.last), false) shouldBe true
     val landed = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
       .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath))
       .filter(_.getName.startsWith("append-b1-"))
     landed should not be empty
     fs.delete(landed.head, false)
+    // raw disk holds a partial batch, but probes are manifest-pinned:
+    // they serve the pre-append snapshot, never the torn state
     val partial = spark.read.parquet(dir).count()
-    partial should be < nAll // the documented transient: partial batch
-    partial should be >= nEven // visible until the retry converges it
+    partial should be < nAll
+    partial should be >= nEven
+    probe() shouldBe brute(evens)
     // retry with the SAME id: sweeps the leftovers, lands the batch once
     Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
       batchId = Some("b1"))
