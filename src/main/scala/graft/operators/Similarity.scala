@@ -620,6 +620,7 @@ object Similarity {
       batchId: Option[String], assigned: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.acquireWriterLease(fs, p)
     batchId.foreach(id =>
       require(id.nonEmpty && id.forall(c => c.isLetterOrDigit ||
         c == '-' || c == '_' || c == '.'),
@@ -627,13 +628,19 @@ object Similarity {
     if (batchId.exists(StoreLayout.hasBatchMarker(fs, p, _)))
       return // batch already committed
     // bootstrap a legacy (pre-manifest) index BEFORE any rename, so this
-    // batch's visibility point is its manifest commit, not disk arrival
+    // batch's visibility point is its manifest commit, not disk arrival.
+    // Bare create-if-absent, NOT initIndexManifest: that helper deletes
+    // existing manifests first (overwrite-build semantics), which under
+    // two concurrent first appends would erase the other appender's
+    // committed versions — the loser of a racing bootstrap must just
+    // read the winner's v1, same as the flat stores
     if (StoreLayout.currentManifest(fs, p).isEmpty)
-      initIndexManifest(spark, path)
+      StoreLayout.tryCommitManifest(fs, p, 1L, listIndexFiles(fs, p))
     // second idempotence trail: the current manifest already names this
-    // batch (crash landed between its commit and its marker)
+    // batch (crash landed between its commit and its marker); exact-id
+    // file matching — a dash-containing sibling id must never alias
     if (batchId.exists(id => StoreLayout.currentManifest(fs, p).exists(
-        _._2.exists(_.split('/').last.startsWith(s"append-$id-"))))) {
+        _._2.exists(n => StoreLayout.isBatchFile(n.split('/').last, id))))) {
       StoreLayout.writeBatchMarker(fs, p, batchId.get)
       return
     }
@@ -645,7 +652,7 @@ object Similarity {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
         .foreach { d =>
           fs.listStatus(d.getPath).toSeq.map(_.getPath)
-            .filter(_.getName.startsWith(s"append-$id-"))
+            .filter(f => StoreLayout.isBatchFile(f.getName, id))
             .foreach(fs.delete(_, false))
         }
     }
@@ -675,9 +682,13 @@ object Similarity {
         }
       }
     fs.delete(scratch, true)
-    // visibility point: one manifest extension publishes the whole batch
+    // visibility point: one manifest extension publishes the whole
+    // batch. Re-acquire first: the partitioned write can outlast the
+    // lease window (see the acquireWriterLease scaladoc)
+    StoreLayout.acquireWriterLease(fs, p)
     if (relNames.nonEmpty) StoreLayout.extendManifest(fs, p, relNames.toSeq)
     batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _))
+    StoreLayout.pruneCrowdedManifests(fs, p)
     // bound the marker ledger at append-rate x grace window (same
     // retention contract as the flat stores' compaction-time pruning —
     // this index has no compaction, so prune here)

@@ -1402,6 +1402,11 @@ object Sketches {
     // crashed would otherwise lose both idempotence trails here, and a
     // late same-batchId retry would double-append it)
     StoreLayout.markBatchesIn(fs, p, before)
+    // re-acquire before committing: a fold outlasting the lease window
+    // may have lost the lease to a takeover — fail loudly here, with the
+    // old manifest still serving, rather than silently colliding with
+    // the taker's commits (see the acquireWriterLease scaladoc)
+    StoreLayout.acquireWriterLease(fs, p)
     // step 4: COMMIT — one atomic manifest create flips readers over.
     // CARRY-FORWARD MERGE: files the current manifest names that were
     // NOT part of the fold input are batches appended while the fold

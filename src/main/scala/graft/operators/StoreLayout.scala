@@ -288,9 +288,15 @@ private[graft] object StoreLayout {
     * The lease is a heartbeat file: each acquire by the owner refreshes
     * its mtime; a foreign writer is refused while the heartbeat is
     * younger than [[WriterLeaseMs]] and takes the lease over once it is
-    * older (crashed owner). Best-effort by design — two JVMs' FIRST
-    * writes can still race through the create window — but it converts
-    * the common silent-corruption case into a loud, actionable error.
+    * older (crashed owner). Writers acquire at operation START and
+    * RE-ACQUIRE immediately before their manifest commit: a data write
+    * that outlasts the lease window can lose the lease to a takeover,
+    * and the pre-commit re-acquire then throws on the fresh foreign
+    * heartbeat — the stale writer fails loudly BEFORE committing
+    * instead of silently overwriting the taker's manifest version.
+    * Best-effort by design — two JVMs' FIRST writes can still race
+    * through the create window — but it converts the common
+    * silent-corruption cases into loud, actionable errors.
     * Non-local filesystems (HDFS: atomic namespace rename) skip it
     * entirely; same-JVM concurrency is already serialized by the
     * commit-lock stripes.
@@ -345,6 +351,19 @@ private[graft] object StoreLayout {
   /** Extracts the batch id from an `append-<id>-p%05d.parquet` name. */
   private[graft] val AppendFileName =
     "^append-(.+)-p\\d{5}\\.parquet$".r
+
+  /** True iff `name` is one of batch `id`'s append files — EXACT id
+    * equality on the regex-extracted id, never a prefix test: ids may
+    * contain dashes, so `startsWith("append-b1-")` would also match
+    * batch "b1-x"'s files (falsely skipping batch b1 forever, or a
+    * retry's leftover sweep deleting a sibling batch's live parts — a
+    * review-caught silent-loss pair).
+    */
+  def isBatchFile(name: String, id: String): Boolean =
+    name match {
+      case AppendFileName(bid) => bid == id
+      case _ => false
+    }
 
   private def markerPath(dir: Path, batchId: String): Path =
     new Path(new Path(dir, AppendsDirName), batchId)
@@ -447,7 +466,7 @@ private[graft] object StoreLayout {
     // (crash landed between its commit and its marker) — repair the
     // marker and skip
     if (batchId.exists(id => currentManifest(fs, p).exists(_._2.exists(
-        _.startsWith(s"append-$id-"))))) {
+        isBatchFile(_, id))))) {
       writeBatchMarker(fs, p, batchId.get)
       return
     }
@@ -455,7 +474,7 @@ private[graft] object StoreLayout {
     // with this attempt's deterministic names: sweep them (unreferenced
     // by the checks above — never served)
     batchId.foreach(id =>
-      rawDataFiles(fs, p).filter(_.startsWith(s"append-$id-"))
+      rawDataFiles(fs, p).filter(isBatchFile(_, id))
         .foreach(n => fs.delete(new Path(p, n), false)))
     val scratch = new Path(p, s"_append_tmp-$nonce")
     if (batchId.isDefined && fs.exists(scratch))
@@ -474,17 +493,26 @@ private[graft] object StoreLayout {
     }
     fs.delete(scratch, true)
     if (currentManifest(fs, p).isDefined && names.nonEmpty) {
+      // re-acquire before committing: the data write above can outlast
+      // the lease window, and a second JVM may have taken the lease
+      // over mid-write — this refresh either re-asserts ownership or
+      // THROWS on a fresh foreign heartbeat, so the stale writer fails
+      // loudly before its commit instead of silently colliding
+      acquireWriterLease(fs, p)
       extendManifest(fs, p, names)
       batchId.foreach(writeBatchMarker(fs, p, _))
-      // amortized manifest-file GC on the append path too: an
-      // append-forever store with the compaction valve off would
-      // otherwise accumulate one cumulative manifest per append —
-      // O(n²) manifest bytes and an ever-longer listing. Refs that
-      // existed only in pruned versions degrade to the compactor's
-      // suspect grace, which is sound.
-      if (manifestVersions(fs, p).size > 32) pruneManifests(fs, p, keep = 8)
+      pruneCrowdedManifests(fs, p)
     }
   }
+
+  /** Amortized manifest-file GC shared by every append path: an
+    * append-forever store would otherwise accumulate one cumulative
+    * manifest per append — O(n²) manifest bytes and an ever-longer
+    * listing. Refs that existed only in pruned versions degrade to the
+    * compactor's suspect grace, which is sound.
+    */
+  def pruneCrowdedManifests(fs: FileSystem, p: Path): Unit =
+    if (manifestVersions(fs, p).size > 32) pruneManifests(fs, p, keep = 8)
 
   /** Extend the current manifest with `names` — the optimistic
     * create-exclusive commit loop shared by every append path: a

@@ -146,19 +146,45 @@ object Streams {
     * gate the stream ([[curateStream]] / [[nearDupStreamGate]]) upstream,
     * ingest the survivors here, and the serving index grows continuously
     * without a rebuild.
+    *
+    * The nonce is `<queryId>-<batchId>`, where queryId is the streaming
+    * query's checkpoint-stable id (read from `<checkpointDir>/metadata`,
+    * the file Spark writes at query start): stable across restarts from
+    * the SAME checkpoint (exactly-once replay), fresh for a NEW
+    * checkpoint or a second stream into the same index — a bare batch
+    * number would collide there (foreachBatch numbering restarts at 0)
+    * and silently skip every replayed-looking batch.
     */
   def ingestToBandIndexStream(stream: DataFrame, idCol: String,
       textCol: String, indexPath: String, checkpointDir: String,
       autoCompactParts: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // resolved lazily INSIDE the first batch: the metadata file exists
+    // once the query has started, which is before any batch runs
+    lazy val queryTag: String = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      val fs = p.getFileSystem(
+        stream.sparkSession.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalStateException(
+          s"$p holds no query id — cannot derive a collision-free " +
+            "append nonce for exactly-once ingestion"))
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol,
-          indexPath, autoCompactParts, batchId = Some(f"stream-$id%020d"))
+          indexPath, autoCompactParts,
+          batchId = Some(f"$queryTag-$id%020d"))
         ()
       }
       .start()
+  }
 
   /** The full streaming ingestion gate, composed: quality filter
     * (`qualityScore >= minQuality`, the banded 0-1 signal — a LIGHTER

@@ -1210,6 +1210,31 @@ class SketchSpec extends AnyFunSuite with Matchers {
     unindexed() shouldBe 0L
   }
 
+  test("batchId idempotence matches the EXACT id: a dash-prefix sibling " +
+    "('b1' vs 'b1-x') never aliases — both batches land, both retries " +
+    "are no-ops") {
+    import graft.operators.StoreLayout
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-exactid").toString + "/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def append(id: String, v: Long): Unit =
+      StoreLayout.appendRecorded(spark, dir, Some(id)) { scratch =>
+        Seq(v).toDF("v").coalesce(1).write.parquet(scratch)
+      }
+    def served() = StoreLayout.readStore(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    append("b1-x", 1L)
+    // the review-caught regression: "append-b1-x-*" startsWith
+    // "append-b1-", so a prefix test would mark batch "b1" committed
+    // and silently drop it forever
+    append("b1", 2L)
+    served() shouldBe Seq(1L, 2L)
+    append("b1", 2L)
+    append("b1-x", 1L)
+    served() shouldBe Seq(1L, 2L) // retries: exact-id no-ops
+  }
+
   test("superseded parts are age-gated: a reader's pinned snapshot " +
     "survives many rapid valve-triggered compactions (wall-clock " +
     "isolation, not cycle-count — the r14 cycle-GC would vacuum it on " +
