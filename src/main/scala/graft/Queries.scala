@@ -712,6 +712,42 @@ object Queries {
       "embedding", k = 10, nProbe = 8, shortlist = 50)
   }
 
+  /** The FULL persisted-index lifecycle under the hash oracle: build a
+    * plain IVF index on a third of the embeddings, append the other two
+    * thirds as idempotent batches ([[Similarity.appendToIvfIndex]]),
+    * COMPACT it ([[Similarity.compactIvfIndex]] — one file per list,
+    * manifest swap, deferred GC), then probe EXHAUSTIVELY
+    * (nProbe = nCentroids exact-scores every stored row), so the result
+    * must equal brute-force top-k over the full table: the oracle is
+    * q_knn's own SQL, and any row lost or duplicated anywhere in
+    * build/append/compact/probe breaks the hash. Unlike the PQ family
+    * (rows-only per SURVEY §7.5), the plain-IVF probe's only float step
+    * is the same round-6 cosine q_knn already gates — centroid argmin
+    * boundaries cannot matter when every list is probed.
+    */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_knn_index(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = ivfIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-reg").toString + "/index"
+      def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+      Similarity.buildIvfIndex(third(0), "vec_id", "embedding", dir,
+        nCentroids = 8)
+      Similarity.appendToIvfIndex(third(1), "vec_id", "embedding", dir,
+        batchId = Some("reg-b1"))
+      Similarity.appendToIvfIndex(third(2), "vec_id", "embedding", dir,
+        batchId = Some("reg-b2"))
+      Similarity.compactIvfIndex(s, dir)
+      dir
+    })
+    Similarity.probeIvfIndex(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Sparse random projection (Achlioptas JL, s = 4) of the embeddings to
     * 8 dims, long form (vec_id, pos, v) — the md5-derived projection
     * matrix is engine-replayable, so this gets a full DuckDB oracle
@@ -2582,6 +2618,19 @@ object Queries {
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                  CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 10""".stripMargin,
+    // q_knn_index: the persisted build/append/compact/probe lifecycle
+    // probed exhaustively IS brute-force top-k — same oracle as q_knn
+    "q_knn_index" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 10""".stripMargin,
     "q_text_stats" ->
       s"""WITH toks AS (SELECT doc_id, $DTok AS ws FROM documents)
         |SELECT doc_id,
@@ -4060,6 +4109,7 @@ object Queries {
     "q_knn_pq" -> (q_knn_pq _),
     "q_knn_pq_fixed" -> (q_knn_pq_fixed _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
+    "q_knn_index" -> (q_knn_index _),
     "q_knn_ivfpq_fixed" -> (q_knn_ivfpq_fixed _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_random_project" -> (q_random_project _),

@@ -550,7 +550,8 @@ object Similarity {
     * unchanged.
     */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Option[String] = None): Unit = {
+      path: String, batchId: Option[String] = None,
+      autoCompactParts: Int = 0): Unit = {
     val spark = newDocs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     requireIndexKind(spark, path, wantCodes = false)
@@ -559,7 +560,8 @@ object Similarity {
       newDocs
         .select(F.col(idCol).as("cand_id"), F.col(vecCol).as("__cv"))
         .withColumn("__list",
-          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)))
+          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)),
+      autoCompactParts)
   }
 
   /** Relative data-file paths (`__list=N/<file>`) a partitioned index
@@ -577,24 +579,44 @@ object Similarity {
       }
 
   /** Manifest-pinned read of a partitioned ANN index: resolve the
-    * newest `_manifest-*` version and read exactly its files through
-    * `basePath`, so the `__list` partition column (and its pruning)
-    * survives the explicit listing while uncommitted append parts stay
-    * invisible — the same snapshot isolation the flat stores get from
+    * newest `_manifest-*` version (or, with `version` set, exactly that
+    * version — time travel within the retention window, see
+    * [[indexVersions]]) and read exactly its files through `basePath`,
+    * so the `__list` partition column (and its pruning) survives the
+    * explicit listing while uncommitted append parts stay invisible —
+    * the same snapshot isolation the flat stores get from
     * [[StoreLayout.readStore]], adapted to the hive layout. A legacy
-    * (manifest-less) index serves from partition discovery as before.
+    * (manifest-less) index serves from partition discovery as before
+    * (and has no versions to pin).
     */
   private def readIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, version: Option[Long] = None): DataFrame = {
     val (fs, p) = StoreLayout.fsFor(spark, path)
-    StoreLayout.currentManifest(fs, p) match {
+    val pinned = version match {
+      case Some(v) => Some(StoreLayout.readManifestChecked(fs, p, v))
+      case None => StoreLayout.currentManifest(fs, p).map(_._2)
+    }
+    pinned match {
       case None => spark.read.parquet(path)
-      case Some((_, files)) =>
+      case Some(files) =>
         spark.read.option("basePath", path)
           .parquet(files.map(n =>
             new org.apache.hadoop.fs.Path(p, n).toString): _*)
     }
   }
+
+  /** The manifest versions a persisted ANN index can serve right now,
+    * oldest first — pass one to a probe's `version` to pin it.
+    * Retention: manifests are pruned past 32 versions (keep 8) and a
+    * superseded version's data files are swept one grace window
+    * ([[Sketches.SuspectGraceMs]]) after a compaction replaces them, so
+    * pin within the window or re-resolve (the lakehouse
+    * time-travel-vs-VACUUM trade). Empty for a legacy pre-manifest
+    * index.
+    */
+  def indexVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    StoreLayout.storeVersions(spark, path)
 
   /** Stamp a freshly built index with manifest v1 naming exactly the
     * files the build wrote — from here on probes are manifest-pinned
@@ -617,7 +639,8 @@ object Similarity {
     */
   private def appendPartitionedIdempotent(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      batchId: Option[String], assigned: DataFrame): Unit = {
+      batchId: Option[String], assigned: DataFrame,
+      autoCompactParts: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
     StoreLayout.acquireWriterLease(fs, p)
@@ -689,10 +712,111 @@ object Similarity {
     if (relNames.nonEmpty) StoreLayout.extendManifest(fs, p, relNames.toSeq)
     batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _))
     StoreLayout.pruneCrowdedManifests(fs, p)
-    // bound the marker ledger at append-rate x grace window (same
-    // retention contract as the flat stores' compaction-time pruning —
-    // this index has no compaction, so prune here)
+    // bound the marker ledger at append-rate x grace window even when
+    // the valve is off (compaction's gcSweep also prunes, but an
+    // append-only cadence must not accumulate markers unboundedly)
     StoreLayout.pruneBatchMarkers(fs, p, Sketches.SuspectGraceMs)
+    // read-amplification valve (same contract as the flat stores'
+    // autoCompactParts): compact when the index serves more than the
+    // threshold's part count — skipped if another thread in this JVM is
+    // already compacting; a failure is swallowed (the append above is
+    // durably committed; the threshold re-fires on a later append)
+    Sketches.maybeAutoCompact(spark, path, autoCompactParts)(
+      compactIvfIndex(spark, path))
+  }
+
+  /** Fold a persisted ANN index's accumulated append files into one
+    * part per `__list` partition (or more, via `maxRecordsPerFile`) —
+    * the read-amplification valve the flat stores got in r14, for the
+    * hive layout: an append-forever index pays one parquet footer +
+    * file open per (batch × probed list) at every probe, and folding is
+    * a pure read-path optimization (row set unchanged — no merge
+    * identity is even needed). Works on BOTH index flavors
+    * ([[buildIvfIndex]] and [[buildIvfPqIndex]]): compaction is
+    * layout-level, and the `codes` column rides the fold untouched.
+    *
+    * Same crash/concurrency story as [[Sketches.compactReplace]],
+    * built on the same [[StoreLayout]] primitives — single concurrent
+    * COMPACTOR assumed, concurrent appends fully safe:
+    *  1. GC via [[StoreLayout.gcSweep]] (superseded parts swept only
+    *     once superseded longer than the grace window; this attempt's
+    *     own debris when `_compact_tmp` marks a crashed try;
+    *     unreferenced files once recorded AND mtime-old past grace);
+    *  2. fold exactly the current manifest's files —
+    *     `repartition($"__list")` then a partitioned write into
+    *     `_compact_tmp/data`, so each list lands contiguous (one file
+    *     per list; `maxRecordsPerFile` caps file size for fat lists —
+    *     a hot list splits into more files, never more tasks than its
+    *     one shuffle partition, which the trainer's measured list
+    *     balance keeps bounded — see SCALING.md's cluster-mass decade);
+    *  3. rename each list's folded parts into its live `__list=` dir
+    *     under version-stamped names (a failed rename THROWS with tmp
+    *     intact — nothing destroyed, the old manifest still serves);
+    *  4. mark every folded append batch's idempotence marker, then ONE
+    *     carry-forward manifest commit flips probes over (batches
+    *     appended mid-fold ride along untouched).
+    * Probes are manifest-pinned ([[readIndex]]), so a reader resolved
+    * before the commit keeps scanning the old parts — which survive at
+    * least [[Sketches.SuspectGraceMs]] — and one resolved after reads
+    * the folded layout. `_centroids`/`_codebooks` sidecars are never
+    * touched.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    val tmp = new Path(p, "_compact_tmp")
+    StoreLayout.acquireWriterLease(fs, p)
+    // legacy index: pin the partition-discovery listing as manifest v1
+    if (StoreLayout.currentManifest(fs, p).isEmpty)
+      StoreLayout.tryCommitManifest(fs, p, 1L, listIndexFiles(fs, p))
+    val (curVer, before) = StoreLayout.currentManifest(fs, p).get
+    val nextPrefix = f"compact-v${curVer + 1}%08d-"
+    val attemptInFlight = fs.exists(tmp)
+    val curSet = before.toSet
+    StoreLayout.gcSweep(fs, p, curVer, curSet, listIndexFiles(fs, p),
+      attemptInFlight, nextPrefix, Sketches.SuspectGraceMs)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (before.isEmpty) return
+    // fold: exactly the manifest's files, one shuffle partition per
+    // list (hash collisions co-locating two lists in one task still
+    // yield one FILE per list — the partitioned write splits them)
+    val writer = spark.read.option("basePath", path)
+      .parquet(before.map(n => new Path(p, n).toString): _*)
+      .repartition(F.col("__list"))
+      .write.partitionBy("__list")
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(new Path(tmp, "data").toString)
+    val relNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(new Path(tmp, "data")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .foreach { srcDir =>
+        val dstDir = new Path(p, srcDir.getPath.getName)
+        fs.mkdirs(dstDir)
+        val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
+        parts.zipWithIndex.foreach { case (src, i) =>
+          val name = f"${nextPrefix}p$i%05d.parquet"
+          val dst = new Path(dstDir, name)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"compactIvfIndex: rename $src -> $dst failed (returned " +
+                "false); nothing was destroyed — the index still serves " +
+                "the current manifest, and the next compaction call " +
+                "sweeps this attempt's debris and retries the swap")
+          relNames += srcDir.getPath.getName + "/" + name
+        }
+      }
+    // folded append batches keep their idempotence markers (the commit
+    // below erases their names from the manifest — the marker is the
+    // evidence trail that survives)
+    StoreLayout.markBatchesIn(fs, p, before.map(_.split('/').last))
+    StoreLayout.acquireWriterLease(fs, p)
+    StoreLayout.commitCarryForward(fs, p, relNames.toSeq, curSet,
+      "compactIvfIndex")
+    fs.delete(tmp, true)
+    StoreLayout.pruneManifests(fs, p, keep = 8)
   }
 
   /** Fail fast when an append targets the wrong index flavor: appending
@@ -726,7 +850,8 @@ object Similarity {
     * story / batchId retry contract as the IVF append.
     */
   def appendToIvfPqIndex(newDocs: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Option[String] = None): Unit = {
+      path: String, batchId: Option[String] = None,
+      autoCompactParts: Int = 0): Unit = {
     val spark = newDocs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     requireIndexKind(spark, path, wantCodes = true)
@@ -739,7 +864,8 @@ object Similarity {
             F.col(vecCol).cast("array<double>"),
             F.typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
         .withColumn("__list",
-          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)))
+          nearestCentroids(cents, F.col("__cv"), 1).getItem(0)),
+      autoCompactParts)
   }
 
   /** The assignment metric this version writes and reads. Persisted
@@ -814,7 +940,8 @@ object Similarity {
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      nProbe: Int = 4, excludeSelf: Boolean = true,
+      version: Option[Long] = None): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val cents = readCentroids(spark, path)
     // localCheckpoint: the bucketed query frame feeds BOTH the probed-list
@@ -830,7 +957,7 @@ object Similarity {
       .localCheckpoint()
     // distinct probed lists: bounded by nCentroids, never by |queries|
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
-    val c = readIndex(spark, path)
+    val c = readIndex(spark, path, version)
       .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
     probeJoin(q, c, k, excludeSelf)
   }
@@ -886,7 +1013,7 @@ object Similarity {
   def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, shortlist: Int = 100,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, version: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     graft.plans.GraftExtensions.register(spark)
     val cents = readCentroids(spark, path)
@@ -901,7 +1028,7 @@ object Similarity {
           math.min(nProbe, cents.length))))
       .localCheckpoint()
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
-    val idx = readIndex(spark, path)
+    val idx = readIndex(spark, path, version)
       .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
     // ADC shortlist: codes-only scan (no __cv in this subtree's schema)
     val pairs = q.select("query_id", "__lut", "__qn", "__list")

@@ -378,14 +378,37 @@ object Sketches {
   /** Serving face: fold the stored part sketches per group and estimate
     * — reads batches × groups rows of ≤ k longs, never any corpus.
     * Manifest-pinned ([[StoreLayout.readStore]]): isolated from a
-    * racing compaction swap.
+    * racing compaction swap. `version` pins the read to ONE committed
+    * manifest version (time travel within the retention window — see
+    * [[storeVersions]]): the estimate is reproducible against that
+    * snapshot even while appends land.
     */
   def kmvDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, version: Option[Long] = None): DataFrame = {
     val (k, _, groupCols, _) = readKmvParams(spark, path)
     kmvEstimate(
-      kmvMergeSketches(StoreLayout.readStore(spark, path), groupCols, k), k)
+      kmvMergeSketches(readStoreMaybeAt(spark, path, version), groupCols,
+        k), k)
   }
+
+  /** The manifest versions a persisted store can serve right now,
+    * oldest first — pass one to a `*FromStore` face's `version` to pin
+    * it. Retention: manifests are pruned past 32 versions (keep 8) and
+    * a superseded version's data files are swept one grace window
+    * ([[SuspectGraceMs]]) after a compaction replaces them — pin within
+    * the window or re-resolve (the lakehouse time-travel-vs-VACUUM
+    * trade). Empty for a legacy pre-manifest store.
+    */
+  def storeVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    StoreLayout.storeVersions(spark, path)
+
+  private def readStoreMaybeAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Option[Long]): DataFrame =
+    version match {
+      case Some(v) => StoreLayout.readStoreAt(spark, path, v)
+      case None => StoreLayout.readStore(spark, path)
+    }
 
   // ---- Count-min sketch ------------------------------------------------
 
@@ -633,9 +656,10 @@ object Sketches {
     * Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def cmsEstimateFromStore(spark: org.apache.spark.sql.SparkSession,
-      path: String, candidates: Seq[String]): DataFrame = {
+      path: String, candidates: Seq[String],
+      version: Option[Long] = None): DataFrame = {
     val (depth, width, flavor, _) = readCmsParams(spark, path)
-    cmsEstimate(cmsMergeSketches(StoreLayout.readStore(spark, path)),
+    cmsEstimate(cmsMergeSketches(readStoreMaybeAt(spark, path, version)),
       candidates, depth, width, Flavors(flavor))
   }
 
@@ -1035,10 +1059,10 @@ object Sketches {
     * Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def hllDistinctFromStore(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, version: Option[Long] = None): DataFrame = {
     val (_, groupCols, _) = readHllParams(spark, path)
     hllEstimate(
-      hllMergeSketches(StoreLayout.readStore(spark, path), groupCols),
+      hllMergeSketches(readStoreMaybeAt(spark, path, version), groupCols),
       groupCols)
   }
 
@@ -1225,10 +1249,12 @@ object Sketches {
     * corpus. Manifest-pinned ([[StoreLayout.readStore]]).
     */
   def histQuantilesFromStore(spark: org.apache.spark.sql.SparkSession,
-      path: String, qs: Seq[Double]): DataFrame = {
+      path: String, qs: Seq[Double],
+      version: Option[Long] = None): DataFrame = {
     val (_, groupCols, _) = readHistParams(spark, path)
     histQuantiles(
-      histMergeHistograms(StoreLayout.readStore(spark, path), groupCols),
+      histMergeHistograms(readStoreMaybeAt(spark, path, version),
+        groupCols),
       groupCols, qs)
   }
 
@@ -1303,80 +1329,16 @@ object Sketches {
     val (curVer, before) = StoreLayout.currentManifest(fs, p).get
     val nextVer = curVer + 1
     val nextPrefix = f"compact-v$nextVer%08d-"
-    // step 1: garbage collection. Three evidence classes, because a
-    // file on disk that the CURRENT manifest doesn't name is not
-    // necessarily garbage — it may be an IN-FLIGHT append's just-renamed
-    // parts, indistinguishable from a crashed append's without a clock:
-    //  (a) SUPERSEDED — referenced by some older manifest but not the
-    //      current one (a part an earlier compaction replaced): definite
-    //      garbage, but NOT swept on sight — recorded in `_gc_suspects`
-    //      with a timestamp and deleted only once superseded for at
-    //      least SuspectGraceMs of WALL CLOCK. A cycle count alone was
-    //      the r14 gap: the auto-compact valve can run two compactions
-    //      seconds apart, vacuuming a slow reader's pinned snapshot
-    //      mid-scan; the clock bounds reader isolation at the grace
-    //      window regardless of compaction cadence. (The file's own
-    //      mtime is its APPEND time — useless here, it can predate the
-    //      supersession by hours.)
-    //  (b) THIS attempt's own debris — files wearing this version's
-    //      compact-v prefix, swept only when `_compact_tmp` exists (the
-    //      marker of a crashed/failed attempt). A foreign file squatting
-    //      on a target name with no attempt in flight is NOT silently
-    //      destroyed: the rename below fails loudly and the retry (tmp
-    //      now present) sweeps it.
-    //  (c) UNREFERENCED-BY-ANY-MANIFEST — crashed append leftovers OR a
-    //      live append that has renamed its parts in but not yet
-    //      committed its manifest. Swept only when recorded at least a
-    //      full grace window ago AND the file's mtime is older than the
-    //      grace too (a scratch dir's mtime refreshes as its write lands
-    //      task files, so a LIVE append looks young by construction;
-    //      recording time alone would sweep a long write's live scratch).
-    //      The same rule covers `_append_tmp-*` scratch dirs, which a
-    //      live append deletes itself.
+    // step 1: garbage collection — the three-evidence-class sweep shared
+    // with the ANN index compaction; see StoreLayout.gcSweep's scaladoc
+    // for the full rationale (superseded-with-grace / this attempt's
+    // debris / unreferenced-with-grace-and-mtime, suspects ledger kept
+    // on first-recorded timestamps, batch markers pruned past grace)
     val attemptInFlight = fs.exists(tmp)
     val curSet = before.toSet
-    // (a)'s evidence is CAPPED at this snapshot's version: a file
-    // referenced only by a NEWER manifest is a racing append's
-    // just-published batch — uncapped, it would read as "referenced but
-    // superseded" and be deleted while the current manifest names it
-    val everRef = StoreLayout.referencedEver(fs, p, curVer)
-    val raw = StoreLayout.rawDataFiles(fs, p)
-    val now = System.currentTimeMillis()
-    val prevSuspects = StoreLayout.readSuspects(fs, p)
-    def recordedOldEnough(n: String): Boolean =
-      prevSuspects.get(n).exists(now - _ > SuspectGraceMs)
-    def mtimeOldEnough(n: String): Boolean =
-      try now - fs.getFileStatus(new Path(p, n)).getModificationTime >
-        SuspectGraceMs
-      catch { case _: java.io.FileNotFoundException => false }
-    val superseded = raw.filter(n => everRef(n) && !curSet(n))  // (a)
-    val sweptSuperseded = superseded.filter(recordedOldEnough)
-    sweptSuperseded.foreach(n => fs.delete(new Path(p, n), true))
-    if (attemptInFlight)                                         // (b)
-      raw.filter(_.startsWith(nextPrefix))
-        .foreach(n => fs.delete(new Path(p, n), true))
-    val unref = raw.filterNot(n => everRef(n) ||                 // (c)
-      (attemptInFlight && n.startsWith(nextPrefix)))
-    val sweptUnref = unref.filter(n =>
-      recordedOldEnough(n) && mtimeOldEnough(n))
-    sweptUnref.foreach(n => fs.delete(new Path(p, n), true))
-    val transient = fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("_append_tmp-") ||
-        n.startsWith(".manifest-inprogress-"))
-    val sweptTransient = transient.filter(n =>
-      recordedOldEnough(n) && mtimeOldEnough(n))
-    sweptTransient.foreach(n => fs.delete(new Path(p, n), true))
-    // re-record every surviving candidate, KEEPING its first-recorded
-    // timestamp (re-stamping would reset the age clock forever under a
-    // fast compaction cadence)
-    val survivors = (superseded diff sweptSuperseded) ++
-      (unref diff sweptUnref) ++ (transient diff sweptTransient)
-    StoreLayout.writeSuspects(fs, p,
-      survivors.map(n => n -> prevSuspects.getOrElse(n, now)).toMap)
-    // the idempotence ledger stays bounded the same way: markers for
-    // batches older than the grace are dropped (retries must come
-    // within the window — StoreLayout.appendRecorded's contract)
-    StoreLayout.pruneBatchMarkers(fs, p, SuspectGraceMs)
+    StoreLayout.gcSweep(fs, p, curVer, curSet,
+      StoreLayout.rawDataFiles(fs, p), attemptInFlight, nextPrefix,
+      SuspectGraceMs)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files
@@ -1407,25 +1369,11 @@ object Sketches {
     // old manifest still serving, rather than silently colliding with
     // the taker's commits (see the acquireWriterLease scaladoc)
     StoreLayout.acquireWriterLease(fs, p)
-    // step 4: COMMIT — one atomic manifest create flips readers over.
-    // CARRY-FORWARD MERGE: files the current manifest names that were
-    // NOT part of the fold input are batches appended while the fold
-    // ran — they ride into the new manifest untouched, so a racing
-    // append can never be un-published by the compaction's commit. A
-    // version collision means an append just committed: re-read and
-    // retry (single-COMPACTOR is still assumed; appends are free).
-    var committed = false
-    var attempts = 0
-    while (!committed) {
-      attempts += 1
-      if (attempts > 50)
-        throw new java.io.IOException(
-          s"compactReplace: could not commit a manifest for $path after " +
-            "50 attempts (manifest versions kept advancing)")
-      val (v2, cur2) = StoreLayout.currentManifest(fs, p).get
-      committed = StoreLayout.tryCommitManifest(fs, p, v2 + 1,
-        newNames ++ cur2.filterNot(curSet))
-    }
+    // step 4: COMMIT — one atomic manifest create flips readers over,
+    // carrying forward any batch appended while the fold ran (see
+    // StoreLayout.commitCarryForward)
+    StoreLayout.commitCarryForward(fs, p, newNames, curSet,
+      "compactReplace")
     fs.delete(tmp, true)
     // bound manifest-file growth (one per append): keep the newest 8;
     // refs that existed only in pruned manifests fall back to the

@@ -189,6 +189,58 @@ private[graft] object StoreLayout {
   def servingFiles(fs: FileSystem, dir: Path): Seq[String] =
     currentManifest(fs, dir).map(_._2).getOrElse(rawDataFiles(fs, dir))
 
+  /** Every manifest version currently on disk, oldest first — the
+    * store's readable history. Retention is bounded on BOTH axes: the
+    * manifest files themselves are pruned past 32 versions (keep 8,
+    * [[pruneCrowdedManifests]] / compaction's keep-8), and a version's
+    * DATA files survive their supersession only for the compactor's
+    * grace window — so a pinned version is readable for at least the
+    * grace window after it stops being current, and possibly much
+    * longer (until the next compaction sweep actually runs). Same
+    * contract shape as a lakehouse table's time travel vs VACUUM
+    * retention.
+    */
+  def storeVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, p) = fsFor(spark, path)
+    manifestVersions(fs, p).sorted
+  }
+
+  /** Read a flat store PINNED to manifest version `version` — time
+    * travel within the retention window ([[storeVersions]]): a pipeline
+    * that resolves the current version once and passes it to every
+    * reader gets one consistent snapshot across a whole multi-query
+    * job, and a re-run against the same version is reproducible even
+    * while appends land. Throws with the retention story if the
+    * version's manifest was pruned or never existed; the read itself
+    * fails (file not found) if the version's data files aged out of the
+    * grace window and were swept.
+    */
+  def readStoreAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val (fs, p) = fsFor(spark, path)
+    val files = readManifestChecked(fs, p, version)
+    // zero files → the same UNABLE_TO_INFER_SCHEMA surface as
+    // readStore's empty-current-manifest path
+    spark.read.parquet(files.map(n => new Path(p, n).toString): _*)
+  }
+
+  /** Manifest `version`'s file list, with a retention-aware error when
+    * it is gone (shared by the flat-store and index time-travel reads).
+    */
+  def readManifestChecked(fs: FileSystem, dir: Path,
+      version: Long): Seq[String] =
+    try readManifest(fs, dir, version)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        val have = manifestVersions(fs, dir).sorted
+        throw new IllegalArgumentException(
+          s"$dir has no manifest version $version (available: " +
+            s"${if (have.isEmpty) "none — legacy/unbuilt store" else have.mkString(", ")}). " +
+            "Manifests are pruned past 32 versions (keep 8) and a " +
+            "superseded version's data files are swept after the GC " +
+            "grace window — pin versions for at most the retention " +
+            "window, or re-resolve the current version.")
+    }
+
   /** Read a store pinned to ONE manifest resolution (or the raw listing
     * for a legacy store). A store whose CURRENT MANIFEST is empty reads
     * as zero files — NOT the raw listing, which could serve uncommitted
@@ -502,6 +554,118 @@ private[graft] object StoreLayout {
       extendManifest(fs, p, names)
       batchId.foreach(writeBatchMarker(fs, p, _))
       pruneCrowdedManifests(fs, p)
+    }
+  }
+
+  /** The compactor's garbage-collection step, shared by the flat-store
+    * fold ([[Sketches.compactReplace]]) and the partitioned ANN index
+    * fold ([[Similarity.compactIvfIndex]]). `raw` is the layout's own
+    * data-file listing (flat names for a flat store, `__list=N/<file>`
+    * relative names for an index — every check below resolves names
+    * against `dir`, and the class-(b) prefix test matches the name's
+    * LAST path segment, so both layouts share one rule set). Three
+    * evidence classes, because a file on disk that the CURRENT manifest
+    * doesn't name is not necessarily garbage — it may be an IN-FLIGHT
+    * append's just-renamed parts, indistinguishable from a crashed
+    * append's without a clock:
+    *
+    *  (a) SUPERSEDED — referenced by some manifest ≤ the compactor's
+    *      snapshot version but not the current one (a part an earlier
+    *      compaction replaced): definite garbage, but NOT swept on
+    *      sight — recorded in `_gc_suspects` with a timestamp and
+    *      deleted only once superseded for at least `graceMs` of WALL
+    *      CLOCK. A cycle count alone was the r14 gap: the auto-compact
+    *      valve can run two compactions seconds apart, vacuuming a slow
+    *      reader's pinned snapshot mid-scan; the clock bounds reader
+    *      isolation at the grace window regardless of compaction
+    *      cadence. (The file's own mtime is its APPEND time — useless
+    *      here, it can predate the supersession by hours.) The
+    *      referenced-ever evidence is CAPPED at the snapshot version: a
+    *      file referenced only by a NEWER manifest is a racing append's
+    *      just-published batch — uncapped, it would read as "referenced
+    *      but superseded" and be deleted while the current manifest
+    *      names it.
+    *  (b) THIS attempt's own debris — files wearing this version's
+    *      compact-v prefix, swept only when the attempt marker
+    *      (`_compact_tmp`) exists (a crashed/failed prior attempt). A
+    *      foreign file squatting on a target name with no attempt in
+    *      flight is NOT silently destroyed: the caller's rename fails
+    *      loudly and the retry (tmp now present) sweeps it.
+    *  (c) UNREFERENCED-BY-ANY-MANIFEST — crashed append leftovers OR a
+    *      live append that has renamed its parts in but not yet
+    *      committed its manifest. Swept only when recorded at least a
+    *      full grace window ago AND the file's mtime is older than the
+    *      grace too (a scratch dir's mtime refreshes as its write lands
+    *      task files, so a LIVE append looks young by construction;
+    *      recording time alone would sweep a long write's live
+    *      scratch). The same rule covers `_append_tmp-*` scratch dirs
+    *      and `.manifest-inprogress-*` strays at the store root.
+    *
+    * Survivors are re-recorded KEEPING their first-recorded timestamp
+    * (re-stamping would reset the age clock forever under a fast
+    * compaction cadence), and batch markers older than the grace are
+    * pruned (retries must come within the window — [[appendRecorded]]'s
+    * contract).
+    */
+  private[graft] def gcSweep(fs: FileSystem, p: Path, curVer: Long,
+      curSet: Set[String], raw: Seq[String], attemptInFlight: Boolean,
+      nextPrefix: String, graceMs: Long): Unit = {
+    def leaf(n: String): String = n.split('/').last
+    val everRef = referencedEver(fs, p, curVer)
+    val now = System.currentTimeMillis()
+    val prevSuspects = readSuspects(fs, p)
+    def recordedOldEnough(n: String): Boolean =
+      prevSuspects.get(n).exists(now - _ > graceMs)
+    def mtimeOldEnough(n: String): Boolean =
+      try now - fs.getFileStatus(new Path(p, n)).getModificationTime >
+        graceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    val superseded = raw.filter(n => everRef(n) && !curSet(n))   // (a)
+    val sweptSuperseded = superseded.filter(recordedOldEnough)
+    sweptSuperseded.foreach(n => fs.delete(new Path(p, n), true))
+    if (attemptInFlight)                                          // (b)
+      raw.filter(n => leaf(n).startsWith(nextPrefix))
+        .foreach(n => fs.delete(new Path(p, n), true))
+    val unref = raw.filterNot(n => everRef(n) ||                  // (c)
+      (attemptInFlight && leaf(n).startsWith(nextPrefix)))
+    val sweptUnref = unref.filter(n =>
+      recordedOldEnough(n) && mtimeOldEnough(n))
+    sweptUnref.foreach(n => fs.delete(new Path(p, n), true))
+    val transient = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_append_tmp-") ||
+        n.startsWith(".manifest-inprogress-"))
+    val sweptTransient = transient.filter(n =>
+      recordedOldEnough(n) && mtimeOldEnough(n))
+    sweptTransient.foreach(n => fs.delete(new Path(p, n), true))
+    val survivors = (superseded diff sweptSuperseded) ++
+      (unref diff sweptUnref) ++ (transient diff sweptTransient)
+    writeSuspects(fs, p,
+      survivors.map(n => n -> prevSuspects.getOrElse(n, now)).toMap)
+    pruneBatchMarkers(fs, p, graceMs)
+  }
+
+  /** The compactor's COMMIT — one atomic manifest create flips readers
+    * over. CARRY-FORWARD MERGE: files the current manifest names that
+    * were NOT part of the fold input (`foldedSet`) are batches appended
+    * while the fold ran — they ride into the new manifest untouched, so
+    * a racing append can never be un-published by the compaction's
+    * commit. A version collision means an append just committed:
+    * re-read and retry (single-COMPACTOR is still assumed; appends are
+    * free).
+    */
+  private[graft] def commitCarryForward(fs: FileSystem, p: Path,
+      newNames: Seq[String], foldedSet: Set[String], what: String): Unit = {
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      if (attempts > 50)
+        throw new java.io.IOException(
+          s"$what: could not commit a manifest for $p after " +
+            "50 attempts (manifest versions kept advancing)")
+      val (v2, cur2) = currentManifest(fs, p).get
+      committed = tryCommitManifest(fs, p, v2 + 1,
+        newNames ++ cur2.filterNot(foldedSet))
     }
   }
 

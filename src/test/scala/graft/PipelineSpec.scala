@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import org.apache.spark.sql.{functions => F}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.streaming.Streams
 
 /** Tests for the M8 pipeline operators (dedup, similarity, text analysis,
@@ -1598,6 +1598,160 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dirPq,
       batchId = Some("pq1"))
     spark.read.parquet(dirPq).count() shouldBe nAll
+  }
+
+  test("index compaction: one file per list, probes identical, reader " +
+    "isolation by grace, pinned versions readable, markers survive") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val third0 = emb.filter(F.col("vec_id") % 3 === 0)
+    val third1 = emb.filter(F.col("vec_id") % 3 === 1)
+    val third2 = emb.filter(F.col("vec_id") % 3 === 2)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString
+    Similarity.buildIvfIndex(third0, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    Similarity.appendToIvfIndex(third1, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    Similarity.appendToIvfIndex(third2, "vec_id", "embedding", dir,
+      batchId = Some("b2"))
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    def served() = StoreLayout.servingFiles(fs, p)
+    def probe() = Similarity.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeFiles = served()
+    val beforeProbe = probe()
+    beforeProbe shouldBe Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // build + 2 appends -> every populated list holds >= 2 files overall
+    beforeFiles.size should be > 8
+    val preVersions = Similarity.indexVersions(spark, dir)
+    preVersions shouldBe Seq(1L, 2L, 3L)
+    Similarity.compactIvfIndex(spark, dir)
+    // folded: exactly one file per populated list, all compact-stamped
+    val after = served()
+    after.foreach(n => n.split('/').last should startWith("compact-v"))
+    after.map(_.split('/').head).distinct.size shouldBe after.size
+    after.size should be <= 8
+    // probe identical through the swap; the plan still partition-prunes
+    val compacted = Similarity.probeIvfIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 8)
+    compacted.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet shouldBe beforeProbe
+    compacted.queryExecution.executedPlan.toString should
+      include regex """PartitionFilters: \[[^\]]*__list"""
+    // reader isolation: the superseded parts are still on disk (deferred
+    // age-gated GC), so a probe PINNED to the pre-compaction version
+    // still serves -- time travel within the grace window
+    beforeFiles.foreach(n => fs.exists(new Path(p, n)) shouldBe true)
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8, version = Some(preVersions.last))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet shouldBe beforeProbe
+    // pinning the BUILD-only version serves the build-only rows
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8, version = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet shouldBe Similarity.bruteForceTopK(queries, third0,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a pruned/never-existed version fails with the retention story
+    val err = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndex(spark, dir, queries, "vec_id",
+        "embedding", k = 5, nProbe = 8, version = Some(99L))
+    }
+    err.getMessage should include("no manifest version 99")
+    // idempotence markers survived the fold: a re-append of a folded
+    // batch is a no-op (no duplicates)
+    val nAll = emb.count()
+    spark.read.parquet(dir).select("cand_id").distinct()
+      .count() shouldBe nAll
+    Similarity.appendToIvfIndex(third1, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    probe() shouldBe beforeProbe
+    // GC cadence: compaction #1 could not record these as suspects (they
+    // were CURRENT at its sweep); compaction #2's sweep records them as
+    // superseded-with-timestamp; backdating the ledger past the grace
+    // lets compaction #3 sweep exactly them (the flat stores' churn-test
+    // recipe)
+    Similarity.compactIvfIndex(spark, dir)
+    val aged = StoreLayout.readSuspects(fs, p).map { case (n, _) =>
+      n -> (System.currentTimeMillis() - 2 * Sketches.SuspectGraceMs)
+    }
+    aged.keySet should contain allElementsOf beforeFiles.toSet
+    StoreLayout.writeSuspects(fs, p, aged)
+    Similarity.compactIvfIndex(spark, dir)
+    beforeFiles.foreach(n => fs.exists(new Path(p, n)) shouldBe false)
+    probe() shouldBe beforeProbe
+  }
+
+  test("index compaction crash: a squatting target fails LOUDLY with " +
+    "the old manifest serving; the retry sweeps debris and succeeds") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val evens = emb.filter(F.col("vec_id") % 2 === 0)
+    val odds = emb.filter(F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact-crash").toString
+    Similarity.buildIvfIndex(evens, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("b1"))
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    def probe() = Similarity.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    // squat on the next version's first target name in some populated
+    // list: local-FS rename onto an existing target returns false
+    val (curVer, files) = StoreLayout.currentManifest(fs, p).get
+    val listDir = files.head.split('/').head
+    val squatter = new Path(p,
+      f"$listDir/compact-v${curVer + 1}%08d-p00000.parquet")
+    fs.create(squatter, false).close()
+    val ex = intercept[java.io.IOException] {
+      Similarity.compactIvfIndex(spark, dir)
+    }
+    ex.getMessage should include("nothing was destroyed")
+    // the index still serves the current manifest, untouched
+    probe() shouldBe before
+    // the failed attempt left `_compact_tmp` as its marker; the retry
+    // sweeps the squatter (this attempt's own debris class) and lands
+    fs.exists(new Path(p, "_compact_tmp")) shouldBe true
+    Similarity.compactIvfIndex(spark, dir)
+    probe() shouldBe before
+    StoreLayout.servingFiles(fs, p)
+      .foreach(n => n.split('/').last should startWith("compact-v"))
+  }
+
+  test("index append valve: autoCompactParts keeps the served file " +
+    "count bounded across a stream of appends; probes stay exact") {
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val base = emb.filter(F.col("vec_id") % 8 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-valve").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 4)
+    (1 to 7).foreach { i =>
+      Similarity.appendToIvfIndex(
+        emb.filter(F.col("vec_id") % 8 === i), "vec_id", "embedding",
+        dir, batchId = Some(s"v$i"), autoCompactParts = 8)
+    }
+    val (fs, p) = graft.operators.StoreLayout.fsFor(spark, dir)
+    // raw appends would serve ~8 batches x populated lists files; the
+    // valve folds once the count passes 8, so the bound is threshold +
+    // one un-compacted tail of appends (each append adds <= nLists files)
+    graft.operators.StoreLayout.servingFiles(fs, p).size should be <= 16
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet shouldBe Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {

@@ -128,6 +128,52 @@ class SketchSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("sha1-32-v9")
   }
 
+  test("store time travel: version-pinned estimates reproduce each " +
+    "snapshot; superseded versions stay readable through a compaction; " +
+    "a pruned version fails with the retention story") {
+    import graft.operators.StoreLayout
+    val o = Tables.orders(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmv-tt").toString + "/store"
+    def batch(i: Long) = o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === i)
+    Sketches.buildKmvStore(batch(0), Seq("o_orderstatus"), "o_custkey",
+      k = 16, dir)
+    Sketches.appendToKmvStore(batch(1), dir)
+    Sketches.appendToKmvStore(batch(2), dir)
+    Sketches.storeVersions(spark, dir) shouldBe Seq(1L, 2L, 3L)
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // each pinned version reproduces the estimate over exactly its
+    // batches — a reader that resolved v2 yesterday gets the same
+    // answer today, appends notwithstanding
+    est(Sketches.kmvDistinctFromStore(spark, dir, version = Some(1L))) shouldBe
+      est(Sketches.kmvDistinct(batch(0), Seq("o_orderstatus"),
+        "o_custkey", k = 16))
+    est(Sketches.kmvDistinctFromStore(spark, dir, version = Some(2L))) shouldBe
+      est(Sketches.kmvDistinct(batch(0).unionAll(batch(1)),
+        Seq("o_orderstatus"), "o_custkey", k = 16))
+    val v3 = est(Sketches.kmvDistinctFromStore(spark, dir, version = Some(3L)))
+    v3 shouldBe est(Sketches.kmvDistinctFromStore(spark, dir))
+    // compaction supersedes the appended parts but the deferred GC keeps
+    // them on disk for the grace window: the pinned reads still serve
+    Sketches.compactKmvStore(spark, dir)
+    est(Sketches.kmvDistinctFromStore(spark, dir, version = Some(2L))) shouldBe
+      est(Sketches.kmvDistinct(batch(0).unionAll(batch(1)),
+        Seq("o_orderstatus"), "o_custkey", k = 16))
+    est(Sketches.kmvDistinctFromStore(spark, dir)) shouldBe v3
+    // a version that was pruned (or never existed) names the retention
+    // contract instead of a bare file-not-found
+    val err = intercept[IllegalArgumentException] {
+      Sketches.kmvDistinctFromStore(spark, dir, version = Some(42L)).collect()
+    }
+    err.getMessage should include("no manifest version 42")
+    err.getMessage should include("grace window")
+    // the versions listing is the discovery face
+    Sketches.storeVersions(spark, dir) shouldBe Seq(1L, 2L, 3L, 4L)
+    // and the raw pinned read serves exactly the build's sketch rows
+    StoreLayout.readStoreAt(spark, dir, 1L).count() shouldBe 3 // statuses
+  }
+
   test("sketch merge algebra under hostile values: fold == direct on the " +
     "RAW STATE (k-min array / CMS grid / HLL registers / histogram " +
     "buckets) across seeded random partitionings and merge orders") {
