@@ -628,6 +628,8 @@ object Similarity {
     StoreLayout.initManifestNaming(fs, p, listIndexFiles(fs, p))
   }
 
+  private[graft] var ivfAppendFault: () => Unit = () => ()
+
   /** The scratch-rename-manifest-marker protocol behind both index
     * appends: write partitioned into `_append_tmp-<nonce>`, rename every
     * partition's parts into the live `__list=` dirs as
@@ -705,6 +707,7 @@ object Similarity {
         }
       }
     fs.delete(scratch, true)
+    ivfAppendFault() // test seam: "crash" after renames, before the commit
     // visibility point: one manifest extension publishes the whole
     // batch. Re-acquire first: the partitioned write can outlast the
     // lease window (see the acquireWriterLease scaladoc)

@@ -159,22 +159,8 @@ object Streams {
       textCol: String, indexPath: String, checkpointDir: String,
       autoCompactParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // resolved lazily INSIDE the first batch: the metadata file exists
-    // once the query has started, which is before any batch runs
-    lazy val queryTag: String = {
-      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
-      val fs = p.getFileSystem(
-        stream.sparkSession.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1))
-        .getOrElse(throw new IllegalStateException(
-          s"$p holds no query id — cannot derive a collision-free " +
-            "append nonce for exactly-once ingestion"))
-    }
+    lazy val queryTag: String = checkpointQueryId(
+      stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -184,6 +170,60 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** Continuous ANN-index ingestion: stream new embedding rows into a
+    * persisted IVF index ([[graft.operators.Similarity.buildIvfIndex]])
+    * via foreachBatch over the idempotent append — the vector analogue
+    * of [[ingestToBandIndexStream]], one manifest commit per
+    * micro-batch. Structured Streaming replays a batch whose epoch
+    * didn't commit (at-least-once), and the append's batch-nonce
+    * idempotence turns that into exactly-once: the nonce is
+    * `<queryId>-<batchId>` with the query id read from the checkpoint's
+    * metadata file — stable across restarts of the SAME checkpoint,
+    * fresh for a new one (a bare batch number would restart at 0 under
+    * a new checkpoint and silently skip real batches). The quantizer
+    * stays frozen (the append contract): rebuild the index on corpus
+    * drift, stream between rebuilds. `autoCompactParts` bounds the
+    * per-list file count the stream's append cadence would otherwise
+    * grow without limit ([[graft.operators.Similarity.compactIvfIndex]]).
+    */
+  def ingestToIvfIndexStream(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointDir: String,
+      autoCompactParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val queryTag: String = checkpointQueryId(
+      stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
+          indexPath, batchId = Some(f"$queryTag-$id%020d"),
+          autoCompactParts = autoCompactParts)
+        ()
+      }
+      .start()
+  }
+
+  /** The checkpoint-stable query id from `<checkpoint>/metadata` — the
+    * collision-free half of a streaming append's idempotence nonce
+    * (resolved lazily inside the first batch: the metadata file exists
+    * once the query has started, before any batch runs).
+    */
+  private def checkpointQueryId(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"$p holds no query id — cannot derive a collision-free " +
+          "append nonce for exactly-once ingestion"))
   }
 
   /** The full streaming ingestion gate, composed: quality filter
