@@ -79,8 +79,10 @@ object IndexAmpProbe {
       require(got == want, s"final probe != brute force under $mode")
     }
 
-    runMode("raw", 0)
+    // valve mode FIRST: the second mode inherits the warmer JVM, so any
+    // JIT/era drift biases AGAINST the raw-mode slope being measured
     runMode(s"auto$acp", acp)
+    runMode("raw", 0)
     spark.stop()
   }
 }
