@@ -549,6 +549,12 @@ object Similarity {
     * first append; until then they serve from partition discovery
     * unchanged.
     */
+  /** `autoCompactParts` (0 = off) counts EXCESS serving files over the
+    * one-file-per-list floor — the hive layout's analogue of the flat
+    * stores' raw-part threshold (a compacted index always serves >= one
+    * file per populated list, so a raw-count threshold below nLists
+    * would rewrite the whole index on every append).
+    */
   def appendToIvfIndex(newDocs: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Option[String] = None,
       autoCompactParts: Int = 0): Unit = {
@@ -630,6 +636,38 @@ object Similarity {
 
   private[graft] var ivfAppendFault: () => Unit = () => ()
 
+  /** Rename a partitioned scratch write's parts into the live `__list=`
+    * dirs under deterministic names — the move shared by the append and
+    * compaction protocols (per-list listing, name-sorted parts, boolean-
+    * checked renames, relative-path accumulation). `nameFor(i)` stamps
+    * the protocol's own prefix; a failed rename throws with `hint`
+    * appended (nothing is destroyed: the parts are unreferenced until
+    * their manifest commit, and the scratch/tmp stays intact).
+    */
+  private def renameListPartsIn(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, srcRoot: org.apache.hadoop.fs.Path,
+      nameFor: Int => String, what: String, hint: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val relNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(srcRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .foreach { srcDir =>
+        val dstDir = new Path(p, srcDir.getPath.getName)
+        fs.mkdirs(dstDir)
+        val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
+        parts.zipWithIndex.foreach { case (src, i) =>
+          val name = nameFor(i)
+          val dst = new Path(dstDir, name)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"$what: rename $src -> $dst failed (returned false); $hint")
+          relNames += srcDir.getPath.getName + "/" + name
+        }
+      }
+    relNames.toSeq
+  }
+
   /** The scratch-rename-manifest-marker protocol behind both index
     * appends: write partitioned into `_append_tmp-<nonce>`, rename every
     * partition's parts into the live `__list=` dirs as
@@ -686,46 +724,36 @@ object Similarity {
     val scratch = new Path(p, s"_append_tmp-$nonce")
     if (fs.exists(scratch)) fs.delete(scratch, true)
     assigned.write.partitionBy("__list").parquet(scratch.toString)
-    val relNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(scratch).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
-      .foreach { srcDir =>
-        val dstDir = new Path(p, srcDir.getPath.getName)
-        fs.mkdirs(dstDir)
-        val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
-        parts.zipWithIndex.foreach { case (src, i) =>
-          val name = f"append-$nonce-p$i%05d.parquet"
-          val dst = new Path(dstDir, name)
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(
-              s"appendToIvf*Index: rename $src -> $dst failed (returned " +
-                "false); nothing is served (the parts are unreferenced) " +
-                "— re-append the same batchId to converge on exactly " +
-                "one copy")
-          relNames += srcDir.getPath.getName + "/" + name
-        }
-      }
+    val relNames = renameListPartsIn(fs, p, scratch,
+      i => f"append-$nonce-p$i%05d.parquet", "appendToIvf*Index",
+      "nothing is served (the parts are unreferenced) — re-append the " +
+        "same batchId to converge on exactly one copy")
     fs.delete(scratch, true)
     ivfAppendFault() // test seam: "crash" after renames, before the commit
     // visibility point: one manifest extension publishes the whole
     // batch. Re-acquire first: the partitioned write can outlast the
     // lease window (see the acquireWriterLease scaladoc)
     StoreLayout.acquireWriterLease(fs, p)
-    if (relNames.nonEmpty) StoreLayout.extendManifest(fs, p, relNames.toSeq)
+    if (relNames.nonEmpty) StoreLayout.extendManifest(fs, p, relNames)
     batchId.foreach(StoreLayout.writeBatchMarker(fs, p, _))
     StoreLayout.pruneCrowdedManifests(fs, p)
     // bound the marker ledger at append-rate x grace window even when
     // the valve is off (compaction's gcSweep also prunes, but an
     // append-only cadence must not accumulate markers unboundedly)
     StoreLayout.pruneBatchMarkers(fs, p, Sketches.SuspectGraceMs)
-    // read-amplification valve (same contract as the flat stores'
-    // autoCompactParts): compact when the index serves more than the
-    // threshold's part count — skipped if another thread in this JVM is
-    // already compacting; a failure is swallowed (the append above is
-    // durably committed; the threshold re-fires on a later append)
-    Sketches.maybeAutoCompact(spark, path, autoCompactParts)(
-      compactIvfIndex(spark, path))
+    // read-amplification valve: for the hive layout the threshold
+    // counts EXCESS files over the one-file-per-list floor — a compacted
+    // index always serves >= one file per populated list, so comparing the
+    // RAW count against the threshold (the flat stores' rule) would
+    // degenerate into a full-index rewrite on every append whenever
+    // autoCompactParts <= nLists. Skipped if another thread in this JVM
+    // is already compacting; a failure is swallowed (the append above
+    // is durably committed; the condition re-fires on a later append)
+    Sketches.autoCompactIf(path, autoCompactParts > 0 && {
+      val served = StoreLayout.servingFiles(fs, p)
+      val lists = served.map(_.split('/').head).distinct.size
+      served.size > lists + autoCompactParts
+    })(compactIvfIndex(spark, path))
   }
 
   /** Fold a persisted ANN index's accumulated append files into one
@@ -768,6 +796,16 @@ object Similarity {
       path: String, maxRecordsPerFile: Long = 0L): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
+    // fail fast BEFORE any GC/ledger mutation when pointed at something
+    // that is not a persisted ANN index (both builders write the
+    // _centroids sidecar): pointed at a FLAT sketch store, the sweep
+    // below would rewrite its _gc_suspects ledger with an empty raw
+    // listing — resetting every recorded suspect's age clock — and only
+    // then die on the missing __list column
+    require(fs.exists(new Path(p, "_centroids")),
+      s"$path is not a persisted ANN index (no _centroids sidecar); " +
+        "compactIvfIndex folds buildIvfIndex/buildIvfPqIndex layouts — " +
+        "flat sketch stores compact via their own compactXxxStore faces")
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
     // legacy index: pin the partition-discovery listing as manifest v1
@@ -791,32 +829,17 @@ object Similarity {
     (if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(new Path(tmp, "data").toString)
-    val relNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(new Path(tmp, "data")).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
-      .foreach { srcDir =>
-        val dstDir = new Path(p, srcDir.getPath.getName)
-        fs.mkdirs(dstDir)
-        val parts = fs.listStatus(srcDir.getPath).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName.toString)
-        parts.zipWithIndex.foreach { case (src, i) =>
-          val name = f"${nextPrefix}p$i%05d.parquet"
-          val dst = new Path(dstDir, name)
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(
-              s"compactIvfIndex: rename $src -> $dst failed (returned " +
-                "false); nothing was destroyed — the index still serves " +
-                "the current manifest, and the next compaction call " +
-                "sweeps this attempt's debris and retries the swap")
-          relNames += srcDir.getPath.getName + "/" + name
-        }
-      }
+    val relNames = renameListPartsIn(fs, p, new Path(tmp, "data"),
+      i => f"${nextPrefix}p$i%05d.parquet", "compactIvfIndex",
+      "nothing was destroyed — the index still serves the current " +
+        "manifest, and the next compaction call sweeps this attempt's " +
+        "debris and retries the swap")
     // folded append batches keep their idempotence markers (the commit
     // below erases their names from the manifest — the marker is the
     // evidence trail that survives)
     StoreLayout.markBatchesIn(fs, p, before.map(_.split('/').last))
     StoreLayout.acquireWriterLease(fs, p)
-    StoreLayout.commitCarryForward(fs, p, relNames.toSeq, curSet,
+    StoreLayout.commitCarryForward(fs, p, relNames, curSet,
       "compactIvfIndex")
     fs.delete(tmp, true)
     StoreLayout.pruneManifests(fs, p, keep = 8)

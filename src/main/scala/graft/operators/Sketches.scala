@@ -1419,7 +1419,22 @@ object Sketches {
   private[graft] def maybeAutoCompact(
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Int)(compact: => Unit): Unit =
-    if (threshold > 0 && servedFiles(spark, path).size > threshold) {
+    autoCompactIf(path,
+      threshold > 0 && servedFiles(spark, path).size > threshold)(compact)
+
+  /** The guard half of the valve, shared with the ANN indexes (whose
+    * trigger condition differs — excess over the one-file-per-list
+    * floor): run `compact` when `cond` holds, UNLESS another thread in
+    * this JVM is already compacting this path (skip: compaction is
+    * single-compactor; the condition re-fires on a later append).
+    * A failure is logged and swallowed — the append that triggered the
+    * valve has already durably committed, and an escaping exception
+    * would make the caller retry, double-counting the batch in the
+    * linear stores.
+    */
+  private[graft] def autoCompactIf(path: String, cond: => Boolean)(
+      compact: => Unit): Unit =
+    if (cond) {
       val flag =
         AutoCompactStripes(math.floorMod(path.hashCode, 64))
       if (flag.compareAndSet(false, true))

@@ -133,15 +133,46 @@ private[graft] object StoreLayout {
         catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
       }.toSet
 
-  /** Drop all but the newest `keep` manifest versions (bounds the
-    * directory's metadata growth at one manifest per append). A file
+  /** How long a superseded manifest VERSION stays readable after newer
+    * versions replace it — the time-travel retention clock for the
+    * manifest files themselves, matching the data files' GC grace
+    * ([[Sketches.SuspectGraceMs]]'s value, held separately to keep this
+    * layer self-contained; var so tests can shrink it). Without this
+    * gate a burst of appends could prune a version a reader pinned
+    * seconds ago ("at least the grace window" would be false).
+    */
+  private[graft] var ManifestGraceMs: Long = 60L * 60 * 1000
+
+  /** The unconditional ceiling on manifest-file count: versions beyond
+    * the newest 64 are pruned regardless of age, so a pathological
+    * >64-appends-within-the-grace cadence bounds the directory's
+    * metadata instead of growing it for the whole window. Pinned
+    * readers under that cadence lose oldest-first — the documented
+    * exception to the grace guarantee.
+    */
+  private val ManifestHardCap = 64
+
+  /** Drop manifest versions beyond the newest `keep` — AGE-GATED: a
+    * version younger than [[ManifestGraceMs]] survives (a reader that
+    * just pinned it via [[storeVersions]]/[[readStoreAt]] gets the same
+    * wall-clock isolation the data files get from the GC grace), except
+    * past the [[ManifestHardCap]], which prunes unconditionally. A file
     * referenced only by a pruned manifest and absent from the current
     * one re-enters the world as "unreferenced" and is collected through
     * the suspect grace path — still sound, just one cycle slower.
     */
-  def pruneManifests(fs: FileSystem, dir: Path, keep: Int): Unit =
-    manifestVersions(fs, dir).sorted.dropRight(keep)
-      .foreach(v => fs.delete(new Path(dir, f"$ManifestPrefix$v%08d"), false))
+  def pruneManifests(fs: FileSystem, dir: Path, keep: Int): Unit = {
+    val sorted = manifestVersions(fs, dir).sorted
+    val beyondHardCap = sorted.dropRight(ManifestHardCap).toSet
+    val now = System.currentTimeMillis()
+    sorted.dropRight(keep).foreach { v =>
+      val m = new Path(dir, f"$ManifestPrefix$v%08d")
+      val oldEnough = beyondHardCap(v) ||
+        (try now - fs.getFileStatus(m).getModificationTime > ManifestGraceMs
+        catch { case _: java.io.FileNotFoundException => false })
+      if (oldEnough) fs.delete(m, false)
+    }
+  }
 
   private val SuspectsName = "_gc_suspects"
 
@@ -190,15 +221,16 @@ private[graft] object StoreLayout {
     currentManifest(fs, dir).map(_._2).getOrElse(rawDataFiles(fs, dir))
 
   /** Every manifest version currently on disk, oldest first — the
-    * store's readable history. Retention is bounded on BOTH axes: the
-    * manifest files themselves are pruned past 32 versions (keep 8,
-    * [[pruneCrowdedManifests]] / compaction's keep-8), and a version's
-    * DATA files survive their supersession only for the compactor's
-    * grace window — so a pinned version is readable for at least the
-    * grace window after it stops being current, and possibly much
-    * longer (until the next compaction sweep actually runs). Same
-    * contract shape as a lakehouse table's time travel vs VACUUM
-    * retention.
+    * store's readable history. Retention: a superseded version's DATA
+    * files survive for the compactor's grace window (age-gated GC), and
+    * the manifest files themselves are age-gated the same way
+    * ([[ManifestGraceMs]]; pruning keeps the newest 8 once a version is
+    * past the grace) — so a pinned version is readable for at least the
+    * grace window after it stops being current, and often much longer
+    * (until the next sweep actually runs). The one exception is the
+    * [[ManifestHardCap]]: more than 64 newer versions landing inside
+    * one grace window evict the oldest manifests early. Same contract
+    * shape as a lakehouse table's time travel vs VACUUM retention.
     */
   def storeVersions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, p) = fsFor(spark, path)

@@ -1754,6 +1754,51 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("index valve counts EXCESS over the per-list floor: a threshold " +
+    "below nLists no longer rewrites the index on every append; " +
+    "compactIvfIndex refuses a non-index path before touching its GC " +
+    "ledger") {
+    import graft.operators.StoreLayout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-floor").toString
+    Similarity.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+      "vec_id", "embedding", dir, nCentroids = 8)
+    Similarity.compactIvfIndex(spark, dir)
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val floor = StoreLayout.servingFiles(fs, p).size // one per populated list
+    // threshold = floor: under the OLD raw-count rule (served > floor
+    // triggers immediately) this append would fold the whole index; the
+    // excess rule leaves the appended files in place
+    Similarity.appendToIvfIndex(emb.filter(F.col("vec_id") % 4 === 1),
+      "vec_id", "embedding", dir, batchId = Some("fl1"),
+      autoCompactParts = floor)
+    val afterOne = StoreLayout.servingFiles(fs, p)
+    afterOne.count(_.split('/').last.startsWith("append-")) should be > 0
+    // keep appending: once the EXCESS passes the threshold the valve
+    // folds back to the floor
+    Similarity.appendToIvfIndex(emb.filter(F.col("vec_id") % 4 === 2),
+      "vec_id", "embedding", dir, batchId = Some("fl2"),
+      autoCompactParts = floor)
+    Similarity.appendToIvfIndex(emb.filter(F.col("vec_id") % 4 === 3),
+      "vec_id", "embedding", dir, batchId = Some("fl3"),
+      autoCompactParts = floor)
+    val served = StoreLayout.servingFiles(fs, p)
+    served.size should be <= floor + floor
+    // kind guard: pointed at a flat sketch store, the compactor throws
+    // BEFORE mutating the store's suspects ledger
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-floor-kmv").toString + "/store"
+    Sketches.buildKmvStore(Tables.orders(spark, sf),
+      Seq("o_orderstatus"), "o_custkey", k = 16, storeDir)
+    val (sfs, sp) = StoreLayout.fsFor(spark, storeDir)
+    StoreLayout.writeSuspects(sfs, sp, Map("sentinel.parquet" -> 123L))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, storeDir)
+    }
+    err.getMessage should include("_centroids")
+    StoreLayout.readSuspects(sfs, sp) shouldBe Map("sentinel.parquet" -> 123L)
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))

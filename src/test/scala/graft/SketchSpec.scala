@@ -174,6 +174,31 @@ class SketchSpec extends AnyFunSuite with Matchers {
     StoreLayout.readStoreAt(spark, dir, 1L).count() shouldBe 3 // statuses
   }
 
+  test("manifest pruning is age-gated with a hard cap: young versions " +
+    "survive keep-N pruning for the grace window; the cap bounds a " +
+    "pathological burst") {
+    import graft.operators.StoreLayout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest-prune").toString
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    (1 to 70).foreach(v =>
+      StoreLayout.tryCommitManifest(fs, p, v.toLong, Seq(s"f$v")) shouldBe true)
+    // all 70 are younger than the grace: keep-8 pruning may only apply
+    // the hard cap (newest 64)
+    StoreLayout.pruneManifests(fs, p, keep = 8)
+    StoreLayout.storeVersions(spark, dir) shouldBe (7L to 70L)
+    // a version pinned seconds ago is still readable — the time-travel
+    // grace the age gate exists for
+    StoreLayout.readManifestChecked(fs, p, 10L) shouldBe Seq("f10")
+    // once past the grace, keep-8 applies
+    val savedGrace = StoreLayout.ManifestGraceMs
+    try {
+      StoreLayout.ManifestGraceMs = 0L
+      StoreLayout.pruneManifests(fs, p, keep = 8)
+      StoreLayout.storeVersions(spark, dir) shouldBe (63L to 70L)
+    } finally StoreLayout.ManifestGraceMs = savedGrace
+  }
+
   test("sketch merge algebra under hostile values: fold == direct on the " +
     "RAW STATE (k-min array / CMS grid / HLL registers / histogram " +
     "buckets) across seeded random partitionings and merge orders") {
