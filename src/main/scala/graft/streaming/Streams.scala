@@ -205,6 +205,29 @@ object Streams {
       .start()
   }
 
+  /** [[ingestToIvfIndexStream]] for an IVF-PQ index
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]): the stored
+    * codebooks encode each micro-batch's rows at append time, so
+    * streamed vectors are immediately ADC-scorable. Same nonce, same
+    * exactly-once contract, same frozen-quantizer caveat.
+    */
+  def ingestToIvfPqIndexStream(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointDir: String,
+      autoCompactParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val queryTag: String = checkpointQueryId(
+      stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(batch, idCol,
+          vecCol, indexPath, batchId = Some(f"$queryTag-$id%020d"),
+          autoCompactParts = autoCompactParts)
+        ()
+      }
+      .start()
+  }
+
   /** The checkpoint-stable query id from `<checkpoint>/metadata` — the
     * collision-free half of a streaming append's idempotence nonce
     * (resolved lazily inside the first batch: the metadata file exists

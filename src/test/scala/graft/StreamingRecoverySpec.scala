@@ -436,6 +436,59 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("IVF-PQ streaming ingestion: streamed vectors are ADC-scorable, " +
+    "restart from the checkpoint neither loses nor duplicates a batch") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val idx = tmp("graft-ivfpqstream") + "/idx"
+    val inDir = tmp("graft-ivfpqstream-in")
+    val ck = tmp("graft-ivfpqstream-ck")
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(i => math.sin(seed * 31 + i).abs + 0.1)
+    Similarity.buildIvfPqIndex(
+      (1L to 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, dim = 8, nCentroids = 2, m = 4, ksub = 4)
+    def vecSchema = Seq((1L, vec(1), "2024-01-01 10:00:00"))
+      .toDF("vec_id", "embedding", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+    def writeVecFile(n: Int, rows: Seq[(Long, Seq[Double], String)]): Unit = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-ivfpqstream-scratch$n").toString
+      rows.toDF("vec_id", "embedding", "ts_s")
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+    }
+    def startQuery() = Streams.ingestToIvfPqIndexStream(
+      Streams.readEventStream(spark, inDir, vecSchema)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", idx, ck, autoCompactParts = 4)
+    writeVecFile(1, Seq((10L, vec(10), "2024-01-01 10:00:00")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart the SAME checkpoint with one more file: the committed
+    // batch must not re-land, the new one must
+    writeVecFile(2, Seq((11L, vec(11), "2024-01-01 10:01:00")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(idx).select("cand_id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe (1L to 6L) ++ Seq(10L, 11L)
+    // streamed rows are ADC-scorable: exhaustive probe with an
+    // all-covering shortlist == brute force over the union
+    val all = ((1L to 6L) ++ Seq(10L, 11L)).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, vec(10)), (11L, vec(11)))
+      .toDF("vec_id", "embedding")
+    Similarity.probeIvfPqIndex(spark, idx, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, all, "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   // ---- TTL × restart (round-13 verdict "next round #2") --------------------
   //
   // StreamingTtlSpec proves eviction; the tests above prove recovery;
