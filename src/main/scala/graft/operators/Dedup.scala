@@ -708,16 +708,25 @@ object Dedup {
     * boundary at any probe.
     */
   def nearDupPairsAgainstIndex(newBatch: DataFrame, idCol: String,
-      textCol: String, path: String, threshold: Double = 0.8): DataFrame = {
+      textCol: String, path: String, threshold: Double = 0.8,
+      snapshot: Option[(Long, Long)] = None): DataFrame = {
     val spark = newBatch.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val (shingleN, numHashes, bands, seed) = readBandParams(spark, path)
     val (shNew, bandedNew) = shingleBandTables(newBatch, idCol, textCol,
       shingleN, numHashes, bands, seed)
     // manifest-pinned reads ([[StoreLayout.readStore]]): isolated from
-    // a racing compactBandIndex swap
-    val idxBands = StoreLayout.readStore(spark, s"$path/_bands")
-    val idxSh = StoreLayout.readStore(spark, path)
+    // a racing compactBandIndex swap. With `snapshot` (a
+    // [[bandIndexSnapshot]] pair) BOTH tables pin to one consistent
+    // resolution — a reproducible probe while appends land.
+    val (idxSh, idxBands) = snapshot match {
+      case Some((vSh, vBands)) =>
+        (StoreLayout.readStoreAt(spark, path, vSh),
+          StoreLayout.readStoreAt(spark, s"$path/_bands", vBands))
+      case None =>
+        (StoreLayout.readStore(spark, path),
+          StoreLayout.readStore(spark, s"$path/_bands"))
+    }
     val candidates = idxBands.as("y").join(bandedNew.as("x"),
         F.col("x.band") === F.col("y.band") &&
         F.col("x.bh") === F.col("y.bh"))
@@ -731,11 +740,42 @@ object Dedup {
     * incremental-ingest gate, served from the persisted artifact.
     */
   def dedupAgainstIndex(newBatch: DataFrame, idCol: String, textCol: String,
-      path: String, threshold: Double = 0.8): DataFrame = {
+      path: String, threshold: Double = 0.8,
+      snapshot: Option[(Long, Long)] = None): DataFrame = {
     val hit = nearDupPairsAgainstIndex(newBatch, idCol, textCol, path,
-        threshold)
+        threshold, snapshot)
       .select(F.col("a_id").as(idCol)).distinct()
     newBatch.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** A CONSISTENT cross-table snapshot of a band index —
+    * (shingleVersion, bandsVersion) — for version-pinned probes
+    * ([[nearDupPairsAgainstIndex]]/[[dedupAgainstIndex]] `snapshot`):
+    * resolve one at ingest-cadence boundaries and every probe against
+    * it reproduces exactly, appends notwithstanding. Consistency comes
+    * from the APPEND ORDER: [[appendToBandIndex]] commits the shingle
+    * table BEFORE `_bands`, and this helper resolves `_bands` FIRST —
+    * so every batch the pinned bands version names already has its
+    * shingle rows in the (later-resolved) shingle version, and a
+    * candidate pair can never lack its verify rows. The converse
+    * transient (a batch's shingles present, bands not yet) only ever
+    * WITHHOLDS candidates — the same harmless window the append
+    * protocol documents. Retention: each table's pin obeys the
+    * manifest/data grace windows ([[StoreLayout.storeVersions]]).
+    */
+  def bandIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val (fsB, pB) = StoreLayout.fsFor(spark, s"$path/_bands")
+    val vBands = StoreLayout.currentManifest(fsB, pB).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path/_bands has no manifest — not a band index, or built " +
+          "pre-manifest (compact or append once to bootstrap)"))
+    val (fsS, pS) = StoreLayout.fsFor(spark, path)
+    val vSh = StoreLayout.currentManifest(fsS, pS).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no manifest — not a band index, or built " +
+          "pre-manifest (compact or append once to bootstrap)"))
+    (vSh, vBands)
   }
 
   /** Grow a persisted band index with an accepted batch WITHOUT rebuilding:

@@ -1799,6 +1799,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     StoreLayout.readSuspects(sfs, sp) shouldBe Map("sentinel.parquet" -> 123L)
   }
 
+  test("band-index snapshot pinning: a (shingle, bands) pair resolved " +
+    "once reproduces the probe exactly while appends land") {
+    val corpus = docs.filter(F.col("doc_id") % 3 === 0)
+    val growth = docs.filter(F.col("doc_id") % 3 === 1).limit(15)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-snap").toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+    val snap = Dedup.bandIndexSnapshot(spark, idx)
+    snap shouldBe ((1L, 1L))
+    val before = Dedup.dedupAgainstIndex(growth, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // grow the index with the probe batch itself: every probe doc now
+    // near-dups its indexed self, so the CURRENT probe drops everything
+    Dedup.appendToBandIndex(growth, "doc_id", "text", idx,
+      batchId = Some("snap-b1"))
+    Dedup.dedupAgainstIndex(growth, "doc_id", "text", idx)
+      .count() shouldBe 0L
+    // ...but the PINNED probe reproduces the pre-append result exactly
+    Dedup.dedupAgainstIndex(growth, "doc_id", "text", idx,
+        snapshot = Some(snap))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe before
+    // a fresh snapshot resolves the post-append pair (both advanced)
+    val snap2 = Dedup.bandIndexSnapshot(spark, idx)
+    snap2._1 should be > snap._1
+    snap2._2 should be > snap._2
+    Dedup.dedupAgainstIndex(growth, "doc_id", "text", idx,
+      snapshot = Some(snap2)).count() shouldBe 0L
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
