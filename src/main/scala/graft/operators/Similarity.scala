@@ -613,10 +613,11 @@ object Similarity {
 
   /** The manifest versions a persisted ANN index can serve right now,
     * oldest first — pass one to a probe's `version` to pin it.
-    * Retention: manifests are pruned past 32 versions (keep 8) and a
-    * superseded version's data files are swept one grace window
-    * ([[Sketches.SuspectGraceMs]]) after a compaction replaces them, so
-    * pin within the window or re-resolve (the lakehouse
+    * Retention: a superseded version's data files are swept one grace
+    * window ([[Sketches.SuspectGraceMs]]) after a compaction replaces
+    * them, and the manifests themselves are age-gated the same way
+    * (keep-8 pruning skips versions younger than the grace; hard cap
+    * 64), so pin within the window or re-resolve (the lakehouse
     * time-travel-vs-VACUUM trade). Empty for a legacy pre-manifest
     * index.
     */

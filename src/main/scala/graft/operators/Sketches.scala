@@ -393,11 +393,13 @@ object Sketches {
 
   /** The manifest versions a persisted store can serve right now,
     * oldest first — pass one to a `*FromStore` face's `version` to pin
-    * it. Retention: manifests are pruned past 32 versions (keep 8) and
-    * a superseded version's data files are swept one grace window
-    * ([[SuspectGraceMs]]) after a compaction replaces them — pin within
-    * the window or re-resolve (the lakehouse time-travel-vs-VACUUM
-    * trade). Empty for a legacy pre-manifest store.
+    * it. Retention: a superseded version's data files are swept one
+    * grace window ([[SuspectGraceMs]]) after a compaction replaces
+    * them, and the manifests themselves are age-gated the same way
+    * (keep-8 pruning skips versions younger than the grace; hard cap
+    * 64) — pin within the window or re-resolve (the lakehouse
+    * time-travel-vs-VACUUM trade). Empty for a legacy pre-manifest
+    * store.
     */
   def storeVersions(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Long] =

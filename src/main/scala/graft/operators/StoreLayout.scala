@@ -267,10 +267,10 @@ private[graft] object StoreLayout {
         throw new IllegalArgumentException(
           s"$dir has no manifest version $version (available: " +
             s"${if (have.isEmpty) "none — legacy/unbuilt store" else have.mkString(", ")}). " +
-            "Manifests are pruned past 32 versions (keep 8) and a " +
-            "superseded version's data files are swept after the GC " +
-            "grace window — pin versions for at most the retention " +
-            "window, or re-resolve the current version.")
+            "Superseded manifests and data files are both retained for " +
+            "the GC grace window (manifest pruning keeps the newest 8 " +
+            "once past the grace; hard cap 64) — pin versions for at " +
+            "most the retention window, or re-resolve the current one.")
     }
 
   /** Read a store pinned to ONE manifest resolution (or the raw listing

@@ -1828,6 +1828,51 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       snapshot = Some(snap2)).count() shouldBe 0L
   }
 
+  test("index appenders racing the compactor: 4 threads x distinct " +
+    "batches with interleaved compactions lose nothing, duplicate " +
+    "nothing; the final probe is exact") {
+    import graft.operators.StoreLayout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-race").toString + "/index"
+    Similarity.buildIvfIndex(emb.filter(F.col("vec_id") % 5 === 0),
+      "vec_id", "embedding", dir, nCentroids = 4)
+    // 4 concurrent appenders, each its own batch id; a compactor thread
+    // folds twice while they run (carry-forward commits must republish
+    // batches landed mid-fold; single concurrent COMPACTOR per the
+    // contract — appends are free)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appenders = (1 to 4).map { i =>
+      new Thread(() =>
+        try Similarity.appendToIvfIndex(
+          emb.filter(F.col("vec_id") % 5 === i), "vec_id", "embedding",
+          dir, batchId = Some(s"race-$i"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    val compactor = new Thread(() =>
+      try (1 to 2).foreach { _ =>
+        Similarity.compactIvfIndex(spark, dir); Thread.sleep(50)
+      } catch { case t: Throwable => errs.add(t) })
+    appenders.foreach(_.start()); compactor.start()
+    appenders.foreach(_.join()); compactor.join()
+    if (!errs.isEmpty) throw errs.peek() // fail loudly on any thread error
+    // exactly one copy of every vector, whatever the interleaving
+    val nAll = emb.count()
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val served = spark.read.option("basePath", dir).parquet(
+      StoreLayout.servingFiles(fs, p)
+        .map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    served.count() shouldBe nAll
+    served.select("cand_id").distinct().count() shouldBe nAll
+    // one more compaction folds whatever the race left; probe == brute
+    Similarity.compactIvfIndex(spark, dir)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
