@@ -748,6 +748,26 @@ object Queries {
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** TIME TRAVEL under the hash oracle: the same persisted index as
+    * [[q_knn_index]] (built on a third, grown by two appends, then
+    * compacted), probed PINNED to manifest version 1 — the build-only
+    * snapshot. The pinned read must serve exactly the build third's
+    * rows even though the current version holds the full table and the
+    * compaction superseded v1's files (deferred age-gated GC keeps them
+    * for the grace window), so the oracle is brute-force top-k over
+    * `vec_id % 3 = 0` — any version-resolution leak in either
+    * direction (newer rows visible, or build rows lost) breaks the
+    * hash.
+    */
+  def q_knn_index_v1(s: SparkSession, d: String): DataFrame = {
+    q_knn_index(s, d) // ensure the shared index dir exists (cached)
+    val emb = Tables.embeddings(s, d)
+    Similarity.probeIvfIndex(s, ivfIndexDirs.get(d),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        nProbe = 8, version = Some(1L))
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Sparse random projection (Achlioptas JL, s = 4) of the embeddings to
     * 8 dims, long form (vec_id, pos, v) — the md5-derived projection
     * matrix is engine-replayable, so this gets a full DuckDB oracle
@@ -2618,6 +2638,18 @@ object Queries {
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                  CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 10""".stripMargin,
+    // q_knn_index_v1: the version-1 pin serves the BUILD third only
+    "q_knn_index_v1" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id % 3 = 0 AND c.vec_id != q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 10""".stripMargin,
     // q_knn_index: the persisted build/append/compact/probe lifecycle
     // probed exhaustively IS brute-force top-k — same oracle as q_knn
     "q_knn_index" ->
@@ -4110,6 +4142,7 @@ object Queries {
     "q_knn_pq_fixed" -> (q_knn_pq_fixed _),
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_knn_index" -> (q_knn_index _),
+    "q_knn_index_v1" -> (q_knn_index_v1 _),
     "q_knn_ivfpq_fixed" -> (q_knn_ivfpq_fixed _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_random_project" -> (q_random_project _),
