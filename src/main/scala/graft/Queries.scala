@@ -728,9 +728,9 @@ object Queries {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def q_knn_index(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val path = ivfIndexDirs.computeIfAbsent(d, _ => {
+  private def ensureIvfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexDirs.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-ivf-reg").toString + "/index"
       def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
@@ -743,7 +743,11 @@ object Queries {
       Similarity.compactIvfIndex(s, dir)
       dir
     })
-    Similarity.probeIvfIndex(s, path, emb.filter(col("vec_id") < 5),
+
+  def q_knn_index(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIvfIndexDir(s, d)
+    Similarity.probeIvfIndex(s, path,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nProbe = 8)
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
@@ -760,11 +764,10 @@ object Queries {
     * hash.
     */
   def q_knn_index_v1(s: SparkSession, d: String): DataFrame = {
-    q_knn_index(s, d) // ensure the shared index dir exists (cached)
-    val emb = Tables.embeddings(s, d)
-    Similarity.probeIvfIndex(s, ivfIndexDirs.get(d),
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
-        nProbe = 8, version = Some(1L))
+    val path = ensureIvfIndexDir(s, d)
+    Similarity.probeIvfIndex(s, path,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nProbe = 8, version = Some(1L))
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 

@@ -724,8 +724,17 @@ object Dedup {
         (StoreLayout.readStoreAt(spark, path, vSh),
           StoreLayout.readStoreAt(spark, s"$path/_bands", vBands))
       case None =>
-        (StoreLayout.readStore(spark, path),
-          StoreLayout.readStore(spark, s"$path/_bands"))
+        // RESOLUTION ORDER MATTERS: `_bands` FIRST, shingles second —
+        // the mirror of the append protocol's shingles-first commit
+        // order. Resolving shingles first opens a window where a racing
+        // append commits both tables in between: the bands read then
+        // holds a batch whose verify rows are missing from the earlier
+        // shingle resolution, and verifyPairs' inner join SILENTLY
+        // drops its true near-dup pairs (a review caught this exact
+        // flip). Bands-first, the worst case is candidates withheld —
+        // the documented harmless transient.
+        val bands = StoreLayout.readStore(spark, s"$path/_bands")
+        (StoreLayout.readStore(spark, path), bands)
     }
     val candidates = idxBands.as("y").join(bandedNew.as("x"),
         F.col("x.band") === F.col("y.band") &&

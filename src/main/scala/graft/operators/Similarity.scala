@@ -548,8 +548,8 @@ object Similarity {
     * pre-manifest versions are bootstrapped onto a manifest at their
     * first append; until then they serve from partition discovery
     * unchanged.
-    */
-  /** `autoCompactParts` (0 = off) counts EXCESS serving files over the
+    *
+    * `autoCompactParts` (0 = off) counts EXCESS serving files over the
     * one-file-per-list floor — the hive layout's analogue of the flat
     * stores' raw-part threshold (a compacted index always serves >= one
     * file per populated list, so a raw-count threshold below nLists

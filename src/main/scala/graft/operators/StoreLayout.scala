@@ -139,7 +139,13 @@ private[graft] object StoreLayout {
     * ([[Sketches.SuspectGraceMs]]'s value, held separately to keep this
     * layer self-contained; var so tests can shrink it). Without this
     * gate a burst of appends could prune a version a reader pinned
-    * seconds ago ("at least the grace window" would be false).
+    * seconds ago ("at least the grace window" would be false). The
+    * clock runs from SUPERSESSION, not creation: a version's age is
+    * measured by its earliest surviving successor's mtime (the moment
+    * it stopped being current), so a version that was current for
+    * hours still gets the full window after it is replaced — creation
+    * mtime would prune it the instant a burst demotes it past keep-N
+    * (a review caught that clock).
     */
   private[graft] var ManifestGraceMs: Long = 60L * 60 * 1000
 
@@ -162,15 +168,23 @@ private[graft] object StoreLayout {
     * the suspect grace path — still sound, just one cycle slower.
     */
   def pruneManifests(fs: FileSystem, dir: Path, keep: Int): Unit = {
-    val sorted = manifestVersions(fs, dir).sorted
-    val beyondHardCap = sorted.dropRight(ManifestHardCap).toSet
+    // ONE listing carries every (version, mtime) pair — no per-file
+    // stat round-trips (they add up on object stores when a crowded
+    // store re-checks on every append)
+    val pairs = fs.listStatus(dir).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix(ManifestPrefix)
+        .toLongOption.filter(_ => s.getPath.getName.startsWith(ManifestPrefix))
+        .map(v => (v, s.getModificationTime)))
+      .sortBy(_._1)
+    val beyondHardCap = pairs.map(_._1).dropRight(ManifestHardCap).toSet
     val now = System.currentTimeMillis()
-    sorted.dropRight(keep).foreach { v =>
-      val m = new Path(dir, f"$ManifestPrefix$v%08d")
-      val oldEnough = beyondHardCap(v) ||
-        (try now - fs.getFileStatus(m).getModificationTime > ManifestGraceMs
-        catch { case _: java.io.FileNotFoundException => false })
-      if (oldEnough) fs.delete(m, false)
+    pairs.dropRight(keep).zipWithIndex.foreach { case ((v, _), i) =>
+      // superseded when its successor committed; the earliest SURVIVING
+      // successor bounds that from above (a pruned true successor only
+      // makes the estimate later = more conservative)
+      val supersededAt = pairs.lift(i + 1).map(_._2).getOrElse(now)
+      if (beyondHardCap(v) || now - supersededAt > ManifestGraceMs)
+        fs.delete(new Path(dir, f"$ManifestPrefix$v%08d"), false)
     }
   }
 

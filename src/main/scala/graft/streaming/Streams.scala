@@ -159,14 +159,28 @@ object Streams {
       textCol: String, indexPath: String, checkpointDir: String,
       autoCompactParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    ingestWithNonce(stream, checkpointDir) { (batch, nonce) =>
+      graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol,
+        indexPath, autoCompactParts, batchId = Some(nonce))
+    }
+  }
+
+  /** The one foreachBatch ingestion protocol behind every index face:
+    * checkpointed stream, the `<queryId>-<batchId>` idempotence nonce
+    * (query id resolved lazily from the checkpoint metadata INSIDE the
+    * first batch), one `append` call per micro-batch. Keeping the nonce
+    * scheme in one place means the exactly-once contract cannot drift
+    * between the band/IVF/IVF-PQ faces.
+    */
+  private def ingestWithNonce(stream: DataFrame, checkpointDir: String)(
+      append: (DataFrame, String) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     lazy val queryTag: String = checkpointQueryId(
       stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Dedup.appendToBandIndex(batch, idCol, textCol,
-          indexPath, autoCompactParts,
-          batchId = Some(f"$queryTag-$id%020d"))
+        append(batch, f"$queryTag-$id%020d")
         ()
       }
       .start()
@@ -192,17 +206,11 @@ object Streams {
       vecCol: String, indexPath: String, checkpointDir: String,
       autoCompactParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    lazy val queryTag: String = checkpointQueryId(
-      stream.sparkSession, checkpointDir)
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
-          indexPath, batchId = Some(f"$queryTag-$id%020d"),
-          autoCompactParts = autoCompactParts)
-        ()
-      }
-      .start()
+    ingestWithNonce(stream, checkpointDir) { (batch, nonce) =>
+      graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
+        indexPath, batchId = Some(nonce),
+        autoCompactParts = autoCompactParts)
+    }
   }
 
   /** [[ingestToIvfIndexStream]] for an IVF-PQ index
@@ -215,17 +223,11 @@ object Streams {
       vecCol: String, indexPath: String, checkpointDir: String,
       autoCompactParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    lazy val queryTag: String = checkpointQueryId(
-      stream.sparkSession, checkpointDir)
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Similarity.appendToIvfPqIndex(batch, idCol,
-          vecCol, indexPath, batchId = Some(f"$queryTag-$id%020d"),
-          autoCompactParts = autoCompactParts)
-        ()
-      }
-      .start()
+    ingestWithNonce(stream, checkpointDir) { (batch, nonce) =>
+      graft.operators.Similarity.appendToIvfPqIndex(batch, idCol,
+        vecCol, indexPath, batchId = Some(nonce),
+        autoCompactParts = autoCompactParts)
+    }
   }
 
   /** The checkpoint-stable query id from `<checkpoint>/metadata` — the

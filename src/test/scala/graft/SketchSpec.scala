@@ -194,6 +194,7 @@ class SketchSpec extends AnyFunSuite with Matchers {
     val savedGrace = StoreLayout.ManifestGraceMs
     try {
       StoreLayout.ManifestGraceMs = 0L
+      Thread.sleep(10) // every successor mtime is now strictly past the 0ms grace
       StoreLayout.pruneManifests(fs, p, keep = 8)
       StoreLayout.storeVersions(spark, dir) shouldBe (63L to 70L)
     } finally StoreLayout.ManifestGraceMs = savedGrace
