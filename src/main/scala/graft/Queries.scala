@@ -771,6 +771,40 @@ object Queries {
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN under the hash oracle: an independent copy
+    * of the lifecycle index ([[q_knn_index]]'s recipe) from which the
+    * `vec_id % 3 = 2` third is then DELETED
+    * ([[Similarity.deleteFromIvfIndex]] — scope-limited per-list
+    * rewrite behind the same manifest swap). The exhaustive probe must
+    * hash-match brute-force top-k over exactly the surviving two
+    * thirds: a deleted row still served (torn rewrite, stale manifest)
+    * or a survivor lost (over-deletion) breaks the hash.
+    */
+  private val ivfDelIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_knn_index_del(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = ivfDelIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-del-reg").toString + "/index"
+      def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+      Similarity.buildIvfIndex(third(0), "vec_id", "embedding", dir,
+        nCentroids = 8)
+      Similarity.appendToIvfIndex(third(1), "vec_id", "embedding", dir,
+        batchId = Some("del-b1"))
+      Similarity.appendToIvfIndex(third(2), "vec_id", "embedding", dir,
+        batchId = Some("del-b2"))
+      Similarity.compactIvfIndex(s, dir)
+      Similarity.deleteFromIvfIndex(s, dir,
+        third(2).select("vec_id"), "vec_id")
+      dir
+    })
+    Similarity.probeIvfIndex(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Sparse random projection (Achlioptas JL, s = 4) of the embeddings to
     * 8 dims, long form (vec_id, pos, v) — the md5-derived projection
     * matrix is engine-replayable, so this gets a full DuckDB oracle
@@ -2641,6 +2675,19 @@ object Queries {
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                  CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 10""".stripMargin,
+    // q_knn_index_del: after deleting the %3==2 third, the exhaustive
+    // probe is brute force over exactly the surviving two thirds
+    "q_knn_index_del" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id % 3 != 2 AND c.vec_id != q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 10""".stripMargin,
     // q_knn_index_v1: the version-1 pin serves the BUILD third only
     "q_knn_index_v1" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -4146,6 +4193,7 @@ object Queries {
     "q_knn_ivfpq" -> (q_knn_ivfpq _),
     "q_knn_index" -> (q_knn_index _),
     "q_knn_index_v1" -> (q_knn_index_v1 _),
+    "q_knn_index_del" -> (q_knn_index_del _),
     "q_knn_ivfpq_fixed" -> (q_knn_ivfpq_fixed _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_random_project" -> (q_random_project _),

@@ -855,6 +855,34 @@ object Dedup {
     Sketches.compactReplace(spark, s"$path/_bands", numFiles)(identity)
   }
 
+  /** Delete documents by id from a persisted band index — the
+    * right-to-be-forgotten maintenance op, run as a compaction whose
+    * fold filters the ids out of BOTH tables (the band tables are flat
+    * and unpartitioned-by-id, so every file can hold a target row —
+    * unlike [[Similarity.deleteFromIvfIndex]]'s list-scoped rewrite,
+    * this IS a full rewrite; batch delete requests and run it at the
+    * compaction cadence, which it replaces). Table order is the
+    * REVERSE of the append's: `_bands` first, shingles second, so a
+    * crash between the two leaves candidates-without-generation
+    * (deleted docs no longer surface as candidates; their shingle rows
+    * are inert verify-side leftovers the re-run removes) — never band
+    * keys whose verify rows are gone. Idempotent; `_params` untouched;
+    * each table's replaced files get the standard GC grace, so PINNED
+    * historical versions serve the deleted docs until the grace passes
+    * — complete erasure = delete + a post-grace compaction, the
+    * lakehouse DELETE-then-VACUUM trade.
+    */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String,
+      numFiles: Int = 1): Unit = {
+    readBandParams(spark, path) // fail fast on a non-index / foreign family
+    val del = F.broadcast(
+      ids.select(F.col(idCol).cast("long").as("id")).distinct())
+    def drop(df: DataFrame): DataFrame = df.join(del, Seq("id"), "left_anti")
+    Sketches.compactReplace(spark, s"$path/_bands", numFiles)(drop)
+    Sketches.compactReplace(spark, path, numFiles)(drop)
+  }
+
   // ---- band-key Bloom gate (scan-side / streaming near-dup check) ----------
 
   /** All `bands` LSH band keys of a text as ONE array<long> column — the

@@ -794,7 +794,69 @@ object Similarity {
     * touched.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxRecordsPerFile: Long = 0L): Unit = {
+      path: String, maxRecordsPerFile: Long = 0L): Unit =
+    rewriteIndexScope(spark, path, "compactIvfIndex", maxRecordsPerFile) {
+      (before, read) => (before, () => read(before))
+    }
+
+  /** Delete rows by id from a persisted ANN index — the
+    * right-to-be-forgotten maintenance op a training-data corpus needs
+    * (both layouts; the `codes` column rides the rewrite untouched).
+    * Scope-limited: ONLY the `__list=` partitions that actually contain
+    * a target id are rewritten (one cheap id-column scan finds them —
+    * bounded by nCentroids candidates), every other file rides the
+    * carry-forward commit untouched, so the cost is the affected
+    * lists' rows, not the index. The swap is the compaction protocol
+    * verbatim (same version-stamped names, same GC grace for the
+    * replaced files, same crash/retry story), probes stay
+    * manifest-pinned throughout, and a re-run with the same ids is a
+    * no-op (no list contains them anymore). Racing appends are carried
+    * forward untouched — an append that re-introduces a target id
+    * DURING the delete keeps its rows (quiesce appends of the ids being
+    * erased, or re-run the delete; it is idempotent). Pinned HISTORICAL
+    * versions still serve the deleted rows until their files age out of
+    * the GC grace — complete erasure = delete + one compaction after
+    * the grace window (the lakehouse delete-vs-time-travel trade, same
+    * as VACUUM after a Delta DELETE).
+    *
+    * The sketch stores deliberately have NO delete face: k-min /
+    * CMS / HLL / histogram states are irreversible aggregates (no
+    * subtraction identity) — rebuild them from the filtered corpus.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val del = F.broadcast(
+      ids.select(F.col(idCol).cast("long").as("cand_id")).distinct())
+    rewriteIndexScope(spark, path, "deleteFromIvfIndex",
+      maxRecordsPerFile) { (before, read) =>
+      // one id-column scan finds the affected lists (bounded by
+      // nCentroids rows after the distinct)
+      val affectedLists = read(before).join(del, "cand_id")
+        .select("__list").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val scope = before.filter(n =>
+        n.split('/').head.stripPrefix("__list=").toIntOption
+          .exists(affectedLists))
+      // thunked: an idempotent re-run yields an EMPTY scope, and a
+      // zero-path read would throw before the core's no-op guard runs
+      (scope, () => read(scope).join(del, Seq("cand_id"), "left_anti"))
+    }
+  }
+
+  /** The maintenance-rewrite core shared by [[compactIvfIndex]] and
+    * [[deleteFromIvfIndex]]: kind guard, writer lease, legacy manifest
+    * bootstrap, [[StoreLayout.gcSweep]], then `scope(before, read)`
+    * picks the manifest files to REWRITE and the frame that replaces
+    * them — folded one shuffle partition per list, renamed in under
+    * version-stamped names, committed with ONE carry-forward manifest
+    * swap (untouched files and mid-rewrite appends ride along). An
+    * empty scope is a no-op after the GC sweep.
+    */
+  private def rewriteIndexScope(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String, maxRecordsPerFile: Long)(
+      scope: (Seq[String], Seq[String] => DataFrame) => (Seq[String], () => DataFrame))
+      : Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
     // fail fast BEFORE any GC/ledger mutation when pointed at something
@@ -805,8 +867,8 @@ object Similarity {
     // then die on the missing __list column
     require(fs.exists(new Path(p, "_centroids")),
       s"$path is not a persisted ANN index (no _centroids sidecar); " +
-        "compactIvfIndex folds buildIvfIndex/buildIvfPqIndex layouts — " +
-        "flat sketch stores compact via their own compactXxxStore faces")
+        s"$what serves buildIvfIndex/buildIvfPqIndex layouts — " +
+        "flat sketch stores have their own compactXxxStore faces")
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
     // legacy index: pin the partition-discovery listing as manifest v1
@@ -815,33 +877,36 @@ object Similarity {
     val (curVer, before) = StoreLayout.currentManifest(fs, p).get
     val nextPrefix = f"compact-v${curVer + 1}%08d-"
     val attemptInFlight = fs.exists(tmp)
-    val curSet = before.toSet
-    StoreLayout.gcSweep(fs, p, curVer, curSet, listIndexFiles(fs, p),
-      attemptInFlight, nextPrefix, Sketches.SuspectGraceMs)
+    StoreLayout.gcSweep(fs, p, curVer, before.toSet,
+      listIndexFiles(fs, p), attemptInFlight, nextPrefix,
+      Sketches.SuspectGraceMs)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
-    // fold: exactly the manifest's files, one shuffle partition per
-    // list (hash collisions co-locating two lists in one task still
-    // yield one FILE per list — the partitioned write splits them)
-    val writer = spark.read.option("basePath", path)
-      .parquet(before.map(n => new Path(p, n).toString): _*)
+    def read(files: Seq[String]): DataFrame =
+      spark.read.option("basePath", path)
+        .parquet(files.map(n => new Path(p, n).toString): _*)
+    val (scopeFiles, foldedThunk) = scope(before, read)
+    if (scopeFiles.isEmpty) return // nothing to rewrite
+    // fold: one shuffle partition per list (hash collisions co-locating
+    // two lists in one task still yield one FILE per list — the
+    // partitioned write splits them)
+    val writer = foldedThunk()
       .repartition(F.col("__list"))
       .write.partitionBy("__list")
     (if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(new Path(tmp, "data").toString)
     val relNames = renameListPartsIn(fs, p, new Path(tmp, "data"),
-      i => f"${nextPrefix}p$i%05d.parquet", "compactIvfIndex",
+      i => f"${nextPrefix}p$i%05d.parquet", what,
       "nothing was destroyed — the index still serves the current " +
-        "manifest, and the next compaction call sweeps this attempt's " +
+        "manifest, and the next maintenance call sweeps this attempt's " +
         "debris and retries the swap")
-    // folded append batches keep their idempotence markers (the commit
-    // below erases their names from the manifest — the marker is the
-    // evidence trail that survives)
-    StoreLayout.markBatchesIn(fs, p, before.map(_.split('/').last))
+    // rewritten append batches keep their idempotence markers (the
+    // commit below erases their names from the manifest — the marker is
+    // the evidence trail that survives)
+    StoreLayout.markBatchesIn(fs, p, scopeFiles.map(_.split('/').last))
     StoreLayout.acquireWriterLease(fs, p)
-    StoreLayout.commitCarryForward(fs, p, relNames, curSet,
-      "compactIvfIndex")
+    StoreLayout.commitCarryForward(fs, p, relNames, scopeFiles.toSet, what)
     fs.delete(tmp, true)
     StoreLayout.pruneManifests(fs, p, keep = 8)
   }

@@ -1873,6 +1873,81 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("index delete: scope-limited rewrite erases exactly the target " +
+    "ids, untouched lists' files survive byte-identically, re-delete " +
+    "is a no-op; band-index delete revives near-dup survivors") {
+    import graft.operators.StoreLayout
+    import spark.implicits._
+    val evens = emb.filter(F.col("vec_id") % 2 === 0)
+    val odds = emb.filter(F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString + "/index"
+    Similarity.buildIvfIndex(evens, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    Similarity.appendToIvfIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("d1"))
+    Similarity.compactIvfIndex(spark, dir)
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val beforeFiles = StoreLayout.servingFiles(fs, p).toSet
+    // delete ONE id: exactly its list is rewritten, every other list's
+    // files ride the carry-forward commit untouched
+    val one = Seq(42L).toDF("vec_id")
+    Similarity.deleteFromIvfIndex(spark, dir, one, "vec_id")
+    val afterOne = StoreLayout.servingFiles(fs, p).toSet
+    (beforeFiles intersect afterOne) should not be empty
+    val changedLists = (beforeFiles diff afterOne).map(_.split('/').head)
+    changedLists should have size 1
+    // manifest-pinned serving (the raw listing still holds the
+    // grace-retained superseded files, by design)
+    def servedIvf() = spark.read.option("basePath", dir).parquet(
+      StoreLayout.servingFiles(fs, p)
+        .map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    servedIvf().filter(F.col("cand_id") === 42L).count() shouldBe 0L
+    // bulk delete: exhaustive probe == brute force over the survivors
+    val dropIds = emb.filter(F.col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.deleteFromIvfIndex(spark, dir, dropIds, "vec_id")
+    val kept = emb.filter(F.col("vec_id") % 7 =!= 3 &&
+      F.col("vec_id") =!= 42L)
+    Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, kept, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // idempotent: a re-run touches nothing (no list holds the ids)
+    val manifestBefore = StoreLayout.currentManifest(fs, p).get._1
+    Similarity.deleteFromIvfIndex(spark, dir, dropIds, "vec_id")
+    StoreLayout.currentManifest(fs, p).get._1 shouldBe manifestBefore
+    // band index: deleting the indexed near-dups revives the batch docs
+    val corpus = docs.filter(F.col("doc_id") % 3 === 0)
+    val batch = docs.filter(F.col("doc_id") % 3 === 1).limit(15)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-del").toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+    Dedup.appendToBandIndex(batch, "doc_id", "text", idx,
+      batchId = Some("bd1"))
+    // every batch doc now near-dups its indexed self
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+      .count() shouldBe 0L
+    Dedup.deleteFromBandIndex(spark, idx, batch.select("doc_id"), "doc_id")
+    // the erased docs no longer gate the batch; survivors = the
+    // pre-append result (their only hits were against the corpus)
+    val preAppend = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val freshIdx = java.nio.file.Files
+      .createTempDirectory("graft-band-del2").toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", freshIdx)
+    preAppend shouldBe Dedup.dedupAgainstIndex(batch, "doc_id", "text",
+        freshIdx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // erased ids are gone from BOTH tables
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    StoreLayout.readStore(spark, idx)
+      .filter(F.col("id").isin(batchIds.toSeq: _*)).count() shouldBe 0L
+    StoreLayout.readStore(spark, s"$idx/_bands")
+      .filter(F.col("id").isin(batchIds.toSeq: _*)).count() shouldBe 0L
+  }
+
   test("IVF with k-means refinement: deterministic, centroids move, recall holds") {
     val queries = emb.filter(F.col("vec_id") < 10)
     val init = emb.select(F.col("embedding").cast("array<double>"))
