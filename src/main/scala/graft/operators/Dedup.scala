@@ -876,8 +876,10 @@ object Dedup {
       path: String, ids: DataFrame, idCol: String,
       numFiles: Int = 1): Unit = {
     readBandParams(spark, path) // fail fast on a non-index / foreign family
+    // no cast: join at the index's own id type (see
+    // Similarity.deleteFromIvfIndex's note)
     val del = F.broadcast(
-      ids.select(F.col(idCol).cast("long").as("id")).distinct())
+      ids.select(F.col(idCol).as("id")).distinct())
     def drop(df: DataFrame): DataFrame = df.join(del, Seq("id"), "left_anti")
     Sketches.compactReplace(spark, s"$path/_bands", numFiles)(drop)
     Sketches.compactReplace(spark, path, numFiles)(drop)

@@ -826,8 +826,11 @@ object Similarity {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String,
       maxRecordsPerFile: Long = 0L): Unit = {
+    // no cast: the join must run at the INDEX's own id type — casting
+    // to long would make a string-id index's anti-join silently match
+    // nothing (a no-op "delete" with no error)
     val del = F.broadcast(
-      ids.select(F.col(idCol).cast("long").as("cand_id")).distinct())
+      ids.select(F.col(idCol).as("cand_id")).distinct())
     rewriteIndexScope(spark, path, "deleteFromIvfIndex",
       maxRecordsPerFile) { (before, read) =>
       // one id-column scan finds the affected lists (bounded by
