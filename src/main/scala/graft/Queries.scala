@@ -728,21 +728,31 @@ object Queries {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** ONE recipe for every lifecycle-index oracle (q_knn_index /
+    * q_knn_index_v1 / q_knn_index_del build IDENTICAL indexes by
+    * construction — the del face's "independent copy" premise depends
+    * on the recipes never diverging): build on the %3==0 third,
+    * append the other thirds as idempotent batches, compact.
+    */
+  private def buildLifecycleIvfIndex(s: SparkSession, d: String,
+      dirPrefix: String, batchPrefix: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory(dirPrefix).toString + "/index"
+    def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    Similarity.buildIvfIndex(third(0), "vec_id", "embedding", dir,
+      nCentroids = 8)
+    Similarity.appendToIvfIndex(third(1), "vec_id", "embedding", dir,
+      batchId = Some(s"$batchPrefix-b1"))
+    Similarity.appendToIvfIndex(third(2), "vec_id", "embedding", dir,
+      batchId = Some(s"$batchPrefix-b2"))
+    Similarity.compactIvfIndex(s, dir)
+    dir
+  }
+
   private def ensureIvfIndexDir(s: SparkSession, d: String): String =
-    ivfIndexDirs.computeIfAbsent(d, _ => {
-      val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-reg").toString + "/index"
-      def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-      Similarity.buildIvfIndex(third(0), "vec_id", "embedding", dir,
-        nCentroids = 8)
-      Similarity.appendToIvfIndex(third(1), "vec_id", "embedding", dir,
-        batchId = Some("reg-b1"))
-      Similarity.appendToIvfIndex(third(2), "vec_id", "embedding", dir,
-        batchId = Some("reg-b2"))
-      Similarity.compactIvfIndex(s, dir)
-      dir
-    })
+    ivfIndexDirs.computeIfAbsent(d,
+      _ => buildLifecycleIvfIndex(s, d, "graft-ivf-reg", "reg"))
 
   def q_knn_index(s: SparkSession, d: String): DataFrame = {
     val path = ensureIvfIndexDir(s, d)
@@ -786,18 +796,10 @@ object Queries {
   def q_knn_index_del(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val path = ivfDelIndexDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-del-reg").toString + "/index"
-      def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-      Similarity.buildIvfIndex(third(0), "vec_id", "embedding", dir,
-        nCentroids = 8)
-      Similarity.appendToIvfIndex(third(1), "vec_id", "embedding", dir,
-        batchId = Some("del-b1"))
-      Similarity.appendToIvfIndex(third(2), "vec_id", "embedding", dir,
-        batchId = Some("del-b2"))
-      Similarity.compactIvfIndex(s, dir)
+      val dir = buildLifecycleIvfIndex(s, d, "graft-ivf-del-reg", "del")
       Similarity.deleteFromIvfIndex(s, dir,
-        third(2).select("vec_id"), "vec_id")
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2).select("vec_id"),
+        "vec_id")
       dir
     })
     Similarity.probeIvfIndex(s, path, emb.filter(col("vec_id") < 5),

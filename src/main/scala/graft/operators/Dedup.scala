@@ -876,10 +876,15 @@ object Dedup {
       path: String, ids: DataFrame, idCol: String,
       numFiles: Int = 1): Unit = {
     readBandParams(spark, path) // fail fast on a non-index / foreign family
-    // no cast: join at the index's own id type (see
-    // Similarity.deleteFromIvfIndex's note)
-    val del = F.broadcast(
-      ids.select(F.col(idCol).as("id")).distinct())
+    // no cast: join at the index's own id type; localCheckpoint: the
+    // id set feeds BOTH tables' rewrites — a non-deterministic frame
+    // evaluated twice could delete a doc's shingles while leaving its
+    // band rows (the exact dangling-band-key state the table ordering
+    // below exists to prevent). No broadcast hint: bulk purges can
+    // carry millions of ids — AQE picks the join strategy
+    // (see Similarity.deleteFromIvfIndex's notes).
+    val del = ids.select(F.col(idCol).as("id")).distinct()
+      .localCheckpoint()
     def drop(df: DataFrame): DataFrame = df.join(del, Seq("id"), "left_anti")
     Sketches.compactReplace(spark, s"$path/_bands", numFiles)(drop)
     Sketches.compactReplace(spark, path, numFiles)(drop)

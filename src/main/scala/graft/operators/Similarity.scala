@@ -828,15 +828,24 @@ object Similarity {
       maxRecordsPerFile: Long = 0L): Unit = {
     // no cast: the join must run at the INDEX's own id type — casting
     // to long would make a string-id index's anti-join silently match
-    // nothing (a no-op "delete" with no error)
-    val del = F.broadcast(
-      ids.select(F.col(idCol).as("cand_id")).distinct())
+    // nothing (a no-op "delete" with no error). localCheckpoint: the id
+    // set feeds TWO jobs (the affected-list scan, then the rewrite's
+    // anti-join) — a non-deterministic ids frame evaluated twice could
+    // scope lists from set A and delete set B, leaving supposedly
+    // forgotten rows served with no error (the probeIvfIndex
+    // double-consumer precedent). No broadcast hint: a GDPR purge can
+    // carry millions of ids — let AQE pick the join strategy.
+    val del = ids.select(F.col(idCol).as("cand_id")).distinct()
+      .localCheckpoint()
     rewriteIndexScope(spark, path, "deleteFromIvfIndex",
       maxRecordsPerFile) { (before, read) =>
       // one id-column scan finds the affected lists (bounded by
       // nCentroids rows after the distinct)
+      // cast("int"): partition-column type inference can be disabled
+      // cluster-side (__list then infers as string) — the cast keeps
+      // this read inference-independent
       val affectedLists = read(before).join(del, "cand_id")
-        .select("__list").distinct()
+        .select(F.col("__list").cast("int")).distinct()
         .collect().map(_.getInt(0)).toSet
       val scope = before.filter(n =>
         n.split('/').head.stripPrefix("__list=").toIntOption
