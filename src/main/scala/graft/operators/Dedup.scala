@@ -813,7 +813,9 @@ object Dedup {
     * after the shingle table's manifest commit, before `_bands`'s. A
     * throw here is exactly the crash window the batchId contract heals.
     */
-  private[graft] var bandAppendFault: () => Unit = () => ()
+  // @volatile for cross-thread visibility from test threads (see
+  // Similarity.ivfAppendFault)
+  @volatile private[graft] var bandAppendFault: () => Unit = () => ()
 
   def appendToBandIndex(newBatch: DataFrame, idCol: String, textCol: String,
       path: String, autoCompactParts: Int = 0,

@@ -635,7 +635,10 @@ object Similarity {
     StoreLayout.initManifestNaming(fs, p, listIndexFiles(fs, p))
   }
 
-  private[graft] var ivfAppendFault: () => Unit = () => ()
+  // @volatile: written by a test thread, read by streaming micro-batch
+  // threads — without it the JMM does not guarantee the injected fault is
+  // visible cross-thread (StreamingRecoverySpec would be theoretically flaky)
+  @volatile private[graft] var ivfAppendFault: () => Unit = () => ()
 
   /** Rename a partitioned scratch write's parts into the live `__list=`
     * dirs under deterministic names — the move shared by the append and
@@ -997,43 +1000,88 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
+  /** Probe-path side-table cache (`_meta`+`_centroids`, `_codebooks`):
+    * keyed on the index path, validated on EVERY call against a
+    * fingerprint of the side directory's file listing (name, mtime,
+    * length — one FS listing, zero Spark jobs), so a rebuild that
+    * rewrites the side tables (new part-file UUIDs) invalidates
+    * naturally and staleness is impossible. Probes are latency-bound
+    * fixed-cost paths — the r15 bench adjudication traced q_knn_index's
+    * warm floor to these two small parquet reads repeated per probe; a
+    * hit replaces both Spark jobs with the listing check. Bounded:
+    * cleared wholesale past 256 entries (keys are index paths — tests
+    * create many temp indexes; a rare full reload beats an LRU's
+    * bookkeeping here).
+    */
+  private val sideCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  private def sideFingerprint(spark: org.apache.spark.sql.SparkSession,
+      path: String, dirs: Seq[String]): String = {
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    dirs.flatMap { d =>
+      val dp = new org.apache.hadoop.fs.Path(p, d)
+      try fs.listStatus(dp).toSeq
+        .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+      catch { case _: java.io.FileNotFoundException => Seq(s"$d:absent") }
+    }.sorted.mkString("|")
+  }
+
+  private def cachedSide[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String, dirs: Seq[String])(load: => T): T = {
+    val fp = sideFingerprint(spark, path, dirs)
+    val key = s"$path#$kind"
+    sideCache.get(key) match {
+      case (oldFp, v) if oldFp == fp => v.asInstanceOf[T]
+      case _ =>
+        val v = load // a throwing load caches nothing — errors stay loud per call
+        if (sideCache.size > 256) sideCache.clear()
+        sideCache.put(key, (fp, v))
+        v
+    }
+  }
+
   /** Shared `_centroids` load: bounded driver-side collect, cid-ascending
     * (assignment correctness depends on the stable order). Fails fast when
     * the artifact's `_meta` is missing (built by a pre-metric-stamp
     * version, which assigned by max inner product) or names a different
     * assignment metric — the stored layout would not be the tessellation
-    * this version probes.
+    * this version probes. Cached per path behind a file-listing
+    * fingerprint ([[sideFingerprint]]) — `_meta` rides the fingerprint so
+    * a metric mismatch still fails fast after any rewrite.
     */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[(Int, Array[Double])] = {
-    val assign =
-      try spark.read.parquet(s"$path/_meta").head().getString(0)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
-          "missing"
-      }
-    require(assign == AssignMetric,
-      s"$path was built under assignment metric '$assign', this version " +
-        s"probes '$AssignMetric' — rebuild the index/centroids before use")
-    spark.read.parquet(s"$path/_centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-  }
+      path: String): Array[(Int, Array[Double])] =
+    cachedSide(spark, path, "centroids", Seq("_meta", "_centroids")) {
+      val assign =
+        try spark.read.parquet(s"$path/_meta").head().getString(0)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.contains("Path does not exist") =>
+            "missing"
+        }
+      require(assign == AssignMetric,
+        s"$path was built under assignment metric '$assign', this version " +
+          s"probes '$AssignMetric' — rebuild the index/centroids before use")
+      spark.read.parquet(s"$path/_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
 
   /** Shared `_codebooks` load: m·ksub rows reshaped to cb(j)(c) — bounded
-    * driver-side collect.
+    * driver-side collect. Cached like [[readCentroids]].
     */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/_codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val m = rows.keys.map(_._1).max + 1
-    val ksub = rows.keys.map(_._2).max + 1
-    Array.tabulate(m, ksub)((j, c) => rows((j, c)))
-  }
+      path: String): Array[Array[Array[Double]]] =
+    cachedSide(spark, path, "codebooks", Seq("_codebooks")) {
+      val rows = spark.read.parquet(s"$path/_codebooks").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      val m = rows.keys.map(_._1).max + 1
+      val ksub = rows.keys.map(_._2).max + 1
+      Array.tabulate(m, ksub)((j, c) => rows((j, c)))
+    }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]): load the centroid
     * table (nCentroids rows — bounded, documented driver-side collect,
