@@ -462,6 +462,69 @@ object Queries {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Band-index RIGHT-TO-BE-FORGOTTEN under the hash oracle (the r15
+    * verdict's asymmetry: the IVF delete was hash-gated, the band
+    * delete only test-pinned): build on the %4==0 quarter, append the
+    * %4==2 quarter as an idempotent batch
+    * ([[Dedup.appendToBandIndex]]), then DELETE the %8∈{0,6} docs
+    * ([[Dedup.deleteFromBandIndex]] — both tables' compaction-fold
+    * filter + completeness re-scan), touching build AND appended rows.
+    * The odd-batch probe must then replay brute-force exact Jaccard
+    * over exactly the surviving corpus: a deleted doc still surfacing
+    * (either table torn) or a survivor lost breaks the hash.
+    */
+  private val bandDelIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_band_del(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = bandDelIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-banddel-reg").toString + "/index"
+      Dedup.saveBandIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id",
+        "text", dir)
+      Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", dir, batchId = Some("banddel-b1"))
+      Dedup.deleteFromBandIndex(s, dir,
+        docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 6)
+          .select("doc_id"), "doc_id")
+      dir
+    })
+    Dedup.nearDupPairsAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Band-index cross-table SNAPSHOT PIN under the hash oracle: a
+    * [[Dedup.bandIndexSnapshot]] resolved between the build and an
+    * append must keep serving exactly the build-time corpus — the probe
+    * pinned to it replays brute-force Jaccard over the %4==0 quarter
+    * even though the CURRENT index also holds the appended %4==2
+    * batch. Any version-resolution leak in either direction (appended
+    * docs visible through the pin, or build docs lost) breaks the hash.
+    */
+  private val bandSnapDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Long, Long))]()
+
+  def q_band_snap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (path, snap) = bandSnapDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bandsnap-reg").toString + "/index"
+      Dedup.saveBandIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id",
+        "text", dir)
+      // bootstrap both tables' manifests (a fresh build is pre-manifest)
+      Dedup.compactBandIndex(s, dir)
+      val snap = Dedup.bandIndexSnapshot(s, dir)
+      Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", dir, batchId = Some("bandsnap-b1"))
+      (dir, snap)
+    })
+    Dedup.nearDupPairsAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, threshold = 0.8, snapshot = Some(snap))
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   private val bandBloomFilters = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.Dedup.BandBloomMd5.Filter]()
 
@@ -804,6 +867,50 @@ object Queries {
     })
     Similarity.probeIvfIndex(s, path, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** The IVF-PQ STORAGE lifecycle under the hash oracle (r15 verdict
+    * "what's missing" #3): build the PQ layout on the %3==0 third,
+    * append the other thirds as idempotent batches, compact (codes ride
+    * the fold), DELETE the %3==2 third (codes ride the scope-limited
+    * rewrite), then probe with every list probed and `shortlist` ≥ the
+    * survivor count — the exact rerank then sees EVERY stored candidate,
+    * so the result is brute-force top-k over exactly the survivors
+    * (q_knn_index_del's own SQL) regardless of ADC score boundaries:
+    * the float-quantization flakiness that keeps the PQ QUALITY faces
+    * rows-only (SURVEY §7.5) cannot reach this face, while any row
+    * lost/duplicated/torn through the PQ layout's
+    * build/append/fold/delete — including a codes column that breaks
+    * the ADC pass outright — still breaks the hash. Codes-SPECIFIC
+    * fidelity (type, non-null through fold and rewrite, pruned-probe
+    * recall) stays ScalaTest-pinned (PipelineSpec "IVF-PQ lifecycle").
+    * shortlist = 4096 covers every driver sf (≤ 2000 embeddings); scale
+    * it with the corpus if ever run beyond sf0.1.
+    */
+  private val ivfPqLifeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q_knn_ivfpq_life(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = ivfPqLifeDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-life-reg").toString + "/index"
+      def third(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+      Similarity.buildIvfPqIndex(third(0), "vec_id", "embedding", dir,
+        dim = 64, nCentroids = 8, m = 16, ksub = 32)
+      Similarity.appendToIvfPqIndex(third(1), "vec_id", "embedding", dir,
+        batchId = Some("pqlife-b1"))
+      Similarity.appendToIvfPqIndex(third(2), "vec_id", "embedding", dir,
+        batchId = Some("pqlife-b2"))
+      Similarity.compactIvfIndex(s, dir)
+      Similarity.deleteFromIvfIndex(s, dir,
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2).select("vec_id"),
+        "vec_id")
+      dir
+    })
+    Similarity.probeIvfPqIndex(s, path, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 8, shortlist = 4096)
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
@@ -2332,7 +2439,13 @@ object Queries {
       |)""".stripMargin
   }
 
-  private lazy val xcorpusJaccardSql: String =
+  /** Odd-batch vs indexed-corpus exact-Jaccard pairs at 0.8, with the
+    * CORPUS membership predicate injected — one SQL body shared by the
+    * band-index lifecycle oracles, whose faces differ only in which
+    * docs the served index version holds (full evens; evens minus the
+    * deleted set; the pre-append snapshot's build half).
+    */
+  private def xcorpusJaccardSqlOver(bPred: String): String =
     s"""WITH toks AS (
       |  SELECT doc_id, $DTok AS ws FROM documents
       |), sh AS (
@@ -2344,9 +2457,12 @@ object Queries {
       |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 3) AS jaccard
       |FROM sh a, sh b
-      |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |WHERE a.doc_id % 2 = 1 AND $bPred
       |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin
+
+  private lazy val xcorpusJaccardSql: String =
+    xcorpusJaccardSqlOver("b.doc_id % 2 = 0")
 
   private lazy val jaccardPairsSql: String =
     s"""WITH toks AS (
@@ -2533,6 +2649,13 @@ object Queries {
     // the persisted-index probe must reproduce the live cross-corpus
     // result exactly — same oracle
     "q_dedup_band_index" -> xcorpusJaccardSql,
+    // q_band_del: the served corpus is evens minus the deleted %8∈{0,6}
+    // set — brute force over exactly the survivors
+    "q_band_del" ->
+      xcorpusJaccardSqlOver(
+        "b.doc_id % 2 = 0 AND b.doc_id % 8 NOT IN (0, 6)"),
+    // q_band_snap: the pre-append snapshot pin serves the build quarter
+    "q_band_snap" -> xcorpusJaccardSqlOver("b.doc_id % 4 = 0"),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, $DTok AS ws FROM documents
@@ -2680,6 +2803,21 @@ object Queries {
     // q_knn_index_del: after deleting the %3==2 third, the exhaustive
     // probe is brute force over exactly the surviving two thirds
     "q_knn_index_del" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id % 3 != 2 AND c.vec_id != q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 10""".stripMargin,
+    // q_knn_ivfpq_life: same lifecycle + delete recipe through the PQ
+    // layout, probed exhaustively with shortlist >= survivors — the
+    // exact rerank over every stored candidate IS brute force over the
+    // surviving two thirds (q_knn_index_del's oracle verbatim)
+    "q_knn_ivfpq_life" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
@@ -4180,6 +4318,8 @@ object Queries {
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),
+    "q_band_del" -> (q_band_del _),
+    "q_band_snap" -> (q_band_snap _),
     "q_neardup_gate" -> (q_neardup_gate _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_pipeline" -> (q_pipeline _),
@@ -4196,6 +4336,7 @@ object Queries {
     "q_knn_index" -> (q_knn_index _),
     "q_knn_index_v1" -> (q_knn_index_v1 _),
     "q_knn_index_del" -> (q_knn_index_del _),
+    "q_knn_ivfpq_life" -> (q_knn_ivfpq_life _),
     "q_knn_ivfpq_fixed" -> (q_knn_ivfpq_fixed _),
     "q_embed_centroids" -> (q_embed_centroids _),
     "q_random_project" -> (q_random_project _),

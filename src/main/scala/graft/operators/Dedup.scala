@@ -807,7 +807,10 @@ object Dedup {
     * merely not yet discoverable — the transient state must be the
     * harmless one. Without a `batchId` a failed call must NOT be
     * retried (the non-idempotent legacy contract). Retries must come
-    * within [[Sketches.SuspectGraceMs]] (the marker-ledger retention).
+    * within [[Sketches.SuspectGraceMs]] (the marker-ledger retention);
+    * a later retry of a committed id fails loudly against the
+    * pruned-marker bloom ([[StoreLayout.requireBatchNotPruned]]) rather
+    * than double-appending.
     */
   /** Fault-injection seam for the kill-between-commits test ONLY: fires
     * after the shingle table's manifest commit, before `_bands`'s. A
@@ -888,8 +891,32 @@ object Dedup {
     val del = ids.select(F.col(idCol).as("id")).distinct()
       .localCheckpoint()
     def drop(df: DataFrame): DataFrame = df.join(del, Seq("id"), "left_anti")
-    Sketches.compactReplace(spark, s"$path/_bands", numFiles)(drop)
-    Sketches.compactReplace(spark, path, numFiles)(drop)
+    // RTBF completeness loop (see Similarity.deleteFromIvfIndex): a
+    // batch appended mid-rewrite rides the carry-forward commit
+    // untouched and can re-introduce target ids — re-scan the committed
+    // state and loop the (idempotent) rewrite, failing loudly after 5
+    // passes rather than returning a silent partial erase
+    var pass = 0
+    var clean = false
+    while (!clean) {
+      pass += 1
+      if (pass > 5)
+        throw new IllegalStateException(
+          s"deleteFromBandIndex: target ids still present in $path after " +
+            "5 rewrite passes — concurrent appends keep re-introducing " +
+            "rows for ids being erased. Quiesce appends of those ids and " +
+            "re-run (the delete is idempotent).")
+      Sketches.compactReplace(spark, s"$path/_bands", numFiles)(drop)
+      Sketches.compactReplace(spark, path, numFiles)(drop)
+      // empty serving set is trivially clean (a zero-path read throws)
+      def tableClean(t: String): Boolean = {
+        val (fs, p) = StoreLayout.fsFor(spark, t)
+        StoreLayout.servingFiles(fs, p).isEmpty ||
+          StoreLayout.readStore(spark, t).select("id")
+            .join(del, "id").isEmpty
+      }
+      clean = tableClean(path) && tableClean(s"$path/_bands")
+    }
   }
 
   // ---- band-key Bloom gate (scan-side / streaming near-dup check) ----------

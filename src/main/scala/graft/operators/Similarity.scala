@@ -513,6 +513,53 @@ object Similarity {
     graft.sources.Layout.writePartitioned(assigned, path, Seq("__list"))
     initIndexManifest(candidates.sparkSession, path)
     writeCentroids(candidates.sparkSession, path, cents)
+    listSkewHealthCheck(candidates.sparkSession, path)
+  }
+
+  /** The documented cluster-mass rebuild threshold (SCALING.md): a built
+    * index whose largest `__list` exceeds this multiple of the mean has
+    * a hot cell the quantizer failed to divide (k below the dense-region
+    * count, or distribution drift) — probe walls and SemDeDup's Σc²
+    * amplification both track the max list, so rebuild with larger k.
+    */
+  private[graft] val SkewRebuildRatio = 4.0
+
+  /** Per-`__list` size skew of a persisted index: (maxRows, meanRows,
+    * ratio). One aggregate over the partition column only — a
+    * metadata-cheap scan (no vector bytes are read).
+    */
+  def indexListSkew(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Double, Double) = {
+    val sizes = readIndex(spark, path).groupBy("__list").count()
+      .agg(F.max("count").as("mx"), F.avg("count").as("mean")).head()
+    val (mx, mean) = (sizes.getLong(0), sizes.getDouble(1))
+    (mx, mean, if (mean > 0) mx / mean else 0.0)
+  }
+
+  /** Observable seam for the build-path health check (tests pin that a
+    * skewed build actually warns): (path, ratio) of the last check that
+    * crossed [[SkewRebuildRatio]].
+    */
+  @volatile private[graft] var lastSkewWarning: Option[(String, Double)] = None
+
+  /** The SCALING.md cluster-mass health check, wired into both index
+    * builds: warn (and record on [[lastSkewWarning]]) when the built
+    * layout's max list exceeds [[SkewRebuildRatio]]× the mean. Advisory
+    * by design — the index still serves; the warning is the rebuild
+    * signal the deployment rule keys on.
+    */
+  private[graft] def listSkewHealthCheck(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (mx, mean, ratio) = indexListSkew(spark, path)
+    if (ratio > SkewRebuildRatio) {
+      lastSkewWarning = Some((path, ratio))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"$path: max __list holds $mx rows = $ratio%.1fx the mean " +
+          f"($mean%.0f) — past the ${SkewRebuildRatio}x cluster-mass " +
+          "rebuild threshold (SCALING.md): rebuild with larger " +
+          "nCentroids (k must exceed the data's dense-region count) " +
+          "or expect hot-list probe walls")
+    }
   }
 
   /** Append a new batch to a persisted IVF index ([[buildIvfIndex]])
@@ -615,11 +662,15 @@ object Similarity {
     * oldest first — pass one to a probe's `version` to pin it.
     * Retention: a superseded version's data files are swept one grace
     * window ([[Sketches.SuspectGraceMs]]) after a compaction replaces
-    * them, and the manifests themselves are age-gated the same way
-    * (keep-8 pruning skips versions younger than the grace; hard cap
-    * 64), so pin within the window or re-resolve (the lakehouse
-    * time-travel-vs-VACUUM trade). Empty for a legacy pre-manifest
-    * index.
+    * them, and the manifest FILES age out on their own clock,
+    * [[StoreLayout.ManifestGraceMs]] (keep-8 pruning skips versions
+    * younger than that grace; hard cap 64) — a separate knob that
+    * DEFAULTS to the data grace so the advertised versions and the
+    * readable data agree; tune them apart and versions can be listed
+    * here whose pinned reads fail (manifest clock longer) or pruned
+    * while their data survives (shorter). Pin within the window or
+    * re-resolve (the lakehouse time-travel-vs-VACUUM trade). Empty for
+    * a legacy pre-manifest index.
     */
   def indexVersions(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Long] =
@@ -639,6 +690,12 @@ object Similarity {
   // threads — without it the JMM does not guarantee the injected fault is
   // visible cross-thread (StreamingRecoverySpec would be theoretically flaky)
   @volatile private[graft] var ivfAppendFault: () => Unit = () => ()
+
+  /** Test seam: fires with the pass number right after each of
+    * [[deleteFromIvfIndex]]'s commits, BEFORE its completeness re-scan —
+    * where a racing append would land.
+    */
+  @volatile private[graft] var ivfDeletePostCommitHook: Int => Unit = _ => ()
 
   /** Rename a partitioned scratch write's parts into the live `__list=`
     * dirs under deterministic names — the move shared by the append and
@@ -711,6 +768,9 @@ object Similarity {
       StoreLayout.writeBatchMarker(fs, p, batchId.get)
       return
     }
+    // third idempotence trail: loud refusal for a retry that outlived
+    // BOTH the marker and the manifest evidence (post-fold, post-prune)
+    batchId.foreach(StoreLayout.requireBatchNotPruned(fs, p, _))
     // a crashed prior attempt's renamed-but-uncommitted leftovers would
     // collide with this attempt's deterministic names: sweep them
     // (unreferenced by the checks above — never served)
@@ -815,8 +875,12 @@ object Similarity {
     * manifest-pinned throughout, and a re-run with the same ids is a
     * no-op (no list contains them anymore). Racing appends are carried
     * forward untouched — an append that re-introduces a target id
-    * DURING the delete keeps its rows (quiesce appends of the ids being
-    * erased, or re-run the delete; it is idempotent). Pinned HISTORICAL
+    * DURING the delete would keep its rows, so after the commit this
+    * face RE-SCANS the committed manifest for the pinned id set and
+    * loops the rewrite until none remain (bounded; a sustained stream
+    * of re-introducing appends fails LOUDLY after 5 passes with a
+    * quiesce instruction — an RTBF caller must never get a silent
+    * partial erase). Pinned HISTORICAL
     * versions still serve the deleted rows until their files age out of
     * the GC grace — complete erasure = delete + one compaction after
     * the grace window (the lakehouse delete-vs-time-travel trade, same
@@ -840,22 +904,45 @@ object Similarity {
     // carry millions of ids — let AQE pick the join strategy.
     val del = ids.select(F.col(idCol).as("cand_id")).distinct()
       .localCheckpoint()
-    rewriteIndexScope(spark, path, "deleteFromIvfIndex",
-      maxRecordsPerFile) { (before, read) =>
-      // one id-column scan finds the affected lists (bounded by
-      // nCentroids rows after the distinct)
-      // cast("int"): partition-column type inference can be disabled
-      // cluster-side (__list then infers as string) — the cast keeps
-      // this read inference-independent
-      val affectedLists = read(before).join(del, "cand_id")
-        .select(F.col("__list").cast("int")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val scope = before.filter(n =>
-        n.split('/').head.stripPrefix("__list=").toIntOption
-          .exists(affectedLists))
-      // thunked: an idempotent re-run yields an EMPTY scope, and a
-      // zero-path read would throw before the core's no-op guard runs
-      (scope, () => read(scope).join(del, Seq("cand_id"), "left_anti"))
+    var pass = 0
+    var clean = false
+    while (!clean) {
+      pass += 1
+      if (pass > 5)
+        throw new IllegalStateException(
+          s"deleteFromIvfIndex: target ids still present in $path after " +
+            "5 rewrite passes — concurrent appends keep re-introducing " +
+            "rows for ids being erased. Quiesce appends of those ids and " +
+            "re-run (the delete is idempotent); a silent partial erase " +
+            "is never returned.")
+      rewriteIndexScope(spark, path, "deleteFromIvfIndex",
+        maxRecordsPerFile) { (before, read) =>
+        // one id-column scan finds the affected lists (bounded by
+        // nCentroids rows after the distinct)
+        // cast("int"): partition-column type inference can be disabled
+        // cluster-side (__list then infers as string) — the cast keeps
+        // this read inference-independent
+        val affectedLists = read(before).join(del, "cand_id")
+          .select(F.col("__list").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val scope = before.filter(n =>
+          n.split('/').head.stripPrefix("__list=").toIntOption
+            .exists(affectedLists))
+        // thunked: an idempotent re-run yields an EMPTY scope, and a
+        // zero-path read would throw before the core's no-op guard runs
+        (scope, () => read(scope).join(del, Seq("cand_id"), "left_anti"))
+      }
+      ivfDeletePostCommitHook(pass) // test seam: racing-append injection
+      // RTBF completeness check against the COMMITTED manifest: a batch
+      // appended mid-rewrite rode the carry-forward untouched and may
+      // re-introduce target ids — loop the (scope-limited, idempotent)
+      // rewrite over them; one id-column scan, same cost class as the
+      // scoping scan above. An empty serving set is trivially clean
+      // (a zero-path read would throw instead of answering).
+      val (cfs, cp) = StoreLayout.fsFor(spark, path)
+      clean = StoreLayout.servingFiles(cfs, cp).isEmpty ||
+        readIndex(spark, path).select("cand_id")
+          .join(del, "cand_id").isEmpty
     }
   }
 
@@ -1145,6 +1232,7 @@ object Similarity {
     val spark = candidates.sparkSession
     initIndexManifest(spark, path)
     writeCentroids(spark, path, cents)
+    listSkewHealthCheck(spark, path)
     import spark.implicits._
     // m·ksub rows — bounded side table, one read at probe time
     (for (j <- cbs.indices; c <- cbs(j).indices)

@@ -50,12 +50,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * part names are deterministic in the id, and a committed batch leaves
   * a marker in `_appends/` that makes any re-append of the same id a
   * no-op. Markers older than [[Sketches.SuspectGraceMs]] are pruned at
-  * compaction, so retries of a FAILED append must come within the grace
-  * window (any sane retry policy is seconds-to-minutes).
+  * compaction; a pruned id is folded into the `_appends_pruned` bloom,
+  * so a retry arriving after the window fails LOUDLY
+  * ([[requireBatchNotPruned]]) instead of silently double-counting —
+  * retries within the grace window (any sane retry policy is
+  * seconds-to-minutes) land exactly once, later ones error.
   */
 private[graft] object StoreLayout {
 
   private val ManifestPrefix = "_manifest-"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -146,8 +151,16 @@ private[graft] object StoreLayout {
     * hours still gets the full window after it is replaced — creation
     * mtime would prune it the instant a burst demotes it past keep-N
     * (a review caught that clock).
+    *
+    * Defaults to the DATA files' grace ([[Sketches.SuspectGraceMs]]) so
+    * the two retention clocks agree out of the box: a manifest clock
+    * longer than the data clock would advertise versions
+    * ([[storeVersions]]) whose pinned reads fail with FileNotFound —
+    * tune this knob apart from the data grace only with that trade in
+    * view (shorter is always safe; longer widens the
+    * advertised-but-unreadable window).
     */
-  private[graft] var ManifestGraceMs: Long = 60L * 60 * 1000
+  private[graft] var ManifestGraceMs: Long = Sketches.SuspectGraceMs
 
   /** The unconditional ceiling on manifest-file count: versions beyond
     * the newest 64 are pruned regardless of age, so a pathological
@@ -183,8 +196,18 @@ private[graft] object StoreLayout {
       // successor bounds that from above (a pruned true successor only
       // makes the estimate later = more conservative)
       val supersededAt = pairs.lift(i + 1).map(_._2).getOrElse(now)
-      if (beyondHardCap(v) || now - supersededAt > ManifestGraceMs)
+      val inGrace = now - supersededAt <= ManifestGraceMs
+      if (beyondHardCap(v) || !inGrace) {
+        // surface the one documented exception to the grace guarantee
+        // when it actually fires, so operators can correlate a pinned
+        // read's later IllegalArgumentException with this eviction
+        if (inGrace)
+          log.warn(s"$dir: manifest hard cap ($ManifestHardCap) evicted " +
+            s"version $v while still inside its ${ManifestGraceMs / 1000}s " +
+            "retention grace (>64 newer versions landed within one " +
+            "window) — a reader that pinned it will fail at read time")
         fs.delete(new Path(dir, f"$ManifestPrefix$v%08d"), false)
+      }
     }
   }
 
@@ -335,8 +358,41 @@ private[graft] object StoreLayout {
     * — the standard caveat for any manifest scheme without conditional
     * writes.
     */
+  /** Filesystem schemes whose rename semantics make the manifest commit
+    * protocol sound: `file` (same-JVM stripes + cross-JVM lease), `hdfs`
+    * / `viewfs` (namespace-atomic rename that REFUSES an existing
+    * target), `abfs`/`abfss` (ADLS Gen2 hierarchical namespace — atomic
+    * rename). Everything else — most prominently classic S3A, where
+    * rename is a non-atomic copy+delete and the local-FS lease is
+    * skipped — would let two writers silently lose a manifest version,
+    * so commits there are REFUSED up front unless the caller opts in
+    * explicitly (system property `graft.store.unsafeCommits=true`, or
+    * the test seam below). The production answer on such stores is an
+    * external lock or a real transactional table format.
+    */
+  private val AtomicRenameSchemes =
+    Set("file", "hdfs", "viewfs", "abfs", "abfss")
+
+  @volatile private[graft] var UnsafeCommitsOptIn: Boolean = false
+
+  private def requireCommitSoundScheme(fs: FileSystem, dir: Path): Unit = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("file")
+    if (!AtomicRenameSchemes(scheme) && !UnsafeCommitsOptIn &&
+        !sys.props.get("graft.store.unsafeCommits").contains("true"))
+      throw new IllegalStateException(
+        s"refusing to commit a store manifest on scheme '$scheme://' " +
+          s"($dir): this layer's atomicity relies on rename refusing an " +
+          "existing target (HDFS/ABFS) or on the local-FS writer lease — " +
+          "on object stores without atomic rename (classic S3A) two " +
+          "writers can silently lose a manifest version. Use an external " +
+          "lock or a transactional table format (Delta/Iceberg) there, " +
+          "or set -Dgraft.store.unsafeCommits=true to accept the risk " +
+          "for a known-single-writer store.")
+  }
+
   def tryCommitManifest(fs: FileSystem, dir: Path, ver: Long,
       files: Seq[String]): Boolean = {
+    requireCommitSoundScheme(fs, dir)
     commitLock(dir).synchronized {
       val target = new Path(dir, f"$ManifestPrefix$ver%08d")
       if (fs.exists(target)) return false
@@ -482,18 +538,107 @@ private[graft] object StoreLayout {
 
   /** Drop markers older than `olderThanMs` — called from compaction GC so
     * the `_appends` ledger stays bounded at one tiny file per RECENT
-    * batch. After a marker is pruned, a re-append of that id would
-    * duplicate — hence the documented contract that retries come within
-    * the grace window.
+    * batch. Every pruned id is first folded into the `_appends_pruned`
+    * bloom ([[requireBatchNotPruned]]), the O(1)-bytes third idempotence
+    * trail: a retry arriving after BOTH the marker prune and a
+    * compaction fold (which erased the manifest's `append-<id>` names)
+    * used to silently double-append — the r15 verdict's "one place
+    * exactly-once is time-boxed" — and now fails loudly instead.
     */
   def pruneBatchMarkers(fs: FileSystem, dir: Path, olderThanMs: Long): Unit = {
     val d = new Path(dir, AppendsDirName)
     if (!fs.exists(d)) return
     val now = System.currentTimeMillis()
-    fs.listStatus(d).toSeq
+    val stale = fs.listStatus(d).toSeq
       .filter(st => now - st.getModificationTime > olderThanMs)
-      .foreach(st => fs.delete(st.getPath, false))
+    if (stale.isEmpty) return
+    // bloom BEFORE delete: a crash between the two leaves the id with
+    // both trails (marker wins, the retry no-ops) — never with neither
+    recordPrunedBatchIds(fs, dir, stale.map(_.getPath.getName))
+    stale.foreach(st => fs.delete(st.getPath, false))
   }
+
+  // ---- pruned-batch bloom: the third idempotence trail ---------------------
+
+  private val PrunedBloomName = "_appends_pruned"
+  private val BloomBytes = 1 << 22 // 4 MiB = 2^25 bits
+  private val BloomHashes = 10
+
+  /** Standard double hashing: bit_i = (h1 + i·h2) mod m. At 4 MiB and
+    * k=10 the false-positive rate stays ~1e-6 up to ~1M pruned ids per
+    * store (a false positive refuses ONE fresh id with a re-key
+    * instruction — recoverable; a false NEGATIVE would be a silent
+    * double-append, which the sizing makes negligible and which is in
+    * any case no worse than the pre-bloom behavior).
+    */
+  private def bloomBitsOf(id: String): Seq[Long] = {
+    val m = BloomBytes.toLong * 8
+    val h1 = (scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
+      .toLong & 0xffffffffL) % m
+    val h2 = ((scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b)
+      .toLong & 0xffffffffL) | 1L) % m
+    (0 until BloomHashes).map(i => (h1 + i * h2) % m)
+  }
+
+  private def readPrunedBloom(fs: FileSystem, dir: Path): Option[Array[Byte]] = {
+    val f = new Path(dir, PrunedBloomName)
+    try {
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](BloomBytes)
+        var off = 0
+        var n = 0
+        while (off < BloomBytes && n >= 0) {
+          n = in.read(buf, off, BloomBytes - off)
+          if (n > 0) off += n
+        }
+        Some(buf)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Fold `ids` into the store's pruned-batch bloom. Write is
+    * tmp-then-replace; the replace window and a crash mid-update are
+    * best-effort by design (a lost insert degrades to the pre-bloom
+    * behavior for that id, never corrupts anything) — and the caller
+    * ([[pruneBatchMarkers]]) only deletes the markers AFTER this
+    * returns, so the common path always leaves a trail.
+    */
+  private def recordPrunedBatchIds(fs: FileSystem, dir: Path,
+      ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val bloom = readPrunedBloom(fs, dir).getOrElse(new Array[Byte](BloomBytes))
+    ids.foreach(id => bloomBitsOf(id).foreach { bit =>
+      val i = (bit / 8).toInt
+      bloom(i) = (bloom(i) | (1 << (bit % 8)).toByte).toByte
+    })
+    val tmp = new Path(dir, s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bloom) finally out.close()
+    val target = new Path(dir, PrunedBloomName)
+    fs.delete(target, false) // rename-onto-existing is refused on HDFS
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** The loud-staleness gate both append paths run after the marker and
+    * manifest-evidence checks miss: a batchId in the pruned bloom was
+    * (all but certainly) committed earlier, folded by a compaction, and
+    * its marker aged out — re-appending it would double-count in the
+    * linear stores with no error, so refuse instead.
+    */
+  def requireBatchNotPruned(fs: FileSystem, dir: Path, batchId: String): Unit =
+    if (readPrunedBloom(fs, dir).exists(b => bloomBitsOf(batchId).forall {
+      bit => (b((bit / 8).toInt) & (1 << (bit % 8))) != 0
+    }))
+      throw new IllegalStateException(
+        s"batch '$batchId' at $dir has no live idempotence evidence but " +
+          "its id is in the pruned-marker ledger (_appends_pruned): it " +
+          "was committed earlier and both its marker and its manifest " +
+          "file names have since aged out (compaction fold + marker " +
+          "prune past the grace window), so re-appending would silently " +
+          "double-count. Retries must come within the grace window. If " +
+          "this is genuinely a NEW batch (bloom false positive, ~1e-6), " +
+          "use a different batchId.")
 
   /** Ensure every append batch whose files appear in `names` carries a
     * committed-batch marker — called by the compactor BEFORE its commit
@@ -568,6 +713,9 @@ private[graft] object StoreLayout {
       writeBatchMarker(fs, p, batchId.get)
       return
     }
+    // third idempotence trail: loud refusal for a retry that outlived
+    // BOTH the marker and the manifest evidence (post-fold, post-prune)
+    batchId.foreach(requireBatchNotPruned(fs, p, _))
     // a PRIOR attempt's renamed-but-uncommitted leftovers would collide
     // with this attempt's deterministic names: sweep them (unreferenced
     // by the checks above — never served)

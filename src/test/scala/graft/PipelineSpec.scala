@@ -4124,4 +4124,202 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ---- r16: index-lifecycle hardening ---------------------------------
+
+  test("string-id IVF index delete: the anti-join runs at the index's " +
+    "own id type (regression for the silent cast(long) no-op)") {
+    import graft.operators.StoreLayout
+    val sEmb = emb.select(
+      F.concat(F.lit("v-"), F.col("vec_id")).as("sid"), F.col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-sdel").toString + "/index"
+    Similarity.buildIvfIndex(sEmb, "sid", "embedding", dir, nCentroids = 8)
+    val dropIds = sEmb.filter(F.col("sid").endsWith("3")).select("sid")
+    val nDrop = dropIds.count()
+    nDrop should be > 0L
+    Similarity.deleteFromIvfIndex(spark, dir, dropIds, "sid")
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val served = spark.read.option("basePath", dir).parquet(
+      StoreLayout.servingFiles(fs, p)
+        .map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    // the delete actually deleted (the old cast made this a no-op)
+    served.count() shouldBe sEmb.count() - nDrop
+    served.join(dropIds.withColumnRenamed("sid", "cand_id"), "cand_id")
+      .count() shouldBe 0L
+    // probe == brute force over exactly the survivors
+    val kept = sEmb.filter(!F.col("sid").endsWith("3"))
+    val queries = kept.limit(10)
+    Similarity.probeIvfIndex(spark, dir, queries, "sid", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, kept, "sid", "embedding", k = 5)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // band-index mirror: string doc ids erased from BOTH tables
+    val sDocs = docs.select(
+      F.concat(F.lit("d-"), F.col("doc_id")).as("sid"), F.col("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-sdel").toString + "/idx"
+    Dedup.saveBandIndex(sDocs.filter(F.col("sid").endsWith("0")),
+      "sid", "text", idx)
+    val bandDrop = sDocs.filter(F.col("sid").endsWith("0"))
+      .limit(20).select("sid")
+    val bandDropIds = bandDrop.collect().map(_.getString(0)).toSet
+    Dedup.deleteFromBandIndex(spark, idx, bandDrop, "sid")
+    StoreLayout.readStore(spark, idx)
+      .filter(F.col("id").isin(bandDropIds.toSeq: _*))
+      .count() shouldBe 0L
+    StoreLayout.readStore(spark, s"$idx/_bands")
+      .filter(F.col("id").isin(bandDropIds.toSeq: _*))
+      .count() shouldBe 0L
+  }
+
+  test("IVF-PQ lifecycle: append, compact, delete — codes ride the fold " +
+    "and the ADC probe equals brute force over exactly the survivors") {
+    import graft.operators.StoreLayout
+    val evens = emb.filter(F.col("vec_id") % 2 === 0)
+    val odds = emb.filter(F.col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-life").toString + "/index"
+    Similarity.buildIvfPqIndex(evens, "vec_id", "embedding", dir, dim = 64,
+      nCentroids = 8, m = 16, ksub = 32)
+    Similarity.appendToIvfPqIndex(odds, "vec_id", "embedding", dir,
+      batchId = Some("pq-life-1"))
+    Similarity.compactIvfIndex(spark, dir)
+    val dropIds = emb.filter(F.col("vec_id") % 7 === 3).select("vec_id")
+    Similarity.deleteFromIvfIndex(spark, dir, dropIds, "vec_id")
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val served = spark.read.option("basePath", dir).parquet(
+      StoreLayout.servingFiles(fs, p)
+        .map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+    // codes survived the fold AND the scope-limited delete rewrite:
+    // right element type, no row lost its codes
+    served.schema("codes").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, true)
+    served.filter(F.col("codes").isNull).count() shouldBe 0L
+    val kept = emb.filter(F.col("vec_id") % 7 =!= 3)
+    served.count() shouldBe kept.count()
+    // exhaustive ADC (every list probed, shortlist >= survivor count so
+    // the exact rerank sees every candidate) == brute force over the
+    // survivors — a dropped/reordered codes column would break this
+    val queries = emb.filter(F.col("vec_id") < 10)
+    Similarity.probeIvfPqIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8, shortlist = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, kept, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("post-fold late retry fails loudly against the pruned-marker " +
+    "bloom instead of silently double-appending") {
+    import graft.operators.StoreLayout
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString + "/store"
+    Seq((0L, "base")).toDF("id", "v").write.parquet(dir)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StoreLayout.appendRecorded(spark, dir, Some("b1")) { scratch =>
+      batch.write.parquet(scratch)
+    }
+    Sketches.compactReplace(spark, dir, 1)(identity)
+    // retry WITHIN the window (marker alive, manifest folded): no-op
+    StoreLayout.appendRecorded(spark, dir, Some("b1")) { scratch =>
+      batch.write.parquet(scratch)
+    }
+    StoreLayout.readStore(spark, dir).count() shouldBe 3L
+    // age the marker out: the prune folds b1 into the pruned bloom
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    StoreLayout.pruneBatchMarkers(fs, p, -1L)
+    StoreLayout.hasBatchMarker(fs, p, "b1") shouldBe false
+    // the late retry now errors loudly — both live trails are gone
+    // (post-fold manifest, pruned marker) and the old behavior was a
+    // silent double-append
+    val ex = intercept[IllegalStateException] {
+      StoreLayout.appendRecorded(spark, dir, Some("b1")) { scratch =>
+        batch.write.parquet(scratch)
+      }
+    }
+    ex.getMessage should include("pruned-marker ledger")
+    StoreLayout.readStore(spark, dir).count() shouldBe 3L
+    // a genuinely fresh id still appends normally
+    StoreLayout.appendRecorded(spark, dir, Some("b2")) { scratch =>
+      batch.write.parquet(scratch)
+    }
+    StoreLayout.readStore(spark, dir).count() shouldBe 5L
+  }
+
+  test("index delete loops until a racing append's re-introduced ids " +
+    "are erased too (RTBF completeness re-scan)") {
+    import graft.operators.StoreLayout
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-race").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    val target = emb.filter(F.col("vec_id") === 42L)
+    val lastPass = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.ivfDeletePostCommitHook = pass => {
+      lastPass.set(pass)
+      if (pass == 1) // the race: an append re-introduces the target id
+        Similarity.appendToIvfIndex(target, "vec_id", "embedding", dir,
+          batchId = Some("race-reintro"))
+    }
+    try Similarity.deleteFromIvfIndex(spark, dir,
+      Seq(42L).toDF("vec_id"), "vec_id")
+    finally Similarity.ivfDeletePostCommitHook = _ => ()
+    // the re-scan caught the reintroduction and a second pass erased it
+    lastPass.get() shouldBe 2
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    spark.read.option("basePath", dir).parquet(
+        StoreLayout.servingFiles(fs, p)
+          .map(f => new org.apache.hadoop.fs.Path(p, f).toString): _*)
+      .filter(F.col("cand_id") === 42L).count() shouldBe 0L
+  }
+
+  test("cluster-mass skew health check warns past the 4x rebuild " +
+    "threshold (SCALING.md deployment rule)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skew").toString + "/index"
+    Similarity.buildIvfIndex(emb.filter(F.col("vec_id") < 80), "vec_id",
+      "embedding", dir, nCentroids = 8, refineIters = 2)
+    Similarity.lastSkewWarning = None
+    // pile 400 copies of one vector into its list — a hot cell the
+    // frozen quantizer cannot divide
+    val hot = emb.filter(F.col("vec_id") === 0L).select("embedding")
+      .crossJoin(spark.range(1000, 1400).toDF("vec_id"))
+      .select(F.col("vec_id"), F.col("embedding"))
+    Similarity.appendToIvfIndex(hot, "vec_id", "embedding", dir,
+      batchId = Some("hot-pile"))
+    Similarity.listSkewHealthCheck(spark, dir)
+    Similarity.lastSkewWarning shouldBe defined
+    val (path, ratio) = Similarity.lastSkewWarning.get
+    path shouldBe dir
+    ratio should be > Similarity.SkewRebuildRatio
+  }
+
+  test("manifest commits refuse schemes without atomic rename unless " +
+    "explicitly opted in (the classic-S3A tripwire)") {
+    import graft.operators.StoreLayout
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s3ish = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    s3ish.initialize(new java.net.URI("file:///"), conf)
+    val dir = new org.apache.hadoop.fs.Path(java.nio.file.Files
+      .createTempDirectory("graft-tripwire").toString)
+    val ex = intercept[IllegalStateException] {
+      StoreLayout.tryCommitManifest(s3ish, dir, 1L, Seq("f1"))
+    }
+    ex.getMessage should include("s3a")
+    ex.getMessage should include("table format")
+    // explicit opt-in accepts the risk (known-single-writer store)
+    StoreLayout.UnsafeCommitsOptIn = true
+    try StoreLayout.tryCommitManifest(s3ish, dir, 1L, Seq("f1")) shouldBe true
+    finally StoreLayout.UnsafeCommitsOptIn = false
+    // sound schemes are untouched: the local-fs commit path still works
+    val (fs, p) = StoreLayout.fsFor(spark, dir.toString + "/plain")
+    fs.mkdirs(p)
+    StoreLayout.tryCommitManifest(fs, p, 1L, Seq("f1")) shouldBe true
+  }
 }
