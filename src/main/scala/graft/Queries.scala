@@ -511,10 +511,10 @@ object Queries {
     val (path, snap) = bandSnapDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-bandsnap-reg").toString + "/index"
+      // saveBandIndex stamps manifest v1 on both tables itself — the
+      // snapshot resolves directly off a fresh build
       Dedup.saveBandIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id",
         "text", dir)
-      // bootstrap both tables' manifests (a fresh build is pre-manifest)
-      Dedup.compactBandIndex(s, dir)
       val snap = Dedup.bandIndexSnapshot(s, dir)
       Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 2),
         "doc_id", "text", dir, batchId = Some("bandsnap-b1"))
@@ -2464,6 +2464,22 @@ object Queries {
   private lazy val xcorpusJaccardSql: String =
     xcorpusJaccardSqlOver("b.doc_id % 2 = 0")
 
+  /** Brute-force top-k over the post-delete survivors (vec_id %3 != 2) —
+    * one body shared by the plain-IVF and PQ-layout lifecycle faces,
+    * which delete the same third by the same recipe.
+    */
+  private lazy val knnDelSurvivorsSql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings q, embeddings c
+      |WHERE q.vec_id < 5 AND c.vec_id % 3 != 2 AND c.vec_id != q.vec_id
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY q.vec_id
+      |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                  CAST(c.embedding AS DOUBLE[])) DESC,
+      |           c.vec_id) <= 10""".stripMargin
+
   private lazy val jaccardPairsSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, $DTok AS ws FROM documents
@@ -2802,32 +2818,13 @@ object Queries {
         |           c.vec_id) <= 10""".stripMargin,
     // q_knn_index_del: after deleting the %3==2 third, the exhaustive
     // probe is brute force over exactly the surviving two thirds
-    "q_knn_index_del" ->
-      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
-        |FROM embeddings q, embeddings c
-        |WHERE q.vec_id < 5 AND c.vec_id % 3 != 2 AND c.vec_id != q.vec_id
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
-        |           c.vec_id) <= 10""".stripMargin,
+    "q_knn_index_del" -> knnDelSurvivorsSql,
     // q_knn_ivfpq_life: same lifecycle + delete recipe through the PQ
     // layout, probed exhaustively with shortlist >= survivors — the
     // exact rerank over every stored candidate IS brute force over the
-    // surviving two thirds (q_knn_index_del's oracle verbatim)
-    "q_knn_ivfpq_life" ->
-      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim
-        |FROM embeddings q, embeddings c
-        |WHERE q.vec_id < 5 AND c.vec_id % 3 != 2 AND c.vec_id != q.vec_id
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                  CAST(c.embedding AS DOUBLE[])) DESC,
-        |           c.vec_id) <= 10""".stripMargin,
+    // surviving two thirds (one shared SQL body; two literals would
+    // drift silently when one face's oracle is tuned)
+    "q_knn_ivfpq_life" -> knnDelSurvivorsSql,
     // q_knn_index_v1: the version-1 pin serves the BUILD third only
     "q_knn_index_v1" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

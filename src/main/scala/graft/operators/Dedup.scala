@@ -895,7 +895,8 @@ object Dedup {
     // batch appended mid-rewrite rides the carry-forward commit
     // untouched and can re-introduce target ids — re-scan the committed
     // state and loop the (idempotent) rewrite, failing loudly after 5
-    // passes rather than returning a silent partial erase
+    // passes. The guarantee boundary is the final re-scan: an append
+    // landing after it survives (quiesce for a strict guarantee)
     var pass = 0
     var clean = false
     while (!clean) {

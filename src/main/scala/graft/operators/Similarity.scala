@@ -879,8 +879,11 @@ object Similarity {
     * face RE-SCANS the committed manifest for the pinned id set and
     * loops the rewrite until none remain (bounded; a sustained stream
     * of re-introducing appends fails LOUDLY after 5 passes with a
-    * quiesce instruction — an RTBF caller must never get a silent
-    * partial erase). Pinned HISTORICAL
+    * quiesce instruction). The guarantee boundary is the final
+    * re-scan's resolution: an append committing a target id AFTER that
+    * scan is indistinguishable from a post-delete append and survives
+    * — quiesce appends of the ids being erased for a strict guarantee.
+    * Pinned HISTORICAL
     * versions still serve the deleted rows until their files age out of
     * the GC grace — complete erasure = delete + one compaction after
     * the grace window (the lakehouse delete-vs-time-travel trade, same

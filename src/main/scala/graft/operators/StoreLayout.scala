@@ -376,7 +376,12 @@ private[graft] object StoreLayout {
   @volatile private[graft] var UnsafeCommitsOptIn: Boolean = false
 
   private def requireCommitSoundScheme(fs: FileSystem, dir: Path): Unit = {
-    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("file")
+    // getUri.getScheme, not fs.getScheme: the base-class getScheme
+    // THROWS UnsupportedOperationException for filesystems that never
+    // override it — those should get this tripwire's explanation, not a
+    // bare UOE. An unresolvable scheme ("") is NOT allowlisted: unknown
+    // rename semantics are refused, never defaulted to sound.
+    val scheme = fsScheme(fs)
     if (!AtomicRenameSchemes(scheme) && !UnsafeCommitsOptIn &&
         !sys.props.get("graft.store.unsafeCommits").contains("true"))
       throw new IllegalStateException(
@@ -456,7 +461,7 @@ private[graft] object StoreLayout {
     * commit-lock stripes.
     */
   def acquireWriterLease(fs: FileSystem, dir: Path): Unit = {
-    if (fs.getScheme != "file") return
+    if (fsScheme(fs) != "file") return
     commitLock(dir).synchronized {
       val lock = new Path(dir, WriterLockName)
       def writeLease(overwrite: Boolean): Boolean =
@@ -552,72 +557,117 @@ private[graft] object StoreLayout {
     val stale = fs.listStatus(d).toSeq
       .filter(st => now - st.getModificationTime > olderThanMs)
     if (stale.isEmpty) return
-    // bloom BEFORE delete: a crash between the two leaves the id with
-    // both trails (marker wins, the retry no-ops) — never with neither
-    recordPrunedBatchIds(fs, dir, stale.map(_.getPath.getName))
-    stale.foreach(st => fs.delete(st.getPath, false))
+    // bloom DURABLY BEFORE delete: the markers are removed only when the
+    // bloom write landed, so a crash or failed write leaves the id with
+    // both trails (marker wins, the retry no-ops) — never with neither.
+    // On failure the markers simply survive to the next prune cycle.
+    if (recordPrunedBatchIds(fs, dir, stale.map(_.getPath.getName)))
+      stale.foreach(st => fs.delete(st.getPath, false))
+    else
+      log.warn(s"$dir: pruned-batch bloom update failed — keeping " +
+        s"${stale.size} stale markers for the next cycle (idempotence " +
+        "trails stay intact)")
   }
 
   // ---- pruned-batch bloom: the third idempotence trail ---------------------
 
   private val PrunedBloomName = "_appends_pruned"
-  private val BloomBytes = 1 << 22 // 4 MiB = 2^25 bits
-  private val BloomHashes = 10
 
-  /** Standard double hashing: bit_i = (h1 + i·h2) mod m. At 4 MiB and
-    * k=10 the false-positive rate stays ~1e-6 up to ~1M pruned ids per
-    * store (a false positive refuses ONE fresh id with a re-key
-    * instruction — recoverable; a false NEGATIVE would be a silent
-    * double-append, which the sizing makes negligible and which is in
-    * any case no worse than the pre-bloom behavior).
+  /** Sizing: spark-sketch derives the bit count for ~1M pruned ids at
+    * 1e-6 fpp (~3.4 MiB). A false positive refuses ONE fresh id with a
+    * re-key instruction — recoverable; a false NEGATIVE merely degrades
+    * to the pre-bloom behavior for that id. Past the design capacity
+    * the fp rate climbs until fresh ids are refused often — the error
+    * text names the remediation (delete the sidecar to reset the
+    * trail, re-accepting the pre-bloom window for already-pruned ids).
     */
-  private def bloomBitsOf(id: String): Seq[Long] = {
-    val m = BloomBytes.toLong * 8
-    val h1 = (scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
-      .toLong & 0xffffffffL) % m
-    val h2 = ((scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b)
-      .toLong & 0xffffffffL) | 1L) % m
-    (0 until BloomHashes).map(i => (h1 + i * h2) % m)
-  }
+  private val BloomCapacity = 1000000L
+  private val BloomFpp = 1e-6
 
-  private def readPrunedBloom(fs: FileSystem, dir: Path): Option[Array[Byte]] = {
+  // per-store bloom cache, validated against the file's (mtime, len)
+  // status on every call: the bloom only changes at marker-prune time,
+  // and without the cache every batchId append would re-read megabytes.
+  // LOCAL-FS ONLY: there the writer lease serializes cross-JVM writers,
+  // so a same-(mtime,len) rewrite behind a cached reader's back cannot
+  // happen; on shared filesystems (HDFS), where multi-JVM appenders are
+  // allowed and two prunes could land inside one mtime tick, every read
+  // goes to the file. Bounded like sideCache.
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.util.sketch.BloomFilter)]()
+
+  private def fsScheme(fs: FileSystem): String =
+    Option(fs.getUri).flatMap(u => Option(u.getScheme))
+      .map(_.toLowerCase).getOrElse("")
+
+  private def readPrunedBloom(fs: FileSystem,
+      dir: Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = new Path(dir, PrunedBloomName)
-    try {
-      val in = fs.open(f)
-      try {
-        val buf = new Array[Byte](BloomBytes)
-        var off = 0
-        var n = 0
-        while (off < BloomBytes && n >= 0) {
-          n = in.read(buf, off, BloomBytes - off)
-          if (n > 0) off += n
-        }
-        Some(buf)
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    val status =
+      try Some(fs.getFileStatus(f))
+      catch { case _: java.io.FileNotFoundException => None }
+    status.flatMap { st =>
+      val fp = s"${st.getModificationTime}:${st.getLen}"
+      val cacheable = fsScheme(fs) == "file"
+      (if (cacheable) bloomCache.get(dir.toString) else null) match {
+        case (oldFp, b) if oldFp == fp => Some(b)
+        case _ =>
+          // the file can vanish between the status and the open (a
+          // concurrent rewrite's replace window) — a miss degrades to
+          // the pre-bloom behavior for this one check, never crashes
+          // the append
+          try {
+            val in = fs.open(f)
+            val b =
+              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              finally in.close()
+            if (cacheable) {
+              if (bloomCache.size > 256) bloomCache.clear()
+              bloomCache.put(dir.toString, (fp, b))
+            }
+            Some(b)
+          } catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
   }
 
-  /** Fold `ids` into the store's pruned-batch bloom. Write is
-    * tmp-then-replace; the replace window and a crash mid-update are
-    * best-effort by design (a lost insert degrades to the pre-bloom
-    * behavior for that id, never corrupts anything) — and the caller
-    * ([[pruneBatchMarkers]]) only deletes the markers AFTER this
-    * returns, so the common path always leaves a trail.
+  /** Fold `ids` into the store's pruned-batch bloom; true iff the update
+    * is durably in place (the caller deletes markers ONLY then). The
+    * replace is tmp-then-rename-onto-target: atomic on POSIX local FS
+    * (no absent-file window); where rename refuses an existing target
+    * (HDFS) it falls back to delete-then-rename, whose tiny absent
+    * window a concurrent reader survives ([[readPrunedBloom]] treats it
+    * as a miss).
     */
   private def recordPrunedBatchIds(fs: FileSystem, dir: Path,
-      ids: Seq[String]): Unit = {
-    if (ids.isEmpty) return
-    val bloom = readPrunedBloom(fs, dir).getOrElse(new Array[Byte](BloomBytes))
-    ids.foreach(id => bloomBitsOf(id).foreach { bit =>
-      val i = (bit / 8).toInt
-      bloom(i) = (bloom(i) | (1 << (bit % 8)).toByte).toByte
-    })
-    val tmp = new Path(dir, s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(bloom) finally out.close()
-    val target = new Path(dir, PrunedBloomName)
-    fs.delete(target, false) // rename-onto-existing is refused on HDFS
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      ids: Seq[String]): Boolean = {
+    if (ids.isEmpty) return true
+    try {
+      val bloom = readPrunedBloom(fs, dir).getOrElse(
+        org.apache.spark.util.sketch.BloomFilter
+          .create(BloomCapacity, BloomFpp))
+      ids.foreach(bloom.putString)
+      val tmp = new Path(dir,
+        s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try bloom.writeTo(out) finally out.close()
+      val target = new Path(dir, PrunedBloomName)
+      val renamed = fs.rename(tmp, target) || {
+        fs.delete(target, false)
+        fs.rename(tmp, target)
+      }
+      if (!renamed) { fs.delete(tmp, false); return false }
+      if (fsScheme(fs) == "file") {
+        // proactive cache refresh so this JVM's next check needs no read
+        val st = fs.getFileStatus(target)
+        bloomCache.put(dir.toString,
+          (s"${st.getModificationTime}:${st.getLen}", bloom))
+      }
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"$dir: pruned-batch bloom write failed: $e")
+        false
+    }
   }
 
   /** The loud-staleness gate both append paths run after the marker and
@@ -627,9 +677,7 @@ private[graft] object StoreLayout {
     * linear stores with no error, so refuse instead.
     */
   def requireBatchNotPruned(fs: FileSystem, dir: Path, batchId: String): Unit =
-    if (readPrunedBloom(fs, dir).exists(b => bloomBitsOf(batchId).forall {
-      bit => (b((bit / 8).toInt) & (1 << (bit % 8))) != 0
-    }))
+    if (readPrunedBloom(fs, dir).exists(_.mightContainString(batchId)))
       throw new IllegalStateException(
         s"batch '$batchId' at $dir has no live idempotence evidence but " +
           "its id is in the pruned-marker ledger (_appends_pruned): it " +
@@ -637,8 +685,11 @@ private[graft] object StoreLayout {
           "file names have since aged out (compaction fold + marker " +
           "prune past the grace window), so re-appending would silently " +
           "double-count. Retries must come within the grace window. If " +
-          "this is genuinely a NEW batch (bloom false positive, ~1e-6), " +
-          "use a different batchId.")
+          "this is genuinely a NEW batch (false positive, ~1e-6 within " +
+          "the ledger's ~1M-id design capacity), use a different " +
+          "batchId; if the store has pruned far beyond that capacity, " +
+          "delete _appends_pruned to reset the trail (re-accepting the " +
+          "pre-bloom retry window for already-pruned ids).")
 
   /** Ensure every append batch whose files appear in `names` carries a
     * committed-batch marker — called by the compactor BEFORE its commit
@@ -907,6 +958,10 @@ private[graft] object StoreLayout {
     */
   def initManifestNaming(fs: FileSystem, p: Path,
       files: Seq[String]): Unit = {
+    // scheme tripwire BEFORE the destructive cleanup below — otherwise
+    // an unsound-scheme build would delete the previous build's
+    // manifests and only then be refused by the commit
+    requireCommitSoundScheme(fs, p)
     // an overwrite may leave stale manifests from a previous build at
     // this path — remove them so v1 is the store's first version again
     fs.listStatus(p).toSeq.map(_.getPath)

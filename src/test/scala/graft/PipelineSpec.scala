@@ -4147,9 +4147,10 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     served.count() shouldBe sEmb.count() - nDrop
     served.join(dropIds.withColumnRenamed("sid", "cand_id"), "cand_id")
       .count() shouldBe 0L
-    // probe == brute force over exactly the survivors
+    // probe == brute force over exactly the survivors (ordered limit:
+    // a bare limit is not deterministic across the two evaluations)
     val kept = sEmb.filter(!F.col("sid").endsWith("3"))
-    val queries = kept.limit(10)
+    val queries = kept.orderBy("sid").limit(10)
     Similarity.probeIvfIndex(spark, dir, queries, "sid", "embedding",
         k = 5, nProbe = 8)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
@@ -4162,9 +4163,14 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .createTempDirectory("graft-band-sdel").toString + "/idx"
     Dedup.saveBandIndex(sDocs.filter(F.col("sid").endsWith("0")),
       "sid", "text", idx)
-    val bandDrop = sDocs.filter(F.col("sid").endsWith("0"))
-      .limit(20).select("sid")
-    val bandDropIds = bandDrop.collect().map(_.getString(0)).toSet
+    // collect ONCE and delete by the literal ids — a bare limit
+    // re-evaluated by the delete could target different rows than the
+    // ids this test asserts on
+    import spark.implicits._
+    val bandDropIds = sDocs.filter(F.col("sid").endsWith("0"))
+      .select("sid").orderBy("sid").limit(20)
+      .collect().map(_.getString(0)).toSet
+    val bandDrop = bandDropIds.toSeq.sorted.toDF("sid")
     Dedup.deleteFromBandIndex(spark, idx, bandDrop, "sid")
     StoreLayout.readStore(spark, idx)
       .filter(F.col("id").isin(bandDropIds.toSeq: _*))
@@ -4304,6 +4310,9 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val conf = spark.sparkContext.hadoopConfiguration
     val s3ish = new org.apache.hadoop.fs.LocalFileSystem() {
       override def getScheme: String = "s3a"
+      // the tripwire resolves the scheme via getUri (fs.getScheme
+      // THROWS for filesystems that never override it)
+      override def getUri: java.net.URI = java.net.URI.create("s3a:///")
     }
     s3ish.initialize(new java.net.URI("file:///"), conf)
     val dir = new org.apache.hadoop.fs.Path(java.nio.file.Files
