@@ -665,6 +665,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = corpus.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    StoreLayout.requireCommitSound(spark, path) // before the corpus write
     val (sh, banded) = shingleBandTables(corpus, idCol, textCol, shingleN,
       numHashes, bands, seed)
     sh.write.mode("overwrite").parquet(path)

@@ -505,6 +505,7 @@ object Similarity {
     // register into the session that OWNS this frame (the Column-builder
     // fallback uses SparkSession.active, wrong in multi-session apps)
     graft.plans.GraftExtensions.register(candidates.sparkSession)
+    StoreLayout.requireCommitSound(candidates.sparkSession, path)
     val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
       sampleSeed, refineIters)
     val assigned = candidates
@@ -974,6 +975,7 @@ object Similarity {
       s"$path is not a persisted ANN index (no _centroids sidecar); " +
         s"$what serves buildIvfIndex/buildIvfPqIndex layouts — " +
         "flat sketch stores have their own compactXxxStore faces")
+    StoreLayout.requireCommitSound(spark, path) // before the fold write
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
     // legacy index: pin the partition-discovery listing as manifest v1
@@ -1219,6 +1221,7 @@ object Similarity {
       ksub: Int = 16, sampleSeed: Long = 42L, refineIters: Int = 0,
       pqIters: Int = 10, sampleCap: Int = 10000): Unit = {
     graft.plans.GraftExtensions.register(candidates.sparkSession)
+    StoreLayout.requireCommitSound(candidates.sparkSession, path)
     val cents = trainCentroids(candidates, idCol, vecCol, nCentroids,
       sampleSeed, refineIters)
     val cbs = trainPqCodebooks(candidates, idCol, vecCol, dim, m, ksub,

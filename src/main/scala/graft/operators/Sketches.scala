@@ -319,6 +319,7 @@ object Sketches {
       s"buildKmvStore: unknown value-hash flavor $flavor " +
         s"(have ${Flavors.keys.mkString(", ")})")
     val spark = df.sparkSession
+    StoreLayout.requireCommitSound(spark, path) // before the corpus write
     kmvSketch(df, groupCols, valueCol, k, Flavors(flavor))
       .write.mode("overwrite").parquet(path)
     StoreLayout.initManifest(spark, path)
@@ -608,6 +609,7 @@ object Sketches {
       s"buildCmsStore: unknown value-hash flavor $flavor " +
         s"(have ${Flavors.keys.mkString(", ")})")
     val spark = toks.sparkSession
+    StoreLayout.requireCommitSound(spark, path) // before the corpus write
     cmsSketch(toks, tokenCol, depth, width, flavor)
       .write.mode("overwrite").parquet(path)
     StoreLayout.initManifest(spark, path)
@@ -1005,6 +1007,7 @@ object Sketches {
       s"buildHllStore: unknown value-hash flavor $flavor " +
         s"(have ${HllFlavors.keys.mkString(", ")})")
     val spark = df.sparkSession
+    StoreLayout.requireCommitSound(spark, path) // before the corpus write
     hllSketch(df, groupCols, valueCol, HllFlavors(flavor))
       .write.mode("overwrite").parquet(path)
     StoreLayout.initManifest(spark, path)
@@ -1206,6 +1209,7 @@ object Sketches {
   def buildHistStore(df: DataFrame, groupCols: Seq[String],
       valueCol: String, path: String, subBits: Int = 3): Unit = {
     val spark = df.sparkSession
+    StoreLayout.requireCommitSound(spark, path) // before the corpus write
     log2Histogram(df, groupCols, valueCol, subBits)
       .write.mode("overwrite").parquet(path)
     StoreLayout.initManifest(spark, path)
@@ -1322,6 +1326,7 @@ object Sketches {
       numFiles: Int = 1)(fold: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.requireCommitSound(spark, path) // before the fold write
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
     // legacy store: pin the raw listing as manifest v1 first, so every

@@ -395,6 +395,17 @@ private[graft] object StoreLayout {
           "for a known-single-writer store.")
   }
 
+  /** Early form of the tripwire for the BUILD and compaction faces: they
+    * call this BEFORE their corpus-sized write, so an unsound substrate
+    * is refused up front instead of after the whole store/fold has been
+    * written and only the manifest commit balks (at 100 TB that ordering
+    * wastes the entire write).
+    */
+  def requireCommitSound(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    requireCommitSoundScheme(fs, p)
+  }
+
   def tryCommitManifest(fs: FileSystem, dir: Path, ver: Long,
       files: Seq[String]): Boolean = {
     requireCommitSoundScheme(fs, dir)

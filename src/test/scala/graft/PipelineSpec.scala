@@ -14,6 +14,15 @@ import graft.streaming.Streams
   * the brute-force ground truth, streaming parity with the batch transform,
   * and the multimodal pack/decode round-trip.
   */
+/** A LocalFileSystem wearing a non-allowlisted scheme, registered via
+  * `fs.s3x.impl` — lets tests drive the unsound-substrate tripwire
+  * through a real path-resolution flow without an object store.
+  */
+class FakeS3xFs extends org.apache.hadoop.fs.LocalFileSystem {
+  override def getScheme: String = "s3x"
+  override def getUri: java.net.URI = java.net.URI.create("s3x:///")
+}
+
 class PipelineSpec extends AnyFunSuite with Matchers {
 
   lazy val spark = TestSpark.spark
@@ -4330,5 +4339,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val (fs, p) = StoreLayout.fsFor(spark, dir.toString + "/plain")
     fs.mkdirs(p)
     StoreLayout.tryCommitManifest(fs, p, 1L, Seq("f1")) shouldBe true
+  }
+
+  test("builds refuse an unsound scheme BEFORE writing the corpus") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3x.impl", classOf[FakeS3xFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-early")
+      .toString + "/store"
+    val dir = "s3x://" + local
+    val ex = intercept[IllegalStateException] {
+      Sketches.buildKmvStore(Seq((1L, "a")).toDF("id", "v"),
+        Seq("id"), "v", 8, dir)
+    }
+    ex.getMessage should include("s3x")
+    // the refusal came BEFORE the corpus write — at scale the old
+    // ordering (write everything, then balk at the manifest) wastes
+    // the entire build write
+    new java.io.File(local).exists() shouldBe false
   }
 }
