@@ -861,6 +861,18 @@ object Dedup {
     Sketches.compactReplace(spark, s"$path/_bands", numFiles)(identity)
   }
 
+  /** Sweep-only maintenance for both band-index tables — the lakehouse
+    * VACUUM verb ([[Sketches.vacuumStore]] per table): complete physical
+    * erasure after [[deleteFromBandIndex]] without a fold, once the
+    * replaced files have aged past the GC grace.
+    */
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    readBandParams(spark, path) // fail fast on a non-index / foreign family
+    Sketches.vacuumStore(spark, path)
+    Sketches.vacuumStore(spark, s"$path/_bands")
+  }
+
   /** Delete documents by id from a persisted band index — the
     * right-to-be-forgotten maintenance op, run as a compaction whose
     * fold filters the ids out of BOTH tables (the band tables are flat
@@ -875,7 +887,7 @@ object Dedup {
     * keys whose verify rows are gone. Idempotent; `_params` untouched;
     * each table's replaced files get the standard GC grace, so PINNED
     * historical versions serve the deleted docs until the grace passes
-    * — complete erasure = delete + a post-grace compaction, the
+    * — complete erasure = delete + a post-grace [[vacuumBandIndex]], the
     * lakehouse DELETE-then-VACUUM trade.
     */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,

@@ -863,6 +863,21 @@ object Similarity {
       (before, read) => (before, () => read(before))
     }
 
+  /** Sweep-only maintenance for a persisted ANN index — the lakehouse
+    * VACUUM verb ([[Sketches.vacuumStore]]'s hive-layout sibling):
+    * complete physical erasure after [[deleteFromIvfIndex]] without
+    * paying a full compaction fold. An empty rewrite scope runs exactly
+    * the GC sweep (superseded-past-grace list files, crashed-attempt
+    * debris, ledger upkeep) and the manifest pruning, then stops — zero
+    * Spark jobs, serving manifest untouched. Same trade as any VACUUM:
+    * versions superseded longer than the grace stop being readable.
+    */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    rewriteIndexScope(spark, path, "vacuumIvfIndex", 0L) {
+      (_, _) => (Seq.empty, () => sys.error("vacuum never folds"))
+    }
+
   /** Delete rows by id from a persisted ANN index — the
     * right-to-be-forgotten maintenance op a training-data corpus needs
     * (both layouts; the `codes` column rides the rewrite untouched).
@@ -886,7 +901,7 @@ object Similarity {
     * — quiesce appends of the ids being erased for a strict guarantee.
     * Pinned HISTORICAL
     * versions still serve the deleted rows until their files age out of
-    * the GC grace — complete erasure = delete + one compaction after
+    * the GC grace — complete erasure = delete + [[vacuumIvfIndex]] after
     * the grace window (the lakehouse delete-vs-time-travel trade, same
     * as VACUUM after a Delta DELETE).
     *

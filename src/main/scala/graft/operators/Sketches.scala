@@ -1321,6 +1321,36 @@ object Sketches {
     * pre-commit artifact is unreferenced (swept later), and the old
     * parts are never touched until a LATER compaction's step 1.
     */
+  /** Sweep-only maintenance — the lakehouse VACUUM verb for a flat
+    * store: run the compactor's full GC (superseded-past-grace files,
+    * crashed-attempt debris, unreferenced-past-grace orphans,
+    * marker/bloom ledger upkeep) and the manifest pruning WITHOUT
+    * folding anything. This is the missing half of the complete-erasure
+    * story: after a delete face the replaced files survive the GC grace
+    * by design, and physically removing them previously meant "run
+    * another compaction after the window" — a full fold paid only to
+    * reach its embedded sweep. Vacuum is the sweep alone: file deletes
+    * plus one ledger write, zero Spark jobs, row content untouched.
+    * Same single-compactor contract as compaction, and the same
+    * VACUUM-vs-time-travel trade: versions superseded for at least
+    * [[SuspectGraceMs]] stop being physically readable.
+    */
+  def vacuumStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.acquireWriterLease(fs, p)
+    if (StoreLayout.currentManifest(fs, p).isEmpty)
+      StoreLayout.initManifest(spark, path)
+    val (curVer, before) = StoreLayout.currentManifest(fs, p).get
+    val tmp = new Path(p, "_compact_tmp")
+    StoreLayout.gcSweep(fs, p, curVer, before.toSet,
+      StoreLayout.rawDataFiles(fs, p), fs.exists(tmp),
+      f"compact-v${curVer + 1}%08d-", SuspectGraceMs)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // a crashed attempt's marker
+    StoreLayout.pruneManifests(fs, p, keep = 8)
+  }
+
   private[graft] def compactReplace(
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 1)(fold: DataFrame => DataFrame): Unit = {

@@ -4341,6 +4341,85 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     StoreLayout.tryCommitManifest(fs, p, 1L, Seq("f1")) shouldBe true
   }
 
+  test("vacuum: sweep-only physical erasure — superseded files gone " +
+    "past the grace, serving untouched, no fold") {
+    import graft.operators.StoreLayout
+    import spark.implicits._
+    def ageLedger(path: String): Unit = {
+      val (fs, p) = StoreLayout.fsFor(spark, path)
+      StoreLayout.writeSuspects(fs, p,
+        StoreLayout.readSuspects(fs, p).map { case (n, _) =>
+          n -> (System.currentTimeMillis() - Sketches.SuspectGraceMs -
+            3600000L)
+        })
+    }
+    // flat store: build + append + compact leaves the pre-fold files
+    // superseded-but-retained (reader isolation)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vac").toString + "/store"
+    Sketches.buildKmvStore(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("g", "v"),
+      Seq("g"), "v", 8, dir)
+    Sketches.appendToKmvStore(Seq((2L, "d")).toDF("g", "v"), dir)
+    Sketches.compactKmvStore(spark, dir)
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    val servingAfterCompact = StoreLayout.servingFiles(fs, p).toSet
+    val supersededOnDisk =
+      StoreLayout.rawDataFiles(fs, p).toSet diff servingAfterCompact
+    supersededOnDisk should not be empty
+    val rowsBefore = StoreLayout.readStore(spark, dir).count()
+    // vacuum #1 RECORDS the superseded files (grace clock starts at the
+    // recording); an aged ledger + vacuum #2 sweeps them physically
+    Sketches.vacuumStore(spark, dir)
+    StoreLayout.rawDataFiles(fs, p).toSet shouldBe
+      servingAfterCompact ++ supersededOnDisk // recorded, not yet swept
+    ageLedger(dir)
+    Sketches.vacuumStore(spark, dir)
+    // erased from disk; the serving manifest and rows are untouched
+    StoreLayout.rawDataFiles(fs, p).toSet shouldBe servingAfterCompact
+    StoreLayout.servingFiles(fs, p).toSet shouldBe servingAfterCompact
+    StoreLayout.readStore(spark, dir).count() shouldBe rowsBefore
+    // hive-layout sibling: delete a row from a compacted IVF index,
+    // then vacuum twice around an aged ledger — the replaced list file
+    // is physically gone, the probe is intact
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vac-ivf").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      nCentroids = 8)
+    Similarity.compactIvfIndex(spark, idx)
+    Similarity.deleteFromIvfIndex(spark, idx, Seq(42L).toDF("vec_id"),
+      "vec_id")
+    val (fsI, pI) = StoreLayout.fsFor(spark, idx)
+    def rawIndexFiles(): Set[String] = {
+      import org.apache.hadoop.fs.Path
+      fsI.listStatus(pI).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+        .flatMap(d => fsI.listStatus(d.getPath).toSeq
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")).toSet
+    }
+    val servingIdx = StoreLayout.servingFiles(fsI, pI).toSet
+    (rawIndexFiles() diff servingIdx) should not be empty
+    Similarity.vacuumIvfIndex(spark, idx) // records
+    ageLedger(idx)
+    Similarity.vacuumIvfIndex(spark, idx) // sweeps
+    rawIndexFiles() shouldBe servingIdx
+    StoreLayout.servingFiles(fsI, pI).toSet shouldBe servingIdx
+    val kept = emb.filter(F.col("vec_id") =!= 42L)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    Similarity.probeIvfIndex(spark, idx, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Similarity.bruteForceTopK(queries, kept, "vec_id", "embedding",
+        k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band index: one vacuum face covers both tables
+    val bidx = java.nio.file.Files
+      .createTempDirectory("graft-vac-band").toString + "/idx"
+    Dedup.saveBandIndex(docs.limit(50), "doc_id", "text", bidx)
+    Dedup.vacuumBandIndex(spark, bidx) // fresh index: a clean no-op
+    StoreLayout.readStore(spark, bidx).count() should be > 0L
+    StoreLayout.readStore(spark, s"$bidx/_bands").count() should be > 0L
+  }
+
   test("builds refuse an unsound scheme BEFORE writing the corpus") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration
