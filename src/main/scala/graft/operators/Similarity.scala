@@ -873,10 +873,20 @@ object Similarity {
     * versions superseded longer than the grace stop being readable.
     */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
-    rewriteIndexScope(spark, path, "vacuumIvfIndex", 0L) {
+      path: String): Unit = {
+    // checkScheme = false: a vacuum commits no manifest — erasure is
+    // deletes, not renames, so even an unsafe-opt-in object store must
+    // stay vacuumable from a JVM without the flag
+    rewriteIndexScope(spark, path, "vacuumIvfIndex", 0L,
+      checkScheme = false) {
       (_, _) => (Seq.empty, () => sys.error("vacuum never folds"))
     }
+    // the empty-scope early return skips the fold path's trailing
+    // prune — run it here so a delete-then-vacuum-only cadence still
+    // bounds manifest-file growth (the flat vacuumStore prunes too)
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.pruneManifests(fs, p, keep = 8)
+  }
 
   /** Delete rows by id from a persisted ANN index — the
     * right-to-be-forgotten maintenance op a training-data corpus needs
@@ -975,7 +985,8 @@ object Similarity {
     * empty scope is a no-op after the GC sweep.
     */
   private def rewriteIndexScope(spark: org.apache.spark.sql.SparkSession,
-      path: String, what: String, maxRecordsPerFile: Long)(
+      path: String, what: String, maxRecordsPerFile: Long,
+      checkScheme: Boolean = true)(
       scope: (Seq[String], Seq[String] => DataFrame) => (Seq[String], () => DataFrame))
       : Unit = {
     import org.apache.hadoop.fs.Path
@@ -990,7 +1001,10 @@ object Similarity {
       s"$path is not a persisted ANN index (no _centroids sidecar); " +
         s"$what serves buildIvfIndex/buildIvfPqIndex layouts — " +
         "flat sketch stores have their own compactXxxStore faces")
-    StoreLayout.requireCommitSound(spark, path) // before the fold write
+    // before the fold write; skipped for the vacuum face, which commits
+    // no manifest (an unsafe-opt-in store must still be vacuumable from
+    // a JVM without the flag — erasure is deletes, not commits)
+    if (checkScheme) StoreLayout.requireCommitSound(spark, path)
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
     // legacy index: pin the partition-discovery listing as manifest v1
@@ -1029,6 +1043,10 @@ object Similarity {
     StoreLayout.markBatchesIn(fs, p, scopeFiles.map(_.split('/').last))
     StoreLayout.acquireWriterLease(fs, p)
     StoreLayout.commitCarryForward(fs, p, relNames, scopeFiles.toSet, what)
+    // stamp the replaced files' supersession time NOW — the grace clock
+    // runs from this commit, so ONE post-grace vacuum erases them (see
+    // StoreLayout.recordSuperseded)
+    StoreLayout.recordSuperseded(fs, p, scopeFiles)
     fs.delete(tmp, true)
     StoreLayout.pruneManifests(fs, p, keep = 8)
   }

@@ -1339,6 +1339,17 @@ object Sketches {
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
+    // fail fast BEFORE any ledger mutation: on a typo'd path this would
+    // fabricate a lock + empty manifest skeleton, and on a hive-layout
+    // ANN index the flat raw listing is EMPTY, so the sweep would
+    // rewrite _gc_suspects without the recorded superseded list files —
+    // resetting their erasure clocks (the same hazard
+    // rewriteIndexScope's _centroids guard documents, mirrored)
+    require(fs.exists(p),
+      s"$path does not exist — vacuumStore maintains an existing store")
+    require(!fs.exists(new Path(p, "_centroids")),
+      s"$path is a persisted ANN index (_centroids sidecar); use " +
+        "vacuumIvfIndex — the flat sweep cannot see hive-partitioned files")
     StoreLayout.acquireWriterLease(fs, p)
     if (StoreLayout.currentManifest(fs, p).isEmpty)
       StoreLayout.initManifest(spark, path)
@@ -1357,26 +1368,17 @@ object Sketches {
     import org.apache.hadoop.fs.Path
     val (fs, p) = StoreLayout.fsFor(spark, path)
     StoreLayout.requireCommitSound(spark, path) // before the fold write
+    // step 1: garbage collection — the vacuum face IS the compactor's
+    // GC prelude (lease, legacy manifest bootstrap, the
+    // three-evidence-class sweep shared with the ANN index compaction,
+    // crashed-attempt cleanup, manifest pruning): one rule set, so a
+    // grace/ledger fix can never land in only one of the two paths
+    vacuumStore(spark, path)
     val tmp = new Path(p, "_compact_tmp")
-    StoreLayout.acquireWriterLease(fs, p)
-    // legacy store: pin the raw listing as manifest v1 first, so every
-    // later step (and every racing reader) works off manifests
-    if (StoreLayout.currentManifest(fs, p).isEmpty)
-      StoreLayout.initManifest(spark, path)
     val (curVer, before) = StoreLayout.currentManifest(fs, p).get
     val nextVer = curVer + 1
     val nextPrefix = f"compact-v$nextVer%08d-"
-    // step 1: garbage collection — the three-evidence-class sweep shared
-    // with the ANN index compaction; see StoreLayout.gcSweep's scaladoc
-    // for the full rationale (superseded-with-grace / this attempt's
-    // debris / unreferenced-with-grace-and-mtime, suspects ledger kept
-    // on first-recorded timestamps, batch markers pruned past grace)
-    val attemptInFlight = fs.exists(tmp)
     val curSet = before.toSet
-    StoreLayout.gcSweep(fs, p, curVer, curSet,
-      StoreLayout.rawDataFiles(fs, p), attemptInFlight, nextPrefix,
-      SuspectGraceMs)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (before.isEmpty) return
     // step 2: fold exactly the manifest's files
     fold(spark.read.parquet(before.map(n => new Path(p, n).toString): _*))
@@ -1411,6 +1413,11 @@ object Sketches {
     // StoreLayout.commitCarryForward)
     StoreLayout.commitCarryForward(fs, p, newNames, curSet,
       "compactReplace")
+    // stamp the replaced files' supersession time NOW: the grace clock
+    // runs from this commit, so ONE post-grace vacuum erases them
+    // (recording only at the next sweep would add a whole extra
+    // maintenance cycle before physical erasure)
+    StoreLayout.recordSuperseded(fs, p, before)
     fs.delete(tmp, true)
     // bound manifest-file growth (one per append): keep the newest 8;
     // refs that existed only in pruned manifests fall back to the

@@ -251,6 +251,24 @@ private[graft] object StoreLayout {
     finally out.close()
   }
 
+  /** Record `names` in the suspects ledger NOW — called by the fold
+    * commits ([[commitCarryForward]] call sites) for exactly the files
+    * the new manifest replaced, so the GC grace clock runs from
+    * SUPERSESSION time (the documented contract: "superseded for at
+    * least the grace of wall clock"). Without this, a replaced file
+    * entered the ledger only at the NEXT maintenance call's sweep —
+    * silently adding one whole extra maintenance cycle before physical
+    * erasure, and making "delete + one post-grace vacuum" a lie.
+    * First-recorded timestamps win (a re-record never resets a clock).
+    */
+  def recordSuperseded(fs: FileSystem, dir: Path, names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val prev = readSuspects(fs, dir)
+    val now = System.currentTimeMillis()
+    writeSuspects(fs, dir,
+      prev ++ names.filterNot(prev.contains).map(_ -> now))
+  }
+
   /** File names a reader should scan right now: the current manifest's
     * list, or (legacy store) the raw directory listing.
     */

@@ -1681,11 +1681,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Similarity.appendToIvfIndex(third1, "vec_id", "embedding", dir,
       batchId = Some("b1"))
     probe() shouldBe beforeProbe
-    // GC cadence: compaction #1 could not record these as suspects (they
-    // were CURRENT at its sweep); compaction #2's sweep records them as
-    // superseded-with-timestamp; backdating the ledger past the grace
-    // lets compaction #3 sweep exactly them (the flat stores' churn-test
-    // recipe)
+    // GC cadence: compaction #1's COMMIT recorded these as superseded
+    // (supersession-time recording, r16); this compaction re-reads the
+    // ledger keeping first timestamps; backdating it past the grace
+    // lets the next maintenance call sweep exactly them (the flat
+    // stores' churn-test recipe)
     Similarity.compactIvfIndex(spark, dir)
     val aged = StoreLayout.readSuspects(fs, p).map { case (n, _) =>
       n -> (System.currentTimeMillis() - 2 * Sketches.SuspectGraceMs)
@@ -4368,17 +4368,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       StoreLayout.rawDataFiles(fs, p).toSet diff servingAfterCompact
     supersededOnDisk should not be empty
     val rowsBefore = StoreLayout.readStore(spark, dir).count()
-    // vacuum #1 RECORDS the superseded files (grace clock starts at the
-    // recording); an aged ledger + vacuum #2 sweeps them physically
+    // the compaction's COMMIT recorded its replaced files (supersession
+    // clock — recording only at the next sweep would silently add one
+    // extra maintenance cycle before erasure)
+    StoreLayout.readSuspects(fs, p).keySet should
+      contain allElementsOf supersededOnDisk
+    // within the grace a vacuum deletes nothing (reader isolation)
     Sketches.vacuumStore(spark, dir)
     StoreLayout.rawDataFiles(fs, p).toSet shouldBe
-      servingAfterCompact ++ supersededOnDisk // recorded, not yet swept
+      servingAfterCompact ++ supersededOnDisk
+    // past the grace, ONE vacuum erases physically — the documented
+    // "delete + one post-grace vacuum" recipe
     ageLedger(dir)
     Sketches.vacuumStore(spark, dir)
-    // erased from disk; the serving manifest and rows are untouched
     StoreLayout.rawDataFiles(fs, p).toSet shouldBe servingAfterCompact
     StoreLayout.servingFiles(fs, p).toSet shouldBe servingAfterCompact
     StoreLayout.readStore(spark, dir).count() shouldBe rowsBefore
+    // wrong-layout guard: pointing the flat vacuum at an ANN index
+    // would sweep from an empty raw listing (ledger-reset hazard)
+    intercept[IllegalArgumentException] {
+      Sketches.vacuumStore(spark, "/nonexistent/graft-vac-nope")
+    }
     // hive-layout sibling: delete a row from a compacted IVF index,
     // then vacuum twice around an aged ledger — the replaced list file
     // is physically gone, the probe is intact
@@ -4399,10 +4409,15 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
     val servingIdx = StoreLayout.servingFiles(fsI, pI).toSet
     (rawIndexFiles() diff servingIdx) should not be empty
-    Similarity.vacuumIvfIndex(spark, idx) // records
+    // the delete's commit recorded its replaced files; ONE post-grace
+    // vacuum erases them (plus the build files the compaction replaced)
     ageLedger(idx)
-    Similarity.vacuumIvfIndex(spark, idx) // sweeps
+    Similarity.vacuumIvfIndex(spark, idx)
     rawIndexFiles() shouldBe servingIdx
+    // the flat vacuum refuses the hive layout (ledger-reset hazard)
+    intercept[IllegalArgumentException] {
+      Sketches.vacuumStore(spark, idx)
+    }.getMessage should include("vacuumIvfIndex")
     StoreLayout.servingFiles(fsI, pI).toSet shouldBe servingIdx
     val kept = emb.filter(F.col("vec_id") =!= 42L)
     val queries = emb.filter(F.col("vec_id") < 5)
