@@ -828,6 +828,12 @@ private[graft] object StoreLayout {
       extendManifest(fs, p, names)
       batchId.foreach(writeBatchMarker(fs, p, _))
       pruneCrowdedManifests(fs, p)
+      // bound the marker ledger at append-rate × grace window even when
+      // no compaction ever runs (an append-only store with the valve
+      // off previously accumulated one marker file per batch FOREVER);
+      // pruned ids fall into the _appends_pruned bloom, so late retries
+      // still fail loudly (the IVF append path has done this since r15)
+      pruneBatchMarkers(fs, p, Sketches.SuspectGraceMs)
     }
   }
 

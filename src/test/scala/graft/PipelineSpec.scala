@@ -4262,6 +4262,26 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       batch.write.parquet(scratch)
     }
     StoreLayout.readStore(spark, dir).count() shouldBe 5L
+    // the APPEND path itself bounds the marker ledger (no compaction
+    // needed): backdate b2's marker past the grace, land another batch,
+    // and the marker is pruned into the bloom — a late b2 retry errors
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_appends", "b2"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Sketches.SuspectGraceMs - 3600000L))
+    StoreLayout.appendRecorded(spark, dir, Some("b3")) { scratch =>
+      batch.write.parquet(scratch)
+    }
+    StoreLayout.hasBatchMarker(fs, p, "b2") shouldBe false
+    // trail ORDER pin: with no fold the manifest still names b2's
+    // files, so the retry no-ops via the manifest trail (repairing the
+    // marker) — the bloom's loud error is reserved for the post-fold
+    // case where BOTH live trails are gone
+    StoreLayout.appendRecorded(spark, dir, Some("b2")) { scratch =>
+      batch.write.parquet(scratch)
+    }
+    StoreLayout.readStore(spark, dir).count() shouldBe 7L
+    StoreLayout.hasBatchMarker(fs, p, "b2") shouldBe true
   }
 
   test("index delete loops until a racing append's re-introduced ids " +
