@@ -18,6 +18,17 @@ import java.nio.file.{Files, Paths}
   * to `bench_out.json` as a belt-and-braces channel in case stdout is
   * wrapped by a build tool.
   *
+  * CONTENTION-EVIDENT: the q1_agg ambient control is re-timed every 15
+  * queries through the run (plus once before and once after); its
+  * samples land in `bench_detail.json` (`control`) and its min/median
+  * in the stdout line (`ctl_min`/`ctl_med`). `tools/bench_flags.py`
+  * divides the control's median by its own history cell to get the
+  * run's AMBIENT RATIO, auto-annotates every flag at or below it as
+  * ambient, and declares the artifact self-invalidating when the
+  * control itself crosses the flag threshold — so a bench run on a
+  * loaded box reports its own invalidity instead of manufacturing 74
+  * phantom regressions (the r16 driver artifact).
+  *
   * The driver harvests the line from a bounded LOG TAIL. Three rounds of
   * `"parsed": null` proved the per-query map doesn't fit: at 91+ queries
   * even 3-decimal rounding overflows the tail window and the harvested
@@ -72,8 +83,35 @@ object Bench {
     // (-1, all -1).
     def loadNow(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Ambient-contention control (round-16 verdict #1: two driver rounds
+    // in a row produced bench artifacts whose flags were pure run
+    // contention, and adjudication burned the top of both following
+    // rounds). q1_agg — the runbook's historical control — is re-timed
+    // once every `CtlEvery` registry queries plus once before and once
+    // after the run, and the sample set lands in bench_detail.json
+    // (`control`) and the stdout totals line (`ctl_min`/`ctl_med`). The
+    // reader's contract (tools/bench_flags.py): a flag whose ratio vs
+    // history is at or below the CONTROL's ratio vs its own history cell
+    // is the run's ambient slowdown, not a regression — and a control
+    // ratio past the flag threshold marks the whole artifact
+    // self-invalidating. Samples are single executions on purpose: the
+    // control measures the session's ambient AT THAT MOMENT, so
+    // smoothing across reps would hide exactly the drift it exists to
+    // expose (the in-run min/median/max spread is the signal).
+    val CtlEvery = 15
+    val controlName = "q1_agg"
+    val controlFn = Queries.benchRegistry(controlName)
+    val ctlSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleControl(): Unit =
+      try ctlSamples += timeOnce(controlFn)
+      catch { case _: Throwable => () }
+    try timeOnce(controlFn) // one cold exec: samples measure the plan,
+    catch { case _: Throwable => () } // not session bring-up
+    sampleControl()
     val results: Seq[(String, Double, Seq[Double], Double)] =
-      Queries.benchRegistry.toSeq.map { case (name, fn) =>
+      Queries.benchRegistry.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % CtlEvery == 0) sampleControl()
         val qLoad = loadNow()
         try {
           val c = timeOnce(fn)
@@ -89,6 +127,7 @@ object Bench {
             (name, -1.0, Seq(-1.0), qLoad)
         }
       }
+    sampleControl()
     def median(ws: Seq[Double]): Double = ws.sorted.apply(ws.size / 2)
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -97,16 +136,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._3)).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val ctl = ctlSamples.toSeq
+    val (ctlMin, ctlMed) =
+      if (ctl.isEmpty) (-1.0, -1.0) else (ctl.min, median(ctl))
     // compact stdout line: NO per-query map (overflows the driver's log
     // tail at 91+ queries — the "parsed": null failure mode); full map
-    // goes to bench_out.json
+    // goes to bench_out.json. ctl_min/ctl_med carry the interleaved
+    // ambient control so even a tail-harvested artifact self-reports
+    // run contention.
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"n_queries":${results.size},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"n_queries":${results.size},"ctl_min":${r3(ctlMin)},"ctl_med":${r3(ctlMed)},"sf":$sfNum}"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"queries":$qs,"sf":$sfNum}"""
     println(line)
     try {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
+      val ctlJson =
+        s"""{"name":"$controlName","every":$CtlEvery,"min":${r3(ctlMin)},"median":${r3(ctlMed)},"samples":[${ctl.map(r3).mkString(",")}]}"""
       val detail = results
         .map { case (k, c, ws, qLoad) =>
           "\"" + k + "\":{\"cold\":" + r3(c) +
@@ -114,7 +160,8 @@ object Bench {
             ",\"wmin\":" + r3(ws.min) + ",\"wmax\":" + r3(ws.max) +
             ",\"load\":" + r3(qLoad) + ",\"reps\":" + ws.size + "}"
         }
-        .mkString("{\"load\":" + r3(load) + ",\"queries\":{", ",", "}}")
+        .mkString("{\"load\":" + r3(load) + ",\"control\":" + ctlJson +
+          ",\"queries\":{", ",", "}}")
       Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
     } catch { case _: Throwable => () }
     // printed again as the LITERAL last line before shutdown: the tail

@@ -9,6 +9,13 @@ warm spread from bench_detail.json, the adjudication inputs. The round-13
 close note hand-picked 5 of 11 flags; this makes the enumeration
 mechanical so only the adjudication stays human.
 
+Since r17 the detail file carries graft.Bench's interleaved q1_agg
+control; each flag is auto-annotated `ambient` when its ratio is at or
+below the control's own history ratio (run contention, not a
+regression), and the whole artifact is declared self-invalidating when
+the control itself exceeds the threshold. Only `ADJUDICATE` rows need
+a human idle re-time.
+
 Usage: bench_flags.py [bench_detail.json] [BENCH_HISTORY.md] [threshold]
                       [column]
 `column` names the history column to diff against (substring match on
@@ -81,7 +88,20 @@ def main():
     queries = detail["queries"]
     col_name, prev = history_column(hist_path, column)
 
-    flags, missing = [], []
+    # Ambient ratio from the run's interleaved control (graft.Bench
+    # stamps `control` since r17): the control's median over the run
+    # divided by its own history cell. A flag whose ratio is at or
+    # below the ambient ratio re-times AT the run's own slowdown — the
+    # r15/r16 adjudications found every such flag to be run contention,
+    # so they are auto-annotated `ambient` (humans adjudicate only what
+    # exceeds the control). Control past the threshold = the artifact
+    # is self-invalidating.
+    ctl = detail.get("control")
+    ambient = None
+    if ctl and ctl.get("name") in prev and ctl.get("median", -1) > 0:
+        ambient = ctl["median"] / prev[ctl["name"]]
+
+    flags, missing, n_ambient = [], [], 0
     for name, d in sorted(queries.items()):
         warm = d.get("warm", -1)
         if name not in prev:
@@ -92,17 +112,39 @@ def main():
         ratio = warm / prev[name]
         if ratio > threshold:
             spread = (d.get("wmax", 0) / max(d.get("wmin", 0), 1e-9))
+            is_ambient = ambient is not None and ratio <= ambient
+            n_ambient += is_ambient
             flags.append((ratio, name, prev[name], warm, d.get("load", -1),
-                          d.get("reps", 0), spread))
+                          d.get("reps", 0), spread, is_ambient))
 
     print(f"# bench flags >{threshold}x vs history column '{col_name}' "
           f"({len(flags)} of {len(queries)} queries; "
           f"{len(missing)} new/unhistoried)")
-    print("| query | prev | now | ratio | load | reps | wmax/wmin |")
-    print("|---|---|---|---|---|---|---|")
-    for ratio, name, p, w, load, reps, spread in sorted(flags, reverse=True):
+    if ambient is not None:
+        print(f"# control {ctl['name']}: median {ctl['median']:.2f} vs "
+              f"history {prev[ctl['name']]:.2f} -> ambient ratio "
+              f"{ambient:.2f}x (samples min {ctl.get('min', -1):.2f}, "
+              f"n={len(ctl.get('samples', []))}); "
+              f"{n_ambient} flags at-or-below ambient auto-annotated")
+        if ambient > threshold:
+            print(f"# RUN SELF-INVALIDATING: the control itself ran "
+                  f"{ambient:.2f}x its history cell (> {threshold}x "
+                  f"threshold) — this artifact measures the box, not the "
+                  f"code; adjudicate only flags ABOVE the ambient ratio")
+    elif ctl:
+        print(f"# control {ctl.get('name')} present but not in history "
+              f"column '{col_name}' — no ambient annotation")
+    else:
+        print("# no control block in detail (pre-r17 artifact) — no "
+              "ambient annotation")
+    print("| query | prev | now | ratio | load | reps | wmax/wmin | "
+          "verdict |")
+    print("|---|---|---|---|---|---|---|---|")
+    for (ratio, name, p, w, load, reps, spread,
+         is_ambient) in sorted(flags, reverse=True):
+        verdict = "ambient" if is_ambient else "ADJUDICATE"
         print(f"| {name} | {p:.2f} | {w:.2f} | {ratio:.2f}x | "
-              f"{load:.2f} | {reps} | {spread:.2f}x |")
+              f"{load:.2f} | {reps} | {spread:.2f}x | {verdict} |")
     if missing:
         print(f"\nqueries with no numeric '{col_name}' cell: "
               f"{', '.join(sorted(missing))}")
