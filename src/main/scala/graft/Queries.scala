@@ -525,6 +525,57 @@ object Queries {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Land `df` as ONE parquet part file named `f<n>.parquet` in the flat
+    * dir a file-source stream watches (the StreamingRecoverySpec helper's
+    * shape) — each file is one micro-batch under maxFilesPerTrigger=1.
+    */
+  private def streamFileInto(df: DataFrame, inDir: String, n: Int): Unit = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory(s"graft-streamfile$n").toString
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+  }
+
+  private val bandStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Band index grown by the REAL streaming ingestion face
+    * ([[Streams.ingestToBandIndexStream]]): build on the %4==0 quarter,
+    * then the %4==2 quarter arrives as TWO micro-batches through a
+    * checkpointed file-source stream (maxFilesPerTrigger=1), each landed
+    * by the `<queryId>-<batchId>`-nonced idempotent append. The ingested
+    * index holds exactly the even half, so the odd-batch probe shares
+    * [[q_dedup_xcorpus]]'s full brute-force DuckDB oracle verbatim — a
+    * lost or duplicated micro-batch, a torn two-table append, or a nonce
+    * replay slip all change the candidate corpus and break the hash.
+    */
+  def q_band_stream_batch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = bandStreamDirs.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bandstream-reg").toString
+      val dir = root + "/index"
+      Dedup.saveBandIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id",
+        "text", dir)
+      val inDir = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      streamFileInto(docs.filter(col("doc_id") % 8 === 2), inDir, 1)
+      streamFileInto(docs.filter(col("doc_id") % 8 === 6), inDir, 2)
+      val q = Streams.ingestToBandIndexStream(
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir).select("doc_id", "text"),
+        "doc_id", "text", dir, root + "/ck")
+      try q.processAllAvailable() finally q.stop()
+      dir
+    })
+    Dedup.nearDupPairsAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   private val bandBloomFilters = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.Dedup.BandBloomMd5.Filter]()
 
@@ -2035,6 +2086,54 @@ object Queries {
     store.join(direct, Seq("lang", "q"))
   }
 
+  private val histStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Histogram store grown by the REAL streaming ingestion face
+    * ([[Streams.ingestToHistStoreStream]], r17 — the flat stores'
+    * telemetry cadence): per-lang token-count histograms built from the
+    * even-doc half, then the odd half arrives as TWO micro-batches
+    * through a checkpointed file-source stream, each landed by the
+    * nonced idempotent append. Quantiles served from the sum-folded
+    * store next to the direct one-pass quantiles; the oracle replays the
+    * DIRECT histogram and pins BOTH columns to it — sound because
+    * counting is linear (any batching folds to the direct grid), and
+    * sharp because linearity also means a lost OR duplicated micro-batch
+    * shifts bucket counts and breaks the hash (unlike KMV, where a
+    * duplicated batch is union-idempotent and invisible).
+    */
+  def q_hist_stream_batch(s: SparkSession, d: String): DataFrame = {
+    def tc(df: DataFrame) = df.select(col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val docs = Tables.documents(s, d)
+    val path = histStreamDirs.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-histstream-reg").toString
+      val dir = root + "/store"
+      Sketches.buildHistStore(tc(docs.filter(pmod(col("doc_id"), lit(2L)) === 0)),
+        Seq("lang"), "ntok", dir, subBits = 3)
+      val inDir = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      streamFileInto(docs.filter(col("doc_id") % 4 === 1), inDir, 1)
+      streamFileInto(docs.filter(col("doc_id") % 4 === 3), inDir, 2)
+      val q = Streams.ingestToHistStoreStream(
+        tc(s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir)),
+        dir, root + "/ck")
+      try q.processAllAvailable() finally q.stop()
+      dir
+    })
+    val qs = Seq(0.5, 0.9, 0.99)
+    val store = Sketches.histQuantilesFromStore(s, path, qs)
+      .withColumnRenamed("est_value", "est_stream")
+      .withColumnRenamed("n_total", "n_stream")
+    val direct = Sketches.logHistQuantiles(tc(docs), Seq("lang"), "ntok",
+        qs, 3)
+      .withColumnRenamed("est_value", "est_direct")
+      .withColumnRenamed("n_total", "n_direct")
+    store.join(direct, Seq("lang", "q"))
+  }
+
   /** One-pass table profile ([[Profile.profile]]): row/null counts, KMV
     * distinct estimates, and typed min/max per column of the events
     * table — ALL columns in one aggregation over one scan (pinned in
@@ -2665,6 +2764,10 @@ object Queries {
     // the persisted-index probe must reproduce the live cross-corpus
     // result exactly — same oracle
     "q_dedup_band_index" -> xcorpusJaccardSql,
+    // q_band_stream_batch: the streaming ingestion converges to the
+    // same even-half corpus (build quarter + two streamed micro-batches
+    // = %2==0) — same oracle; a lost/duplicated/torn batch breaks it
+    "q_band_stream_batch" -> xcorpusJaccardSql,
     // q_band_del: the served corpus is evens minus the deleted %8∈{0,6}
     // set — brute force over exactly the survivors
     "q_band_del" ->
@@ -3785,6 +3888,32 @@ object Queries {
         |   AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT))
         |SELECT lang, q, est_store, n_store, est_direct, n_direct
         |FROM se JOIN de USING (lang, q)""".stripMargin,
+    // q_hist_stream_batch: counting is linear, so the store fold over
+    // ANY batching equals the direct histogram — the oracle replays the
+    // direct grid once and pins BOTH columns to it (a lost or
+    // duplicated micro-batch shifts bucket counts and breaks the hash)
+    "q_hist_stream_batch" ->
+      s"""WITH tc AS (
+        |  SELECT lang, CAST(len($DTok) AS BIGINT) AS v FROM documents),
+        |dh AS (
+        |  SELECT lang, (v >> g) << g AS bucket_lo, count(*) AS n
+        |  FROM (SELECT lang, v,
+        |          greatest(length(bin(v)) - 1 - 3, 0) AS g FROM tc)
+        |  GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT lang, bucket_lo, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM dh),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |de AS (
+        |  SELECT lang, q, bucket_lo AS est, CAST(tot AS BIGINT) AS n
+        |  FROM dc JOIN qs
+        |    ON cum >= CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT)
+        |   AND cum - n < CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT))
+        |SELECT lang, q, est AS est_stream, n AS n_stream,
+        |  est AS est_direct, n AS n_direct
+        |FROM de""".stripMargin,
     // The profile oracle replays each column independently (the engine
     // fuses them into one pass; the oracle only needs equal VALUES).
     "q_profile" ->
@@ -4315,6 +4444,7 @@ object Queries {
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),
+    "q_band_stream_batch" -> (q_band_stream_batch _),
     "q_band_del" -> (q_band_del _),
     "q_band_snap" -> (q_band_snap _),
     "q_neardup_gate" -> (q_neardup_gate _),
@@ -4427,6 +4557,7 @@ object Queries {
     "q_hll_store" -> (q_hll_store _),
     "q_hist_quantiles" -> (q_hist_quantiles _),
     "q_hist_store" -> (q_hist_store _),
+    "q_hist_stream_batch" -> (q_hist_stream_batch _),
     "q_hist_running" -> (q_hist_running _),
     "q_hll_running" -> (q_hll_running _),
     "q_profile" -> (q_profile _)

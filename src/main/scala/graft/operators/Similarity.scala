@@ -1007,9 +1007,18 @@ object Similarity {
     if (checkScheme) StoreLayout.requireCommitSound(spark, path)
     val tmp = new Path(p, "_compact_tmp")
     StoreLayout.acquireWriterLease(fs, p)
-    // legacy index: pin the partition-discovery listing as manifest v1
-    if (StoreLayout.currentManifest(fs, p).isEmpty)
+    // legacy index: pin the partition-discovery listing as manifest v1.
+    // NOT on the vacuum path (checkScheme = false): the bootstrap is a
+    // manifest COMMIT, whose scheme tripwire would refuse exactly the
+    // unsafe-opt-in stores vacuum is documented to stay usable on (r16
+    // ADVICE) — and a pre-manifest index has nothing for vacuum to do
+    // anyway (no superseded versions, and no crashed-attempt debris:
+    // every rewrite bootstraps the manifest BEFORE its first write), so
+    // skipping the empty sweep loses nothing.
+    if (StoreLayout.currentManifest(fs, p).isEmpty) {
+      if (!checkScheme) return
       StoreLayout.tryCommitManifest(fs, p, 1L, listIndexFiles(fs, p))
+    }
     val (curVer, before) = StoreLayout.currentManifest(fs, p).get
     val nextPrefix = f"compact-v${curVer + 1}%08d-"
     val attemptInFlight = fs.exists(tmp)

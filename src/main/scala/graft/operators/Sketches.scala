@@ -361,16 +361,29 @@ object Sketches {
     * ([[compactKmvStore]]) whenever the append leaves it serving more
     * than that many parts — the read-amplification valve for an
     * append-forever cadence (default off: compaction cadence is the
-    * caller's policy).
+    * caller's policy). `batchId` buys exactly-once retries per
+    * [[StoreLayout.appendRecorded]] — ids are PERMANENTLY CONSUMED per
+    * store (the pruned-marker bloom remembers them after the marker
+    * ages out; never recycle one for new data), and the streaming face
+    * ([[graft.streaming.Streams.ingestToKmvStoreStream]]) derives its
+    * nonce from the checkpoint automatically.
     */
+  // test seam (StreamingRecoverySpec): "crash" after a sketch append has
+  // committed (manifest + marker) but before control returns to the
+  // caller — for a streaming foreachBatch that is the window BEFORE the
+  // checkpoint commit, so the restart must replay the same batchId and
+  // the marker must no-op it (mirrors Similarity.ivfAppendFault)
+  @volatile private[graft] var storeAppendFault: () => Unit = () => ()
+
   def appendToKmvStore(batch: DataFrame, path: String,
-      autoCompactParts: Int = 0): Unit = {
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (k, flavor, groupCols, valueCol) = readKmvParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) { scratch =>
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
       kmvSketch(batch, groupCols, valueCol, k, Flavors(flavor))
         .write.parquet(scratch)
     }
+    storeAppendFault()
     maybeAutoCompact(spark, path, autoCompactParts) {
       compactKmvStore(spark, path)
     }
@@ -640,16 +653,17 @@ object Sketches {
   }
 
   /** Grid a new batch under the store's contract; pure append.
-    * `autoCompactParts` per [[appendToKmvStore]].
+    * `autoCompactParts` and `batchId` per [[appendToKmvStore]].
     */
   def appendToCmsStore(batch: DataFrame, path: String,
-      autoCompactParts: Int = 0): Unit = {
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (depth, width, flavor, tokenCol) = readCmsParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) { scratch =>
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
       cmsSketch(batch, tokenCol, depth, width, flavor)
         .write.parquet(scratch)
     }
+    storeAppendFault()
     maybeAutoCompact(spark, path, autoCompactParts) {
       compactCmsStore(spark, path)
     }
@@ -1044,16 +1058,17 @@ object Sketches {
   }
 
   /** Sketch a new batch under the store's contract; pure append.
-    * `autoCompactParts` per [[appendToKmvStore]].
+    * `autoCompactParts` and `batchId` per [[appendToKmvStore]].
     */
   def appendToHllStore(batch: DataFrame, path: String,
-      autoCompactParts: Int = 0): Unit = {
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (flavor, groupCols, valueCol) = readHllParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) { scratch =>
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
       hllSketch(batch, groupCols, valueCol, HllFlavors(flavor))
         .write.parquet(scratch)
     }
+    storeAppendFault()
     maybeAutoCompact(spark, path, autoCompactParts) {
       compactHllStore(spark, path)
     }
@@ -1235,16 +1250,17 @@ object Sketches {
   }
 
   /** Histogram a new batch under the store's contract; pure append.
-    * `autoCompactParts` per [[appendToKmvStore]].
+    * `autoCompactParts` and `batchId` per [[appendToKmvStore]].
     */
   def appendToHistStore(batch: DataFrame, path: String,
-      autoCompactParts: Int = 0): Unit = {
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (subBits, groupCols, valueCol) = readHistParams(spark, path)
-    StoreLayout.appendRecorded(spark, path) { scratch =>
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
       log2Histogram(batch, groupCols, valueCol, subBits)
         .write.parquet(scratch)
     }
+    storeAppendFault()
     maybeAutoCompact(spark, path, autoCompactParts) {
       compactHistStore(spark, path)
     }

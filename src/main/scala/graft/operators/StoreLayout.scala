@@ -666,15 +666,33 @@ private[graft] object StoreLayout {
     * (HDFS) it falls back to delete-then-rename, whose tiny absent
     * window a concurrent reader survives ([[readPrunedBloom]] treats it
     * as a miss).
+    *
+    * CONCURRENCY (r16 ADVICE): this is a read-modify-write, and
+    * [[pruneBatchMarkers]] runs it on every append path — two
+    * unsynchronized pruners folding DIFFERENT stale id sets would let
+    * the later write overwrite the earlier one's ids, whose markers are
+    * already deleted (a late retry of a lost id then double-appends
+    * silently, the exact failure this ledger exists to refuse). Two
+    * layers close it: same-JVM pruners of one store serialize on
+    * [[commitLock]] (the appends themselves already hold the writer
+    * path, but the stripe makes the bloom RMW atomic regardless of the
+    * caller); and on SHARED filesystems — where multi-JVM appenders are
+    * legitimate and the local-FS writer lease does not apply — the
+    * write is followed by a verify-union loop: re-read the CURRENT
+    * target, and if any of our ids is missing (a racing pruner's
+    * overwrite won), union our bloom into the observed one and rewrite,
+    * bounded at 5 attempts. Every writer loops until its own ids are
+    * visible in the final file, and each union preserves the other
+    * writer's bits, so concurrent prunes converge to the superset. A
+    * loop that exhausts its attempts returns false — the markers
+    * survive to the next cycle, never deleted without durable bloom
+    * evidence.
     */
   private def recordPrunedBatchIds(fs: FileSystem, dir: Path,
-      ids: Seq[String]): Boolean = {
+      ids: Seq[String]): Boolean = commitLock(dir).synchronized {
     if (ids.isEmpty) return true
-    try {
-      val bloom = readPrunedBloom(fs, dir).getOrElse(
-        org.apache.spark.util.sketch.BloomFilter
-          .create(BloomCapacity, BloomFpp))
-      ids.foreach(bloom.putString)
+    def writeBloomFile(
+        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
       val tmp = new Path(dir,
         s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
@@ -692,6 +710,31 @@ private[graft] object StoreLayout {
           (s"${st.getModificationTime}:${st.getLen}", bloom))
       }
       true
+    }
+    try {
+      val bloom = readPrunedBloom(fs, dir).getOrElse(
+        org.apache.spark.util.sketch.BloomFilter
+          .create(BloomCapacity, BloomFpp))
+      ids.foreach(bloom.putString)
+      if (!writeBloomFile(bloom)) return false
+      if (fsScheme(fs) == "file") return true // lease-serialized: no race
+      // shared FS: verify our ids landed in the CURRENT file (a racing
+      // JVM's overwrite can have won the delete-then-rename), union and
+      // rewrite until they do. readPrunedBloom never caches off-"file",
+      // so each check reads the real file.
+      var attempts = 0
+      while (attempts < 5) {
+        readPrunedBloom(fs, dir) match {
+          case Some(cur) if ids.forall(cur.mightContainString) => return true
+          case cur =>
+            cur.foreach(bloom.mergeInPlace) // superset of both writers
+            if (!writeBloomFile(bloom)) return false
+        }
+        attempts += 1
+      }
+      log.warn(s"$dir: pruned-batch bloom lost 5 consecutive overwrite " +
+        "races — keeping markers for the next cycle")
+      false
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"$dir: pruned-batch bloom write failed: $e")
@@ -762,6 +805,19 @@ private[graft] object StoreLayout {
     * grace); between rename and manifest commit — the parts are
     * unreferenced (never served, swept later), so the caller's retry
     * cannot double-count.
+    *
+    * BATCH IDS ARE PERMANENTLY CONSUMED per store — never recycle one
+    * for genuinely new data. Once a committed id's marker ages out, the
+    * id lives on in the `_appends_pruned` bloom ledger forever (bloom
+    * bits cannot be unset), so a NEW batch reusing the string is
+    * refused with a was-committed-earlier error even though its data
+    * was never appended. The same holds for an id that only ever
+    * no-op'd through the manifest-evidence repair path: the repaired
+    * marker is pruned and bloomed like any other. Use monotonic or
+    * UUID-derived ids (the streaming faces' `<queryId>-<batchId>` nonce
+    * is the model). Resetting the ledger — deleting `_appends_pruned` —
+    * re-accepts the pre-bloom retry window for EVERY already-pruned id
+    * and is a store-admin action, not an append-path workaround.
     */
   def appendRecorded(spark: SparkSession, path: String,
       batchId: Option[String] = None)(

@@ -4361,6 +4361,73 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     StoreLayout.tryCommitManifest(fs, p, 1L, Seq("f1")) shouldBe true
   }
 
+  test("concurrent marker prunes never lose a pruned id from the bloom " +
+    "ledger (r16 ADVICE: the prune's read-modify-write is serialized " +
+    "per store)") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prune-race").toString
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    fs.mkdirs(p)
+    val ids = for (t <- 0 until 4; r <- 0 until 8) yield s"b-$t-$r"
+    // 4 threads interleave: each creates its own stale markers round by
+    // round and prunes — every prune is a bloom read-modify-write over
+    // whatever stale set it happens to list, so an unserialized RMW
+    // loses the OTHER pruner's just-folded ids (whose markers are
+    // already deleted). The invariant: a pruned marker's id must be in
+    // the ledger (requireBatchNotPruned refuses it).
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 8).foreach { r =>
+          val id = s"b-$t-$r"
+          StoreLayout.writeBatchMarker(fs, p, id)
+          val m = new Path(new Path(p, "_appends"), id)
+          fs.setTimes(m, System.currentTimeMillis() - 3600000L, -1)
+          StoreLayout.pruneBatchMarkers(fs, p, olderThanMs = 60000L)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    StoreLayout.pruneBatchMarkers(fs, p, olderThanMs = 60000L) // leftovers
+    ids.foreach { id =>
+      StoreLayout.hasBatchMarker(fs, p, id) shouldBe false
+      withClue(s"id $id pruned but missing from the bloom ledger: ") {
+        intercept[IllegalStateException] {
+          StoreLayout.requireBatchNotPruned(fs, p, id)
+        }
+      }
+    }
+  }
+
+  test("vacuumIvfIndex on a legacy pre-manifest index is a no-op — no " +
+    "manifest bootstrap, so erasure never pays the commit tripwire " +
+    "(r16 ADVICE)") {
+    import graft.operators.StoreLayout
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vac-legacy").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      nCentroids = 4)
+    val (fs, p) = StoreLayout.fsFor(spark, idx)
+    // strip the manifests: the pre-manifest layout an old build left
+    StoreLayout.storeVersions(spark, idx) should not be empty
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("_manifest-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    StoreLayout.storeVersions(spark, idx) shouldBe empty
+    // vacuum must neither throw nor commit a bootstrap manifest (a
+    // commit would re-run the scheme tripwire that erasure is
+    // documented not to need on unsafe-opt-in stores)
+    Similarity.vacuumIvfIndex(spark, idx)
+    StoreLayout.storeVersions(spark, idx) shouldBe empty
+    // and the index still probes (partition-discovery read path)
+    import spark.implicits._
+    Similarity.probeIvfIndex(spark, idx,
+        emb.filter(F.col("vec_id") === 1L), "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .count() should be > 0L
+  }
+
   test("vacuum: sweep-only physical erasure — superseded files gone " +
     "past the grace, serving untouched, no fold") {
     import graft.operators.StoreLayout

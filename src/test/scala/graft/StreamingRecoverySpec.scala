@@ -350,6 +350,85 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("KMV sketch-store streaming ingestion is exactly-once across a " +
+    "crash AFTER the sketch append commits but BEFORE the checkpoint " +
+    "commit: the restart replays the batchId, the marker no-ops it, and " +
+    "the served estimate equals the batch face over ALL input") {
+    import graft.operators.{Sketches, StoreLayout}
+    import spark.implicits._
+    val store = tmp("graft-kmvstream") + "/store"
+    val inDir = tmp("graft-kmvstream-in")
+    val ck = tmp("graft-kmvstream-ck")
+    // seed build freezes the store's contract (k, flavor, group/value)
+    val seed = (1L to 40L).map(i => (s"g${i % 2}", i))
+      .toDF("grp", "v")
+    Sketches.buildKmvStore(seed, Seq("grp"), "v", k = 16, store)
+    def streamSchema = Seq(("g0", 1L, "2024-01-01 10:00:00"))
+      .toDF("grp", "v", "ts_s")
+      .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").schema
+    def writeRows(n: Int, rows: Seq[(String, Long, String)]): Unit = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-kmvstream-scratch$n").toString
+      rows.toDF("grp", "v", "ts_s")
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"f$n.parquet"))
+    }
+    def servedParts() = StoreLayout.fsFor(spark, store) match {
+      case (fs, p) => StoreLayout.servingFiles(fs, p).size
+    }
+    def startQuery() = Streams.ingestToKmvStoreStream(
+      Streams.readEventStream(spark, inDir, streamSchema)
+        .select("grp", "v"),
+      store, ck)
+
+    // run 1: crash in the window AFTER the append's manifest + marker
+    // commit, BEFORE foreachBatch returns — the checkpoint never records
+    // the epoch, so the restart MUST replay the same batchId; only the
+    // marker keeps the sketch from double-appending (a double-append is
+    // silent here: a duplicated k-min part folds to the same estimate
+    // only when it adds no new hashes below rank k — with fresh values
+    // it skews)
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Sketches.storeAppendFault = () =>
+      if (crashArmed.getAndSet(false))
+        throw new RuntimeException("injected crash before checkpoint commit")
+    val b1 = (41L to 80L).map(i => (s"g${i % 2}", i, "2024-01-01 10:00:00"))
+    writeRows(1, b1)
+    try {
+      val q1 = startQuery()
+      val e = intercept[StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination()
+      }
+      e.getMessage should include("injected crash before checkpoint commit")
+    } finally Sketches.storeAppendFault = () => ()
+    // the crashed batch DID commit to the store before the injected crash
+    val partsAfterCrash = servedParts()
+
+    // run 2 from the same checkpoint: batch 0 replays under the SAME
+    // nonce (marker no-op — part count must not grow from the replay),
+    // then a genuinely new batch lands
+    val b2 = (81L to 100L).map(i => (s"g${i % 2}", i, "2024-01-01 10:01:00"))
+    writeRows(2, b2)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    servedParts() shouldBe partsAfterCrash + 1 // +file2 only, no replay dup
+
+    // served estimate == the one-pass batch face over ALL input (k-min
+    // fold is batching-independent, so any loss or duplication shows)
+    val all = seed.unionByName(
+      (b1 ++ b2).map(r => (r._1, r._2)).toDF("grp", "v"))
+    val fromStore = Sketches.kmvDistinctFromStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val direct = Sketches.kmvDistinct(all, Seq("grp"), "v", k = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    fromStore shouldBe direct
+  }
+
   test("IVF-index streaming ingestion is exactly-once across a crash " +
     "in the nastiest window (parts renamed in, manifest not committed): " +
     "the restart replays the batchId, sweeps the torn attempt, lands " +
