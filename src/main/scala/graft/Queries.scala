@@ -671,6 +671,44 @@ object Queries {
     Dedup.dedupLines(stamped, "doc_id", "text")
   }
 
+  /** The shared boilerplate tail the exact-substring faces stamp onto
+    * every doc — 11 tokens, so at k = 8 its four interior windows repeat
+    * corpus-wide and the whole tail is spliced out of every document,
+    * while windows straddling into each doc's unique text do not repeat
+    * and the body survives (plus any organic cross-doc duplication the
+    * corpus already carries).
+    */
+  private val SubstrTail = "standard footer navigation links copyright " +
+    "terms privacy contact about sitemap home"
+
+  /** Exact-substring dedup (Lee et al. 2021 ExactSubstr, token-window
+    * approximation — [[Dedup.exactSubstrDedup]]) at k = 8 over the
+    * tail-stamped corpus: duplicated >= 8-token spans are REMOVED and the
+    * text spliced, per doc. Exact string keys so the DuckDB oracle
+    * replays the whole operator — window generation, the corpus-wide
+    * occurrence count, the coverage union, and the splice itself
+    * (hash-gated output includes the spliced text). The hashed scale
+    * flavor shares this oracle verbatim (row identity modulo ~2^-64 hash
+    * collisions, additionally pinned in PipelineSpec).
+    */
+  def q_dedup_substring(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrTail)).as("text"))
+    Dedup.exactSubstrDedup(stamped, "doc_id", "text", k = 8,
+      hashed = false)
+  }
+
+  /** Hashed-window twin of [[q_dedup_substring]] — the production 100 TB
+    * shuffle shape (8-byte fused shingle keys cross the exchanges, never
+    * span strings). Shares the exact face's oracle verbatim.
+    */
+  def q_dedup_substring_hashed(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrTail)).as("text"))
+    Dedup.exactSubstrDedup(stamped, "doc_id", "text", k = 8,
+      hashed = true)
+  }
+
   /** Test-set contamination hits: training docs sharing 8-gram shingles
     * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
     * shingle hashes; the oracle joins on the shingle strings — equal
@@ -2487,6 +2525,42 @@ object Queries {
       |  round(n_dup / n_windows, 6) AS dup_frac
       |FROM perdoc""".stripMargin
 
+  /** Exact-substring dedup replay (k = 8 over the tail-stamped corpus) —
+    * shared verbatim by q_dedup_substring and its hashed twin: 1-based
+    * window positions, corpus-wide occurrence counts over EVERY position
+    * (duplicates kept), covered token positions as the union of
+    * [pos, pos+7] over duplicated windows, and the splice as a filtered
+    * list comprehension over the token array.
+    */
+  private lazy val substrDedupSql: String =
+    s"""WITH doc2 AS (
+      |  SELECT doc_id, concat_ws(' ', text, '$SubstrTail') AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM doc2
+      |), wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'wkey': array_to_string(ws[i:i+7], ' ')}
+      |            FOR i IN range(1, len(ws) - 6)], recursive := true)
+      |  FROM toks WHERE len(ws) >= 8
+      |), g AS (
+      |  SELECT wkey FROM wins GROUP BY wkey HAVING count(*) > 1
+      |), dup AS (
+      |  SELECT w.doc_id, w.pos FROM wins w JOIN g USING (wkey)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + o AS tp FROM dup, range(8) r(o)
+      |), cl AS (
+      |  SELECT doc_id, list(tp ORDER BY tp) AS cov FROM cov GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(
+      |    [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+      |     IF NOT list_contains(coalesce(c.cov, []), i)], ' '), '')
+      |    AS text_dedup
+      |FROM toks t LEFT JOIN cl c USING (doc_id)""".stripMargin
+
   /** Shared DSIR log-weight CTEs (unigram+bigram features, add-1
     * smoothing over the union vocabulary): q_dsir reads `logws` directly;
     * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
@@ -2758,6 +2832,11 @@ object Queries {
         |)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // exact-substring dedup: full replay — windows, global counts,
+    // coverage union, splice. DuckDB quirk: array_to_string([]) is NULL,
+    // hence the coalesce to '' (the engine's all-covered result).
+    "q_dedup_substring" -> substrDedupSql,
+    "q_dedup_substring_hashed" -> substrDedupSql,
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_xcorpus" -> xcorpusJaccardSql,
@@ -4442,6 +4521,8 @@ object Queries {
     "q_dedup_near" -> (q_dedup_near _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
+    "q_dedup_substring" -> (q_dedup_substring _),
+    "q_dedup_substring_hashed" -> (q_dedup_substring_hashed _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),
     "q_band_stream_batch" -> (q_band_stream_batch _),

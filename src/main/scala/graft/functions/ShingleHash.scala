@@ -152,10 +152,89 @@ case class GramStrings(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Splice kernel of the exact-substring dedup
+  * (`graft.operators.Dedup.exactSubstrDedup` — Lee et al. 2021's
+  * duplicated-span REMOVAL, token-window approximation):
+  * `splice_tokens(text, starts, k)` re-tokenizes `text` exactly the way
+  * the window keys were built ([[GramStrings]]/[[ShingleHashAll]]:
+  * lowercase, letter/digit runs), marks every token covered by a
+  * k-window starting at one of `starts` (0-based positions, any order,
+  * overlaps fine — interval union by construction), and returns the
+  * SURVIVING tokens space-joined (all covered → empty string; empty
+  * `starts` → the full token stream, i.e. the operator's whitespace
+  * normalization). One primitive pass per row; a composed
+  * filter/transform HOF formulation would re-evaluate the token array
+  * per element under interpreted lambdas. Registered for SQL as
+  * `splice_tokens(text, starts, k)`.
+  */
+case class SpliceTokens(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"splice_tokens expects (string, array<int>, int), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "splice_tokens"
+
+  override protected def nullSafeEval(text: Any, starts: Any, k: Any): Any =
+    ShingleHashKernel.spliceTokens(text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st, k) =>
+      s"graft.functions.ShingleHashKernel.spliceTokens($t, $st, $k)")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): SpliceTokens =
+    copy(first = f, second = s, third = t)
+}
+
 /** Row kernel shared by the expression's interpreted and codegen'd paths:
   * tokenize once, 64-bit-hash each token, combine n-gram hashes, distinct.
   */
 object ShingleHashKernel {
+
+  /** [[SpliceTokens]] kernel. Null-position entries cannot occur (the
+    * operator collects posexplode positions); out-of-range starts are
+    * clamped rather than thrown — the splice must never error on a
+    * frame a caller assembled by hand.
+    */
+  def spliceTokens(text: UTF8String, starts: ArrayData, k: Int): UTF8String = {
+    if (text == null) return null
+    val toks = TokenPattern.split(text.toLowerCase.toString, -1)
+      .filter(_.nonEmpty)
+    val m = if (starts == null) 0 else starts.numElements()
+    if (m == 0) return UTF8String.fromString(toks.mkString(" "))
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    var si = 0
+    while (si < m) {
+      val s0 = starts.getInt(si)
+      var j = math.max(s0, 0)
+      val e = math.min(s0.toLong + k, n.toLong).toInt
+      while (j < e) { covered(j) = true; j += 1 }
+      si += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!covered(i)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   /** [[GramStrings]] kernel: positional n-gram strings, duplicates
     * kept. Tokenization parity with the column formulations is pinned in

@@ -618,6 +618,92 @@ object Dedup {
         "\n").as(textCol))
   }
 
+  // ---- exact-substring (duplicated-span) dedup -----------------------------
+
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr side of
+    * the paper, next to [[minhashNearDupPairs]]'s NearDup): REMOVE every
+    * token span of length >= k that occurs more than once in the corpus
+    * (across documents or within one) and splice the survivors back
+    * together. Token-window approximation of the paper's suffix-array byte
+    * spans: every k-token rolling window is keyed, a window whose
+    * corpus-wide occurrence count exceeds 1 is duplicated, and a token is
+    * removed iff SOME duplicated window covers it — so a shared passage of
+    * length L >= k loses all L tokens (every window fully inside it
+    * repeats), while windows straddling into unique context don't repeat
+    * and the context survives. Returns (idCol, n_tokens, n_removed,
+    * text_dedup); text_dedup is the surviving lowercased token stream
+    * space-joined (the tokenization the window keys are built from — the
+    * engine-wide convention). Docs shorter than k tokens pass through
+    * whitespace-normalized; an all-covered doc comes back as the empty
+    * string — callers typically drop `n_tokens - n_removed < minLen`
+    * afterwards, the paper's practice.
+    *
+    * `hashed = true` (the 100 TB default) keys windows by the fused
+    * 64-bit shingle hash ([[graft.functions.ShingleHashAll]]) — span
+    * STRINGS never cross an exchange, only 8-byte keys; `hashed = false`
+    * keeps the exact window strings for oracle replay (equal results
+    * modulo ~2^-64 hash collisions; flavor row-identity pinned in
+    * PipelineSpec).
+    *
+    * SCALE/plan shape — deliberately NOT
+    * [[TextAnalysis.duplicatedPassages]]'s window-function formulation:
+    * the corpus-wide occurrence count here is a partial+final groupBy on
+    * the window key, so a boilerplate key reaches the exchange once per
+    * map partition (map-side combine), where Window.partitionBy(wkey)
+    * would sort EVERY occurrence of the hottest key into one reducer with
+    * no AQE rescue (window skew is not splittable; aggregate and join
+    * skew are). Duplicated keys semi-join back onto the position rows
+    * (AQE skew-splittable; broadcastable when the duplicated vocabulary
+    * is small), duplicated window STARTS collect per doc (bounded by the
+    * doc's own window count), and ONE join back to the corpus hands
+    * (text, starts) to the native splice kernel
+    * ([[graft.functions.SpliceTokens]] — one primitive pass per row).
+    * Three exchanges: wkey aggregate, wkey semi-join, id join-back — the
+    * join-back is the only one carrying text; bucket the corpus by id to
+    * make it exchange-free, or let AQE broadcast the starts side (only
+    * docs that contain duplicated spans).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, hashed: Boolean = true): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val keys =
+      if (hashed)
+        graft.plans.GraftExtensions.callNative("shingle_hashes_all",
+          F.col(textCol), F.lit(k))
+      else
+        graft.plans.GraftExtensions.callNative("gram_strings",
+          F.col(textCol), F.lit(k))
+    val wins = df
+      .select(F.col(idCol), F.posexplode(keys).as(Seq("__pos", "__wkey")))
+      .filter(F.col("__wkey").isNotNull && F.col(idCol).isNotNull)
+    val dupKeys = wins.groupBy(F.col("__wkey"))
+      .agg(F.count(F.lit(1)).as("__gc"))
+      .filter(F.col("__gc") > 1)
+      .select("__wkey")
+    // collect_list, not collect_set: (id, pos) rows are unique by
+    // construction (one row per window position), and CollectList is on
+    // the vetted bounded-state aggregate allowlist (CodegenFallbackSpec)
+    val dupStarts = wins.join(dupKeys, Seq("__wkey"), "left_semi")
+      .groupBy(F.col(idCol))
+      .agg(F.sort_array(F.collect_list(F.col("__pos"))).as("__starts"))
+    val spliced = graft.plans.GraftExtensions.callNative("splice_tokens",
+      F.col(textCol),
+      F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+      F.lit(k))
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(F.col(idCol),
+        TextAnalysis.tokenCount(F.col(textCol)).cast("long").as("n_tokens"),
+        spliced.as("text_dedup"))
+      .select(F.col(idCol), F.col("n_tokens"),
+        (F.col("n_tokens") -
+          TextAnalysis.tokenCount(F.col("text_dedup")).cast("long"))
+          .as("n_removed"),
+        F.col("text_dedup"))
+  }
+
   // ---- duplication profiling ----------------------------------------------
 
   /** Per-group duplication profile — the dedup-rate dashboard (one row per

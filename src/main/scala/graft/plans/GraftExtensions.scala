@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, IntDot, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, StripWww}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, IntDot, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, SpliceTokens, StripWww}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -42,6 +42,13 @@ object GraftExtensions {
         require(args.length == 2,
           "gram_strings(text, n) takes 2 arguments")
         GramStrings(args.head, args(1))
+      }),
+    (FunctionIdentifier("splice_tokens"),
+      new ExpressionInfo(classOf[SpliceTokens].getName, "splice_tokens"),
+      { args =>
+        require(args.length == 3,
+          "splice_tokens(text, starts, k) takes 3 arguments")
+        SpliceTokens(args.head, args(1), args(2))
       }),
     (FunctionIdentifier("md5_bloom_hits"),
       new ExpressionInfo(classOf[Md5BloomHits].getName, "md5_bloom_hits"),

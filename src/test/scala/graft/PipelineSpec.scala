@@ -2503,6 +2503,72 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     r.getLong(2) should be > 0L
   }
 
+  test("exactSubstrDedup: planted shared span is spliced out, unique " +
+    "context survives, short/clean/all-covered/null docs behave") {
+    import spark.implicits._
+    // span = 9 tokens shared by docs 1 and 2 at different offsets; at
+    // k = 8 its two interior windows repeat, covering exactly the span
+    val span = "one two three four five six seven eight nine"
+    val fx = Seq(
+      (1L, s"alpha beta $span gamma delta epsilon zeta eta theta"),
+      (2L, s"totally different opening words here $span closing words"),
+      // intra-doc repeat: the same 8-token run twice in ONE doc
+      (3L, ("p q r s t u v w " * 2) + "unique tail words"),
+      (4L, "short doc"), // < k tokens: whitespace-normalized passthrough
+      (5L, "Mixed CASE   and, punctuation! tokens survive normalization"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(fx, "doc_id", "text", k = 8,
+        hashed = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.getString(3))).toMap
+    // doc 1: 2 + 9 + 6 = 17 tokens, the 9-token span removed
+    out(1L) shouldBe ((17L, 9L,
+      "alpha beta gamma delta epsilon zeta eta theta"))
+    // doc 2: context before AND after the span survives
+    out(2L) shouldBe ((16L, 9L,
+      "totally different opening words here closing words"))
+    // doc 3: the intra-doc repeat covers both copies of the run (16
+    // tokens) — every window inside "p..w p..w" occurs twice
+    out(3L)._1 shouldBe 19L
+    out(3L)._2 shouldBe 16L
+    out(3L)._3 shouldBe "unique tail words"
+    // doc 4: too short for any window; normalized passthrough, 0 removed
+    out(4L) shouldBe ((2L, 0L, "short doc"))
+    // doc 5: no duplicated span; lowercased/punct-split normalization
+    out(5L) shouldBe ((7L, 0L,
+      "mixed case and punctuation tokens survive normalization"))
+    // doc 6: null text stays null end-to-end (never fabricated empty)
+    out(6L)._3 shouldBe null
+    // an entirely-duplicated doc comes back EMPTY, not null
+    val dup = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val d = Dedup.exactSubstrDedup(dup, "doc_id", "text", k = 8,
+        hashed = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    d(1L) shouldBe ""
+    d(2L) shouldBe ""
+  }
+
+  test("exactSubstrDedup: hashed keys match exact-string keys " +
+    "row-for-row (production shuffle shape == oracle face)") {
+    val stamped = docs.select(F.col("doc_id"),
+      F.concat_ws(" ", F.col("text"),
+        F.lit("standard footer navigation links copyright terms " +
+          "privacy contact about sitemap home")).as("text"))
+    def run(h: Boolean) = Dedup
+      .exactSubstrDedup(stamped, "doc_id", "text", k = 8, hashed = h)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val exact = run(false)
+    run(true) shouldBe exact
+    // the stamped tail really is removed from every doc
+    exact.foreach { case (_, _, nRemoved, text) =>
+      nRemoved should be >= 11L
+      (text should not).include("sitemap")
+    }
+  }
+
   test("bigramLogLoss matches the hand-computed interpolated model") {
     import spark.implicits._
     // corpus: d1 = "x y x y x", d2 = "x z"; c12: xy=2 yx=2 xz=1;
