@@ -1142,13 +1142,21 @@ object Similarity {
     * naturally and staleness is impossible. Probes are latency-bound
     * fixed-cost paths — the r15 bench adjudication traced q_knn_index's
     * warm floor to these two small parquet reads repeated per probe; a
-    * hit replaces both Spark jobs with the listing check. Bounded:
-    * cleared wholesale past 256 entries (keys are index paths — tests
-    * create many temp indexes; a rare full reload beats an LRU's
-    * bookkeeping here).
+    * hit replaces both Spark jobs with the listing check. Bounded by a
+    * true access-order LRU at 256 entries (keys are index paths — tests
+    * create many temp indexes; r16 verdict nit: the former
+    * clear-everything-past-256 made one unlucky probe repay every OTHER
+    * index's side reads). The synchronized map is fine here: the
+    * critical section is a hash get/put on a probe path that is
+    * latency-bound on Spark jobs, not on this lock.
     */
-  private val sideCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+  private[graft] val sideCache: java.util.Map[String, (String, AnyRef)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, AnyRef)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, AnyRef)]): Boolean =
+          size > 256
+      })
 
   private def sideFingerprint(spark: org.apache.spark.sql.SparkSession,
       path: String, dirs: Seq[String]): String = {
@@ -1169,8 +1177,7 @@ object Similarity {
       case (oldFp, v) if oldFp == fp => v.asInstanceOf[T]
       case _ =>
         val v = load // a throwing load caches nothing — errors stay loud per call
-        if (sideCache.size > 256) sideCache.clear()
-        sideCache.put(key, (fp, v))
+        sideCache.put(key, (fp, v)) // LRU-bounded at 256 by the map itself
         v
     }
   }

@@ -620,9 +620,19 @@ private[graft] object StoreLayout {
   // so a same-(mtime,len) rewrite behind a cached reader's back cannot
   // happen; on shared filesystems (HDFS), where multi-JVM appenders are
   // allowed and two prunes could land inside one mtime tick, every read
-  // goes to the file. Bounded like sideCache.
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.util.sketch.BloomFilter)]()
+  // goes to the file. Bounded by an access-order LRU at 256 entries like
+  // Similarity.sideCache (r16 verdict nit: the former wholesale clear
+  // made one unlucky append repay every other store's bloom read).
+  private[graft] val bloomCache: java.util.Map[
+      String, (String, org.apache.spark.util.sketch.BloomFilter)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, (String, org.apache.spark.util.sketch.BloomFilter)](
+          64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            String, (String, org.apache.spark.util.sketch.BloomFilter)])
+            : Boolean = size > 256
+      })
 
   private def fsScheme(fs: FileSystem): String =
     Option(fs.getUri).flatMap(u => Option(u.getScheme))
@@ -649,10 +659,8 @@ private[graft] object StoreLayout {
             val b =
               try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
               finally in.close()
-            if (cacheable) {
-              if (bloomCache.size > 256) bloomCache.clear()
-              bloomCache.put(dir.toString, (fp, b))
-            }
+            if (cacheable)
+              bloomCache.put(dir.toString, (fp, b)) // LRU-bounded at 256
             Some(b)
           } catch { case _: java.io.FileNotFoundException => None }
       }

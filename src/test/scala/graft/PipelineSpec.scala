@@ -4427,6 +4427,79 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     StoreLayout.tryCommitManifest(fs, p, 1L, Seq("f1")) shouldBe true
   }
 
+  test("side/bloom caches evict least-recently-used past 256 entries — " +
+    "never wholesale (r16 verdict nit)") {
+    import graft.operators.{Similarity, StoreLayout}
+    Similarity.sideCache.clear()
+    (0 until 300).foreach(i =>
+      Similarity.sideCache.put(s"k$i", ("fp", "v")))
+    Similarity.sideCache.size shouldBe 256
+    Similarity.sideCache.containsKey("k0") shouldBe false // 44 oldest out
+    Similarity.sideCache.containsKey("k44") shouldBe true
+    // ACCESS order, not insertion order: touching the oldest survivor
+    // protects it from the next eviction wave
+    Similarity.sideCache.get("k44")
+    (300 until 320).foreach(i =>
+      Similarity.sideCache.put(s"k$i", ("fp", "v")))
+    Similarity.sideCache.size shouldBe 256
+    Similarity.sideCache.containsKey("k44") shouldBe true
+    Similarity.sideCache.containsKey("k45") shouldBe false
+    Similarity.sideCache.clear()
+    // bloomCache: same bound, same policy
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    StoreLayout.bloomCache.clear()
+    (0 until 300).foreach(i =>
+      StoreLayout.bloomCache.put(s"d$i", ("fp", bf)))
+    StoreLayout.bloomCache.size shouldBe 256
+    StoreLayout.bloomCache.containsKey("d0") shouldBe false
+    StoreLayout.bloomCache.containsKey("d299") shouldBe true
+    StoreLayout.bloomCache.clear()
+  }
+
+  test("object-store cookbook: a non-atomic-rename scheme is refused " +
+    "BEFORE any write, and the documented single-writer opt-in runs the " +
+    "full store lifecycle end-to-end (SCALING.md recipe)") {
+    import graft.operators.{Sketches, StoreLayout}
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3mock.impl", classOf[MockS3FileSystem].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-s3mock").toString
+    val store = s"s3mock:$local/store"
+    val b0 = (1L to 30L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val b1 = (31L to 50L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    // without the opt-in: refused up front — no corpus bytes written
+    val ex = intercept[IllegalStateException] {
+      Sketches.buildKmvStore(b0, Seq("g"), "v", 16, store)
+    }
+    ex.getMessage should include("s3mock")
+    ex.getMessage should include("table format")
+    new java.io.File(s"$local/store").exists() shouldBe false
+    // the cookbook path: known-single-writer store, explicit opt-in —
+    // build, idempotent append (with a replayed retry), compact, vacuum,
+    // serve; the local-FS writer lease is correctly SKIPPED (non-"file"
+    // scheme), so this also covers the lease-less append path
+    StoreLayout.UnsafeCommitsOptIn = true
+    try {
+      Sketches.buildKmvStore(b0, Seq("g"), "v", 16, store)
+      Sketches.appendToKmvStore(b1, store, batchId = Some("s3-b1"))
+      Sketches.appendToKmvStore(b1, store, batchId = Some("s3-b1")) // retry
+      Sketches.compactKmvStore(spark, store)
+      Sketches.vacuumStore(spark, store)
+      val served = Sketches.kmvDistinctFromStore(spark, store)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val direct = Sketches.kmvDistinct(b0.unionByName(b1), Seq("g"), "v",
+          k = 16)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      served shouldBe direct
+    } finally StoreLayout.UnsafeCommitsOptIn = false
+    // with the opt-in dropped again, further commits refuse once more —
+    // the flag is a per-process deployment decision, not a ratchet
+    intercept[IllegalStateException] {
+      Sketches.appendToKmvStore(b1, store, batchId = Some("s3-b2"))
+    }
+  }
+
   test("concurrent marker prunes never lose a pruned id from the bloom " +
     "ledger (r16 ADVICE: the prune's read-modify-write is serialized " +
     "per store)") {
