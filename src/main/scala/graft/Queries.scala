@@ -698,6 +698,24 @@ object Queries {
       hashed = false)
   }
 
+  /** Cross-corpus exact-substring dedup
+    * ([[Dedup.exactSubstrDedupAgainst]]): odd docs are the new batch,
+    * even docs the existing corpus, all tail-stamped — every batch doc
+    * must lose the tail (it exists verbatim in the corpus) plus any
+    * organic shared spans, while batch-only text survives even when the
+    * batch repeats it internally (the against-face's contract). Exact
+    * keys; full DuckDB replay incl. the spliced text. Hashed flavor
+    * row-identity is pinned in PipelineSpec.
+    */
+  def q_substr_xcorpus(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrTail)).as("text"))
+    Dedup.exactSubstrDedupAgainst(
+      stamped.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      stamped.filter(col("doc_id") % 2 === 0), "text",
+      k = 8, hashed = false)
+  }
+
   /** Hashed-window twin of [[q_dedup_substring]] — the production 100 TB
     * shuffle shape (8-byte fused shingle keys cross the exchanges, never
     * span strings). Shares the exact face's oracle verbatim.
@@ -2561,6 +2579,43 @@ object Queries {
       |    AS text_dedup
       |FROM toks t LEFT JOIN cl c USING (doc_id)""".stripMargin
 
+  /** Cross-corpus exact-substring replay: batch = odd docs, corpus keys =
+    * DISTINCT window strings of the even docs (membership, not a
+    * frequency vote), coverage/splice as in [[substrDedupSql]].
+    */
+  private lazy val substrXcorpusSql: String =
+    s"""WITH doc2 AS (
+      |  SELECT doc_id, concat_ws(' ', text, '$SubstrTail') AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, $DTok AS ws FROM doc2
+      |), ck AS (
+      |  SELECT DISTINCT
+      |    unnest([array_to_string(ws[i:i+7], ' ')
+      |            FOR i IN range(1, len(ws) - 6)]) AS wkey
+      |  FROM toks WHERE doc_id % 2 = 0 AND len(ws) >= 8
+      |), wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'wkey': array_to_string(ws[i:i+7], ' ')}
+      |            FOR i IN range(1, len(ws) - 6)], recursive := true)
+      |  FROM toks WHERE doc_id % 2 = 1 AND len(ws) >= 8
+      |), dup AS (
+      |  SELECT w.doc_id, w.pos FROM wins w JOIN ck USING (wkey)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + o AS tp FROM dup, range(8) r(o)
+      |), cl AS (
+      |  SELECT doc_id, list(tp ORDER BY tp) AS cov FROM cov GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(
+      |    [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+      |     IF NOT list_contains(coalesce(c.cov, []), i)], ' '), '')
+      |    AS text_dedup
+      |FROM toks t LEFT JOIN cl c USING (doc_id)
+      |WHERE t.doc_id % 2 = 1""".stripMargin
+
   /** Shared DSIR log-weight CTEs (unigram+bigram features, add-1
     * smoothing over the union vocabulary): q_dsir reads `logws` directly;
     * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
@@ -2837,6 +2892,7 @@ object Queries {
     // hence the coalesce to '' (the engine's all-covered result).
     "q_dedup_substring" -> substrDedupSql,
     "q_dedup_substring_hashed" -> substrDedupSql,
+    "q_substr_xcorpus" -> substrXcorpusSql,
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_xcorpus" -> xcorpusJaccardSql,
@@ -4523,6 +4579,7 @@ object Queries {
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_substring" -> (q_dedup_substring _),
     "q_dedup_substring_hashed" -> (q_dedup_substring_hashed _),
+    "q_substr_xcorpus" -> (q_substr_xcorpus _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),
     "q_band_stream_batch" -> (q_band_stream_batch _),

@@ -704,6 +704,61 @@ object Dedup {
         F.col("text_dedup"))
   }
 
+  /** Cross-corpus sibling of [[exactSubstrDedup]] — the incremental-ingest
+    * cadence ("remove the text we already have"): splice out of each
+    * BATCH document every token covered by a k-window that occurs
+    * ANYWHERE in `corpus` (once is enough — the corpus is the existing
+    * truth, not a frequency vote). Batch-internal duplication is
+    * deliberately out of scope; compose with [[exactSubstrDedup]] over
+    * the batch when both are wanted. Same return shape, same splice
+    * kernel, same hashed/exact flavor contract as the within-corpus
+    * operator.
+    *
+    * SCALE: the corpus side collapses to DISTINCT window keys via a
+    * partial+final aggregate before any join (8-byte keys in the hashed
+    * flavor — the corpus text never crosses an exchange), then the
+    * batch's position rows semi-join against it; with a small batch the
+    * candidate-key side is the big one, so the semi-join shuffles keys,
+    * not documents, and AQE broadcasts whichever side fits.
+    */
+  def exactSubstrDedupAgainst(batch: DataFrame, idCol: String,
+      textCol: String, corpus: DataFrame, corpusTextCol: String,
+      k: Int = 50, hashed: Boolean = true): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    val spark = batch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    def keysOf(c: org.apache.spark.sql.Column) =
+      if (hashed)
+        graft.plans.GraftExtensions.callNative("shingle_hashes_all", c,
+          F.lit(k))
+      else
+        graft.plans.GraftExtensions.callNative("gram_strings", c, F.lit(k))
+    val corpusKeys = corpus
+      .select(F.explode(keysOf(F.col(corpusTextCol))).as("__wkey"))
+      .filter(F.col("__wkey").isNotNull)
+      .distinct()
+    val wins = batch
+      .select(F.col(idCol),
+        F.posexplode(keysOf(F.col(textCol))).as(Seq("__pos", "__wkey")))
+      .filter(F.col("__wkey").isNotNull && F.col(idCol).isNotNull)
+    val dupStarts = wins.join(corpusKeys, Seq("__wkey"), "left_semi")
+      .groupBy(F.col(idCol))
+      .agg(F.sort_array(F.collect_list(F.col("__pos"))).as("__starts"))
+    val spliced = graft.plans.GraftExtensions.callNative("splice_tokens",
+      F.col(textCol),
+      F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+      F.lit(k))
+    batch.join(dupStarts, Seq(idCol), "left")
+      .select(F.col(idCol),
+        TextAnalysis.tokenCount(F.col(textCol)).cast("long").as("n_tokens"),
+        spliced.as("text_dedup"))
+      .select(F.col(idCol), F.col("n_tokens"),
+        (F.col("n_tokens") -
+          TextAnalysis.tokenCount(F.col("text_dedup")).cast("long"))
+          .as("n_removed"),
+        F.col("text_dedup"))
+  }
+
   // ---- duplication profiling ----------------------------------------------
 
   /** Per-group duplication profile — the dedup-rate dashboard (one row per

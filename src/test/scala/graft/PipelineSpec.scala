@@ -2549,6 +2549,37 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     d(2L) shouldBe ""
   }
 
+  test("exactSubstrDedupAgainst: corpus spans are spliced from the " +
+    "batch, batch-internal repeats survive (membership, not frequency), " +
+    "and flavors match row-for-row") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine"
+    val corpus = Seq(
+      (100L, s"curated doc containing $span inside it"),
+      (101L, "other curated material with nothing shared"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"new doc alpha $span omega"),
+      // batch-internal repeat of an 8-token run NOT in the corpus: the
+      // against-face must KEEP it (compose with exactSubstrDedup for
+      // within-batch dedup)
+      (2L, ("j k l m n o p q " * 2) + "tail"),
+      (3L, "entirely novel content with no overlap at all"))
+      .toDF("doc_id", "text")
+    def run(h: Boolean) = Dedup
+      .exactSubstrDedupAgainst(batch, "doc_id", "text", corpus, "text",
+        k = 8, hashed = h)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val out = run(false)
+    out(1L) shouldBe ((13L, 9L, "new doc alpha omega"))
+    out(2L)._2 shouldBe 0L // internal repeat kept: not in the corpus
+    out(3L) shouldBe ((8L, 0L,
+      "entirely novel content with no overlap at all"))
+    run(true) shouldBe out // hashed flavor row-identical
+  }
+
   test("exactSubstrDedup: hashed keys match exact-string keys " +
     "row-for-row (production shuffle shape == oracle face)") {
     val stamped = docs.select(F.col("doc_id"),
