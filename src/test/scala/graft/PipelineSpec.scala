@@ -4202,6 +4202,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val ceilings = Seq( // ~2x the calibrated per-query bytes
       "q_dup_passages" -> 3700000L,
       "q_dup_passages_hashed" -> 1800000L,
+      // r17: the exact-substring faces — the hashed cap additionally
+      // pins the flavor CONTRACT (8-byte keys in the exchanges: hashed
+      // must stay well under half the exact face's strings)
+      "q_dedup_substring" -> 1600000L,
+      "q_dedup_substring_hashed" -> 700000L,
       "q_bigram_ll" -> 1300000L,
       "q_dedup_jaccard" -> 900000L,
       "q_curate" -> 800000L,
