@@ -201,10 +201,12 @@ case class SpliceTokens(first: Expression, second: Expression,
   */
 object ShingleHashKernel {
 
-  /** [[SpliceTokens]] kernel. Null-position entries cannot occur (the
-    * operator collects posexplode positions); out-of-range starts are
-    * clamped rather than thrown — the splice must never error on a
-    * frame a caller assembled by hand.
+  /** [[SpliceTokens]] kernel. The operator never produces hostile
+    * arrays (it collects posexplode positions), but `splice_tokens` is
+    * SQL-registered, so hand-assembled input is supported: a NULL array
+    * element is ignored (it names no span — silently reading it as
+    * position 0 would splice the first k tokens, the review-caught
+    * hazard) and out-of-range starts are clamped rather than thrown.
     */
   def spliceTokens(text: UTF8String, starts: ArrayData, k: Int): UTF8String = {
     if (text == null) return null
@@ -216,11 +218,14 @@ object ShingleHashKernel {
     val covered = new Array[Boolean](n)
     var si = 0
     while (si < m) {
+      if (starts.isNullAt(si)) { si += 1 }
+      else {
       val s0 = starts.getInt(si)
       var j = math.max(s0, 0)
       val e = math.min(s0.toLong + k, n.toLong).toInt
       while (j < e) { covered(j) = true; j += 1 }
       si += 1
+      }
     }
     val sb = new java.lang.StringBuilder
     var i = 0

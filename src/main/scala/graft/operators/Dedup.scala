@@ -667,28 +667,54 @@ object Dedup {
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 50, hashed: Boolean = true): DataFrame = {
     require(k >= 2, s"window k must be >= 2, got $k")
-    val spark = df.sparkSession
-    graft.plans.GraftExtensions.register(spark)
-    val keys =
-      if (hashed)
-        graft.plans.GraftExtensions.callNative("shingle_hashes_all",
-          F.col(textCol), F.lit(k))
-      else
-        graft.plans.GraftExtensions.callNative("gram_strings",
-          F.col(textCol), F.lit(k))
-    val wins = df
-      .select(F.col(idCol), F.posexplode(keys).as(Seq("__pos", "__wkey")))
-      .filter(F.col("__wkey").isNotNull && F.col(idCol).isNotNull)
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val wins = substrWins(df, idCol, textCol, k, hashed)
     val dupKeys = wins.groupBy(F.col("__wkey"))
       .agg(F.count(F.lit(1)).as("__gc"))
       .filter(F.col("__gc") > 1)
       .select("__wkey")
-    // collect_list, not collect_set: (id, pos) rows are unique by
-    // construction (one row per window position), and CollectList is on
-    // the vetted bounded-state aggregate allowlist (CodegenFallbackSpec)
-    val dupStarts = wins.join(dupKeys, Seq("__wkey"), "left_semi")
+    substrSpliceBack(df, idCol, textCol,
+      substrDupStarts(wins, idCol, dupKeys), k)
+  }
+
+  /** Shared window-key column of the exact-substring family — hashed
+    * (8-byte fused shingle keys) vs exact (oracle-replayable strings).
+    */
+  private def substrWindowKeys(c: Column, k: Int, hashed: Boolean): Column =
+    if (hashed)
+      graft.plans.GraftExtensions.callNative("shingle_hashes_all", c,
+        F.lit(k))
+    else
+      graft.plans.GraftExtensions.callNative("gram_strings", c, F.lit(k))
+
+  /** Shared position rows (idCol, __pos, __wkey) — one row per window
+    * position, duplicates kept (every position is a window).
+    */
+  private def substrWins(df: DataFrame, idCol: String, textCol: String,
+      k: Int, hashed: Boolean): DataFrame =
+    df.select(F.col(idCol),
+        F.posexplode(substrWindowKeys(F.col(textCol), k, hashed))
+          .as(Seq("__pos", "__wkey")))
+      .filter(F.col("__wkey").isNotNull && F.col(idCol).isNotNull)
+
+  /** Shared per-doc duplicated-start aggregation. collect_list, not
+    * collect_set: (id, pos) rows are unique by construction (one row per
+    * window position), and CollectList is on the vetted bounded-state
+    * aggregate allowlist (CodegenFallbackSpec).
+    */
+  private def substrDupStarts(wins: DataFrame, idCol: String,
+      dupKeys: DataFrame): DataFrame =
+    wins.join(dupKeys, Seq("__wkey"), "left_semi")
       .groupBy(F.col(idCol))
       .agg(F.sort_array(F.collect_list(F.col("__pos"))).as("__starts"))
+
+  /** Shared splice/count tail: join the per-doc duplicated starts back
+    * to the text and emit (idCol, n_tokens, n_removed, text_dedup) via
+    * the native splice kernel — ONE definition so the within-corpus and
+    * against-corpus faces cannot drift.
+    */
+  private def substrSpliceBack(df: DataFrame, idCol: String,
+      textCol: String, dupStarts: DataFrame, k: Int): DataFrame = {
     val spliced = graft.plans.GraftExtensions.callNative("splice_tokens",
       F.col(textCol),
       F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
@@ -725,38 +751,15 @@ object Dedup {
       textCol: String, corpus: DataFrame, corpusTextCol: String,
       k: Int = 50, hashed: Boolean = true): DataFrame = {
     require(k >= 2, s"window k must be >= 2, got $k")
-    val spark = batch.sparkSession
-    graft.plans.GraftExtensions.register(spark)
-    def keysOf(c: org.apache.spark.sql.Column) =
-      if (hashed)
-        graft.plans.GraftExtensions.callNative("shingle_hashes_all", c,
-          F.lit(k))
-      else
-        graft.plans.GraftExtensions.callNative("gram_strings", c, F.lit(k))
+    graft.plans.GraftExtensions.register(batch.sparkSession)
     val corpusKeys = corpus
-      .select(F.explode(keysOf(F.col(corpusTextCol))).as("__wkey"))
+      .select(F.explode(
+        substrWindowKeys(F.col(corpusTextCol), k, hashed)).as("__wkey"))
       .filter(F.col("__wkey").isNotNull)
       .distinct()
-    val wins = batch
-      .select(F.col(idCol),
-        F.posexplode(keysOf(F.col(textCol))).as(Seq("__pos", "__wkey")))
-      .filter(F.col("__wkey").isNotNull && F.col(idCol).isNotNull)
-    val dupStarts = wins.join(corpusKeys, Seq("__wkey"), "left_semi")
-      .groupBy(F.col(idCol))
-      .agg(F.sort_array(F.collect_list(F.col("__pos"))).as("__starts"))
-    val spliced = graft.plans.GraftExtensions.callNative("splice_tokens",
-      F.col(textCol),
-      F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
-      F.lit(k))
-    batch.join(dupStarts, Seq(idCol), "left")
-      .select(F.col(idCol),
-        TextAnalysis.tokenCount(F.col(textCol)).cast("long").as("n_tokens"),
-        spliced.as("text_dedup"))
-      .select(F.col(idCol), F.col("n_tokens"),
-        (F.col("n_tokens") -
-          TextAnalysis.tokenCount(F.col("text_dedup")).cast("long"))
-          .as("n_removed"),
-        F.col("text_dedup"))
+    val wins = substrWins(batch, idCol, textCol, k, hashed)
+    substrSpliceBack(batch, idCol, textCol,
+      substrDupStarts(wins, idCol, corpusKeys), k)
   }
 
   // ---- duplication profiling ----------------------------------------------

@@ -638,109 +638,139 @@ private[graft] object StoreLayout {
     Option(fs.getUri).flatMap(u => Option(u.getScheme))
       .map(_.toLowerCase).getOrElse("")
 
-  private def readPrunedBloom(fs: FileSystem,
-      dir: Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val f = new Path(dir, PrunedBloomName)
-    val status =
-      try Some(fs.getFileStatus(f))
-      catch { case _: java.io.FileNotFoundException => None }
-    status.flatMap { st =>
-      val fp = s"${st.getModificationTime}:${st.getLen}"
-      val cacheable = fsScheme(fs) == "file"
-      (if (cacheable) bloomCache.get(dir.toString) else null) match {
-        case (oldFp, b) if oldFp == fp => Some(b)
-        case _ =>
-          // the file can vanish between the status and the open (a
-          // concurrent rewrite's replace window) — a miss degrades to
-          // the pre-bloom behavior for this one check, never crashes
-          // the append
-          try {
-            val in = fs.open(f)
-            val b =
-              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-              finally in.close()
-            if (cacheable)
-              bloomCache.put(dir.toString, (fp, b)) // LRU-bounded at 256
-            Some(b)
-          } catch { case _: java.io.FileNotFoundException => None }
-      }
-    }
+  // The ledger is VERSIONED since r17: `_appends_pruned-%08d`, committed
+  // create-exclusive like manifests, readers resolve the newest. The
+  // pre-r17 unversioned `_appends_pruned` file is read as version 0 and
+  // folded into v1 by the first versioned commit.
+  private val PrunedBloomVersioned = (PrunedBloomName + "-(\\d{8})").r
+
+  /** Newest ledger version in `dir`: (version, path), the legacy
+    * unversioned file counting as version 0. None = no ledger yet.
+    */
+  private def newestPrunedBloom(fs: FileSystem,
+      dir: Path): Option[(Long, Path)] = {
+    val listed =
+      try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val versioned = listed.flatMap(st => st.getPath.getName match {
+      case PrunedBloomVersioned(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    })
+    if (versioned.nonEmpty) Some(versioned.maxBy(_._1))
+    else listed.find(_.getPath.getName == PrunedBloomName)
+      .map(st => (0L, st.getPath))
   }
 
+  private def readPrunedBloom(fs: FileSystem,
+      dir: Path): Option[org.apache.spark.util.sketch.BloomFilter] =
+    newestPrunedBloom(fs, dir).flatMap { case (_, f) =>
+      val status =
+        try Some(fs.getFileStatus(f))
+        catch { case _: java.io.FileNotFoundException => None }
+      status.flatMap { st =>
+        // the NAME is part of the fingerprint: versioned commits never
+        // rewrite a file in place, so (name, mtime, len) is stable
+        val fp = s"${f.getName}:${st.getModificationTime}:${st.getLen}"
+        val cacheable = fsScheme(fs) == "file"
+        (if (cacheable) bloomCache.get(dir.toString) else null) match {
+          case (oldFp, b) if oldFp == fp => Some(b)
+          case _ =>
+            // the file can vanish between the listing and the open (two
+            // newer versions committed and the GC swept this one) — a
+            // miss degrades to the pre-bloom behavior for this one
+            // check, never crashes the append
+            try {
+              val in = fs.open(f)
+              val b =
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                finally in.close()
+              if (cacheable)
+                bloomCache.put(dir.toString, (fp, b)) // LRU-bounded at 256
+              Some(b)
+            } catch { case _: java.io.FileNotFoundException => None }
+        }
+      }
+    }
+
   /** Fold `ids` into the store's pruned-batch bloom; true iff the update
-    * is durably in place (the caller deletes markers ONLY then). The
-    * replace is tmp-then-rename-onto-target: atomic on POSIX local FS
-    * (no absent-file window); where rename refuses an existing target
-    * (HDFS) it falls back to delete-then-rename, whose tiny absent
-    * window a concurrent reader survives ([[readPrunedBloom]] treats it
-    * as a miss).
+    * is durably in place (the caller deletes markers ONLY then).
     *
-    * CONCURRENCY (r16 ADVICE): this is a read-modify-write, and
-    * [[pruneBatchMarkers]] runs it on every append path — two
-    * unsynchronized pruners folding DIFFERENT stale id sets would let
-    * the later write overwrite the earlier one's ids, whose markers are
-    * already deleted (a late retry of a lost id then double-appends
-    * silently, the exact failure this ledger exists to refuse). Two
-    * layers close it: same-JVM pruners of one store serialize on
-    * [[commitLock]] (the appends themselves already hold the writer
-    * path, but the stripe makes the bloom RMW atomic regardless of the
-    * caller); and on SHARED filesystems — where multi-JVM appenders are
-    * legitimate and the local-FS writer lease does not apply — the
-    * write is followed by a verify-union loop: re-read the CURRENT
-    * target, and if any of our ids is missing (a racing pruner's
-    * overwrite won), union our bloom into the observed one and rewrite,
-    * bounded at 5 attempts. Every writer loops until its own ids are
-    * visible in the final file, and each union preserves the other
-    * writer's bits, so concurrent prunes converge to the superset. A
-    * loop that exhausts its attempts returns false — the markers
-    * survive to the next cycle, never deleted without durable bloom
-    * evidence.
+    * CONCURRENCY (r16 ADVICE; protocol hardened in r17 after review):
+    * this is a read-modify-write, and [[pruneBatchMarkers]] runs it on
+    * every append path — two unsynchronized pruners folding DIFFERENT
+    * stale id sets must not lose either set (a lost id's markers are
+    * already deleted, so a late retry would silently double-append into
+    * a linear store). The commit is therefore the MANIFEST protocol, not
+    * a rewrite-in-place: read the newest `_appends_pruned-%08d`, union
+    * the new ids, stage, and rename to version+1 — create-exclusive, so
+    * on the allowlisted shared filesystems (HDFS: rename REFUSES an
+    * existing target) a racing pruner's commit makes ours FAIL LOUDLY
+    * instead of silently winning; the loser re-reads the winner's file
+    * (which has the winner's ids), unions, and commits the next version
+    * — an optimistic loop that converges to the superset with no window
+    * in which a committed id can vanish. (The previous
+    * write-then-verify-union scheme could still lose ids when a
+    * competitor's overwrite landed AFTER a writer's successful verify —
+    * the review-caught hole this versioning closes.) Same-JVM pruners
+    * additionally serialize on [[commitLock]]; plain local FS (where
+    * rename overwrites silently) is safe through lock + writer lease;
+    * unsafe-opt-in object stores are single-writer by contract. After a
+    * successful commit, versions older than the immediately previous one
+    * are swept (a reader between listing and open survives a vanished
+    * file as a one-check miss — [[readPrunedBloom]]).
     */
   private def recordPrunedBatchIds(fs: FileSystem, dir: Path,
       ids: Seq[String]): Boolean = commitLock(dir).synchronized {
     if (ids.isEmpty) return true
-    def writeBloomFile(
-        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
-      val tmp = new Path(dir,
-        s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try bloom.writeTo(out) finally out.close()
-      val target = new Path(dir, PrunedBloomName)
-      val renamed = fs.rename(tmp, target) || {
-        fs.delete(target, false)
-        fs.rename(tmp, target)
-      }
-      if (!renamed) { fs.delete(tmp, false); return false }
-      if (fsScheme(fs) == "file") {
-        // proactive cache refresh so this JVM's next check needs no read
-        val st = fs.getFileStatus(target)
-        bloomCache.put(dir.toString,
-          (s"${st.getModificationTime}:${st.getLen}", bloom))
-      }
-      true
-    }
     try {
-      val bloom = readPrunedBloom(fs, dir).getOrElse(
-        org.apache.spark.util.sketch.BloomFilter
-          .create(BloomCapacity, BloomFpp))
-      ids.foreach(bloom.putString)
-      if (!writeBloomFile(bloom)) return false
-      if (fsScheme(fs) == "file") return true // lease-serialized: no race
-      // shared FS: verify our ids landed in the CURRENT file (a racing
-      // JVM's overwrite can have won the delete-then-rename), union and
-      // rewrite until they do. readPrunedBloom never caches off-"file",
-      // so each check reads the real file.
       var attempts = 0
-      while (attempts < 5) {
-        readPrunedBloom(fs, dir) match {
-          case Some(cur) if ids.forall(cur.mightContainString) => return true
-          case cur =>
-            cur.foreach(bloom.mergeInPlace) // superset of both writers
-            if (!writeBloomFile(bloom)) return false
-        }
+      while (attempts < 8) {
         attempts += 1
+        val cur = newestPrunedBloom(fs, dir)
+        val curVer = cur.map(_._1).getOrElse(-1L)
+        val bloom = readPrunedBloom(fs, dir).getOrElse(
+          org.apache.spark.util.sketch.BloomFilter
+            .create(BloomCapacity, BloomFpp))
+        ids.foreach(bloom.putString)
+        val target = new Path(dir, f"$PrunedBloomName-${curVer + 1}%08d")
+        val tmp = new Path(dir,
+          s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try bloom.writeTo(out) finally out.close()
+        // create-exclusive commit: an existing target (a racing pruner
+        // won this version) fails the rename on HDFS; the pre-check
+        // covers local FS, whose rename silently overwrites (there the
+        // stripe lock + writer lease make the race impossible anyway)
+        val won = !fs.exists(target) && fs.rename(tmp, target)
+        if (!won) {
+          fs.delete(tmp, false)
+          // loop: re-read the winner's bloom (it has the winner's ids),
+          // union ours in, try the next version
+        } else {
+          if (fsScheme(fs) == "file") {
+            val st = fs.getFileStatus(target)
+            bloomCache.put(dir.toString,
+              (s"${target.getName}:${st.getModificationTime}:${st.getLen}",
+                bloom))
+          }
+          // sweep superseded versions, keeping the immediately previous
+          // one as the in-flight readers' window; the legacy unversioned
+          // file is folded in by construction and swept here too
+          try {
+            fs.listStatus(dir).foreach { st =>
+              st.getPath.getName match {
+                case PrunedBloomVersioned(v) if v.toLong < curVer =>
+                  fs.delete(st.getPath, false)
+                case PrunedBloomName if curVer + 1 > 0 =>
+                  fs.delete(st.getPath, false)
+                case _ => ()
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          return true
+        }
       }
-      log.warn(s"$dir: pruned-batch bloom lost 5 consecutive overwrite " +
+      log.warn(s"$dir: pruned-batch bloom lost 8 consecutive version " +
         "races — keeping markers for the next cycle")
       false
     } catch {
@@ -768,8 +798,9 @@ private[graft] object StoreLayout {
           "this is genuinely a NEW batch (false positive, ~1e-6 within " +
           "the ledger's ~1M-id design capacity), use a different " +
           "batchId; if the store has pruned far beyond that capacity, " +
-          "delete _appends_pruned to reset the trail (re-accepting the " +
-          "pre-bloom retry window for already-pruned ids).")
+          "delete the _appends_pruned* sidecar files to reset the trail " +
+          "(re-accepting the pre-bloom retry window for already-pruned " +
+          "ids).")
 
   /** Ensure every append batch whose files appear in `names` carries a
     * committed-batch marker — called by the compactor BEFORE its commit
@@ -823,9 +854,10 @@ private[graft] object StoreLayout {
     * no-op'd through the manifest-evidence repair path: the repaired
     * marker is pruned and bloomed like any other. Use monotonic or
     * UUID-derived ids (the streaming faces' `<queryId>-<batchId>` nonce
-    * is the model). Resetting the ledger — deleting `_appends_pruned` —
-    * re-accepts the pre-bloom retry window for EVERY already-pruned id
-    * and is a store-admin action, not an append-path workaround.
+    * is the model). Resetting the ledger — deleting the
+    * `_appends_pruned*` sidecar files — re-accepts the pre-bloom retry
+    * window for EVERY already-pruned id and is a store-admin action,
+    * not an append-path workaround.
     */
   def appendRecorded(spark: SparkSession, path: String,
       batchId: Option[String] = None)(

@@ -2540,6 +2540,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       "mixed case and punctuation tokens survive normalization"))
     // doc 6: null text stays null end-to-end (never fabricated empty)
     out(6L)._3 shouldBe null
+    // splice_tokens is SQL-registered, so hand-assembled arrays are
+    // supported input: a NULL element names no span (ignored), it must
+    // NOT be read as position 0 (review-caught hazard)
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("SELECT splice_tokens('a b c d e', " +
+        "array(CAST(NULL AS INT), 3), 2) AS s")
+      .head().getString(0) shouldBe "a b c"
     // an entirely-duplicated doc comes back EMPTY, not null
     val dup = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
     val d = Dedup.exactSubstrDedup(dup, "doc_id", "text", k = 8,
@@ -4574,6 +4581,46 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         }
       }
     }
+  }
+
+  test("pruned-bloom ledger is versioned create-exclusive: sequential " +
+    "prunes chain versions, the legacy unversioned file migrates in, " +
+    "superseded versions are swept") {
+    import graft.operators.StoreLayout
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom-ver").toString
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    fs.mkdirs(p)
+    // pre-r17 layout: one unversioned _appends_pruned file
+    val legacy = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    legacy.putString("legacy-1")
+    val lout = fs.create(new Path(p, "_appends_pruned"), true)
+    try legacy.writeTo(lout) finally lout.close()
+    def ledgerFiles() = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_appends_pruned")).sorted.toSeq
+    def refused(id: String) = intercept[IllegalStateException] {
+      StoreLayout.requireBatchNotPruned(fs, p, id)
+    }
+    refused("legacy-1")
+    // first prune commits v1 on top of the legacy bits and sweeps the
+    // unversioned file
+    def pruneOne(id: String): Unit = {
+      StoreLayout.writeBatchMarker(fs, p, id)
+      fs.setTimes(new Path(new Path(p, "_appends"), id),
+        System.currentTimeMillis() - 3600000L, -1)
+      StoreLayout.pruneBatchMarkers(fs, p, olderThanMs = 60000L)
+    }
+    pruneOne("new-1")
+    refused("legacy-1") // migrated bits survive
+    refused("new-1")
+    ledgerFiles() shouldBe Seq("_appends_pruned-00000001")
+    // further prunes chain versions and sweep all but the previous one
+    pruneOne("new-2")
+    pruneOne("new-3")
+    Seq("legacy-1", "new-1", "new-2", "new-3").foreach(refused)
+    ledgerFiles() shouldBe
+      Seq("_appends_pruned-00000002", "_appends_pruned-00000003")
   }
 
   test("vacuumIvfIndex on a legacy pre-manifest index is a no-op — no " +

@@ -98,7 +98,8 @@ def main():
     # is self-invalidating.
     ctl = detail.get("control")
     ambient = None
-    if ctl and ctl.get("name") in prev and ctl.get("median", -1) > 0:
+    if (ctl and ctl.get("median", -1) > 0
+            and prev.get(ctl.get("name"), 0) > 0):
         ambient = ctl["median"] / prev[ctl["name"]]
 
     flags, missing, n_ambient = [], [], 0
