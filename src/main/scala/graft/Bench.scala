@@ -95,10 +95,14 @@ object Bench {
     // history is at or below the CONTROL's ratio vs its own history cell
     // is the run's ambient slowdown, not a regression — and a control
     // ratio past the flag threshold marks the whole artifact
-    // self-invalidating. Samples are single executions on purpose: the
-    // control measures the session's ambient AT THAT MOMENT, so
-    // smoothing across reps would hide exactly the drift it exists to
-    // expose (the in-run min/median/max spread is the signal). Known
+    // self-invalidating. Each sample is warm-then-measure: the ~15
+    // intervening queries evict the control's file pages / JIT state,
+    // so a single-shot execution reads the re-warm cost on top of
+    // ambient (observed 0.45-0.7 vs 0.28 back-to-back IN THE SAME idle
+    // run) and would overstate the ambient ratio ~2x against the
+    // history cell, which is a back-to-back warm median; the first
+    // execution re-warms, the second is the sample. No further
+    // smoothing — per-sample drift across the run is the signal. Known
     // trade: the control IS a registry query, so by the time q1_agg's
     // own registry slot runs its plan is warm — its recorded "cold"
     // cell in bench_detail.json is another warm rep, not a cold
@@ -110,8 +114,10 @@ object Bench {
     val controlFn = Queries.benchRegistry(controlName)
     val ctlSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def sampleControl(): Unit =
-      try ctlSamples += timeOnce(controlFn)
-      catch { case _: Throwable => () }
+      try {
+        timeOnce(controlFn) // re-warm (see header comment)
+        ctlSamples += timeOnce(controlFn)
+      } catch { case _: Throwable => () }
     try timeOnce(controlFn) // one cold exec: samples measure the plan,
     catch { case _: Throwable => () } // not session bring-up
     sampleControl()
