@@ -92,6 +92,53 @@ object Dedup {
     graft.plans.GraftExtensions.callNative("minhash_signature", hashCol,
       F.lit(numHashes), F.lit(seed))
 
+  /** The banded-LSH S-curve: probability that a pair with Jaccard
+    * similarity `s` shares at least one of `bands` band buckets at
+    * `rows = numHashes / bands` signature rows per band —
+    * `1 − (1 − s^rows)^bands` (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    * The verify stage makes banding a pure RECALL/cost knob (candidates
+    * below `threshold` are filtered by exact Jaccard, never reported),
+    * so this is the function to read when picking parameters.
+    */
+  def lshCatchProbability(s: Double, numHashes: Int, bands: Int): Double = {
+    require(bands >= 1 && numHashes % bands == 0,
+      "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
+  }
+
+  /** Pick the band count for a target Jaccard `threshold` at a given
+    * signature width: the FEWEST bands (= most rows per band = the
+    * steepest S-curve = the least sub-threshold candidate volume, since
+    * a random low-similarity pair collides with probability
+    * ≈ bands·s^rows) that still catch a pair AT the threshold with
+    * probability ≥ `minRecall` — recall is the constraint, verify-stage
+    * cost the objective (the verify makes banding a pure recall/cost
+    * knob; see [[lshCatchProbability]]). Returns (bands, rowsPerBand,
+    * pCatchAtThreshold). Sanity anchors: (64, 0.8) returns the engine
+    * defaults 16 bands × 4 rows (catch 0.99978 at s = 0.8); a
+    * 0.95-threshold dedup gets 8 × 8 (catch 0.9998) at roughly half the
+    * random-collision volume.
+    */
+  def bandsForThreshold(numHashes: Int, threshold: Double,
+      minRecall: Double = 0.95): (Int, Int, Double) = {
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(minRecall > 0 && minRecall < 1,
+      s"minRecall must be in (0, 1), got $minRecall")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val ok = divisors.filter(b =>
+      lshCatchProbability(threshold, numHashes, b) >= minRecall)
+    // rows = 1 (bands = numHashes) is the flattest curve and the
+    // highest recall — if even it misses the bar, return it anyway
+    // (the caller asked for more recall than the width can give; the
+    // returned probability says so honestly)
+    val bands = if (ok.nonEmpty) ok.min else numHashes
+    (bands, numHashes / bands,
+      lshCatchProbability(threshold, numHashes, bands))
+  }
+
   /** Near-duplicate pairs via banded LSH over MinHash signatures, verified
     * with exact Jaccard within buckets only.
     *

@@ -2487,6 +2487,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (kept should not).contain(100L)
   }
 
+  test("LSH band tuner: S-curve math pins and recall-constrained band " +
+    "choice (MMDS ch. 3)") {
+    // closed-form pin
+    Dedup.lshCatchProbability(0.97, 64, 16) shouldBe
+      (1.0 - math.pow(1 - math.pow(0.97, 4), 16)) +- 1e-12
+    // the engine defaults catch s = 0.8 near-certainly
+    Dedup.lshCatchProbability(0.8, 64, 16) should be > 0.999
+    // tuner reproduces the defaults for the default threshold...
+    val (b8, r8, p8) = Dedup.bandsForThreshold(64, 0.8)
+    (b8, r8) shouldBe ((16, 4))
+    p8 should be > 0.999
+    // ...and affords fewer bands (cheaper candidates) at 0.95
+    val (b95, r95, p95) = Dedup.bandsForThreshold(64, 0.95)
+    (b95, r95) shouldBe ((8, 8))
+    p95 should be > 0.999
+    // the returned probability is honest when the width can't deliver
+    val (bHard, _, pHard) = Dedup.bandsForThreshold(4, 0.05,
+      minRecall = 0.999)
+    bHard shouldBe 4
+    pHard should be < 0.999
+    // guards
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.lshCatchProbability(0.5, 64, 3) // non-divisor
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.bandsForThreshold(64, 1.5)
+  }
+
   test("duplicatedPassages: hashed keys match exact-string keys row-for-row") {
     def run(h: Boolean) = TextAnalysis
       .duplicatedPassages(docs, "doc_id", "text", window = 8, hashed = h)
