@@ -101,8 +101,9 @@ object Dedup {
     * so this is the function to read when picking parameters.
     */
   def lshCatchProbability(s: Double, numHashes: Int, bands: Int): Double = {
-    require(bands >= 1 && numHashes % bands == 0,
-      "numHashes must be divisible by bands")
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"need numHashes >= 1 divisible by bands >= 1, got " +
+        s"numHashes=$numHashes bands=$bands")
     val rows = numHashes / bands
     1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
   }

@@ -641,16 +641,23 @@ private[graft] object StoreLayout {
   // The ledger is VERSIONED since r17: `_appends_pruned-%08d`, committed
   // create-exclusive like manifests, readers resolve the newest. The
   // pre-r17 unversioned `_appends_pruned` file is read as version 0 and
-  // folded into v1 by the first versioned commit.
-  private val PrunedBloomVersioned = (PrunedBloomName + "-(\\d{8})").r
+  // folded into v1 by the first versioned commit. The regex accepts
+  // 8-OR-MORE digits: %08d grows past 99,999,999 and a version the
+  // readers can't resolve would freeze the ledger at the previous one
+  // (review-caught).
+  private val PrunedBloomVersioned = (PrunedBloomName + "-(\\d{8,})").r
 
   /** Newest ledger version in `dir`: (version, path), the legacy
     * unversioned file counting as version 0. None = no ledger yet.
+    * Server-side glob, not a listStatus of the whole store root — a
+    * flat store can hold thousands of part files and this runs on
+    * every batchId append (review-caught).
     */
   private def newestPrunedBloom(fs: FileSystem,
       dir: Path): Option[(Long, Path)] = {
     val listed =
-      try fs.listStatus(dir).toSeq
+      try Option(fs.globStatus(new Path(dir, PrunedBloomName + "*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     val versioned = listed.flatMap(st => st.getPath.getName match {
       case PrunedBloomVersioned(v) => Some((v.toLong, st.getPath))
@@ -661,36 +668,60 @@ private[graft] object StoreLayout {
       .map(st => (0L, st.getPath))
   }
 
-  private def readPrunedBloom(fs: FileSystem,
-      dir: Path): Option[org.apache.spark.util.sketch.BloomFilter] =
-    newestPrunedBloom(fs, dir).flatMap { case (_, f) =>
-      val status =
-        try Some(fs.getFileStatus(f))
-        catch { case _: java.io.FileNotFoundException => None }
-      status.flatMap { st =>
-        // the NAME is part of the fingerprint: versioned commits never
-        // rewrite a file in place, so (name, mtime, len) is stable
-        val fp = s"${f.getName}:${st.getModificationTime}:${st.getLen}"
-        val cacheable = fsScheme(fs) == "file"
-        (if (cacheable) bloomCache.get(dir.toString) else null) match {
-          case (oldFp, b) if oldFp == fp => Some(b)
-          case _ =>
-            // the file can vanish between the listing and the open (two
-            // newer versions committed and the GC swept this one) — a
-            // miss degrades to the pre-bloom behavior for this one
-            // check, never crashes the append
-            try {
-              val in = fs.open(f)
-              val b =
-                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                finally in.close()
-              if (cacheable)
-                bloomCache.put(dir.toString, (fp, b)) // LRU-bounded at 256
-              Some(b)
-            } catch { case _: java.io.FileNotFoundException => None }
-        }
+  /** Read the bloom at an already-resolved ledger file; None when it
+    * vanished between resolution and open.
+    */
+  private def readBloomAt(fs: FileSystem, dir: Path,
+      f: Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val status =
+      try Some(fs.getFileStatus(f))
+      catch { case _: java.io.FileNotFoundException => None }
+    status.flatMap { st =>
+      // the NAME is part of the fingerprint: versioned commits never
+      // rewrite a file in place, so (name, mtime, len) is stable
+      val fp = s"${f.getName}:${st.getModificationTime}:${st.getLen}"
+      val cacheable = fsScheme(fs) == "file"
+      (if (cacheable) bloomCache.get(dir.toString) else null) match {
+        case (oldFp, b) if oldFp == fp => Some(b)
+        case _ =>
+          try {
+            val in = fs.open(f)
+            val b =
+              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              finally in.close()
+            if (cacheable)
+              bloomCache.put(dir.toString, (fp, b)) // LRU-bounded at 256
+            Some(b)
+          } catch { case _: java.io.FileNotFoundException => None }
       }
     }
+  }
+
+  /** Newest ledger bloom. A file can vanish between the glob and the
+    * open (a racing committer's sweep) — but at [[requireBatchNotPruned]]
+    * a silent miss ADMITS a possibly-pruned batch, so a vanished file is
+    * re-resolved (the racing commit left a NEWER file with a superset of
+    * the bits) up to 3 times, mirroring the manifest reader's
+    * vanished-version retry. None only when no ledger file exists at
+    * all after a fresh look.
+    */
+  private def readPrunedBloom(fs: FileSystem,
+      dir: Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    var attempt = 0
+    while (attempt < 3) {
+      newestPrunedBloom(fs, dir) match {
+        case None => return None // genuinely no ledger
+        case Some((_, f)) =>
+          readBloomAt(fs, dir, f) match {
+            case some @ Some(_) => return some
+            case None => attempt += 1 // vanished: re-resolve the newer one
+          }
+      }
+    }
+    log.warn(s"$dir: pruned-batch ledger kept vanishing across 3 " +
+      "re-resolutions — treating as absent for this one check")
+    None
+  }
 
   /** Fold `ids` into the store's pruned-batch bloom; true iff the update
     * is durably in place (the caller deletes markers ONLY then).
@@ -726,22 +757,35 @@ private[graft] object StoreLayout {
       var attempts = 0
       while (attempts < 8) {
         attempts += 1
+        // ONE resolution per attempt (the bloom read takes the resolved
+        // path instead of re-globbing)
         val cur = newestPrunedBloom(fs, dir)
         val curVer = cur.map(_._1).getOrElse(-1L)
-        val bloom = readPrunedBloom(fs, dir).getOrElse(
-          org.apache.spark.util.sketch.BloomFilter
+        val bloom = cur.flatMap { case (_, f) => readBloomAt(fs, dir, f) }
+          .getOrElse(org.apache.spark.util.sketch.BloomFilter
             .create(BloomCapacity, BloomFpp))
         ids.foreach(bloom.putString)
         val target = new Path(dir, f"$PrunedBloomName-${curVer + 1}%08d")
         val tmp = new Path(dir,
           s".$PrunedBloomName-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = fs.create(tmp, true)
-        try bloom.writeTo(out) finally out.close()
-        // create-exclusive commit: an existing target (a racing pruner
-        // won this version) fails the rename on HDFS; the pre-check
-        // covers local FS, whose rename silently overwrites (there the
-        // stripe lock + writer lease make the race impossible anyway)
-        val won = !fs.exists(target) && fs.rename(tmp, target)
+        // any failure from create to rename deletes the staging file —
+        // nothing else ever sweeps this dot-prefix (review-caught leak)
+        val won =
+          try {
+            val out = fs.create(tmp, true)
+            try bloom.writeTo(out) finally out.close()
+            // create-exclusive commit: an existing target (a racing
+            // pruner won this version) fails the rename on HDFS; the
+            // pre-check covers local FS, whose rename silently
+            // overwrites (there the stripe lock + writer lease make the
+            // race impossible anyway)
+            !fs.exists(target) && fs.rename(tmp, target)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              try fs.delete(tmp, false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
         if (!won) {
           fs.delete(tmp, false)
           // loop: re-read the winner's bloom (it has the winner's ids),
@@ -755,17 +799,20 @@ private[graft] object StoreLayout {
           }
           // sweep superseded versions, keeping the immediately previous
           // one as the in-flight readers' window; the legacy unversioned
-          // file is folded in by construction and swept here too
+          // file (readable only when curVer == 0) is folded in by
+          // construction and swept too — a reader that raced the sweep
+          // re-resolves to the newer superset file (readPrunedBloom)
           try {
-            fs.listStatus(dir).foreach { st =>
-              st.getPath.getName match {
-                case PrunedBloomVersioned(v) if v.toLong < curVer =>
-                  fs.delete(st.getPath, false)
-                case PrunedBloomName if curVer + 1 > 0 =>
-                  fs.delete(st.getPath, false)
-                case _ => ()
+            Option(fs.globStatus(new Path(dir, PrunedBloomName + "*")))
+              .map(_.toSeq).getOrElse(Seq.empty).foreach { st =>
+                st.getPath.getName match {
+                  case PrunedBloomVersioned(v) if v.toLong < curVer =>
+                    fs.delete(st.getPath, false)
+                  case PrunedBloomName =>
+                    fs.delete(st.getPath, false)
+                  case _ => ()
+                }
               }
-            }
           } catch { case scala.util.control.NonFatal(_) => () }
           return true
         }
