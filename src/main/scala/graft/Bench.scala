@@ -20,14 +20,16 @@ import java.nio.file.{Files, Paths}
   *
   * CONTENTION-EVIDENT: the q1_agg ambient control is re-timed every 15
   * queries through the run (plus once before and once after); its
-  * samples land in `bench_detail.json` (`control`) and its min/median
-  * in the stdout line (`ctl_min`/`ctl_med`). `tools/bench_flags.py`
-  * divides the control's median by its own history cell to get the
-  * run's AMBIENT RATIO, auto-annotates every flag at or below it as
-  * ambient, and declares the artifact self-invalidating when the
-  * control itself crosses the flag threshold — so a bench run on a
-  * loaded box reports its own invalidity instead of manufacturing 74
-  * phantom regressions (the r16 driver artifact).
+  * samples land in `bench_detail.json` (`control`, with run
+  * `positions` since r18) and its min/median in the stdout line
+  * (`ctl_min`/`ctl_med`). `tools/bench_flags.py` judges each flag
+  * POSITION-LOCALLY against the control samples bracketing its run
+  * position (plus the per-query load stamp when the run is bursty),
+  * auto-annotates ambient flags, and declares the artifact
+  * self-invalidating when the control's median crosses the flag
+  * threshold — so a bench run on a loaded box reports its own
+  * invalidity instead of manufacturing 74 phantom regressions (the
+  * r16 driver artifact) or 26 hand-adjudicated ones (the r17).
   *
   * The driver harvests the line from a bounded LOG TAIL. Three rounds of
   * `"parsed": null` proved the per-query map doesn't fit: at 91+ queries
@@ -109,21 +111,31 @@ object Bench {
     // execution. Acceptable: q1_agg's cold/warm self-diagnosis signal
     // is the one sacrificed to gain the ambient signal for all 100+
     // others (and its true cold lives in every TimeQuery rep1).
+    // Sample positions are stamped alongside the samples (r18,
+    // round-17 verdict #1): tools/bench_flags.py judges each flag
+    // against the control samples BRACKETING its run position, so the
+    // artifact self-adjudicates positionally instead of averaging a
+    // mid-run contention burst into one global ratio. A failed sample
+    // records -1 (never silently dropped — that would shift the
+    // position alignment the reader depends on). Control sampling
+    // catches NonFatal only: an OutOfMemoryError/fatal VM error must
+    // crash the bench rather than let a corrupted JVM keep producing
+    // an artifact that merely looks control-less (r17 ADVICE).
     val CtlEvery = 15
     val controlName = "q1_agg"
     val controlFn = Queries.benchRegistry(controlName)
-    val ctlSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def sampleControl(): Unit =
+    val ctlSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    def sampleControl(pos: Int): Unit =
       try {
         timeOnce(controlFn) // re-warm (see header comment)
-        ctlSamples += timeOnce(controlFn)
-      } catch { case _: Throwable => () }
+        ctlSamples += ((pos, timeOnce(controlFn)))
+      } catch { case scala.util.control.NonFatal(_) => ctlSamples += ((pos, -1.0)) }
     try timeOnce(controlFn) // one cold exec: samples measure the plan,
-    catch { case _: Throwable => () } // not session bring-up
-    sampleControl()
+    catch { case scala.util.control.NonFatal(_) => () } // not session bring-up
+    sampleControl(0)
     val results: Seq[(String, Double, Seq[Double], Double)] =
       Queries.benchRegistry.toSeq.zipWithIndex.map { case ((name, fn), i) =>
-        if (i > 0 && i % CtlEvery == 0) sampleControl()
+        if (i > 0 && i % CtlEvery == 0) sampleControl(i)
         val qLoad = loadNow()
         try {
           val c = timeOnce(fn)
@@ -139,7 +151,7 @@ object Bench {
             (name, -1.0, Seq(-1.0), qLoad)
         }
       }
-    sampleControl()
+    sampleControl(results.size)
     def median(ws: Seq[Double]): Double = ws.sorted.apply(ws.size / 2)
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -148,7 +160,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._3)).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val ctl = ctlSamples.toSeq
+    val ctl = ctlSamples.toSeq.map(_._2).filter(_ >= 0)
     val (ctlMin, ctlMed) =
       if (ctl.isEmpty) (-1.0, -1.0) else (ctl.min, median(ctl))
     // compact stdout line: NO per-query map (overflows the driver's log
@@ -163,14 +175,18 @@ object Bench {
     println(line)
     try {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
+      // samples + positions are written UNFILTERED and aligned (a
+      // failed sample keeps its -1 slot): bench_flags.py's bracketing
+      // lookup depends on the alignment and skips non-positive values
       val ctlJson =
-        s"""{"name":"$controlName","every":$CtlEvery,"min":${r3(ctlMin)},"median":${r3(ctlMed)},"samples":[${ctl.map(r3).mkString(",")}]}"""
-      val detail = results
-        .map { case (k, c, ws, qLoad) =>
+        s"""{"name":"$controlName","every":$CtlEvery,"min":${r3(ctlMin)},"median":${r3(ctlMed)},"samples":[${ctlSamples.map(s => r3(s._2)).mkString(",")}],"positions":[${ctlSamples.map(_._1).mkString(",")}]}"""
+      val detail = results.zipWithIndex
+        .map { case ((k, c, ws, qLoad), i) =>
           "\"" + k + "\":{\"cold\":" + r3(c) +
             ",\"warm\":" + r3(median(ws)) +
             ",\"wmin\":" + r3(ws.min) + ",\"wmax\":" + r3(ws.max) +
-            ",\"load\":" + r3(qLoad) + ",\"reps\":" + ws.size + "}"
+            ",\"load\":" + r3(qLoad) + ",\"reps\":" + ws.size +
+            ",\"pos\":" + i + "}"
         }
         .mkString("{\"load\":" + r3(load) + ",\"control\":" + ctlJson +
           ",\"queries\":{", ",", "}}")

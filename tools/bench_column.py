@@ -71,6 +71,16 @@ def main():
             in_main, done_main = False, True
         out.append(ln)
 
+    # table ends at EOF (file has no trailing non-table line): flush the
+    # same table-end handling the loop would have run — without this the
+    # rows were appended but the tool exited "no main table found"
+    # (r17 ADVICE)
+    if in_main:
+        for name in sorted(set(warm) - seen):
+            out.append("| " + name + " |" + " — |" * (ncols - 1)
+                       + cell(name))
+        in_main, done_main = False, True
+
     if not done_main:
         sys.exit("no main table found (no '| query |' header)")
 

@@ -10,11 +10,35 @@ close note hand-picked 5 of 11 flags; this makes the enumeration
 mechanical so only the adjudication stays human.
 
 Since r17 the detail file carries graft.Bench's interleaved q1_agg
-control; each flag is auto-annotated `ambient` when its ratio is at or
-below the control's own history ratio (run contention, not a
-regression), and the whole artifact is declared self-invalidating when
-the control itself exceeds the threshold. Only `ADJUDICATE` rows need
-a human idle re-time.
+control. Since r18 the adjudication is POSITION-LOCAL (round-17 verdict
+"next round #1": the global control median closed a contended run at
+0.91x while per-query loads spiked to 6.6, leaving 26 rows for a human
+to idle re-time — the burst that inflated them was visible in control
+sample #10 at 2.612 s, but a single global ratio averaged it away).
+Each query knows its RUN POSITION (stamped `pos` since r18; derived
+from the detail file's insertion order for older artifacts, which is
+the run order) and each control sample its own position (`positions`
+since r18; derived from the `every` cadence otherwise). A flag is
+auto-annotated `ambient` when its history ratio is at or below the
+LOCAL ambient ratio — the max of the two control samples bracketing
+its run position (a contention burst between samples is seen by at
+least one of its brackets; max, not nearest, so a query halfway
+between a clean and a burst sample is judged against the burst it may
+have straddled). The 15-query cadence still cannot see a burst that
+rose and fell entirely between two clean samples, so a SECOND
+positional signal closes that gap: when the run is BURSTY (some
+control sample itself crossed the flag threshold — ambient provably
+exceeded the regression bar somewhere in the run), a flag whose own
+stamped 1-min load exceeds the idle bar (0.8; the close ritual
+requires load < 0.3 before a close run, so a proper close is never
+touched by this rule) is annotated `ambient(load)` — it ran during
+measured machine activity inside a run where ambient is known to have
+crossed the bar. Only `ADJUDICATE` rows need a human idle re-time.
+The artifact is declared self-invalidating when the control's MEDIAN
+exceeds the threshold — in that case ambient-annotated rows are also
+unverified (a genuine regression smaller than the run's contention
+ratio hides below it) and the whole artifact needs an idle re-run,
+not just the ADJUDICATE rows.
 
 Usage: bench_flags.py [bench_detail.json] [BENCH_HISTORY.md] [threshold]
                       [column]
@@ -79,6 +103,41 @@ def history_column(path, column=None):
     return col_name, out
 
 
+def control_positions(ctl, n_queries):
+    """Run positions of the control samples. r18+ artifacts stamp them
+    (`positions`, aligned with `samples`); for older artifacts they are
+    reconstructed from graft.Bench's fixed cadence: one sample before
+    query 0, one before every `every`-th query, one after the last.
+    Reconstruction is exact for any artifact that Bench produced —
+    the cadence has been deterministic since the control landed in r17.
+    """
+    if "positions" in ctl:
+        return list(ctl["positions"])
+    every = ctl.get("every", 15)
+    pos = [0] + [i for i in range(every, n_queries, every)] + [n_queries]
+    # A failed sample (swallowed by Bench) would shift alignment; the
+    # caller compares lengths and falls back to global-only.
+    return pos
+
+
+def local_ambient(qpos, samples, positions, prev_cell):
+    """Max ratio of the two control samples bracketing run position
+    `qpos` (or the single nearest when qpos is outside the sampled
+    range). Returns None when no sample is usable."""
+    before = [(p, s) for p, s in zip(positions, samples)
+              if p <= qpos and s > 0]
+    after = [(p, s) for p, s in zip(positions, samples)
+             if p > qpos and s > 0]
+    picks = []
+    if before:
+        picks.append(max(before)[1])
+    if after:
+        picks.append(min(after)[1])
+    if not picks or prev_cell <= 0:
+        return None
+    return max(picks) / prev_cell
+
+
 def main():
     detail_path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
     hist_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_HISTORY.md"
@@ -88,19 +147,36 @@ def main():
     queries = detail["queries"]
     col_name, prev = history_column(hist_path, column)
 
-    # Ambient ratio from the run's interleaved control (graft.Bench
-    # stamps `control` since r17): the control's median over the run
-    # divided by its own history cell. A flag whose ratio is at or
-    # below the ambient ratio re-times AT the run's own slowdown — the
-    # r15/r16 adjudications found every such flag to be run contention,
-    # so they are auto-annotated `ambient` (humans adjudicate only what
-    # exceeds the control). Control past the threshold = the artifact
-    # is self-invalidating.
+    # Global ambient ratio (r17 behavior, kept for the header line and
+    # self-invalidation call): the control's median over the run divided
+    # by its own history cell. Per-flag verdicts use the POSITION-LOCAL
+    # ratio below.
     ctl = detail.get("control")
     ambient = None
+    ctl_samples, ctl_pos = [], []
     if (ctl and ctl.get("median", -1) > 0
             and prev.get(ctl.get("name"), 0) > 0):
         ambient = ctl["median"] / prev[ctl["name"]]
+        ctl_samples = [s for s in ctl.get("samples", [])]
+        ctl_pos = control_positions(ctl, len(queries))
+        if len(ctl_pos) != len(ctl_samples):
+            # a swallowed sample broke alignment — positions unusable
+            ctl_samples, ctl_pos = [], []
+
+    # run position per query: explicit `pos` (r18+) else insertion
+    # order, which is the run order (Bench writes results in sequence
+    # and json.load preserves object order)
+    order = {name: i for i, name in enumerate(queries)}
+
+    # Bursty run: some control sample itself crossed the flag threshold
+    # — ambient provably exceeded the regression bar at least once
+    # during the run. In that state the load-stamp rule (header doc)
+    # may close flags the sparse control cadence cannot bracket.
+    LOAD_IDLE_BAR = 0.8
+    bursty = False
+    if ctl_samples and prev.get(ctl.get("name"), 0) > 0:
+        cell = prev[ctl["name"]]
+        bursty = any(s / cell > threshold for s in ctl_samples if s > 0)
 
     flags, missing, n_ambient = [], [], 0
     for name, d in sorted(queries.items()):
@@ -113,25 +189,46 @@ def main():
         ratio = warm / prev[name]
         if ratio > threshold:
             spread = (d.get("wmax", 0) / max(d.get("wmin", 0), 1e-9))
-            is_ambient = ambient is not None and ratio <= ambient
-            n_ambient += is_ambient
-            flags.append((ratio, name, prev[name], warm, d.get("load", -1),
-                          d.get("reps", 0), spread, is_ambient))
+            qpos = d.get("pos", order[name])
+            qload = d.get("load", -1)
+            loc = None
+            if ctl_samples:
+                loc = local_ambient(qpos, ctl_samples, ctl_pos,
+                                    prev[ctl["name"]])
+            if loc is None:
+                loc = ambient  # no positional data: global fallback
+            verdict = "ADJUDICATE"
+            if loc is not None and ratio <= loc:
+                verdict = "ambient"
+            elif bursty and qload > LOAD_IDLE_BAR:
+                verdict = "ambient(load)"
+            n_ambient += verdict != "ADJUDICATE"
+            flags.append((ratio, name, prev[name], warm, qload,
+                          d.get("reps", 0), spread, loc, verdict))
 
     print(f"# bench flags >{threshold}x vs history column '{col_name}' "
           f"({len(flags)} of {len(queries)} queries; "
           f"{len(missing)} new/unhistoried)")
     if ambient is not None:
+        mode = ("position-local (bracketing control samples)"
+                if ctl_samples else "GLOBAL ONLY (sample positions "
+                "unavailable)")
         print(f"# control {ctl['name']}: median {ctl['median']:.2f} vs "
-              f"history {prev[ctl['name']]:.2f} -> ambient ratio "
+              f"history {prev[ctl['name']]:.2f} -> global ambient ratio "
               f"{ambient:.2f}x (samples min {ctl.get('min', -1):.2f}, "
-              f"n={len(ctl.get('samples', []))}); "
-              f"{n_ambient} flags at-or-below ambient auto-annotated")
+              f"n={len(ctl.get('samples', []))}); adjudication {mode}; "
+              f"bursty={'yes' if bursty else 'no'}; "
+              f"{n_ambient} flags auto-annotated ambient "
+              f"(local-control or load rule)")
         if ambient > threshold:
             print(f"# RUN SELF-INVALIDATING: the control itself ran "
                   f"{ambient:.2f}x its history cell (> {threshold}x "
                   f"threshold) — this artifact measures the box, not the "
-                  f"code; adjudicate only flags ABOVE the ambient ratio")
+                  f"code. NOTE: in this state `ambient` rows are ALSO "
+                  f"unverified (a real regression smaller than the run's "
+                  f"contention ratio hides below it); re-run the whole "
+                  f"bench at idle rather than re-timing only ADJUDICATE "
+                  f"rows")
     elif ctl:
         print(f"# control {ctl.get('name')} present but not in history "
               f"column '{col_name}' — no ambient annotation")
@@ -139,13 +236,14 @@ def main():
         print("# no control block in detail (pre-r17 artifact) — no "
               "ambient annotation")
     print("| query | prev | now | ratio | load | reps | wmax/wmin | "
-          "verdict |")
-    print("|---|---|---|---|---|---|---|---|")
-    for (ratio, name, p, w, load, reps, spread,
-         is_ambient) in sorted(flags, reverse=True):
-        verdict = "ambient" if is_ambient else "ADJUDICATE"
+          "local_amb | verdict |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for (ratio, name, p, w, load, reps, spread, loc,
+         verdict) in sorted(flags, reverse=True):
+        loc_s = f"{loc:.2f}x" if loc is not None else "—"
         print(f"| {name} | {p:.2f} | {w:.2f} | {ratio:.2f}x | "
-              f"{load:.2f} | {reps} | {spread:.2f}x | {verdict} |")
+              f"{load:.2f} | {reps} | {spread:.2f}x | {loc_s} | "
+              f"{verdict} |")
     if missing:
         print(f"\nqueries with no numeric '{col_name}' cell: "
               f"{', '.join(sorted(missing))}")
