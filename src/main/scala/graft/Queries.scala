@@ -1970,6 +1970,84 @@ object Queries {
     store.join(direct, Seq("token"))
   }
 
+  private val kmvRetractDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Batch retraction from a persisted KMV store
+    * ([[Sketches.dropBatchFromStore]] — the flat stores' RTBF verb):
+    * build from the orderkey%3==0 third, append b1 (%3==1) and b2
+    * (%3==2) as id'd batches, then DROP b2 — manifest surgery excluding
+    * exactly its part files. Serving folds the survivors, so the
+    * estimate equals the direct estimate over thirds 0∪1, and the
+    * oracle replays the surviving-parts k-min fold (per-batch top-64 →
+    * union → global top-64) next to the direct path independently — a
+    * store still serving the dropped batch hash-mismatches.
+    */
+  def q_kmv_retract(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val path = kmvRetractDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-kmvretract-reg").toString + "/store"
+      Sketches.buildKmvStore(o.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        Seq("o_orderstatus"), "o_custkey", k = 64, dir)
+      Sketches.appendToKmvStore(
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === 1), dir,
+        batchId = Some("b1"))
+      Sketches.appendToKmvStore(
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === 2), dir,
+        batchId = Some("b2"))
+      Sketches.dropBatchFromStore(s, dir, "b2")
+      dir
+    })
+    val store = Sketches.kmvDistinctFromStore(s, path)
+      .withColumnRenamed("est_distinct", "est_store")
+    val direct = Sketches.kmvDistinct(
+        o.filter(pmod(col("o_orderkey"), lit(3L)) < 2),
+        Seq("o_orderstatus"), "o_custkey", k = 64)
+      .withColumnRenamed("est_distinct", "est_direct")
+    store.join(direct, Seq("o_orderstatus"))
+  }
+
+  private val cmsRetractDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Linear retraction from a persisted CMS store
+    * ([[Sketches.retractFromCmsStore]] — the POST-COMPACTION erasure
+    * path): build from the doc%3==1 token stream, append thirds 2 and
+    * 0, COMPACT (folding all three into one grid — dropBatchFromStore
+    * can no longer exclude parts), then retract third 0 by appending
+    * its NEGATED grid. Cell sums cancel exactly, so the store estimate
+    * equals the direct estimate over thirds 1∪2; the oracle replays
+    * that surviving grid and the direct probe independently — a
+    * double-applied or missing retraction hash-mismatches.
+    */
+  def q_cms_retract(s: SparkSession, d: String): DataFrame = {
+    def toks(parity: Int) = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3L)) === parity)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val path = cmsRetractDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cmsretract-reg").toString + "/store"
+      Sketches.buildCmsStore(toks(1), "tok", depth = 4, width = 2048, dir)
+      Sketches.appendToCmsStore(toks(2), dir, batchId = Some("b2"))
+      Sketches.appendToCmsStore(toks(0), dir, batchId = Some("b0"))
+      Sketches.compactCmsStore(s, dir) // folds b0 into the merged grid
+      Sketches.retractFromCmsStore(toks(0), dir,
+        batchId = Some("b0-retract"))
+      dir
+    })
+    val store = Sketches.cmsEstimateFromStore(s, path, cmsCandidates)
+      .withColumnRenamed("est_n", "est_store")
+    val surviving = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val direct = Sketches.cmsEstimate(
+        Sketches.cmsSketch(surviving, "tok", depth = 4, width = 2048),
+        cmsCandidates, depth = 4, width = 2048)
+      .withColumnRenamed("est_n", "est_direct")
+    store.join(direct, Seq("token"))
+  }
+
   /** HLL approximate count-distinct ([[Sketches.hllDistinct]]): distinct
     * users per event type AND global distinct event ids through the
     * m=1024 register sketch — ≤ m register rows per group cross the
@@ -3862,6 +3940,77 @@ object Queries {
         |  FROM dr GROUP BY st)
         |SELECT st AS o_orderstatus, est_store, est_direct
         |FROM mest JOIN dest USING (st)""".stripMargin,
+    // The KMV retraction oracle replays the SURVIVING-parts fold (the
+    // build third + batch b1; dropped b2 never enters) — per-batch
+    // top-64 → union → global top-64 — next to the direct estimate over
+    // thirds 0∪1. A store still serving the dropped batch's sketch
+    // hash-mismatches.
+    "q_kmv_retract" ->
+      """WITH ev AS (
+        |  SELECT o_orderstatus AS st, o_custkey AS c,
+        |    o_orderkey % 3 AS batch
+        |  FROM orders WHERE o_orderkey % 3 < 2),
+        |h AS (
+        |  SELECT DISTINCT st, batch,
+        |    ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT + 1 AS hv
+        |  FROM ev),
+        |pr AS (
+        |  SELECT st, batch, hv,
+        |    row_number() OVER (PARTITION BY st, batch ORDER BY hv) AS rn
+        |  FROM h),
+        |mu AS (SELECT DISTINCT st, hv FROM pr WHERE rn <= 64),
+        |mr AS (
+        |  SELECT st, hv,
+        |    row_number() OVER (PARTITION BY st ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY st) AS nd
+        |  FROM mu),
+        |mest AS (
+        |  SELECT st,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_store
+        |  FROM (SELECT * FROM mr WHERE rn <= 64) GROUP BY st),
+        |du AS (SELECT DISTINCT st, hv FROM h),
+        |dr AS (
+        |  SELECT st, hv,
+        |    row_number() OVER (PARTITION BY st ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY st) AS nd
+        |  FROM du),
+        |dest AS (
+        |  SELECT st,
+        |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE round(270582939648.0 / max(CASE WHEN rn = 64 THEN hv END), 4)
+        |    END AS est_direct
+        |  FROM dr GROUP BY st)
+        |SELECT st AS o_orderstatus, est_store, est_direct
+        |FROM mest JOIN dest USING (st)""".stripMargin,
+    // The CMS retraction oracle: after the negated-grid append, cell
+    // sums over (build third 1 + third 2 + third 0 − third 0) equal the
+    // grid over thirds 1∪2 EXACTLY (linearity, same hashes) — so the
+    // replay grids only the surviving thirds and probes both paths.
+    "q_cms_retract" ->
+      s"""WITH toks AS (
+        |  SELECT unnest($DTok) AS tok FROM documents WHERE doc_id % 3 <> 0),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    (('0x' || substr(md5(tok || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket,
+        |    count(*) AS n
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |cand AS (SELECT unnest(['join', 'hash', 'scan', 'vector', 'data',
+        |                        'customer', 'order', 'quantile', 'zzzunseen',
+        |                        'qqabsent']) AS token),
+        |probe AS (
+        |  SELECT token, j,
+        |    (('0x' || substr(md5(token || '_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT + 1) % 2048 AS bucket
+        |  FROM cand CROSS JOIN js),
+        |se AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est_store
+        |  FROM probe LEFT JOIN cells USING (j, bucket) GROUP BY token),
+        |de AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est_direct
+        |  FROM probe LEFT JOIN cells USING (j, bucket) GROUP BY token)
+        |SELECT token, est_store, est_direct FROM se JOIN de USING (token)""".stripMargin,
     // The CMS store oracle replays per-batch grids (doc parity) summed
     // cell-wise AND the direct whole-stream grid; both probe the same
     // candidate buckets.
@@ -4686,7 +4835,9 @@ object Queries {
     "q_kmv_merge" -> (q_kmv_merge _),
     "q_kmv_overlap" -> (q_kmv_overlap _),
     "q_kmv_store" -> (q_kmv_store _),
+    "q_kmv_retract" -> (q_kmv_retract _),
     "q_cms_store" -> (q_cms_store _),
+    "q_cms_retract" -> (q_cms_retract _),
     // round-12: HLL register sketches (cardinality at a fixed ≤ m-row
     // register grid per group) + binary-grid histogram quantiles (rank
     // reads over the histogram, never a corpus sort)

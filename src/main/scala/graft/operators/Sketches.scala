@@ -669,6 +669,40 @@ object Sketches {
     }
   }
 
+  /** Retract a batch's contribution from a CMS store BY LINEARITY —
+    * the post-compaction erasure path [[dropBatchFromStore]] cannot
+    * offer (a folded grid has no per-batch parts left to exclude, but
+    * cell sums subtract exactly). Sketches `batch` under the store's
+    * own contract (params + hash flavor), NEGATES every cell count, and
+    * appends the negative grid as a normal batch: the serving fold's
+    * cell-wise sum then cancels the original contribution EXACTLY —
+    * same hashes, same cells, zero residue — whether the original
+    * batch's parts are still individual or long since folded.
+    *
+    * Caller contract: `batch` must be the SAME rows (and the store the
+    * same params) as the append being retracted — retracting rows that
+    * were never appended drives cells negative and point estimates with
+    * them (linearity cuts both ways). `batchId` must be a FRESH id
+    * (ids are permanently consumed per store; derive it from the
+    * original, e.g. `"<origId>-retract"`), and buys the same
+    * exactly-once retry contract appends have — critical here, since a
+    * double-applied retraction would subtract twice.
+    */
+  def retractFromCmsStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val (depth, width, flavor, tokenCol) = readCmsParams(spark, path)
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
+      cmsSketch(batch, tokenCol, depth, width, flavor)
+        .withColumn("n", -F.col("n"))
+        .write.parquet(scratch)
+    }
+    storeAppendFault()
+    maybeAutoCompact(spark, path, autoCompactParts) {
+      compactCmsStore(spark, path)
+    }
+  }
+
   /** Serving face: sum the stored batch grids cell-wise and point-probe
     * candidates — reads ≤ batches·d·w cell rows, never any tokens.
     * Manifest-pinned ([[StoreLayout.readStore]]).
@@ -1266,6 +1300,30 @@ object Sketches {
     }
   }
 
+  /** Retract a batch from a histogram store BY LINEARITY — the
+    * [[retractFromCmsStore]] twin (bucket counts subtract exactly):
+    * histograms `batch` under the store's contract, negates every
+    * bucket count, appends. The fold's per-bucket sum cancels the
+    * original contribution exactly, folded or not. Same caller
+    * contract: the batch must be the rows actually appended, and
+    * `batchId` must be fresh (double-applied retractions subtract
+    * twice — pass an id for exactly-once retries).
+    */
+  def retractFromHistStore(batch: DataFrame, path: String,
+      autoCompactParts: Int = 0, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val (subBits, groupCols, valueCol) = readHistParams(spark, path)
+    StoreLayout.appendRecorded(spark, path, batchId) { scratch =>
+      log2Histogram(batch, groupCols, valueCol, subBits)
+        .withColumn("n", -F.col("n"))
+        .write.parquet(scratch)
+    }
+    storeAppendFault()
+    maybeAutoCompact(spark, path, autoCompactParts) {
+      compactHistStore(spark, path)
+    }
+  }
+
   /** Serving face: sum-fold the stored per-batch histograms and read
     * quantiles — touches ≤ batches·buckets histogram rows, never a
     * corpus. Manifest-pinned ([[StoreLayout.readStore]]).
@@ -1376,6 +1434,119 @@ object Sketches {
       f"compact-v${curVer + 1}%08d-", SuspectGraceMs)
     if (fs.exists(tmp)) fs.delete(tmp, true) // a crashed attempt's marker
     StoreLayout.pruneManifests(fs, p, keep = 8)
+  }
+
+  // test seam (r15 crash-window style): "crash" after the drop's
+  // manifest commit but before its supersession record + completion
+  // marker land — the widest window the drop protocol has
+  @volatile private[graft] var dropFault: () => Unit = () => ()
+
+  /** Batch retraction — the RTBF verb for the flat sketch stores
+    * (round-17 verdict #2: every other persisted artifact family had a
+    * delete face; KMV/CMS/HLL/hist stores had none). Removes appended
+    * batch `batchId`'s contribution by EXCLUDING its part files from
+    * the manifest and refolding nothing: serving folds exactly the
+    * surviving parts by the store's own merge identity (k-min union /
+    * cell sum / register max / count sum), so after the one manifest
+    * commit the store answers as if the batch had never been appended.
+    * Works identically for all four store kinds because it never reads
+    * a sketch row — it is manifest surgery. Returns the number of part
+    * files dropped (0 for an idempotent retry of a completed drop).
+    *
+    * The retraction unit is the APPENDED BATCH: only appends that
+    * passed a `batchId` are targetable (their part names are
+    * deterministic in the id); the build's own parts and compacted
+    * parts have no id. A batch already FOLDED by a compaction cannot
+    * be excluded — its rows are merged into `compact-v*` parts — and
+    * the call throws with the remediation: for the linear stores
+    * (CMS/hist) retract by linearity ([[retractFromCmsStore]] /
+    * [[retractFromHistStore]]) if the batch's source rows are still
+    * available; for KMV/HLL (non-subtractable folds: k-min union and
+    * register max discard per-batch evidence) rebuild without the
+    * batch. Run compaction on a cadence SLOWER than the erasure-request
+    * SLA, or route erasable data through the linear stores.
+    *
+    * PHYSICAL erasure follows the standard recipe: the dropped files
+    * are recorded superseded at the commit (grace clock starts now), so
+    * delete + ONE post-grace [[vacuumStore]] removes the bytes — same
+    * contract as the band/IVF index deletes. The dropped id stays
+    * PERMANENTLY CONSUMED ([[StoreLayout.appendRecorded]]'s contract is
+    * unchanged): a late append-retry of the id no-ops on its marker —
+    * it does not resurrect the batch.
+    *
+    * Crash windows: before the manifest commit — nothing changed,
+    * retry re-drops. After the commit but before the completion marker
+    * (`_drops/<id>`) — the batch is already excluded and its files'
+    * supersession is re-derivable (they re-enter the ledger via the
+    * next sweep's class-(a) path, one cycle slower), but a RETRY in
+    * this narrow window cannot tell "dropped" from "folded" and throws
+    * the folded-or-dropped error rather than guessing — loud, never
+    * silent. A completed drop's retries return 0 forever (drop markers
+    * are never pruned — [[StoreLayout.writeDropMarker]]).
+    *
+    * Concurrency: safe against racing APPENDS (the shrink commit
+    * re-resolves and retries on version collisions, carrying their
+    * names). A compaction racing the drop folds the batch mid-call;
+    * the re-resolve then sees the parts gone and throws the folded
+    * error — run drops and compactions from one maintenance writer
+    * (the single-compactor contract this family already has).
+    */
+  def dropBatchFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    require(fs.exists(p),
+      s"$path does not exist — dropBatchFromStore maintains an existing store")
+    require(!fs.exists(new Path(p, "_centroids")),
+      s"$path is a persisted ANN index (_centroids sidecar); use " +
+        "deleteFromIvfIndex — the flat manifest surgery cannot see " +
+        "hive-partitioned files")
+    StoreLayout.acquireWriterLease(fs, p)
+    if (StoreLayout.currentManifest(fs, p).isEmpty)
+      StoreLayout.initManifest(spark, path)
+    var dropped: Seq[String] = Seq.empty
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      if (attempts > 50)
+        throw new java.io.IOException(
+          s"dropBatchFromStore: could not commit a manifest for $p after " +
+            "50 attempts (manifest versions kept advancing)")
+      val (ver, cur) = StoreLayout.currentManifest(fs, p).get
+      val (hit, keep) = cur.partition(StoreLayout.isBatchFile(_, batchId))
+      if (hit.isEmpty) {
+        // triage by the idempotence trails, loud in every ambiguous case
+        if (StoreLayout.hasDropMarker(fs, p, batchId))
+          return 0 // completed drop; retry is a no-op
+        if (StoreLayout.hasBatchMarker(fs, p, batchId) ||
+            StoreLayout.batchIdPruned(fs, p, batchId))
+          throw new IllegalStateException(
+            s"batch '$batchId' at $path was committed but its parts are " +
+              "no longer individually present in the current manifest — " +
+              "a compaction folded it into merged parts (or a prior drop " +
+              "crashed between its commit and its completion marker; " +
+              "check whether the store still serves the batch's rows). " +
+              "Folded KMV/HLL batches are not subtractable (k-min union " +
+              "/ register max discard per-batch evidence) — rebuild the " +
+              "store without the batch. The linear stores can retract by " +
+              "linearity instead: retractFromCmsStore / " +
+              "retractFromHistStore with the batch's source rows.")
+        throw new IllegalArgumentException(
+          s"no evidence batch '$batchId' was ever appended to $path " +
+            "(no live parts, no committed-batch marker, not in the " +
+            "pruned-marker ledger) — only appends that passed a batchId " +
+            "are targetable")
+      }
+      dropped = hit
+      committed = StoreLayout.tryCommitManifest(fs, p, ver + 1, keep)
+    }
+    dropFault()
+    // supersession clock starts at the drop commit: one post-grace
+    // vacuum physically erases (same recipe as the index deletes)
+    StoreLayout.recordSuperseded(fs, p, dropped)
+    StoreLayout.writeDropMarker(fs, p, batchId)
+    dropped.size
   }
 
   private[graft] def compactReplace(

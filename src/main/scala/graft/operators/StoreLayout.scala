@@ -827,6 +827,15 @@ private[graft] object StoreLayout {
     }
   }
 
+  /** True iff `batchId` is in the pruned-marker bloom ledger — the
+    * boolean face of [[requireBatchNotPruned]], for callers that need
+    * the evidence signal without the refusal (the drop face's
+    * was-it-ever-committed triage).
+    */
+  private[graft] def batchIdPruned(fs: FileSystem, dir: Path,
+      batchId: String): Boolean =
+    readPrunedBloom(fs, dir).exists(_.mightContainString(batchId))
+
   /** The loud-staleness gate both append paths run after the marker and
     * manifest-evidence checks miss: a batchId in the pruned bloom was
     * (all but certainly) committed earlier, folded by a compaction, and
@@ -834,7 +843,7 @@ private[graft] object StoreLayout {
     * linear stores with no error, so refuse instead.
     */
   def requireBatchNotPruned(fs: FileSystem, dir: Path, batchId: String): Unit =
-    if (readPrunedBloom(fs, dir).exists(_.mightContainString(batchId)))
+    if (batchIdPruned(fs, dir, batchId))
       throw new IllegalStateException(
         s"batch '$batchId' at $dir has no live idempotence evidence but " +
           "its id is in the pruned-marker ledger (_appends_pruned): it " +
@@ -848,6 +857,34 @@ private[graft] object StoreLayout {
           "delete the _appends_pruned* sidecar files to reset the trail " +
           "(re-accepting the pre-bloom retry window for already-pruned " +
           "ids).")
+
+  // ---- drop (retraction) completion markers ---------------------------------
+
+  private val DropsDirName = "_drops"
+
+  private def dropMarkerPath(dir: Path, batchId: String): Path =
+    new Path(new Path(dir, DropsDirName), batchId)
+
+  /** True iff `batchId` was dropped from this store by a COMPLETED
+    * [[Sketches.dropBatchFromStore]] (the marker is the drop's
+    * completion record, written after its manifest commit).
+    */
+  def hasDropMarker(fs: FileSystem, dir: Path, batchId: String): Boolean =
+    fs.exists(dropMarkerPath(dir, batchId))
+
+  /** Record `batchId` as dropped (idempotent). Drop markers are NEVER
+    * pruned: retractions are orders of magnitude rarer than appends
+    * (erasure requests, not batch cadence), so one empty file per drop
+    * is bounded by the real-world event rate — and an unpruned marker
+    * is what keeps a late drop retry a clean no-op forever instead of
+    * the folded-or-dropped error a pruned trail would force.
+    */
+  def writeDropMarker(fs: FileSystem, dir: Path, batchId: String): Unit = {
+    val m = dropMarkerPath(dir, batchId)
+    fs.mkdirs(m.getParent)
+    try fs.create(m, false).close()
+    catch { case _: java.io.IOException => () } // already marked
+  }
 
   /** Ensure every append batch whose files appear in `names` carries a
     * committed-batch marker — called by the compactor BEFORE its commit

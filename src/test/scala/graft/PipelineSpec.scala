@@ -4788,4 +4788,69 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // the entire build write
     new java.io.File(local).exists() shouldBe false
   }
+
+  test("table-format seam: the sketch serving algebra folds per-batch " +
+    "frames from a plain externally-managed directory (no StoreLayout) " +
+    "— the Delta/Iceberg composition the cookbook claims") {
+    // The object-store cookbook's preferred S3 path (SCALING.md
+    // "Object-store deployment", option 1) keeps the per-batch sketch
+    // operators and lands batches in a transactional table format
+    // instead of a StoreLayout store. The seam that makes that true:
+    // the sketch builders output PLAIN DataFrames and the fold+estimate
+    // algebra accepts whatever spark.read hands it — no manifest, no
+    // _params sidecar, no layout calls anywhere on this path. A plain
+    // parquet directory written by vanilla DataFrame.write stands in
+    // for the table format's reader here (what Delta/Iceberg changes is
+    // the commit protocol, not the frames served).
+    val o = Tables.orders(spark, sf)
+    def third(i: Int) = o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === i)
+    // KMV: three independently-written batch sketches, vanilla appends
+    val kdir = java.nio.file.Files
+      .createTempDirectory("graft-seam-kmv").toString + "/table"
+    (0 to 2).foreach { i =>
+      Sketches.kmvSketch(third(i), Seq("o_orderstatus"), "o_custkey",
+          k = 16, Sketches.md5Hash32)
+        .write.mode("append").parquet(kdir)
+    }
+    Sketches.kmvEstimate(
+        Sketches.kmvMergeSketches(spark.read.parquet(kdir),
+          Seq("o_orderstatus"), k = 16), k = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey", k = 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // CMS: per-batch grids appended plainly, folded + probed by the
+    // serving algebra — including a linearity retraction batch (the
+    // negated grid is just another DataFrame on this seam)
+    import spark.implicits._
+    def toksOf(rows: Seq[String]) = rows.toDF("text")
+      .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+        .as("tok")).filter(F.col("tok") =!= "")
+    val t1 = toksOf(Seq("alpha beta beta", "gamma alpha"))
+    val t2 = toksOf(Seq("beta delta delta delta"))
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft-seam-cms").toString + "/table"
+    Sketches.cmsSketch(t1, "tok", 4, 64).write.mode("append").parquet(cdir)
+    Sketches.cmsSketch(t2, "tok", 4, 64).write.mode("append").parquet(cdir)
+    Sketches.cmsSketch(t2, "tok", 4, 64).withColumn("n", -F.col("n"))
+      .write.mode("append").parquet(cdir) // retract t2 by linearity
+    val cands = Seq("alpha", "beta", "gamma", "delta", "unseen")
+    Sketches.cmsEstimate(
+        Sketches.cmsMergeSketches(spark.read.parquet(cdir)), cands, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Sketches.cmsEstimate(Sketches.cmsSketch(t1, "tok", 4, 64),
+          cands, 4, 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // histogram: same shape (merge = per-bucket sum, quantiles on top)
+    val hdir = java.nio.file.Files
+      .createTempDirectory("graft-seam-hist").toString + "/table"
+    Sketches.log2Histogram((1L to 50L).toDF("v"), Nil, "v")
+      .write.mode("append").parquet(hdir)
+    Sketches.log2Histogram((51L to 100L).toDF("v"), Nil, "v")
+      .write.mode("append").parquet(hdir)
+    Sketches.histQuantiles(
+        Sketches.histMergeHistograms(spark.read.parquet(hdir), Nil),
+        Nil, Seq(0.5, 0.9)).collect().toSet shouldBe
+      Sketches.logHistQuantiles((1L to 100L).toDF("v"), Nil, "v",
+        Seq(0.5, 0.9)).collect().toSet
+  }
 }

@@ -1377,4 +1377,188 @@ class SketchSpec extends AnyFunSuite with Matchers {
       Sketches.kmvDistinct(o, Seq("o_orderstatus"), "o_custkey", 16)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
+
+  // shared by the retraction tests: age every suspects-ledger entry past
+  // the GC grace (what a real hour does), so the next vacuum can sweep
+  private def ageLedger(path: String): Unit = {
+    import graft.operators.StoreLayout
+    val (fs, p) = StoreLayout.fsFor(spark, path)
+    StoreLayout.writeSuspects(fs, p,
+      StoreLayout.readSuspects(fs, p).map { case (n, _) =>
+        n -> (System.currentTimeMillis() - Sketches.SuspectGraceMs -
+          3600000L)
+      })
+  }
+
+  test("dropBatchFromStore: serving excludes the dropped batch, retries " +
+    "are idempotent, one post-grace vacuum erases physically, and every " +
+    "ambiguous path refuses loudly") {
+    import graft.operators.StoreLayout
+    val o = Tables.orders(spark, sf)
+    def third(i: Int) = o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === i)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmvdrop-spec").toString + "/store"
+    Sketches.buildKmvStore(third(0), Seq("o_orderstatus"), "o_custkey",
+      k = 16, dir)
+    Sketches.appendToKmvStore(third(1), dir, batchId = Some("b1"))
+    Sketches.appendToKmvStore(third(2), dir, batchId = Some("b2"))
+    def serve() = Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // drop b2: the estimate equals the direct estimate over thirds 0∪1
+    Sketches.dropBatchFromStore(spark, dir, "b2") should be > 0
+    serve() shouldBe Sketches.kmvDistinct(
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) < 2),
+        Seq("o_orderstatus"), "o_custkey", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    StoreLayout.servingFiles(fs, p)
+      .exists(StoreLayout.isBatchFile(_, "b2")) shouldBe false
+    // the bytes survive the grace window (reader isolation) ...
+    val b2OnDisk = StoreLayout.rawDataFiles(fs, p)
+      .filter(StoreLayout.isBatchFile(_, "b2"))
+    b2OnDisk should not be empty
+    // ... a completed drop's retry is a no-op ...
+    Sketches.dropBatchFromStore(spark, dir, "b2") shouldBe 0
+    // ... and the id stays consumed: a late append-retry of b2 no-ops
+    // instead of resurrecting the batch
+    Sketches.appendToKmvStore(third(2), dir, batchId = Some("b2"))
+    serve().keySet.foreach(_ => ()) // force the read
+    StoreLayout.servingFiles(fs, p)
+      .exists(StoreLayout.isBatchFile(_, "b2")) shouldBe false
+    // physical erasure: the drop recorded the supersession, so ONE
+    // post-grace vacuum removes the bytes (the RTBF recipe)
+    ageLedger(dir)
+    Sketches.vacuumStore(spark, dir)
+    StoreLayout.rawDataFiles(fs, p)
+      .filter(StoreLayout.isBatchFile(_, "b2")) shouldBe empty
+    // unknown id: loud, names the evidence checked
+    intercept[IllegalArgumentException] {
+      Sketches.dropBatchFromStore(spark, dir, "never-appended")
+    }.getMessage should include("no evidence")
+    // folded batch: compaction merges b1's rows into compact-v parts,
+    // after which the drop refuses with the linear-store remediation
+    Sketches.compactKmvStore(spark, dir)
+    intercept[IllegalStateException] {
+      Sketches.dropBatchFromStore(spark, dir, "b1")
+    }.getMessage should include("retractFromCmsStore")
+    // ANN-index layout guard (the vacuumStore mirror)
+    val fakeIdx = java.nio.file.Files
+      .createTempDirectory("graft-kmvdrop-idx").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(fakeIdx, "_centroids"))
+    intercept[IllegalArgumentException] {
+      Sketches.dropBatchFromStore(spark, fakeIdx, "b1")
+    }.getMessage should include("deleteFromIvfIndex")
+    // the histogram store drops through the same verb (the layout is
+    // store-kind-agnostic): quantiles equal the surviving-data direct
+    val hdir = java.nio.file.Files
+      .createTempDirectory("graft-histdrop-spec").toString + "/store"
+    val base = o.select(F.col("o_orderstatus"),
+      F.col("o_totalprice").cast("long").as("v"))
+    Sketches.buildHistStore(base.filter(F.col("v") % 2 === 0),
+      Seq("o_orderstatus"), "v", hdir)
+    Sketches.appendToHistStore(base.filter(F.col("v") % 2 === 1), hdir,
+      batchId = Some("odd"))
+    Sketches.dropBatchFromStore(spark, hdir, "odd") should be > 0
+    val qs = Seq(0.5, 0.9)
+    Sketches.histQuantilesFromStore(spark, hdir, qs).collect().toSet shouldBe
+      Sketches.logHistQuantiles(base.filter(F.col("v") % 2 === 0),
+        Seq("o_orderstatus"), "v", qs).collect().toSet
+  }
+
+  test("drop crash window (r15 style): commit landed but the completion " +
+    "marker and supersession record did not — serving is already " +
+    "correct, the retry is loud not silent, and erasure still completes " +
+    "through the class-(a) sweep") {
+    import graft.operators.StoreLayout
+    val o = Tables.orders(spark, sf)
+    def third(i: Int) = o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) === i)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmvdropcrash").toString + "/store"
+    Sketches.buildKmvStore(third(0), Seq("o_orderstatus"), "o_custkey",
+      k = 16, dir)
+    Sketches.appendToKmvStore(third(1), dir, batchId = Some("b1"))
+    Sketches.appendToKmvStore(third(2), dir, batchId = Some("b2"))
+    Sketches.dropFault = () => throw new RuntimeException("boom-drop")
+    try
+      intercept[RuntimeException] {
+        Sketches.dropBatchFromStore(spark, dir, "b2")
+      }.getMessage shouldBe "boom-drop"
+    finally Sketches.dropFault = () => ()
+    val (fs, p) = StoreLayout.fsFor(spark, dir)
+    // the manifest commit is the drop's atom: the batch is excluded
+    StoreLayout.servingFiles(fs, p)
+      .exists(StoreLayout.isBatchFile(_, "b2")) shouldBe false
+    Sketches.kmvDistinctFromStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Sketches.kmvDistinct(
+          o.filter(F.pmod(F.col("o_orderkey"), F.lit(3L)) < 2),
+          Seq("o_orderstatus"), "o_custkey", 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the retry in this narrow window cannot tell dropped from folded:
+    // it throws (loud) instead of guessing — the documented trade
+    intercept[IllegalStateException] {
+      Sketches.dropBatchFromStore(spark, dir, "b2")
+    }.getMessage should include("folded")
+    // erasure completes anyway, one sweep later: the crashed drop never
+    // recorded supersession, so the first vacuum RECORDS the orphaned
+    // parts (class (a): referenced by older manifests, absent from the
+    // current), and a post-grace vacuum erases them
+    StoreLayout.rawDataFiles(fs, p)
+      .filter(StoreLayout.isBatchFile(_, "b2")) should not be empty
+    Sketches.vacuumStore(spark, dir) // records
+    ageLedger(dir)
+    Sketches.vacuumStore(spark, dir) // sweeps
+    StoreLayout.rawDataFiles(fs, p)
+      .filter(StoreLayout.isBatchFile(_, "b2")) shouldBe empty
+  }
+
+  test("linear retraction (CMS + hist): post-compaction negated-batch " +
+    "append cancels exactly; the batchId makes a double-apply a no-op") {
+    import spark.implicits._
+    def toksOf(rows: Seq[String]) = rows.toDF("text")
+      .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+        .as("tok")).filter(F.col("tok") =!= "")
+    val t1 = toksOf(Seq("alpha beta beta gamma", "beta delta"))
+    val t2 = toksOf(Seq("alpha alpha epsilon", "gamma gamma gamma"))
+    val t0 = toksOf(Seq("beta beta beta zeta", "alpha zeta"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cmsretract-spec").toString + "/store"
+    Sketches.buildCmsStore(t1, "tok", depth = 4, width = 64, dir)
+    Sketches.appendToCmsStore(t2, dir, batchId = Some("b2"))
+    Sketches.appendToCmsStore(t0, dir, batchId = Some("b0"))
+    Sketches.compactCmsStore(spark, dir) // b0 folded: parts gone
+    intercept[IllegalStateException] {
+      Sketches.dropBatchFromStore(spark, dir, "b0")
+    }
+    Sketches.retractFromCmsStore(t0, dir, batchId = Some("b0-r"))
+    val cands = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "unseen")
+    def probe() = Sketches.cmsEstimateFromStore(spark, dir, cands)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Sketches.cmsEstimate(
+        Sketches.cmsSketch(t1.union(t2), "tok", 4, 64), cands, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probe() shouldBe want // exact cancellation, zeta and unseen at 0
+    // the retraction id is exactly-once: a retry of the same id no-ops
+    // (a second subtraction would drive cells negative)
+    Sketches.retractFromCmsStore(t0, dir, batchId = Some("b0-r"))
+    probe() shouldBe want
+    // and the retraction survives a later compaction (sums fold to the
+    // same cells)
+    Sketches.compactCmsStore(spark, dir)
+    probe() shouldBe want
+    // histogram twin
+    val h1 = (1L to 40L).toDF("v")
+    val h0 = (100L to 140L).toDF("v")
+    val hdir = java.nio.file.Files
+      .createTempDirectory("graft-histretract-spec").toString + "/store"
+    Sketches.buildHistStore(h1, Nil, "v", hdir)
+    Sketches.appendToHistStore(h0, hdir, batchId = Some("b0"))
+    Sketches.compactHistStore(spark, hdir)
+    Sketches.retractFromHistStore(h0, hdir, batchId = Some("b0-r"))
+    val qs = Seq(0.25, 0.5, 0.99)
+    Sketches.histQuantilesFromStore(spark, hdir, qs).collect().toSet shouldBe
+      Sketches.logHistQuantiles(h1, Nil, "v", qs).collect().toSet
+  }
 }
