@@ -727,6 +727,44 @@ object Queries {
       hashed = true)
   }
 
+  /** Single-TOKEN boilerplate tail for the char-flavor faces: digits and
+    * letters only, so the engine tokenizer sees it as ONE 50-char token —
+    * the token-window face is structurally blind to it (a 1-token suffix
+    * yields no k=8 token windows of its own), which is exactly the miss
+    * class the char flavor exists for (r17 verdict missing #3).
+    */
+  private val SubstrCharTail =
+    "0boilerplate0footer0unsubscribe0allrightsreserved0"
+
+  /** CHARACTER-level exact-substring dedup
+    * ([[Dedup.exactSubstrDedupChars]], Lee et al. 2021 at its native
+    * granularity) at k = 12 over the char-tail-stamped corpus: every
+    * >= 12-char span occurring more than once corpus-wide is removed and
+    * the survivors spliced (no separator — a byte-splice). Exact window
+    * strings so DuckDB replays the whole operator — windows via
+    * substr(text, i, 12), global counts, coverage union, per-char
+    * splice; hash-gated output includes the spliced text.
+    */
+  def q_dedup_substring_char(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrCharTail)).as("text"))
+    Dedup.exactSubstrDedupChars(stamped, "doc_id", "text", k = 12,
+      hashed = false)
+  }
+
+  /** Rolling-hash twin of [[q_dedup_substring_char]] — the production
+    * 100 TB shuffle shape (8-byte O(n) rolling-polynomial keys cross the
+    * exchanges, never window strings). Shares the exact face's oracle
+    * verbatim (row identity modulo ~2^-64 collisions, additionally
+    * pinned in PipelineSpec).
+    */
+  def q_dedup_substring_char_hashed(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrCharTail)).as("text"))
+    Dedup.exactSubstrDedupChars(stamped, "doc_id", "text", k = 12,
+      hashed = true)
+  }
+
   /** Test-set contamination hits: training docs sharing 8-gram shingles
     * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
     * shingle hashes; the oracle joins on the shingle strings — equal
@@ -2694,6 +2732,44 @@ object Queries {
       |FROM toks t LEFT JOIN cl c USING (doc_id)
       |WHERE t.doc_id % 2 = 1""".stripMargin
 
+  /** Char-level exact-substring replay (k = 12 over the
+    * char-tail-stamped corpus) — shared verbatim by
+    * q_dedup_substring_char and its rolling-hash twin: 1-based window
+    * positions via substr(text, i, 12), corpus-wide occurrence counts
+    * over EVERY position, covered char positions as the union of
+    * [pos, pos+11] over duplicated windows, and the splice as a
+    * per-character reconstruction (docs average ~300 chars at the
+    * driver's sf0.01, so the O(n·|cov|) rebuild is tractable; the
+    * uncovered fast path returns the text unrebuilt). DuckDB len/substr
+    * count code points — the unit the engine kernel uses.
+    */
+  private lazy val substrCharDedupSql: String =
+    s"""WITH doc2 AS (
+      |  SELECT doc_id, concat_ws(' ', text, '$SubstrCharTail') AS text
+      |  FROM documents
+      |), wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'wkey': substr(text, i, 12)}
+      |            FOR i IN range(1, len(text) - 10)], recursive := true)
+      |  FROM doc2 WHERE len(text) >= 12
+      |), g AS (
+      |  SELECT wkey FROM wins GROUP BY wkey HAVING count(*) > 1
+      |), dup AS (
+      |  SELECT w.doc_id, w.pos FROM wins w JOIN g USING (wkey)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + o AS cp FROM dup, range(12) r(o)
+      |), cl AS (
+      |  SELECT doc_id, list(cp ORDER BY cp) AS cov FROM cov GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(d.text) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+      |  CASE WHEN c.cov IS NULL THEN d.text ELSE
+      |    coalesce(array_to_string(
+      |      [substr(d.text, i, 1) FOR i IN range(1, len(d.text) + 1)
+      |       IF NOT list_contains(c.cov, i)], ''), '') END AS text_dedup
+      |FROM doc2 d LEFT JOIN cl c USING (doc_id)""".stripMargin
+
   /** Shared DSIR log-weight CTEs (unigram+bigram features, add-1
     * smoothing over the union vocabulary): q_dsir reads `logws` directly;
     * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
@@ -2970,6 +3046,9 @@ object Queries {
     // hence the coalesce to '' (the engine's all-covered result).
     "q_dedup_substring" -> substrDedupSql,
     "q_dedup_substring_hashed" -> substrDedupSql,
+    // char-level flavor: same full-replay discipline at char granularity
+    "q_dedup_substring_char" -> substrCharDedupSql,
+    "q_dedup_substring_char_hashed" -> substrCharDedupSql,
     "q_substr_xcorpus" -> substrXcorpusSql,
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
@@ -4728,6 +4807,8 @@ object Queries {
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_substring" -> (q_dedup_substring _),
     "q_dedup_substring_hashed" -> (q_dedup_substring_hashed _),
+    "q_dedup_substring_char" -> (q_dedup_substring_char _),
+    "q_dedup_substring_char_hashed" -> (q_dedup_substring_char_hashed _),
     "q_substr_xcorpus" -> (q_substr_xcorpus _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),

@@ -748,7 +748,13 @@ private[graft] object StoreLayout {
     * unsafe-opt-in object stores are single-writer by contract. After a
     * successful commit, versions older than the immediately previous one
     * are swept (a reader between listing and open survives a vanished
-    * file as a one-check miss — [[readPrunedBloom]]).
+    * file as a one-check miss — [[readPrunedBloom]]). Every won commit is
+    * additionally READ BACK from the newest resolved version before it
+    * counts (r17 ADVICE): a local-FS cross-JVM overwrite of our just-won
+    * version — already a lease violation — is detected as missing ids and
+    * retried instead of silently losing them; only an overwrite landing
+    * after the read-back survives, the residual window documented at the
+    * verify site.
     */
   private def recordPrunedBatchIds(fs: FileSystem, dir: Path,
       ids: Seq[String]): Boolean = commitLock(dir).synchronized {
@@ -791,6 +797,33 @@ private[graft] object StoreLayout {
           // loop: re-read the winner's bloom (it has the winner's ids),
           // union ours in, try the next version
         } else {
+          // READ-BACK VERIFY (r17 ADVICE): on local FS the
+          // create-exclusive commit degrades to a non-atomic
+          // exists-then-rename (local rename silently overwrites), so a
+          // cross-JVM racer could have clobbered the version we just
+          // committed. Re-resolve the newest ledger and confirm it still
+          // holds every id BEFORE the caller deletes markers — our own
+          // file, or a successor that unioned it, both pass; a clobber
+          // loses some id and sends us back around the loop. Residual
+          // window (documented, not closable from here): an overwrite
+          // landing AFTER this read passes unverified — on the
+          // allowlisted shared filesystems the create-exclusive rename
+          // makes that impossible, and on local FS the commit-lock
+          // stripe plus the writer lease make a concurrent cross-JVM
+          // pruner a contract violation to begin with; the verify turns
+          // the violation's most likely schedule from silent id loss
+          // into a retry.
+          val readBack = newestPrunedBloom(fs, dir) match {
+            case Some((v2, f2)) if v2 > curVer =>
+              readBloomAt(fs, dir, f2)
+                .exists(b2 => ids.forall(b2.mightContainString))
+            case _ => false // ledger regressed below our commit: retry
+          }
+          if (!readBack) {
+            log.warn(s"$dir: pruned-batch ledger read-back after commit " +
+              s"v${curVer + 1} is missing ids — a concurrent overwrite; " +
+              "retrying the commit")
+          } else {
           if (fsScheme(fs) == "file") {
             val st = fs.getFileStatus(target)
             bloomCache.put(dir.toString,
@@ -815,6 +848,7 @@ private[graft] object StoreLayout {
               }
           } catch { case scala.util.control.NonFatal(_) => () }
           return true
+          }
         }
       }
       log.warn(s"$dir: pruned-batch bloom lost 8 consecutive version " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomCount, BpeCount, BpeTokens, CosineSim, DotProduct, GopherStats, GramStrings, IntDot, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, SpliceTokens, StripWww}
+import graft.functions.{BloomCount, BpeCount, BpeTokens, CharGramHashes, CharGramStrings, CosineSim, DotProduct, GopherStats, GramStrings, IntDot, Md5BloomHits, Md5GramHashes, MinHashPerms, MinHashSig, NearestCentroids, NormalizeText, PqAdcFixed, PqCodes, PqCodesFixed, PqLutFixed, RegisteredDomain, RepStats, ShingleHash, ShingleHashAll, SimHash64, SimHashMd5, SpliceChars, SpliceTokens, SpliceTokensStats, StripWww}
 
 /** Session extensions registering the engine's native expressions for SQL
   * use. Activate with either
@@ -49,6 +49,37 @@ object GraftExtensions {
         require(args.length == 3,
           "splice_tokens(text, starts, k) takes 3 arguments")
         SpliceTokens(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("splice_tokens_stats"),
+      new ExpressionInfo(classOf[SpliceTokensStats].getName,
+        "splice_tokens_stats"),
+      { args =>
+        require(args.length == 3,
+          "splice_tokens_stats(text, starts, k) takes 3 arguments")
+        SpliceTokensStats(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("char_gram_strings"),
+      new ExpressionInfo(classOf[CharGramStrings].getName,
+        "char_gram_strings"),
+      { args =>
+        require(args.length == 2,
+          "char_gram_strings(text, k) takes 2 arguments")
+        CharGramStrings(args.head, args(1))
+      }),
+    (FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName,
+        "char_gram_hashes"),
+      { args =>
+        require(args.length == 2,
+          "char_gram_hashes(text, k) takes 2 arguments")
+        CharGramHashes(args.head, args(1))
+      }),
+    (FunctionIdentifier("splice_chars"),
+      new ExpressionInfo(classOf[SpliceChars].getName, "splice_chars"),
+      { args =>
+        require(args.length == 3,
+          "splice_chars(text, starts, k) takes 3 arguments")
+        SpliceChars(args.head, args(1), args(2))
       }),
     (FunctionIdentifier("md5_bloom_hits"),
       new ExpressionInfo(classOf[Md5BloomHits].getName, "md5_bloom_hits"),

@@ -2634,6 +2634,171 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("exactSubstrDedup splice tail: fused stats kernel runs ONCE " +
+    "(no triple tokenization), and the SQL face agrees with splice_tokens") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // r17 verdict finding: n_tokens / n_removed as separate tokenCount
+    // columns re-ran the tokenizer twice over the corpus-sized final
+    // projection. The fused splice_tokens_stats struct must appear in
+    // the executed plan EXACTLY once (the struct is projected to an
+    // attribute, then field-extracted — CollapseProject must not inline
+    // a non-cheap expression three times), and the legacy splice_tokens
+    // kernel must not appear at all.
+    val q = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 8,
+      hashed = true)
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "splice_tokens_stats".r.findAllIn(plan).size shouldBe 1
+    "splice_tokens\\(".r.findAllIn(plan).size shouldBe 0
+    "tokenCount".r.findAllIn(plan).size shouldBe 0
+    // SQL face: the struct's text_dedup equals the legacy scalar kernel,
+    // and the counts are consistent with it (n_tokens - n_removed =
+    // tokens surviving in text_dedup)
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT splice_tokens_stats('A b c d e f', array(1), 3) AS st, " +
+        "splice_tokens('A b c d e f', array(1), 3) AS legacy").head()
+    val st = r.getStruct(0)
+    st.getString(0) shouldBe r.getString(1)
+    st.getString(0) shouldBe "a e f"
+    st.getLong(1) shouldBe 6L
+    st.getLong(2) shouldBe 3L
+    // null element ignored; null text -> null struct (parity with the
+    // scalar kernel's null-in/null-out)
+    val r2 = spark.sql(
+      "SELECT splice_tokens_stats('a b c d e', array(CAST(NULL AS INT), 3), 2) AS st, " +
+        "splice_tokens_stats(CAST(NULL AS STRING), array(0), 2) AS nl").head()
+    r2.getStruct(0).getString(0) shouldBe "a b c"
+    r2.isNullAt(1) shouldBe true
+  }
+
+  test("exactSubstrDedupChars: catches tokenizer-blind duplicates " +
+    "(unsegmented CJK span) that the token face provably misses; raw " +
+    "text preserved; null/short/all-covered edges") {
+    import spark.implicits._
+    // An unsegmented CJK passage is ONE letter-run "token" to the engine
+    // tokenizer — the token-window face yields no windows over it and is
+    // structurally blind to its duplication (r17 verdict missing #3).
+    val cjk = "深度学习模型的训练数据需要大规模去重处理流程保证质量"
+    val fx = Seq(
+      (1L, s"alpha unique opening $cjk trailing words one"),
+      (2L, s"different beginning text $cjk other ending two"),
+      (3L, "no duplication at all in this one document"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "Short, DOC!")) // < k chars: raw passthrough, case preserved
+      .toDF("doc_id", "text")
+    // token face at k=8: docs 1/2 share only [cjk] as a token sequence
+    // (length 1 < 8) — NOTHING is removed
+    Dedup.exactSubstrDedup(fx, "doc_id", "text", k = 8, hashed = true)
+      .collect().foreach(r =>
+        if (!r.isNullAt(2)) r.getLong(2) shouldBe 0L)
+    // char face at k=12: the shared " cjk " span (cjk + both spaces) is
+    // covered in both docs — windows fully inside it repeat corpus-wide,
+    // straddling windows don't (unique context survives)
+    val sharedLen = cjk.length + 2L
+    val out = Dedup.exactSubstrDedupChars(fx, "doc_id", "text", k = 12,
+        hashed = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.getString(3))).toMap
+    out(1L) shouldBe ((("alpha unique opening  trailing words one".length
+      + cjk.length).toLong, sharedLen,
+      "alpha unique openingtrailing words one"))
+    out(2L)._2 shouldBe sharedLen
+    out(2L)._3 shouldBe "different beginning textother ending two"
+    // clean doc: UNCHANGED — the char flavor has no normalization
+    out(3L) shouldBe ((42L, 0L,
+      "no duplication at all in this one document"))
+    out(4L)._3 shouldBe null // null in, null out
+    out(5L) shouldBe ((11L, 0L, "Short, DOC!")) // case/punct preserved
+    // hashed rolling-polynomial flavor is row-identical to exact strings
+    val hashed = Dedup.exactSubstrDedupChars(fx, "doc_id", "text", k = 12,
+        hashed = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.getString(3))).toMap
+    hashed shouldBe out
+    // an entirely-duplicated doc comes back EMPTY, not null
+    val dup = Seq((1L, cjk), (2L, cjk)).toDF("doc_id", "text")
+    Dedup.exactSubstrDedupChars(dup, "doc_id", "text", k = 12,
+        hashed = false)
+      .collect().foreach(r => r.getString(3) shouldBe "")
+  }
+
+  test("exactSubstrDedupCharsAgainst: corpus char-spans spliced from " +
+    "the batch, batch-internal repeats survive; fused splice_chars " +
+    "kernel runs ONCE in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val span = "0sharedboilerplateblock0" // single token, 24 chars
+    val corpus = Seq(
+      (100L, s"curated doc containing $span inside it"),
+      (101L, "other curated material with nothing shared"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"new doc alpha $span omega"),
+      // batch-internal repeat NOT in the corpus: membership, not
+      // frequency — the against-face must KEEP it
+      (2L, "xyzzyplughxyzq xyzzyplughxyzq tail"),
+      (3L, "entirely novel content with no overlap at all"))
+      .toDF("doc_id", "text")
+    def run(h: Boolean) = Dedup
+      .exactSubstrDedupCharsAgainst(batch, "doc_id", "text", corpus,
+        "text", k = 12, hashed = h)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val out = run(false)
+    // batch doc 1 shares " span " (26 chars) with the corpus doc
+    out(1L) shouldBe ((44L, 26L, "new doc alphaomega"))
+    out(2L)._2 shouldBe 0L // internal repeat kept: not in the corpus
+    out(3L) shouldBe ((45L, 0L,
+      "entirely novel content with no overlap at all"))
+    run(true) shouldBe out // hashed flavor row-identical
+    // plan pin: fused kernel once, no legacy splice, no tokenizer
+    val q = Dedup.exactSubstrDedupChars(docs, "doc_id", "text", k = 12,
+      hashed = true)
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    "splice_chars".r.findAllIn(plan).size shouldBe 1
+    // the window-key kernel runs once per consumer of the position rows
+    // (the occurrence-count aggregate and the semi-join) — the same
+    // documented scan-per-consumer trade as the token face; a third
+    // occurrence would mean the splice tail regrew a tokenizer pass
+    "char_gram_hashes".r.findAllIn(plan).size shouldBe 2
+    (plan should not).include("splice_tokens")
+  }
+
+  test("exactSubstrDedupChars: hashed keys match exact-string keys " +
+    "row-for-row over the corpus, and the single-token boilerplate " +
+    "tail — invisible to the token face — is removed from every doc") {
+    val tail = "0boilerplate0footer0unsubscribe0allrightsreserved0"
+    val stamped = docs.select(F.col("doc_id"),
+      F.concat_ws(" ", F.col("text"), F.lit(tail)).as("text"))
+    def run(h: Boolean) = Dedup
+      .exactSubstrDedupChars(stamped, "doc_id", "text", k = 12, hashed = h)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val exact = run(false)
+    run(true) shouldBe exact
+    // the stamped tail (one 50-char token + its joining space) really is
+    // removed from every doc — the TOKEN face at k=8 cannot see it
+    exact.foreach { case (_, _, nRemoved, text) =>
+      nRemoved should be >= 51L
+      (text should not).include("unsubscribe")
+    }
+    val tokenFace = Dedup.exactSubstrDedup(stamped, "doc_id", "text",
+        k = 8, hashed = true)
+      .collect().map(r => r.getString(3))
+    // token windows never key inside the single-token tail: it SURVIVES
+    tokenFace.foreach(t => t should include("0unsubscribe0"))
+  }
+
   test("bigramLogLoss matches the hand-computed interpolated model") {
     import spark.implicits._
     // corpus: d1 = "x y x y x", d2 = "x z"; c12: xy=2 yx=2 xz=1;
