@@ -765,6 +765,24 @@ object Queries {
       hashed = true)
   }
 
+  /** Char-level cross-corpus exact-substring dedup
+    * ([[Dedup.exactSubstrDedupCharsAgainst]]): odd docs are the new
+    * batch, even docs the existing corpus, all char-tail-stamped —
+    * every batch doc must lose the tail (it exists verbatim in the
+    * corpus) plus organic shared char spans, while batch-only spans
+    * survive even when repeated batch-internally (membership, not a
+    * frequency vote). Exact keys; full DuckDB replay incl. the spliced
+    * text.
+    */
+  def q_substr_char_xcorpus(s: SparkSession, d: String): DataFrame = {
+    val stamped = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"), lit(SubstrCharTail)).as("text"))
+    Dedup.exactSubstrDedupCharsAgainst(
+      stamped.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      stamped.filter(col("doc_id") % 2 === 0), "text",
+      k = 12, hashed = false)
+  }
+
   /** Test-set contamination hits: training docs sharing 8-gram shingles
     * with a benchmark set (here: every 50th doc). Spark joins on 64-bit
     * shingle hashes; the oracle joins on the shingle strings — equal
@@ -2770,6 +2788,41 @@ object Queries {
       |       IF NOT list_contains(c.cov, i)], ''), '') END AS text_dedup
       |FROM doc2 d LEFT JOIN cl c USING (doc_id)""".stripMargin
 
+  /** Char-level cross-corpus replay: batch = odd docs, corpus keys =
+    * DISTINCT char windows of the even docs (membership), coverage and
+    * per-char splice as in [[substrCharDedupSql]].
+    */
+  private lazy val substrCharXcorpusSql: String =
+    s"""WITH doc2 AS (
+      |  SELECT doc_id, concat_ws(' ', text, '$SubstrCharTail') AS text
+      |  FROM documents
+      |), ck AS (
+      |  SELECT DISTINCT
+      |    unnest([substr(text, i, 12) FOR i IN range(1, len(text) - 10)])
+      |      AS wkey
+      |  FROM doc2 WHERE doc_id % 2 = 0 AND len(text) >= 12
+      |), wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'wkey': substr(text, i, 12)}
+      |            FOR i IN range(1, len(text) - 10)], recursive := true)
+      |  FROM doc2 WHERE doc_id % 2 = 1 AND len(text) >= 12
+      |), dup AS (
+      |  SELECT w.doc_id, w.pos FROM wins w JOIN ck USING (wkey)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + o AS cp FROM dup, range(12) r(o)
+      |), cl AS (
+      |  SELECT doc_id, list(cp ORDER BY cp) AS cov FROM cov GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(d.text) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+      |  CASE WHEN c.cov IS NULL THEN d.text ELSE
+      |    coalesce(array_to_string(
+      |      [substr(d.text, i, 1) FOR i IN range(1, len(d.text) + 1)
+      |       IF NOT list_contains(c.cov, i)], ''), '') END AS text_dedup
+      |FROM doc2 d LEFT JOIN cl c USING (doc_id)
+      |WHERE d.doc_id % 2 = 1""".stripMargin
+
   /** Shared DSIR log-weight CTEs (unigram+bigram features, add-1
     * smoothing over the union vocabulary): q_dsir reads `logws` directly;
     * q_dsir_select adds the md5-replayed Gumbel noise and the top-k on
@@ -3049,6 +3102,7 @@ object Queries {
     // char-level flavor: same full-replay discipline at char granularity
     "q_dedup_substring_char" -> substrCharDedupSql,
     "q_dedup_substring_char_hashed" -> substrCharDedupSql,
+    "q_substr_char_xcorpus" -> substrCharXcorpusSql,
     "q_substr_xcorpus" -> substrXcorpusSql,
     "q_dedup_near" -> jaccardPairsSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
@@ -4809,6 +4863,7 @@ object Queries {
     "q_dedup_substring_hashed" -> (q_dedup_substring_hashed _),
     "q_dedup_substring_char" -> (q_dedup_substring_char _),
     "q_dedup_substring_char_hashed" -> (q_dedup_substring_char_hashed _),
+    "q_substr_char_xcorpus" -> (q_substr_char_xcorpus _),
     "q_substr_xcorpus" -> (q_substr_xcorpus _),
     "q_dedup_xcorpus" -> (q_dedup_xcorpus _),
     "q_dedup_band_index" -> (q_dedup_band_index _),

@@ -148,7 +148,9 @@ object CharGramKernel {
     * document order, duplicates kept; empty below k.
     */
   def gramStrings(text: UTF8String, k: Int): ArrayData = {
-    if (text == null) return Empty
+    // k < 1 yields no windows (SQL-registered: hand-assembled input
+    // must degrade cleanly, not throw AIOOBE from the window loop)
+    if (text == null || k < 1) return Empty
     val cps = text.toString.codePoints().toArray
     if (cps.length < k) return Empty
     val out = new Array[Any](cps.length - k + 1)
@@ -164,7 +166,7 @@ object CharGramKernel {
     * avalanche-finalized per window.
     */
   def gramHashes(text: UTF8String, k: Int): ArrayData = {
-    if (text == null) return Empty
+    if (text == null || k < 1) return Empty // see gramStrings
     val cps = text.toString.codePoints().toArray
     val n = cps.length
     if (n < k) return Empty

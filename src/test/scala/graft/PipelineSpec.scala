@@ -2799,6 +2799,86 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     tokenFace.foreach(t => t should include("0unsubscribe0"))
   }
 
+  test("exactSubstr deployment rule #1: bucketing the corpus by id " +
+    "removes every doc_id exchange from the splice join-back (the " +
+    "SCALING.md r18 post-transition mitigation, plan-pinned)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // Past the broadcast threshold (SCALING.md r18 decade: >~500k docs)
+    // the join-back becomes a SortMergeJoin and the corpus TEXT crosses
+    // an exchange. Deployment rule #1 says bucketing the corpus by id
+    // removes that exchange. Pin it: force the SMJ regime (broadcast
+    // off), run the operator over an unbucketed frame vs a
+    // CLUSTERED BY (doc_id) table, and count doc_id exchanges in the
+    // executed plans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.ShuffledJoin
+    def finalPlanOf(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+    }
+    // QueryStageExec nodes are LEAVES to TreeNode traversal (Spark 4's
+    // final plan roots in ResultQueryStageExec) — expand through their
+    // inner plans by hand
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => p +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    // shuffles in the CORPUS-TEXT (streamed/left) subtree of the outer
+    // splice join-back; each shuffle appears exactly once as the
+    // ShuffleExchangeLike inside its stage
+    def textSideShuffles(p: SparkPlan): Int = {
+      val outer = expand(p).collectFirst {
+        case j: ShuffledJoin
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          j
+      }.getOrElse(fail("no shuffled LeftOuter join in the plan — the " +
+        "broadcast-off regime did not engage"))
+      expand(outer.left).count(_.isInstanceOf[ShuffleExchangeLike])
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = finalPlanOf(Dedup.exactSubstrDedup(docs, "doc_id",
+        "text", k = 8, hashed = true))
+      val plainDocEx =
+        "Exchange hashpartitioning\\(doc_id".r.findAllIn(plain.toString).size
+      plainDocEx should be >= 2 // text side + starts-aggregate side
+      textSideShuffles(plain) should be >= 1 // unbucketed: text shuffles
+      docs.write.mode("overwrite").bucketBy(4, "doc_id")
+        .sortBy("doc_id").saveAsTable("substr_bucketed_docs")
+      try {
+        val bucketed = finalPlanOf(Dedup.exactSubstrDedup(
+          spark.table("substr_bucketed_docs"), "doc_id", "text",
+          k = 8, hashed = true))
+        // the bucketed scan satisfies hashpartitioning(doc_id) for the
+        // join-back: the corpus TEXT side feeds the SortMergeJoin with
+        // no exchange (a local sort only). The ONE doc_id exchange left
+        // is the starts aggregate's own — its input just crossed the
+        // __wkey semi-join shuffle, so re-partitioning its (id, pos)
+        // rows back to doc_id is inherent and carries ~12 bytes/row,
+        // never text. That is deployment rule #1's actual claim.
+        textSideShuffles(bucketed) shouldBe 0
+        "Exchange hashpartitioning\\(doc_id".r
+          .findAllIn(bucketed.toString).size shouldBe (plainDocEx - 1)
+        // same answer either way
+        Dedup.exactSubstrDedup(spark.table("substr_bucketed_docs"),
+            "doc_id", "text", k = 8, hashed = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet shouldBe
+          Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 8,
+              hashed = true)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+      } finally spark.sql("DROP TABLE IF EXISTS substr_bucketed_docs")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("bigramLogLoss matches the hand-computed interpolated model") {
     import spark.implicits._
     // corpus: d1 = "x y x y x", d2 = "x z"; c12: xy=2 yx=2 xz=1;
@@ -4406,6 +4486,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       // must stay well under half the exact face's strings)
       "q_dedup_substring" -> 1600000L,
       "q_dedup_substring_hashed" -> 700000L,
+      // r18: the char-granularity faces (observed 0.93 / 0.88 / 0.53 MB
+      // at sf0.01 — pre-transition the key AGGREGATE dominates, so the
+      // hashed/exact gap is narrow here; the 8-byte-key contract shows
+      // at scale, SCALING.md r18 decade)
+      "q_dedup_substring_char" -> 1900000L,
+      "q_dedup_substring_char_hashed" -> 1800000L,
+      "q_substr_char_xcorpus" -> 1100000L,
       "q_bigram_ll" -> 1300000L,
       "q_dedup_jaccard" -> 900000L,
       "q_curate" -> 800000L,
