@@ -13,8 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Footer-inferred schema, cached per path (same JVM-lifetime contract
+    * as [[eventsIsNanos]]): `spark.read.parquet` re-infers the schema from
+    * the footer on EVERY call, a driver-side read that every registry
+    * query pays once per table reference per execution. The first load of
+    * a path infers; later loads pass the cached schema explicitly, which
+    * skips inference entirely (the production analogue is a catalog table
+    * whose schema is metadata, not a per-query footer read). The cache
+    * holds schemas only — row data always comes from the parquet scan.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
