@@ -352,46 +352,78 @@ object Similarity {
         F.lit(cid).as("cid"))
     }: _*)
 
-  /** Lloyd-refine a centroid set against (a bounded sample of) the
-    * candidate vectors. Each iteration: distributed nearest-centroid
-    * assignment by LOWEST L2 distance ([[nearestScored]]) — a native
-    * kernel projection, no shuffle
-    * of vectors — then per-(cluster, dim) mean via posexplode + aggregate
-    * (shuffle carries k·dim aggregate rows, the collect is k·dim values —
-    * bounded by construction, never the data). Training runs on a
-    * [[hashSample]] of `sampleCap` rows, localCheckpoint'ed ONCE before
-    * the loop: the sample frame is consumed every iteration, and without
-    * the checkpoint each Lloyd step would re-scan and re-sort the full
-    * candidate corpus (iters × corpus-wide top-k jobs).
+  /** Lloyd-refine a centroid set against a bounded sample of the
+    * candidate vectors — DRIVER-side, like [[trainPqCodebooks]]'
+    * [[lloydL2]] and deliberately so: the [[hashSample]] is collected
+    * ONCE (≤ sampleCap·dim doubles — the same bounded-artifact contract
+    * the PQ trainer already carries) and the iterations are pure Scala.
+    * The previous formulation ran one distributed job per iteration over
+    * a localCheckpoint'ed sample (assignment kernel + posexplode +
+    * per-(cluster, dim) avg + collect): 2 + iters Spark jobs whose
+    * per-job scheduling floor, not arithmetic, dominated training wall —
+    * guide §1.2 step 1 (the iteration arithmetic is
+    * sampleCap·k·dim ≈ 5M flops/iter here, microseconds of CPU).
+    *
+    * Assignment replicates [[graft.functions.QuantizerKernel.topM]]'s
+    * arithmetic exactly — d = ‖c‖² − 2·v·c with both reductions
+    * accumulated in ascending-dimension order, ties → lowest cid — so
+    * the driver refinement tessellates the space identically to the
+    * kernel the refined centroids are later used with. Per-cluster means
+    * divide per-dimension sums accumulated in hash-sample order (the
+    * collect order of the hash-ordered sample, deterministic across
+    * invocations and partitionings); empty clusters keep their previous
+    * centroid, as before.
     */
   def kmeansRefine(candidates: DataFrame, idCol: String, vecCol: String,
       init: Array[(Int, Array[Double])], iters: Int,
       sampleCap: Int = 10000, seed: Long = 42L): Array[(Int, Array[Double])] = {
     if (iters <= 0) return init
-    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val dim = init.head._2.length
     // dim screen at the init centroids' width: a wrong-length survivor of
-    // the generic screen would null-assign under the kernel and NPE the
-    // refinement collect
-    val sample = hashSample(candidates, idCol, vecCol, sampleCap, seed,
-        dim = init.head._2.length)
-      .localCheckpoint()
+    // the generic screen would otherwise join training at a ragged width
+    val sample: Array[Array[Double]] =
+      hashSample(candidates, idCol, vecCol, sampleCap, seed, dim)
+        .collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return init
+    val k = init.length
     var cents = init
     for (_ <- 1 to iters) {
-      val assignExpr =
-        F.element_at(nearestScored(cents, F.col("__v"), 1), 1).getField("cid")
-      val means = sample.withColumn("__c", assignExpr)
-        .select(F.col("__c"), F.posexplode(F.col("__v")))
-        .groupBy("__c", "pos").agg(F.avg("col").as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      cents = cents.map { case (cid, old) =>
-        byCluster.get(cid) match {
-          case Some(rows) =>
-            val m = old.clone()
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-            (cid, m)
-          case None => (cid, old) // empty cluster keeps its centroid
+      val norms2 = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        val c = cents(i)._2
+        var n2 = 0.0
+        var j = 0
+        while (j < dim) { val x = c(j); n2 += x * x; j += 1 }
+        norms2(i) = n2
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = -1
+        var bestD = 0.0
+        var ci = 0
+        while (ci < k) {
+          val c = cents(ci)._2
+          var dp = 0.0
+          var j = 0
+          while (j < dim) { dp += p(j) * c(j); j += 1 }
+          val d = norms2(ci) - 2.0 * dp
+          if (best < 0 || d < bestD ||
+              (d == bestD && cents(ci)._1 < cents(best)._1)) {
+            best = ci; bestD = d
+          }
+          ci += 1
         }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case ((cid, old), ci) =>
+        if (counts(ci) == 0) (cid, old) // empty cluster keeps its centroid
+        else (cid, sums(ci).map(_ / counts(ci)))
       }
     }
     cents

@@ -551,12 +551,39 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // path 1-2-...-101: diameter 100. Pure neighbor propagation would need
     // 100 rounds; the label's-label hop makes reach double per round, so
     // this converges well inside the 48-round budget (or throws — never
-    // silently splits the component).
+    // silently splits the component). driverEdgeCap = 0 forces the
+    // DISTRIBUTED loop (the r18 size-adaptive pick would otherwise route
+    // a 100-edge graph to the driver union-find and leave the loop
+    // untested).
     val pairs = (1L until 101L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cl = Dedup.nearDupClusters(pairs).collect()
+    val cl = Dedup.nearDupClusters(pairs, driverEdgeCap = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     cl.keySet shouldBe (1L to 101L).toSet
     cl.values.toSet shouldBe Set(1L)
+  }
+
+  test("nearDupClusters: driver union-find path == distributed loop") {
+    import spark.implicits._
+    // the r18 size-adaptive strategy pick must be invisible in results:
+    // same pair sets through both paths (cap below/above the edge count)
+    // yield identical (id, cluster) maps — hubs, chains, singleton pairs,
+    // and 64-bit-extreme ids together.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq((1L, 9L), (5L, 9L), (20L, 21L),
+        (Long.MaxValue - 1, Long.MaxValue)) ++
+      (100L to 140L).map(i => (i, i + 1)) ++
+      Seq.fill(30)((rnd.nextInt(40).toLong + 500L, rnd.nextInt(40).toLong + 500L))
+        .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a_id", "b_id")
+    val viaDriver = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.nearDupClusters(pairs, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaDriver shouldBe viaLoop
+    // and the schema the two paths expose is identical
+    Dedup.nearDupClusters(pairs).schema.map(f => (f.name, f.dataType)) shouldBe
+      Dedup.nearDupClusters(pairs, driverEdgeCap = 0L).schema
+        .map(f => (f.name, f.dataType))
   }
 
   test("nearDupClusters handles 64-bit hash ids (no ANSI sum overflow)") {
