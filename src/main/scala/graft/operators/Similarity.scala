@@ -201,7 +201,12 @@ object Similarity {
     val ps = if (planesFn == "md5") planesMd5(dim, nPlanes, seed)
       else planes(dim, nPlanes, seed)
     val bits = ps.map { p =>
-      val planeCol = F.array(p.map(F.lit): _*)
+      // ONE ArrayType literal, not CreateArray of dim element literals:
+      // the per-element form adds nTables·nPlanes·dim expression nodes to
+      // the tree (3072 for the q_knn_lsh defaults) that analysis and
+      // ConstantFolding re-walk on every build — measured ~0.3 s of
+      // driver-side DataFrame construction per lshTopK call
+      val planeCol = F.typedLit(p.toSeq)
       F.when(dot(vd, planeCol) >= 0, F.lit(1L)).otherwise(F.lit(0L))
     }
     val key = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }
@@ -212,7 +217,7 @@ object Similarity {
     // before the null-sim filter dropped them; null keys never match the
     // bucket equi-join, so such rows are simply never candidates (the
     // same unexamined-survivor contract as the centroid assigners)
-    F.when(dot(vd, F.array(ps.head.map(F.lit): _*)).isNotNull, key)
+    F.when(dot(vd, F.typedLit(ps.head.toSeq)).isNotNull, key)
   }
 
   /** One row per (id, table, bucket): every table's SRP bucket key computed
@@ -224,10 +229,31 @@ object Similarity {
   private def tableBuckets(df: DataFrame, id: String, vec: String, dim: Int,
       nPlanes: Int, nTables: Int, seed: Long,
       planesFn: String = "gaussian"): DataFrame =
-    df.select(F.col(id), F.explode(F.array((0 until nTables).map { t =>
+    // the bucket array MATERIALIZES AS AN ATTRIBUTE before the explode
+    // (and the float→double cast happens once, not once per plane dot):
+    // Generate evaluates its child generator INTERPRETED, so an inline
+    // array of nTables·nPlanes kernel dots ran ~56 interpreted
+    // expression-tree walks (each re-casting the vector) per row — the
+    // ShingleHash/Hygiene pattern, measured 1.05 s → 50 ms on the
+    // q_knn_lsh candidate-bucketing stage at sf0.1.
+    //
+    // explode_OUTER, deliberately: the array is a constant-size-`nTables`
+    // array of non-null structs (a malformed vector yields null `b`
+    // FIELDS, never a null/empty array), so outer vs inner explode is
+    // row-for-row identical — but inner explode makes
+    // InferFiltersFromGenerate add `size(__tbs) > 0` and predicate
+    // pushdown then re-evaluates the ENTIRE bucket-array expression as a
+    // scan-level filter (974 ms on the sf0.1 candidate side — the whole
+    // kernel twice per row) and, because only one of the two scans of
+    // each vector table carries that filter, breaks the repartition
+    // exchange reuse the scan discipline here is built on (4 scans + 4
+    // exchanges instead of 2 + 2, plan-pinned in PipelineSpec).
+    df.select(F.col(id), F.col(vec).cast("array<double>").as("__vd"))
+      .select(F.col(id), F.array((0 until nTables).map { t =>
         F.struct(F.lit(t).as("t"),
-          srpBucket(F.col(vec), dim, nPlanes, seed + t, planesFn).as("b"))
-      }: _*)).as("__tb"))
+          srpBucket(F.col("__vd"), dim, nPlanes, seed + t, planesFn).as("b"))
+      }: _*).as("__tbs"))
+      .select(F.col(id), F.explode_outer(F.col("__tbs")).as("__tb"))
       .select(F.col(id), F.col("__tb.t").as("__t"), F.col("__tb.b").as("__b"))
 
   /** Approximate cosine top-k via `nTables` independent SRP hash tables:
@@ -1633,7 +1659,7 @@ object Similarity {
     val scale = math.sqrt(4.0 / outDim)
     val dots = (0 until outDim).map { j =>
       val w = Array.tabulate(inDim)(i => entry(i, j) * scale)
-      dot(F.col(vecCol), F.array(w.map(F.lit): _*))
+      dot(F.col(vecCol), F.typedLit(w.toSeq)) // one literal node per column
     }
     df.select(F.col(idCol), F.array(dots: _*).as("proj"))
   }
@@ -1796,7 +1822,7 @@ object Similarity {
     val qv = F.col(vecCol).cast("array<double>")
     val lut = F.array((0 until m).map { j =>
       val sub = F.slice(qv, j * dsub + 1, dsub)
-      F.array(codebooks(j).map(cv => dot(sub, F.array(cv.map(F.lit): _*))): _*)
+      F.array(codebooks(j).map(cv => dot(sub, F.typedLit(cv.toSeq))): _*)
     }: _*)
     val base = Seq(F.col(idCol).as("query_id"), lut.as("__lut"),
       norm(qv).as("__qn"))
