@@ -1437,13 +1437,14 @@ object Queries {
     * union vocabulary and the per-doc Σ n·log-ratio. The hashed-bucket
     * scale variant is pinned against this one in SelectionSpec.
     */
-  def q_dsir(s: SparkSession, d: String): DataFrame = {
-    val docsDf = Tables.documents(s, d)
-    Selection.dsirLogWeights(
-        docsDf, docsDf.filter(col("lang") === "fr"), "doc_id", "text",
-        numBuckets = 0)
+  def q_dsir(s: SparkSession, d: String): DataFrame =
+    // single-scan same-corpus form (r18): tokenizes documents ONCE with
+    // the target flag carried; identical weights to the two-frame form
+    // (dsirLogWeightsWithin scaladoc has the equivalence argument, and
+    // SelectionSpec pins it row-for-row)
+    Selection.dsirLogWeightsWithin(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "fr", numBuckets = 0)
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
-  }
 
   /** Naive-Bayes quality classifier (the fastText-classifier stand-in of
     * GPT-3 App. A / CCNet §4.4), exact n-gram variant: fit on the 80%
@@ -1678,13 +1679,10 @@ object Queries {
     * end-to-end. The fused-kernel xxhash64 flavor (the hot-path default)
     * is pinned against this one in SelectionSpec.
     */
-  def q_dsir_hashed(s: SparkSession, d: String): DataFrame = {
-    val docsDf = Tables.documents(s, d)
-    Selection.dsirLogWeights(docsDf,
-        docsDf.filter(col("lang") === "fr"), "doc_id", "text",
-        numBuckets = 1 << 16, hashFn = "md5")
+  def q_dsir_hashed(s: SparkSession, d: String): DataFrame =
+    Selection.dsirLogWeightsWithin(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "fr", numBuckets = 1 << 16, hashFn = "md5")
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
-  }
 
   /** Per-doc BPE token counts under a corpus-trained merge table
     * ([[TextAnalysis.trainBpeMerges]] + the native `bpe_count` kernel) —
@@ -1719,13 +1717,11 @@ object Queries {
     * (q_dsir_hashed); noise determinism and target enrichment are pinned
     * in SelectionSpec.
     */
-  def q_dsir_select(s: SparkSession, d: String): DataFrame = {
-    val docsDf = Tables.documents(s, d)
-    Selection.dsirSelect(docsDf, docsDf.filter(col("lang") === "fr"),
-        "doc_id", "text", k = 100, numBuckets = 0)
+  def q_dsir_select(s: SparkSession, d: String): DataFrame =
+    Selection.dsirSelectWithin(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "fr", k = 100, numBuckets = 0)
       .select(col("doc_id"), round(col("logw"), 6).as("logw"),
         round(col("score"), 6).as("score"))
-  }
 
   /** Hashed-span twin of [[q_dup_passages]] — the production shuffle
     * shape (8-byte span keys instead of strings). Row identity with the
@@ -5045,13 +5041,10 @@ object Queries {
   /** Kernel twin of [[q_dsir_hashed]]: xxhash64 feature buckets (the
     * hot-path default `hashFn`).
     */
-  def q_dsir_hashed_kernel(s: SparkSession, d: String): DataFrame = {
-    val docsDf = Tables.documents(s, d)
-    Selection.dsirLogWeights(docsDf,
-        docsDf.filter(col("lang") === "fr"), "doc_id", "text",
-        numBuckets = 1 << 16)
+  def q_dsir_hashed_kernel(s: SparkSession, d: String): DataFrame =
+    Selection.dsirLogWeightsWithin(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "fr", numBuckets = 1 << 16)
       .select(col("doc_id"), round(col("logw"), 6).as("logw"))
-  }
 
   /** Kernel twin of [[q_nb_quality_hashed]]: xxhash64 feature buckets. */
   def q_nb_quality_hashed_kernel(s: SparkSession, d: String): DataFrame =

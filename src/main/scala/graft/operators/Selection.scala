@@ -340,6 +340,74 @@ object Selection {
       .agg(F.sum(F.col("n") * F.col("__lr")).as("logw"))
   }
 
+  /** [[dsirLogWeights]] for the ubiquitous SAME-CORPUS case — `target` is
+    * a predicate over `df`'s own rows (curate against the in-corpus
+    * high-quality slice) rather than a second frame. The two-frame form
+    * scans and tokenizes the corpus twice (once per side); here the
+    * corpus is scanned and tokenized ONCE with the target flag carried
+    * through the feature stage, and the per-feature target count falls
+    * out of the same aggregate as the raw count (guide §2.3 "aggregate
+    * before you shuffle" + §2.4 shared-exchange discipline: the kernel
+    * pass, the heaviest stage at scale, halves).
+    *
+    * Equivalence to `dsirLogWeights(df, df.filter(targetCond), …)` is
+    * exact, not approximate: target ⊆ raw means every target feature is
+    * a raw feature, so the full-outer feature union degenerates to the
+    * raw feature set with ct = 0 where the target slice lacks the
+    * feature — precisely what the conditional sum computes — and V, the
+    * union vocabulary, equals the raw vocabulary. Pinned row-for-row
+    * against the two-frame form in SelectionSpec.
+    */
+  def dsirLogWeightsWithin(df: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, numBuckets: Int = 1 << 16,
+      smoothing: Double = 1.0, hashFn: String = "xxhash64"): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val rawFeats = docFeatures(
+      df.withColumn("__tgt", F.coalesce(targetCond, F.lit(false))),
+      idCol, textCol, numBuckets, carry = Seq("__tgt"), hashFn = hashFn)
+    // one aggregate, both corpus-side counts; the cr guard references
+    // idCol and n like the two-frame form so pruning cannot specialize
+    // this consumer off the shared feature stage
+    val union = rawFeats.groupBy("feat")
+      .agg(
+        F.sum(F.when(F.col(idCol).isNotNull && F.col("n") >= 1, F.col("n")))
+          .as("cr"),
+        F.coalesce(F.sum(F.when(F.col("__tgt"), F.col("n"))), F.lit(0L))
+          .as("ct"))
+    val stats = union.agg(
+      F.sum(F.when(F.col("feat").isNotNull && F.col("ct") >= 0, F.col("cr")))
+        .cast("double").as("__tr"),
+      F.sum("ct").cast("double").as("__tt"),
+      F.count(F.lit(1)).cast("double").as("__v"))
+    val s = F.lit(smoothing)
+    val ratios = union.crossJoin(F.broadcast(stats))
+      .select(F.col("feat"),
+        (F.log((F.col("ct") + s) / (F.col("__tt") + s * F.col("__v"))) -
+          F.log((F.col("cr") + s) / (F.col("__tr") + s * F.col("__v"))))
+          .as("__lr"))
+    rawFeats.join(ratios, "feat")
+      .groupBy(idCol)
+      .agg(F.sum(F.col("n") * F.col("__lr")).as("logw"))
+  }
+
+  /** [[dsirSelect]] over [[dsirLogWeightsWithin]] — the same Gumbel-top-k
+    * tail on the single-scan same-corpus weights.
+    */
+  def dsirSelectWithin(df: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, k: Int, numBuckets: Int = 1 << 16,
+      temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (graft.plans.Hygiene.md5Prefix32(
+        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed")))
+      .cast("double") + 0.5) / 4294967296.0
+    val gumbel = -F.log(-F.log(u))
+    dsirLogWeightsWithin(df, idCol, textCol, targetCond, numBuckets)
+      .withColumn("score", F.col("logw") / temperature + gumbel)
+      .orderBy(F.col("score").desc, F.col(idCol))
+      .limit(k)
+  }
+
   /** Gumbel-top-k importance RESAMPLING over [[dsirLogWeights]]: take the
     * `k` raw docs with the highest `logw / temperature + Gumbel noise` —
     * equivalent to sampling k docs without replacement with probability

@@ -346,6 +346,41 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     means(true) should be > means(false)
   }
 
+  test("dsirLogWeightsWithin == two-frame dsirLogWeights, row for row") {
+    // the r18 single-scan same-corpus form must be result-invisible:
+    // exact AND hashed flavors, and the Gumbel-top-k tail on top
+    for (buckets <- Seq(0, 4096)) withClue(s"numBuckets=$buckets: ") {
+      val two = Selection.dsirLogWeights(docs,
+          docs.filter(F.col("lang") === "fr"), "doc_id", "text",
+          numBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val within = Selection.dsirLogWeightsWithin(docs, "doc_id", "text",
+          F.col("lang") === "fr", numBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      within.keySet shouldBe two.keySet
+      within.foreach { case (id, w) => w shouldBe two(id) +- 1e-12 }
+    }
+    // same selected ids; weights/scores equal within ULP sum-order noise
+    // (the per-doc feature sum accumulates in join-partition order, which
+    // differs between the formulations — the same class of difference the
+    // 6-decimal oracle rounding already tolerates between Spark and
+    // DuckDB's own accumulation orders)
+    val selTwo = Selection.dsirSelect(docs,
+        docs.filter(F.col("lang") === "fr"), "doc_id", "text",
+        k = 50, numBuckets = 0)
+      .select("doc_id", "logw", "score").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val selWithin = Selection.dsirSelectWithin(docs, "doc_id", "text",
+        F.col("lang") === "fr", k = 50, numBuckets = 0)
+      .select("doc_id", "logw", "score").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    selWithin.keySet shouldBe selTwo.keySet
+    selWithin.foreach { case (id, (w, sc)) =>
+      w shouldBe selTwo(id)._1 +- 1e-9
+      sc shouldBe selTwo(id)._2 +- 1e-9
+    }
+  }
+
   // ---- NB quality classifier -------------------------------------------
 
   /** Corpus with PLANTED class signal: positive docs mix marker words from
