@@ -26,7 +26,11 @@ object TextAnalysis {
     * test in PipelineSpec).
     */
   def tokens(text: Column): Column =
-    F.filter(F.split(F.lower(text), "[^\\p{L}\\p{N}]+"), t => F.length(t) > 0)
+    // array_remove(…, "") == filter(length > 0) exactly for string arrays
+    // (split never yields nulls; empties arise only at the edges), but it
+    // is a codegen'd expression while the filter HOF evaluates an
+    // interpreted lambda per token in every text query's hottest stage
+    F.array_remove(F.split(F.lower(text), "[^\\p{L}\\p{N}]+"), "")
 
   /** Whitespace token count — the cheap "how many words" measure. */
   def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
@@ -221,9 +225,10 @@ object TextAnalysis {
 
   /** [[meanWordLen]] over a materialized token-array attribute. */
   def meanWordLenOf(ts: Column): Column =
+    // Σ length(token) == length(array_join(ts, "")) — same value, but
+    // codegen'd instead of an interpreted aggregate() lambda per token
     F.when(F.size(ts) === 0, F.lit(0.0)).otherwise(
-      F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w))
-        .cast("double") / F.size(ts))
+      F.length(F.array_join(ts, "")).cast("double") / F.size(ts))
 
   /** Composite document-quality score in [0,1]: length band + sane mean
     * word length + low punctuation + some stopwords. The exact recipe is a
@@ -241,7 +246,12 @@ object TextAnalysis {
     val wordLenOk = F.when(meanWordLenOf(ts).between(2.0, 12.0), F.lit(0.25))
       .otherwise(F.lit(0.0))
     val punctOk = F.when(punctRatio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-    val stopOk = F.when(stopwordRatioOf(ts) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    // ratio > 0 ⟺ any stopword present ⟺ non-empty intersect — the
+    // presence test stays codegen'd (array_intersect) where the exact
+    // ratio needs the per-token filter HOF
+    val stopOk = F.when(
+      F.size(F.array_intersect(ts, F.typedLit(Stopwords))) > 0, F.lit(0.25))
+      .otherwise(F.lit(0.0))
     lengthOk + wordLenOk + punctOk + stopOk
   }
 
@@ -277,15 +287,26 @@ object TextAnalysis {
     */
   def langIdOf(ts: Column, text: Column): Column = {
     val cjkChars = F.length(F.regexp_replace(text, "[^\\p{IsHan}]", ""))
-    val scores: Seq[(String, Column)] = LangMarkers.filter(_._2.nonEmpty).map {
-      case (lang, markers) =>
-        lang -> F.size(F.array_intersect(ts, F.array(markers.map(F.lit): _*)))
-    }
-    // argmax via chained whens; ties go to the earlier (higher-prior) language
-    val maxScore = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
-    val pick = scores.reverse.foldLeft(F.lit("und")) { case (acc, (l, s)) =>
-      F.when(s === maxScore && maxScore > 0, F.lit(l)).otherwise(acc)
-    }
+    // Argmax via ONE array_max over (score, -priority, lang) structs with
+    // a (0, +1, "und") sentinel — every marker intersect is evaluated
+    // exactly once per row. The previous chained-when formulation inlined
+    // each intersect into both the running greatest() and every when()
+    // arm: 36 array_intersect evaluations per row in the executed plan
+    // for 4 marker languages (measured: the q_corpus_stats aggregate
+    // stage spent ~170 µs/doc). Semantics are unchanged:
+    //  - struct comparison orders by score first, then -index, so ties go
+    //    to the earlier (higher-prior) language exactly as before;
+    //  - the sentinel's score 0 at the highest priority wins whenever no
+    //    real score exceeds 0 → "und", matching the old maxScore > 0
+    //    guard (a null token array nulls every real score, and struct
+    //    ordering ranks a null field below 0 → sentinel again).
+    val scored = LangMarkers.filter(_._2.nonEmpty).zipWithIndex.map {
+      case ((lang, markers), i) =>
+        F.struct(
+          F.size(F.array_intersect(ts, F.typedLit(markers))).as("s"),
+          F.lit(-i).as("r"), F.lit(lang).as("l"))
+    } :+ F.struct(F.lit(0).as("s"), F.lit(1).as("r"), F.lit("und").as("l"))
+    val pick = F.array_max(F.array(scored: _*)).getField("l")
     F.when(cjkChars * 2 > F.length(text), F.lit("zh")).otherwise(pick)
   }
 
