@@ -1928,7 +1928,13 @@ object Queries {
     */
   def q_kmv_overlap(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
+    // localCheckpoint: the sketch table is |statuses| rows of k mins, but
+    // the a/b self-join below otherwise evaluates the whole scan+aggregate
+    // subtree once per side (the broadcast build cannot reuse the other
+    // side's shuffle stage) — materializing the tiny sketch once removes a
+    // full orders scan per execution (r18; same pattern as probeIvfPqIndex)
     val sk = Sketches.kmvSketch(o, Seq("o_orderstatus"), "o_custkey", k = 64)
+      .localCheckpoint()
     val pairs = sk.select(col("o_orderstatus").as("status_a"),
         col("kmin").as("kmin_a"))
       .join(broadcast(sk.select(col("o_orderstatus").as("status_b"),

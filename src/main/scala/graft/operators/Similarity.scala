@@ -410,7 +410,18 @@ object Similarity {
     val sample: Array[Array[Double]] =
       hashSample(candidates, idCol, vecCol, sampleCap, seed, dim)
         .collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) return init
+    lloydDriver(sample, init, iters)
+  }
+
+  /** The driver-side Lloyd loop shared by [[kmeansRefine]] and
+    * [[trainCentroids]]' fused single-sample path (see kmeansRefine's
+    * scaladoc for the assignment-arithmetic contract).
+    */
+  private def lloydDriver(sample: Array[Array[Double]],
+      init: Array[(Int, Array[Double])],
+      iters: Int): Array[(Int, Array[Double])] = {
+    if (sample.isEmpty || iters <= 0) return init
+    val dim = init.head._2.length
     val k = init.length
     var cents = init
     for (_ <- 1 to iters) {
@@ -498,8 +509,16 @@ object Similarity {
   private def trainCentroids(candidates: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int, sampleSeed: Long,
       refineIters: Int): Array[(Int, Array[Double])] = {
-    val raw = hashSample(candidates, idCol, vecCol, nCentroids, sampleSeed)
+    // ONE bounded sample job feeds both seeding and refinement (r18):
+    // the nCentroids seed rows are by construction the head of the same
+    // hash-ordered sample the Lloyd pass consumes (same seed, same
+    // screen), so a second top-k job bought nothing. When refining, the
+    // Lloyd subset additionally drops rows of non-modal length — the same
+    // dim screen kmeansRefine applies.
+    val capAll = math.max(if (refineIters > 0) 10000 else 0, nCentroids)
+    val rawAll = hashSample(candidates, idCol, vecCol, capAll, sampleSeed)
       .collect().map(_.getSeq[Double](0).toArray)
+    val raw = rawAll.take(nCentroids)
     require(raw.nonEmpty, "candidate set too small for IVF")
     // dim consistency: the screen can't know dim up front, so pin it to
     // the MODAL length across the sample and drop disagreeing lengths
@@ -514,8 +533,8 @@ object Similarity {
       .maxBy { case (len, vs) => (vs.length, -len) }._1 // ties: smaller dim
     val sampled: Array[(Int, Array[Double])] = raw.filter(_.length == d0)
       .zipWithIndex.map { case (v, i) => (i, v) }
-    kmeansRefine(candidates, idCol, vecCol, sampled, refineIters,
-      seed = sampleSeed)
+    if (refineIters <= 0) sampled
+    else lloydDriver(rawAll.filter(_.length == d0), sampled, refineIters)
   }
 
   /** ids of the `m` LOWEST-L2-distance centroids as an array column —
