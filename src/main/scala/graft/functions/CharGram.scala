@@ -194,12 +194,45 @@ object CharGramKernel {
     new GenericArrayData(out)
   }
 
+  /** Code-point values decoded directly from the UTF-8 bytes at the
+    * [[cpOffsets]] positions — the SAME coordinate system the windowing
+    * and splice kernels use, so hashed window positions and byte-splice
+    * positions can never disagree (they briefly could for malformed
+    * UTF-8 when this kernel still counted via toString/UTF-16 while the
+    * splice counted via the byte walk — r18 review finding). Valid
+    * sequences decode to the exact code point (hash values unchanged);
+    * a malformed unit hashes its first byte — deterministic, and window
+    * identity still follows byte content.
+    */
+  private def cpValues(bytes: Array[Byte], offs: Array[Int]): Array[Int] = {
+    val n = offs.length - 1
+    val cps = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = offs(i)
+      val len = offs(i + 1) - o
+      val b0 = bytes(o) & 0xff
+      cps(i) = len match {
+        case 1 => b0
+        case 2 => ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f)
+        case 3 => ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
+          (bytes(o + 2) & 0x3f)
+        case 4 => ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
+          ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f)
+        case _ => b0 // clamped malformed tail
+      }
+      i += 1
+    }
+    cps
+  }
+
   /** [[CharGramHashes]] kernel: O(n) rolling polynomial over code points,
     * avalanche-finalized per window.
     */
   def gramHashes(text: UTF8String, k: Int): ArrayData = {
     if (text == null || k < 1) return Empty // see gramStrings
-    val cps = text.toString.codePoints().toArray
+    val bytes = text.getBytes
+    val cps = cpValues(bytes, cpOffsets(bytes))
     val n = cps.length
     if (n < k) return Empty
     val B = 1099511628211L // FNV prime as the polynomial base

@@ -361,13 +361,19 @@ object Dedup {
     val idType = edges.schema("u").dataType
     val integralIds = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
-    if (integralIds && driverEdgeCap > 0 &&
-        edges.count() <= 2L * driverEdgeCap) {
+    // strategy probe: ONE aggregate over the just-checkpointed blocks
+    // decides size AND null-endpoint eligibility before any collect (a
+    // null endpoint — never produced by the pair generators, but the
+    // distributed loop tolerates it — falls back to the loop rather than
+    // guessing at null-join semantics on the driver)
+    val probe = if (integralIds && driverEdgeCap > 0)
+      edges.agg(F.count(F.lit(1)),
+        F.count(F.when(F.col("u").isNull || F.col("v").isNull, 1))).head
+    else null
+    if (probe != null && probe.getLong(0) <= 2L * driverEdgeCap &&
+        probe.getLong(1) == 0L) {
       val raw = edges.collect()
-      // a null endpoint (never produced by the pair generators, but the
-      // distributed loop tolerates it) falls back to the loop rather than
-      // guessing at null-join semantics on the driver
-      if (raw.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      locally {
         def asLong(r: org.apache.spark.sql.Row, i: Int): Long = idType match {
           case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
           case _ => r.getLong(i)

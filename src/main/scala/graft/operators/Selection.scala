@@ -322,8 +322,17 @@ object Selection {
       .select(F.col("feat"),
         F.coalesce(F.col("cr"), F.lit(0L)).as("cr"),
         F.coalesce(F.col("ct"), F.lit(0L)).as("ct"))
-    // 1-row stats; the guard references every column so pruning cannot
-    // specialize this consumer away from the shared `union` stage
+    dsirRatioTail(union, rawFeats, idCol, smoothing)
+  }
+
+  /** Shared DSIR tail (stats broadcast → smoothed log-ratios → per-doc
+    * weight sum) over a (feat, cr, ct) union frame — ONE definition so
+    * [[dsirLogWeights]] and [[dsirLogWeightsWithin]] cannot drift. The
+    * stats guard references every column so pruning cannot specialize
+    * this consumer away from the shared `union` stage.
+    */
+  private def dsirRatioTail(union: DataFrame, rawFeats: DataFrame,
+      idCol: String, smoothing: Double): DataFrame = {
     val stats = union.agg(
       F.sum(F.when(F.col("feat").isNotNull && F.col("ct") >= 0, F.col("cr")))
         .cast("double").as("__tr"),
@@ -338,6 +347,24 @@ object Selection {
     rawFeats.join(ratios, "feat")
       .groupBy(idCol)
       .agg(F.sum(F.col("n") * F.col("__lr")).as("logw"))
+  }
+
+  /** Shared Gumbel-top-k resampling tail over a (idCol, logw) frame —
+    * ONE definition of the md5-derived noise and the TakeOrdered cut so
+    * [[dsirSelect]] and [[dsirSelectWithin]] cannot drift.
+    */
+  private def gumbelTopK(weights: DataFrame, idCol: String, k: Int,
+      temperature: Double, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (graft.plans.Hygiene.md5Prefix32(
+        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed")))
+      .cast("double") + 0.5) / 4294967296.0
+    val gumbel = -F.log(-F.log(u))
+    weights
+      .withColumn("score", F.col("logw") / temperature + gumbel)
+      .orderBy(F.col("score").desc, F.col(idCol))
+      .limit(k)
   }
 
   /** [[dsirLogWeights]] for the ubiquitous SAME-CORPUS case — `target` is
@@ -370,24 +397,15 @@ object Selection {
     // this consumer off the shared feature stage
     val union = rawFeats.groupBy("feat")
       .agg(
-        F.sum(F.when(F.col(idCol).isNotNull && F.col("n") >= 1, F.col("n")))
-          .as("cr"),
+        // coalesce like the two-frame form's post-join coalesce: a
+        // feature occurring ONLY in null-id docs sums to NULL under the
+        // guard, where dsirLogWeights yields 0 (r18 review finding)
+        F.coalesce(
+          F.sum(F.when(F.col(idCol).isNotNull && F.col("n") >= 1,
+            F.col("n"))), F.lit(0L)).as("cr"),
         F.coalesce(F.sum(F.when(F.col("__tgt"), F.col("n"))), F.lit(0L))
           .as("ct"))
-    val stats = union.agg(
-      F.sum(F.when(F.col("feat").isNotNull && F.col("ct") >= 0, F.col("cr")))
-        .cast("double").as("__tr"),
-      F.sum("ct").cast("double").as("__tt"),
-      F.count(F.lit(1)).cast("double").as("__v"))
-    val s = F.lit(smoothing)
-    val ratios = union.crossJoin(F.broadcast(stats))
-      .select(F.col("feat"),
-        (F.log((F.col("ct") + s) / (F.col("__tt") + s * F.col("__v"))) -
-          F.log((F.col("cr") + s) / (F.col("__tr") + s * F.col("__v"))))
-          .as("__lr"))
-    rawFeats.join(ratios, "feat")
-      .groupBy(idCol)
-      .agg(F.sum(F.col("n") * F.col("__lr")).as("logw"))
+    dsirRatioTail(union, rawFeats, idCol, smoothing)
   }
 
   /** [[dsirSelect]] over [[dsirLogWeightsWithin]] — the same Gumbel-top-k
@@ -395,18 +413,9 @@ object Selection {
     */
   def dsirSelectWithin(df: DataFrame, idCol: String, textCol: String,
       targetCond: Column, k: Int, numBuckets: Int = 1 << 16,
-      temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(temperature > 0, s"temperature must be positive, got $temperature")
-    val u = (graft.plans.Hygiene.md5Prefix32(
-        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed")))
-      .cast("double") + 0.5) / 4294967296.0
-    val gumbel = -F.log(-F.log(u))
-    dsirLogWeightsWithin(df, idCol, textCol, targetCond, numBuckets)
-      .withColumn("score", F.col("logw") / temperature + gumbel)
-      .orderBy(F.col("score").desc, F.col(idCol))
-      .limit(k)
-  }
+      temperature: Double = 1.0, seed: Long = 42L): DataFrame =
+    gumbelTopK(dsirLogWeightsWithin(df, idCol, textCol, targetCond,
+      numBuckets), idCol, k, temperature, seed)
 
   /** Gumbel-top-k importance RESAMPLING over [[dsirLogWeights]]: take the
     * `k` raw docs with the highest `logw / temperature + Gumbel noise` —
@@ -424,18 +433,9 @@ object Selection {
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, numBuckets: Int = 1 << 16,
-      temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(temperature > 0, s"temperature must be positive, got $temperature")
-    val u = (graft.plans.Hygiene.md5Prefix32(
-        F.concat(F.col(idCol).cast("string"), F.lit(s"_dsir_$seed")))
-      .cast("double") + 0.5) / 4294967296.0
-    val gumbel = -F.log(-F.log(u))
-    dsirLogWeights(raw, target, idCol, textCol, numBuckets)
-      .withColumn("score", F.col("logw") / temperature + gumbel)
-      .orderBy(F.col("score").desc, F.col(idCol))
-      .limit(k)
-  }
+      temperature: Double = 1.0, seed: Long = 42L): DataFrame =
+    gumbelTopK(dsirLogWeights(raw, target, idCol, textCol, numBuckets),
+      idCol, k, temperature, seed)
 
   // ------------------------------------------- NB quality classifier
 

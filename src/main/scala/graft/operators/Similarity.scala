@@ -435,28 +435,59 @@ object Similarity {
         norms2(i) = n2
         i += 1
       }
+      // assignment fans out over a FIXED chunk grid (64 slices in sample
+      // order, partials merged in slice order), so the O(rows·k·dim)
+      // assignment — the term that grows quadratic-ish under
+      // semDedupAuto's k ∝ n rule — uses every driver core while the
+      // result stays bit-deterministic on any machine/core count (r18
+      // review finding: the first driver-side formulation was serial)
+      val curr = cents
+      val nChunks = math.min(64, sample.length)
+      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj[(Array[Array[Double]], Array[Long])] { chunk =>
+          val lo = (chunk.toLong * sample.length / nChunks).toInt
+          val hi = ((chunk + 1).toLong * sample.length / nChunks).toInt
+          val pSums = Array.fill(k)(new Array[Double](dim))
+          val pCounts = new Array[Long](k)
+          var r = lo
+          while (r < hi) {
+            val p = sample(r)
+            var best = -1
+            var bestD = 0.0
+            var ci = 0
+            while (ci < k) {
+              val c = curr(ci)._2
+              var dp = 0.0
+              var j = 0
+              while (j < dim) { dp += p(j) * c(j); j += 1 }
+              val d = norms2(ci) - 2.0 * dp
+              if (best < 0 || d < bestD ||
+                  (d == bestD && curr(ci)._1 < curr(best)._1)) {
+                best = ci; bestD = d
+              }
+              ci += 1
+            }
+            pCounts(best) += 1
+            val s = pSums(best)
+            var j = 0
+            while (j < dim) { s(j) += p(j); j += 1 }
+            r += 1
+          }
+          (pSums, pCounts)
+        }
+        .toArray // encounter order == chunk order: deterministic merge
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { p =>
-        var best = -1
-        var bestD = 0.0
+      partials.foreach { case (pSums: Array[Array[Double]], pCounts: Array[Long]) =>
         var ci = 0
         while (ci < k) {
-          val c = cents(ci)._2
-          var dp = 0.0
+          counts(ci) += pCounts(ci)
+          val s = sums(ci)
+          val ps = pSums(ci)
           var j = 0
-          while (j < dim) { dp += p(j) * c(j); j += 1 }
-          val d = norms2(ci) - 2.0 * dp
-          if (best < 0 || d < bestD ||
-              (d == bestD && cents(ci)._1 < cents(best)._1)) {
-            best = ci; bestD = d
-          }
+          while (j < dim) { s(j) += ps(j); j += 1 }
           ci += 1
         }
-        counts(best) += 1
-        val s = sums(best)
-        var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
       }
       cents = cents.zipWithIndex.map { case ((cid, old), ci) =>
         if (counts(ci) == 0) (cid, old) // empty cluster keeps its centroid
@@ -534,7 +565,20 @@ object Similarity {
     val sampled: Array[(Int, Array[Double])] = raw.filter(_.length == d0)
       .zipWithIndex.map { case (v, i) => (i, v) }
     if (refineIters <= 0) sampled
-    else lloydDriver(rawAll.filter(_.length == d0), sampled, refineIters)
+    else {
+      val lloydSample = rawAll.filter(_.length == d0)
+      // if wrong-length garbage crowded a SATURATED generic sample, the
+      // d0-filtered subset under-fills vs the old dim-screened top-k —
+      // only then pay the second, dim-screened sample job the fused path
+      // exists to avoid (r18 review finding; the clean-corpus fast path
+      // is one job)
+      val full =
+        if (rawAll.length == capAll && lloydSample.length < rawAll.length)
+          hashSample(candidates, idCol, vecCol, capAll, sampleSeed, d0)
+            .collect().map(_.getSeq[Double](0).toArray)
+        else lloydSample
+      lloydDriver(full, sampled, refineIters)
+    }
   }
 
   /** ids of the `m` LOWEST-L2-distance centroids as an array column —

@@ -2800,6 +2800,40 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (plan should not).include("splice_tokens")
   }
 
+  test("char-gram kernels share one code-point coordinate system, " +
+    "including malformed UTF-8") {
+    // gramStrings / gramHashes / spliceChars must count positions in the
+    // SAME units or hashed-window start positions splice the wrong
+    // characters (r18: the hash kernel briefly counted via UTF-16 decode
+    // while the splice counted via the raw byte walk — they disagreed
+    // exactly on invalid UTF-8, e.g. a truncated lead byte)
+    import graft.functions.CharGramKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      UTF8String.fromString("hello world"),
+      UTF8String.fromString("汉字文本の混合 abc"),
+      UTF8String.fromBytes(Array[Byte](
+        'a', 'b', 0xE2.toByte, 'A', 'c', 0xF0.toByte)), // invalid UTF-8
+      UTF8String.fromBytes(Array[Byte](0xC3.toByte))) // truncated tail
+    for (t <- cases; k <- Seq(1, 2, 3)) withClue(s"text=$t k=$k: ") {
+      val nStr = CharGramKernel.gramStrings(t, k).numElements()
+      val nHash = CharGramKernel.gramHashes(t, k).numElements()
+      nHash shouldBe nStr // same window count == same coordinates
+      val row = CharGramKernel.spliceChars(t,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](0)), k)
+      // splicing the window at 0 removes exactly min(k, n) code points
+      // in the SAME units the window kernels counted
+      val n = row.getLong(1)
+      if (nStr > 0) n shouldBe (nStr + k - 1)
+      row.getLong(2) shouldBe math.min(k.toLong, n)
+    }
+    // valid-UTF-8 hash values are unchanged by the byte-walk decode: the
+    // rolling polynomial sees the exact code points
+    val ascii = UTF8String.fromString("abcd")
+    CharGramKernel.gramHashes(ascii, 2).toLongArray() should have length 3
+  }
+
   test("exactSubstrDedupChars: hashed keys match exact-string keys " +
     "row-for-row over the corpus, and the single-token boilerplate " +
     "tail — invisible to the token face — is removed from every doc") {

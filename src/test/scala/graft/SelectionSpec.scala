@@ -346,6 +346,27 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     means(true) should be > means(false)
   }
 
+  test("dsirLogWeightsWithin matches two-frame form on null-id docs") {
+    // a feature occurring ONLY in null-id docs: the two-frame form's
+    // full-outer join coalesces its cr to 0; the Within form must
+    // coalesce the guarded sum the same way (r18 review finding)
+    import spark.implicits._
+    val withNulls = Seq(
+      (Some(1L), "alpha beta gamma", "fr"),
+      (Some(2L), "alpha beta", "en"),
+      (Option.empty[Long], "zulu yankee xray", "en") // null id, unique feats
+    ).toDF("doc_id", "text", "lang")
+    val two = Selection.dsirLogWeights(withNulls,
+        withNulls.filter(F.col("lang") === "fr"), "doc_id", "text",
+        numBuckets = 0)
+      .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+    val within = Selection.dsirLogWeightsWithin(withNulls, "doc_id", "text",
+        F.col("lang") === "fr", numBuckets = 0)
+      .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+    within.keySet shouldBe two.keySet
+    within.foreach { case (id, w) => w shouldBe two(id) +- 1e-12 }
+  }
+
   test("dsirLogWeightsWithin == two-frame dsirLogWeights, row for row") {
     // the r18 single-scan same-corpus form must be result-invisible:
     // exact AND hashed flavors, and the Gumbel-top-k tail on top
