@@ -1467,13 +1467,17 @@ object Queries {
 
   private def q_nb_quality_buckets(s: SparkSession, d: String,
       numBuckets: Int, hashFn: String = "xxhash64"): DataFrame = {
+    // single-scan same-corpus form (r19): tokenizes documents ONCE with
+    // the split/label flags carried; identical scores to the two-frame
+    // form (nbClassifierScoreWithin scaladoc has the equivalence
+    // argument, and SelectionSpec pins it row-for-row)
     val split = Selection.hashSplit(Tables.documents(s, d), "doc_id",
       Seq("train" -> 0.8, "score" -> 0.2))
-    Selection.nbClassifierScore(
-        split.filter(col("split") === "train")
-          .withColumn("__lab", col("lang") === "en"),
-        split.filter(col("split") === "score"),
-        "doc_id", "text", "__lab", numBuckets = numBuckets, hashFn = hashFn)
+    Selection.nbClassifierScoreWithin(split, "doc_id", "text",
+        trainCond = col("split") === "train",
+        labelCond = col("lang") === "en",
+        scoreCond = col("split") === "score",
+        numBuckets = numBuckets, hashFn = hashFn)
       .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"))
   }
 

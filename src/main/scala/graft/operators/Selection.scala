@@ -482,6 +482,74 @@ object Selection {
       hashFn = hashFn), llr, params, idCol)
   }
 
+  /** [[nbClassifierScore]] for the ubiquitous SAME-CORPUS case — train and
+    * score populations are predicates over ONE frame (the [[hashSplit]]
+    * shape) rather than two frames. The two-frame form scans and tokenizes
+    * the corpus twice (once per split); here the corpus is scanned and
+    * tokenized ONCE with the split/label flags carried through the shared
+    * per-(doc, feature) tf stage, and BOTH consumers — the per-class count
+    * aggregate and the scoring join — filter ABOVE that aggregate (guide
+    * §2.3/§2.4: the kernel pass, the heaviest stage at scale, halves and
+    * the tf exchange is computed once and reused).
+    *
+    * Equivalence to `nbClassifierScore(df.filter(trainCond).withColumn(l,
+    * labelCond), df.filter(scoreCond), …)` is exact, not approximate: the
+    * split/label flags are per-document constants, so grouping by
+    * (id, flags, feat) yields the same (id, feat, n) rows as grouping by
+    * (id, feat) after filtering, and filter∘aggregate = aggregate∘filter
+    * when the filter tests a group key. The model side (counts → stats →
+    * prior → llr) and the scoring tail are the SAME code as the two-frame
+    * form — no formula is restated. Pinned row-for-row in SelectionSpec.
+    *
+    * Plan-shape fine print (the bigramLogLoss/bm25 discipline): each
+    * branch's filter references the tf count (`n >= 1`, vacuously true)
+    * so predicate pushdown cannot split the shared aggregate into
+    * per-split copies, and each branch references every output column of
+    * the shared stage inside no-op-by-construction guards so column
+    * pruning keeps the two copies canonically identical (one exchange,
+    * reused — plan-pinned in PipelineSpec).
+    */
+  def nbClassifierScoreWithin(df: DataFrame, idCol: String, textCol: String,
+      trainCond: Column, labelCond: Column, scoreCond: Column,
+      numBuckets: Int = 1 << 16, smoothing: Double = 1.0,
+      hashFn: String = "xxhash64"): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val s = F.lit(smoothing)
+    val flagged = df
+      .withColumn("__tr", F.coalesce(trainCond, F.lit(false)))
+      .withColumn("__lab", labelCond)
+      .withColumn("__sc", F.coalesce(scoreCond, F.lit(false)))
+    val feats = docFeatures(flagged, idCol, textCol, numBuckets,
+      carry = Seq("__tr", "__lab", "__sc"), hashFn = hashFn)
+    // ONE non-decomposable predicate per branch: `flag === (n >= 1)`
+    // equals the bare flag (n is a count, so n >= 1 is vacuously true)
+    // but references the aggregate output `n`, so PushDownPredicates can
+    // neither push it below the shared tf aggregate nor split a
+    // conjunction and push the flag half into the scan (a conjunctive
+    // `flag && n >= 1` IS split, specializing each branch's scan filter
+    // and breaking the shared exchange — measured, r19). The split/label
+    // flags need no pruning guards: they are GROUP KEYS of the shared
+    // aggregate, so every branch's partial aggregate (the exchange
+    // subtree) carries them whether or not the branch reads them.
+    def splitFilter(flag: String): Column =
+      F.col(flag) === (F.col("n") >= 1)
+    val trainFeats = feats.filter(splitFilter("__tr"))
+    // same aggregate as nbFit's counts (the id guard is vacuous — the
+    // feature stage drops null ids — and keeps the branch canonical)
+    val counts = trainFeats.groupBy("feat").agg(
+      F.sum(F.when(F.col(idCol).isNotNull && F.col("__lab"), F.col("n"))
+        .otherwise(0L)).as("cpos"),
+      F.sum(F.when(F.col(idCol).isNotNull && !F.col("__lab"), F.col("n"))
+        .otherwise(0L)).as("cneg"))
+    val prior = df.filter(trainCond).agg(
+      F.sum(F.when(labelCond, 1L).otherwise(0L)).cast("double").as("__np"),
+      F.sum(F.when(!labelCond, 1L).otherwise(0L)).cast("double").as("__nn"))
+    val (llr, params) = nbModelFromCounts(counts, prior, numBuckets, s)
+    val sfeats = feats.filter(splitFilter("__sc"))
+      .select(F.col(idCol), F.col("feat"), F.col("n"))
+    nbScoreJoin(sfeats, llr, params, idCol)
+  }
+
   /** Lazy model fit shared by [[nbClassifierScore]] and [[saveNbModel]]:
     * returns (llr: (feat, __llr), params: ONE row with totals __tp/__tn,
     * vocab __v, doc counts __np/__nn, smoothing __s and feature flavor
@@ -499,6 +567,22 @@ object Selection {
       .groupBy("feat").agg(
         F.sum(F.when(F.col(labelCol), F.col("n")).otherwise(0L)).as("cpos"),
         F.sum(F.when(!F.col(labelCol), F.col("n")).otherwise(0L)).as("cneg"))
+    // label-only scan: prunes to one boolean column, no tokenization
+    val prior = labeled.agg(
+      F.sum(F.when(F.col(labelCol), 1L).otherwise(0L)).cast("double")
+        .as("__np"),
+      F.sum(F.when(!F.col(labelCol), 1L).otherwise(0L)).cast("double")
+        .as("__nn"))
+    nbModelFromCounts(counts, prior, numBuckets, s)
+  }
+
+  /** Shared model tail of [[nbFit]] and [[nbClassifierScoreWithin]]: from
+    * the per-feature class counts and the 1-row doc-count prior, derive
+    * (llr, params) — ONE definition so the two-frame and same-corpus fits
+    * cannot drift.
+    */
+  private def nbModelFromCounts(counts: DataFrame, prior: DataFrame,
+      numBuckets: Int, s: Column): (DataFrame, DataFrame) = {
     // 1-row stats; the guard references every column so pruning cannot
     // specialize this consumer off the shared `counts` stage (see DSIR)
     val stats = counts.agg(
@@ -506,12 +590,6 @@ object Selection {
         F.col("cpos"))).cast("double").as("__tp"),
       F.sum("cneg").cast("double").as("__tn"),
       F.count(F.lit(1)).cast("double").as("__v"))
-    // label-only scan: prunes to one boolean column, no tokenization
-    val prior = labeled.agg(
-      F.sum(F.when(F.col(labelCol), 1L).otherwise(0L)).cast("double")
-        .as("__np"),
-      F.sum(F.when(!F.col(labelCol), 1L).otherwise(0L)).cast("double")
-        .as("__nn"))
     val params = stats.crossJoin(prior)
       .withColumn("__s", s)
       .withColumn("__numBuckets", F.lit(numBuckets))
@@ -524,11 +602,20 @@ object Selection {
     // broadcasts — one canonical broadcast exchange, so AQE reuses it
     // instead of recomputing the stats subtree per consumer (a separate
     // broadcast(stats) made the final plan kernel-scan the labeled corpus
-    // an extra time; plan-pinned in PipelineSpec)
+    // an extra time; plan-pinned in PipelineSpec). The guard references
+    // the PRIOR columns too (vacuously — doc counts are >= 0 or null on
+    // an empty corpus): without it column pruning degenerates llr's copy
+    // of the prior subtree to an empty aggregate that still SCANS the
+    // corpus (one extra label-only scan + broadcast chain per execution,
+    // r19 finding), where the full reference keeps llr's params subtree
+    // canonically identical to the scoring tail's — one broadcast, reused.
     val llr = counts.crossJoin(F.broadcast(params))
       .select(F.col("feat"),
-        (F.log((F.col("cpos") + s) / (F.col("__tp") + s * F.col("__v"))) -
-          F.log((F.col("cneg") + s) / (F.col("__tn") + s * F.col("__v"))))
+        F.when(
+          F.coalesce(F.col("__np"), F.lit(0.0)) >= 0 &&
+            F.coalesce(F.col("__nn"), F.lit(0.0)) >= 0,
+          F.log((F.col("cpos") + s) / (F.col("__tp") + s * F.col("__v"))) -
+            F.log((F.col("cneg") + s) / (F.col("__tn") + s * F.col("__v"))))
           .as("__llr"))
     (llr, params)
   }

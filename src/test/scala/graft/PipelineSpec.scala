@@ -307,6 +307,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     "gram_strings".r.findAllIn(nePlan).size shouldBe 4
     tok.r.findAllIn(nePlan).size shouldBe 0
     nePlan should not include "CartesianProduct"
+    // NB classifier, same-corpus Within form (r19): the corpus is scanned
+    // and tokenized ONCE (one kernel site = 2 gram calls: 1-gram +
+    // 2-gram), the shared tf exchange feeds BOTH the per-class count
+    // aggregate and the scoring join via ReusedExchange, and the llr
+    // prior-reference guard keeps the params broadcast canonical (no
+    // degenerate second label scan): exactly TWO FileScans total — the
+    // tokenize scan and the 1-row prior's label-only scan
+    def nbWithinPlan(buckets: Int) = finalPlan(
+      Selection.nbClassifierScoreWithin(docs, "doc_id", "text",
+        trainCond = F.col("lang") =!= "fr",
+        labelCond = F.col("lang") === "en",
+        scoreCond = F.col("lang") === "fr", numBuckets = buckets))
+    val nwPlan = nbWithinPlan(4096)
+    "shingle_hashes_all".r.findAllIn(nwPlan).size shouldBe 2
+    "FileScan parquet".r.findAllIn(nwPlan).size shouldBe 2
+    "ReusedExchange".r.findAllIn(nwPlan).size should be >= 2
+    tok.r.findAllIn(nwPlan).size shouldBe 0
+    nwPlan should not include "CartesianProduct"
+    val nwePlan = nbWithinPlan(0)
+    "gram_strings".r.findAllIn(nwePlan).size shouldBe 2
+    "FileScan parquet".r.findAllIn(nwePlan).size shouldBe 2
+    "ReusedExchange".r.findAllIn(nwePlan).size should be >= 2
+    tok.r.findAllIn(nwePlan).size shouldBe 0
+    nwePlan should not include "CartesianProduct"
     // duplicated passages (hashed): one scan, ONE fused native kernel call
     // (tokenize+hash inside shingle_hashes_all; no Spark-side tokenizer)
     val pPlan = finalPlan(TextAnalysis.duplicatedPassages(

@@ -445,6 +445,63 @@ class SelectionSpec extends AnyFunSuite with Matchers {
     pos.map(_._2).min should be > neg.map(_._2).max
   }
 
+  test("nbClassifierScoreWithin == two-frame nbClassifierScore, row for " +
+    "row (exact, hashed, md5), incl. null ids and null labels") {
+    import spark.implicits._
+    def within(buckets: Int, hashFn: String = "xxhash64") =
+      Selection.nbClassifierScoreWithin(nbCorpus, "id", "text",
+          trainCond = F.col("id") < 160, labelCond = F.col("lab"),
+          scoreCond = F.col("id") >= 160, numBuckets = buckets,
+          hashFn = hashFn)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (buckets <- Seq(0, 1 << 20)) withClue(s"numBuckets=$buckets: ") {
+      val two = Selection.nbClassifierScore(
+          nbCorpus.filter(F.col("id") < 160),
+          nbCorpus.filter(F.col("id") >= 160),
+          "id", "text", "lab", numBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val w = within(buckets)
+      w.keySet shouldBe two.keySet
+      // ULP sum-order tolerance: the per-doc feature sum accumulates in
+      // join-partition order, which can differ between the formulations —
+      // the same class the 6-decimal oracle rounding absorbs
+      w.foreach { case (id, sc) => sc shouldBe two(id) +- 1e-9 }
+    }
+    withClue("md5 flavor: ") {
+      val twoMd5 = Selection.nbClassifierScore(
+          nbCorpus.filter(F.col("id") < 160),
+          nbCorpus.filter(F.col("id") >= 160),
+          "id", "text", "lab", numBuckets = 1 << 16, hashFn = "md5")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val w = within(1 << 16, hashFn = "md5")
+      w.keySet shouldBe twoMd5.keySet
+      w.foreach { case (id, sc) => sc shouldBe twoMd5(id) +- 1e-9 }
+    }
+    // null-id docs (dropped by the feature stage on both paths, excluded
+    // from prior only when the conditions say so) and null LABELS (count
+    // to neither class but the doc still counts in the prior denominator
+    // guard shape) must agree between the forms
+    val withNulls = Seq(
+      (Some(1L), "alpha beta gamma data", Some(true)),
+      (Some(2L), "alpha data table", Some(false)),
+      (Some(3L), "beta gamma table row", Option.empty[Boolean]), // null lab
+      (Option.empty[Long], "zulu yankee xray", Some(true)),      // null id
+      (Some(160L), "alpha beta zulu", Some(true)),
+      (Some(161L), "data table omega", Some(false)))
+      .toDF("id", "text", "lab")
+    val twoN = Selection.nbClassifierScore(
+        withNulls.filter(F.col("id") < 160),
+        withNulls.filter(F.col("id") >= 160),
+        "id", "text", "lab", numBuckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wN = Selection.nbClassifierScoreWithin(withNulls, "id", "text",
+        trainCond = F.col("id") < 160, labelCond = F.col("lab"),
+        scoreCond = F.col("id") >= 160, numBuckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    wN.keySet shouldBe twoN.keySet
+    wN.foreach { case (id, sc) => sc shouldBe twoN(id) +- 1e-12 }
+  }
+
   test("NB hashed model reproduces exact scores at collision-free width") {
     // ~120 distinct features into 2^20 buckets: no collisions (verified —
     // xxhash64 is fixed, so this stays deterministic), hence identical
