@@ -32,14 +32,17 @@ import java.nio.file.{Files, Paths}
   * r16 driver artifact) or 26 hand-adjudicated ones (the r17).
   *
   * The driver harvests the line from a bounded LOG TAIL. Three rounds of
-  * `"parsed": null` proved the per-query map doesn't fit: at 91+ queries
-  * even 3-decimal rounding overflows the tail window and the harvested
-  * text starts mid-key. So stdout now carries ONLY the compact totals
+  * `"parsed": null` proved the per-query map doesn't fit ON ONE LINE: at
+  * 91+ queries even 3-decimal rounding overflows the tail window and the
+  * harvested text starts mid-key. So stdout carries the compact totals
   * line — `{"metric","value","unit","load","n_queries","sf"}` — printed
   * TWICE (before and after the file writes, so it is the literal last
   * line of output and survives any tail cut), while the full per-query
   * map lives in `bench_out.json` and per-query {cold, warm} pairs in
-  * `bench_detail.json`. `"load"` is the 1-minute system load average at
+  * `bench_detail.json`. Since r19 stdout ALSO carries one compact
+  * `{"metric":"q","name",...}` line per query just before the totals
+  * line (round-18 verdict: give the driver per-query visibility) — a
+  * tail cut loses whole leading lines, never the parse. `"load"` is the 1-minute system load average at
   * bench start (-1 where the JVM can't read it): two driver rounds ran
   * contended enough to inflate shuffle-heavy queries 13-64× vs idle
   * re-runs, and the load field + cold/warm detail makes such a run
@@ -172,6 +175,17 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"n_queries":${results.size},"ctl_min":${r3(ctlMin)},"ctl_med":${r3(ctlMed)},"sf":$sfNum}"""
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","load":${r3(load)},"queries":$qs,"sf":$sfNum}"""
+    // CHUNKED per-query lines (round-18 verdict #1/next-round #2): the
+    // driver's PERF comparison had no per-query visibility because the
+    // single-line map overflows its bounded log tail ("parsed": null,
+    // three rounds running). One compact line per query is tail-safe —
+    // whatever the tail window keeps parses line-by-line, and the totals
+    // line below stays the LITERAL last line either way. Additive only:
+    // the totals-line contract and bench_out.json/bench_detail.json are
+    // unchanged, as is the timing loop.
+    results.foreach { case (k, c, ws, _) =>
+      println(s"""{"metric":"q","name":"$k","warm":${r3(median(ws))},"cold":${r3(c)}}""")
+    }
     println(line)
     try {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")

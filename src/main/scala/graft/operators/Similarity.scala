@@ -1446,9 +1446,11 @@ object Similarity {
     val probed = q.select("__list").distinct().collect().map(_.getInt(0))
     val idx = readIndex(spark, path, version)
       .filter(F.col("__list").isin(probed.map(Integer.valueOf): _*))
-    // ADC shortlist: codes-only scan (no __cv in this subtree's schema)
+    // ADC shortlist: codes-only scan (no __cv in this subtree's schema);
+    // the candidate reconstruction norm rides the per-candidate side
     val pairs = q.select("query_id", "__lut", "__qn", "__list")
-      .join(idx.select("cand_id", "codes", "__list"), "__list")
+      .join(idx.select("cand_id", "codes", "__list")
+        .withColumn("__cn", adcCandNorm(cbs)), "__list")
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("cand_id")
         else F.lit(true))
     val short = topK(adcScored(pairs, cbs), shortlist)
@@ -1805,11 +1807,17 @@ object Similarity {
     // ragged vectors encode to NULL (the kernel's data-condition
     // contract) and are dropped here, mirroring pqEncodeFixed — they are
     // outside the ANN universe and the malformedVectors audit reports
-    // them
+    // them. The kernel is materialized behind an attribute barrier so the
+    // null filter references the ATTRIBUTE: a plain Project + Filter lets
+    // predicate pushdown substitute the alias and the executed plan runs
+    // the m·ksub·dsub argmin kernel THREE times per row — once in the
+    // projection, once in the duplicated Filter, once as a pushed scan
+    // DataFilter (r19 plan finding; same class as guide §4.4).
     df.select(F.col(idCol),
-      graft.plans.GraftExtensions.callNative("pq_codes",
-        F.col(vecCol).cast("array<double>"),
-        F.typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)).as("codes"))
+      graft.plans.Hygiene.attributeBarrier(
+        graft.plans.GraftExtensions.callNative("pq_codes",
+          F.col(vecCol).cast("array<double>"),
+          F.typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq))).as("codes"))
       .filter(F.col("codes").isNotNull)
   }
 
@@ -1863,6 +1871,7 @@ object Similarity {
     graft.plans.GraftExtensions.register(candidates.sparkSession)
     val enc = pqEncode(candidates, idCol, vecCol, codebooks)
       .select(F.col(idCol).as("cand_id"), F.col("codes"))
+      .withColumn("__cn", adcCandNorm(codebooks))
     val q = pqQuerySide(queries, idCol, vecCol, codebooks)
     val pairs = enc.crossJoin(F.broadcast(q))
     val filtered =
@@ -1893,10 +1902,32 @@ object Similarity {
       (if (withVec) base :+ F.col(vecCol).as("__qv") else base): _*)
   }
 
-  /** ADC scoring over (__lut, __qn, codes) pair rows: approximate cosine
-    * in O(m) statically-unrolled array lookups (no HOF, stays in
-    * codegen); the candidate reconstruction norm is an O(m) lookup in a
-    * global literal table. Returns (query_id, cand_id, sim).
+  /** Candidate-side reconstruction norm `sqrt(Σ_j ‖c_j(code_j)‖²)` as a
+    * column over `codes` — an O(m) lookup in per-subspace literal tables.
+    * Computed ONCE PER CANDIDATE before the pair join (it depends only on
+    * the codes), not once per (query, candidate) pair: hoisting it out of
+    * the pair-side `sim` expression removes m literal-array lookups plus
+    * a sqrt from every pair — and from every pair-side re-evaluation the
+    * rank filter's pushdown makes (r19; guide §2.3 "decide with small
+    * rows" applied to an expression).
+    */
+  private def adcCandNorm(codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    def code(j: Int) = F.pmod(F.get(F.col("codes"), F.lit(j)).cast("int"), F.lit(256))
+    F.sqrt((0 until m).map { j =>
+      F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
+        code(j))
+    }.reduce(_ + _))
+  }
+
+  /** ADC scoring over (__lut, __qn, __cn, codes) pair rows — the
+    * candidate norm `__cn` ([[adcCandNorm]]) must already ride the
+    * candidate side. Approximate cosine in O(m) statically-unrolled array
+    * lookups (no HOF, stays in codegen). Returns (query_id, cand_id, sim)
+    * with NO null filter of its own: every caller feeds [[topK]], whose
+    * `isNotNull && !isnan` guard subsumes it — the former internal
+    * `filter(sim.isNotNull)` stacked a SECOND pushdown copy of the whole
+    * ADC expression per pair on top of topK's (r19 plan finding).
     */
   private def adcScored(pairs: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
@@ -1906,19 +1937,14 @@ object Similarity {
     val ip = (0 until m).map { j =>
       F.get(F.get(F.col("__lut"), F.lit(j)), code(j))
     }.reduce(_ + _)
-    val cNormSq = (0 until m).map { j =>
-      F.get(F.array(codebooks(j).map(cv => F.lit(cv.map(x => x * x).sum)): _*),
-        code(j))
-    }.reduce(_ + _)
     // Zero-norm guard, SAME null contract as cosine_sim/cosineComposed: a
     // bare division would THROW DIVIDE_BY_ZERO under Spark 4's default ANSI
-    // mode when a query embedding is all zeros (__qn = 0.0) — the isNotNull
-    // filter below runs AFTER the division, so it cannot save the job.
-    val denom = F.col("__qn") * F.sqrt(cNormSq)
+    // mode when a query embedding is all zeros (__qn = 0.0) — topK's
+    // isNotNull filter runs AFTER the division, so it cannot save the job.
+    val denom = F.col("__qn") * F.col("__cn")
     pairs
       .withColumn("sim",
         F.when(denom === 0.0, F.lit(null).cast("double")).otherwise(ip / denom))
-      .filter(F.col("sim").isNotNull)
       .select("query_id", "cand_id", "sim")
   }
 
@@ -1997,10 +2023,13 @@ object Similarity {
   def pqEncodeFixed(df: DataFrame, idCol: String, vecCol: String,
       qcb: Array[Array[Array[Long]]], shift: Int = 20): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
+    // attribute barrier for the same reason as pqEncode: without it the
+    // null filter's pushdown re-runs the argmin kernel 3x per row
     df.select(F.col(idCol),
-        graft.plans.GraftExtensions.callNative("pq_codes_fixed",
-          F.col(vecCol).cast("array<double>"), qcbLit(qcb),
-          F.lit(shift)).as("codes"))
+        graft.plans.Hygiene.attributeBarrier(
+          graft.plans.GraftExtensions.callNative("pq_codes_fixed",
+            F.col(vecCol).cast("array<double>"), qcbLit(qcb),
+            F.lit(shift))).as("codes"))
       .filter(F.col("codes").isNotNull)
   }
 
