@@ -2255,11 +2255,29 @@ object Similarity {
     val p2 = thresholdNum.toLong * thresholdNum
     val q2 = thresholdDen.toLong * thresholdDen
     val dot = intDot(F.col("x.__q"), F.col("y.__q"))
+    // Conservative DOUBLE pre-filter ahead of the exact decimal test
+    // (guide §1.2 per-task work; the decimal multiplies were ~2/3 of the
+    // pair stage's CPU at sf0.1). Soundness: __dot/__na are EXACT int64
+    // ≤ 2^46 (|q_i| ≤ 2^20·1, dim ≤ 64 ⇒ Σ q_i² ≤ 2^46), so each is
+    // exactly representable in double (≤ 2^53); the two products and one
+    // scale each round once, so lhs_d/rhs_d carry relative error
+    // ≤ 3·2^-53 < 2^-51 per side. A pair is discarded only when
+    // lhs_d < rhs_d·(1 − 1e-12), and 1e-12 ≈ 2^-40 ≫ 2^-50 total error —
+    // a discarded pair PROVABLY fails the exact test, so the surviving
+    // pair set (decided by the unchanged decimal conjunct, which the
+    // DuckDB oracle replays in HUGEINT) is identical. Conjuncts evaluate
+    // left-to-right, so the decimal arithmetic now runs only on the
+    // passing pairs plus a ≤1e-12-relative borderline band.
+    val lhsD = F.col("__dot").cast("double") * F.col("__dot").cast("double") *
+      F.lit(q2.toDouble)
+    val rhsD = F.col("x.__na").cast("double") * F.col("y.__na").cast("double") *
+      F.lit(p2.toDouble)
     val pairs = assigned.as("x").join(assigned.as("y"),
         F.col("x.__list") === F.col("y.__list") &&
           F.col("x.id") < F.col("y.id"))
       .withColumn("__dot", dot)
       .filter(F.col("__dot") > 0 &&
+        lhsD >= rhsD * F.lit(1.0 - 1e-12) &&
         F.col("__dot").cast(dec) * F.col("__dot").cast(dec) *
           F.lit(q2).cast(dec) >=
         F.col("x.__na").cast(dec) * F.col("y.__na").cast(dec) *
